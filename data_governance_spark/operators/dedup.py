@@ -1,0 +1,203 @@
+"""Near-duplicate detection sketches: MinHash+LSH and SimHash.
+
+Both are fully JVM-side (xxhash64 + hash aggregates) so they scale
+linearly; candidate generation is always an equi-join on a band/bucket
+key — never an all-pairs comparison. These complement the exact paths
+in queries/documents.py (exact groupBy dedup, md5 fingerprints,
+rare-shingle Jaccard).
+
+Implementation note (scale): signatures are computed as
+explode(features) -> N hash columns -> groupBy(min/sum) rather than
+per-row array lambdas. Hash aggregates get partial (map-side) combine
+and whole-stage codegen; nested higher-order array functions do not —
+an earlier lambda formulation recomputed the shingle array once per
+hash seed and was ~100x slower.
+
+MinHash: k permutations approximated by xxhash64(seed, shingle); the
+estimated Jaccard of two docs is the fraction of matching minima.
+Banding (b bands of r rows, k = b*r) makes the candidate probability
+an S-curve around (1/b)^(1/r).
+
+SimHash: 64-bit signature where bit j is the sign of the sum over
+tokens of ±1 by the token hash's bit j; near-dups have small Hamming
+distance. Candidates via 4x16-bit chunk blocking (any equal chunk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    shingles_col: Column,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(doc_id, sig: array<long>[num_hashes]) MinHash signatures.
+
+    One shuffle: explode distinct shingles, hash once per seed as flat
+    columns, min-aggregate per doc. Docs with zero shingles drop out.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles_col)).alias("sh"),
+    )
+    hashed = sh.select(
+        "doc_id",
+        *[F.xxhash64(F.lit(i), F.col("sh")).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_bands(sig: Column, bands: int = 16, rows: int = 4) -> Column:
+    """array<struct<band:int, key:long>> — one LSH bucket key per band."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[sig[b * rows + r] for r in range(rows)]).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    shingles_col: Column,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs with estimated Jaccard >= threshold.
+
+    Plan shape: signature scan -> explode bands -> self equi-join on
+    (band, key) -> distinct pairs -> estimate from signatures.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, shingles_col, id_col, num_hashes)
+    banded = sigs.select(
+        "doc_id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, tokens_col: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sig: long) 64-bit SimHash signatures.
+
+    Term frequency weights naturally via explode (duplicate tokens
+    contribute once each). Bit j = sign of sum over tokens of
+    (bit j of xxhash64(token) ? +1 : -1).
+    """
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("t"))
+    h = F.xxhash64(F.col("t"))
+    bits = tok.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{j}")
+            for j in range(64)
+        ],
+    )
+    agg = bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{j}").alias(f"b{j}") for j in range(64)]
+    )
+    # disjoint bit values sum to the OR of the bits; bit 63 is the signed
+    # long's min value, which two's-complement addition handles correctly
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        bit_val = (1 << j) if j < 63 else -(1 << 63)
+        sig = sig + F.when(
+            F.col(f"b{j}") > 0, F.lit(bit_val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", sig.alias("sig"))
+
+
+def simhash_chunks(sig: Column) -> Column:
+    """4 x 16-bit blocking chunks of the signature (struct array)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright(sig, i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+            for i in range(4)
+        ]
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup_pairs(
+    docs: DataFrame,
+    tokens_col: Column,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs with Hamming(simhash) <= max_hamming,
+    blocked on equal 16-bit chunks (guarantees recall for distance<=3;
+    good recall beyond)."""
+    sigs = simhash_signatures(docs, tokens_col, id_col)
+    chunked = sigs.select(
+        "doc_id", "sig", F.explode(simhash_chunks(F.col("sig"))).alias("ck")
+    ).select(
+        "doc_id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
+    )
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

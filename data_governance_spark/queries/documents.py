@@ -1,0 +1,282 @@
+"""Text / training-data-pipeline suite over the ``documents`` table.
+
+Covers the BASE_PIPELINE shape of the reference's metrics (explode ->
+derive -> filter -> group -> count, SURVEY §2.4) re-targeted at text
+tokens, plus the large-scale corpus operators a training-data pipeline
+needs: quality scoring, language ID, exact dedup, fingerprinting, and
+n-gram Jaccard near-dup with rare-shingle candidate pruning (the trick
+that keeps the pair join tractable at 100 TB: shingles shared by many
+docs generate O(df^2) candidate pairs and carry no signal, so they are
+dropped before the self-join).
+
+Every query here has a DuckDB oracle; both sides share the exact same
+tokenization (split on \\s+, drop empties) and rounding so the hashes
+match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_governance_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    marker_score,
+    tokens,
+    word_shingles,
+)
+from data_governance_spark.queries.base import QueryDef, qdef
+from data_governance_spark.tables import table
+
+QUERIES: dict[str, QueryDef] = {}
+
+# DuckDB-side tokenizer identical to functions.text.tokens
+_SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+
+# --------------------------------------------------------------------------
+@qdef(
+    QUERIES,
+    "d01_token_counts",
+    oracle=f"""
+    SELECT lang, token, count(*) AS n
+    FROM (SELECT lang, unnest({_SQL_TOKS}) AS token FROM documents)
+    GROUP BY lang, token
+    """,
+    doc="explode tokens -> grouped count per (lang, token): ref BASE_PIPELINE A1 shape",
+)
+def d01_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@qdef(
+    QUERIES,
+    "d02_quality_scores",
+    oracle=f"""
+    SELECT doc_id, n_tokens,
+           round(sum_len / n_tokens, 4)  AS avg_token_len,
+           round(n_stop / n_tokens, 4)   AS stop_ratio,
+           round(least(n_tokens / 100.0, 1.0) * (1.0 - n_stop / n_tokens), 4)
+             AS quality_score
+    FROM (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) AS sum_len,
+             CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) AS n_stop
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+      WHERE len(toks) > 0
+    )
+    """,
+    doc="per-doc quality: token count, avg token length, stopword ratio, score",
+)
+def d02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    df = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        .cast("double")
+        .alias("sum_len"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+        .cast("double")
+        .alias("n_stop"),
+    ).filter(F.col("n_tokens") > 0)
+    nt = F.col("n_tokens")
+    stop_frac = F.col("n_stop") / nt
+    return df.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("sum_len") / nt, 4).alias("avg_token_len"),
+        F.round(stop_frac, 4).alias("stop_ratio"),
+        F.round(F.least(nt / 100.0, F.lit(1.0)) * (1.0 - stop_frac), 4).alias(
+            "quality_score"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+@qdef(
+    QUERIES,
+    "d03_exact_dedup_stats",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT text) AS n_unique,
+           count(*) - count(DISTINCT text) AS n_dup_rows
+    FROM documents
+    GROUP BY source
+    """,
+    doc="exact dedup accounting per source (hash-groupBy dedup)",
+)
+def d03_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_dup_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+@qdef(
+    QUERIES,
+    "d04_fingerprint_clusters",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           count(*) AS n_docs,
+           min(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="normalized-text md5 fingerprint clusters w/ canonical doc (ref F6-style scrub + dedup)",
+)
+def d04_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy(fingerprint("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+def _marker_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter(toks, x -> x IN ({words})))"
+
+
+@qdef(
+    QUERIES,
+    "d05_langid_confusion",
+    oracle=f"""
+    SELECT lang, predicted, count(*) AS n
+    FROM (
+      SELECT lang,
+             CASE
+               WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+               WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+               WHEN s_de >= s_fr THEN 'de'
+               ELSE 'fr'
+             END AS predicted
+      FROM (
+        SELECT lang,
+               {_marker_sql('en')} AS s_en,
+               {_marker_sql('es')} AS s_es,
+               {_marker_sql('de')} AS s_de,
+               {_marker_sql('fr')} AS s_fr
+        FROM (SELECT lang, {_SQL_TOKS} AS toks FROM documents)
+      )
+    )
+    GROUP BY lang, predicted
+    """,
+    doc="marker-token language-ID heuristic, confusion matrix vs labeled lang",
+)
+def d05_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = docs.select(
+        "lang",
+        marker_score(toks, "en").alias("s_en"),
+        marker_score(toks, "es").alias("s_es"),
+        marker_score(toks, "de").alias("s_de"),
+        marker_score(toks, "fr").alias("s_fr"),
+    )
+    en, es, de, fr = (F.col(c) for c in ("s_en", "s_es", "s_de", "s_fr"))
+    predicted = (
+        F.when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return scored.groupBy("lang", predicted.alias("predicted")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+_RARE_DF = 5
+_JACCARD_MIN = 0.05
+
+
+@qdef(
+    QUERIES,
+    "d06_shingle_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                 ELSE [array_to_string(t, ' ')] END) AS shingle
+        FROM toks
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_RARE_DF}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a
+      JOIN rare r ON a.shingle = r.shingle
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(p.inter / (sa.n + sb.n - p.inter), 4) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE p.inter / (sa.n + sb.n - p.inter) >= {_JACCARD_MIN}
+    """,
+    doc="n-gram Jaccard near-dup pairs with rare-shingle candidate pruning "
+    f"(df<={_RARE_DF}): the O(df^2) pair blow-up killer at scale",
+)
+def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id", F.explode(word_shingles(tokens("text"), 3)).alias("shingle")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _RARE_DF)
+        .select("shingle")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(rare, "shingle")
+        .join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

@@ -1,0 +1,513 @@
+"""Relational operator suite over the TPC-H-ish testdata tables.
+
+Each query re-expresses an operator family from SURVEY.md §2 (the
+reference's MongoDB-pipeline / Python operators) as an idiomatic
+Catalyst plan, and carries a DuckDB oracle. Money aggregates are cast
+to DECIMAL per-row before summing so Spark and the oracle agree
+bit-for-bit regardless of summation order (doubles summed in different
+orders diverge in the last ulps; decimals don't).
+
+Scale notes (100 TB posture):
+- dimension joins (nation/region/part/supplier/customer) are
+  broadcast() — no shuffle of the fact side on the build key;
+- aggregations are partial-agg friendly (plain hash aggregates);
+- top-k uses window rank per group (scales) or orderBy+limit for
+  global k (driver receives k rows only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from data_governance_spark.queries.base import QueryDef, qdef
+from data_governance_spark.tables import table
+
+QUERIES: dict[str, QueryDef] = {}
+
+MONEY = "decimal(18,2)"
+MONEY4 = "decimal(18,4)"
+
+
+def _dec(col: F.Column, typ: str = MONEY) -> F.Column:
+    return col.cast(typ)
+
+
+# --------------------------------------------------------------------------
+# q1: grouped aggregation with multiple measures (SURVEY A1-A11 family:
+# the reference's universal $group shape; conditional measures like A11).
+@qdef(
+    QUERIES,
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_quantity AS DECIMAL(18,2)))           AS sum_qty,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)))      AS sum_base_price,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+           count(*)                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Pricing summary: hash aggregate w/ partial agg (ref A1-A11 $group shape)",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).alias("sum_base_price"),
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), MONEY4)
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q2: multi-way join + global top-k (ref J1-J5 lookup joins + A19/O2
+# client-side top-k promoted into the engine).
+@qdef(
+    QUERIES,
+    "q02_top_revenue_orders",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name,
+           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderkey, c.c_name
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="3-way join + deterministic global top-k (revenue desc, key asc)",
+)
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "c_name")
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), MONEY4)
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q3: broadcast dim-chain join + ROLLUP (ref A13/A14: the per-region /
+# per-country query-loop fan-out collapsed into one grouped scan;
+# SURVEY §4 calls this the one real optimizer-adjacent redesign).
+@qdef(
+    QUERIES,
+    "q03_region_nation_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           count(*)                                  AS n_customers,
+           sum(CAST(c.c_acctbal AS DECIMAL(18,2)))   AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="Broadcast dim joins + ROLLUP(region, nation): global+sliced rows in one scan",
+)
+def q03_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec(F.col("c_acctbal"))).alias("sum_acctbal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q4: semi-join / EXISTS (ref J14 export-eligibility semi-join; S4
+# IN-list pushdown family).
+@qdef(
+    QUERIES,
+    "q04_priority_with_late_lines",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="left-semi join (EXISTS) then grouped count",
+)
+def q04_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q5: conditional counts per day (ref A11 timeline: total + with_fulltext
+# conditional sum; F17 date slicing).
+@qdef(
+    QUERIES,
+    "q05_daily_event_timeline",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+           sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+             AS purchase_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="date-derived key + conditional count/sum (ref A11/A12 timeline+map)",
+)
+def q05_daily_event_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(is_purchase, 1).otherwise(0)).alias("n_purchases"),
+        F.sum(
+            F.when(is_purchase, _dec(F.col("value"))).otherwise(_dec(F.lit(0)))
+        ).alias("purchase_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q6: when-chain recode + group (ref A3/A4 $switch doctype/studytype
+# recodes — 9/24-branch CASE tables).
+@qdef(
+    QUERIES,
+    "q06_event_type_recode",
+    oracle="""
+    SELECT CASE
+             WHEN event_type = 'purchase' THEN 'Conversion'
+             WHEN event_type = 'signup'   THEN 'Acquisition'
+             WHEN event_type IN ('click', 'view') THEN 'Engagement'
+             WHEN event_type = 'error'    THEN 'Failure'
+             ELSE 'Other'
+           END AS event_class,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    doc="CASE-recode then grouped count (ref A3/A4 $switch recodes)",
+)
+def q06_event_type_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    et = F.col("event_type")
+    recoded = (
+        F.when(et == "purchase", "Conversion")
+        .when(et == "signup", "Acquisition")
+        .when(et.isin("click", "view"), "Engagement")
+        .when(et == "error", "Failure")
+        .otherwise("Other")
+    )
+    return ev.groupBy(recoded.alias("event_class")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# q7: per-group top-k via window rank (ref A19/O2: client-side JS
+# sort+slice promoted to a scalable window; deterministic tie-break
+# count desc, key asc per SURVEY §7.4 item 8).
+@qdef(
+    QUERIES,
+    "q07_top_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, revenue, rk FROM (
+      SELECT p.p_brand, p.p_partkey,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue,
+             row_number() OVER (
+               PARTITION BY p.p_brand
+               ORDER BY sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) DESC,
+                        p.p_partkey ASC
+             ) AS rk
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, p.p_partkey
+    ) WHERE rk <= 3
+    """,
+    doc="windowed top-k per group w/ deterministic tie-break (ref A19 top-k)",
+)
+def q07_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.sum(
+                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), MONEY4)
+            ).alias("revenue")
+        )
+    )
+    w = W.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return rev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+# --------------------------------------------------------------------------
+# q8: UNION ALL with provenance column (ref U1: $unionWith of
+# TEMAS_BVS2 collections + $addFields _source).
+@qdef(
+    QUERIES,
+    "q08_union_provenance",
+    oracle="""
+    SELECT 'customer' AS _source, c_name AS name,
+           CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+    FROM customer
+    UNION ALL
+    SELECT 'supplier' AS _source, s_name AS name,
+           CAST(s_acctbal AS DECIMAL(18,2)) AS acctbal
+    FROM supplier
+    """,
+    doc="unionByName with provenance _source column (ref U1 union view)",
+)
+def q08_union_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("_source"),
+        F.col("c_name").alias("name"),
+        _dec(F.col("c_acctbal")).alias("acctbal"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("_source"),
+        F.col("s_name").alias("name"),
+        _dec(F.col("s_acctbal")).alias("acctbal"),
+    )
+    return cust.unionByName(supp)
+
+
+# --------------------------------------------------------------------------
+# q9: distinct (ref A15 grouped identity / distinct lists).
+@qdef(
+    QUERIES,
+    "q09_distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+    doc="distinct over a low-cardinality column (ref A15)",
+)
+def q09_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# --------------------------------------------------------------------------
+# q10: global min/max (ref O5 slider-range min/max year).
+@qdef(
+    QUERIES,
+    "q10_order_date_range",
+    oracle="""
+    SELECT strftime(min(o_orderdate), '%Y-%m-%d') AS min_day,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS max_day,
+           min(CAST(strftime(o_orderdate, '%Y') AS INT)) AS min_year,
+           max(CAST(strftime(o_orderdate, '%Y') AS INT)) AS max_year
+    FROM orders
+    """,
+    doc="global min/max incl. derived year (ref O5)",
+)
+def q10_order_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_day"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_day"),
+        F.min(F.year("o_orderdate")).alias("min_year"),
+        F.max(F.year("o_orderdate")).alias("max_year"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q11: map-literal decode (ref F16 status int -> label decode).
+@qdef(
+    QUERIES,
+    "q11_status_decode",
+    oracle="""
+    SELECT CASE o_orderstatus
+             WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Finished' WHEN 'P' THEN 'Pending'
+             ELSE 'Unknown' END AS status_label,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="map-literal decode of a status code (ref F16 status decode)",
+)
+def q11_status_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    decode = F.create_map(
+        F.lit("O"), F.lit("Open"), F.lit("F"), F.lit("Finished"), F.lit("P"), F.lit("Pending")
+    )
+    label = F.coalesce(
+        F.element_at(decode, F.col("o_orderstatus")), F.lit("Unknown")
+    )
+    return orders.groupBy(label.alias("status_label")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# q12: regex capture extraction + cast + group (ref F1/F2: year / id
+# extraction from free text via regexFind).
+@qdef(
+    QUERIES,
+    "q12_regex_extract_props",
+    oracle="""
+    SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) % 10 AS k_bucket,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="regex capture-group extract from a JSON-ish string (ref F1/F2)",
+)
+def q12_regex_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+    return ev.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("value"))).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q13: anti-join (NOT EXISTS) — complement of the semi-join family.
+@qdef(
+    QUERIES,
+    "q13_customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    doc="left-anti join then grouped count",
+)
+def q13_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q14: multi-aggregate outer combine + coalesce-to-zero (ref J4/J5
+# two-key coalescing lookups; per-nation fan-out collapsed).
+@qdef(
+    QUERIES,
+    "q14_nation_customer_supplier_counts",
+    oracle="""
+    SELECT n.n_name,
+           coalesce(c.n_customers, 0) AS n_customers,
+           coalesce(s.n_suppliers, 0) AS n_suppliers
+    FROM nation n
+    LEFT JOIN (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+      ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+      ON n.n_nationkey = s.s_nationkey
+    """,
+    doc="two grouped counts left-joined to a dim + coalesce fallback (ref J4/J5)",
+)
+def q14_nation_customer_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = table(spark, sf_dir, "nation")
+    cust_counts = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp_counts = (
+        table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        nation.join(cust_counts, nation.n_nationkey == cust_counts.c_nationkey, "left")
+        .join(supp_counts, nation.n_nationkey == supp_counts.s_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q15: time-window aggregation (batch shape of the Structured Streaming
+# job in streaming/events.py; ref has no true streams — SURVEY §2.8 —
+# this is the additive streaming-capable operator).
+@qdef(
+    QUERIES,
+    "q15_hourly_event_windows",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling 1h window x event_type (batch twin of the streaming agg)",
+)
+def q15_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("value"))).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q16: pivot (ref F7 language-keyed pivot of titles/abstracts; metrics
+# export long->wide pivot S14).
+@qdef(
+    QUERIES,
+    "q16_status_by_priority_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_O,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_F,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="long->wide pivot with fixed value list (ref F7/S14 pivots)",
+)
+def q16_status_by_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )

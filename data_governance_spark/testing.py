@@ -1,0 +1,83 @@
+"""Test utilities: a DuckDB oracle harness mirroring the driver's
+correctness gate (row-count + order-insensitive value comparison with
+columns sorted by name)."""
+
+from __future__ import annotations
+
+import decimal
+import math
+import os
+from datetime import date, datetime
+
+import duckdb
+from pyspark.sql import DataFrame
+
+from data_governance_spark.tables import TABLE_NAMES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
+    return con
+
+
+def _canon(v) -> str:
+    """Engine-independent canonical string for a cell value."""
+    if v is None:
+        return "<null>"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, decimal.Decimal):
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return s or "0"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    return str(v)
+
+
+def canonical_rows(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def spark_rows(df: DataFrame) -> tuple[list[str], list[tuple]]:
+    cols = df.columns
+    return cols, [tuple(r) for r in df.collect()]
+
+
+def oracle_rows(
+    con: duckdb.DuckDBPyConnection, sql: str
+) -> tuple[list[str], list[tuple]]:
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def assert_matches_oracle(df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str):
+    s_cols, s_rows = spark_rows(df)
+    o_cols, o_rows = oracle_rows(con, sql)
+    assert sorted(s_cols) == sorted(o_cols), (
+        f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    )
+    s_canon = canonical_rows(s_cols, s_rows)
+    o_canon = canonical_rows(o_cols, o_rows)
+    assert len(s_canon) == len(o_canon), (
+        f"row count mismatch: spark={len(s_canon)} oracle={len(o_canon)}\n"
+        f"spark sample: {s_canon[:5]}\noracle sample: {o_canon[:5]}"
+    )
+    if s_canon != o_canon:
+        diff_s = [r for r in s_canon if r not in set(o_canon)][:5]
+        diff_o = [r for r in o_canon if r not in set(s_canon)][:5]
+        raise AssertionError(
+            f"value mismatch\nonly-in-spark: {diff_s}\nonly-in-oracle: {diff_o}"
+        )
