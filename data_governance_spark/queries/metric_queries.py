@@ -1,0 +1,65 @@
+"""Driver-facing queries exercising the metric runner + top-k layer
+over the generic testdata tables (the TMGL-shaped fixtures live in
+tests; this wires the same code paths into the correctness gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_governance_spark.metrics.runner import MetricSpec, run_metric, top_k
+from data_governance_spark.queries.base import QueryDef, qdef
+from data_governance_spark.tables import table
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+# --------------------------------------------------------------------------
+# q17: the BASE_PIPELINE metric runner (A1-A14 engine) applied to events:
+# entity = event_type, year from a free-text date derived off ts.
+@qdef(
+    QUERIES,
+    "q17_metric_runner_events",
+    oracle="""
+    SELECT 'event' AS type, NULL AS region, event_type AS name,
+           CAST(strftime(ts, '%Y') AS INT) AS year, count(*) AS count
+    FROM events
+    GROUP BY 3, 4
+    """,
+    doc="parameterized metric runner (ref BASE_PIPELINE A1-A14) over events",
+)
+def q17_metric_runner_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "dp", F.date_format("ts", "'recorded in' yyyy")
+    )
+    spec = MetricSpec(name="event", entity_col="event_type", min_year=1500)
+    return run_metric(ev, spec)
+
+
+# --------------------------------------------------------------------------
+# q18: the top-k served layer (A19/O2) over runner output.
+@qdef(
+    QUERIES,
+    "q18_topk_event_metrics",
+    oracle="""
+    SELECT type, region, name, total, rk FROM (
+      SELECT 'event' AS type, NULL AS region, name, total,
+             row_number() OVER (ORDER BY total DESC, name ASC) AS rk
+      FROM (
+        SELECT event_type AS name, count(*) AS total
+        FROM events
+        WHERE CAST(strftime(ts, '%Y') AS INT) BETWEEN 2024 AND 2025
+        GROUP BY 1
+      )
+    ) WHERE rk <= 3
+    """,
+    doc="top-k window over metric-runner output (ref A19 dashboard top-k)",
+)
+def q18_topk_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "dp", F.date_format("ts", "yyyy")
+    )
+    m = run_metric(ev, MetricSpec(name="event", entity_col="event_type"))
+    return top_k(m, k=3, year_min=2024, year_max=2025).select(
+        "type", "region", "name", "total", "rk"
+    )

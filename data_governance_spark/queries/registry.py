@@ -2,11 +2,16 @@
 
 from __future__ import annotations
 
-from data_governance_spark.queries import documents, embeddings, relational
+from data_governance_spark.queries import (
+    documents,
+    embeddings,
+    metric_queries,
+    relational,
+)
 from data_governance_spark.queries.base import QueryDef
 
 QUERIES: dict[str, QueryDef] = {}
-for mod in (relational, documents, embeddings):
+for mod in (relational, documents, embeddings, metric_queries):
     overlap = QUERIES.keys() & mod.QUERIES.keys()
     if overlap:
         raise RuntimeError(f"duplicate query names: {overlap}")
