@@ -84,6 +84,100 @@ def tmgl_landing(spark: SparkSession, n: int = 240, seed: int = 7) -> DataFrame:
     return spark.createDataFrame(tmgl_landing_rows(n, seed), TMGL_LANDING_SCHEMA)
 
 
+def _arr_struct(*fields: str) -> T.ArrayType:
+    return T.ArrayType(
+        T.StructType([T.StructField(f, T.StringType()) for f in fields])
+    )
+
+
+AUTHOR_STRUCT = _arr_struct("text", "_1", "_2", "_3", "_p", "_c", "_k", "_w", "_e")
+
+FIADMIN_LANDING_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("treatment_level", T.StringType()),
+        T.StructField("literature_type", T.StringType()),
+        T.StructField("title", _arr_struct("text", "_i")),
+        T.StructField("english_translated_title", T.StringType()),
+        T.StructField("title_monographic", _arr_struct("text", "_i")),
+        T.StructField("title_collection", _arr_struct("text", "_i")),
+        T.StructField("english_title_monographic", T.StringType()),
+        T.StructField("english_title_collection", T.StringType()),
+        T.StructField("abstract", _arr_struct("text", "_i")),
+        T.StructField("pages", _arr_struct("_f", "_l", "text", "f", "_e")),
+        T.StructField("pages_monographic", T.StringType()),
+        T.StructField("electronic_address", _arr_struct("_u", "_y", "_z", "_x", "_q")),
+        T.StructField("individual_author", AUTHOR_STRUCT),
+        T.StructField("corporate_author", AUTHOR_STRUCT),
+        T.StructField("individual_author_monographic", AUTHOR_STRUCT),
+        T.StructField("corporate_author_monographic", AUTHOR_STRUCT),
+        T.StructField("individual_author_collection", AUTHOR_STRUCT),
+        T.StructField("corporate_author_collection", AUTHOR_STRUCT),
+        T.StructField("author_keyword", _arr_struct("text")),
+        T.StructField("title_serial", T.StringType()),
+        T.StructField("volume_serial", T.StringType()),
+        T.StructField("volume_monographic", T.StringType()),
+        T.StructField("issue_number", T.StringType()),
+        T.StructField("publication_date", T.StringType()),
+        T.StructField("publication_date_normalized", T.StringType()),
+        T.StructField("publication_country", T.StringType()),
+        T.StructField("publication_city", T.StringType()),
+        T.StructField("publisher", T.StringType()),
+        T.StructField("edition", T.StringType()),
+        T.StructField("check_tags", T.ArrayType(T.StringType())),
+        T.StructField("publication_type", T.ArrayType(T.StringType())),
+        T.StructField("descriptors_primary", _arr_struct("text")),
+        T.StructField("descriptors_secondary", _arr_struct("text")),
+        T.StructField("local_descriptors", T.StringType()),
+        T.StructField("issn", T.StringType()),
+        T.StructField("shortened_title", T.StringType()),
+        T.StructField("LILACS_original_id", T.StringType()),
+        T.StructField("alternate_ids", T.ArrayType(T.StringType())),
+        T.StructField("doi_number", T.StringType()),
+        T.StructField("isbn", T.StringType()),
+        T.StructField("license", T.StringType()),
+        T.StructField("text_language", T.ArrayType(T.StringType())),
+        T.StructField("indexed_database", T.ArrayType(T.StringType())),
+        T.StructField("database", T.ArrayType(T.StringType())),
+        T.StructField("cooperative_center_code", T.StringType()),
+        T.StructField("conference_country", T.StringType()),
+        T.StructField("conference_city", T.StringType()),
+        T.StructField("conference_normalized_date", T.StringType()),
+        T.StructField("conference_date", T.StringType()),
+        T.StructField("conference_sponsoring_institution", T.StringType()),
+        T.StructField("conference_name", T.StringType()),
+        T.StructField("project_sponsoring_institution", T.StringType()),
+        T.StructField("project_name", T.StringType()),
+        T.StructField("project_number", T.StringType()),
+        T.StructField("thesis_dissertation_institution", T.StringType()),
+        T.StructField("thesis_dissertation_leader", _arr_struct("text")),
+        T.StructField("thesis_dissertation_academic_title", T.StringType()),
+        T.StructField("inventory_number", T.StringType()),
+        T.StructField("total_number_of_volumes", T.StringType()),
+        T.StructField("non_decs_region", T.ArrayType(T.StringType())),
+        T.StructField("clinical_trial_registry_name", T.StringType()),
+        T.StructField("community", T.StringType()),
+        T.StructField("community_collection_path", T.ArrayType(T.StringType())),
+        T.StructField("related_research", T.ArrayType(T.StringType())),
+        T.StructField("related_resource", T.ArrayType(T.StringType())),
+        T.StructField("created_time", T.StringType()),
+        T.StructField("transfer_date_to_database", T.StringType()),
+        T.StructField("updated_time", T.StringType()),
+    ]
+)
+
+
+def fiadmin_landing(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """Build a landing-zone DataFrame from sparse dicts (missing keys
+    become nulls — the schema-on-read document model, SURVEY §1.3)."""
+    full = [{f.name: row.get(f.name) for f in FIADMIN_LANDING_SCHEMA} for row in rows]
+    return spark.createDataFrame(
+        [tuple(r[f.name] for f in FIADMIN_LANDING_SCHEMA) for r in full],
+        FIADMIN_LANDING_SCHEMA,
+    )
+
+
 WHO_REGION_SCHEMA = T.StructType(
     [
         T.StructField("who_region", T.StringType()),

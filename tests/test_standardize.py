@@ -1,0 +1,427 @@
+"""Unit tests for the standardize stage builders (SURVEY §5.1): each
+scalar/standardize function against hand-written expected values lifted
+from the reference's logic, including the quirk cases of SURVEY §7.4."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_governance_spark.standardize import fields as X
+from data_governance_spark.standardize import joins as J
+from data_governance_spark.standardize.udfs import (
+    normalize_afiliacao_string,
+    normalize_country_name,
+    strip_diacritics,
+)
+
+PAGES_SCHEMA = "pages array<struct<_f:string,_l:string,text:string,f:string,_e:string>>"
+
+
+def one(df, col):
+    return df.select(col).collect()[0][0]
+
+
+def test_pages_priority_chain(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                [
+                    Row(_f="10", _l="20", text=None, f=None, _e=None),
+                    Row(_f="10", _l=None, text="t5", f=None, _e=None),
+                    Row(_f=None, _l=None, text=None, f="7", _e=None),
+                    Row(_f=None, _l=None, text=None, f=None, _e="e9"),
+                    Row(_f="", _l="", text="", f="", _e=""),
+                ],
+            )
+        ],
+        PAGES_SCHEMA,
+    )
+    assert one(df, X.pages(F.col("pages"))) == ["10-20", "t5", "7", "e9"]
+
+
+def test_pg_monographic_fallback(spark):
+    df = spark.createDataFrame([(None, "230 p.")], f"{PAGES_SCHEMA}, pm string")
+    assert one(df, X.pg(F.col("pages"), F.col("pm"))) == ["230 p."]
+
+
+TITLES = "t array<struct<text:string,_i:string>>"
+
+
+def test_title_lang_map_bare_and_keyed(spark):
+    df = spark.createDataFrame(
+        [([Row(text="Hello", _i="EN"), Row(text="Oi", _i=None), Row(text="Hi2", _i="en")],)],
+        TITLES,
+    )
+    m = one(df, X.title_lang_map(F.col("t")))
+    assert m == {"en": ["Hello", "Hi2"], "": ["Oi"]}
+
+
+def test_abstract_concat_and_scrub(spark):
+    df = spark.createDataFrame(
+        [([Row(text="A\r\nB", _i="en"), Row(text="C\x01D", _i="en"), Row(text="X", _i="")],)],
+        TITLES,
+    )
+    m = one(df, X.abstract_lang_map(F.col("t")))
+    assert m == {"en": "A B C D", "": "X"}
+
+
+MLT_SCHEMA = (
+    "treatment_level string, literature_type string, "
+    "title array<struct<text:string,_i:string>>, "
+    "title_monographic array<struct<text:string,_i:string>>, "
+    "title_collection array<struct<text:string,_i:string>>, "
+    "ett string, etm string, etc string"
+)
+
+
+def _mlt(df):
+    return X.multilingual_title(
+        F.col("treatment_level"), F.col("literature_type"), F.col("title"),
+        F.col("title_monographic"), F.col("title_collection"),
+        F.col("ett"), F.col("etm"), F.col("etc"),
+    )
+
+
+def test_multilingual_title_analytic_with_fallback(spark):
+    df = spark.createDataFrame(
+        [("as", "S", [Row(text="Titulo", _i="pt")], None, None, "Eng T", None, None)],
+        MLT_SCHEMA,
+    )
+    assert _mlt(df) is not None
+    m = one(df, _mlt(df))
+    assert m == {"pt": ["Titulo"], "en": ["Eng T"]}
+
+
+def test_multilingual_title_en_present_no_fallback(spark):
+    df = spark.createDataFrame(
+        [("as", "S", [Row(text="T", _i="en")], None, None, "Eng T", None, None)],
+        MLT_SCHEMA,
+    )
+    assert one(df, _mlt(df)) == {"en": ["T"]}
+
+
+def test_multilingual_title_mc_concat(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "mc", "m",
+                None,
+                [Row(text="Mono", _i="pt")],
+                [Row(text="Coll", _i="es")],
+                None, "EngM", None,
+            )
+        ],
+        MLT_SCHEMA,
+    )
+    assert one(df, _mlt(df)) == {"pt": ["Mono"], "es": ["Coll"], "en": ["EngM"]}
+
+
+EA_SCHEMA = "ea array<struct<_u:string,_y:string,_z:string,_x:string,_q:string>>"
+
+
+def test_electronic_address_classification(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                [
+                    Row(_u="http://x.org/v", _y="MULTIMEDIA", _z=None, _x=None, _q=None),
+                    Row(_u="ftp://y", _y="AUDIO", _z=None, _x="meta", _q=None),
+                    Row(_u=None, _y="MULTIMEDIA", _z=None, _x=None, _q=None),
+                ],
+            )
+        ],
+        EA_SCHEMA,
+    )
+    assert one(df, X.ur(F.col("ea"))) == ["http://x.org/v", "ftp://y"]
+    assert one(df, X.ur_multimedia(F.col("ea"))) == ["http://x.org/v"]
+    # 'UDIO' matches raw 'AUDIO' (:185-186)
+    assert one(df, X.ur_audio(F.col("ea"))) == ["ftp://y"]
+    assert one(df, X.ur_meta(F.col("ea"))) == ["ftp://y"]
+    assert one(df, X.fulltext_flag(F.col("ea"))) == 1
+
+
+def test_fulltext_requires_url_marker(spark):
+    df = spark.createDataFrame(
+        [([Row(_u="ftp://no-web", _y=None, _z=None, _x=None, _q=None)],)], EA_SCHEMA
+    )
+    assert one(df, X.fulltext_flag(F.col("ea"))) is None
+
+
+def test_doc_id_and_alternates(spark):
+    df = spark.createDataFrame(
+        [(77, "123", ["lil-123", "x", "", None]), (88, None, None)],
+        "id_pk long, lil string, alt array<string>",
+    )
+    rows = df.select(
+        X.doc_id(F.col("id_pk"), F.col("lil")).alias("id"),
+        X.alternate_id(F.col("alt"), X.doc_id(F.col("id_pk"), F.col("lil"))).alias("a"),
+    ).collect()
+    assert rows[0]["id"] == "lil-123" and rows[0]["a"] == ["x"]
+    assert rows[1]["id"] == "biblio-88" and rows[1]["a"] is None
+
+
+def test_ta_fascic_degenerate_suffix(spark):
+    """SURVEY §7.4.3: no volume & no issue -> '; , year' suffix."""
+    df = spark.createDataFrame(
+        [(["J1", "J2"], None, None, "2021")],
+        "ta_var array<string>, vol string, iss string, yr string",
+    )
+    out = one(df, X.ta_fascic(F.col("ta_var"), F.col("vol"), F.col("iss"), F.col("yr")))
+    assert out == ["J1", "J2", "J1; , 2021", "J2; , 2021"]
+
+
+def test_ta_fascic_full_suffix(spark):
+    df = spark.createDataFrame(
+        [(["J"], "12", "3", "2020")],
+        "ta_var array<string>, vol string, iss string, yr string",
+    )
+    assert one(
+        df, X.ta_fascic(F.col("ta_var"), F.col("vol"), F.col("iss"), F.col("yr"))
+    ) == ["J", "J; 12 (3), 2020"]
+
+
+def test_document_type_char_containment_and_media(spark):
+    df = spark.createDataFrame(
+        [
+            ("Msc", [Row(_u="a.mp4", _y=None, _z=None, _x=None, _q=None)]),
+            ("S", [Row(_u=None, _y="AUDIO", _z=None, _x=None, _q=None)]),
+            ("T", None),
+        ],
+        f"lt string, {EA_SCHEMA}",
+    )
+    out = [r[0] for r in df.select(X.document_type(F.col("lt"), F.col("ea"))).collect()]
+    # 'msc': chars m,s -> monography+article; code in congress set;
+    # .mp4 is both a video and an audio extension -> video + podcast
+    assert out[0] == sorted(
+        ["article", "monography", "congress and conference", "video", "podcast"]
+    )
+    # lowered _y 'audio' never matches 'UDIO' (dead branch :671) -> no podcast
+    assert out[1] == ["article"]
+    assert out[2] == ["thesis"]
+
+
+def test_weight_components_and_clamp(spark):
+    df = spark.createDataFrame(
+        [
+            ("S", "20240101", [Row(text="a", _i="en")], [Row(_u="u", _y=None, _z=None, _x=None, _q=None)]),
+            ("N", "19000101", None, None),
+            (None, None, None, None),
+        ],
+        f"lt string, pdn string, ab array<struct<text:string,_i:string>>, {EA_SCHEMA}",
+    )
+    out = [
+        r[0]
+        for r in df.select(
+            X.weight(F.col("lt"), F.col("pdn"), F.col("ab"), F.col("ea"), 2025)
+        ).collect()
+    ]
+    assert out[0] == 15 + (20 - 1) + 5 + 5
+    assert out[1] == 0  # 2 + (20-125) clamps at 0
+    assert out[2] == 0
+
+
+def test_status_labels(spark):
+    df = spark.createDataFrame([(-3,), (1,), (99,)], "s int")
+    out = [r[0] for r in df.select(X.status_label(F.col("s"))).collect()]
+    assert out == ["Migrado", "Publicado", None]
+
+
+def test_date_slicing(spark):
+    df = spark.createDataFrame(
+        [("20240115", "2024-01-15T10:00:00", None, "2025-02-03T01:02:03")],
+        "pdn string, created string, transfer string, updated string",
+    )
+    r = df.select(
+        X.da(F.col("pdn")).alias("da"),
+        X.entry_date(F.col("created"), F.col("transfer")).alias("ed"),
+        X.update_date(F.col("updated")).alias("ud"),
+    ).collect()[0]
+    assert r["da"] == "202401"
+    assert r["ed"] == "20240115"
+    assert r["ud"] == "20250203"
+
+
+def test_susdigital_theme_extraction(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                [
+                    "root/Programas/pt-br/Tema X|root/Programas/en/Theme X",
+                    "root/Alvo/pt/Grupo Y",
+                    "root/Outros/pt/Ignorado",
+                ],
+            )
+        ],
+        "paths array<string>",
+    )
+    r = df.select(
+        X.susdigital_themes(F.col("paths"), "Programas").alias("prog"),
+        X.susdigital_themes(F.col("paths"), "Alvo").alias("alvo"),
+    ).collect()[0]
+    assert r["prog"] == ["Tema X"]
+    assert r["alvo"] == ["Grupo Y"]
+
+
+def test_misc_flags(spark):
+    df = spark.createDataFrame(
+        [("reg1", None, None, "v1", "v2")],
+        "ctr string, dp array<struct<text:string>>, ds array<struct<text:string>>, vm string, vs string",
+    )
+    r = df.select(
+        X.ec_flag(F.col("ctr")).alias("ec"),
+        X.no_indexing(F.col("dp"), F.col("ds")).alias("ni"),
+        X.vi(F.col("vm"), F.col("vs")).alias("vi"),
+    ).collect()[0]
+    assert r["ec"] == 1 and r["ni"] == 1 and r["vi"] == ["v1", "v2"]
+
+
+# ---------------------------------------------------------------- UDFs
+def test_strip_diacritics():
+    assert strip_diacritics("Saúde Pública") == "Saude Publica"
+    assert strip_diacritics(None) is None
+
+
+def test_normalize_country_name_prepositions():
+    assert normalize_country_name("republica DE corea") == "Republica de Corea"
+    assert normalize_country_name("GUINEA-BISSAU") == "Guinea-Bissau"
+    assert normalize_country_name("iran (islamic republic OF)") == "Iran (Islamic Republic Of)"
+
+
+def test_normalize_afiliacao_string_subfields():
+    assert (
+        normalize_afiliacao_string("^iBRAZIL^pBRASIL")
+        == "^iBrazil^pBrasil"
+    )
+
+
+# ---------------------------------------------------------------- joins
+TABPAIS = [
+    ("Brasil", "Brazil", "Brasil", "Brésil", "BR", ["Brasile", "bra"]),
+    ("França", "France", "Francia", "France", "FR", []),
+]
+TABPAIS_SCHEMA = (
+    "pt string, en string, es string, fr string, pais_2 string, sinonimo array<string>"
+)
+
+
+def test_country_fields_via_synonym(spark):
+    tab = spark.createDataFrame(TABPAIS, TABPAIS_SCHEMA)
+    df = spark.createDataFrame(
+        [("bRA ", "X"), ("nowhere", "Y"), (None, "Z")],
+        "publication_country string, id string",
+    )
+    out = {
+        r["id"]: (r["cp"], r["pais_publicacao"])
+        for r in J.add_country_fields(df, tab).collect()
+    }
+    assert out["X"][0] == sorted({"Brasil", "Brazil", "Brésil", "BR", "Brasile", "bra"})
+    assert out["X"][1] == "^iBrazil^eBrasil^pBrasil^fBrésil"
+    assert out["Y"] == (None, None)
+    assert out["Z"] == (None, None)
+
+
+def test_country_fallback_from_title_serial(spark):
+    tab = spark.createDataFrame(TABPAIS, TABPAIS_SCHEMA)
+    title = spark.createDataFrame(
+        [("0001-1111", "Rev X", None, None, None, None, ["France"])],
+        "issn string, shortened_title string, title string, medline_shortened_title string,"
+        "parallel_titles array<string>, shortened_parallel_titles array<string>, country array<string>",
+    )
+    df = spark.createDataFrame(
+        [(None, "rev x", "A"), (None, "unknown", "B")],
+        "publication_country string, title_serial string, id string",
+    )
+    out = {
+        r["id"]: r["pais_publicacao"]
+        for r in J.add_country_fields(df, tab, title_current=title).collect()
+    }
+    assert out["A"] == "^iFrance^eFrancia^pFrança^fFrance"
+    assert out["B"] is None  # no stale carry-over (SURVEY §7.4.1, fixed)
+
+
+AUTHORS_SCHEMA = (
+    "id_pk long, individual_author array<struct<text:string,_1:string,_2:string,"
+    "_3:string,_p:string,_c:string,_k:string,_w:string,_e:string>>"
+)
+
+
+def test_author_fields_full(spark):
+    tab = spark.createDataFrame(TABPAIS, TABPAIS_SCHEMA)
+    authors = [
+        Row(text="Silva, A", _1="USP", _2="Dept", _3=None, _p="Brasil",
+            _c="SP", _k="0000-1", _w=None, _e="a@x.org"),
+        Row(text="Doe, J", _1=None, _2=None, _3=None, _p=None,
+            _c=None, _k=None, _w="W2", _e=None),
+        Row(text="Lee, K", _1="USP", _2=None, _3=None, _p="Brasil",
+            _c=None, _k=None, _w=None, _e=None),
+    ]
+    df = spark.createDataFrame([(1, authors)], AUTHORS_SCHEMA)
+    r = J.add_author_fields(df, tab).collect()[0]
+    assert r["au"] == ["Silva, A", "Doe, J", "Lee, K"]
+    assert r["afiliacao_autor"] == [
+        "Silva, A; USP. Dept. SP. Brasil",
+        "s.af",
+        "Lee, K; USP. Brasil",
+    ]
+    # af: USP (dedup), Dept, SP from author1; unconditional s.af from author2;
+    # USP deduped away for author3
+    assert r["af"] == ["USP", "Dept", "SP", "s.af"]
+    assert r["instituicao_pais_afiliacao"] == ["USP+Brasil"]
+    assert r["pais_afiliacao"] == ["^iBrazil^eBrasil^pBrasil^fBrésil"]
+    assert r["auid"] == ["0000-1", "W2"]
+    assert r["email"] == ["a@x.org"]
+
+
+DECS_SCHEMA = (
+    "mfn string, descritor_ingles string, descritor_portugues string,"
+    "descritor_espanhol string, descritor_frances string,"
+    "descritor_espanhol_espanha string, versao_alternativa_ingles string,"
+    "versao_alternativa_espanhol string, versao_alternativa_portugues string,"
+    "sinonimos_ingles array<string>, sinonimos_espanhol array<string>,"
+    "sinonimos_portugues array<string>, sinonimos_espanha array<string>,"
+    "sinonimos_frances array<string>"
+)
+
+
+def _decs(spark):
+    rows = [
+        ("000123", "Acupuncture", "Acupuntura", None, None, None, None, None, None,
+         ["Needling"], None, None, None, None),
+        ("000456", "/therapy", None, None, None, None, None, None, None,
+         None, None, None, None, None),
+    ]
+    return spark.createDataFrame(rows, DECS_SCHEMA)
+
+
+def test_decs_code_array_semantics(spark):
+    decs_lk = J.decs_lookup(_decs(spark))
+    df = spark.createDataFrame(
+        [(1, ["Acupunturá", "acupuncture/therapy", "42 foo", "unknown", "acupuncture/missing"])],
+        "id_pk long, check_tags array<string>",
+    )
+    out = J.decs_code_array(df, decs_lk, F.col("check_tags"), "ct").collect()[0]["ct"]
+    # diacritics-stripped match; qualifier join; digit-lead passthrough;
+    # miss dropped; qualifier-miss nulls the entry
+    assert out == ["^d123", "^d123^s456", "^d42 foo"]
+
+
+def test_ta_var_issn_then_title_fallback(spark):
+    title = spark.createDataFrame(
+        [
+            ("1111-2222", "Rev A", "Revista A^sub", None, ["Par^x"], None),
+            (None, "Rev B", "Revista B", None, None, None),
+        ],
+        "issn string, shortened_title string, title string,"
+        "medline_shortened_title string, parallel_titles array<string>,"
+        "shortened_parallel_titles array<string>",
+    ).withColumn("other_titles", F.lit(None).cast("array<string>"))
+    df = spark.createDataFrame(
+        [("1111-2222", None, 1), (None, "rev b", 2), (None, "zzz", 3)],
+        "issn string, shortened_title string, id_pk long",
+    )
+    out = {r["id_pk"]: r["ta_var"] for r in J.add_ta_var(df, title).collect()}
+    assert out[1] == ["Revista A", "Rev A", "Par"]
+    assert out[2] == ["Revista B", "Rev B"]
+    assert out[3] is None
