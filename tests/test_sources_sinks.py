@@ -1,0 +1,182 @@
+"""Sources/sinks/streaming/multimodal tests (S1-S15 surface)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_governance_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    media_repartition,
+    sample_frames,
+    MEDIA_SCHEMA,
+)
+from data_governance_spark.sinks.json_sink import chart_json
+from data_governance_spark.sinks.xml_sink import doc_xml, write_solr_xml
+from data_governance_spark.sources.rest_source import (
+    harvest_pages,
+    incremental_params,
+    records_df,
+    upsert_latest,
+)
+from data_governance_spark.sources.solr_xml import project_fields, read_solr_xml
+from data_governance_spark.streaming.events import (
+    read_event_stream,
+    run_available_now,
+    windowed_counts,
+)
+
+XML_DOC = """<?xml version="1.0" encoding="UTF-8"?>
+<add>
+  <doc>
+    <field name="id">a1</field>
+    <field name="instance">tmgl</field>
+    <field name="la">en</field>
+    <field name="la">pt</field>
+    <field name="dp">2021</field>
+  </doc>
+  <doc>
+    <field name="id">a2</field>
+    <field name="instance">other</field>
+  </doc>
+  <doc>
+    <field name="id">a1</field>
+    <field name="instance">tmgl</field>
+    <field name="la">OVERWRITTEN-DUP</field>
+  </doc>
+</add>
+"""
+
+
+@pytest.fixture()
+def xml_dir(tmp_path):
+    p = tmp_path / "f1_regional_tmgl.xml"
+    p.write_text(XML_DOC, encoding="utf-8")
+    return str(tmp_path)
+
+
+def test_solr_xml_roundtrip(spark, xml_dir):
+    df = read_solr_xml(spark, os.path.join(xml_dir, "*_tmgl.xml"), instance_filter="tmgl")
+    rows = df.collect()
+    # dedup first-in-file wins (S10) + instance filter (S9)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["id"] == "a1"
+    assert r["fields"]["la"] == ["en", "pt"]
+    flat = project_fields(df, ["la", "dp"], scalar={"dp"}).collect()[0]
+    assert flat["la"] == ["en", "pt"] and flat["dp"] == "2021"
+
+
+def test_solr_xml_empty_glob(spark, tmp_path):
+    df = read_solr_xml(spark, str(tmp_path / "*.xml"))
+    assert df.count() == 0
+
+
+def test_xml_sink_fields_and_sanitize(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("d1", ["x", "", None], "bad\x01<chars>&", 7, {"tag_a": ["v1", "v2"]})],
+        "id string, la array<string>, note string, weight int, dyn map<string,array<string>>",
+    )
+    out = doc_xml(df).collect()[0]["xml"]
+    assert out.startswith('<doc boost="7">')
+    assert '<field name="id">d1</field>' in out
+    assert out.count('<field name="la">') == 1  # ''/null items pruned (P8)
+    assert '<field name="note">bad&lt;chars&gt;&amp;</field>' in out
+    assert '<field name="tag_a">v1</field>' in out
+    path = str(tmp_path / "xmlout")
+    write_solr_xml(doc_xml(df), path, single_file=True)
+    text = "".join(
+        open(f).read() for f in sorted(glob.glob(os.path.join(path, "part-*")))
+    )
+    assert text.startswith('<?xml version="1.0" encoding="UTF-8"?>')
+    assert text.rstrip().endswith("</add>")
+
+
+def test_chart_json_pivot(spark):
+    metrics = spark.createDataFrame(
+        [
+            ("language", None, "en", 2020, 5),
+            ("language", None, "pt", 2020, 3),
+            ("language", None, "en", 2021, 7),
+            ("language", "amro", "en", 2020, 99),
+            ("doctype", None, "Articles", 2020, 1),
+        ],
+        "type string, region string, name string, year int, count int",
+    )
+    rows = chart_json(metrics, "language")
+    assert rows == [{"ano": 2020, "en": 5, "pt": 3}, {"ano": 2021, "en": 7}]
+    sliced = chart_json(metrics, "language", slice_value="amro")
+    assert sliced == [{"ano": 2020, "en": 99}]
+
+
+def test_rest_harvest_and_upsert(spark):
+    # defined inline so cloudpickle ships it by value to executors
+    def fake_fetch(offset, limit, params):
+        if offset == 200:
+            raise RuntimeError("boom 503")
+        return [
+            {"id": offset + i, "updated_time": f"2025-01-{(i % 9) + 1:02d}"}
+            for i in range(min(limit, 5))
+        ]
+
+    pages = harvest_pages(spark, fake_fetch, total_count=300, limit=100)
+    errs = pages.filter(F.col("error").isNotNull()).collect()
+    assert len(errs) == 1 and "boom 503" in errs[0]["error"]
+    recs = records_df(pages, spark.createDataFrame([], "id long, updated_time string").schema)
+    assert recs.count() == 10  # 2 good pages x 5
+    dup = recs.union(recs.withColumn("updated_time", F.lit("2025-02-01")))
+    merged = upsert_latest(dup)
+    assert merged.count() == 10
+    assert all(r["updated_time"] == "2025-02-01" for r in merged.collect())
+
+
+def test_incremental_params():
+    import datetime
+
+    p = incremental_params(datetime.date(2025, 1, 20))
+    assert p == {"updated_time__gte": "2025-01-10"}
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    table = "/root/testdata/sf0.001/events.parquet"
+    # stage typed events into the stream source dir
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(table)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    ev.write.mode("overwrite").parquet(src)
+    stream = read_event_stream(spark, src)
+    assert stream.isStreaming
+    agg = windowed_counts(stream)
+    run_available_now(agg, str(tmp_path / "ckpt"), query_name="t_event_windows")
+    got = spark.sql("SELECT sum(n) AS n FROM t_event_windows").collect()[0]["n"]
+    assert got == ev.count()
+
+
+def test_multimodal_stub_and_plumbing(spark):
+    rows = [
+        (1, "image", b"\x01\x02\x03\x04" * 10,
+         {"mime": "image/png", "width": 2, "height": 2, "duration_ms": None, "sample_rate": None}),
+        (2, "video", b"\xff" * 5,
+         {"mime": "video/mp4", "width": None, "height": None, "duration_ms": 3500, "sample_rate": None}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 40
+    assert len(feats[1]["feature"]) == 8
+    assert abs(sum(feats[1]["feature"]) - 1.0) < 1e-6
+    # determinism
+    again = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["feature"] == again[1]["feature"]
+    frames = sample_frames(media).collect()
+    assert [f["frame_ts_ms"] for f in frames] == [0, 1000, 2000, 3000]
+    assert media_repartition(media).rdd.getNumPartitions() == 1
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc")
