@@ -83,7 +83,9 @@ def minhash_dedup_pairs(
     (band, key) -> distinct pairs -> estimate from signatures.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, shingles_col, id_col, num_hashes)
+    # signatures feed the band join AND two estimate joins — persist so
+    # the explode+64-hash aggregation runs once, not three times
+    sigs = minhash_signatures(docs, shingles_col, id_col, num_hashes).persist()
     banded = sigs.select(
         "doc_id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -178,7 +180,8 @@ def simhash_dedup_pairs(
     """Candidate near-dup pairs with Hamming(simhash) <= max_hamming,
     blocked on equal 16-bit chunks (guarantees recall for distance<=3;
     good recall beyond)."""
-    sigs = simhash_signatures(docs, tokens_col, id_col)
+    # both sides of the chunk self-join read the signatures — persist
+    sigs = simhash_signatures(docs, tokens_col, id_col).persist()
     chunked = sigs.select(
         "doc_id", "sig", F.explode(simhash_chunks(F.col("sig"))).alias("ck")
     ).select(

@@ -108,7 +108,9 @@ def lsh_knn(
     b = df.select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
     )
-    b = with_norm(b, vec_col)
+    # both sides of the bucket self-join read the bucketed vectors —
+    # persist so the n_planes dot products run once per vector
+    b = with_norm(b, vec_col).persist()
     left = b.select(
         F.col("bucket"),
         F.col(id_col).alias("query_id"),

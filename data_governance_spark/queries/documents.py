@@ -81,8 +81,10 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
     doc="per-doc quality: token count, avg token length, stopword ratio, score",
 )
 def d02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    toks = tokens("text")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("_toks")
+    )
+    toks = F.col("_toks")
     df = docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -247,28 +249,45 @@ _JACCARD_MIN = 0.05
 )
 def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    # the shingle relation feeds three consumers (doc sizes, rare-shingle
+    # pair generation) — persist it once instead of re-tokenizing the
+    # corpus per consumer (3x scan -> 1 scan + cache)
+    # tokens MUST be materialized before shingling: word_shingles reads
+    # the token array once per gram position, and an inlined tokenize
+    # expression would be re-evaluated each time (~3x per shingle)
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
     sh = (
-        docs.select(
-            "doc_id", F.explode(word_shingles(tokens("text"), 3)).alias("shingle")
+        toks.select(
+            "doc_id", F.explode(word_shingles(F.col("toks"), 3)).alias("shingle")
         )
         .distinct()
+        .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    rare = (
+    # candidate pairs straight from the per-shingle doc lists: one
+    # groupBy replaces the rare-filter + self-join (no shuffle of the
+    # full shingle relation against itself)
+    doc_lists = (
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _RARE_DF)
-        .select("shingle")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= _RARE_DF))
+        .select(F.array_sort("docs").alias("docs"))
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(rare, "shingle")
-        .join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("docs") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("docs") - 1),
+                lambda j: F.struct(
+                    F.element_at(F.col("docs"), i + 1).alias("doc_a"),
+                    F.element_at(F.col("docs"), j + 1).alias("doc_b"),
+                ),
+            ),
         )
+    )
+    pairs = (
+        doc_lists.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.alias("sa")

@@ -96,9 +96,13 @@ def e02_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash(64) + LSH banding (16x4) near-dup candidate pairs, est Jaccard >= 0.5",
 )
 def e03_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # pre-materialize tokens: word_shingles indexes the token array per
+    # gram position and must not re-run the tokenizer each time
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
     return minhash_dedup_pairs(
-        docs, F.array_distinct(word_shingles(tokens("text"), 3)), threshold=0.5
+        docs, F.array_distinct(word_shingles(F.col("toks"), 3)), threshold=0.5
     )
 
 
