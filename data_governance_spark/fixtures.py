@@ -125,6 +125,15 @@ FIADMIN_LANDING_SCHEMA = T.StructType(
         T.StructField("publication_city", T.StringType()),
         T.StructField("publisher", T.StringType()),
         T.StructField("edition", T.StringType()),
+        T.StructField("descriptive_information", _arr_struct("_b")),
+        T.StructField("symbol", T.StringType()),
+        T.StructField(
+            "call_number",
+            _arr_struct(
+                "text", *[f"_{c}" for c in "abcdefghijklmnopqrstuvwxyz"],
+                *[f"_{d}" for d in "0123456789"],
+            ),
+        ),
         T.StructField("check_tags", T.ArrayType(T.StringType())),
         T.StructField("publication_type", T.ArrayType(T.StringType())),
         T.StructField("descriptors_primary", _arr_struct("text")),

@@ -8,7 +8,7 @@ Differences from the reference by design (SURVEY §7.1):
 - null/''/[] pruning (P8) happens at the sinks, not in the model —
   the stage output has a fixed schema with nulls;
 - ``current_year`` is injected (A18 determinism);
-- fo (F11) / lo (F12) citation builders land in a later iteration.
+- fo (F11) / lo (F12) are column expression trees (citation.py).
 
 Scale: the only shuffles are the groupBys inside the author/DECS
 reassembly (keyed by primary key); every dim join is broadcast. At
@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from data_governance_spark.standardize import fields as X
 from data_governance_spark.standardize import joins as J
+from data_governance_spark.standardize.citation import FO_FIELDS, fo, lo
 
 AUTHOR_PRIORITY = (
     "individual_author",
@@ -191,4 +192,6 @@ def standardize(
         X.susdigital_themes(F.col("community_collection_path"), "Alvo").alias(
             "tema_susdigital_publico_alvo"
         ),
+        fo({name: F.col(name) for name in FO_FIELDS}).alias("fo"),
+        lo(F.col("call_number")).alias("lo"),
     )
