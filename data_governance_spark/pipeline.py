@@ -1,0 +1,91 @@
+"""The reference's main ETL (SURVEY §3.1 DG_00_run_all_incremental) as
+one driver program of chained DataFrame stages.
+
+Reference shape: 6 Airflow DAGs — harvest -> standardize (02) -> x01
+normalization -> enrich (03) -> export XML — each a separate process
+doing read-modify-write against MongoDB. Here the whole chain is one
+lazy lineage; ``checkpoint_dir`` optionally materializes each stage as
+parquet (the medallion tables), which is what a production deployment
+would do for restartability, but nothing requires it.
+
+The per-stage fan-outs of the reference (offset-sliced batch tasks,
+dynamic task mapping) disappear into partition parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from data_governance_spark.enrich import (
+    enrich_db_instance_ecollection,
+    enrich_instance_ecollection,
+    enrich_temas,
+    union_with_provenance,
+)
+from data_governance_spark.sinks.xml_sink import doc_xml, write_solr_xml
+from data_governance_spark.standardize.transform import standardize
+from data_governance_spark.standardize.x01 import (
+    normalize_country_fields,
+    rename_ai,
+)
+
+
+@dataclass
+class Dims:
+    """The dimension tables the pipeline joins against (FIXTURES §2)."""
+
+    tabpais: DataFrame
+    title_current: DataFrame
+    decs: DataFrame
+    instance_ecollection: DataFrame | None = None
+    db_instance_ecollection: DataFrame | None = None
+    temas: dict[str, DataFrame] | None = None
+    brisa_ai: DataFrame | None = None
+
+
+def run_pipeline(
+    landing: DataFrame,
+    dims: Dims,
+    current_year: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """landing zone -> enriched wide table (03-stage equivalent)."""
+
+    def checkpoint(df: DataFrame, name: str) -> DataFrame:
+        if checkpoint_dir is None:
+            return df
+        path = os.path.join(checkpoint_dir, name)
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    # stage 02: standardize
+    std = standardize(
+        landing, dims.tabpais, dims.title_current, dims.decs, current_year
+    )
+    std = checkpoint(std, "02_iahx_xml")
+
+    # stage 02_x01: normalization + ai rename
+    std = normalize_country_fields(std)
+    if dims.brisa_ai is not None:
+        std = rename_ai(std, dims.brisa_ai)
+    std = checkpoint(std, "02_x01")
+
+    # stage 03: enrichment
+    enriched = std
+    if dims.instance_ecollection is not None:
+        enriched = enrich_instance_ecollection(enriched, dims.instance_ecollection)
+    if dims.db_instance_ecollection is not None:
+        enriched = enrich_db_instance_ecollection(
+            enriched, dims.db_instance_ecollection
+        )
+    if dims.temas:
+        enriched = enrich_temas(enriched, union_with_provenance(dims.temas))
+    return checkpoint(enriched, "03_xml_enriched")
+
+
+def export_xml(enriched: DataFrame, out_path: str, single_file: bool = False) -> None:
+    """stage 04: the iAHx XML export."""
+    write_solr_xml(doc_xml(enriched), out_path, single_file=single_file)

@@ -38,16 +38,6 @@ def _xml_escape(c: Column) -> Column:
     return F.regexp_replace(c, ">", "&gt;")
 
 
-def _field_elems(name: str, values: Column) -> Column:
-    """array<string> of '  <field name="k">v</field>' lines."""
-    return F.transform(
-        values,
-        lambda v: F.concat(
-            F.lit(f'  <field name="{name}">'), _xml_escape(v), F.lit("</field>")
-        ),
-    )
-
-
 def doc_xml(
     df: DataFrame,
     boost_col: str = "weight",
@@ -66,34 +56,58 @@ def doc_xml(
         c for c in sorted(df.columns)
         if c not in exclude and c != boost_col and c != dyn_col
     ]
+
+    def _named_elems(name_expr: Column, values: Column) -> Column:
+        clean = F.filter(
+            F.coalesce(values, F.array().cast("array<string>")),
+            lambda x: x.isNotNull() & (x != ""),
+        )
+        return F.transform(
+            clean,
+            lambda v: F.concat(
+                F.lit('  <field name="'), name_expr, F.lit('">'),
+                _xml_escape(v), F.lit("</field>"),
+            ),
+        )
+
+    def _map_elems(col_name: str, dtype: str, prefixed: bool) -> Column:
+        # map columns: dynamic enrichment fields emit their keys as
+        # field names; ti/ab-style maps emit '<col>_<key>' (bare <col>
+        # for the '' key — the reference's un-languaged ti/ab)
+        value_is_array = dtype.startswith("map<string,array")
+        entries = F.map_entries(F.coalesce(F.col(col_name), F.create_map().cast(dtype)))
+        if prefixed:
+            name_of = lambda e: F.when(  # noqa: E731
+                e["key"] == "", F.lit(col_name)
+            ).otherwise(F.concat(F.lit(col_name + "_"), e["key"]))
+        else:
+            name_of = lambda e: e["key"]  # noqa: E731
+        return F.flatten(
+            F.transform(
+                entries,
+                lambda e: _named_elems(
+                    name_of(e),
+                    e["value"] if value_is_array else F.array(e["value"]),
+                ),
+            )
+        )
+
     parts: list[Column] = []
     for c in field_cols:
         col = F.col(c)
         if dtypes[c].startswith("array"):
-            values = F.filter(
-                col.cast("array<string>"), lambda x: x.isNotNull() & (x != "")
-            )
+            parts.append(_named_elems(F.lit(c), col.cast("array<string>")))
+        elif dtypes[c].startswith("map"):
+            parts.append(_map_elems(c, dtypes[c], prefixed=True))
         else:
             values = F.when(
                 col.isNotNull() & (col.cast("string") != ""),
                 F.array(col.cast("string")),
             ).otherwise(F.array().cast("array<string>"))
-        parts.append(_field_elems(c, values))
+            parts.append(_named_elems(F.lit(c), values))
     body = F.flatten(F.array(*parts))
     if dyn_col is not None and dyn_col in df.columns:
-        dyn_body = F.flatten(
-            F.transform(
-                F.map_entries(F.coalesce(F.col(dyn_col), F.create_map().cast(dtypes[dyn_col]))),
-                lambda e: F.transform(
-                    F.filter(e["value"], lambda x: x.isNotNull() & (x != "")),
-                    lambda v: F.concat(
-                        F.lit('  <field name="'), e["key"], F.lit('">'),
-                        _xml_escape(v), F.lit("</field>"),
-                    ),
-                ),
-            )
-        )
-        body = F.concat(body, dyn_body)
+        body = F.concat(body, _map_elems(dyn_col, dtypes[dyn_col], prefixed=False))
     boost = F.coalesce(F.col(boost_col).cast("string"), F.lit("")) if boost_col in df.columns else F.lit("")
     xml = F.concat(
         F.lit('<doc boost="'), boost, F.lit('">\n'),
