@@ -154,15 +154,23 @@ def simhash_signatures(
     return agg.select("doc_id", sig.alias("sig"))
 
 
-def simhash_chunks(sig: Column) -> Column:
-    """4 x 16-bit blocking chunks of the signature (struct array)."""
+def simhash_chunks(sig: Column, n_chunks: int = 4) -> Column:
+    """n_chunks equal bit-slices of the signature (struct array).
+
+    Pigeonhole: two signatures within Hamming distance n_chunks-1
+    MUST share at least one chunk — pick n_chunks > max_hamming for
+    guaranteed recall. More chunks = smaller keys = bigger candidate
+    buckets (the recall/cost dial: 4x16-bit scales furthest, 8x8-bit
+    guarantees recall for distance<=7 but keys collide 256x more)."""
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
     return F.array(
         *[
             F.struct(
                 F.lit(i).alias("chunk"),
-                F.shiftright(sig, i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                F.shiftright(sig, i * width).bitwiseAND(F.lit(mask)).alias("key"),
             )
-            for i in range(4)
+            for i in range(n_chunks)
         ]
     )
 
@@ -176,14 +184,15 @@ def simhash_dedup_pairs(
     tokens_col: Column,
     id_col: str = "doc_id",
     max_hamming: int = 8,
+    n_chunks: int = 4,
 ) -> DataFrame:
     """Candidate near-dup pairs with Hamming(simhash) <= max_hamming,
-    blocked on equal 16-bit chunks (guarantees recall for distance<=3;
-    good recall beyond)."""
+    blocked on equal signature chunks (guaranteed recall for distance
+    <= n_chunks-1; probabilistic beyond — see simhash_chunks)."""
     # both sides of the chunk self-join read the signatures — persist
     sigs = simhash_signatures(docs, tokens_col, id_col).persist()
     chunked = sigs.select(
-        "doc_id", "sig", F.explode(simhash_chunks(F.col("sig"))).alias("ck")
+        "doc_id", "sig", F.explode(simhash_chunks(F.col("sig"), n_chunks)).alias("ck")
     ).select(
         "doc_id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
     )

@@ -69,6 +69,73 @@ def brute_force_knn(
     )
 
 
+def ivf_knn(
+    df: DataFrame,
+    cells: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    cell_id_col: str = "cell_id",
+    cell_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest cell centroid,
+    then for each query probe the ``n_probe`` nearest cells and rerank
+    exactly within them.
+
+    ``cells`` is a small (cell_id, centroid array<double>) table —
+    broadcast everywhere. The candidate join is an equi-join on
+    cell_id: the inverted-file structure means a query scans
+    ~n_probe/n_cells of the corpus instead of all of it — the standard
+    recall/cost dial at 100 TB. Centroids can come from any trainer
+    (k-means, per-label means); the operator only needs the table.
+    """
+    c = cells.select(
+        F.col(cell_id_col).alias("cell_id"), F.col(cell_vec_col).alias("centroid")
+    )
+
+    def nearest_cells(side: DataFrame, n_top: int, out: str) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(c)).select(
+            id_col,
+            vec_col,
+            "cell_id",
+            (
+                dot(F.col(vec_col), F.col("centroid"))
+                / (norm(F.col(vec_col)) * norm(F.col("centroid")))
+            ).alias("_csim"),
+        )
+        w = W.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cell_id"))
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n_top)
+            .select(id_col, vec_col, F.col("cell_id").alias(out))
+        )
+
+    assigned = nearest_cells(df, 1, "cell").persist()
+    probes = nearest_cells(df, n_probe, "cell")
+    left = probes.select(
+        F.col("cell"),
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        norm(F.col(vec_col)).alias("q_nrm"),
+    )
+    right = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        norm(F.col(vec_col)).alias("c_nrm"),
+    )
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
+    scored = (
+        left.join(right, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no numpy dependency in
     the plan; literals are folded into codegen)."""

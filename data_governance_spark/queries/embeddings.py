@@ -19,7 +19,11 @@ from data_governance_spark.operators.dedup import (
     minhash_dedup_pairs,
     simhash_dedup_pairs,
 )
-from data_governance_spark.operators.similarity import brute_force_knn, lsh_knn
+from data_governance_spark.operators.similarity import (
+    brute_force_knn,
+    ivf_knn,
+    lsh_knn,
+)
 from data_governance_spark.queries.base import QueryDef, qdef
 from data_governance_spark.tables import table
 
@@ -130,3 +134,36 @@ def e05_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     return lsh_knn(emb, k=_K, n_planes=10, dim=64)
+
+
+# --------------------------------------------------------------------------
+@qdef(
+    QUERIES,
+    "e06_ivf_knn",
+    oracle=None,  # approximate by design; recall vs e01 checked in tests
+    doc="IVF ANN: per-label centroids as cells, n_probe=2, exact in-cell rerank",
+)
+def e06_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    # deterministic cell centers: per-label mean vectors (a k-means
+    # trainer would slot in here unchanged)
+    cells = (
+        emb.select("label", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("m")))
+                ),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cell_id"), "centroid")
+    )
+    return ivf_knn(emb.select("vec_id", "emb"), cells, k=_K, n_probe=2)

@@ -511,3 +511,78 @@ def q16_status_by_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
     )
+
+
+# --------------------------------------------------------------------------
+# q19: gap-based sessionization via lag + running sum — the stateful
+# per-key sequence operator (streaming's session-window twin, batch
+# form; no reference equivalent — training-pipeline addition).
+@qdef(
+    QUERIES,
+    "q19_user_sessions",
+    oracle="""
+    SELECT user_id, session_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM (
+      SELECT user_id, ts,
+             sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    )
+    GROUP BY user_id, session_id
+    """,
+    doc="gap-based sessionization (lag + running sum), 30-min timeout",
+)
+def q19_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q20: exact distinct-count aggregates (A15 distinct generalized).
+@qdef(
+    QUERIES,
+    "q20_event_type_user_stats",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events,
+           round(count(*) / count(DISTINCT user_id), 4) AS events_per_user
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="count distinct + ratio per group",
+)
+def q20_event_type_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.count(F.lit(1)) / F.countDistinct("user_id"), 4
+        ).alias("events_per_user"),
+    )

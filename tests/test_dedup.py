@@ -1,0 +1,65 @@
+"""MinHash / SimHash sketch quality on crafted near-duplicates (the
+no-oracle queries' correctness evidence)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_governance_spark.functions.text import tokens, word_shingles
+from data_governance_spark.operators.dedup import (
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash_dedup_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away today " * 4
+NEAR = BASE + "sleepy"  # one appended token out of ~56
+OTHER = "completely different content about spark queries and shuffles " * 5
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE)],  # 4 = exact dup of 1
+        "doc_id long, text string",
+    ).select("doc_id", tokens("text").alias("toks"))
+
+
+def _exact_jaccard(spark, docs, a, b):
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("toks"), 3))).alias("s")
+    )
+    sa = {r["s"] for r in sh.filter(F.col("doc_id") == a).collect()}
+    sb = {r["s"] for r in sh.filter(F.col("doc_id") == b).collect()}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_finds_near_and_exact_dups(spark, docs):
+    pairs = minhash_dedup_pairs(
+        docs, F.array_distinct(word_shingles(F.col("toks"), 3)), threshold=0.3
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert (1, 4) in got and got[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in got and (2, 4) in got  # near dups
+    assert not any(3 in p for p in got)  # unrelated doc never paired
+    # estimate tracks exact jaccard within sketch tolerance (64 hashes)
+    exact = _exact_jaccard(spark, docs, 1, 2)
+    assert abs(got[(1, 2)] - exact) < 0.2
+
+
+def test_minhash_signature_shape(spark, docs):
+    sigs = minhash_signatures(docs, F.array_distinct(word_shingles(F.col("toks"), 3)))
+    rows = sigs.collect()
+    assert len(rows) == 4
+    assert all(len(r["sig"]) == 64 for r in rows)
+
+
+def test_simhash_blocks_near_dups(spark, docs):
+    # n_chunks=16 guarantees recall for hamming <= 15 (4-bit keys —
+    # test-scale only; production keeps wider keys)
+    pairs = simhash_dedup_pairs(docs, F.col("toks"), max_hamming=10, n_chunks=16)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 4)] == 0  # identical text -> identical signature
+    assert (1, 2) in got and got[(1, 2)] <= 10
+    assert not any(3 in p for p in got)

@@ -1,0 +1,87 @@
+"""ANN operator quality: brute force is exact; LSH and IVF recover
+within-cluster neighbors on crafted clustered vectors."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_governance_spark.operators.similarity import (
+    brute_force_knn,
+    ivf_knn,
+    lsh_knn,
+)
+
+DIM = 16
+N_CLUSTERS = 3
+PER_CLUSTER = 20
+
+
+def _clustered_vectors():
+    rng = random.Random(7)
+    centers = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(N_CLUSTERS)]
+    rows = []
+    vid = 0
+    for cid, center in enumerate(centers):
+        for _ in range(PER_CLUSTER):
+            vec = [c + rng.gauss(0, 0.05) for c in center]
+            rows.append((vid, cid, vec))
+            vid += 1
+    return rows, centers
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows, centers = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, cluster int, emb array<double>")
+    return df, centers
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_brute_force_exact_same_cluster(vectors):
+    df, _ = vectors
+    out = brute_force_knn(df.select("vec_id", "emb"), df.select("vec_id", "emb"), k=3)
+    cluster_of = {r["vec_id"]: r["cluster"] for r in df.collect()}
+    rows = out.collect()
+    # with tight clusters every exact neighbor is in the same cluster
+    assert all(cluster_of[r["query_id"]] == cluster_of[r["neighbor_id"]] for r in rows)
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in rows)
+    assert len({r["query_id"] for r in rows}) == N_CLUSTERS * PER_CLUSTER
+
+
+def test_lsh_recall_on_clusters(vectors, spark):
+    df, _ = vectors
+    base = df.select("vec_id", "emb")
+    truth = _pairs(brute_force_knn(base, base, k=3))
+    approx = _pairs(lsh_knn(base, k=3, n_planes=6, dim=DIM))
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5  # clustered data: bucket collisions keep clusters together
+
+
+def test_ivf_high_recall_with_true_centers(vectors, spark):
+    df, centers = vectors
+    cells = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cell_id int, centroid array<double>"
+    )
+    base = df.select("vec_id", "emb")
+    truth = _pairs(brute_force_knn(base, base, k=3))
+    approx = _pairs(ivf_knn(base, cells, k=3, n_probe=1))
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.95  # probing the true cell recovers nearly all
+
+
+def test_ivf_deterministic(vectors, spark):
+    df, centers = vectors
+    cells = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cell_id int, centroid array<double>"
+    )
+    base = df.select("vec_id", "emb")
+    a = sorted(map(str, ivf_knn(base, cells, k=2).collect()))
+    b = sorted(map(str, ivf_knn(base, cells, k=2).collect()))
+    assert a == b
