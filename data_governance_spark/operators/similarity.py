@@ -91,47 +91,96 @@ def ivf_knn(
     (k-means, per-label means); the operator only needs the table.
     """
     c = cells.select(
-        F.col(cell_id_col).alias("cell_id"), F.col(cell_vec_col).alias("centroid")
+        F.col(cell_id_col).alias("cell_id"),
+        F.col(cell_vec_col).alias("centroid"),
+        norm(F.col(cell_vec_col)).alias("c_cnrm"),
+    ).persist()
+
+    # one scored cross join serves BOTH the cell assignment (rank 1)
+    # and the probe list (rank <= n_probe); vector norms computed once
+    base = df.select(id_col, vec_col, norm(F.col(vec_col)).alias("nrm"))
+    scored = base.crossJoin(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        "nrm",
+        "cell_id",
+        (dot(F.col(vec_col), F.col("centroid")) / (F.col("nrm") * F.col("c_cnrm"))).alias(
+            "_csim"
+        ),
     )
-
-    def nearest_cells(side: DataFrame, n_top: int, out: str) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(c)).select(
-            id_col,
-            vec_col,
-            "cell_id",
-            (
-                dot(F.col(vec_col), F.col("centroid"))
-                / (norm(F.col(vec_col)) * norm(F.col("centroid")))
-            ).alias("_csim"),
-        )
-        w = W.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cell_id"))
-        return (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= n_top)
-            .select(id_col, vec_col, F.col("cell_id").alias(out))
-        )
-
-    assigned = nearest_cells(df, 1, "cell").persist()
-    probes = nearest_cells(df, n_probe, "cell")
+    w_cells = W.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cell_id"))
+    ranked = scored.withColumn("_rk", F.row_number().over(w_cells)).persist()
+    assigned = ranked.filter(F.col("_rk") == 1)
+    probes = ranked.filter(F.col("_rk") <= n_probe)
     left = probes.select(
-        F.col("cell"),
+        F.col("cell_id").alias("cell"),
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_emb"),
-        norm(F.col(vec_col)).alias("q_nrm"),
+        F.col("nrm").alias("q_nrm"),
     )
     right = assigned.select(
-        F.col("cell"),
+        F.col("cell_id").alias("cell"),
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_emb"),
-        norm(F.col(vec_col)).alias("c_nrm"),
+        F.col("nrm").alias("c_nrm"),
     )
-    cos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
-    scored = (
-        left.join(right, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-        .distinct()
+    # In-cell rerank: per-element JVM expressions cost ~µs per cosine;
+    # a cell's worth of vectors fits comfortably in memory, so this is
+    # the one place the engine drops to Arrow + numpy — one matrix
+    # multiply per cell instead of |Q|x|C| folded lambdas.
+    import pandas as pd  # local import: only the driver needs it at plan time
+
+    union = left.select(
+        "cell",
+        F.col("query_id").alias("vid"),
+        (F.col("q_emb")).alias("emb"),
+        F.col("q_nrm").alias("nrm"),
+        F.lit("q").alias("role"),
+    ).unionByName(
+        right.select(
+            "cell",
+            F.col("neighbor_id").alias("vid"),
+            F.col("c_emb").alias("emb"),
+            F.col("c_nrm").alias("nrm"),
+            F.lit("c").alias("role"),
+        )
     )
+
+    topn = k  # per-cell candidates; final global rank merges probed cells
+
+    def rerank(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        q = pdf[pdf.role == "q"]
+        c = pdf[pdf.role == "c"]
+        if q.empty or c.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+        qm = np.stack(q["emb"].to_numpy()) / q["nrm"].to_numpy()[:, None]
+        cm = np.stack(c["emb"].to_numpy()) / c["nrm"].to_numpy()[:, None]
+        sims = qm @ cm.T
+        qids = q["vid"].to_numpy()
+        cids = c["vid"].to_numpy()
+        out_q, out_n, out_s = [], [], []
+        n_cand = min(topn + 1, sims.shape[1])  # +1 to survive self-drop
+        for i in range(sims.shape[0]):
+            row = sims[i]
+            idx = np.argpartition(-row, n_cand - 1)[:n_cand]
+            # deterministic order: cosine desc, neighbor id asc
+            idx = idx[np.lexsort((cids[idx], -row[idx]))]
+            for j in idx:
+                if cids[j] != qids[i]:
+                    out_q.append(qids[i])
+                    out_n.append(cids[j])
+                    out_s.append(float(row[j]))
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
+        )
+
+    scored = union.groupBy("cell").applyInPandas(
+        rerank, "query_id long, neighbor_id long, cosine double"
+    ).distinct()
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
