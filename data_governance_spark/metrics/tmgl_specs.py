@@ -112,6 +112,21 @@ TMGL_SPECS: list[MetricSpec] = [
 ]
 
 
+def decs_label_dim(decs: DataFrame) -> DataFrame:
+    """J12 build side (dag_02_subjects.py:68-76): zero-stripped Mfn ->
+    English descriptor, consumed by runner.label_join on the subject
+    metric's aggregated ids."""
+    code = F.regexp_replace(F.col("mfn"), "^0+", "")
+    return (
+        decs.filter(
+            F.col("mfn").isNotNull() & F.col("descritor_ingles").isNotNull()
+        )
+        .select(code.alias("code_xml"), F.col("descritor_ingles").alias("label_en"))
+        .filter(F.col("code_xml") != "")
+        .dropDuplicates(["code_xml"])
+    )
+
+
 def timeline_metric(facts: DataFrame, date_col: str = "dp") -> DataFrame:
     """A11 (dag_02_timeline.py:11-50): year -> (total, with_fulltext).
 

@@ -201,6 +201,22 @@ def test_label_join_decodes_known_codes(spark, facts):
     assert any("/" in n for n in names)
 
 
+def test_subject_decode_via_decs_labels(spark, facts):
+    """A5 + J12: subject ids decoded to English descriptors post-agg."""
+    from data_governance_spark.metrics.tmgl_specs import decs_label_dim
+
+    df, _ = facts
+    decs = spark.createDataFrame(
+        [("012345", "Acupuncture"), ("000042", "Herbal Medicine")],
+        "mfn string, descritor_ingles string",
+    )
+    out = run_metric(df, TMGL_SPECS[4])  # subject ids: 12345, 00042->42?, 777
+    labeled = label_join(out, decs_label_dim(decs))
+    names = {r["name"] for r in labeled.collect()}
+    assert "Acupuncture" in names      # 12345 decoded
+    assert "777" in names              # unknown id passes through
+
+
 def test_top_k_deterministic_tiebreak(spark):
     rows = [
         ("language", None, "aa", 2000, 5),
