@@ -35,6 +35,12 @@ def _any_rlike(col: Column, pattern: str) -> Column:
     )
 
 
+# (?iu): Mongo's $regex 'i' option case-folds Unicode; Java's (?i)
+# alone is ASCII-only, which would silently drop accented country
+# names (Türkiye, Côte d'Ivoire) from their slices
+_CI = "(?iu)"
+
+
 def country_match(
     country: str,
     pais_afiliacao: Column,
@@ -44,23 +50,28 @@ def country_match(
     """Single-country predicate (misc.py:4-22); pass who_regions=None
     for the multi-country clause set (misc.py:25-40)."""
     esc = re.escape(country)
-    out = _any_rlike(pais_afiliacao, f"(?i)\\^i{esc}") | _any_rlike(
-        cp, f"(?i){esc}"
+    out = _any_rlike(pais_afiliacao, f"{_CI}\\^i{esc}") | _any_rlike(
+        cp, f"{_CI}{esc}"
     )
     if who_regions is not None:
         und = country.replace(" ", "_")
-        out = out | _any_rlike(who_regions, f"(?i)/{und}$")
+        out = out | _any_rlike(who_regions, f"{_CI}/{und}$")
     return out
 
 
 def countries_match(
     countries: list[str], pais_afiliacao: Column, cp: Column
 ) -> Column:
-    """Region form: big OR of per-country clauses, no who_regions."""
-    out = F.lit(False)
-    for c in countries:
-        out = out | country_match(c, pais_afiliacao, cp, who_regions=None)
-    return out
+    """Region form: per-country clauses folded into ONE alternation
+    pattern per field (misc.py:25-40 builds a big $or; a 200-country
+    region as 400 chained rlike nodes would blow up Catalyst analysis
+    — '(a|b|...)' is semantically identical and O(1) expressions)."""
+    if not countries:
+        return F.lit(False)
+    alts = "|".join(re.escape(c) for c in countries)
+    return _any_rlike(pais_afiliacao, f"{_CI}\\^i(?:{alts})") | _any_rlike(
+        cp, f"{_CI}(?:{alts})"
+    )
 
 
 def attach_slice_p4(

@@ -114,16 +114,26 @@ TMGL_SPECS: list[MetricSpec] = [
 
 def decs_label_dim(decs: DataFrame) -> DataFrame:
     """J12 build side (dag_02_subjects.py:68-76): zero-stripped Mfn ->
-    English descriptor, consumed by runner.label_join on the subject
-    metric's aggregated ids."""
+    trimmed English descriptor, consumed by runner.label_join on the
+    subject metric's aggregated ids. Empty/whitespace descriptors are
+    dropped (the reference's falsy check after .strip()), and
+    duplicate stripped codes resolve last-row-wins like the
+    reference's dict build."""
+    from pyspark.sql import Window as W
+
     code = F.regexp_replace(F.col("mfn"), "^0+", "")
+    label = F.trim(F.col("descritor_ingles"))
+    base = (
+        decs.withColumn("_row", F.monotonically_increasing_id())
+        .filter(F.col("mfn").isNotNull())
+        .select(code.alias("code_xml"), label.alias("label_en"), "_row")
+        .filter((F.col("code_xml") != "") & (F.col("label_en") != ""))
+    )
+    w = W.partitionBy("code_xml").orderBy(F.desc("_row"))
     return (
-        decs.filter(
-            F.col("mfn").isNotNull() & F.col("descritor_ingles").isNotNull()
-        )
-        .select(code.alias("code_xml"), F.col("descritor_ingles").alias("label_en"))
-        .filter(F.col("code_xml") != "")
-        .dropDuplicates(["code_xml"])
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("code_xml", "label_en")
     )
 
 

@@ -18,8 +18,10 @@ from data_governance_spark.metrics.runner import (
     run_metric,
     run_metrics,
 )
+from data_governance_spark.metrics.runner import label_join
 from data_governance_spark.metrics.tmgl_specs import (
     TMGL_SPECS,
+    decs_label_dim,
     map_metric,
     timeline_metric,
 )
@@ -51,9 +53,15 @@ def ingest_tmgl_landing(
 def compute_metrics(
     landing: DataFrame,
     who_region_dim: DataFrame,
+    decs: DataFrame | None = None,
+    areas: DataFrame | None = None,
 ) -> DataFrame:
     """All metric families, global + per-region + per-country, into one
-    long table (type, region, country, name, year, count)."""
+    long table (type, region, country, name, year, count).
+
+    ``decs`` enables the J12 subject decode (numeric ids -> English
+    descriptors); ``areas`` the J11 dimension/therapy label decode —
+    both applied post-aggregation exactly as the reference does."""
     global_rows = run_metrics(landing, TMGL_SPECS).withColumn(
         "country", F.lit(None).cast("string")
     )
@@ -78,11 +86,24 @@ def compute_metrics(
     )
 
     cols = ["type", "region", "country", "name", "year", "count"]
-    return (
+    out = (
         global_rows.select(*cols)
         .unionByName(region_rows.select(*cols))
         .unionByName(country_rows.select(*cols))
     )
+
+    # post-aggregation label decodes (J11/J12), scoped per metric type
+    def decode(df: DataFrame, metric_type: str, labels: DataFrame) -> DataFrame:
+        target = df.filter(F.col("type") == metric_type)
+        rest = df.filter(F.col("type") != metric_type)
+        return rest.unionByName(label_join(target, labels).select(*cols))
+
+    if decs is not None:
+        out = decode(out, "subject", decs_label_dim(decs))
+    if areas is not None:
+        for t in ("dimension", "therapy"):
+            out = decode(out, t, areas)
+    return out
 
 
 def compute_timeline(landing: DataFrame, who_region_dim: DataFrame) -> DataFrame:

@@ -135,6 +135,38 @@ def test_property_explode_count_conservation(spark, landing):
     assert total_lang == exploded
 
 
+def test_metrics_with_label_decodes(spark, tmp_path_factory):
+    """J11/J12 decodes applied inside compute_metrics."""
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<add>
+  <doc>
+    <field name="id">s1</field>
+    <field name="instance">tmgl</field>
+    <field name="dp">2022</field>
+    <field name="mj">^d12345^s9</field>
+    <field name="tag_dimentions">dim/one</field>
+  </doc>
+</add>
+"""
+    p = tmp_path_factory.mktemp("tmglxml2") / "d_regional_tmgl.xml"
+    p.write_text(xml, encoding="utf-8")
+    from data_governance_spark.fixtures import tmgl_areas_dim
+
+    landing = ingest_tmgl_landing(spark, str(p))
+    decs = spark.createDataFrame(
+        [("0012345", "Acupuncture"), ("0012345", "Acupuncture Therapy")],
+        "mfn string, descritor_ingles string",
+    )
+    m = compute_metrics(
+        landing, who_region_dim(spark), decs=decs, areas=tmgl_areas_dim(spark)
+    )
+    subj = {r["name"] for r in m.filter(F.col("type") == "subject").collect()}
+    # last duplicate wins deterministically (reference dict build order)
+    assert subj == {"Acupuncture Therapy"}
+    dims = {r["name"] for r in m.filter(F.col("type") == "dimension").collect()}
+    assert dims == {"Dimension One"}
+
+
 def test_property_pivot_round_trip(spark):
     """Long -> wide (chart pivot) -> long recovers the source."""
     m = spark.createDataFrame(
