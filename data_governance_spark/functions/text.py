@@ -74,6 +74,41 @@ def marker_score(tokens_col: Column, lang: str) -> Column:
     return F.size(F.filter(tokens_col, lambda t: t.isin(*LANG_MARKERS[lang])))
 
 
+def shingle_hashes(shingles_col: Column) -> Column:
+    """Positional rolling-hash sequence: md5 of each k-gram shingle.
+
+    md5 (not xxhash64) so the DuckDB oracle computes bit-identical
+    hashes; the hex strings compare lexicographically exactly as the
+    128-bit values compare numerically, which is all winnowing needs.
+    IMPORTANT: materialize the input shingle array as a real column
+    first — higher-order functions re-evaluate argument expressions on
+    every element access (see winnow_fingerprints).
+    """
+    return F.transform(shingles_col, lambda s: F.md5(s))
+
+
+def winnow_fingerprints(hashes_col: Column, window: int = 4) -> Column:
+    """Winnowing (Schleimer et al., SIGMOD 2003): the document
+    fingerprint set is the min hash of every ``window`` consecutive
+    shingle hashes. Guarantees any shared run of window+k-1 tokens
+    between two documents yields a shared fingerprint, while keeping
+    the fingerprint density ~2/(window+1) — the standard local
+    plagiarism/near-dup sketch. Short documents (< window shingles)
+    contribute their single global min.
+
+    Returns array<string> (md5 hex) with duplicates removed.
+    """
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(hashes_col) - window),
+        lambda j: F.array_min(F.slice(hashes_col, j + 1, window)),
+    )
+    return F.array_distinct(
+        F.when(F.size(hashes_col) >= window, wins).otherwise(
+            F.array(F.array_min(hashes_col))
+        )
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
 

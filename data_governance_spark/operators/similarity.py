@@ -185,6 +185,54 @@ def ivf_knn(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    block_col: str,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks.
+
+    The all-pairs cosine join is O(N^2) and impossible at corpus scale;
+    blocking on a partition key (an IVF cell id, an LSH bucket, or any
+    clustering label) makes candidate generation an equi-join that
+    shuffles each block to one place — the standard scale path for
+    embedding dedup. Within a block the comparison is exact, so given
+    exact blocks (e.g. from e06's cell assignment) the result is exact
+    within-block near-dup pairs. Deterministic output: (block, doc
+    pair, cosine); ties impossible by id ordering.
+    """
+    base = with_norm(df, vec_col).select(
+        F.col(block_col).alias("block"),
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("nrm"),
+    )
+    # both sides of the block self-join read the normed vectors — persist
+    # so norms are computed once per vector, not once per side
+    base = base.persist()
+    a = base.select(
+        "block",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = base.select(
+        "block",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("block", "id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no numpy dependency in
     the plan; literals are folded into codegen)."""

@@ -24,7 +24,9 @@ from data_governance_spark.functions.text import (
     STOPWORDS,
     fingerprint,
     marker_score,
+    shingle_hashes,
     tokens,
+    winnow_fingerprints,
     word_shingles,
 )
 from data_governance_spark.queries.base import QueryDef, qdef
@@ -203,6 +205,53 @@ def d05_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("lang", predicted.alias("predicted")).agg(
         F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+_WINNOW_K = 4  # shingle size (tokens)
+_WINNOW_W = 4  # winnowing window (shingles)
+
+
+@qdef(
+    QUERIES,
+    "d07_winnow_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(t) >= {_WINNOW_K}
+        THEN list_transform(range(1, len(t) - {_WINNOW_K - 2}),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+        ELSE [array_to_string(t, ' ')] END AS shs
+      FROM toks
+    ),
+    hs AS (SELECT doc_id, list_transform(shs, s -> md5(s)) AS hs FROM sh)
+    SELECT DISTINCT doc_id, fp FROM (
+      SELECT doc_id, unnest(CASE WHEN len(hs) >= {_WINNOW_W}
+        THEN list_transform(range(1, len(hs) - {_WINNOW_W - 2}),
+               j -> list_min(hs[j:j+{_WINNOW_W - 1}]))
+        ELSE [list_min(hs)] END) AS fp
+      FROM hs
+    )
+    """,
+    doc="rolling-hash winnowing fingerprints (Schleimer et al. 2003): "
+    "min md5 per window of consecutive k-gram shingles, per doc",
+)
+def d07_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # two materialization fences: word_shingles indexes the token array
+    # per gram position, and winnow_fingerprints reads the hash array
+    # from several subexpressions — inlining either would re-evaluate
+    # the upstream HOF per access (the d06 22.6s->4.9s lesson)
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    hs = toks.select(
+        "doc_id", shingle_hashes(word_shingles(F.col("toks"), _WINNOW_K)).alias("hs")
+    )
+    return hs.select(
+        "doc_id",
+        F.explode(winnow_fingerprints(F.col("hs"), _WINNOW_W)).alias("fp"),
     )
 
 

@@ -21,6 +21,7 @@ from data_governance_spark.operators.dedup import (
 )
 from data_governance_spark.operators.similarity import (
     brute_force_knn,
+    cosine_neardup_pairs,
     ivf_knn,
     lsh_knn,
 )
@@ -120,6 +121,38 @@ def e03_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e04_simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return simhash_dedup_pairs(docs, tokens("text"), max_hamming=8)
+
+
+# --------------------------------------------------------------------------
+_NEARDUP_T = 0.30
+
+
+@qdef(
+    QUERIES,
+    "e07_cosine_neardup_pairs",
+    oracle=f"""
+    SELECT label, id_a, id_b, round(cosine, 4) + 0.0 AS cosine FROM (
+      SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cosine
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= {_NEARDUP_T}
+    """,
+    doc="embedding-cosine near-dup pairs, label-blocked (exact within block); "
+    "the block key is the O(N^2)->equi-join scale path",
+)
+def e07_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    out = cosine_neardup_pairs(emb, "label", threshold=_NEARDUP_T)
+    return out.select(
+        F.col("block").alias("label"),
+        "id_a",
+        "id_b",
+        (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"),
+    )
 
 
 # --------------------------------------------------------------------------

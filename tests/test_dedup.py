@@ -1,12 +1,20 @@
 """MinHash / SimHash sketch quality on crafted near-duplicates (the
-no-oracle queries' correctness evidence)."""
+no-oracle queries' correctness evidence), plus winnowing fingerprint
+properties."""
 
 from __future__ import annotations
+
+import hashlib
 
 import pytest
 from pyspark.sql import functions as F
 
-from data_governance_spark.functions.text import tokens, word_shingles
+from data_governance_spark.functions.text import (
+    shingle_hashes,
+    tokens,
+    winnow_fingerprints,
+    word_shingles,
+)
 from data_governance_spark.operators.dedup import (
     minhash_dedup_pairs,
     minhash_signatures,
@@ -53,6 +61,45 @@ def test_minhash_signature_shape(spark, docs):
     rows = sigs.collect()
     assert len(rows) == 4
     assert all(len(r["sig"]) == 64 for r in rows)
+
+
+def _winnow_df(spark, rows, k=4, w=4):
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    hs = df.select(
+        "doc_id", shingle_hashes(word_shingles(F.col("toks"), k)).alias("hs")
+    )
+    return hs.select(
+        "doc_id", winnow_fingerprints(F.col("hs"), w).alias("fps")
+    )
+
+
+def test_winnow_matches_python_reference(spark):
+    k, w = 4, 4
+    toks = BASE.split()
+    shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [hashlib.md5(s.encode()).hexdigest() for s in shingles]
+    expected = sorted({min(hs[j : j + w]) for j in range(len(hs) - w + 1)})
+    got = _winnow_df(spark, [(1, BASE)], k, w).collect()[0]["fps"]
+    assert sorted(got) == expected
+    # winnowing guarantee: every window of w consecutive hashes
+    # contains at least one selected fingerprint
+    sel = set(got)
+    assert all(any(h in sel for h in hs[j : j + w]) for j in range(len(hs) - w + 1))
+
+
+def test_winnow_shared_run_yields_shared_fingerprint(spark):
+    rows = [(1, BASE), (2, "unrelated preamble text here " + BASE), (3, OTHER)]
+    out = {r["doc_id"]: set(r["fps"]) for r in _winnow_df(spark, rows).collect()}
+    assert out[1] & out[2]  # long shared token run -> shared fingerprint
+    assert not (out[1] & out[3])  # disjoint text -> disjoint fingerprints
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    out = _winnow_df(spark, [(1, "just three tokens")]).collect()[0]["fps"]
+    assert len(out) == 1
+    assert out[0] == hashlib.md5(b"just three tokens").hexdigest()
 
 
 def test_simhash_blocks_near_dups(spark, docs):

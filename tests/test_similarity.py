@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from data_governance_spark.operators.similarity import (
     brute_force_knn,
+    cosine_neardup_pairs,
     ivf_knn,
     lsh_knn,
 )
@@ -74,6 +75,33 @@ def test_ivf_high_recall_with_true_centers(vectors, spark):
     approx = _pairs(ivf_knn(base, cells, k=3, n_probe=1))
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.95  # probing the true cell recovers nearly all
+
+
+def test_cosine_neardup_exact_within_block(vectors, spark):
+    df, _ = vectors
+    t = 0.9
+    out = cosine_neardup_pairs(
+        df.select("vec_id", F.col("cluster").alias("block"), "emb"),
+        "block",
+        threshold=t,
+    ).collect()
+    # python ground truth restricted to same-cluster pairs
+    rows = df.collect()
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+    truth = {
+        (a["vec_id"], b["vec_id"])
+        for a in rows
+        for b in rows
+        if a["cluster"] == b["cluster"]
+        and a["vec_id"] < b["vec_id"]
+        and cos(a["emb"], b["emb"]) >= t
+    }
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert got == truth
+    assert len(truth) > 0  # tight clusters: plenty of near-dups exist
+    assert all(r["cosine"] >= t for r in out)
 
 
 def test_ivf_deterministic(vectors, spark):
