@@ -160,6 +160,57 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert got == ev.count()
 
 
+def test_streaming_stateful_sessionization(spark, tmp_path):
+    from data_governance_spark.streaming.events import sessionize_stream
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    def write_wave(name, rows):
+        spark.createDataFrame(
+            [(i, ts, uid, "click", 1.0, "{}") for i, (ts, uid) in enumerate(rows)],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts")).write.parquet(str(src / name))
+
+    sink = str(tmp_path / "sess_out")
+
+    def run():
+        out = sessionize_stream(read_event_stream(spark, str(src) + "/*"))
+        run_available_now(out, ckpt, output_mode="append", path=sink)
+        return {
+            (r["user_id"], str(r["session_start"]), r["n_events"])
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    # wave 1: user 1 has a 2-event session then (2h later, > 30min gap)
+    # a second session that stays open; user 2 has one open session
+    write_wave(
+        "w1",
+        [
+            ("2024-01-01 00:00:00", 1),
+            ("2024-01-01 00:10:00", 1),
+            ("2024-01-01 02:00:00", 1),
+            ("2024-01-01 00:05:00", 2),
+        ],
+    )
+    got = run()
+    # the in-batch gap closes session 1 immediately
+    assert (1, "2024-01-01 00:00:00", 2) in got
+    assert not any(u == 2 for u, _, _ in got)  # user 2 still open
+
+    # wave 2: a much-later event advances the watermark (2h delay) past
+    # every open session's timeout
+    write_wave("w2", [("2024-01-01 12:00:00", 3)])
+    run()
+    # wave 3: timeouts registered against wave-2's watermark fire now
+    write_wave("w3", [("2024-01-01 12:00:01", 3)])
+    got = run()
+    assert (1, "2024-01-01 02:00:00", 1) in got
+    assert (2, "2024-01-01 00:05:00", 1) in got
+
+
 def test_multimodal_stub_and_plumbing(spark):
     rows = [
         (1, "image", b"\x01\x02\x03\x04" * 10,
