@@ -44,9 +44,14 @@ def minhash_signatures(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles_col)).alias("sh"),
     )
-    hashed = sh.select(
+    # hash the variable-length shingle string ONCE, then derive the k
+    # permutations by re-hashing the resulting 8-byte long (a standard
+    # universal-hashing family) — k x cheaper than k string hashes,
+    # and codegen subexpression elimination shares the inner hash
+    pre = sh.select("doc_id", F.xxhash64("sh").alias("h"))
+    hashed = pre.select(
         "doc_id",
-        *[F.xxhash64(F.lit(i), F.col("sh")).alias(f"h{i}") for i in range(num_hashes)],
+        *[F.xxhash64(F.lit(i), F.col("h")).alias(f"h{i}") for i in range(num_hashes)],
     )
     agg = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]

@@ -298,21 +298,19 @@ _JACCARD_MIN = 0.05
 )
 def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    # the shingle relation feeds three consumers (doc sizes, rare-shingle
+    # the shingle relation feeds two consumers (doc sizes, rare-shingle
     # pair generation) — persist it once instead of re-tokenizing the
-    # corpus per consumer (3x scan -> 1 scan + cache)
+    # corpus per consumer (2x scan -> 1 scan + cache). No pre-distinct:
+    # countDistinct / collect_set dedup during partial (map-side)
+    # aggregation, which saves a full shuffle of the shingle relation.
     # tokens MUST be materialized before shingling: word_shingles reads
     # the token array once per gram position, and an inlined tokenize
     # expression would be re-evaluated each time (~3x per shingle)
     toks = docs.select("doc_id", tokens("text").alias("toks"))
-    sh = (
-        toks.select(
-            "doc_id", F.explode(word_shingles(F.col("toks"), 3)).alias("shingle")
-        )
-        .distinct()
-        .persist()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh = toks.select(
+        "doc_id", F.explode(word_shingles(F.col("toks"), 3)).alias("shingle")
+    ).persist()
+    sizes = sh.groupBy("doc_id").agg(F.countDistinct("shingle").alias("n"))
     # candidate pairs straight from the per-shingle doc lists: one
     # groupBy replaces the rare-filter + self-join (no shuffle of the
     # full shingle relation against itself)
