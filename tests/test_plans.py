@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: the scale posture, asserted.
+
+These pin the plan properties that make the engine viable at 100 TB —
+filter/projection pushdown into the parquet scan, broadcast joins for
+dims, map-side partial aggregation, and the absence of accidental
+cartesian products. A refactor that silently loses one of these
+passes value-correctness tests but regresses 100x at scale; this file
+is where that shows up.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_governance_spark.queries.registry import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_SMOKE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q01_filter_and_projection_pushdown(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    # the shipdate predicate must reach the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: only the 6 referenced columns are read (of 16)
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read.count(":") - 1 == 6  # 6 fields in the struct
+    assert "l_orderkey" not in read  # untouched columns never scanned
+    # map-side combine before the exchange
+    assert "partial_sum" in plan
+
+
+def test_q03_dims_are_broadcast(spark):
+    plan = plan_of(spark, "q03_region_nation_rollup")
+    # nation + region each broadcast once (tree + detail section both
+    # mention each node, so 2 joins -> 2 BroadcastExchange details)
+    assert sum(1 for l in plan.splitlines() if l.startswith("(") and "BroadcastExchange" in l) == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Expand" in plan  # ROLLUP grouping sets in one scan
+
+
+def test_q02_fact_fact_join_is_shuffle_not_broadcast(spark):
+    # lineitem-orders is fact x fact: at real scale neither side fits
+    # in memory, so the plan must NOT rely on broadcasting a fact table
+    # (customer, the dim, is the one legitimate broadcast)
+    plan = plan_of(spark, "q02_top_revenue_orders")
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+
+
+def test_e01_query_side_is_broadcast(spark):
+    plan = plan_of(spark, "e01_knn_bruteforce")
+    # the tiny query set broadcasts; the corpus streams — NOT a
+    # shuffled cartesian product
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_products_anywhere(spark, name):
+    assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_sketches_join_on_keys_not_pairs(spark):
+    # candidate generation must be an equi-join on band/bucket keys
+    for name in ("e03_minhash_dedup_pairs", "e04_simhash_dedup_pairs"):
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_d01_partial_aggregation(spark):
+    plan = plan_of(spark, "d01_token_counts")
+    assert "partial_count" in plan  # map-side combine on the exploded rows
