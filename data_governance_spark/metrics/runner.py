@@ -196,6 +196,82 @@ def run_metrics(facts: DataFrame, specs: list[MetricSpec], **kwargs) -> DataFram
     return out
 
 
+def run_metrics_single_scan(
+    facts: DataFrame, specs: list[MetricSpec], date_col: str = "dp"
+) -> DataFrame:
+    """All metric families in ONE scan of the fact table — SURVEY §3.2's
+    'one multi-metric job via unpivot' upgrade over run_metrics (which
+    scans once per family).
+
+    One projection computes a cleaned entity ARRAY per family (scalar
+    entities wrapped, entity_expr/recode applied inside a transform,
+    nulls dropped), then stack() unpivots (family, entities), explode
+    flattens, and a single hash aggregate counts (type, name, year).
+    At 100 TB this is the difference between F scans of the corpus and
+    1: the unpivot multiplies only the tiny cleaned entity arrays, not
+    the scan.
+
+    DataFrame-level prefilters can't fold into a shared projection —
+    express them as entity_expr NULLs (rows drop) or use run_metrics.
+    """
+    if any(s.prefilter is not None for s in specs):
+        raise ValueError("prefilter specs need run_metrics (per-family scan)")
+    min_years = {s.min_year for s in specs}
+    if len(min_years) != 1:
+        raise ValueError("single-scan requires one shared min_year")
+    (min_year,) = min_years
+
+    dtypes = dict(facts.dtypes)
+    arrays = []
+    for i, spec in enumerate(specs):
+        if spec.entity_col not in dtypes:
+            raise KeyError(f"{spec.entity_col} not in {facts.columns}")
+        base = (
+            F.col(spec.entity_col)
+            if dtypes[spec.entity_col].startswith("array")
+            else F.array(spec.entity_col)
+        )
+
+        # single-arg closure: F.transform dispatches on lambda arity, so
+        # a second (defaulted) parameter would be fed the element INDEX
+        def make_clean(spec: MetricSpec):
+            def clean(ent: Column) -> Column:
+                if spec.entity_expr is not None:
+                    ent = spec.entity_expr(ent)
+                if spec.recode is not None:
+                    decode = F.create_map(
+                        *[F.lit(x) for kv in spec.recode.items() for x in kv]
+                    )
+                    ent = F.coalesce(F.element_at(decode, ent), ent)
+                return ent
+
+            return clean
+
+        arrays.append(
+            F.filter(F.transform(base, make_clean(spec)), lambda x: x.isNotNull())
+            # normalize element nullability: stack() requires all family
+            # columns to have the exact same type incl. containsNull
+            .cast("array<string>")
+            .alias(f"_m_{i}")
+        )
+
+    wide = facts.select(
+        year_from_freetext(date_col).alias("year"), *arrays
+    ).filter(F.col("year") >= min_year)
+    stack_args = ", ".join(f"'{s.name}', _m_{i}" for i, s in enumerate(specs))
+    long = wide.select(
+        "year",
+        F.expr(f"stack({len(specs)}, {stack_args}) AS (type, _entities)"),
+    )
+    return (
+        long.select("type", "year", F.explode("_entities").alias("name"))
+        .groupBy("type", "name", "year")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .withColumn("region", F.lit(None).cast("string"))
+        .select("type", "region", "name", "year", "count")
+    )
+
+
 def label_join(
     metrics: DataFrame,
     labels: DataFrame,

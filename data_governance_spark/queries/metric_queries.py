@@ -7,7 +7,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_governance_spark.metrics.runner import MetricSpec, run_metric, top_k
+from data_governance_spark.metrics.runner import (
+    MetricSpec,
+    run_metric,
+    run_metrics_single_scan,
+    top_k,
+)
 from data_governance_spark.queries.base import QueryDef, qdef
 from data_governance_spark.tables import table
 
@@ -63,3 +68,56 @@ def q18_topk_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(m, k=3, year_min=2024, year_max=2025).select(
         "type", "region", "name", "total", "rk"
     )
+
+
+# --------------------------------------------------------------------------
+# q21: ALL metric families in one scan (SURVEY §3.2 "one multi-metric
+# job via unpivot") — three families over events: raw event_type, a
+# regex-derived bucket, and a value band. The reference runs one Mongo
+# aggregation per family; run_metrics one Spark job per family; this
+# runs ONE job, one scan (asserted in tests/test_plans.py).
+@qdef(
+    QUERIES,
+    "q21_multimetric_single_scan",
+    oracle="""
+    SELECT 'event' AS type, NULL AS region, event_type AS name,
+           CAST(strftime(ts, '%Y') AS INT) AS year, count(*) AS count
+    FROM events GROUP BY 3, 4
+    UNION ALL
+    SELECT 'kmod', NULL,
+           CAST(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) % 10
+                AS VARCHAR),
+           CAST(strftime(ts, '%Y') AS INT), count(*)
+    FROM events GROUP BY 3, 4
+    UNION ALL
+    SELECT 'band', NULL,
+           CASE WHEN value < 50 THEN 'low'
+                WHEN value < 150 THEN 'mid' ELSE 'high' END,
+           CAST(strftime(ts, '%Y') AS INT), count(*)
+    FROM events GROUP BY 3, 4
+    """,
+    doc="3 metric families unpivoted from ONE fact scan (stack + explode + "
+    "one hash aggregate)",
+)
+def q21_multimetric_single_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "dp", F.date_format("ts", "yyyy")
+    )
+    specs = [
+        MetricSpec(name="event", entity_col="event_type"),
+        MetricSpec(
+            name="kmod",
+            entity_col="props",
+            entity_expr=lambda c: (
+                F.regexp_extract(c, r'"k":\s*(\d+)', 1).cast("int") % 10
+            ).cast("string"),
+        ),
+        MetricSpec(
+            name="band",
+            entity_col="value",
+            entity_expr=lambda c: F.when(c < 50, "low")
+            .when(c < 150, "mid")
+            .otherwise("high"),
+        ),
+    ]
+    return run_metrics_single_scan(ev, specs)

@@ -19,6 +19,8 @@ from data_governance_spark.metrics.runner import (
     label_join,
     run_metric,
     run_metric_sliced,
+    run_metrics,
+    run_metrics_single_scan,
     top_k,
 )
 from data_governance_spark.metrics.tmgl_specs import (
@@ -153,6 +155,24 @@ def test_timeline_conditional_count_oracle(facts):
         WHERE year >= 1500 GROUP BY year
         """,
     )
+
+
+def test_single_scan_equals_per_family_runner(spark, facts):
+    df, _ = facts
+    # every non-prefilter TMGL family (incl. regex-capture + recode
+    # specs) must produce identical rows through both runners
+    specs = [s for s in TMGL_SPECS if s.prefilter is None]
+    a = run_metrics(df, specs)
+    b = run_metrics_single_scan(df, specs)
+    sa = sorted(map(str, a.collect()))
+    sb = sorted(map(str, b.collect()))
+    assert sa == sb and len(sa) > 0
+
+
+def test_single_scan_rejects_prefilter_specs(spark, facts):
+    df, _ = facts
+    with pytest.raises(ValueError):
+        run_metrics_single_scan(df, TMGL_SPECS)
 
 
 def test_attach_slice_no_double_count(spark, facts):

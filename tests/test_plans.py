@@ -75,6 +75,16 @@ def test_sketches_join_on_keys_not_pairs(spark):
         assert "CartesianProduct" not in plan
 
 
+def test_q21_single_scan_for_all_families(spark):
+    # the whole point of the unpivot runner: F metric families, ONE
+    # read of the fact table (run_metrics would scan once per family)
+    plan = plan_of(spark, "q21_multimetric_single_scan")
+    scans = [
+        l for l in plan.splitlines() if l.startswith("(") and "Scan parquet" in l
+    ]
+    assert len(scans) == 1
+
+
 def test_d01_partial_aggregation(spark):
     plan = plan_of(spark, "d01_token_counts")
     assert "partial_count" in plan  # map-side combine on the exploded rows
