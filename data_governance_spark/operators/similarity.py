@@ -185,6 +185,81 @@ def ivf_knn(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def train_ivf_cells(
+    df: DataFrame,
+    k: int = 10,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    seed: int = 42,
+) -> DataFrame:
+    """Lloyd's k-means over a vector column -> (cell_id, centroid) for
+    ivf_knn — the trainer half of the IVF index.
+
+    Iterative-algorithm shape for Spark: per iteration one distributed
+    assignment pass (broadcast the k centroids, rank-1 per vector) and
+    one distributed mean pass; only the k x dim centroid table ever
+    reaches the driver, where it is re-broadcast as literals — so
+    lineage stays flat across iterations (no exponentially growing
+    plan, the classic iterative-Spark trap) and each iteration costs
+    exactly 2 scans regardless of corpus size.
+
+    Deterministic: init picks the k vectors with the smallest
+    xxhash64(id, seed); ties in assignment break by cell_id.
+    """
+    spark = df.sparkSession
+    init_rows = (
+        df.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(k)
+        .collect()
+    )
+    centers: list[list[float]] = [list(r["v"]) for r in init_rows]
+
+    def cells_df(cs: list[list[float]]) -> DataFrame:
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cs)],
+            "cell_id int, centroid array<double>",
+        )
+
+    for _ in range(n_iter):
+        c = cells_df(centers).select(
+            "cell_id", "centroid", norm(F.col("centroid")).alias("c_nrm")
+        )
+        base = df.select(id_col, vec_col, norm(F.col(vec_col)).alias("nrm"))
+        scored = base.crossJoin(F.broadcast(c)).select(
+            id_col,
+            vec_col,
+            "cell_id",
+            (
+                dot(F.col(vec_col), F.col("centroid"))
+                / (F.col("nrm") * F.col("c_nrm"))
+            ).alias("_csim"),
+        )
+        w = W.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cell_id"))
+        assigned = scored.withColumn("_rk", F.row_number().over(w)).filter(
+            F.col("_rk") == 1
+        )
+        means = (
+            assigned.select("cell_id", F.posexplode(vec_col).alias("dim", "v"))
+            .groupBy("cell_id", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell_id"], {})[r["dim"]] = r["m"]
+        # empty cells keep their previous center (standard Lloyd's)
+        centers = [
+            [by_cell[i][d] for d in sorted(by_cell[i])] if i in by_cell else centers[i]
+            for i in range(k)
+        ]
+    return cells_df(centers)
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     block_col: str,

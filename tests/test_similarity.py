@@ -14,6 +14,7 @@ from data_governance_spark.operators.similarity import (
     cosine_neardup_pairs,
     ivf_knn,
     lsh_knn,
+    train_ivf_cells,
 )
 
 DIM = 16
@@ -75,6 +76,36 @@ def test_ivf_high_recall_with_true_centers(vectors, spark):
     approx = _pairs(ivf_knn(base, cells, k=3, n_probe=1))
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.95  # probing the true cell recovers nearly all
+
+
+def test_kmeans_trainer_recovers_clusters(vectors, spark):
+    df, centers = vectors
+    base = df.select("vec_id", "emb")
+    cells = train_ivf_cells(base, k=N_CLUSTERS, n_iter=5)
+    # trained cells should serve IVF as well as the true centers do
+    truth = _pairs(brute_force_knn(base, base, k=3))
+    approx = _pairs(ivf_knn(base, cells, k=3, n_probe=1))
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.95
+    # each trained centroid is close (cosine > 0.99) to one true center
+    import math as m
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            m.sqrt(sum(x * x for x in a)) * m.sqrt(sum(y * y for y in b))
+        )
+    got = [r["centroid"] for r in cells.collect()]
+    for c in centers:
+        assert max(cos(c, g) for g in got) > 0.99
+
+
+def test_kmeans_trainer_deterministic(vectors, spark):
+    df, _ = vectors
+    base = df.select("vec_id", "emb")
+    a = sorted(map(str, train_ivf_cells(base, k=3, n_iter=2).collect()))
+    b = sorted(map(str, train_ivf_cells(base, k=3, n_iter=2).collect()))
+    assert a == b
 
 
 def test_cosine_neardup_exact_within_block(vectors, spark):
