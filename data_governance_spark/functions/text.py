@@ -43,9 +43,12 @@ def tokens(col: Column | str) -> Column:
 
 
 def regex_tokens(col: Column | str) -> Column:
-    """BPE-ish tokenization: word runs + individual symbols."""
+    """BPE-ish tokenization: word runs + individual symbols.
+
+    idx=0 (whole match) is required: the pattern has no capture group
+    and Spark's regexp_extract_all defaults to group 1."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(c, F.lit(TOKEN_REGEX))
+    return F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0)
 
 
 def word_shingles(tokens_col: Column, n: int = 3) -> Column:

@@ -24,6 +24,7 @@ from data_governance_spark.functions.text import (
     STOPWORDS,
     fingerprint,
     marker_score,
+    regex_tokens,
     shingle_hashes,
     tokens,
     winnow_fingerprints,
@@ -205,6 +206,39 @@ def d05_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("lang", predicted.alias("predicted")).agg(
         F.count(F.lit(1)).alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+@qdef(
+    QUERIES,
+    "d08_vocab_stats",
+    oracle=r"""
+    SELECT lang,
+           count(DISTINCT token) AS n_vocab,
+           count(*) AS n_tokens,
+           round(count(DISTINCT token) * 1.0 / count(*), 4) AS ttr
+    FROM (
+      SELECT lang, unnest(regexp_extract_all(text, '[\w]+|[^\w\s]')) AS token
+      FROM documents
+    )
+    GROUP BY lang
+    """,
+    doc="per-lang vocabulary size + type-token ratio over the BPE-ish "
+    "regex tokenizer (word runs + single symbols)",
+)
+def d08_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(regex_tokens("text")).alias("token"))
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("token").alias("n_vocab"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.countDistinct("token") * 1.0 / F.count(F.lit(1)), 4
+            ).alias("ttr"),
+        )
     )
 
 

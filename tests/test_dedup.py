@@ -96,6 +96,21 @@ def test_winnow_shared_run_yields_shared_fingerprint(spark):
     assert not (out[1] & out[3])  # disjoint text -> disjoint fingerprints
 
 
+def test_regex_tokens_splits_symbols(spark):
+    from data_governance_spark.functions.text import regex_tokens, tokens
+
+    df = spark.createDataFrame([("Price: $12.50, ok?!",)], "text string")
+    row = df.select(
+        regex_tokens("text").alias("bpe"), tokens("text").alias("ws")
+    ).collect()[0]
+    # word runs + each symbol as its own token (BPE-ish granularity)
+    assert row["bpe"] == [
+        "Price", ":", "$", "12", ".", "50", ",", "ok", "?", "!",
+    ]
+    # whitespace tokenizer keeps punctuation glued
+    assert row["ws"] == ["Price:", "$12.50,", "ok?!"]
+
+
 def test_winnow_short_doc_single_fingerprint(spark):
     out = _winnow_df(spark, [(1, "just three tokens")]).collect()[0]["fps"]
     assert len(out) == 1
