@@ -29,6 +29,53 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _cap_buckets(
+    banded: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` before the
+    self-join. A bucket of n members emits n(n-1)/2 candidate pairs —
+    quadratic in per-bucket duplication, the one place sketch dedup can
+    blow up at corpus scale (mass-duplicated boilerplate all lands in
+    the same bucket). Oversized buckets are almost always exact-dup
+    clusters or degenerate features (empty text); handle those with
+    exact_precluster / d04 clusters instead of pair enumeration.
+    None = uncapped."""
+    if max_bucket_size is None:
+        return banded
+    small = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket_size)
+        .select(*keys)
+    )
+    return banded.join(small, keys, "left_semi")
+
+
+def exact_precluster(
+    docs: DataFrame, fingerprint_col: Column, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact-duplicate documents before sketching.
+
+    Returns (canonical_docs, mapping) where mapping is
+    (id_col, canon_id): every doc points to the min-id member of its
+    fingerprint cluster, and canonical_docs keeps one row per cluster.
+    Run the near-dup sketch on canonical_docs (cuts the quadratic
+    bucket blow-up at its source: k exact copies contribute ONE bucket
+    member instead of k) and expand sketch pairs through the mapping if
+    per-copy pairs are needed."""
+    m = docs.select(F.col(id_col), fingerprint_col.alias("_fp"))
+    canon = m.groupBy("_fp").agg(F.min(id_col).alias("canon_id"))
+    # canon has one row per DISTINCT fingerprint — corpus-sized, so this
+    # is a shuffle equi-join on _fp, never a broadcast
+    mapping = m.join(canon, "_fp").select(id_col, "canon_id")
+    canonical = docs.join(
+        mapping.filter(F.col(id_col) == F.col("canon_id")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    return canonical, mapping
+
+
 def minhash_signatures(
     docs: DataFrame,
     shingles_col: Column,
@@ -81,11 +128,13 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs with estimated Jaccard >= threshold.
 
     Plan shape: signature scan -> explode bands -> self equi-join on
     (band, key) -> distinct pairs -> estimate from signatures.
+    ``max_bucket_size`` caps the per-bucket pair blow-up (_cap_buckets).
     """
     rows = num_hashes // bands
     # signatures feed the band join AND two estimate joins — persist so
@@ -94,6 +143,7 @@ def minhash_dedup_pairs(
     banded = sigs.select(
         "doc_id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _cap_buckets(banded, ["band", "key"], max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -190,10 +240,12 @@ def simhash_dedup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     n_chunks: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs with Hamming(simhash) <= max_hamming,
     blocked on equal signature chunks (guaranteed recall for distance
-    <= n_chunks-1; probabilistic beyond — see simhash_chunks)."""
+    <= n_chunks-1; probabilistic beyond — see simhash_chunks).
+    ``max_bucket_size`` caps the per-bucket pair blow-up (_cap_buckets)."""
     # both sides of the chunk self-join read the signatures — persist
     sigs = simhash_signatures(docs, tokens_col, id_col).persist()
     chunked = sigs.select(
@@ -201,6 +253,7 @@ def simhash_dedup_pairs(
     ).select(
         "doc_id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
     )
+    chunked = _cap_buckets(chunked, ["chunk", "key"], max_bucket_size)
     a = chunked.alias("a")
     b = chunked.alias("b")
     return (

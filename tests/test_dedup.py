@@ -16,10 +16,12 @@ from data_governance_spark.functions.text import (
     word_shingles,
 )
 from data_governance_spark.operators.dedup import (
+    exact_precluster,
     minhash_dedup_pairs,
     minhash_signatures,
     simhash_dedup_pairs,
 )
+from data_governance_spark.functions.text import fingerprint
 
 BASE = "the quick brown fox jumps over the lazy dog and runs far away today " * 4
 NEAR = BASE + "sleepy"  # one appended token out of ~56
@@ -94,6 +96,32 @@ def test_winnow_shared_run_yields_shared_fingerprint(spark):
     out = {r["doc_id"]: set(r["fps"]) for r in _winnow_df(spark, rows).collect()}
     assert out[1] & out[2]  # long shared token run -> shared fingerprint
     assert not (out[1] & out[3])  # disjoint text -> disjoint fingerprints
+
+
+def test_bucket_cap_suppresses_duplication_blowup(spark):
+    # 20 exact copies -> 190 pairs uncapped; capped buckets drop the
+    # mass-dup cluster while unrelated near-dups survive
+    rows = [(i, BASE) for i in range(20)] + [(100, NEAR), (101, NEAR + " x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    sh = F.array_distinct(word_shingles(F.col("toks"), 3))
+    uncapped = minhash_dedup_pairs(docs, sh, threshold=0.3).count()
+    capped = minhash_dedup_pairs(docs, sh, threshold=0.3, max_bucket_size=5)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert uncapped >= 190
+    assert (100, 101) in got  # small buckets unaffected
+    assert not any(a < 20 and b < 20 for a, b in got)  # mass-dup cluster dropped
+
+
+def test_exact_precluster_collapses_copies(spark):
+    rows = [(1, BASE), (2, BASE), (3, "  " + BASE + " "), (4, OTHER)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    canonical, mapping = exact_precluster(docs, fingerprint("text"))
+    assert sorted(r["doc_id"] for r in canonical.collect()) == [1, 4]
+    m = {r["doc_id"]: r["canon_id"] for r in mapping.collect()}
+    # normalized fingerprint: whitespace-variant copy maps to the same canon
+    assert m == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
 def test_regex_tokens_splits_symbols(spark):
