@@ -266,6 +266,7 @@ def cosine_neardup_pairs(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "emb",
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks.
 
@@ -277,6 +278,11 @@ def cosine_neardup_pairs(
     exact blocks (e.g. from e06's cell assignment) the result is exact
     within-block near-dup pairs. Deterministic output: (block, doc
     pair, cosine); ties impossible by id ordering.
+
+    A block of n vectors still compares n(n-1)/2 pairs — the blocking
+    must be fine-grained (many cells). ``max_block_size`` drops blocks
+    past the quadratic budget (same rationale as dedup._cap_buckets);
+    route oversized blocks through a finer clustering instead.
     """
     base = with_norm(df, vec_col).select(
         F.col(block_col).alias("block"),
@@ -284,6 +290,14 @@ def cosine_neardup_pairs(
         F.col(vec_col),
         F.col("nrm"),
     )
+    if max_block_size is not None:
+        small = (
+            base.groupBy("block")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_block_size)
+            .select("block")
+        )
+        base = base.join(small, "block", "left_semi")
     # both sides of the block self-join read the normed vectors — persist
     # so norms are computed once per vector, not once per side
     base = base.persist()

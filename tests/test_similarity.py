@@ -135,6 +135,18 @@ def test_cosine_neardup_exact_within_block(vectors, spark):
     assert all(r["cosine"] >= t for r in out)
 
 
+def test_cosine_neardup_block_cap(vectors, spark):
+    df, _ = vectors
+    blocked = df.select("vec_id", F.col("cluster").alias("block"), "emb")
+    # every cluster has PER_CLUSTER members; a cap below that drops all
+    capped = cosine_neardup_pairs(
+        blocked, "block", threshold=0.5, max_block_size=PER_CLUSTER - 1
+    )
+    assert capped.count() == 0
+    uncapped = cosine_neardup_pairs(blocked, "block", threshold=0.5)
+    assert uncapped.count() > 0
+
+
 def test_ivf_deterministic(vectors, spark):
     df, centers = vectors
     cells = spark.createDataFrame(
