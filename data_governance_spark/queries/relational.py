@@ -586,3 +586,96 @@ def q20_event_type_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) / F.countDistinct("user_id"), 4
         ).alias("events_per_user"),
     )
+
+
+# --------------------------------------------------------------------------
+# q22: the reference-parity standardize scalar builders (F13 id
+# synthesis, F16 status decode, F17 date slicing, A18 weight) driven
+# through the oracle gate. The testdata has no bibliographic landing
+# zone, so one is synthesized DETERMINISTICALLY from orders — the
+# builders under test are the real ones from standardize/fields.py
+# (cited there into /root/reference), not reimplementations.
+@qdef(
+    QUERIES,
+    "q22_standardize_scalars",
+    oracle="""
+    WITH landing AS (
+      SELECT o_orderkey AS id,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN CAST(o_orderkey * 7 AS VARCHAR) END AS lilacs_id,
+             CAST(o_orderkey % 7 - 3 AS INT) AS status,
+             strftime(o_orderdate, '%Y%m%d') AS pdn,
+             strftime(o_orderdate, '%Y-%m-%d') || 'T10:00:00' AS created_time,
+             strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS updated_time,
+             CASE o_orderkey % 5 WHEN 0 THEN 'S' WHEN 1 THEN 'T'
+                  WHEN 2 THEN 'M' WHEN 3 THEN 'N' ELSE 'X' END AS lit_type,
+             o_orderkey % 2 = 0 AS has_abstract,
+             o_orderkey % 4 = 0 AS has_ea
+      FROM orders
+    )
+    SELECT id,
+           CASE WHEN lilacs_id IS NOT NULL AND lilacs_id <> ''
+                THEN 'lil-' || lilacs_id ELSE 'biblio-' || CAST(id AS VARCHAR)
+           END AS doc_id,
+           CASE status WHEN -3 THEN 'Migrado' WHEN -2 THEN 'Coletado'
+                WHEN -1 THEN 'Rascunho' WHEN 0 THEN 'LILACS-Express'
+                WHEN 1 THEN 'Publicado' WHEN 2 THEN 'Recusado'
+                WHEN 3 THEN 'Apagado' END AS status_label,
+           substr(pdn, 1, 6) AS da,
+           replace(substr(created_time, 1, 10), '-', '') AS entry_date,
+           replace(substr(updated_time, 1, 10), '-', '') AS update_date,
+           greatest(
+             CASE WHEN lower(lit_type) LIKE 's%' THEN 15
+                  WHEN lower(lit_type) LIKE 't%' THEN 10
+                  WHEN lower(lit_type) LIKE 'm%' THEN 5
+                  WHEN lower(lit_type) LIKE 'n%' THEN 2 ELSE 0 END
+             + (20 - (2026 - CAST(substr(pdn, 1, 4) AS INT)))
+             + CASE WHEN has_abstract THEN 5 ELSE 0 END
+             + CASE WHEN has_ea THEN 5 ELSE 0 END, 0) AS weight
+    FROM landing
+    """,
+    doc="standardize scalar builders (F13/F16/F17/A18) over a synthetic "
+    "landing derived from orders; real fields.py code under the gate",
+)
+def q22_standardize_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.standardize import fields as sf
+
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    landing = o.select(
+        k.alias("id"),
+        F.when(k % 3 == 0, (k * 7).cast("string")).alias("lilacs_id"),
+        (k % 7 - 3).cast("int").alias("status"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("pdn"),
+        F.concat(
+            F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("T10:00:00")
+        ).alias("created_time"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("updated_time"),
+        F.element_at(
+            F.array(F.lit("S"), F.lit("T"), F.lit("M"), F.lit("N"), F.lit("X")),
+            (k % 5 + 1).cast("int"),
+        ).alias("lit_type"),
+        F.when(k % 2 == 0, F.array(F.lit("abs"))).otherwise(
+            F.array().cast("array<string>")
+        ).alias("abstract"),
+        F.when(k % 4 == 0, F.array(F.lit("http://x"))).otherwise(
+            F.array().cast("array<string>")
+        ).alias("ea"),
+    )
+    return landing.select(
+        "id",
+        sf.doc_id(F.col("id"), F.col("lilacs_id")).alias("doc_id"),
+        sf.status_label(F.col("status")).alias("status_label"),
+        sf.da(F.col("pdn")).alias("da"),
+        sf.entry_date(F.col("created_time"), F.lit(None)).alias("entry_date"),
+        sf.update_date(F.col("updated_time")).alias("update_date"),
+        sf.weight(
+            F.col("lit_type"),
+            F.col("pdn"),
+            F.col("abstract"),
+            F.col("ea"),
+            current_year=2026,
+        ).alias("weight"),
+    )
