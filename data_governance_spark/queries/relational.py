@@ -679,3 +679,193 @@ def q22_standardize_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
             current_year=2026,
         ).alias("weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# q23: the F11 citation builder (all four treatment_level formats) under
+# the oracle gate. Spark runs the REAL citation.fo expression tree over
+# struct arrays synthesized from o_orderkey arithmetic; the oracle
+# computes the expected strings from the same arithmetic — so the
+# punctuation-exact format logic (SURVEY F11, reference
+# 02_create_iahx_xml_collection.py:273-459) is value-checked row by row.
+@qdef(
+    QUERIES,
+    "q23_citation_formats",
+    oracle="""
+    WITH synth AS (
+      SELECT o_orderkey AS id, o_orderkey AS k,
+        ['as','am','m','c','zz'][CAST(o_orderkey % 5 AS INT) + 1] AS tl,
+        CASE WHEN o_orderkey % 3 > 0 THEN 'J' || CAST(o_orderkey % 7 AS VARCHAR) ELSE '' END AS ts,
+        CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderkey % 9 AS VARCHAR) ELSE '' END AS vol,
+        CASE WHEN o_orderkey % 4 = 0 THEN CAST(o_orderkey % 5 AS VARCHAR) ELSE '' END AS iss,
+        strftime(o_orderdate, '%Y') AS pd,
+        CASE WHEN o_orderkey % 3 = 0 THEN 'City' || CAST(o_orderkey % 4 AS VARCHAR) ELSE '' END AS city,
+        CASE WHEN o_orderkey % 2 = 0 THEN 'Pub' || CAST(o_orderkey % 3 AS VARCHAR) ELSE '' END AS publisher,
+        CASE WHEN o_orderkey % 6 = 0 THEN 'ed.' || CAST(o_orderkey % 2 AS VARCHAR) ELSE '' END AS edition,
+        CASE WHEN o_orderkey % 7 < 3 THEN CAST(100 + o_orderkey % 40 AS VARCHAR)
+             WHEN o_orderkey % 7 = 3 THEN CAST(o_orderkey % 40 AS VARCHAR) || ' pgs'
+             ELSE '' END AS pm,
+        CASE WHEN o_orderkey % 8 = 0 THEN 'SYM' || CAST(o_orderkey % 3 AS VARCHAR) ELSE '' END AS sym,
+        CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderkey % 50 + 1 AS VARCHAR) END AS pf,
+        CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderkey % 50 + 9 AS VARCHAR) END AS pl,
+        CASE WHEN o_orderkey % 4 = 1 THEN 'p. ' || CAST(o_orderkey % 20 AS VARCHAR) END AS ptx,
+        CASE WHEN o_orderkey % 6 = 0 THEN 'D' || CAST(o_orderkey % 3 AS VARCHAR) END AS dsc,
+        o_orderkey % 5 = 1 AND o_orderkey % 3 > 0 AS has_ind,
+        o_orderkey % 5 = 1 AND o_orderkey % 3 = 0 AS has_corp,
+        CASE WHEN o_orderkey % 5 = 1 THEN 'Title M' END AS titles
+      FROM orders
+    ), fmt AS (
+      SELECT id, tl,
+        CASE WHEN has_ind THEN 'Auth A; Auth B' WHEN has_corp THEN 'Corp X' END AS authors,
+        CASE WHEN pm <> '' THEN (CASE WHEN instr(pm, 'p') > 0 THEN pm || ' ' ELSE pm || ' p. ' END) ELSE '' END AS pagesm,
+        concat(CASE WHEN ts <> '' THEN '(' || ts ELSE '' END,
+               CASE WHEN vol <> '' THEN ', ' || vol ELSE '' END,
+               CASE WHEN iss <> '' THEN ', ' || iss ELSE '' END,
+               CASE WHEN ts <> '' THEN ').' ELSE '' END,
+               CASE WHEN sym <> '' THEN ' (' || sym || ').' ELSE '' END) AS paren,
+        * EXCLUDE (id, tl)
+      FROM synth
+    ), built AS (
+      SELECT id, tl,
+        trim(concat(ts,
+          CASE WHEN vol <> '' THEN ';' || vol ELSE '' END,
+          CASE WHEN iss <> '' THEN '(' || iss || ')' ELSE '' END,
+          CASE WHEN pf IS NOT NULL THEN ': ' || pf ELSE '' END,
+          CASE WHEN pl IS NOT NULL THEN '-' || pl ELSE '' END,
+          coalesce(ptx, ''),
+          CASE WHEN pd <> '' THEN ', ' || pd || '.' ELSE '' END,
+          CASE WHEN dsc IS NOT NULL THEN ' ' || dsc ELSE '' END)) AS fo_as,
+        trim(concat(
+          CASE WHEN has_ind OR has_corp THEN 'In. ' ELSE '' END,
+          CASE WHEN (has_ind OR has_corp) AND authors IS NOT NULL THEN authors || '. ' ELSE '' END,
+          CASE WHEN titles IS NOT NULL THEN titles || '.' ELSE '' END,
+          CASE WHEN city <> '' THEN ' ' || city || ', ' ELSE '' END,
+          CASE WHEN publisher <> '' THEN publisher || ', ' ELSE '' END,
+          CASE WHEN edition <> '' THEN edition || ', ' ELSE '' END,
+          CASE WHEN pd <> '' THEN pd || '.' ELSE '' END,
+          CASE WHEN pf IS NOT NULL AND pl IS NOT NULL THEN ' p. ' || pf || '-' || pl ELSE '' END,
+          CASE WHEN ptx IS NOT NULL THEN ' p. ' || ptx ELSE '' END,
+          CASE WHEN dsc IS NOT NULL THEN ', ' || dsc || '. ' ELSE '' END,
+          paren)) AS fo_am,
+        trim(CASE WHEN city <> '' OR edition <> '' OR publisher <> ''
+          THEN concat(
+            CASE WHEN city <> '' THEN city || '; ' ELSE '' END,
+            CASE WHEN publisher <> '' THEN publisher || '; ' ELSE '' END,
+            CASE WHEN edition <> '' THEN edition || '; ' ELSE '' END,
+            CASE WHEN pd <> '' THEN pd || '. ' ELSE '' END,
+            pagesm,
+            CASE WHEN dsc IS NOT NULL THEN dsc || '.' ELSE '' END,
+            paren)
+          ELSE paren END) AS fo_m,
+        trim(CASE WHEN city <> '' THEN city || '; ' || concat(
+            CASE WHEN publisher <> '' THEN publisher || '; ' ELSE '' END,
+            CASE WHEN edition <> '' THEN edition || '; ' ELSE '' END,
+            CASE WHEN pd <> '' THEN pd || '. ' ELSE '' END,
+            pagesm,
+            CASE WHEN dsc IS NOT NULL THEN dsc || '.' ELSE '' END)
+          ELSE '' END) AS fo_c
+      FROM fmt
+    )
+    SELECT id, CASE WHEN fo_raw <> '' THEN fo_raw END AS fo FROM (
+      SELECT id, CASE tl WHEN 'as' THEN fo_as WHEN 'am' THEN fo_am
+                         WHEN 'm' THEN fo_m WHEN 'c' THEN fo_c END AS fo_raw
+      FROM built
+    )
+    """,
+    doc="F11 citation builder, all 4 treatment_level formats, "
+    "punctuation-exact vs an arithmetic oracle",
+)
+def q23_citation_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.standardize.citation import FO_FIELDS, fo
+
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def s(c):
+        return c.cast("string")
+
+    page_t = "array<struct<_f:string,_l:string,text:string,f:string,_e:string>>"
+    di_t = "array<struct<_b:string>>"
+    au_t = "array<struct<text:string>>"
+    nul = F.lit(None).cast("string")
+
+    def pg_struct(f, l, t):
+        return F.struct(
+            f.alias("_f"), l.alias("_l"), t.alias("text"),
+            nul.alias("f"), nul.alias("_e"),
+        )
+
+    landing = o.select(
+        k.alias("id"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("as", "am", "m", "c", "zz")]),
+            (k % 5 + 1).cast("int"),
+        ).alias("treatment_level"),
+        F.when(k % 3 > 0, F.concat(F.lit("J"), s(k % 7))).otherwise("").alias(
+            "title_serial"
+        ),
+        F.when(k % 2 == 0, s(k % 9)).otherwise("").alias("volume_serial"),
+        F.when(k % 4 == 0, s(k % 5)).otherwise("").alias("issue_number"),
+        F.date_format("o_orderdate", "yyyy").alias("publication_date"),
+        F.when(k % 3 == 0, F.concat(F.lit("City"), s(k % 4))).otherwise("").alias(
+            "publication_city"
+        ),
+        F.when(k % 2 == 0, F.concat(F.lit("Pub"), s(k % 3))).otherwise("").alias(
+            "publisher"
+        ),
+        F.when(k % 6 == 0, F.concat(F.lit("ed."), s(k % 2))).otherwise("").alias(
+            "edition"
+        ),
+        F.when(k % 7 < 3, s(k % 40 + 100))
+        .when(k % 7 == 3, F.concat(s(k % 40), F.lit(" pgs")))
+        .otherwise("")
+        .alias("pages_monographic"),
+        F.when(k % 8 == 0, F.concat(F.lit("SYM"), s(k % 3))).otherwise("").alias(
+            "symbol"
+        ),
+        # pages: even keys get two entries (last non-empty subfield wins:
+        # entry 2's _f/_l); k%4==1 gets a text-only entry; k%4==3 empty
+        F.when(
+            k % 2 == 0,
+            F.array(
+                pg_struct(s(k % 50), nul, nul),
+                pg_struct(s(k % 50 + 1), s(k % 50 + 9), nul),
+            ),
+        )
+        .when(
+            k % 4 == 1,
+            F.array(pg_struct(nul, nul, F.concat(F.lit("p. "), s(k % 20)))),
+        )
+        .otherwise(F.lit(None).cast(page_t))
+        .alias("pages"),
+        F.when(
+            k % 6 == 0,
+            F.array(
+                F.struct(F.concat(F.lit("D"), s(k % 3)).alias("_b")),
+                F.struct(F.lit("").alias("_b")),
+            ),
+        )
+        .otherwise(F.lit(None).cast(di_t))
+        .alias("descriptive_information"),
+        F.when(
+            (k % 5 == 1) & (k % 3 > 0),
+            F.array(
+                F.struct(F.lit("Auth A").alias("text")),
+                F.struct(F.lit("Auth B").alias("text")),
+            ),
+        )
+        .otherwise(F.lit(None).cast(au_t))
+        .alias("individual_author_monographic"),
+        F.when(
+            (k % 5 == 1) & (k % 3 == 0),
+            F.array(F.struct(F.lit("Corp X").alias("text"))),
+        )
+        .otherwise(F.lit(None).cast(au_t))
+        .alias("corporate_author_monographic"),
+        F.when(k % 5 == 1, F.array(F.struct(F.lit("Title M").alias("text"))))
+        .otherwise(F.lit(None).cast(au_t))
+        .alias("title_monographic"),
+    )
+    return landing.select(
+        "id", fo({f: F.col(f) for f in FO_FIELDS}).alias("fo")
+    )
