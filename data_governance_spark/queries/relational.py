@@ -869,3 +869,163 @@ def q23_citation_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return landing.select(
         "id", fo({f: F.col(f) for f in FO_FIELDS}).alias("fo")
     )
+
+
+# --------------------------------------------------------------------------
+# q24: the array-shaped standardize builders (F9 pages, F10 URL
+# classification, F15 doc-type derivation, F18 ta_fascic) under the
+# oracle gate, same synthesis-from-arithmetic approach as q22/q23.
+# Array outputs are '|'-joined so both engines hash plain strings.
+@qdef(
+    QUERIES,
+    "q24_standardize_arrays",
+    oracle="""
+    WITH synth AS (
+      SELECT o_orderkey AS id, o_orderkey AS k,
+        CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderkey % 9 AS VARCHAR) ELSE '' END AS vol,
+        CASE WHEN o_orderkey % 4 = 0 THEN CAST(o_orderkey % 5 AS VARCHAR) ELSE '' END AS iss,
+        strftime(o_orderdate, '%Y') AS yr,
+        ['s','msc','n','t','mcp',''][CAST(o_orderkey % 6 AS INT) + 1] AS lt,
+        CASE o_orderkey % 3 WHEN 0 THEN 'http://ex0' WHEN 1 THEN 'www.ex1' ELSE 'gopher://ex2' END AS u1,
+        CASE o_orderkey % 4 WHEN 0 THEN 'MULTIMEDIA' WHEN 1 THEN 'multimedia'
+             WHEN 2 THEN chr(193) || 'UDIO' ELSE '' END AS y1,
+        CASE WHEN o_orderkey % 7 = 0 THEN 'Video' ELSE '' END AS z1,
+        CASE WHEN o_orderkey % 5 = 0 THEN 'meta' ELSE '' END AS x1,
+        CASE WHEN o_orderkey % 9 = 0 THEN 'x.wav' ELSE '' END AS q1,
+        o_orderkey % 2 = 0 AS has_e2,
+        CASE WHEN o_orderkey % 3 = 0 THEN 'file' || CAST(o_orderkey % 9 AS VARCHAR) || '.mp3'
+             ELSE 'ftp://f' || CAST(o_orderkey % 7 AS VARCHAR) END AS u2
+      FROM orders
+    )
+    SELECT id,
+      CASE CAST(k % 5 AS INT)
+        WHEN 0 THEN '1-9' WHEN 1 THEN 'p. 5' WHEN 2 THEN '33'
+        WHEN 3 THEN 'e77' ELSE '' END AS pages_s,
+      u1 || CASE WHEN has_e2 THEN '|' || u2 ELSE '' END AS ur_s,
+      CASE WHEN y1 LIKE '%MULTIM%' THEN u1 ELSE '' END AS ur_mm_s,
+      CASE WHEN y1 LIKE '%UDIO%' THEN u1 ELSE '' END AS ur_audio_s,
+      CASE WHEN x1 <> '' THEN u1 ELSE '' END AS ur_meta_s,
+      CASE WHEN k % 3 IN (0, 1) THEN 1 END AS fulltext,
+      coalesce(array_to_string(list_sort(list_filter([
+        CASE WHEN contains(lt, 's') THEN 'article' END,
+        CASE WHEN contains(lt, 'm') THEN 'monography' END,
+        CASE WHEN contains(lt, 'n') THEN 'non-conventional' END,
+        CASE WHEN contains(lt, 't') THEN 'thesis' END,
+        CASE WHEN lt IN ('mc','mcp','msc','nc','sc','scp') THEN 'congress and conference' END,
+        CASE WHEN lt IN ('mcp','mp','msp','np','scp','sp') THEN 'project document' END,
+        CASE WHEN contains(lower(y1), 'multim') OR contains(lower(z1), 'deo') THEN 'video' END,
+        CASE WHEN contains(lower(q1), '.wav')
+                  OR (has_e2 AND (contains(lower(u2), '.mp3') OR contains(lower(u2), '.mp4')
+                                  OR contains(lower(u2), '.wma') OR contains(lower(u2), '.wav')))
+             THEN 'podcast' END
+      ], x -> x IS NOT NULL)), '|'), '') AS doctype_s,
+      CASE WHEN k % 3 = 0 THEN
+        array_to_string([ta1, 'TB', ta1 || sfx, 'TB' || sfx], ',')
+      ELSE '' END AS ta_fascic_s
+    FROM (
+      SELECT *,
+        'TA' || CAST(k % 5 AS VARCHAR) AS ta1,
+        '; ' || concat_ws(' ',
+          CASE WHEN vol <> '' THEN vol END,
+          CASE WHEN iss <> '' THEN '(' || iss || ')' END) || ', ' || yr AS sfx
+      FROM synth
+    )
+    """,
+    doc="F9/F10/F15/F18 array builders (pages, URL classes, doc types, "
+    "fascicle labels) vs an arithmetic oracle",
+)
+def q24_standardize_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.standardize import fields as sf
+
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def s(c):
+        return c.cast("string")
+
+    nul = F.lit(None).cast("string")
+
+    def pg_struct(f=None, l=None, t=None, fb=None, e=None):
+        return F.struct(
+            (f if f is not None else nul).alias("_f"),
+            (l if l is not None else nul).alias("_l"),
+            (t if t is not None else nul).alias("text"),
+            (fb if fb is not None else nul).alias("f"),
+            (e if e is not None else nul).alias("_e"),
+        )
+
+    def ea_struct(u, y=None, z=None, x=None, q=None):
+        return F.struct(
+            u.alias("_u"),
+            (y if y is not None else F.lit("")).alias("_y"),
+            (z if z is not None else F.lit("")).alias("_z"),
+            (x if x is not None else F.lit("")).alias("_x"),
+            (q if q is not None else F.lit("")).alias("_q"),
+        )
+
+    u1 = (
+        F.when(k % 3 == 0, F.lit("http://ex0"))
+        .when(k % 3 == 1, F.lit("www.ex1"))
+        .otherwise(F.lit("gopher://ex2"))
+    )
+    y1 = (
+        F.when(k % 4 == 0, F.lit("MULTIMEDIA"))
+        .when(k % 4 == 1, F.lit("multimedia"))
+        .when(k % 4 == 2, F.lit("ÁUDIO"))
+        .otherwise(F.lit(""))
+    )
+    z1 = F.when(k % 7 == 0, F.lit("Video")).otherwise(F.lit(""))
+    x1 = F.when(k % 5 == 0, F.lit("meta")).otherwise(F.lit(""))
+    q1 = F.when(k % 9 == 0, F.lit("x.wav")).otherwise(F.lit(""))
+    u2 = F.when(
+        k % 3 == 0, F.concat(F.lit("file"), s(k % 9), F.lit(".mp3"))
+    ).otherwise(F.concat(F.lit("ftp://f"), s(k % 7)))
+
+    e1 = ea_struct(u1, y1, z1, x1, q1)
+    e2 = ea_struct(u2)
+    e3 = ea_struct(F.lit(""))  # invalid: empty _u, always filtered
+
+    landing = o.select(
+        k.alias("id"),
+        F.when(k % 5 == 0, F.array(pg_struct(f=F.lit("1"), l=F.lit("9"))))
+        .when(k % 5 == 1, F.array(pg_struct(t=F.lit("p. 5"))))
+        .when(k % 5 == 2, F.array(pg_struct(fb=F.lit("33"))))
+        .when(k % 5 == 3, F.array(pg_struct(e=F.lit("e77"))))
+        .otherwise(F.array(pg_struct()))
+        .alias("pages"),
+        F.when(k % 2 == 0, F.array(e1, e2, e3))
+        .otherwise(F.array(e1, e3))
+        .alias("ea"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("s", "msc", "n", "t", "mcp", "")]),
+            (k % 6 + 1).cast("int"),
+        ).alias("lt"),
+        F.when(
+            k % 3 == 0,
+            F.array(F.concat(F.lit("TA"), s(k % 5)), F.lit("TB")),
+        )
+        .when(k % 3 == 1, F.array().cast("array<string>"))
+        .otherwise(F.lit(None).cast("array<string>"))
+        .alias("ta_var"),
+        F.when(k % 2 == 0, s(k % 9)).otherwise("").alias("vol"),
+        F.when(k % 4 == 0, s(k % 5)).otherwise("").alias("iss"),
+        F.date_format("o_orderdate", "yyyy").alias("yr"),
+    )
+    return landing.select(
+        "id",
+        F.array_join(sf.pages(F.col("pages")), "|").alias("pages_s"),
+        F.array_join(sf.ur(F.col("ea")), "|").alias("ur_s"),
+        F.array_join(sf.ur_multimedia(F.col("ea")), "|").alias("ur_mm_s"),
+        F.array_join(sf.ur_audio(F.col("ea")), "|").alias("ur_audio_s"),
+        F.array_join(sf.ur_meta(F.col("ea")), "|").alias("ur_meta_s"),
+        sf.fulltext_flag(F.col("ea")).alias("fulltext"),
+        F.array_join(
+            sf.document_type(F.col("lt"), F.col("ea")), "|"
+        ).alias("doctype_s"),
+        F.array_join(
+            sf.ta_fascic(
+                F.col("ta_var"), F.col("vol"), F.col("iss"), F.col("yr")
+            ),
+            ",",
+        ).alias("ta_fascic_s"),
+    )
