@@ -1029,3 +1029,76 @@ def q24_standardize_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("ta_fascic_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# q25: the J1 country-normalization join under the oracle gate. The
+# tabpais dimension is synthesized from nation (multilingual variants +
+# synonyms, unique 2-char codes to avoid key collisions), facts from
+# customer with exact / case+whitespace-variant / unmatchable country
+# strings; Spark runs the REAL joins.add_country_fields (synonym-
+# exploded broadcast dim, '^i^e^p^f' encoding with literal 'None' for
+# missing langs — reference 02_create_iahx_xml_collection.py:543,589).
+@qdef(
+    QUERIES,
+    "q25_country_normalization_join",
+    oracle="""
+    WITH dim AS (
+      SELECT n_nationkey AS nk,
+             'P' || n_name AS pt, n_name AS en, 'E' || n_name AS es,
+             CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE 'F' || n_name END AS fr,
+             'Z' || CAST(n_nationkey AS VARCHAR) AS p2,
+             CASE WHEN n_nationkey % 2 = 0
+                  THEN ['SYN' || CAST(n_nationkey AS VARCHAR)] ELSE [] END AS syn
+      FROM nation
+    )
+    SELECT c.c_custkey AS id,
+      CASE WHEN c.c_custkey % 3 IN (0, 1) THEN
+        array_to_string(list_sort(list_distinct(list_filter(
+          [d.pt, d.en, d.es, d.fr, d.p2] || d.syn,
+          x -> x IS NOT NULL AND x <> ''))), '|')
+      END AS cp_s,
+      CASE WHEN c.c_custkey % 3 IN (0, 1) THEN
+        '^i' || d.en || '^e' || d.es || '^p' || d.pt || '^f' || coalesce(d.fr, 'None')
+      END AS pais_publicacao
+    FROM customer c JOIN dim d ON c.c_nationkey = d.nk
+    """,
+    doc="J1 country normalization: synonym-exploded broadcast dim join, "
+    "multilingual encode, case/whitespace-insensitive keys",
+)
+def q25_country_normalization_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.standardize.joins import add_country_fields
+
+    nation = table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey")
+    tabpais = nation.select(
+        F.concat(F.lit("P"), F.col("n_name")).alias("pt"),
+        F.col("n_name").alias("en"),
+        F.concat(F.lit("E"), F.col("n_name")).alias("es"),
+        F.when(nk % 3 != 0, F.concat(F.lit("F"), F.col("n_name"))).alias("fr"),
+        F.concat(F.lit("Z"), nk.cast("string")).alias("pais_2"),
+        F.when(nk % 2 == 0, F.array(F.concat(F.lit("SYN"), nk.cast("string"))))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sinonimo"),
+    )
+    cust = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    facts = cust.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        cust.c_nationkey == F.col("n_nationkey"),
+    ).select(
+        k.alias("id"),
+        F.when(k % 3 == 0, F.col("n_name"))
+        .when(
+            k % 3 == 1,
+            F.concat(F.lit("  "), F.lower(F.col("n_name")), F.lit(" ")),
+        )
+        .otherwise(F.lit("Atlantis"))
+        .alias("publication_country"),
+    )
+    out = add_country_fields(facts, tabpais)
+    return out.select(
+        "id",
+        F.array_join(F.col("cp"), "|").alias("cp_s"),
+        "pais_publicacao",
+    )
