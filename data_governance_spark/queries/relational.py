@@ -1102,3 +1102,171 @@ def q25_country_normalization_join(spark: SparkSession, sf_dir: str) -> DataFram
         F.array_join(F.col("cp"), "|").alias("cp_s"),
         "pais_publicacao",
     )
+
+
+# --------------------------------------------------------------------------
+# q26: the J3 DECS thesaurus join under the oracle gate — the real
+# decs_lookup/decs_code_array path: diacritics-stripped lowered keys
+# (the engine's one scalar Python UDF), '/'-split qualifier second
+# join, digit-leading passthrough, qualifier-miss entry drop, ordered
+# reassembly. Dim synthesized from nation (accented pt variants,
+# '/'-prefixed qualifier terms), keyword arrays from customer keys.
+@qdef(
+    QUERIES,
+    "q26_decs_thesaurus_join",
+    oracle="""
+    SELECT c_custkey AS id,
+      array_to_string(list_filter([
+        '^d' || CAST(c_custkey % 25 + 1 AS VARCHAR),
+        CASE WHEN c_custkey % 2 = 0 THEN '^d' || CAST(c_custkey % 25 + 1 AS VARCHAR) END,
+        CASE WHEN c_custkey % 3 = 0 THEN
+          '^d' || CAST(c_custkey % 25 + 1 AS VARCHAR) ||
+          '^s' || CAST(c_custkey % 25 + 1 AS VARCHAR) END,
+        NULL,
+        '^d9x' || CAST(c_custkey AS VARCHAR),
+        NULL
+      ], x -> x IS NOT NULL), '|') AS codes_s
+    FROM customer
+    """,
+    doc="J3 DECS join: diacritics-stripped keys, qualifier second join, "
+    "digit passthrough, miss-drop semantics",
+)
+def q26_decs_thesaurus_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.standardize.joins import (
+        decs_code_array,
+        decs_lookup,
+    )
+
+    nation = table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey")
+    nul_s = F.lit(None).cast("string")
+    nul_a = F.lit(None).cast("array<string>")
+    decs = nation.select(
+        F.lpad((nk + 1).cast("string"), 5, "0").alias("mfn"),
+        F.concat(F.lit("Term"), nk.cast("string")).alias("descritor_ingles"),
+        F.concat(F.lit("Café"), nk.cast("string")).alias("descritor_portugues"),
+        nul_s.alias("descritor_espanhol"),
+        nul_s.alias("descritor_frances"),
+        nul_s.alias("descritor_espanhol_espanha"),
+        F.concat(F.lit("/qual"), nk.cast("string")).alias(
+            "versao_alternativa_ingles"
+        ),
+        nul_s.alias("versao_alternativa_espanhol"),
+        nul_s.alias("versao_alternativa_portugues"),
+        nul_a.alias("sinonimos_ingles"),
+        nul_a.alias("sinonimos_espanhol"),
+        nul_a.alias("sinonimos_portugues"),
+        nul_a.alias("sinonimos_espanha"),
+        nul_a.alias("sinonimos_frances"),
+    )
+    lk = decs_lookup(decs)
+    cust = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    m = (k % 25).cast("string")
+    facts = cust.select(
+        k.alias("id"),
+        F.array(
+            F.concat(F.lit("Term"), m),
+            F.when(k % 2 == 0, F.concat(F.lit("CAFÉ"), m)),
+            F.when(k % 3 == 0, F.concat(F.lit("Term"), m, F.lit("/QUAL"), m)),
+            F.when(k % 5 == 0, F.concat(F.lit("Term"), m, F.lit("/nope"))),
+            F.concat(F.lit("9x"), k.cast("string")),
+            F.lit("Absent"),
+        ).alias("kw"),
+    )
+    out = decs_code_array(facts, lk, F.col("kw"), "codes", id_col="id")
+    return out.select(
+        "id", F.array_join(F.col("codes"), "|").alias("codes_s")
+    )
+
+
+# --------------------------------------------------------------------------
+# q27: the J6 enrichment join + U2 idempotent set-union merge under the
+# oracle gate — the real enrich_instance_ecollection path: explode(db)
+# ⋈ broadcast dim, collect instances, group collection_instance ->
+# matching dbs into the dyn map, and $setUnion-style merge into the
+# existing instance array / dyn map. The dyn map serializes as sorted
+# 'key:v1,v2|key2:...' so both engines hash plain strings.
+@qdef(
+    QUERIES,
+    "q27_enrichment_set_union",
+    oracle="""
+    WITH f AS (
+      SELECT c_custkey AS id, c_custkey AS ck, CAST(c_custkey % 10 AS INT) AS m1
+      FROM customer
+    )
+    SELECT id,
+      array_to_string(list_sort(list_distinct(
+        ['pre' || CAST(ck % 2 AS VARCHAR), 'inst' || CAST(m1 % 3 AS VARCHAR)]
+        || CASE WHEN ck % 2 = 0
+             THEN ['inst' || CAST((m1 + 1) % 3 AS VARCHAR)] ELSE [] END
+      )), '|') AS instance_s,
+      CASE
+        WHEN ck % 3 = 0 AND m1 % 2 = 0 THEN
+          'col0:' || array_to_string(list_sort(list_distinct(['seed'] || dbs)), ',')
+        WHEN ck % 3 = 0 THEN
+          'col0:seed|col1:' || array_to_string(dbs, ',')
+        ELSE 'col' || CAST(m1 % 2 AS VARCHAR) || ':' || array_to_string(dbs, ',')
+      END AS dyn_s
+    FROM (
+      SELECT *,
+        CASE WHEN ck % 2 = 0
+             THEN list_sort(['db' || CAST(m1 AS VARCHAR), 'db' || CAST(m1 + 10 AS VARCHAR)])
+             ELSE ['db' || CAST(m1 AS VARCHAR)] END AS dbs
+      FROM f
+    )
+    """,
+    doc="J6 enrichment join + U2 set-union merge: instance accumulation "
+    "and dynamic-field map, idempotent-merge semantics",
+)
+def q27_enrichment_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.enrich.enrich import enrich_instance_ecollection
+
+    nation = table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey")
+    dim = nation.select(
+        F.concat(F.lit("db"), nk.cast("string")).alias("db"),
+        F.array(F.concat(F.lit("inst"), (nk % 3).cast("string"))).alias(
+            "instance"
+        ),
+        # '' exercises the nz filter on collection_instance values
+        F.array(
+            F.concat(F.lit("col"), (nk % 2).cast("string")), F.lit("")
+        ).alias("collection_instance"),
+    )
+    cust = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    m1 = (k % 10).cast("string")
+    facts = cust.select(
+        k.alias("id"),
+        F.array(
+            F.concat(F.lit("db"), m1),
+            F.when(k % 2 == 0, F.concat(F.lit("db"), ((k % 10) + 10).cast("string"))),
+            F.concat(F.lit("nodb"), k.cast("string")),
+        ).alias("db"),
+        F.array(F.concat(F.lit("pre"), (k % 2).cast("string"))).alias(
+            "instance"
+        ),
+        F.when(
+            k % 3 == 0,
+            F.create_map(F.lit("col0"), F.array(F.lit("seed"))),
+        )
+        .otherwise(F.create_map().cast("map<string,array<string>>"))
+        .alias("dyn"),
+    )
+    out = enrich_instance_ecollection(facts, dim, id_col="id")
+    dyn = F.col("dyn")
+    dyn_s = F.array_join(
+        F.transform(
+            F.array_sort(F.map_keys(dyn)),
+            lambda key: F.concat(
+                key, F.lit(":"), F.array_join(F.element_at(dyn, key), ",")
+            ),
+        ),
+        "|",
+    )
+    return out.select(
+        "id",
+        F.array_join(F.col("instance"), "|").alias("instance_s"),
+        dyn_s.alias("dyn_s"),
+    )
