@@ -1270,3 +1270,153 @@ def q27_enrichment_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.col("instance"), "|").alias("instance_s"),
         dyn_s.alias("dyn_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# q28: the S6 upsert sink semantics (merge-by-key, newest version wins)
+# under the oracle gate: duplicate versions synthesized by unioning
+# orders with a modified copy, merged by window dedup.
+@qdef(
+    QUERIES,
+    "q28_upsert_latest",
+    oracle="""
+    SELECT o_orderkey, v, o_totalprice FROM (
+      SELECT o_orderkey, v, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rn
+      FROM (
+        SELECT o_orderkey, 1 AS v, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderkey, 2 AS v, CAST(0 AS DECIMAL(18,2)) FROM orders WHERE o_orderkey % 3 = 0
+      )
+    ) WHERE rn = 1
+    """,
+    doc="S6 merge-by-key upsert: newest version per key via window dedup",
+)
+def q28_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.sources.rest_source import upsert_latest
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.lit(1).alias("v"), _dec(F.col("o_totalprice")).alias("o_totalprice")
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("v", F.lit(2))
+        .withColumn("o_totalprice", _dec(F.lit(0)))
+    )
+    return upsert_latest(o.unionByName(updates), key="o_orderkey", version_col="v")
+
+
+# --------------------------------------------------------------------------
+# q29: the J2 author-field derivation under the oracle gate — the real
+# add_author_fields path: posexplode the author struct list, broadcast
+# country join on the _p subfield, ordered reassembly into au /
+# afiliacao_autor / af (fold with first-occurrence dedup and the
+# unconditional 's.af' quirk) / instituicao_pais_afiliacao /
+# pais_afiliacao / auid (_k fallback _w) / email. Two synthesized
+# authors per record: a named one with arithmetic-gated subfields and,
+# on even keys, an unnamed one with a duplicate institution and an
+# unmatchable country.
+@qdef(
+    QUERIES,
+    "q29_author_fields_join",
+    oracle="""
+    WITH f AS (
+      SELECT c.c_custkey AS id, c.c_custkey AS ck, n.n_name AS nm,
+             CASE WHEN CAST(c.c_custkey % 25 AS INT) % 3 = 0 THEN NULL
+                  ELSE 'F' || n.n_name END AS fr
+      FROM customer c JOIN nation n ON CAST(c.c_custkey % 25 AS INT) = n.n_nationkey
+    )
+    SELECT id,
+      'A' || CAST(ck AS VARCHAR) AS au_s,
+      CASE WHEN ck % 2 = 0 THEN
+        'A' || CAST(ck AS VARCHAR) || '; Inst' || CAST(ck % 3 AS VARCHAR)
+        || CASE WHEN ck % 4 = 0 THEN '. CityX' ELSE '' END
+        || CASE WHEN ck % 3 > 0 THEN '. ' || nm ELSE '' END
+      ELSE 's.af' END AS afiliacao_s,
+      CASE WHEN ck % 2 = 0 THEN
+        'Inst' || CAST(ck % 3 AS VARCHAR)
+        || CASE WHEN ck % 4 = 0 THEN '|CityX' ELSE '' END
+      ELSE 's.af' END AS af_s,
+      CASE WHEN ck % 2 = 0 THEN
+        CASE WHEN ck % 3 > 0
+             THEN 'Inst' || CAST(ck % 3 AS VARCHAR) || '+' || nm || '|'
+             ELSE '' END
+        || 'Inst' || CAST(ck % 3 AS VARCHAR) || '+Atlantis'
+      ELSE '' END AS inst_pais_s,
+      CASE WHEN ck % 3 > 0 THEN
+        '^i' || nm || '^eE' || nm || '^pP' || nm || '^f' || coalesce(fr, 'None')
+      ELSE '' END AS pais_af_s,
+      CASE WHEN ck % 5 = 0 THEN 'K' || CAST(ck AS VARCHAR)
+           ELSE 'W' || CAST(ck AS VARCHAR) END
+      || CASE WHEN ck % 2 = 0 THEN '|W2' || CAST(ck AS VARCHAR) ELSE '' END AS auid_s,
+      CASE WHEN ck % 2 = 0 THEN 'e' || CAST(ck AS VARCHAR) || '@x' ELSE '' END AS email_s
+    FROM f
+    """,
+    doc="J2 author explode + broadcast country join + ordered "
+    "reassembly of the seven derived author fields",
+)
+def q29_author_fields_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.standardize.joins import add_author_fields
+
+    nation = table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey")
+    tabpais = nation.select(
+        F.concat(F.lit("P"), F.col("n_name")).alias("pt"),
+        F.col("n_name").alias("en"),
+        F.concat(F.lit("E"), F.col("n_name")).alias("es"),
+        F.when(nk % 3 != 0, F.concat(F.lit("F"), F.col("n_name"))).alias("fr"),
+        F.concat(F.lit("Z"), nk.cast("string")).alias("pais_2"),
+        F.array().cast("array<string>").alias("sinonimo"),
+    )
+    cust = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    nm = F.col("n_name")
+    empty = F.lit("")
+    nul = F.lit(None).cast("string")
+
+    def author(text, _1, _c, _p, _k, _w, _e):
+        return F.struct(
+            text.alias("text"), _1.alias("_1"), empty.alias("_2"),
+            empty.alias("_3"), _c.alias("_c"), _p.alias("_p"),
+            _k.alias("_k"), _w.alias("_w"), _e.alias("_e"),
+        )
+
+    a1 = author(
+        F.concat(F.lit("A"), k.cast("string")),
+        F.when(k % 2 == 0, F.concat(F.lit("Inst"), (k % 3).cast("string"))).otherwise(empty),
+        F.when(k % 4 == 0, F.lit("CityX")).otherwise(empty),
+        F.when(k % 3 > 0, nm).otherwise(empty),
+        F.when(k % 5 == 0, F.concat(F.lit("K"), k.cast("string"))).otherwise(nul),
+        F.concat(F.lit("W"), k.cast("string")),
+        F.when(k % 2 == 0, F.concat(F.lit("e"), k.cast("string"), F.lit("@x"))).otherwise(empty),
+    )
+    a2 = author(
+        empty,
+        F.concat(F.lit("Inst"), (k % 3).cast("string")),
+        empty,
+        F.lit("Atlantis"),
+        nul,
+        F.concat(F.lit("W2"), k.cast("string")),
+        empty,
+    )
+    facts = cust.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        (k % 25).cast("int") == F.col("n_nationkey"),
+    ).select(
+        k.alias("id"),
+        F.when(k % 2 == 0, F.array(a1, a2)).otherwise(F.array(a1)).alias(
+            "individual_author"
+        ),
+    )
+    out = add_author_fields(facts, tabpais, id_col="id")
+    j = lambda c: F.array_join(F.col(c), "|")  # noqa: E731
+    return out.select(
+        "id",
+        j("au").alias("au_s"),
+        j("afiliacao_autor").alias("afiliacao_s"),
+        j("af").alias("af_s"),
+        j("instituicao_pais_afiliacao").alias("inst_pais_s"),
+        j("pais_afiliacao").alias("pais_af_s"),
+        j("auid").alias("auid_s"),
+        j("email").alias("email_s"),
+    )
