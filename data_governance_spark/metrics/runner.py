@@ -213,9 +213,19 @@ def run_metrics_single_scan(
 
     DataFrame-level prefilters can't fold into a shared projection —
     express them as entity_expr NULLs (rows drop) or use run_metrics.
+    Entities are normalized to STRINGS (stack() needs one type across
+    families): non-string entity columns must supply an entity_expr
+    casting to string, else this raises rather than silently diverging
+    from run_metrics' native-typed names.
     """
+    import re as _re
+
     if any(s.prefilter is not None for s in specs):
         raise ValueError("prefilter specs need run_metrics (per-family scan)")
+    for s in specs:
+        # names are interpolated into the generated stack() SQL
+        if not _re.fullmatch(r"[A-Za-z0-9_\- ]+", s.name):
+            raise ValueError(f"metric name {s.name!r} unsafe for stack() SQL")
     min_years = {s.min_year for s in specs}
     if len(min_years) != 1:
         raise ValueError("single-scan requires one shared min_year")
@@ -226,6 +236,15 @@ def run_metrics_single_scan(
     for i, spec in enumerate(specs):
         if spec.entity_col not in dtypes:
             raise KeyError(f"{spec.entity_col} not in {facts.columns}")
+        elem_type = dtypes[spec.entity_col]
+        if elem_type.startswith("array<"):
+            elem_type = elem_type[len("array<"):-1]
+        if spec.entity_expr is None and elem_type != "string":
+            raise ValueError(
+                f"spec {spec.name!r}: entity column {spec.entity_col!r} is "
+                f"{elem_type}; single-scan normalizes names to string — "
+                "add an entity_expr casting to string, or use run_metrics"
+            )
         base = (
             F.col(spec.entity_col)
             if dtypes[spec.entity_col].startswith("array")

@@ -63,7 +63,14 @@ def exact_precluster(
     bucket blow-up at its source: k exact copies contribute ONE bucket
     member instead of k) and expand sketch pairs through the mapping if
     per-copy pairs are needed."""
-    m = docs.select(F.col(id_col), fingerprint_col.alias("_fp"))
+    # NULL fingerprints (e.g. md5 of NULL text) must not vanish in the
+    # equi-join: such docs pass through as their own canonical
+    m = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            fingerprint_col, F.concat(F.lit("\0null-fp:"), F.col(id_col).cast("string"))
+        ).alias("_fp"),
+    )
     canon = m.groupBy("_fp").agg(F.min(id_col).alias("canon_id"))
     # canon has one row per DISTINCT fingerprint — corpus-sized, so this
     # is a shuffle equi-join on _fp, never a broadcast

@@ -218,6 +218,9 @@ def train_ivf_cells(
         .collect()
     )
     centers: list[list[float]] = [list(r["v"]) for r in init_rows]
+    if not centers:
+        raise ValueError("train_ivf_cells: input has no vectors")
+    k = len(centers)  # fewer vectors than requested cells: train k=n
 
     def cells_df(cs: list[list[float]]) -> DataFrame:
         return spark.createDataFrame(
@@ -290,14 +293,9 @@ def cosine_neardup_pairs(
         F.col(vec_col),
         F.col("nrm"),
     )
-    if max_block_size is not None:
-        small = (
-            base.groupBy("block")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_block_size)
-            .select("block")
-        )
-        base = base.join(small, "block", "left_semi")
+    from data_governance_spark.operators.dedup import _cap_buckets
+
+    base = _cap_buckets(base, ["block"], max_block_size)
     # both sides of the block self-join read the normed vectors — persist
     # so norms are computed once per vector, not once per side
     base = base.persist()

@@ -61,69 +61,80 @@ def sessionize_stream(
     """Streaming twin of q19's gap-based sessionization: custom
     stateful operator via applyInPandasWithState.
 
-    Per-user state = the open session (start, last event, count).
-    Events extend the session if they arrive within ``gap_minutes`` of
-    its last event, else the old session is emitted and a new one
-    opens. The open session is emitted when the event-time timeout
-    fires (watermark passes last_event + gap) — so output is
-    append-mode and exactly the closed sessions, the semantics a batch
-    recompute of q19 would produce. Watermarking bounds state: one
-    in-flight session struct per active user, dropped at timeout —
-    state size tracks ACTIVE users, not history, which is what lets
-    this run indefinitely on a 1000-executor cluster.
+    Correctness contract: a session is emitted ONLY once the watermark
+    has passed session_end + gap — until then a watermark-admitted
+    late event could still land inside or adjacent to it and change
+    its boundaries. Per-user state is therefore the event-time buffer
+    (microseconds, sorted on read) of every event not yet part of an
+    emitted session; on each invocation the buffer is re-sessionized
+    from scratch, watermark-confirmed sessions are emitted and their
+    events dropped from state, and the event-time timeout re-arms at
+    last_event + gap so the tail session flushes when the stream goes
+    quiet. Events older than the current watermark are dropped
+    explicitly (applyInPandasWithState leaves late-row filtering to
+    the operator). State is bounded by the watermark horizon: an event
+    lives in the buffer only until the watermark passes its session's
+    end + gap, so per-user state tracks the (watermark delay + gap)
+    window, not history.
     """
     import pandas as pd  # driver-side import; executors get it via Arrow path
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap_s = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize(buf: list[int]) -> list[tuple[int, int, int]]:
+        out: list[tuple[int, int, int]] = []
+        start = last = buf[0]
+        n = 1
+        for t in buf[1:]:
+            if t - last > gap_us:
+                out.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        out.append((start, last, n))
+        return out
+
+    def emit(user_id, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(sessions),
+                "session_start": [pd.to_datetime(s[0], unit="us") for s in sessions],
+                "session_end": [pd.to_datetime(s[1], unit="us") for s in sessions],
+                "n_events": [s[2] for s in sessions],
+            }
+        )
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
-        if state.hasTimedOut:
-            start, last, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start": [pd.to_datetime(start, unit="s")],
-                    "session_end": [pd.to_datetime(last, unit="s")],
-                    "n_events": [n],
-                }
-            )
-            return
-        secs: list[int] = []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        buf: list[int] = list(state.get[0]) if state.exists else []
         for pdf in pdfs:
             ts = pd.to_datetime(pdf["ts"])
-            secs.extend((ts.astype("int64") // 1_000_000_000).tolist())
-        secs.sort()
-        if state.exists:
-            start, last, n = state.get
-        else:
-            start, last, n = None, None, 0
-        closed: list[tuple[int, int, int]] = []
-        for s in secs:
-            if start is None:
-                start, last, n = s, s, 1
-            elif s - last > gap_s:
-                closed.append((start, last, n))
-                start, last, n = s, s, 1
-            else:
-                last, n = s, n + 1
-        if start is None:  # no rows and no prior state: nothing to track
+            # late-data contract: INCOMING events at/before the watermark
+            # are dropped (applyInPandasWithState leaves that to the
+            # operator). Buffered events are never re-filtered — they can
+            # sit at/below the watermark while their session is still
+            # within its confirmation window.
+            buf.extend(t for t in (ts.astype("int64") // 1_000).tolist() if t > wm_us)
+        buf.sort()
+        if not buf:
+            state.remove()
             return
-        state.update((start, last, n))
-        # fire once the watermark passes the session gap
-        state.setTimeoutTimestamp((last + gap_s) * 1000)
-        if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id] * len(closed),
-                    "session_start": [pd.to_datetime(c[0], unit="s") for c in closed],
-                    "session_end": [pd.to_datetime(c[1], unit="s") for c in closed],
-                    "n_events": [c[2] for c in closed],
-                }
-            )
+        sessions = sessionize(buf)
+        final = [s for s in sessions if s[1] + gap_us <= wm_us]
+        keep = [s for s in sessions if s[1] + gap_us > wm_us]
+        if keep:
+            kept_events = [t for t in buf if t >= keep[0][0]]
+            state.update((kept_events,))
+            # re-arm: fire once the watermark passes the tail gap (the
+            # kept sessions' ends all exceed wm, so this is > watermark)
+            state.setTimeoutTimestamp((keep[-1][1] + gap_us) // 1000)
+        else:
+            state.remove()
+        if final:
+            yield emit(user_id, final)
 
     return (
         events.withWatermark("ts", watermark)
@@ -132,7 +143,7 @@ def sessionize_stream(
             fn,
             outputStructType="user_id long, session_start timestamp, "
             "session_end timestamp, n_events long",
-            stateStructType="start long, last long, n long",
+            stateStructType="events array<long>",
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

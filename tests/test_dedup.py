@@ -124,6 +124,16 @@ def test_exact_precluster_collapses_copies(spark):
     assert m == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
+def test_exact_precluster_null_text_passes_through(spark):
+    rows = [(1, BASE), (2, BASE), (3, None), (4, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    canonical, mapping = exact_precluster(docs, fingerprint("text"))
+    m = {r["doc_id"]: r["canon_id"] for r in mapping.collect()}
+    # NULL-text docs must not vanish: each is its own canonical
+    assert m == {1: 1, 2: 1, 3: 3, 4: 4}
+    assert sorted(r["doc_id"] for r in canonical.collect()) == [1, 3, 4]
+
+
 def test_regex_tokens_splits_symbols(spark):
     from data_governance_spark.functions.text import regex_tokens, tokens
 

@@ -179,13 +179,17 @@ def test_streaming_stateful_sessionization(spark, tmp_path):
     def run():
         out = sessionize_stream(read_event_stream(spark, str(src) + "/*"))
         run_available_now(out, ckpt, output_mode="append", path=sink)
+        try:
+            rows = spark.read.parquet(sink).collect()
+        except Exception:  # sink still empty: no parquet schema yet
+            rows = []
         return {
             (r["user_id"], str(r["session_start"]), r["n_events"])
-            for r in spark.read.parquet(sink).collect()
+            for r in rows
         }
 
     # wave 1: user 1 has a 2-event session then (2h later, > 30min gap)
-    # a second session that stays open; user 2 has one open session
+    # a second session; user 2 has one session
     write_wave(
         "w1",
         [
@@ -196,19 +200,25 @@ def test_streaming_stateful_sessionization(spark, tmp_path):
         ],
     )
     got = run()
-    # the in-batch gap closes session 1 immediately
-    assert (1, "2024-01-01 00:00:00", 2) in got
-    assert not any(u == 2 for u, _, _ in got)  # user 2 still open
+    # nothing is final yet: the watermark has not confirmed any gap, and
+    # a watermark-admitted late event could still reshape session 1
+    assert got == set()
 
     # wave 2: a much-later event advances the watermark (2h delay) past
-    # every open session's timeout
+    # every wave-1 session's end + gap
     write_wave("w2", [("2024-01-01 12:00:00", 3)])
     run()
-    # wave 3: timeouts registered against wave-2's watermark fire now
-    write_wave("w3", [("2024-01-01 12:00:01", 3)])
+    # wave 3: confirmations fire against wave-2's watermark (10:00); the
+    # below-watermark late event for user 1 is dropped, not merged
+    write_wave(
+        "w3",
+        [("2024-01-01 12:00:01", 3), ("2024-01-01 00:05:00", 1)],
+    )
     got = run()
+    assert (1, "2024-01-01 00:00:00", 2) in got  # late event NOT added
     assert (1, "2024-01-01 02:00:00", 1) in got
     assert (2, "2024-01-01 00:05:00", 1) in got
+    assert not any(u == 3 for u, _, _ in got)  # user 3 still open
 
 
 def test_multimodal_stub_and_plumbing(spark):
