@@ -549,7 +549,10 @@ def q19_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("ts").over(w)
     is_new = F.when(
         prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") > 30 * 60),
+        # unix_micros: exact microsecond gap, matching the oracle's
+        # INTERVAL comparison (cast-to-long truncates to seconds and
+        # can merge sessions 1800.x s apart when the fractions align)
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 30 * 60 * 1_000_000),
         1,
     ).otherwise(0)
     sessions = ev.withColumn("is_new", is_new).withColumn(

@@ -28,6 +28,7 @@ from data_governance_spark.sources.solr_xml import project_fields, read_solr_xml
 from data_governance_spark.streaming.events import (
     read_event_stream,
     run_available_now,
+    sessionize_stream,
     windowed_counts,
 )
 
@@ -158,6 +159,49 @@ def test_streaming_windowed_counts(spark, tmp_path):
     run_available_now(agg, str(tmp_path / "ckpt"), query_name="t_event_windows")
     got = spark.sql("SELECT sum(n) AS n FROM t_event_windows").collect()[0]["n"]
     assert got == ev.count()
+
+
+def test_streaming_sessions_equal_batch_q19(spark, tmp_path):
+    """Equivalence: once the watermark confirms every session, streaming
+    output == the batch q19 recompute on the same events (real sf0.001
+    data, all users)."""
+    from data_governance_spark.queries.registry import QUERIES
+
+    src = tmp_path / "eq_src"
+    src.mkdir()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    ev.write.parquet(str(src / "w1"))
+    # sentinel wave far in the future: advances the watermark past every
+    # real session's end + gap so ALL of them confirm
+    far = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    spark.createDataFrame(
+        [(10**9, far, -1, "x", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 DAYS")).write.parquet(
+        str(src / "w2")
+    )
+    sink = str(tmp_path / "eq_out")
+    ckpt = str(tmp_path / "eq_ckpt")
+    for _ in range(2):  # run 2: sentinel batch fires the confirmations
+        out = sessionize_stream(read_event_stream(spark, str(src) + "/*"))
+        run_available_now(out, ckpt, output_mode="append", path=sink)
+    # q19 formats session_start to whole seconds — truncate to match
+    got = {
+        (r["user_id"], str(r["session_start"])[:19], r["n_events"])
+        for r in spark.read.parquet(sink).collect()
+        if r["user_id"] != -1
+    }
+    batch = QUERIES["q19_user_sessions"].fn(spark, "/root/testdata/sf0.001")
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert got == want
 
 
 def test_streaming_stateful_sessionization(spark, tmp_path):
