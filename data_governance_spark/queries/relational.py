@@ -42,10 +42,11 @@ def _dec(col: F.Column, typ: str = MONEY) -> F.Column:
     "q01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_quantity AS DECIMAL(18,2)))           AS sum_qty,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2)))      AS sum_base_price,
-           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-           count(*)                                         AS count_order
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_disc_price,
+           count(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -58,11 +59,11 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
-            F.sum(_dec(F.col("l_extendedprice"))).alias("sum_base_price"),
-            F.sum(
-                _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), MONEY4)
-            ).alias("sum_disc_price"),
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), MONEY4))
+            .cast("double")
+            .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -75,14 +76,16 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUERIES,
     "q02_top_revenue_orders",
     oracle="""
-    SELECT o.o_orderkey, c.c_name,
-           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue
-    FROM lineitem l
-    JOIN orders o   ON l.l_orderkey = o.o_orderkey
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY o.o_orderkey, c.c_name
-    ORDER BY revenue DESC, o_orderkey ASC
-    LIMIT 10
+    SELECT o_orderkey, c_name, CAST(revenue AS DOUBLE) AS revenue FROM (
+      SELECT o.o_orderkey, c.c_name,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY o.o_orderkey, c.c_name
+      ORDER BY revenue DESC, o_orderkey ASC
+      LIMIT 10
+    )
     """,
     doc="3-way join + deterministic global top-k (revenue desc, key asc)",
 )
@@ -101,6 +104,8 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
+        # final projection only: ranking happened on the exact decimal
+        .withColumn("revenue", F.col("revenue").cast("double"))
     )
 
 
@@ -113,8 +118,8 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_region_nation_rollup",
     oracle="""
     SELECT r.r_name, n.n_name,
-           count(*)                                  AS n_customers,
-           sum(CAST(c.c_acctbal AS DECIMAL(18,2)))   AS sum_acctbal
+           count(*)                                                 AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)  AS sum_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -131,7 +136,7 @@ def q03_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     return joined.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.sum(_dec(F.col("c_acctbal"))).alias("sum_acctbal"),
+        F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("sum_acctbal"),
     )
 
 
@@ -172,9 +177,11 @@ def q04_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS day,
            count(*) AS n_events,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
-           sum(CASE WHEN event_type = 'purchase'
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchases,
+           CAST(sum(CASE WHEN event_type = 'purchase'
                     THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+                AS DOUBLE)
              AS purchase_value
     FROM events
     GROUP BY 1
@@ -187,9 +194,9 @@ def q05_daily_event_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.when(is_purchase, 1).otherwise(0)).alias("n_purchases"),
-        F.sum(
-            F.when(is_purchase, _dec(F.col("value"))).otherwise(_dec(F.lit(0)))
-        ).alias("purchase_value"),
+        F.sum(F.when(is_purchase, _dec(F.col("value"))).otherwise(_dec(F.lit(0))))
+        .cast("double")
+        .alias("purchase_value"),
     )
 
 
@@ -234,7 +241,7 @@ def q06_event_type_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUERIES,
     "q07_top_parts_per_brand",
     oracle="""
-    SELECT p_brand, p_partkey, revenue, rk FROM (
+    SELECT p_brand, p_partkey, CAST(revenue AS DOUBLE) AS revenue, rk FROM (
       SELECT p.p_brand, p.p_partkey,
              sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS revenue,
              row_number() OVER (
@@ -262,7 +269,11 @@ def q07_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
-    return rev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .withColumn("revenue", F.col("revenue").cast("double"))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -273,11 +284,11 @@ def q07_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q08_union_provenance",
     oracle="""
     SELECT 'customer' AS _source, c_name AS name,
-           CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+           CAST(c_acctbal AS DOUBLE) AS acctbal
     FROM customer
     UNION ALL
     SELECT 'supplier' AS _source, s_name AS name,
-           CAST(s_acctbal AS DECIMAL(18,2)) AS acctbal
+           CAST(s_acctbal AS DOUBLE) AS acctbal
     FROM supplier
     """,
     doc="unionByName with provenance _source column (ref U1 union view)",
@@ -286,12 +297,12 @@ def q08_union_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").select(
         F.lit("customer").alias("_source"),
         F.col("c_name").alias("name"),
-        _dec(F.col("c_acctbal")).alias("acctbal"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
     )
     supp = table(spark, sf_dir, "supplier").select(
         F.lit("supplier").alias("_source"),
         F.col("s_name").alias("name"),
-        _dec(F.col("s_acctbal")).alias("acctbal"),
+        F.col("s_acctbal").cast("double").alias("acctbal"),
     )
     return cust.unionByName(supp)
 
@@ -369,7 +380,7 @@ def q11_status_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) % 10 AS k_bucket,
            count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -380,7 +391,7 @@ def q12_regex_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
     return ev.groupBy((k % 10).alias("k_bucket")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_dec(F.col("value"))).alias("sum_value"),
+        F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
     )
 
 
@@ -459,7 +470,7 @@ def q14_nation_customer_supplier_counts(spark: SparkSession, sf_dir: str) -> Dat
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n,
-           sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -471,7 +482,7 @@ def q15_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec(F.col("value"))).alias("sum_value"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -490,9 +501,9 @@ def q15_hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q16_status_by_priority_pivot",
     oracle="""
     SELECT o_orderpriority,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_O,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_F,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_P
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_O,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_F,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_P
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -525,10 +536,10 @@ def q16_status_by_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
     FROM (
       SELECT user_id, ts,
-             sum(is_new) OVER (
+             CAST(sum(is_new) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS session_id
+             ) AS BIGINT) AS session_id
       FROM (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1287,9 +1298,9 @@ def q27_enrichment_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey, v, o_totalprice,
              row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rn
       FROM (
-        SELECT o_orderkey, 1 AS v, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice FROM orders
+        SELECT o_orderkey, 1 AS v, CAST(o_totalprice AS DOUBLE) AS o_totalprice FROM orders
         UNION ALL
-        SELECT o_orderkey, 2 AS v, CAST(0 AS DECIMAL(18,2)) FROM orders WHERE o_orderkey % 3 = 0
+        SELECT o_orderkey, 2 AS v, CAST(0 AS DOUBLE) FROM orders WHERE o_orderkey % 3 = 0
       )
     ) WHERE rn = 1
     """,
@@ -1299,12 +1310,14 @@ def q28_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.sources.rest_source import upsert_latest
 
     o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.lit(1).alias("v"), _dec(F.col("o_totalprice")).alias("o_totalprice")
+        "o_orderkey",
+        F.lit(1).alias("v"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
     updates = (
         o.filter(F.col("o_orderkey") % 3 == 0)
         .withColumn("v", F.lit(2))
-        .withColumn("o_totalprice", _dec(F.lit(0)))
+        .withColumn("o_totalprice", F.lit(0).cast("double"))
     )
     return upsert_latest(o.unionByName(updates), key="o_orderkey", version_col="v")
 

@@ -63,7 +63,33 @@ def oracle_rows(
     return cols, cur.fetchall()
 
 
+# Output types proven to survive the driver's value-hash on both
+# engines (pandas/Arrow conversion collapses DuckDB DECIMAL and
+# HUGEINT to float64 while Spark keeps Decimal/int64 — r01 showed every
+# query with a DECIMAL or integer-sum output hash-mismatching even
+# though the values were equal). Final projections must use only these.
+_SAFE_DUCK_TYPES = ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN")
+_UNSAFE_SPARK_TYPES = ("decimal", "timestamp", "date")
+
+
+def assert_safe_output_types(df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str):
+    bad_s = [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if f.dataType.simpleString().startswith(_UNSAFE_SPARK_TYPES)
+    ]
+    assert not bad_s, f"driver-unsafe Spark output types (cast to double/string): {bad_s}"
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    bad_o = [
+        (name, typ)
+        for name, typ, *_ in desc
+        if not typ.upper().startswith(_SAFE_DUCK_TYPES)
+    ]
+    assert not bad_o, f"driver-unsafe oracle output types (cast in the SQL): {bad_o}"
+
+
 def assert_matches_oracle(df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str):
+    assert_safe_output_types(df, con, sql)
     s_cols, s_rows = spark_rows(df)
     o_cols, o_rows = oracle_rows(con, sql)
     assert sorted(s_cols) == sorted(o_cols), (
