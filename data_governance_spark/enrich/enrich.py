@@ -35,9 +35,12 @@ DYN_TYPE = "map<string,array<string>>"
 # U1: union with provenance (:102-148)
 def union_with_provenance(dfs: dict[str, DataFrame]) -> DataFrame:
     """unionByName(allowMissingColumns) of named inputs with a _source
-    column — the TEMAS_BVS2 union view."""
+    column — the TEMAS_BVS2 union view. _source_pos records the
+    view-definition position so "first row" consumers (enrich_temas)
+    can order by it instead of by lexicographic source name."""
     tagged = [
-        df.withColumn("_source", F.lit(name)) for name, df in dfs.items()
+        df.withColumn("_source", F.lit(name)).withColumn("_source_pos", F.lit(i))
+        for i, (name, df) in enumerate(dfs.items())
     ]
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), tagged)
 
@@ -222,11 +225,25 @@ def enrich_temas(
     - instance_iahx values -> `instance`
     - each collection_iahx name c -> dyn[c] += first matching row's db
       (the reference keeps only the FIRST temas row's db payload per
-      doc, :424-428 — reproduced via min-by-row ordering on _source,db)
+      doc, :424-428). "First" in the reference is Mongo cursor order
+      over the union view — collections in view-definition order, then
+      insertion order. Spark has no stable intra-file row order, so we
+      take the first row under the deterministic ordering
+      (_source, db): union-view position is respected exactly, and
+      within one source collection the smallest db wins (a documented
+      determinism divergence; per-doc multi-row-same-source cases are
+      rare and the reference's own order there is load-dependent).
     - tema_subtema+tema and projeto parsed pairwise -> dyn[k] += v
     """
+    if "_source_pos" in temas_union.columns:
+        src = F.col("_source_pos").cast("long")
+    elif "_source" in temas_union.columns:
+        src = F.xxhash64("_source")  # stable but arbitrary source order
+    else:
+        src = F.lit(0).cast("long")
     t = temas_union.select(
         F.col("id_iahx").alias("_eid"),
+        src.alias("_tsrc"),
         F.coalesce("instance_iahx", F.array().cast(EMPTY_ARR)).alias("_ti"),
         F.coalesce("collection_iahx", F.array().cast(EMPTY_ARR)).alias("_tc"),
         F.concat(

@@ -78,11 +78,54 @@ def attach_slice(
     A fact row belongs to a region if ANY of its countries is in the
     region — and is counted ONCE per region even when several of its
     countries belong to it (the reference's per-region $match is a
-    filter, not a fan-out). Implemented as explode -> broadcast join ->
-    collect_set per row -> re-explode, so row identity is preserved
-    without assuming a key column.
+    filter, not a fan-out).
+
+    The dim is a true dimension (a few hundred (country, region) rows —
+    the reference loads it into task memory as a dict, tmgl_regions/
+    misc.py:4-24), so it is collected once and embedded as a literal
+    country->regions map: the fan-out becomes a row-local array lookup
+    + explode with ZERO shuffles and no synthetic row key. (An earlier
+    version joined back on monotonically_increasing_id, which is
+    nondeterministic under recompute — AQE/task retries could re-id
+    rows and mis-assign slices.) Dims too large to inline fall back to
+    an explode/join/collect_set plan over a persisted fact snapshot.
     """
+    empty = F.array().cast("array<string>")
+    dim_pairs = (
+        dim.select(
+            F.lower(F.trim(F.col(dim_country_col))).alias("ck"),
+            F.col(dim_slice_col).cast("string").alias("s"),
+        )
+        .distinct()
+        .groupBy("ck")
+        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+    )
+    rows = dim_pairs.collect() if dim_pairs.limit(5001).count() <= 5000 else None
+    if rows is not None:
+        if rows:
+            lookup = F.create_map(
+                *[x for r in rows for x in (F.lit(r["ck"]), F.lit(r["ss"]))]
+            )
+        else:
+            lookup = F.lit(None).cast("map<string,array<string>>")
+        regions = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.coalesce(F.col(countries_col), empty),
+                    lambda c: F.coalesce(
+                        F.element_at(lookup, F.lower(F.trim(c))), empty
+                    ),
+                )
+            )
+        )
+        # explode_outer(0-region row) -> one slice=NULL row, preserving
+        # the fact exactly like the join path did
+        return facts.withColumn(slice_col, F.explode_outer(regions))
+
+    # fallback: dim too big to inline. Pin the row ids before branching
+    # so both consumers of `marked` see the same nondeterministic ids.
     marked = facts.withColumn("_rid", F.monotonically_increasing_id())
+    marked.persist()
     exploded = marked.select(
         "_rid", F.explode_outer(F.col(countries_col)).alias("_country")
     )

@@ -31,11 +31,16 @@ XML_HEADER = '<?xml version="1.0" encoding="UTF-8"?>\n<add>\n'
 XML_FOOTER = "</add>"
 
 
-def _xml_escape(c: Column) -> Column:
+def _xml_escape(c: Column, attr: bool = False) -> Column:
     c = F.regexp_replace(c, _INVALID_RE, "")
     c = F.regexp_replace(c, "&", "&amp;")
     c = F.regexp_replace(c, "<", "&lt;")
-    return F.regexp_replace(c, ">", "&gt;")
+    c = F.regexp_replace(c, ">", "&gt;")
+    # inside name="...": quotes would terminate the attribute. Matters
+    # for dyn-map keys, which are data-derived (collection_instance
+    # values, tema keys); ET.SubElement in the reference escapes these
+    # on serialization too.
+    return F.regexp_replace(c, '"', "&quot;") if attr else c
 
 
 def doc_xml(
@@ -65,8 +70,8 @@ def doc_xml(
         return F.transform(
             clean,
             lambda v: F.concat(
-                F.lit('  <field name="'), name_expr, F.lit('">'),
-                _xml_escape(v), F.lit("</field>"),
+                F.lit('  <field name="'), _xml_escape(name_expr, attr=True),
+                F.lit('">'), _xml_escape(v), F.lit("</field>"),
             ),
         )
 

@@ -230,7 +230,15 @@ def add_author_fields(
         "_aid",
         F.transform(named, lambda x: x["a"]["text"]).alias("au"),
         F.transform(named, afil).alias("afiliacao_autor"),
-        F.aggregate(r, F.array().cast("array<string>"), af_fold).alias("af"),
+        # fold only over real author rows: posexplode_outer emits one
+        # synthetic null-author row for docs whose author list is null or
+        # empty, and the reference returns af=[] for those (:517-531
+        # iterates the list, so an empty list contributes nothing).
+        F.aggregate(
+            F.filter(r, lambda x: x["a"].isNotNull()),
+            F.array().cast("array<string>"),
+            af_fold,
+        ).alias("af"),
         _ordered_dedup(
             F.transform(
                 F.filter(r, lambda x: nz(x["a"]["_1"]) & nz(x["a"]["_p"])),

@@ -374,6 +374,20 @@ def test_author_fields_full(spark):
     assert r["email"] == ["a@x.org"]
 
 
+def test_author_fields_empty_and_null_lists(spark):
+    """Docs with no authors must get af=[] (not ['s.af']): the reference
+    iterates the author list, so empty/null contributes nothing
+    (02_create_iahx_xml_collection.py:517-531)."""
+    tab = spark.createDataFrame(TABPAIS, TABPAIS_SCHEMA)
+    df = spark.createDataFrame([(1, []), (2, None)], AUTHORS_SCHEMA)
+    out = {r["id_pk"]: r for r in J.add_author_fields(df, tab).collect()}
+    for k in (1, 2):
+        assert out[k]["au"] == []
+        assert out[k]["af"] == []
+        assert out[k]["afiliacao_autor"] == []
+        assert out[k]["auid"] == []
+
+
 DECS_SCHEMA = (
     "mfn string, descritor_ingles string, descritor_portugues string,"
     "descritor_espanhol string, descritor_frances string,"
