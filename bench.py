@@ -19,6 +19,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+from data_governance_spark.cache import release_caches  # noqa: E402
 from data_governance_spark.queries.registry import QUERIES  # noqa: E402
 from data_governance_spark.session import get_spark  # noqa: E402
 
@@ -37,6 +38,7 @@ def main() -> None:
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_caches()  # charge cache release to the query that made it
 
     total = round(sum(timings.values()), 3)
     print(

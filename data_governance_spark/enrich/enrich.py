@@ -257,7 +257,9 @@ def enrich_temas(
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("_ti")))).alias(
             "_instances"
         ),
-        F.min("_tdb").alias("_first_db"),
+        # first row under (_source_pos, db): union-view position first,
+        # db as the deterministic tie-break within one source collection
+        F.min(F.struct(F.col("_tsrc"), F.col("_tdb")))["_tdb"].alias("_first_db"),
     )
     coll_entries = (
         t.select("_eid", F.explode("_tc").alias("_c"))

@@ -29,6 +29,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+# attach_slice inlines the (country -> regions) dim as a literal map when
+# it has at most this many countries; beyond that it joins (see fallback).
+_INLINE_DIM_MAX = 500
+
 
 def year_from_freetext(dp: Column | str) -> Column:
     """F1: first 4-digit run in the free-text date, else 0
@@ -88,7 +92,8 @@ def attach_slice(
     version joined back on monotonically_increasing_id, which is
     nondeterministic under recompute — AQE/task retries could re-id
     rows and mis-assign slices.) Dims too large to inline fall back to
-    an explode/join/collect_set plan over a persisted fact snapshot.
+    an explode/join/collect_set plan over a localCheckpoint snapshot
+    whose row ids are frozen by lineage truncation.
     """
     empty = F.array().cast("array<string>")
     dim_pairs = (
@@ -100,7 +105,11 @@ def attach_slice(
         .groupBy("ck")
         .agg(F.sort_array(F.collect_set("s")).alias("ss"))
     )
-    rows = dim_pairs.collect() if dim_pairs.limit(5001).count() <= 5000 else None
+    # one scan: take(N+1) and branch on length (ADVICE r2). 500-entry cap
+    # keeps the inlined literal map small enough that Catalyst analysis
+    # stays cheap — a bigger dim goes through the join fallback below.
+    taken = dim_pairs.take(_INLINE_DIM_MAX + 1)
+    rows = taken if len(taken) <= _INLINE_DIM_MAX else None
     if rows is not None:
         if rows:
             lookup = F.create_map(
@@ -122,16 +131,20 @@ def attach_slice(
         # the fact exactly like the join path did
         return facts.withColumn(slice_col, F.explode_outer(regions))
 
-    # fallback: dim too big to inline. Pin the row ids before branching
-    # so both consumers of `marked` see the same nondeterministic ids.
-    marked = facts.withColumn("_rid", F.monotonically_increasing_id())
-    marked.persist()
+    # fallback: dim too big to inline. monotonically_increasing_id is
+    # nondeterministic under recompute, so freeze it with an eager
+    # localCheckpoint: lineage is truncated, AQE/task retries replay the
+    # materialized blocks and can never re-derive (and re-number) the
+    # ids. Blocks are reclaimed by the ContextCleaner when the plan is
+    # GC'd — no session-long persist leak (ADVICE r2).
+    marked = facts.withColumn("_rid", F.monotonically_increasing_id()).localCheckpoint()
     exploded = marked.select(
         "_rid", F.explode_outer(F.col(countries_col)).alias("_country")
     )
     dim_small = dim.select(
         F.lower(F.trim(F.col(dim_country_col))).alias("_ck"),
-        F.col(dim_slice_col).alias(slice_col),
+        # cast to string like the inline path, so both emit one schema
+        F.col(dim_slice_col).cast("string").alias(slice_col),
     ).distinct()
     regions = (
         exploded.join(

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_governance_spark.cache import tracked_persist
+
 
 def _cap_buckets(
     banded: DataFrame, keys: list[str], max_bucket_size: int | None
@@ -146,7 +148,7 @@ def minhash_dedup_pairs(
     rows = num_hashes // bands
     # signatures feed the band join AND two estimate joins — persist so
     # the explode+64-hash aggregation runs once, not three times
-    sigs = minhash_signatures(docs, shingles_col, id_col, num_hashes).persist()
+    sigs = tracked_persist(minhash_signatures(docs, shingles_col, id_col, num_hashes))
     banded = sigs.select(
         "doc_id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -254,7 +256,7 @@ def simhash_dedup_pairs(
     <= n_chunks-1; probabilistic beyond — see simhash_chunks).
     ``max_bucket_size`` caps the per-bucket pair blow-up (_cap_buckets)."""
     # both sides of the chunk self-join read the signatures — persist
-    sigs = simhash_signatures(docs, tokens_col, id_col).persist()
+    sigs = tracked_persist(simhash_signatures(docs, tokens_col, id_col))
     chunked = sigs.select(
         "doc_id", "sig", F.explode(simhash_chunks(F.col("sig"), n_chunks)).alias("ck")
     ).select(

@@ -16,6 +16,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from data_governance_spark.cache import tracked_persist
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -78,6 +80,7 @@ def ivf_knn(
     vec_col: str = "emb",
     cell_id_col: str = "cell_id",
     cell_vec_col: str = "centroid",
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest cell centroid,
     then for each query probe the ``n_probe`` nearest cells and rerank
@@ -89,29 +92,45 @@ def ivf_knn(
     ~n_probe/n_cells of the corpus instead of all of it — the standard
     recall/cost dial at 100 TB. Centroids can come from any trainer
     (k-means, per-label means); the operator only needs the table.
+
+    ``queries=None`` is self-join ANN (every corpus vector is a query;
+    self-matches dropped). Pass a separate (id_col, vec_col) ``queries``
+    DataFrame for the retrieval shape — brute_force_knn's API — where
+    only the query set probes and self-matches are NOT dropped (ids
+    live in different namespaces).
     """
     c = cells.select(
         F.col(cell_id_col).alias("cell_id"),
         F.col(cell_vec_col).alias("centroid"),
         norm(F.col(cell_vec_col)).alias("c_cnrm"),
-    ).persist()
-
-    # one scored cross join serves BOTH the cell assignment (rank 1)
-    # and the probe list (rank <= n_probe); vector norms computed once
-    base = df.select(id_col, vec_col, norm(F.col(vec_col)).alias("nrm"))
-    scored = base.crossJoin(F.broadcast(c)).select(
-        id_col,
-        vec_col,
-        "nrm",
-        "cell_id",
-        (dot(F.col(vec_col), F.col("centroid")) / (F.col("nrm") * F.col("c_cnrm"))).alias(
-            "_csim"
-        ),
     )
-    w_cells = W.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cell_id"))
-    ranked = scored.withColumn("_rk", F.row_number().over(w_cells)).persist()
-    assigned = ranked.filter(F.col("_rk") == 1)
-    probes = ranked.filter(F.col("_rk") <= n_probe)
+    c = tracked_persist(c)
+
+    def score_cells(side: DataFrame) -> DataFrame:
+        base = side.select(id_col, vec_col, norm(F.col(vec_col)).alias("nrm"))
+        scored = base.crossJoin(F.broadcast(c)).select(
+            id_col,
+            vec_col,
+            "nrm",
+            "cell_id",
+            (
+                dot(F.col(vec_col), F.col("centroid"))
+                / (F.col("nrm") * F.col("c_cnrm"))
+            ).alias("_csim"),
+        )
+        w_cells = W.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cell_id"))
+        return scored.withColumn("_rk", F.row_number().over(w_cells))
+
+    if queries is None:
+        # one scored cross join serves BOTH the cell assignment (rank 1)
+        # and the probe list (rank <= n_probe); norms computed once
+        ranked = tracked_persist(score_cells(df))
+        assigned = ranked.filter(F.col("_rk") == 1)
+        probes = ranked.filter(F.col("_rk") <= n_probe)
+    else:
+        assigned = score_cells(df).filter(F.col("_rk") == 1)
+        probes = score_cells(queries).filter(F.col("_rk") <= n_probe)
+    drop_self = queries is None
     left = probes.select(
         F.col("cell_id").alias("cell"),
         F.col(id_col).alias("query_id"),
@@ -170,7 +189,7 @@ def ivf_knn(
             # deterministic order: cosine desc, neighbor id asc
             idx = idx[np.lexsort((cids[idx], -row[idx]))]
             for j in idx:
-                if cids[j] != qids[i]:
+                if not drop_self or cids[j] != qids[i]:
                     out_q.append(qids[i])
                     out_n.append(cids[j])
                     out_s.append(float(row[j]))
@@ -269,7 +288,7 @@ def cosine_neardup_pairs(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "emb",
-    max_block_size: int | None = None,
+    max_block_size: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks.
 
@@ -285,7 +304,9 @@ def cosine_neardup_pairs(
     A block of n vectors still compares n(n-1)/2 pairs — the blocking
     must be fine-grained (many cells). ``max_block_size`` drops blocks
     past the quadratic budget (same rationale as dedup._cap_buckets);
-    route oversized blocks through a finer clustering instead.
+    route oversized blocks through a finer clustering instead. The
+    default (10k -> <=5e7 pairs/block) never triggers at test scale but
+    bounds a skewed block at corpus scale; None disables the cap.
     """
     base = with_norm(df, vec_col).select(
         F.col(block_col).alias("block"),
@@ -298,7 +319,7 @@ def cosine_neardup_pairs(
     base = _cap_buckets(base, ["block"], max_block_size)
     # both sides of the block self-join read the normed vectors — persist
     # so norms are computed once per vector, not once per side
-    base = base.persist()
+    base = tracked_persist(base)
     a = base.select(
         "block",
         F.col(id_col).alias("id_a"),
@@ -361,7 +382,7 @@ def lsh_knn(
     )
     # both sides of the bucket self-join read the bucketed vectors —
     # persist so the n_planes dot products run once per vector
-    b = with_norm(b, vec_col).persist()
+    b = tracked_persist(with_norm(b, vec_col))
     left = b.select(
         F.col("bucket"),
         F.col(id_col).alias("query_id"),

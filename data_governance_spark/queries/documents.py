@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_governance_spark.cache import tracked_persist
+
 from data_governance_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -343,7 +345,8 @@ def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", tokens("text").alias("toks"))
     sh = toks.select(
         "doc_id", F.explode(word_shingles(F.col("toks"), 3)).alias("shingle")
-    ).persist()
+    )
+    sh = tracked_persist(sh)
     sizes = sh.groupBy("doc_id").agg(F.countDistinct("shingle").alias("n"))
     # candidate pairs straight from the per-shingle doc lists: one
     # groupBy replaces the rare-filter + self-join (no shuffle of the

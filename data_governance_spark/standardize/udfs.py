@@ -21,7 +21,10 @@ def strip_diacritics(s: str | None) -> str | None:
     return "".join(c for c in nfkd if not unicodedata.combining(c))
 
 
-strip_diacritics_udf = F.udf(strip_diacritics, T.StringType())
+# wrap in an annotation-free lambda: the `str | None` hints on the plain
+# functions confuse PySpark's eval-type inference and emit a UserWarning
+# on every session (ADVICE r2 / VERDICT hygiene)
+strip_diacritics_udf = F.udf(lambda s: strip_diacritics(s), T.StringType())
 
 
 # F19 (02_x01_create_iahx_xml_collection.py:26-57): country-name title
@@ -78,5 +81,7 @@ def normalize_afiliacao_string(pais_str: str | None) -> str | None:
     )
 
 
-normalize_country_name_udf = F.udf(normalize_country_name, T.StringType())
-normalize_afiliacao_string_udf = F.udf(normalize_afiliacao_string, T.StringType())
+normalize_country_name_udf = F.udf(lambda s: normalize_country_name(s), T.StringType())
+normalize_afiliacao_string_udf = F.udf(
+    lambda s: normalize_afiliacao_string(s), T.StringType()
+)

@@ -73,10 +73,13 @@ _UNSAFE_SPARK_TYPES = ("decimal", "timestamp", "date")
 
 
 def assert_safe_output_types(df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str):
+    # CONTAINS, not startswith: a decimal/timestamp nested inside an
+    # array/struct/map column hash-mismatches at the driver just the
+    # same (ADVICE r2)
     bad_s = [
         (f.name, f.dataType.simpleString())
         for f in df.schema.fields
-        if f.dataType.simpleString().startswith(_UNSAFE_SPARK_TYPES)
+        if any(t in f.dataType.simpleString() for t in _UNSAFE_SPARK_TYPES)
     ]
     assert not bad_s, f"driver-unsafe Spark output types (cast to double/string): {bad_s}"
     desc = con.execute(f"DESCRIBE {sql}").fetchall()

@@ -105,6 +105,24 @@ def test_enrich_temas_pairwise_and_first_db(spark, fact):
     assert r1["dyn"]["ctx"] == ["p1"]
 
 
+def test_enrich_temas_first_db_respects_source_position(spark, fact):
+    """A doc in two source collections: the FIRST union-view collection's
+    db must win even when a later-positioned source has a lexicographically
+    smaller db (ADVICE r2 high: min_by on (_source_pos, db), not min(db))."""
+    base = "id_iahx string, db string, instance_iahx array<string>," \
+        " collection_iahx array<string>, tema_subtema array<string>," \
+        " tema array<string>, projeto array<string>"
+    src_late = spark.createDataFrame(
+        [("1", "aaa_small_db", ["iL"], ["collection_hans"], None, None, None)], base
+    )
+    src_first = spark.createDataFrame(
+        [("1", "zzz_big_db", ["iF"], ["collection_hans"], None, None, None)], base
+    )
+    temas = union_with_provenance({"first_view": src_first, "later_view": src_late})
+    out = {r["id"]: r for r in enrich_temas(fact, temas).collect()}
+    assert out["1"]["dyn"]["collection_hans"] == ["zzz_big_db"]
+
+
 def test_enrichment_idempotent(spark, fact):
     """Running an enrichment twice must equal running it once."""
     dim = spark.createDataFrame(

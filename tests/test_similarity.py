@@ -147,6 +147,30 @@ def test_cosine_neardup_block_cap(vectors, spark):
     assert uncapped.count() > 0
 
 
+def test_ivf_separate_query_set(vectors, spark):
+    """Retrieval shape: a disjoint query set probes the corpus; results
+    match brute force on clustered data and self-matches are kept
+    (different id namespaces)."""
+    df, centers = vectors
+    cells = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cell_id int, centroid array<double>"
+    )
+    corpus = df.filter(F.col("vec_id") % 5 != 0).select("vec_id", "emb")
+    qs = df.filter(F.col("vec_id") % 5 == 0).select("vec_id", "emb")
+    approx = ivf_knn(corpus, cells, k=3, n_probe=1, queries=qs)
+    rows = approx.collect()
+    assert {r["query_id"] for r in rows} == {
+        r["vec_id"] for r in qs.collect()
+    }
+    # neighbors come from the corpus only
+    corpus_ids = {r["vec_id"] for r in corpus.collect()}
+    assert all(r["neighbor_id"] in corpus_ids for r in rows)
+    # vs brute force over the same (queries, corpus) split
+    truth = _pairs(brute_force_knn(qs, corpus, k=3))
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert len(truth & got) / len(truth) >= 0.95
+
+
 def test_ivf_deterministic(vectors, spark):
     df, centers = vectors
     cells = spark.createDataFrame(
