@@ -33,14 +33,21 @@ def main() -> None:
     # JVM/codegen warmup on a tiny query so q1 isn't charged for startup
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
     for name, q in sorted(QUERIES.items()):
+        # Failure-isolated: one bad query records an error entry instead of
+        # killing the sweep — a partial bench still emits its JSON line.
         t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        release_caches()  # charge cache release to the query that made it
+        try:
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+        # Release between queries (after the timing is recorded, so release
+        # cost is not charged to any query).
+        release_caches()
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
     print(
         json.dumps(
             {

@@ -136,7 +136,13 @@ def attach_slice(
     # localCheckpoint: lineage is truncated, AQE/task retries replay the
     # materialized blocks and can never re-derive (and re-number) the
     # ids. Blocks are reclaimed by the ContextCleaner when the plan is
-    # GC'd — no session-long persist leak (ADVICE r2).
+    # GC'd — no session-long persist leak (ADVICE r2). Caveats (ADVICE
+    # r3): eager = a Spark job fires at plan-construction time even if
+    # the result is never executed, and checkpoint blocks are
+    # non-replicated — losing an executor FAILS the job instead of
+    # recomputing (eager=False would NOT be safe: lazy checkpoint can
+    # re-run the id assignment). If executor loss under dynamic
+    # allocation matters, use reliable checkpoint storage instead.
     marked = facts.withColumn("_rid", F.monotonically_increasing_id()).localCheckpoint()
     exploded = marked.select(
         "_rid", F.explode_outer(F.col(countries_col)).alias("_country")

@@ -41,12 +41,20 @@ def brute_force_knn(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "emb",
+    drop_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: cross join + per-query window rank.
 
     Both inputs must expose (id_col, vec_col as array<double>). The
     query side is expected to be small (it is broadcast); the corpus
     streams. Deterministic tie-break: cosine desc, neighbor id asc.
+
+    ``drop_self`` (default True) filters query_id == neighbor_id —
+    correct when queries are drawn from the corpus (self-search). Pass
+    False for the retrieval shape where query and corpus ids live in
+    different namespaces, so an accidental id collision isn't dropped
+    (mirrors ivf_knn, which keeps self-matches when ``queries`` is a
+    separate DataFrame).
     """
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
@@ -59,11 +67,10 @@ def brute_force_knn(
         F.col("nrm").alias("c_nrm"),
     )
     cos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
+    scored = c.crossJoin(F.broadcast(q))
+    if drop_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -288,7 +295,7 @@ def cosine_neardup_pairs(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "emb",
-    max_block_size: int | None = 10_000,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks.
 
@@ -305,8 +312,10 @@ def cosine_neardup_pairs(
     must be fine-grained (many cells). ``max_block_size`` drops blocks
     past the quadratic budget (same rationale as dedup._cap_buckets);
     route oversized blocks through a finer clustering instead. The
-    default (10k -> <=5e7 pairs/block) never triggers at test scale but
-    bounds a skewed block at corpus scale; None disables the cap.
+    default is None (exact: every within-block pair, matching the
+    operator's contract and any SQL oracle); at corpus scale pass an
+    explicit cap (e.g. 10k -> <=5e7 pairs/block) to bound a skewed
+    block — capping is an explicit accuracy/cost opt-in, never silent.
     """
     base = with_norm(df, vec_col).select(
         F.col(block_col).alias("block"),

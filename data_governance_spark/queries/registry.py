@@ -24,7 +24,16 @@ for mod in (relational, documents, embeddings, metric_queries):
 def _with_cache_release(fn):
     """Release the PREVIOUS query's tracked persists when the next query
     is built — bounds executor storage to one query's working set across
-    a full driver sweep (VERDICT r2: un-unpersisted persists)."""
+    a full driver sweep (VERDICT r2: un-unpersisted persists).
+
+    CONTRACT (ADVICE r3): this assumes a strict build -> action -> build
+    sequence, which is how the driver, bench.py, and the tests all run.
+    A caller that builds several query DataFrames before executing any of
+    them (or runs them concurrently) will see earlier queries' persists
+    released before their action runs — results stay correct (Spark
+    recomputes), only the persist optimization is lost. Such a caller
+    should use the un-wrapped per-module QUERIES and call
+    cache.release_caches() itself between actions."""
 
     def wrapped(spark, sf_dir):
         release_caches()

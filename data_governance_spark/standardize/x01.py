@@ -73,10 +73,17 @@ def rename_ai(df: DataFrame, brisa: DataFrame, id_col: str = "id") -> DataFrame:
         .agg(
             F.transform(
                 F.array_sort(
+                    # posexplode_outer emits a (NULL pos, NULL value) row
+                    # for empty/NULL arrays; the when() maps it to NULL and
+                    # collect_list drops it, so an empty `ai` stays [] after
+                    # reassembly (the reference skips those docs unchanged)
                     F.collect_list(
-                        F.struct(
-                            F.col("_pos").alias("pos"),
-                            F.coalesce(F.col("replacement"), F.col("_v")).alias("v"),
+                        F.when(
+                            F.col("_pos").isNotNull(),
+                            F.struct(
+                                F.col("_pos").alias("pos"),
+                                F.coalesce(F.col("replacement"), F.col("_v")).alias("v"),
+                            ),
                         )
                     )
                 ),

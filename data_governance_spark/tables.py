@@ -35,14 +35,31 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects; read the raw int64 nanos and convert
-        # to a microsecond timestamp (set here so it also applies under a
-        # driver-created session).
+        # events.parquet stores ts as parquet TIMESTAMP(NANOS). How that
+        # surfaces depends on the Spark line:
+        #   * Spark 3.x vectorized reader rejects NANOS unless
+        #     spark.sql.legacy.parquet.nanosAsLong=true, which yields a raw
+        #     int64 nanos column (bigint) we truncate to micros ourselves.
+        #   * Spark 4.x reads NANOS natively as timestamp_ntz (the legacy
+        #     conf is a no-op there); the session TZ is pinned to UTC
+        #     (session.py) so NTZ -> TZ is value-preserving.
+        # Branch on the dtype Spark actually produced so either line works,
+        # and fail loudly on anything else rather than letting a future
+        # Spark bump surface as dozens of scattered query errors.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            return df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        if ts_type in ("timestamp_ntz", "timestamp"):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        raise TypeError(
+            "events.ts loaded as unexpected dtype "
+            f"{ts_type!r} (expected bigint under Spark 3.x nanosAsLong or "
+            "timestamp_ntz under Spark 4.x); the Spark parquet NANOS "
+            "handling has likely changed again - update tables.table()."
         )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -69,17 +69,32 @@ def oracle_rows(
 # query with a DECIMAL or integer-sum output hash-mismatching even
 # though the values were equal). Final projections must use only these.
 _SAFE_DUCK_TYPES = ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN")
-_UNSAFE_SPARK_TYPES = ("decimal", "timestamp", "date")
+
+
+def _has_unsafe_type(dt) -> bool:
+    """Recursively walk the DataType tree for decimal/timestamp/date —
+    including inside array/map/struct, which hash-mismatch at the driver
+    just the same (ADVICE r2). A type-tree walk, not a substring match on
+    simpleString(), so a FIELD NAME containing 'date' can't false-positive
+    (ADVICE r3)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.DecimalType, T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_unsafe_type(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _has_unsafe_type(dt.keyType) or _has_unsafe_type(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return any(_has_unsafe_type(f.dataType) for f in dt.fields)
+    return False
 
 
 def assert_safe_output_types(df: DataFrame, con: duckdb.DuckDBPyConnection, sql: str):
-    # CONTAINS, not startswith: a decimal/timestamp nested inside an
-    # array/struct/map column hash-mismatches at the driver just the
-    # same (ADVICE r2)
     bad_s = [
         (f.name, f.dataType.simpleString())
         for f in df.schema.fields
-        if any(t in f.dataType.simpleString() for t in _UNSAFE_SPARK_TYPES)
+        if _has_unsafe_type(f.dataType)
     ]
     assert not bad_s, f"driver-unsafe Spark output types (cast to double/string): {bad_s}"
     desc = con.execute(f"DESCRIBE {sql}").fetchall()

@@ -165,8 +165,9 @@ def test_ivf_separate_query_set(vectors, spark):
     # neighbors come from the corpus only
     corpus_ids = {r["vec_id"] for r in corpus.collect()}
     assert all(r["neighbor_id"] in corpus_ids for r in rows)
-    # vs brute force over the same (queries, corpus) split
-    truth = _pairs(brute_force_knn(qs, corpus, k=3))
+    # vs brute force over the same (queries, corpus) split; drop_self=False
+    # mirrors ivf_knn's separate-namespace retrieval semantics
+    truth = _pairs(brute_force_knn(qs, corpus, k=3, drop_self=False))
     got = {(r["query_id"], r["neighbor_id"]) for r in rows}
     assert len(truth & got) / len(truth) >= 0.95
 

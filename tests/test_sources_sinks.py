@@ -144,14 +144,11 @@ def test_incremental_params():
 
 
 def test_streaming_windowed_counts(spark, tmp_path):
+    from data_governance_spark.tables import table as load_table
+
     src = str(tmp_path / "stream_src")
-    table = "/root/testdata/sf0.001/events.parquet"
     # stage typed events into the stream source dir
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(table)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    )
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
     ev.write.mode("overwrite").parquet(src)
     stream = read_event_stream(spark, src)
     assert stream.isStreaming
@@ -166,14 +163,11 @@ def test_streaming_sessions_equal_batch_q19(spark, tmp_path):
     output == the batch q19 recompute on the same events (real sf0.001
     data, all users)."""
     from data_governance_spark.queries.registry import QUERIES
+    from data_governance_spark.tables import table as load_table
 
     src = tmp_path / "eq_src"
     src.mkdir()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    )
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
     ev.write.parquet(str(src / "w1"))
     # sentinel wave far in the future: advances the watermark past every
     # real session's end + gap so ALL of them confirm
