@@ -8,13 +8,14 @@ from data_governance_spark.cache import release_caches
 from data_governance_spark.queries import (
     documents,
     embeddings,
+    enrich_gates,
     metric_queries,
     relational,
 )
 from data_governance_spark.queries.base import QueryDef
 
 QUERIES: dict[str, QueryDef] = {}
-for mod in (relational, documents, embeddings, metric_queries):
+for mod in (relational, documents, embeddings, metric_queries, enrich_gates):
     overlap = QUERIES.keys() & mod.QUERIES.keys()
     if overlap:
         raise RuntimeError(f"duplicate query names: {overlap}")

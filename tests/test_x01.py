@@ -32,7 +32,12 @@ def test_brisa_map_last_wins_and_skips_empty(spark):
 
 def test_rename_ai_preserves_order_and_unmatched(spark):
     df = spark.createDataFrame(
-        [("1", ["Keep A", " Old Name ", "Keep B"]), ("2", None)],
+        [
+            ("1", ["Keep A", " Old Name ", "Keep B"]),
+            ("2", None),
+            ("3", []),
+            ("4", ["Keep C", None, "Old Name"]),
+        ],
         "id string, ai array<string>",
     )
     brisa = spark.createDataFrame(
@@ -41,3 +46,5 @@ def test_rename_ai_preserves_order_and_unmatched(spark):
     out = {r["id"]: r["ai"] for r in rename_ai(df, brisa).collect()}
     assert out["1"] == ["Keep A", "Fresh", "Keep B"]  # trim-keyed match
     assert out["2"] is None
+    assert out["3"] == []  # empty array preserved, not [NULL]
+    assert out["4"] == ["Keep C", None, "Fresh"]  # NULL element kept in place
