@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from data_governance_spark.metrics.runner import (
     MetricSpec,
     run_metric,
+    run_metric_sliced,
     run_metrics_single_scan,
     top_k,
 )
@@ -121,3 +122,94 @@ def q21_multimetric_single_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return run_metrics_single_scan(ev, specs)
+
+
+# --------------------------------------------------------------------------
+# q34: the sliced runner (A13/A14 + J10) under the oracle gate —
+# run_metric_sliced fans events out to WHO-region-style slices via
+# attach_slice's inline country->regions map and unions the global
+# (region=NULL) pass. The synthesized countries column exercises:
+# case/whitespace key normalization (' C3 ' vs dim 'c3'), a country in
+# TWO regions (nk%8==0 also maps to 'rx'), two same-region countries on
+# one fact counted ONCE (u%6==0 adds the +5 country, same region mod
+# 5), an unmatched country ('cX'), and empty country lists (u%9==0)
+# that appear only in the global rows. Replaces the reference's
+# N+1 per-region server loop (tmgl_regions/dag_02_languages.py:93-142).
+@qdef(
+    QUERIES,
+    "q34_sliced_metric_runner",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, event_type, CAST(strftime(ts, '%Y') AS INT) AS year,
+             user_id AS u
+      FROM events
+    ),
+    cn AS (
+      SELECT event_id, c FROM ev, UNNEST(
+        CASE WHEN u % 9 = 0 THEN [] ELSE
+          ['c' || CAST(u % 25 AS VARCHAR)]
+          || CASE WHEN u % 4 = 0
+                  THEN ['c' || CAST((u + 1) % 25 AS VARCHAR)] ELSE [] END
+          || CASE WHEN u % 6 = 0
+                  THEN ['c' || CAST((u % 25 + 5) % 25 AS VARCHAR)] ELSE [] END
+          || CASE WHEN u % 7 = 0 THEN ['cx'] ELSE [] END
+        END) AS t(c)
+    ),
+    dim AS (
+      SELECT 'c' || CAST(n_nationkey AS VARCHAR) AS c,
+             'r' || CAST(n_nationkey % 5 AS VARCHAR) AS r FROM nation
+      UNION ALL
+      SELECT 'c' || CAST(n_nationkey AS VARCHAR), 'rx'
+      FROM nation WHERE n_nationkey % 8 = 0
+    ),
+    er AS (SELECT DISTINCT cn.event_id, dim.r FROM cn JOIN dim USING (c)),
+    sliced AS (
+      SELECT 'event' AS type, er.r AS region, ev.event_type AS name,
+             ev.year, count(*) AS count
+      FROM ev JOIN er USING (event_id)
+      GROUP BY 2, 3, 4
+    ),
+    unsliced AS (
+      SELECT 'event' AS type, NULL AS region, event_type AS name,
+             year, count(*) AS count
+      FROM ev GROUP BY 3, 4
+    )
+    SELECT * FROM sliced UNION ALL SELECT * FROM unsliced
+    """,
+    doc="sliced metric runner: inline-map region fan-out + global pass "
+    "(ref per-region/per-country N+1 loop collapsed to 2 scans)",
+)
+def q34_sliced_metric_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "dp", F.date_format("ts", "yyyy")
+    )
+    u = F.col("user_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    empty = F.array().cast("array<string>")
+    countries = F.when(u % 9 == 0, empty).otherwise(
+        F.concat(
+            F.array(F.concat(F.lit(" C"), s(u % 25), F.lit(" "))),
+            F.when(
+                u % 4 == 0, F.array(F.concat(F.lit("C"), s((u + 1) % 25)))
+            ).otherwise(empty),
+            F.when(
+                u % 6 == 0, F.array(F.concat(F.lit("c"), s((u % 25 + 5) % 25)))
+            ).otherwise(empty),
+            F.when(u % 7 == 0, F.array(F.lit("cX"))).otherwise(empty),
+        )
+    )
+    ev = ev.withColumn("countries", countries)
+    nation = table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey")
+    dim = nation.select(
+        F.concat(F.lit("c"), s(nk)).alias("country_key"),
+        F.concat(F.lit("r"), s(nk % 5)).alias("who_region"),
+    ).unionByName(
+        nation.filter(nk % 8 == 0).select(
+            F.concat(F.lit("c"), s(nk)).alias("country_key"),
+            F.lit("rx").alias("who_region"),
+        )
+    )
+    return run_metric_sliced(
+        ev, MetricSpec(name="event", entity_col="event_type"), "countries", dim
+    )

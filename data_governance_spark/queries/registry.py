@@ -11,11 +11,19 @@ from data_governance_spark.queries import (
     enrich_gates,
     metric_queries,
     relational,
+    standardize_gates,
 )
 from data_governance_spark.queries.base import QueryDef
 
 QUERIES: dict[str, QueryDef] = {}
-for mod in (relational, documents, embeddings, metric_queries, enrich_gates):
+for mod in (
+    relational,
+    documents,
+    embeddings,
+    metric_queries,
+    enrich_gates,
+    standardize_gates,
+):
     overlap = QUERIES.keys() & mod.QUERIES.keys()
     if overlap:
         raise RuntimeError(f"duplicate query names: {overlap}")

@@ -55,7 +55,10 @@ def pg(pages_col: Column, pages_monographic: Column) -> Column:
 # --------------------------------------------------------------------------
 # F7: language-keyed pivot of title/abstract (:84-95, :148-164)
 def _lang_of(entry: Column) -> Column:
-    return F.lower(_s(entry["_i"]))
+    # NULL _i behaves like the reference's .get('_i', '') — the bare
+    # field. Without the coalesce a NULL lang would become a NULL map
+    # key (map_from_arrays rejects those) and poison has_en's exists().
+    return F.coalesce(F.lower(_s(entry["_i"])), F.lit(""))
 
 
 def title_lang_map(titles: Column) -> Column:
@@ -129,7 +132,7 @@ def multilingual_title(
         return F.coalesce(c, F.array().cast("array<struct<text:string,_i:string>>"))
 
     def has_en(lst: Column) -> Column:
-        return F.exists(lst, lambda t: F.lower(_s(t["_i"])) == "en")
+        return F.exists(lst, lambda t: _lang_of(t) == "en")
 
     def with_fallback(lst: Column, fallback: Column) -> Column:
         base = title_lang_map(lst)
@@ -358,14 +361,19 @@ def _susdigital_theme(item: Column) -> Column:
     'pt' substring-matches (the reference checks 'pt' in occurrence, so
     any segment containing 'pt' qualifies — including 'pt-br')."""
     occurrences = F.split(item, r"\|")
-    pt_version = F.array_compact(
-        F.transform(
-            occurrences,
-            lambda o: F.when(
-                (F.instr(o, "pt-br") > 0) | (F.instr(o, "pt") > 0), F.trim(o)
-            ),
-        )
-    )[0]
+    # F.get, not [0]: ANSI mode (Spark 4 default) raises on an
+    # out-of-bounds index, and the no-pt-occurrence case is legitimate
+    pt_version = F.get(
+        F.array_compact(
+            F.transform(
+                occurrences,
+                lambda o: F.when(
+                    (F.instr(o, "pt-br") > 0) | (F.instr(o, "pt") > 0), F.trim(o)
+                ),
+            )
+        ),
+        0,
+    )
     return F.when(
         pt_version.isNotNull(),
         F.trim(F.element_at(F.split(pt_version, "/"), -1)),
