@@ -10,6 +10,7 @@ from data_governance_spark.queries import (
     embeddings,
     enrich_gates,
     metric_queries,
+    pipeline_gate,
     relational,
     standardize_gates,
 )
@@ -23,6 +24,7 @@ for mod in (
     metric_queries,
     enrich_gates,
     standardize_gates,
+    pipeline_gate,
 ):
     overlap = QUERIES.keys() & mod.QUERIES.keys()
     if overlap:

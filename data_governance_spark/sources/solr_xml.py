@@ -101,5 +101,6 @@ def project_fields(df: DataFrame, columns: list[str], scalar: set[str] | None = 
     cols = [F.col("id")]
     for c in columns:
         v = F.col("fields")[c]
-        cols.append((v[0] if c in scalar else v).alias(c))
+        # F.get: NULL (not an ANSI error) if a scalar field's list is empty
+        cols.append((F.get(v, 0) if c in scalar else v).alias(c))
     return df.select(*cols)

@@ -91,7 +91,9 @@ def add_country_fields(
             _key(F.coalesce(F.col("title_serial"), F.lit(""))) == F.col("_tck"),
             "left",
         )
-        src = F.coalesce(src, F.col("_tc_country")[0])
+        # F.get, not [0]: ANSI mode (Spark 4 default) raises on index 0 of
+        # an empty country array; the reference guards with `if countries`
+        src = F.coalesce(src, F.get(F.col("_tc_country"), 0))
     lk = tabpais_lookup(tabpais).select(
         F.col("ck").alias("_pck"),
         F.col("en").alias("_p_en"), F.col("es").alias("_p_es"),

@@ -27,6 +27,7 @@ def main() -> int:
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
