@@ -1,7 +1,12 @@
-"""The only two Python UDFs in the engine (SURVEY §7.3): diacritics
-stripping and Portuguese-stopword-aware title casing. Everything else
-is a native column expression. Both are tiny, deterministic, and used
-on join keys / dimension-sized data only — never on wide fact columns.
+"""The only two Python UDF families in the engine (SURVEY §7.3):
+diacritics stripping and Portuguese-stopword-aware title casing.
+Everything else is a native column expression.
+
+Both run on the FACT path (J7 probes every exploded `database` entry;
+x01 normalizes `pais_afiliacao`/`pais_publicacao` on every record), so
+they are Arrow-batched Pandas UDFs, not row-at-a-time `F.udf` — the
+per-row Python-call overhead is the difference between a per-batch
+Arrow transfer and 100TB x per-row pickling.
 """
 
 from __future__ import annotations
@@ -9,6 +14,7 @@ from __future__ import annotations
 import re
 import unicodedata
 
+import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -21,10 +27,17 @@ def strip_diacritics(s: str | None) -> str | None:
     return "".join(c for c in nfkd if not unicodedata.combining(c))
 
 
-# wrap in an annotation-free lambda: the `str | None` hints on the plain
-# functions confuse PySpark's eval-type inference and emit a UserWarning
-# on every session (ADVICE r2 / VERDICT hygiene)
-strip_diacritics_udf = F.udf(lambda s: strip_diacritics(s), T.StringType())
+def _series_udf(fn):
+    """Wrap a str->str pure function as an Arrow-batched Pandas UDF.
+    (Annotation-free lambdas inside: `str | None` hints on the plain
+    functions confuse eval-type inference, ADVICE r2.)"""
+    return F.pandas_udf(
+        lambda s: s.map(lambda x: None if x is None else fn(x)),
+        T.StringType(),
+    )
+
+
+strip_diacritics_udf = _series_udf(strip_diacritics)
 
 
 # F19 (02_x01_create_iahx_xml_collection.py:26-57): country-name title
@@ -81,7 +94,15 @@ def normalize_afiliacao_string(pais_str: str | None) -> str | None:
     )
 
 
-normalize_country_name_udf = F.udf(lambda s: normalize_country_name(s), T.StringType())
-normalize_afiliacao_string_udf = F.udf(
-    lambda s: normalize_afiliacao_string(s), T.StringType()
+normalize_country_name_udf = _series_udf(normalize_country_name)
+normalize_afiliacao_string_udf = _series_udf(normalize_afiliacao_string)
+
+# array<string> variant for pais_afiliacao lists (x01 fact path)
+normalize_afiliacao_list_udf = F.pandas_udf(
+    lambda s: s.map(
+        lambda xs: None
+        if xs is None
+        else [normalize_afiliacao_string(x) for x in xs]
+    ),
+    T.ArrayType(T.StringType()),
 )

@@ -11,17 +11,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 from data_governance_spark.standardize.udfs import (
-    normalize_afiliacao_string,
+    normalize_afiliacao_list_udf,
     normalize_afiliacao_string_udf,
-)
-
-normalize_afiliacao_list_udf = F.udf(
-    lambda xs: None if xs is None else [normalize_afiliacao_string(x) for x in xs],
-    T.ArrayType(T.StringType()),
 )
 
 

@@ -57,6 +57,7 @@ def sessionize_stream(
     events: DataFrame,
     gap_minutes: int = 30,
     watermark: str = "2 hours",
+    max_buffer_events: int | None = None,
 ) -> DataFrame:
     """Streaming twin of q19's gap-based sessionization: custom
     stateful operator via applyInPandasWithState.
@@ -76,6 +77,15 @@ def sessionize_stream(
     lives in the buffer only until the watermark passes its session's
     end + gap, so per-user state tracks the (watermark delay + gap)
     window, not history.
+
+    ``max_buffer_events`` is the unbounded-session safety valve: a user
+    emitting continuously with no gap keeps one session open forever,
+    and its buffer would grow without bound. When the per-user buffer
+    exceeds the cap, every session (including the still-open tail) is
+    force-closed and emitted and the buffer cleared; subsequent events
+    start a NEW session even if they arrive within the gap — a
+    documented divergence (a session longer than the cap splits). None
+    (default) preserves exact semantics.
     """
     import pandas as pd  # driver-side import; executors get it via Arrow path
 
@@ -123,8 +133,12 @@ def sessionize_stream(
             state.remove()
             return
         sessions = sessionize(buf)
-        final = [s for s in sessions if s[1] + gap_us <= wm_us]
-        keep = [s for s in sessions if s[1] + gap_us > wm_us]
+        if max_buffer_events is not None and len(buf) > max_buffer_events:
+            # safety valve: force-close everything, clear state
+            final, keep = sessions, []
+        else:
+            final = [s for s in sessions if s[1] + gap_us <= wm_us]
+            keep = [s for s in sessions if s[1] + gap_us > wm_us]
         if keep:
             kept_events = [t for t in buf if t >= keep[0][0]]
             state.update((kept_events,))

@@ -259,6 +259,36 @@ def test_streaming_stateful_sessionization(spark, tmp_path):
     assert not any(u == 3 for u, _, _ in got)  # user 3 still open
 
 
+def test_streaming_session_buffer_cap(spark, tmp_path):
+    """max_buffer_events safety valve: a gapless event stream that would
+    otherwise keep one session open (and its buffer growing) forever is
+    force-closed and emitted when the buffer exceeds the cap, even
+    though the watermark never confirmed it."""
+    from data_governance_spark.streaming.events import sessionize_stream
+
+    src = tmp_path / "cap_src"
+    src.mkdir()
+    rows = [(i, f"2024-01-01 00:{i:02d}:00", 7, "click", 1.0, "{}") for i in range(30)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(str(src / "w1"))
+
+    def run(tag, **kw):
+        out = sessionize_stream(read_event_stream(spark, str(src) + "/*"), **kw)
+        sink = str(tmp_path / f"cap_out_{tag}")
+        run_available_now(out, str(tmp_path / f"cap_ckpt_{tag}"), output_mode="append", path=sink)
+        try:
+            return spark.read.parquet(sink).collect()
+        except Exception:
+            return []
+
+    assert run("nocap") == []  # exact semantics: session still open
+    got = run("cap", max_buffer_events=10)
+    assert [(r["user_id"], r["n_events"]) for r in got] == [(7, 30)]
+
+
 def test_multimodal_stub_and_plumbing(spark):
     rows = [
         (1, "image", b"\x01\x02\x03\x04" * 10,
