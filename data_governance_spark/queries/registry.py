@@ -6,6 +6,7 @@ import dataclasses
 
 from data_governance_spark.cache import release_caches
 from data_governance_spark.queries import (
+    dim_gates,
     documents,
     embeddings,
     enrich_gates,
@@ -25,6 +26,7 @@ for mod in (
     enrich_gates,
     standardize_gates,
     pipeline_gate,
+    dim_gates,
 ):
     overlap = QUERIES.keys() & mod.QUERIES.keys()
     if overlap:

@@ -71,6 +71,14 @@ def build_report(
     )
 
 
+def iso_col(sinonimo: F.Column) -> F.Column:
+    """J13 as a column: the first 2-char synonym (dag_02_map.py:30).
+    try_element_at, not element_at: ANSI mode (Spark 4 default) raises
+    on index 1 of an empty filtered list — a country with no 2-char
+    synonym is legitimate and yields NULL."""
+    return F.try_element_at(F.filter(sinonimo, lambda s: F.length(s) == 2), F.lit(1))
+
+
 def iso_code(who_region_dim: DataFrame, country: str) -> str | None:
     """J13: the country's first 2-char synonym (dag_02_map.py:30)."""
     row = (
@@ -78,11 +86,7 @@ def iso_code(who_region_dim: DataFrame, country: str) -> str | None:
             F.lower(F.coalesce(F.col("pais_tmgl"), F.col("pais_en")))
             == country.lower()
         )
-        .select(
-            F.element_at(
-                F.filter(F.col("pais_sinonimo"), lambda s: F.length(s) == 2), 1
-            ).alias("iso")
-        )
+        .select(iso_col(F.col("pais_sinonimo")).alias("iso"))
         .collect()
     )
     return row[0]["iso"] if row else None
