@@ -13,6 +13,7 @@ from data_governance_spark.queries import (
     metric_queries,
     pipeline_gate,
     relational,
+    sink_source_gates,
     standardize_gates,
 )
 from data_governance_spark.queries.base import QueryDef
@@ -27,6 +28,7 @@ for mod in (
     standardize_gates,
     pipeline_gate,
     dim_gates,
+    sink_source_gates,
 ):
     overlap = QUERIES.keys() & mod.QUERIES.keys()
     if overlap:
