@@ -1,13 +1,14 @@
-"""Oracle gates q41/q42 for the XML boundary: the Solr-XML source
-(S8 streaming parse, S9 ingest filter, S10 first-in-file dedup, S11
-glob listing, F21 string-or-list normalization) and the XML document
-sink's serialization (S12 boost/escape + P8 null-empty pruning + the
-F6-extended invalid-character strip).
+"""Oracle gates q41-q44 for the engine's source/sink boundaries: the
+Solr-XML source (S8-S11, F21), the XML document sink serialization
+(S12/P8/F6-extended), the paginated REST harvester (S1-S5 with error
+capture, composed with the S6 upsert), and the chart-JSON pivot
+(S14/S15 served layer, O1 year sort).
 
 q41 materializes real XML files (content derived from `customer`) and
 reads them back through the real source; q42 gates the `doc_xml`
-serialization column directly — both with analytically-stated DuckDB
-oracles, like q25-q40.
+serialization column directly; q43 drives harvest_pages with a
+deterministic injected fetch; q44 pivots real event metrics — all with
+analytically-stated DuckDB oracles, like q25-q40.
 """
 
 from __future__ import annotations
@@ -157,3 +158,105 @@ def q42_xml_sink_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dyn"),
     )
     return doc_xml(facts).select("id", "xml")
+
+
+# --------------------------------------------------------------------------
+# q43: the REST harvester (S1 page fan-out, S2 watermark params, S5
+# partitioned fetch, page-level error capture) composed with S6's
+# upsert merge. The injected fetch is deterministic: every third page
+# (offset//50 % 3 == 1) raises (those records must be ABSENT, not fail
+# the job); records carry the watermark param to prove params plumb
+# through; ids divisible by 4 arrive in two versions and the upsert
+# must keep the newer. total_count derives from `customer` so the gate
+# scales with sf. Reference: tasks_for_01.py:96-191.
+@qdef(
+    QUERIES,
+    "q43_rest_harvest_upsert",
+    oracle="""
+    WITH t AS (SELECT CAST(LEAST(count(*), 500) AS BIGINT) AS n FROM customer),
+    ids AS (SELECT unnest(range(0, (SELECT n FROM t))) AS id)
+    SELECT id,
+           CASE WHEN id % 4 = 0 THEN '2025-02-02' ELSE '2025-01-01' END
+             AS updated_time,
+           '2025-07-22' AS v
+    FROM ids WHERE (id // 50) % 3 <> 1
+    """,
+    doc="S1-S5 paginated REST harvest (error pages captured, watermark "
+    "params) + S6 upsert merge by newest version",
+)
+def q43_rest_harvest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import date
+
+    from pyspark.sql import types as T
+
+    from data_governance_spark.sources.rest_source import (
+        harvest_pages,
+        incremental_params,
+        records_df,
+        upsert_latest,
+    )
+
+    total = min(table(spark, sf_dir, "customer").count(), 500)
+
+    def fetch(offset: int, limit: int, params: dict) -> list[dict]:
+        if (offset // 50) % 3 == 1:
+            raise RuntimeError(f"boom at {offset}")
+        wm = params["updated_time__gte"]
+        out = []
+        for i in range(offset, min(offset + limit, total)):
+            out.append({"id": i, "updated_time": "2025-01-01", "v": wm})
+            if i % 4 == 0:  # a newer version the upsert must prefer
+                out.append({"id": i, "updated_time": "2025-02-02", "v": wm})
+        return out
+
+    pages = harvest_pages(
+        spark,
+        fetch,
+        total_count=total,
+        limit=50,
+        params=incremental_params(date(2025, 8, 1)),
+    )
+    recs = records_df(
+        pages,
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("updated_time", T.StringType()),
+                T.StructField("v", T.StringType()),
+            ]
+        ),
+    )
+    return upsert_latest(recs)
+
+
+# --------------------------------------------------------------------------
+# q44: the served-layer chart pivot (S14 JSON artifact body, also the
+# engine side of the S15 HTML report): long metrics (type, region,
+# name, year, count) -> wide per-year rows with one column per entity,
+# sorted by year (O1). Absent (year, entity) pairs stay NULL (the
+# reference emits only present entities per year).
+# Reference: tmgl_regions/tasks_for_export/journal.py:148-190.
+@qdef(
+    QUERIES,
+    "q44_chart_pivot",
+    oracle="""
+    SELECT CAST(strftime(ts, '%Y') AS INT) AS ano,
+      CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+      CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+      CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+      CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+    doc="S14/S15 served-layer pivot: long metrics -> wide year rows, "
+    "NULL for absent entities, year-sorted (O1)",
+)
+def q44_chart_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.metrics.runner import MetricSpec, run_metric
+    from data_governance_spark.sinks.json_sink import pivot_metric
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "dp", F.date_format("ts", "yyyy")
+    )
+    metrics = run_metric(ev, MetricSpec(name="event", entity_col="event_type"))
+    return pivot_metric(metrics, "event")
