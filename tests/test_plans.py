@@ -98,3 +98,36 @@ def test_q21_single_scan_for_all_families(spark):
 def test_d01_partial_aggregation(spark):
     plan = plan_of(spark, "d01_token_counts")
     assert "partial_count" in plan  # map-side combine on the exploded rows
+
+
+def test_q30_q31_dims_broadcast(spark):
+    # the enrichment dims (nation-sized) must broadcast; the only
+    # shuffle joins are the fact-fact _apply/agg reassemblies
+    for name in ("q30_db_enrichment_join", "q31_temas_enrichment_join"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q34_sliced_runner_scans_twice_not_n_plus_1(spark):
+    # one scan for the region-fanned pass + one for the global pass —
+    # the whole point vs the reference's per-region query loop (any
+    # regression to per-slice jobs would multiply the scan count)
+    # (the dim is collected into the inline literal map at build time,
+    # so every parquet scan in the final plan IS an events scan)
+    plan = plan_of(spark, "q34_sliced_metric_runner")
+    scans = [
+        l for l in plan.splitlines() if l.startswith("(") and "Scan parquet" in l
+    ]
+    assert len(scans) == 2
+
+
+def test_q38_p4_fanout_is_a_projection(spark):
+    # attach_slice_p4 fans out via a when()-array + explode: ONE scan,
+    # no join at all (the reference fires one server query per country)
+    plan = plan_of(spark, "q38_p4_map_metric")
+    scans = [
+        l for l in plan.splitlines() if l.startswith("(") and "Scan parquet" in l
+    ]
+    assert len(scans) == 1
+    assert "Join" not in plan
