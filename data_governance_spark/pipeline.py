@@ -46,16 +46,27 @@ class Dims:
     brisa_ai: DataFrame | None = None
 
 
+STAGES = ("02_iahx_xml", "02_x01", "03_xml_enriched")
+
+
 def run_pipeline(
     landing: DataFrame,
     dims: Dims,
     current_year: int,
     checkpoint_dir: str | None = None,
+    checkpoint_stages: tuple[str, ...] = STAGES,
 ) -> DataFrame:
-    """landing zone -> enriched wide table (03-stage equivalent)."""
+    """landing zone -> enriched wide table (03-stage equivalent).
+
+    ``checkpoint_stages`` selects which of the medallion tables to
+    materialize when ``checkpoint_dir`` is set (default: all three).
+    Checkpointing after 02 alone already truncates the big standardize
+    expression tree (the Catalyst-analysis memory hog); the later
+    stages add restartability at the cost of a disk round-trip each.
+    """
 
     def checkpoint(df: DataFrame, name: str) -> DataFrame:
-        if checkpoint_dir is None:
+        if checkpoint_dir is None or name not in checkpoint_stages:
             return df
         path = os.path.join(checkpoint_dir, name)
         df.write.mode("overwrite").parquet(path)

@@ -232,15 +232,21 @@ def q36_pipeline_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         temas=None,
         brisa_ai=brisa_ai,
     )
-    # Stage checkpoints: materialize 02/02_x01/03 as parquet (the
-    # medallion path a production deployment would use). This also keeps
-    # each stage's analyzed plan small — the composed chain is a very
-    # large expression tree, and a driver session with a small heap can
-    # OOM in Catalyst analysis on the un-truncated lineage.
+    # One stage checkpoint after standardize (the medallion 02 table):
+    # truncating the big expression tree there keeps Catalyst analysis
+    # memory bounded (a 1g-heap vanilla driver session OOMs on the
+    # un-truncated composed lineage) without paying three disk
+    # round-trips; x01+enrich stay one lazy lineage on top.
     import tempfile
 
     ckpt = tempfile.mkdtemp(prefix="dg_q36_")
-    out = run_pipeline(landing, dims, current_year=2025, checkpoint_dir=ckpt)
+    out = run_pipeline(
+        landing,
+        dims,
+        current_year=2025,
+        checkpoint_dir=ckpt,
+        checkpoint_stages=("02_iahx_xml",),
+    )
     j = lambda c: F.array_join(F.col(c), "|")  # noqa: E731
     return out.select(
         "id",
