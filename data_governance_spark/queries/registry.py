@@ -11,6 +11,7 @@ from data_governance_spark.queries import (
     embeddings,
     enrich_gates,
     metric_queries,
+    multimodal_gate,
     pipeline_gate,
     relational,
     sink_source_gates,
@@ -29,6 +30,7 @@ for mod in (
     pipeline_gate,
     dim_gates,
     sink_source_gates,
+    multimodal_gate,
 ):
     overlap = QUERIES.keys() & mod.QUERIES.keys()
     if overlap:
