@@ -145,3 +145,100 @@ def test_lo_trailing_semicolon_stripped(spark):
 def test_lo_multi_entries_joined(spark):
     got = _lo_of(spark, [_cn(text="X", _a="A"), _cn(_b="B")])
     assert got == "X; A / B"
+
+
+def test_lo_randomized_differential(spark):
+    """Differential sweep of the lo separator state machine: 400
+    randomized entries (deterministic seed) vs a direct Python
+    transcription of the reference algorithm
+    (04/02_create_iahx_xml_collection.py:194-270). Covers the
+    subfield-combination space q35's fixed arithmetic synthesis
+    cannot."""
+    import random
+
+    from pyspark.sql import types as T
+
+    fields = ["text"] + [f"_{c}" for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+    SUBFIELDS = [
+        ("_d", ", "), ("_e", ", "), ("_f", ", "), ("_g", ", "),
+        ("_h", ". "), ("_i", ","), ("_j", ". "), ("_k", ". "),
+        ("_l", ". "), ("_m", ". "), ("_n", ". "), ("_o", ". "),
+        ("_p", ". "), ("_q", ". "), ("_r", ". "), ("_s", ". "),
+        ("_t", ". "), ("_u", ". "), ("_v", ". "), ("_w", ". "),
+        ("_x", ". "), ("_y", ". "), ("_z", ". "), ("_0", ". "),
+        ("_1", ". "), ("_2", ". "), ("_3", ". "), ("_4", ". "),
+        ("_5", ". "),
+    ]
+    LAST = [("_7", ". "), ("_8", ". "), ("_9", ". ")]
+
+    def expected_entry(e: dict) -> str:
+        # transcription of the reference's process_entry
+        def get(k):
+            return (e.get(k) or "").strip()
+
+        result = ""
+        text = get("text")
+        if text:
+            result = text + ";"
+        a, b, c = get("_a"), get("_b"), get("_c")
+        used_a = used_b = False
+        if a:
+            result += (" " if text else "") + a
+            used_a = True
+        if b:
+            result += (", " if used_a else "") + b
+            used_b = True
+        if c:
+            result += (", " if used_a or used_b else "") + c
+        for key, sep in SUBFIELDS:
+            v = get(key)
+            if v:
+                result += sep + v
+        six = get("_6")
+        if six:
+            result += (" " if text else ". ") + six
+        for key, sep in LAST:
+            v = get(key)
+            if v:
+                result += sep + v
+        if result.strip().endswith(";"):
+            result = result.strip()[:-1].rstrip()
+        return result.strip()
+
+    rng = random.Random(20250813)
+    cases = []
+    for i in range(400):
+        entry = {}
+        for f in fields:
+            r = rng.random()
+            if r < 0.55:
+                entry[f] = None
+            elif r < 0.65:
+                entry[f] = rng.choice(["", "  "])  # empty/whitespace
+            else:
+                entry[f] = rng.choice(["", " "]) + f"v{f}{i}" + rng.choice(["", " "])
+        cases.append(entry)
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField(
+                "call_number",
+                T.ArrayType(
+                    T.StructType(
+                        [T.StructField(f, T.StringType()) for f in fields]
+                    )
+                ),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, [tuple(e[f] for f in fields)]) for i, e in enumerate(cases)], schema
+    )
+    got = {
+        r["i"]: r["lo"]
+        for r in df.select("i", lo(F.col("call_number")).alias("lo")).collect()
+    }
+    for i, e in enumerate(cases):
+        want = expected_entry(e) or None  # empty phrase -> no entries -> NULL
+        assert got[i] == want, f"case {i}: {e!r}\n got={got[i]!r}\nwant={want!r}"
