@@ -54,6 +54,10 @@ def main() -> None:
                 "metric": "total_query_sec",
                 "value": total,
                 "unit": "sec",
+                # totals are only comparable at equal suite size — the
+                # query count grows round-over-round as operators gain
+                # oracle gates; compare per-query times across rounds
+                "n_queries": len(timings),
                 "queries": timings,
                 "sf": sf,
             }
