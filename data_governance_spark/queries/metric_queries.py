@@ -213,3 +213,35 @@ def q34_sliced_metric_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_metric_sliced(
         ev, MetricSpec(name="event", entity_col="event_type"), "countries", dim
     )
+
+
+# --------------------------------------------------------------------------
+# q46: the two-phase salted aggregation (skew.py) under the oracle
+# gate — results must be EXACTLY a plain groupBy (the salt only changes
+# the physical distribution). Sums go through DECIMAL so the two-phase
+# summation order cannot diverge from the oracle's single-phase one.
+@qdef(
+    QUERIES,
+    "q46_salted_aggregation",
+    oracle="""
+    SELECT event_type, count(*) AS count,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="skew-safe two-phase salted count/sum == plain groupBy results",
+)
+def q46_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.operators.skew import salted_count, salted_sum
+
+    ev = table(spark, sf_dir, "events")
+    counts = salted_count(ev, ["event_type"], buckets=8)
+    sums = salted_sum(
+        ev,
+        ["event_type"],
+        F.col("value").cast("decimal(18,2)"),
+        buckets=8,
+        sum_alias="sum_value",
+    )
+    return counts.join(sums, "event_type").select(
+        "event_type", "count", F.col("sum_value").cast("double").alias("sum_value")
+    )
