@@ -242,3 +242,283 @@ def test_lo_randomized_differential(spark):
     for i, e in enumerate(cases):
         want = expected_entry(e) or None  # empty phrase -> no entries -> NULL
         assert got[i] == want, f"case {i}: {e!r}\n got={got[i]!r}\nwant={want!r}"
+
+
+def test_fo_randomized_differential(spark):
+    """Differential sweep of the fo citation builder: 400 randomized
+    docs (deterministic seed) across all four treatment-level formats
+    vs a direct Python transcription of the reference
+    (02_create_iahx_xml_collection.py:273-459), with the engine's
+    string-normalized inputs (publisher/edition multiline strings)."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from data_governance_spark.standardize.citation import fo_from
+
+    def join_texts(lst, sep):
+        if not lst:
+            return None
+        vals = [a["text"] for a in lst if a.get("text") is not None]
+        return vals
+
+    def last_pages(pages):
+        pf = pl = ptx = None
+        for p in pages or []:
+            if p.get("_f"):
+                pf = p["_f"]
+            if p.get("_l"):
+                pl = p["_l"]
+            if p.get("text"):
+                ptx = p["text"]
+        return pf, pl, ptx
+
+    def desc_b_of(di):
+        return [e["_b"] for e in di or [] if e.get("_b")]
+
+    def lines_join(s):
+        return "; ".join(s.splitlines())
+
+    def expected(doc):
+        # transcription of the reference's standardize_fo
+        tl = (doc.get("treatment_level") or "").lower()
+        ts = doc.get("title_serial")
+        symbol = doc.get("symbol")
+
+        def fo_as():
+            parts = []
+            if ts:
+                parts.append(ts)
+            if doc.get("volume_serial"):
+                parts.append(";" + doc["volume_serial"])
+            if doc.get("issue_number"):
+                parts.append("(" + doc["issue_number"] + ")")
+            pf, pl, ptx = last_pages(doc.get("pages"))
+            if pf:
+                parts.append(": " + pf)
+            if pl:
+                parts.append("-" + pl)
+            if ptx:
+                parts.append(ptx)
+            if doc.get("publication_date"):
+                parts.append(", " + doc["publication_date"] + ".")
+            db = desc_b_of(doc.get("descriptive_information"))
+            if db:
+                parts.append(" " + ", ".join(db))
+            return "".join(parts).strip()
+
+        def paren_block():
+            parts = []
+            if ts:
+                parts.append("(" + ts)
+            if doc.get("volume_serial"):
+                parts.append(", " + doc["volume_serial"])
+            if doc.get("issue_number"):
+                parts.append(", " + doc["issue_number"])
+            if ts:
+                parts.append(").")
+            if symbol:
+                parts.append(" (" + symbol + ").")
+            return parts
+
+        def fo_am():
+            parts = []
+            ind = doc.get("individual_author_monographic")
+            corp = doc.get("corporate_author_monographic")
+            if ind or corp:
+                parts.append("In. ")
+                authors = join_texts(ind if ind else corp, "; ")
+                if authors:
+                    parts.append("; ".join(authors) + ". ")
+            titles = join_texts(doc.get("title_monographic"), " / ")
+            if titles:
+                parts.append(" / ".join(titles) + ".")
+            if doc.get("publication_city"):
+                parts.append(" " + doc["publication_city"] + ", ")
+            if doc.get("publisher"):
+                parts.append(lines_join(doc["publisher"]) + ", ")
+            if doc.get("edition"):
+                parts.append(lines_join(doc["edition"]) + ", ")
+            if doc.get("publication_date"):
+                parts.append(doc["publication_date"] + ".")
+            pf, pl, ptx = last_pages(doc.get("pages"))
+            if pf and pl:
+                parts.append(f" p. {pf}-{pl}")
+            if ptx:
+                parts.append(f" p. {ptx}")
+            db = desc_b_of(doc.get("descriptive_information"))
+            if db:
+                parts.append(", " + ", ".join(db) + ". ")
+            parts += paren_block()
+            return "".join(parts).strip()
+
+        def imprint_parts():
+            parts = []
+            if doc.get("publication_city"):
+                parts.append(doc["publication_city"] + "; ")
+            if doc.get("publisher"):
+                parts.append(lines_join(doc["publisher"]) + "; ")
+            if doc.get("edition"):
+                parts.append(lines_join(doc["edition"]) + "; ")
+            if doc.get("publication_date"):
+                parts.append(doc["publication_date"] + ". ")
+            if doc.get("pages_monographic"):
+                pm = doc["pages_monographic"]
+                parts.append(pm + " " if "p" in pm else pm + " p. ")
+            db = desc_b_of(doc.get("descriptive_information"))
+            if db:
+                parts.append(", ".join(db) + ".")
+            return parts
+
+        def fo_m():
+            if doc.get("publication_city") or doc.get("edition") or doc.get("publisher"):
+                return "".join(imprint_parts() + paren_block()).strip()
+            return "".join(paren_block()).strip()
+
+        def fo_c():
+            parts = []
+            if doc.get("publication_city"):
+                parts.append(doc["publication_city"] + "; ")
+                if doc.get("publisher"):
+                    parts.append(lines_join(doc["publisher"]) + "; ")
+                if doc.get("edition"):
+                    parts.append(lines_join(doc["edition"]) + "; ")
+                if doc.get("publication_date"):
+                    parts.append(doc["publication_date"] + ". ")
+                if doc.get("pages_monographic"):
+                    pm = doc["pages_monographic"]
+                    parts.append(pm + " " if "p" in pm else pm + " p. ")
+                db = desc_b_of(doc.get("descriptive_information"))
+                if db:
+                    parts.append(", ".join(db) + ".")
+            return "".join(parts).strip()
+
+        if tl == "as":
+            out = fo_as()
+        elif tl.startswith("am"):
+            out = fo_am()
+        elif tl.startswith("m"):
+            out = fo_m()
+        elif tl == "c":
+            out = fo_c()
+        else:
+            return None
+        return out or None  # P8: empty results prune to NULL
+
+    rng = random.Random(20250814)
+
+    def maybe(p, fn):
+        return fn() if rng.random() < p else None
+
+    def word(tag, i):
+        return f"{tag}{i}"
+
+    cases = []
+    for i in range(400):
+        doc = {
+            "treatment_level": rng.choice(
+                ["as", "am", "amx", "m", "mc", "c", "zz", "", None]
+            ),
+            "title_serial": rng.choice([None, "", word("TS", i)]),
+            "volume_serial": rng.choice([None, "", word("V", i)]),
+            "issue_number": rng.choice([None, "", word("N", i)]),
+            "publication_date": rng.choice([None, "", word("DT", i)]),
+            "publication_city": rng.choice([None, "", word("CY", i)]),
+            "publisher": rng.choice([None, "", word("PB", i), f"PB{i}\nPC{i}"]),
+            "edition": rng.choice([None, "", word("ED", i), f"ED{i}\nEE{i}"]),
+            "pages_monographic": rng.choice([None, "", f"{i} p", f"{i}"]),
+            "symbol": rng.choice([None, "", word("SY", i)]),
+            "pages": maybe(
+                0.7,
+                lambda: [
+                    {
+                        "_f": rng.choice([None, "", f"f{j}"]),
+                        "_l": rng.choice([None, "", f"l{j}"]),
+                        "text": rng.choice([None, "", f"t{j}"]),
+                        "f": None,
+                        "_e": None,
+                    }
+                    for j in range(rng.randint(0, 3))
+                ],
+            ),
+            "descriptive_information": maybe(
+                0.6,
+                lambda: [
+                    {"_b": rng.choice([None, "", f"b{j}"])}
+                    for j in range(rng.randint(0, 3))
+                ],
+            ),
+            "individual_author_monographic": maybe(
+                0.5,
+                lambda: [
+                    {"text": rng.choice([None, f"IA{j}"])}
+                    for j in range(rng.randint(0, 2))
+                ],
+            ),
+            "corporate_author_monographic": maybe(
+                0.5,
+                lambda: [
+                    {"text": rng.choice([None, f"CA{j}"])}
+                    for j in range(rng.randint(0, 2))
+                ],
+            ),
+            "title_monographic": maybe(
+                0.6,
+                lambda: [
+                    {"text": rng.choice([None, f"TM{j}"])}
+                    for j in range(rng.randint(0, 2))
+                ],
+            ),
+        }
+        cases.append(doc)
+
+    pages_t = T.ArrayType(
+        T.StructType([T.StructField(f, T.StringType()) for f in ("_f", "_l", "text", "f", "_e")])
+    )
+    texts_t = T.ArrayType(T.StructType([T.StructField("text", T.StringType())]))
+    schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("treatment_level", T.StringType()),
+            T.StructField("title_serial", T.StringType()),
+            T.StructField("volume_serial", T.StringType()),
+            T.StructField("issue_number", T.StringType()),
+            T.StructField("publication_date", T.StringType()),
+            T.StructField("publication_city", T.StringType()),
+            T.StructField("publisher", T.StringType()),
+            T.StructField("edition", T.StringType()),
+            T.StructField("pages_monographic", T.StringType()),
+            T.StructField("symbol", T.StringType()),
+            T.StructField("pages", pages_t),
+            T.StructField(
+                "descriptive_information",
+                T.ArrayType(T.StructType([T.StructField("_b", T.StringType())])),
+            ),
+            T.StructField("individual_author_monographic", texts_t),
+            T.StructField("corporate_author_monographic", texts_t),
+            T.StructField("title_monographic", texts_t),
+        ]
+    )
+
+    def tup(doc, i):
+        def st(lst, fields):
+            if lst is None:
+                return None
+            return [tuple(e.get(f) for f in fields) for e in lst]
+
+        return (
+            i, doc["treatment_level"], doc["title_serial"], doc["volume_serial"],
+            doc["issue_number"], doc["publication_date"], doc["publication_city"],
+            doc["publisher"], doc["edition"], doc["pages_monographic"], doc["symbol"],
+            st(doc["pages"], ("_f", "_l", "text", "f", "_e")),
+            st(doc["descriptive_information"], ("_b",)),
+            st(doc["individual_author_monographic"], ("text",)),
+            st(doc["corporate_author_monographic"], ("text",)),
+            st(doc["title_monographic"], ("text",)),
+        )
+
+    df = spark.createDataFrame([tup(d, i) for i, d in enumerate(cases)], schema)
+    got = {r["i"]: r["fo"] for r in df.select("i", fo_from(df).alias("fo")).collect()}
+    for i, doc in enumerate(cases):
+        want = expected(doc)
+        assert got[i] == want, f"case {i}: {doc!r}\n got={got[i]!r}\nwant={want!r}"
