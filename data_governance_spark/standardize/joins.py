@@ -198,7 +198,9 @@ def add_author_fields(
 
     def afil(x: Column) -> Column:
         # name ; inst . inst2 . inst3 . city . country, or 's.af' when
-        # no institution (:499-514)
+        # no institution (:499-514). The reference lstrip('; ')s the
+        # joined string — visible when the NAME itself starts with
+        # spaces/semicolons (caught by the randomized differential).
         base = F.concat(
             x["a"]["text"],
             F.when(nz(x["a"]["_1"]), F.concat(F.lit("; "), x["a"]["_1"])).otherwise(F.lit("")),
@@ -207,7 +209,9 @@ def add_author_fields(
             F.when(nz(x["a"]["_c"]), F.concat(F.lit(". "), x["a"]["_c"])).otherwise(F.lit("")),
             F.when(nz(x["a"]["_p"]), F.concat(F.lit(". "), x["a"]["_p"])).otherwise(F.lit("")),
         )
-        return F.when(nz(x["a"]["_1"]), base).otherwise(F.lit("s.af"))
+        return F.when(
+            nz(x["a"]["_1"]), F.regexp_replace(base, r"^[; ]+", "")
+        ).otherwise(F.lit("s.af"))
 
     # af: per author, institution (deduped) else unconditional 's.af',
     # then _2/_3/_c deduped (:517-531)

@@ -439,3 +439,168 @@ def test_ta_var_issn_then_title_fallback(spark):
     assert out[1] == ["Revista A", "Rev A", "Par"]
     assert out[2] == ["Revista B", "Rev B"]
     assert out[3] is None
+
+
+def test_author_fields_randomized_differential(spark):
+    """Differential sweep of add_author_fields (J2): 250 randomized
+    author lists vs a direct Python transcription of the reference
+    (02_create_iahx_xml_collection.py:469-553) over a synthesized
+    country map. Exercises: the name-gated afiliacao with its
+    lstrip('; ') quirk, the unconditional repeatable 's.af' in af,
+    _k-''-means-no-fallback auid semantics, ordered dedup of the
+    pais/instituicao pairs, and None/''/value noise in every subfield.
+    (Countries are synthesized without outer whitespace: the reference
+    probes country.lower() untrimmed while the engine trims — a
+    documented more-forgiving divergence.)"""
+    import random
+
+    from pyspark.sql import types as T
+
+    from data_governance_spark.standardize.joins import add_author_fields
+
+    langs = ["en", "es", "pt", "fr"]
+    dim_rows = []
+    for n in range(8):
+        dim_rows.append(
+            {
+                "pt": f"pt c{n}",
+                "en": f"c{n}",
+                "es": f"es c{n}",
+                "fr": f"fr c{n}" if n % 3 else None,
+                "pais_2": f"Z{n}",
+                "sinonimo": [f"sy{n}"] if n % 2 else [],
+            }
+        )
+    country_map = {}
+    for row in dim_rows:
+        for key in [row["pt"], row["en"], row["es"], row["fr"], row["pais_2"]] + row[
+            "sinonimo"
+        ]:
+            if key:
+                country_map[key.lower()] = row
+
+    def expected(authors):
+        # transcription of standardize_individual_authors
+        res = {k: [] for k in (
+            "au", "afiliacao_autor", "af", "instituicao_pais_afiliacao",
+            "pais_afiliacao", "auid", "email",
+        )}
+        if not isinstance(authors, list):
+            return res
+        for a in authors:
+            def g(k):
+                return a.get(k) or ""
+
+            name, inst, i2, i3 = g("text"), g("_1"), g("_2"), g("_3")
+            country, city, email = g("_p"), g("_c"), g("_e")
+            auid = a.get("_k") if a.get("_k") is not None else a.get("_w", "")
+            auid = auid or ""
+            if name:
+                res["au"].append(name)
+                parts = [name]
+                if inst:
+                    parts.append(f"; {inst}")
+                if i2:
+                    parts.append(f". {i2}")
+                if i3:
+                    parts.append(f". {i3}")
+                if city:
+                    parts.append(f". {city}")
+                if country:
+                    parts.append(f". {country}")
+                if inst and parts:
+                    res["afiliacao_autor"].append("".join(parts).lstrip("; "))
+                else:
+                    res["afiliacao_autor"].append("s.af")
+            if inst:
+                if inst not in res["af"]:
+                    res["af"].append(inst)
+            else:
+                res["af"].append("s.af")
+            for extra in (i2, i3, city):
+                if extra and extra not in res["af"]:
+                    res["af"].append(extra)
+            if auid:
+                res["auid"].append(auid)
+            if email:
+                res["email"].append(email)
+            if country:
+                m = country_map.get(country.lower())
+                if m:
+                    pa = f'^i{m.get("en")}^e{m.get("es")}^p{m.get("pt")}^f{m.get("fr")}'
+                    if pa not in res["pais_afiliacao"]:
+                        res["pais_afiliacao"].append(pa)
+            if inst and country:
+                ip = f"{inst}+{country}"
+                if ip not in res["instituicao_pais_afiliacao"]:
+                    res["instituicao_pais_afiliacao"].append(ip)
+        return res
+
+    rng = random.Random(20250815)
+
+    def subfield(vals, p_none=0.4, p_empty=0.15):
+        r = rng.random()
+        if r < p_none:
+            return None
+        if r < p_none + p_empty:
+            return ""
+        return rng.choice(vals)
+
+    cases = []
+    for i in range(250):
+        n_auth = rng.randint(0, 3)
+        authors = None if rng.random() < 0.1 else [
+            {
+                "text": subfield([f"Au{i}-{j}", f" ;Au{i}-{j}", f"  Au{i}-{j}"]),
+                "_1": subfield([f"In{j}", f"In{j % 2}"]),
+                "_2": subfield([f"I2{j}", f"In{j % 2}"]),  # af-dedup collisions
+                "_3": subfield([f"I3{j}"]),
+                "_p": subfield(
+                    [f"C{rng.randrange(8)}", f"pt c{rng.randrange(8)}",
+                     f"sy{rng.randrange(8)}", "nomatch"]
+                ),
+                "_c": subfield([f"Cy{j}"]),
+                "_k": subfield([f"K{j}"]),
+                "_w": subfield([f"W{j}"]),
+                "_e": subfield([f"e{j}@x"]),
+            }
+            for j in range(n_auth)
+        ]
+        cases.append(authors)
+
+    fields = ("text", "_1", "_2", "_3", "_p", "_c", "_k", "_w", "_e")
+    schema = T.StructType(
+        [
+            T.StructField("id_pk", T.LongType()),
+            T.StructField(
+                "individual_author",
+                T.ArrayType(
+                    T.StructType([T.StructField(f, T.StringType()) for f in fields])
+                ),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (i, None if a is None else [tuple(e[f] for f in fields) for e in a])
+            for i, a in enumerate(cases)
+        ],
+        schema,
+    )
+    tabpais = spark.createDataFrame(
+        [
+            (r["pt"], r["en"], r["es"], r["fr"], r["pais_2"], r["sinonimo"])
+            for r in dim_rows
+        ],
+        "pt string, en string, es string, fr string, pais_2 string,"
+        " sinonimo array<string>",
+    )
+    out = {r["id_pk"]: r for r in add_author_fields(df, tabpais).collect()}
+    for i, authors in enumerate(cases):
+        want = expected(authors)
+        for field in want:
+            got = out[i][field] or []
+            assert list(got) == want[field], (
+                f"case {i} field {field}:\n authors={authors!r}\n"
+                f" got={list(got)!r}\nwant={want[field]!r}"
+            )
