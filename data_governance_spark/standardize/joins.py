@@ -339,7 +339,9 @@ def decs_code_array(
     e = e.join(F.broadcast(main_lk), "_main_key", "left").join(
         F.broadcast(qual_lk), "_qual_key", "left"
     )
-    digit_lead = F.substring(F.trim(kw), 1, 1).rlike("[0-9]")
+    # RAW first char, not trimmed: the reference tests keyword[0] — a
+    # ' 12x' keyword goes down the term path, not the passthrough
+    digit_lead = F.substring(kw, 1, 1).rlike("[0-9]")
     formatted = F.when(
         ~nz(kw), F.lit(None).cast("string")
     ).when(digit_lead, F.concat(F.lit("^d"), kw)).when(

@@ -604,3 +604,107 @@ def test_author_fields_randomized_differential(spark):
                 f"case {i} field {field}:\n authors={authors!r}\n"
                 f" got={list(got)!r}\nwant={want[field]!r}"
             )
+
+
+def test_decs_code_randomized_differential(spark):
+    """Differential sweep of the J3 DECS thesaurus join: 300 randomized
+    keyword arrays vs a direct Python transcription of the reference
+    (misc.py:87-158). Exercises: raw-first-char digit passthrough
+    (' 12x' is NOT a passthrough), diacritics-stripped lowered terms,
+    synonym keys, qualifier hit/miss (a qualifier miss nulls the WHOLE
+    entry), all-zero MFNs mapping to None (term hit, code miss),
+    multi-slash keywords using only the second segment, and dropped
+    NULL entries with preserved order."""
+    import random
+    import unicodedata
+
+    from pyspark.sql import types as T
+
+    from data_governance_spark.standardize.joins import decs_code_array, decs_lookup
+
+    def rmdia(s):
+        nfkd = unicodedata.normalize("NFKD", s)
+        return "".join(c for c in nfkd if not unicodedata.combining(c))
+
+    decs_rows = [
+        # (mfn, descritor_ingles, descritor_portugues, sinonimos_ingles)
+        ("000123", "Acupunctúre", "Acupuntura", ["needle therapy"]),
+        ("0442", "Phytotherapy", None, []),
+        ("007", "/therapy", None, []),  # qualifier term (stored WITH '/')
+        ("000", "Zeroed Term", None, ["zt"]),  # all-zero MFN -> None code
+        ("21", "Água", None, ["H2O", "/agua-q"]),
+    ]
+    decs_map = {}
+    for mfn, en, pt, syn in decs_rows:
+        code = mfn.lstrip("0") or None
+        for term in [en, pt] + syn:
+            if term:
+                decs_map[rmdia(term.strip().lower())] = code
+
+    def expected_one(kw):
+        # transcription of get_decs_mfn
+        if not kw:
+            return None
+        if kw and kw[0].isdigit():
+            return f"^d{kw}"
+        clean = rmdia(kw.strip().lower())
+        parts = clean.split("/")
+        main = parts[0]
+        qual = "/" + parts[1] if len(parts) > 1 else None
+        main_mfn = decs_map.get(main)
+        if not main_mfn:
+            return None
+        if qual:
+            qual_mfn = decs_map.get(qual)
+            return f"^d{main_mfn}^s{qual_mfn}" if qual_mfn else None
+        return f"^d{main_mfn}"
+
+    pool = [
+        "Acupuncture", "ACUPUNCTURE", "acupunctúre", "Acupuntura",
+        "needle therapy", "Phytotherapy", "phytotherapy/therapy",
+        "Acupuncture/therapy", "Acupuncture/missing", "agua", "Água/agua-q",
+        "agua/agua-q/extra", "Zeroed Term", "zt", "zt/therapy", "nomatch",
+        "12345", "9 lives", " 12x", "1/2", "", "x/", "/therapy",
+    ]
+    rng = random.Random(20250816)
+    cases = []
+    for i in range(300):
+        n = rng.randint(0, 4)
+        arr = None if rng.random() < 0.1 else [
+            rng.choice(pool + [None]) for _ in range(n)
+        ]
+        cases.append(arr)
+
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(cases)],
+        T.StructType(
+            [
+                T.StructField("id_pk", T.LongType()),
+                T.StructField("kws", T.ArrayType(T.StringType())),
+            ]
+        ),
+    )
+    decs = spark.createDataFrame(
+        [
+            (mfn, en, pt, None, None, None, None, None, None, syn, None, None, None, None)
+            for mfn, en, pt, syn in decs_rows
+        ],
+        "mfn string, descritor_ingles string, descritor_portugues string,"
+        "descritor_espanhol string, descritor_frances string,"
+        "descritor_espanhol_espanha string, versao_alternativa_ingles string,"
+        "versao_alternativa_espanhol string, versao_alternativa_portugues string,"
+        "sinonimos_ingles array<string>, sinonimos_espanhol array<string>,"
+        "sinonimos_portugues array<string>, sinonimos_espanha array<string>,"
+        "sinonimos_frances array<string>",
+    )
+    out = decs_code_array(df, decs_lookup(decs), F.col("kws"), "codes")
+    got = {r["id_pk"]: r["codes"] for r in out.collect()}
+    for i, arr in enumerate(cases):
+        if arr is None:
+            want = None
+        else:
+            want = [c for c in (expected_one(k) for k in arr) if c is not None]
+        got_i = got[i]
+        assert (got_i if got_i is None else list(got_i)) == want or (
+            arr is None and not got_i
+        ), f"case {i}: kws={arr!r}\n got={got_i!r}\nwant={want!r}"
