@@ -708,3 +708,138 @@ def test_decs_code_randomized_differential(spark):
         assert (got_i if got_i is None else list(got_i)) == want or (
             arr is None and not got_i
         ), f"case {i}: kws={arr!r}\n got={got_i!r}\nwant={want!r}"
+
+
+def test_doctype_ur_randomized_differential(spark):
+    """Differential sweep of F15 (document_type) + F10 (ur family +
+    fulltext): 300 randomized (literature_type, electronic_address)
+    pairs vs a transcription of the reference (:630-678 and :167-191).
+    Exercises: char-containment base types, exact congress/project
+    codes, substring (not suffix) media extensions with .mp4 in BOTH
+    sets, the dead lowered-'UDIO' podcast branch, RAW-case 'MULTIM'/
+    'UDIO' matching in ur_*, the www/internet/http fulltext flag, and
+    invalid (_u-less) entries skipped everywhere."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from data_governance_spark.standardize.fields import (
+        document_type,
+        fulltext_flag,
+        ur,
+        ur_audio,
+        ur_meta,
+        ur_multimedia,
+    )
+
+    VEX = {".mp4", ".avi", ".wmv", ".mpeg", ".mpe", ".mpg"}
+    AEX = {".wma", ".mp3", ".mp4", ".wav"}
+
+    def expected(lt, ea):
+        lt_l = (lt or "").lower()
+        types = set()
+        for b, t in {
+            "s": "article", "m": "monography",
+            "n": "non-conventional", "t": "thesis",
+        }.items():
+            if b in lt_l:
+                types.add(t)
+        if lt_l in {"mc", "mcp", "msc", "nc", "sc", "scp"}:
+            types.add("congress and conference")
+        if lt_l in {"mcp", "mp", "msp", "np", "scp", "sp"}:
+            types.add("project document")
+        for e in ea or []:
+            y = (e.get("_y") or "").lower()
+            z = (e.get("_z") or "").lower()
+            u = (e.get("_u") or "").lower()
+            q = (e.get("_q") or "").lower()
+            if "multim" in y or "deo" in z or any(x in u for x in VEX):
+                types.add("video")
+            # 'UDIO' in lowered y is the reference's dead branch
+            if any(x in q for x in AEX) or any(x in u for x in AEX):
+                types.add("podcast")
+        urs, urm, ura, urx, ft = [], [], [], [], None
+        for e in ea or []:
+            u = e.get("_u")
+            if u:
+                if any(p in u.lower() for p in ("www", "internet", "http")):
+                    ft = 1
+                urs.append(u)
+                if e.get("_y") and "MULTIM" in e["_y"]:
+                    urm.append(u)
+                if e.get("_y") and "UDIO" in e["_y"]:
+                    ura.append(u)
+                if e.get("_x"):
+                    urx.append(u)
+        return sorted(types), urs, urm, ura, urx, ft
+
+    u_pool = [None, "", "http://x.mp4", "WWW.site", "ftp://a.wav", "plain",
+              "x.mpg", "INTERNETz", "a.mp3.txt", "doc.pdf"]
+    y_pool = [None, "", "MULTIMEDIA", "multimedia", "AUDIO", "audio", "xUDIOx", "ÁUDIO"]
+    z_pool = [None, "", "video", "VIDEO", "x deo y", "zz"]
+    x_pool = [None, "", "1", "meta"]
+    q_pool = [None, "", "a.wav", "A.WAV", "s.mp3", "none"]
+    lt_pool = [None, "", "s", "S", "m", "t", "n", "mc", "mcp", "msc", "nc",
+               "sc", "scp", "mp", "msp", "np", "sp", "ms", "xyz", "as"]
+
+    rng = random.Random(20250817)
+    cases = []
+    for i in range(300):
+        ea = None if rng.random() < 0.1 else [
+            {
+                "_u": rng.choice(u_pool), "_y": rng.choice(y_pool),
+                "_z": rng.choice(z_pool), "_x": rng.choice(x_pool),
+                "_q": rng.choice(q_pool),
+            }
+            for _ in range(rng.randint(0, 3))
+        ]
+        cases.append((rng.choice(lt_pool), ea))
+
+    ea_t = T.ArrayType(
+        T.StructType(
+            [T.StructField(f, T.StringType()) for f in ("_u", "_y", "_z", "_x", "_q")]
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("lt", T.StringType()),
+            T.StructField("ea", ea_t),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (
+                i, lt,
+                None if ea is None else [
+                    tuple(e[f] for f in ("_u", "_y", "_z", "_x", "_q")) for e in ea
+                ],
+            )
+            for i, (lt, ea) in enumerate(cases)
+        ],
+        schema,
+    )
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            document_type(F.col("lt"), F.col("ea")).alias("types"),
+            ur(F.col("ea")).alias("ur"),
+            ur_multimedia(F.col("ea")).alias("urm"),
+            ur_audio(F.col("ea")).alias("ura"),
+            ur_meta(F.col("ea")).alias("urx"),
+            fulltext_flag(F.col("ea")).alias("ft"),
+        ).collect()
+    }
+    for i, (lt, ea) in enumerate(cases):
+        types, urs, urm, ura, urx, ft = expected(lt, ea)
+        r = out[i]
+        assert list(r["types"]) == types, f"case {i} types: {lt!r} {ea!r}: {r['types']} != {types}"
+        for field, want in (("ur", urs), ("urm", urm), ("ura", ura), ("urx", urx)):
+            got = r[field]
+            got = [] if got is None else list(got)
+            if ea is None:
+                assert got == []
+            else:
+                assert got == want, f"case {i} {field}: {ea!r}\n got={got}\nwant={want}"
+        assert r["ft"] == ft, f"case {i} ft: {ea!r}: {r['ft']} != {ft}"
