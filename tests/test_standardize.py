@@ -843,3 +843,157 @@ def test_doctype_ur_randomized_differential(spark):
             else:
                 assert got == want, f"case {i} {field}: {ea!r}\n got={got}\nwant={want}"
         assert r["ft"] == ft, f"case {i} ft: {ea!r}: {r['ft']} != {ft}"
+
+
+def test_title_abstract_pivots_randomized_differential(spark):
+    """Differential sweep of F7/F8: 300 randomized docs vs a
+    transcription of the reference (:84-164): lang-keyed title pivot
+    (bare key for missing _i), multilingual dispatch across a*/m*/c
+    with the mc+literature_type collection concat and the
+    en-fallback-only-when-no-en rule, and the abstract pivot's F6
+    scrub + same-key ' '-concat. Struct mapping: text=None entries are
+    skipped (the reference's dict rows would carry literal Nones)."""
+    import random
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    from data_governance_spark.standardize.fields import (
+        abstract_lang_map,
+        multilingual_title,
+        title_lang_map,
+    )
+
+    def ref_title_map(entries):
+        fields = {}
+        for e in entries or []:
+            if e.get("text") is None:
+                continue
+            lang = (e.get("_i") or "").lower()
+            fields.setdefault(lang, []).append(e["text"])
+        return fields
+
+    def ref_has_en(entries):
+        return any(
+            (e.get("_i") or "").lower() == "en" for e in (entries or [])
+        )
+
+    def ref_multilingual(doc):
+        tl = (doc.get("tl") or "").lower()
+        lit = (doc.get("lit") or "").lower()
+        if tl.startswith("a"):
+            lst, fb = doc.get("title"), doc.get("ett")
+        elif tl.startswith("m"):
+            lst = list(doc.get("mono") or [])
+            if tl == "mc" and lit in ("mc", "m"):
+                lst = lst + list(doc.get("coll") or [])
+            fb = doc.get("etm")
+        elif tl == "c":
+            lst, fb = doc.get("coll"), doc.get("etc")
+        else:
+            return {}
+        fields = ref_title_map(lst)
+        if not ref_has_en(lst) and fb:
+            fields.setdefault("en", []).append(fb)
+        return fields
+
+    def ref_abstract_map(entries):
+        fields = {}
+        for e in entries or []:
+            if e.get("text") is None:
+                continue
+            lang = (e.get("_i") or "").lower()
+            text = e["text"].replace("\r\n", " ")
+            text = _re.sub(r"[\x00-\x08\x0B-\x0C\x0E-\x1F]", " ", text)
+            if lang in fields:
+                fields[lang] += f" {text}"
+            else:
+                fields[lang] = text
+        return fields
+
+    rng = random.Random(20250818)
+    langs = [None, "", "pt", "PT", "en", "EN", "es"]
+
+    def entries(tag, i, with_ctrl=False):
+        if rng.random() < 0.2:
+            return None
+        out = []
+        for j in range(rng.randint(0, 3)):
+            text = rng.choice(
+                [None, f"{tag}{i}-{j}"]
+                + ([f"{tag}{i}\r\nx{j}", f"{tag}{i}\x02y{j}"] if with_ctrl else [])
+            )
+            out.append({"text": text, "_i": rng.choice(langs)})
+        return out
+
+    cases = []
+    for i in range(300):
+        cases.append(
+            {
+                "tl": rng.choice([None, "", "a", "as", "A", "m", "M", "mc", "MC", "c", "C", "x"]),
+                "lit": rng.choice([None, "", "mc", "m", "M", "x"]),
+                "title": entries("T", i),
+                "mono": entries("M", i),
+                "coll": entries("C", i),
+                "abstract": entries("A", i, with_ctrl=True),
+                "ett": rng.choice([None, "", f"ET{i}"]),
+                "etm": rng.choice([None, "", f"EM{i}"]),
+                "etc": rng.choice([None, "", f"EC{i}"]),
+            }
+        )
+
+    ent_t = T.ArrayType(
+        T.StructType(
+            [T.StructField("text", T.StringType()), T.StructField("_i", T.StringType())]
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("tl", T.StringType()),
+            T.StructField("lit", T.StringType()),
+            T.StructField("title", ent_t),
+            T.StructField("mono", ent_t),
+            T.StructField("coll", ent_t),
+            T.StructField("abstract", ent_t),
+            T.StructField("ett", T.StringType()),
+            T.StructField("etm", T.StringType()),
+            T.StructField("etc", T.StringType()),
+        ]
+    )
+
+    def tup(d, i):
+        def st(lst):
+            return None if lst is None else [(e["text"], e["_i"]) for e in lst]
+
+        return (
+            i, d["tl"], d["lit"], st(d["title"]), st(d["mono"]), st(d["coll"]),
+            st(d["abstract"]), d["ett"], d["etm"], d["etc"],
+        )
+
+    df = spark.createDataFrame([tup(d, i) for i, d in enumerate(cases)], schema)
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            title_lang_map(F.coalesce(F.col("title"), F.array().cast(ent_t))).alias("ti"),
+            multilingual_title(
+                F.col("tl"), F.col("lit"), F.col("title"), F.col("mono"),
+                F.col("coll"), F.col("ett"), F.col("etm"), F.col("etc"),
+            ).alias("mt"),
+            abstract_lang_map(
+                F.coalesce(F.col("abstract"), F.array().cast(ent_t))
+            ).alias("ab"),
+        ).collect()
+    }
+    for i, d in enumerate(cases):
+        r = out[i]
+        want_ti = ref_title_map(d["title"])
+        got_ti = {k: list(v) for k, v in (r["ti"] or {}).items()}
+        assert got_ti == want_ti, f"case {i} ti: {d!r}\n got={got_ti}\nwant={want_ti}"
+        want_mt = ref_multilingual(d)
+        got_mt = {k: list(v) for k, v in (r["mt"] or {}).items()}
+        assert got_mt == want_mt, f"case {i} mt: {d!r}\n got={got_mt}\nwant={want_mt}"
+        want_ab = ref_abstract_map(d["abstract"])
+        got_ab = dict(r["ab"] or {})
+        assert got_ab == want_ab, f"case {i} ab: {d!r}\n got={got_ab}\nwant={want_ab}"
