@@ -997,3 +997,146 @@ def test_title_abstract_pivots_randomized_differential(spark):
         want_ab = ref_abstract_map(d["abstract"])
         got_ab = dict(r["ab"] or {})
         assert got_ab == want_ab, f"case {i} ab: {d!r}\n got={got_ab}\nwant={want_ab}"
+
+
+def test_pages_tafascic_booktitle_randomized_differential(spark):
+    """Differential sweep of F9 (pages/pg), F18 (ta_fascic incl. the
+    degenerate '; , year' suffix), and book_title's T/N-blocking rule
+    vs transcriptions of the reference (:69-82, :608-620, :925-939).
+    Notable quirks pinned: the _f-AND-_l pair beats text/f/_e in the
+    elif chain; book_title takes the FIRST monographic entry's text
+    even when that text is None."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from data_governance_spark.standardize.fields import book_title, pg, ta_fascic
+
+    def ref_pages(value):
+        out = []
+        for p in value or []:
+            if p.get("_f") and p.get("_l"):
+                out.append(f"{p['_f']}-{p['_l']}")
+            elif p.get("text"):
+                out.append(p["text"])
+            elif p.get("f"):
+                out.append(p["f"])
+            elif p.get("_e"):
+                out.append(p["_e"])
+        return out
+
+    def ref_pg(pages, pm):
+        if pages is not None:
+            return ref_pages(pages)
+        if pm:  # struct-world: '' prunes at the sink either way
+            return [pm]
+        return None
+
+    def ref_ta_fascic(ta_var, vol, iss, year):
+        if not ta_var:
+            return []
+        parts = []
+        if vol:
+            parts.append(vol)
+        if iss:
+            parts.append(f"({iss})")
+        suffix = "; " + " ".join(parts) + ", " + year
+        return list(ta_var) + [t + suffix for t in ta_var]
+
+    def ref_book_title(tm, lit, tl):
+        if tm and not (
+            (lit or "").upper() in ["T", "N"]
+            and not (tl or "").lower().startswith("a")
+        ):
+            return tm[0].get("text")
+        return None
+
+    rng = random.Random(20250819)
+    cases = []
+    for i in range(300):
+        pages = None if rng.random() < 0.3 else [
+            {
+                "_f": rng.choice([None, "", f"f{j}"]),
+                "_l": rng.choice([None, "", f"l{j}"]),
+                "text": rng.choice([None, "", f"t{j}"]),
+                "f": rng.choice([None, "", f"F{j}"]),
+                "_e": rng.choice([None, "", f"e{j}"]),
+            }
+            for j in range(rng.randint(0, 3))
+        ]
+        tm = None if rng.random() < 0.3 else [
+            {"text": rng.choice([None, f"TM{i}-{j}"])}
+            for j in range(rng.randint(0, 2))
+        ]
+        cases.append(
+            {
+                "pages": pages,
+                "pm": rng.choice([None, "", f"{i} p."]),
+                "ta_var": rng.choice([None, [], [f"TA{i}"], [f"TA{i}", f"TB{i}"]]),
+                "vol": rng.choice([None, "", f"V{i}"]),
+                "iss": rng.choice([None, "", f"N{i}"]),
+                "year": str(1990 + i % 30),
+                "tm": tm,
+                "lit": rng.choice([None, "", "T", "t", "N", "S", "m"]),
+                "tl": rng.choice([None, "", "a", "as", "M", "c"]),
+            }
+        )
+
+    pages_t = T.ArrayType(
+        T.StructType(
+            [T.StructField(f, T.StringType()) for f in ("_f", "_l", "text", "f", "_e")]
+        )
+    )
+    tm_t = T.ArrayType(T.StructType([T.StructField("text", T.StringType())]))
+    schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("pages", pages_t),
+            T.StructField("pm", T.StringType()),
+            T.StructField("ta_var", T.ArrayType(T.StringType())),
+            T.StructField("vol", T.StringType()),
+            T.StructField("iss", T.StringType()),
+            T.StructField("year", T.StringType()),
+            T.StructField("tm", tm_t),
+            T.StructField("lit", T.StringType()),
+            T.StructField("tl", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                None if c["pages"] is None else [
+                    tuple(p[f] for f in ("_f", "_l", "text", "f", "_e"))
+                    for p in c["pages"]
+                ],
+                c["pm"], c["ta_var"], c["vol"], c["iss"], c["year"],
+                None if c["tm"] is None else [(e["text"],) for e in c["tm"]],
+                c["lit"], c["tl"],
+            )
+            for i, c in enumerate(cases)
+        ],
+        schema,
+    )
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            pg(F.col("pages"), F.col("pm")).alias("pg"),
+            ta_fascic(F.col("ta_var"), F.col("vol"), F.col("iss"), F.col("year")).alias(
+                "taf"
+            ),
+            book_title(F.col("tm"), F.col("lit"), F.col("tl")).alias("bt"),
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        r = out[i]
+        want_pg = ref_pg(c["pages"], c["pm"])
+        got_pg = r["pg"] if r["pg"] is None else list(r["pg"])
+        assert got_pg == want_pg, f"case {i} pg: {c!r}\n got={got_pg}\nwant={want_pg}"
+        want_taf = ref_ta_fascic(c["ta_var"], c["vol"], c["iss"], c["year"])
+        assert list(r["taf"] or []) == want_taf, (
+            f"case {i} taf: {c!r}\n got={r['taf']}\nwant={want_taf}"
+        )
+        want_bt = ref_book_title(c["tm"], c["lit"], c["tl"])
+        assert r["bt"] == want_bt, f"case {i} bt: {c!r}\n got={r['bt']}\nwant={want_bt}"
