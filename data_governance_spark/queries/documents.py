@@ -383,3 +383,28 @@ def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _JACCARD_MIN)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+@qdef(
+    QUERIES,
+    "d09_exact_precluster",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN doc_id
+                ELSE min(doc_id) OVER (PARTITION BY md5(text)) END AS canon_id
+    FROM documents
+    """,
+    doc="exact pre-cluster mapping (operators/dedup.exact_precluster): "
+    "every doc -> min-id member of its md5 fingerprint cluster; NULL "
+    "texts stay their own canonical. The quadratic-bucket killer run "
+    "before sketch dedup, under the oracle gate",
+)
+def d09_exact_precluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.operators.dedup import exact_precluster
+
+    docs = table(spark, sf_dir, "documents")
+    _canonical, mapping = exact_precluster(
+        docs, F.md5(F.encode(F.col("text"), "UTF-8"))
+    )
+    return mapping
