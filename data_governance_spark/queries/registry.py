@@ -16,6 +16,7 @@ from data_governance_spark.queries import (
     relational,
     sink_source_gates,
     standardize_gates,
+    streaming_gate,
 )
 from data_governance_spark.queries.base import QueryDef
 
@@ -31,6 +32,7 @@ for mod in (
     dim_gates,
     sink_source_gates,
     multimodal_gate,
+    streaming_gate,
 ):
     overlap = QUERIES.keys() & mod.QUERIES.keys()
     if overlap:
