@@ -14,7 +14,6 @@ from __future__ import annotations
 import re
 import unicodedata
 
-import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
