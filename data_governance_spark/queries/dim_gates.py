@@ -1,6 +1,12 @@
-"""Oracle gates q37-q40 for the remaining pytest-only dim joins and
-predicates: J4/J5 journal lookups, P4 regex country predicate + A12
-map metric, J11/J12 post-aggregation label decode, and J13 ISO lookup.
+"""Oracle gate q37 (merged, r5 driver-budget) for the remaining dim
+joins and predicates: J4/J5 journal lookups (ex-q37), P4 regex country
+predicate + A12 map metric (ex-q38), J11/J12 post-aggregation label
+decode (ex-q39), J13 ISO lookup (ex-q40), and the S15 report
+eligibility + filename key (new in r5) — unioned into one quad-schema
+gate so each sub-check keeps its oracle while costing one driver row.
+
+The per-sub builders stay module-level plain functions (not registered)
+so plan tests can pin their individual physical shapes.
 
 Same synthesis pattern as q25-q36 (see those modules): arithmetic
 dims/facts from nation/customer/events through the REAL operators,
@@ -31,34 +37,6 @@ def _s(c: Column) -> Column:
 # (ck%5==0), the J5 title_serial fallback (ck even), or nothing.
 # Reference: misc.py:38-65 builds, 02_create_iahx_xml_collection.py:
 # 594-605 (J4) and :826-838 (J5) probe.
-@qdef(
-    QUERIES,
-    "q37_journal_joins",
-    oracle="""
-    WITH f AS (SELECT c_custkey AS ck, c_custkey % 25 AS m,
-                      CAST(c_custkey % 25 AS VARCHAR) AS ms
-               FROM customer)
-    SELECT ck AS id,
-      CASE WHEN ck % 3 = 2 THEN NULL ELSE
-        'T' || ms || '|rev' || ms
-        || CASE WHEN m % 2 = 0 THEN '|MD' || ms ELSE '' END
-        || '|P1-' || ms
-        || CASE WHEN m % 3 = 0 THEN '|O' || ms ELSE '' END
-      END AS ta_var_s,
-      CASE WHEN ck % 5 = 0 OR ck % 2 = 0 THEN
-        'Z' || ms || '|es land' || ms
-        || CASE WHEN m % 3 <> 0 THEN '|fr land' || ms ELSE '' END
-        || '|land' || ms || '|terra de ' || ms
-      END AS cp_s,
-      CASE WHEN ck % 5 = 0 OR ck % 2 = 0 THEN
-        '^iland' || ms || '^ees land' || ms || '^pterra de ' || ms || '^f'
-        || CASE WHEN m % 3 <> 0 THEN 'fr land' || ms ELSE 'None' END
-      END AS pp_s
-    FROM f
-    """,
-    doc="J4 ISSN+title-fallback journal join (ta_var) + J5 journal-"
-    "country fallback (cp/pais_publicacao source coalesce)",
-)
 def q37_journal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.standardize.joins import (
         add_country_fields,
@@ -121,30 +99,6 @@ def q37_journal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (country x year -> total + conditional fulltext count). The per-
 # country slice dict mirrors tmgl_countries' per-country loop.
 # Reference: tmgl_metrics/misc.py:4-40 (P4), dag_02_map.py:12-104 (A12).
-@qdef(
-    QUERIES,
-    "q38_p4_map_metric",
-    oracle="""
-    WITH ev AS (
-      SELECT user_id AS u, user_id % 25 AS m,
-             CAST(strftime(ts, '%Y') AS INT) AS year,
-             CASE WHEN user_id % 4 = 0 THEN 1 ELSE 0 END AS ft
-      FROM events
-    ),
-    cn AS (
-      SELECT 'cty' || lpad(CAST(m AS VARCHAR), 2, '0') AS country, year, ft
-      FROM ev WHERE u % 2 = 0
-      UNION ALL
-      SELECT 'cty' || lpad(CAST((u + 1) % 25 AS VARCHAR), 2, '0'), year, ft
-      FROM ev WHERE u % 3 = 0
-    )
-    SELECT country, year, count(*) AS total,
-           CAST(sum(ft) AS BIGINT) AS with_fulltext
-    FROM cn GROUP BY country, year
-    """,
-    doc="P4 regex country predicate (one-scan slice fan-out) + A12 map "
-    "metric (country x year, conditional fulltext count)",
-)
 def q38_p4_map_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.metrics.p4 import attach_slice_p4
     from data_governance_spark.metrics.tmgl_specs import map_metric
@@ -184,21 +138,6 @@ def q38_p4_map_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the reference's dict .get(code, code)); whitespace-only descriptors
 # are dropped from the dim.
 # Reference: dag_02_subjects.py:68-76 build, :96,157 probe.
-@qdef(
-    QUERIES,
-    "q39_decs_label_decode",
-    oracle="""
-    SELECT 'subject' AS type, NULL AS region,
-           CASE WHEN user_id % 25 % 2 = 0 AND user_id % 25 <> 0
-                THEN 'Lab' || CAST(user_id % 25 AS VARCHAR)
-                ELSE CAST(user_id % 25 AS VARCHAR) END AS name,
-           CAST(strftime(ts, '%Y') AS INT) AS year, count(*) AS count
-    FROM events
-    GROUP BY user_id % 25, year
-    """,
-    doc="J11/J12 post-aggregation label decode: zero-stripped MFN dim, "
-    "whitespace labels dropped, unmatched codes pass through",
-)
 def q39_decs_label_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.metrics.runner import MetricSpec, run_metric
     from data_governance_spark.metrics.tmgl_specs import decs_label_dim
@@ -237,21 +176,6 @@ def q39_decs_label_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nation-synthesized who_region dim, plus the pais_tmgl/pais_en
 # coalesce key the per-country report files are named by.
 # Reference: dag_02_map.py:30; tmgl_countries/dag_03_export_html.py:274.
-@qdef(
-    QUERIES,
-    "q40_iso_lookup",
-    oracle="""
-    SELECT
-      CASE WHEN n_nationkey % 3 = 0
-           THEN 'tmgl' || CAST(n_nationkey AS VARCHAR)
-           ELSE 'cty' || CAST(n_nationkey AS VARCHAR) END AS country,
-      CASE WHEN n_nationkey % 2 = 0
-           THEN substring('abcdefghijklmnopqrstuvwxy', n_nationkey + 1, 1) || 'x'
-      END AS iso
-    FROM nation
-    """,
-    doc="J13 ISO-code lookup: first 2-char synonym, NULL when none",
-)
 def q40_iso_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.sinks.html_sink import iso_col
 
@@ -275,3 +199,201 @@ def q40_iso_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.coalesce(F.col("pais_tmgl"), F.col("pais_en"))).alias("country"),
         iso_col(F.col("pais_sinonimo")).alias("iso"),
     )
+
+
+# --------------------------------------------------------------------------
+# S15 (new in r5): per-country report eligibility + filename key. The
+# J14 semi-join (countries present in the metrics) decides WHICH report
+# files exist, and the filename is the lowercased J13 ISO code with the
+# reference's space->underscore country fallback — the engine side of
+# write_country_reports (sinks/html_sink.py), via the same iso_col /
+# report_filename_col expressions.
+# Reference: tmgl_countries/dag_03_export_html.py:268-276.
+def s15_report_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.sinks.html_sink import iso_col, report_filename_col
+
+    nation = table(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey")
+    ns = _s(nk)
+    letter = F.substring(
+        F.lit("abcdefghijklmnopqrstuvwxy"), (nk + 1).cast("int"), F.lit(1)
+    )
+    dim = nation.select(
+        F.concat(F.lit("CtY "), ns).alias("pais_en"),  # space: fallback path
+        F.when(nk % 3 == 0, F.concat(F.lit("Tmgl"), ns)).alias("pais_tmgl"),
+        F.concat(
+            F.array(F.lit("zzz9")),
+            F.when(nk % 4 == 0, F.array(F.concat(letter, F.lit("x")))).otherwise(
+                F.array().cast("array<string>")
+            ),
+        ).alias("pais_sinonimo"),
+    ).withColumn("country", F.lower(F.coalesce("pais_tmgl", "pais_en")))
+    # countries that actually have metric rows (J14 semi-join eligibility)
+    present = nation.filter(nk % 2 == 0).select(
+        F.lower(
+            F.coalesce(
+                F.when(nk % 3 == 0, F.concat(F.lit("Tmgl"), ns)),
+                F.concat(F.lit("CtY "), ns),
+            )
+        ).alias("country")
+    )
+    elig = dim.join(present, "country", "left_semi")
+    return elig.select(
+        "country",
+        report_filename_col(iso_col(F.col("pais_sinonimo")), F.col("country")).alias(
+            "fname"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+@qdef(
+    QUERIES,
+    "q37_dim_lookup_bundle",
+    oracle="""
+    WITH f AS (SELECT c_custkey AS ck, c_custkey % 25 AS m,
+                      CAST(c_custkey % 25 AS VARCHAR) AS ms
+               FROM customer),
+    j AS (
+      SELECT ck AS id,
+        CASE WHEN ck % 3 = 2 THEN NULL ELSE
+          'T' || ms || '|rev' || ms
+          || CASE WHEN m % 2 = 0 THEN '|MD' || ms ELSE '' END
+          || '|P1-' || ms
+          || CASE WHEN m % 3 = 0 THEN '|O' || ms ELSE '' END
+        END AS ta_var_s,
+        CASE WHEN ck % 5 = 0 OR ck % 2 = 0 THEN
+          'Z' || ms || '|es land' || ms
+          || CASE WHEN m % 3 <> 0 THEN '|fr land' || ms ELSE '' END
+          || '|land' || ms || '|terra de ' || ms
+        END AS cp_s,
+        CASE WHEN ck % 5 = 0 OR ck % 2 = 0 THEN
+          '^iland' || ms || '^ees land' || ms || '^pterra de ' || ms || '^f'
+          || CASE WHEN m % 3 <> 0 THEN 'fr land' || ms ELSE 'None' END
+        END AS pp_s
+      FROM f
+    ),
+    ev AS (
+      SELECT user_id AS u, user_id % 25 AS m,
+             CAST(strftime(ts, '%Y') AS INT) AS year,
+             CASE WHEN user_id % 4 = 0 THEN 1 ELSE 0 END AS ft
+      FROM events
+    ),
+    cn AS (
+      SELECT 'cty' || lpad(CAST(m AS VARCHAR), 2, '0') AS country, year, ft
+      FROM ev WHERE u % 2 = 0
+      UNION ALL
+      SELECT 'cty' || lpad(CAST((u + 1) % 25 AS VARCHAR), 2, '0'), year, ft
+      FROM ev WHERE u % 3 = 0
+    ),
+    mp AS (
+      SELECT country, year, CAST(count(*) AS DOUBLE) AS total,
+             CAST(sum(ft) AS DOUBLE) AS with_fulltext
+      FROM cn GROUP BY country, year
+    ),
+    dc AS (
+      SELECT CASE WHEN user_id % 25 % 2 = 0 AND user_id % 25 <> 0
+                  THEN 'Lab' || CAST(user_id % 25 AS VARCHAR)
+                  ELSE CAST(user_id % 25 AS VARCHAR) END AS name,
+             CAST(strftime(ts, '%Y') AS INT) AS year,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events
+      GROUP BY user_id % 25, year
+    ),
+    iso AS (
+      SELECT
+        CASE WHEN n_nationkey % 3 = 0
+             THEN 'tmgl' || CAST(n_nationkey AS VARCHAR)
+             ELSE 'cty' || CAST(n_nationkey AS VARCHAR) END AS country,
+        CASE WHEN n_nationkey % 2 = 0
+             THEN substring('abcdefghijklmnopqrstuvwxy', n_nationkey + 1, 1) || 'x'
+        END AS iso
+      FROM nation
+    )
+    SELECT 'journal' AS gate, CAST(id AS VARCHAR) AS k,
+           COALESCE(ta_var_s, 'None') || '~' || COALESCE(cp_s, 'None')
+             || '~' || COALESCE(pp_s, 'None') AS v_s,
+           CAST(NULL AS DOUBLE) AS v_d
+    FROM j
+    UNION ALL
+    SELECT 'map', country || ':' || CAST(year AS VARCHAR) || ':t',
+           CAST(NULL AS VARCHAR), total FROM mp
+    UNION ALL
+    SELECT 'map', country || ':' || CAST(year AS VARCHAR) || ':f',
+           CAST(NULL AS VARCHAR), with_fulltext FROM mp
+    UNION ALL
+    SELECT 'decs', name || ':' || CAST(year AS VARCHAR),
+           CAST(NULL AS VARCHAR), n FROM dc
+    UNION ALL
+    SELECT 'iso', country, COALESCE(iso, 'None'), CAST(NULL AS DOUBLE) FROM iso
+    UNION ALL
+    SELECT 'report',
+           CASE WHEN n_nationkey % 3 = 0
+                THEN 'tmgl' || CAST(n_nationkey AS VARCHAR)
+                ELSE 'cty ' || CAST(n_nationkey AS VARCHAR) END,
+           CASE WHEN n_nationkey % 4 = 0
+                THEN substring('abcdefghijklmnopqrstuvwxy', n_nationkey + 1, 1) || 'x'
+                WHEN n_nationkey % 3 = 0
+                THEN 'tmgl' || CAST(n_nationkey AS VARCHAR)
+                ELSE 'cty_' || CAST(n_nationkey AS VARCHAR) END,
+           CAST(NULL AS DOUBLE)
+    FROM nation WHERE n_nationkey % 2 = 0
+    """,
+    doc="merged gate (r5 driver-budget): J4 ISSN+title-fallback journal "
+    "join + J5 journal-country fallback (ex-q37) + P4 regex country "
+    "predicate one-scan fan-out + A12 map metric (ex-q38) + J11/J12 "
+    "post-aggregation label decode (ex-q39) + J13 ISO lookup (ex-q40) "
+    "+ S15 report eligibility/filename key (new)",
+)
+def q37_dim_lookup_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nul_s = F.lit(None).cast("string")
+    nul_d = F.lit(None).cast("double")
+
+    j = q37_journal_joins(spark, sf_dir).select(
+        F.lit("journal").alias("gate"),
+        F.col("id").cast("string").alias("k"),
+        F.concat(
+            F.coalesce(F.col("ta_var_s"), F.lit("None")), F.lit("~"),
+            F.coalesce(F.col("cp_s"), F.lit("None")), F.lit("~"),
+            F.coalesce(F.col("pp_s"), F.lit("None")),
+        ).alias("v_s"),
+        nul_d.alias("v_d"),
+    )
+    mp = q38_p4_map_metric(spark, sf_dir).select(
+        F.concat("country", F.lit(":"), F.col("year").cast("string")).alias("ky"),
+        F.col("total").cast("double").alias("t"),
+        F.col("with_fulltext").cast("double").alias("f"),
+    )
+    mp_rows = mp.select(
+        "ky",
+        F.explode(
+            F.array(
+                F.struct(F.lit("t").alias("m"), F.col("t").alias("v")),
+                F.struct(F.lit("f").alias("m"), F.col("f").alias("v")),
+            )
+        ).alias("e"),
+    ).select(
+        F.lit("map").alias("gate"),
+        F.concat("ky", F.lit(":"), F.col("e.m")).alias("k"),
+        nul_s.alias("v_s"),
+        F.col("e.v").alias("v_d"),
+    )
+    dc = q39_decs_label_decode(spark, sf_dir).select(
+        F.lit("decs").alias("gate"),
+        F.concat("name", F.lit(":"), F.col("year").cast("string")).alias("k"),
+        nul_s.alias("v_s"),
+        F.col("count").cast("double").alias("v_d"),
+    )
+    iso = q40_iso_lookup(spark, sf_dir).select(
+        F.lit("iso").alias("gate"),
+        F.col("country").alias("k"),
+        F.coalesce(F.col("iso"), F.lit("None")).alias("v_s"),
+        nul_d.alias("v_d"),
+    )
+    rp = s15_report_eligibility(spark, sf_dir).select(
+        F.lit("report").alias("gate"),
+        F.col("country").alias("k"),
+        F.col("fname").alias("v_s"),
+        nul_d.alias("v_d"),
+    )
+    return j.unionByName(mp_rows).unionByName(dc).unionByName(iso).unionByName(rp)

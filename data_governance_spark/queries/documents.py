@@ -42,55 +42,70 @@ _SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
 
 # --------------------------------------------------------------------------
-@qdef(
-    QUERIES,
-    "d01_token_counts",
-    oracle=f"""
-    SELECT lang, token, count(*) AS n
-    FROM (SELECT lang, unnest({_SQL_TOKS}) AS token FROM documents)
-    GROUP BY lang, token
-    """,
-    doc="explode tokens -> grouped count per (lang, token): ref BASE_PIPELINE A1 shape",
-)
-def d01_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    return (
-        docs.select("lang", F.explode(tokens("text")).alias("token"))
-        .groupBy("lang", "token")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-# --------------------------------------------------------------------------
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
+# d01 (merged gate, r5 driver-budget): token-count pipeline (ex-d01,
+# ref BASE_PIPELINE A1 shape) + per-doc quality scoring (ex-d02) in one
+# quad-schema union. Sub-gate 'tok' keys (lang~token); 'q' emits one
+# row per (doc, metric).
 @qdef(
     QUERIES,
-    "d02_quality_scores",
+    "d01_token_quality",
     oracle=f"""
-    SELECT doc_id, n_tokens,
-           round(sum_len / n_tokens, 4)  AS avg_token_len,
-           round(n_stop / n_tokens, 4)   AS stop_ratio,
-           round(least(n_tokens / 100.0, 1.0) * (1.0 - n_stop / n_tokens), 4)
-             AS quality_score
-    FROM (
+    WITH tok AS (
+      SELECT lang, token, count(*) AS n
+      FROM (SELECT lang, unnest({_SQL_TOKS}) AS token FROM documents)
+      GROUP BY lang, token
+    ),
+    q AS (
       SELECT doc_id,
-             len(toks) AS n_tokens,
-             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) AS sum_len,
-             CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) AS n_stop
-      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
-      WHERE len(toks) > 0
+             CAST(n_tokens AS DOUBLE) AS nt,
+             round(sum_len / n_tokens, 4)  AS al,
+             round(n_stop / n_tokens, 4)   AS sr,
+             round(least(n_tokens / 100.0, 1.0) * (1.0 - n_stop / n_tokens), 4)
+               AS qs
+      FROM (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) AS sum_len,
+               CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) AS n_stop
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+        WHERE len(toks) > 0
+      )
     )
+    SELECT 'tok' AS gate, lang || '~' || token AS k,
+           CAST(NULL AS VARCHAR) AS v_s, CAST(n AS DOUBLE) AS v_d FROM tok
+    UNION ALL
+    SELECT 'q', CAST(doc_id AS VARCHAR) || ':nt', CAST(NULL AS VARCHAR), nt FROM q
+    UNION ALL
+    SELECT 'q', CAST(doc_id AS VARCHAR) || ':al', CAST(NULL AS VARCHAR), al FROM q
+    UNION ALL
+    SELECT 'q', CAST(doc_id AS VARCHAR) || ':sr', CAST(NULL AS VARCHAR), sr FROM q
+    UNION ALL
+    SELECT 'q', CAST(doc_id AS VARCHAR) || ':qs', CAST(NULL AS VARCHAR), qs FROM q
     """,
-    doc="per-doc quality: token count, avg token length, stopword ratio, score",
+    doc="merged gate (r5 driver-budget): explode tokens -> grouped count "
+    "per (lang, token) (ref BASE_PIPELINE A1 shape, ex-d01) + per-doc "
+    "quality (token count, avg token length, stopword ratio, score; "
+    "ex-d02)",
 )
-def d02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("_toks")
+def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    nul_s = F.lit(None).cast("string")
+    tok = (
+        docs.select("lang", F.explode(tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("v_d"))
+        .select(
+            F.lit("tok").alias("gate"),
+            F.concat("lang", F.lit("~"), F.col("token")).alias("k"),
+            nul_s.alias("v_s"),
+            "v_d",
+        )
     )
     toks = F.col("_toks")
-    df = docs.select(
+    base = docs.select("doc_id", tokens("text").alias("_toks")).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
@@ -102,59 +117,107 @@ def d02_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_tokens") > 0)
     nt = F.col("n_tokens")
     stop_frac = F.col("n_stop") / nt
-    return df.select(
+    q = base.select(
         "doc_id",
-        "n_tokens",
-        F.round(F.col("sum_len") / nt, 4).alias("avg_token_len"),
-        F.round(stop_frac, 4).alias("stop_ratio"),
-        F.round(F.least(nt / 100.0, F.lit(1.0)) * (1.0 - stop_frac), 4).alias(
-            "quality_score"
-        ),
+        nt.cast("double").alias("nt"),
+        F.round(F.col("sum_len") / nt, 4).alias("al"),
+        F.round(stop_frac, 4).alias("sr"),
+        F.round(F.least(nt / 100.0, F.lit(1.0)) * (1.0 - stop_frac), 4).alias("qs"),
     )
+    q_u = q.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("m"), F.col(m).alias("v"))
+                    for m in ("nt", "al", "sr", "qs")
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        F.lit("q").alias("gate"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("e.m")).alias("k"),
+        nul_s.alias("v_s"),
+        F.col("e.v").alias("v_d"),
+    )
+    return tok.unionByName(q_u)
 
 
 # --------------------------------------------------------------------------
+# d03 (merged gate, r5 driver-budget): the exact-dedup family — per-
+# source dedup accounting (ex-d03), normalized-md5 fingerprint clusters
+# (ex-d04), and the exact pre-cluster canonical mapping (ex-d09,
+# operators/dedup.exact_precluster — the quadratic-bucket killer run
+# before sketch dedup).
 @qdef(
     QUERIES,
-    "d03_exact_dedup_stats",
+    "d03_exact_dedup_family",
     oracle="""
-    SELECT source,
-           count(*) AS n_docs,
-           count(DISTINCT text) AS n_unique,
-           count(*) - count(DISTINCT text) AS n_dup_rows
+    SELECT 'stats' AS gate, source AS k,
+           CAST(count(*) AS VARCHAR) || '|'
+             || CAST(count(DISTINCT text) AS VARCHAR) || '|'
+             || CAST(count(*) - count(DISTINCT text) AS VARCHAR) AS v_s,
+           CAST(NULL AS DOUBLE) AS v_d
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT 'fp', md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+           CAST(count(*) AS VARCHAR) || '|' || CAST(min(doc_id) AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM documents GROUP BY 2
+    UNION ALL
+    SELECT 'pre', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(CASE WHEN text IS NULL THEN doc_id
+                ELSE min(doc_id) OVER (PARTITION BY md5(text)) END AS DOUBLE)
     FROM documents
-    GROUP BY source
     """,
-    doc="exact dedup accounting per source (hash-groupBy dedup)",
+    doc="merged gate (r5 driver-budget): exact dedup accounting per "
+    "source (hash-groupBy, ex-d03) + normalized-text md5 fingerprint "
+    "clusters w/ canonical doc (ref F6-style scrub + dedup, ex-d04) + "
+    "exact pre-cluster canonical mapping (ex-d09; NULL texts stay their "
+    "own canonical)",
 )
-def d03_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.operators.dedup import exact_precluster
+
     docs = table(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
+    nul_s = F.lit(None).cast("string")
+    nul_d = F.lit(None).cast("double")
+    sep = F.lit("|")
+    stats = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("text").alias("n_unique"),
         (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_dup_rows"),
+    ).select(
+        F.lit("stats").alias("gate"),
+        F.col("source").alias("k"),
+        F.concat(
+            F.col("n_docs").cast("string"), sep,
+            F.col("n_unique").cast("string"), sep,
+            F.col("n_dup_rows").cast("string"),
+        ).alias("v_s"),
+        nul_d.alias("v_d"),
     )
-
-
-# --------------------------------------------------------------------------
-@qdef(
-    QUERIES,
-    "d04_fingerprint_clusters",
-    oracle="""
-    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
-           count(*) AS n_docs,
-           min(doc_id) AS canonical_id
-    FROM documents
-    GROUP BY 1
-    """,
-    doc="normalized-text md5 fingerprint clusters w/ canonical doc (ref F6-style scrub + dedup)",
-)
-def d04_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    return docs.groupBy(fingerprint("text").alias("fp")).agg(
+    fp = docs.groupBy(fingerprint("text").alias("fp")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("canonical_id"),
+    ).select(
+        F.lit("fp").alias("gate"),
+        F.col("fp").alias("k"),
+        F.concat(
+            F.col("n_docs").cast("string"), sep, F.col("canonical_id").cast("string")
+        ).alias("v_s"),
+        nul_d.alias("v_d"),
     )
+    _canonical, mapping = exact_precluster(
+        docs, F.md5(F.encode(F.col("text"), "UTF-8"))
+    )
+    pre = mapping.select(
+        F.lit("pre").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        nul_s.alias("v_s"),
+        F.col("canon_id").cast("double").alias("v_d"),
+    )
+    return stats.unionByName(fp).unionByName(pre)
 
 
 # --------------------------------------------------------------------------
@@ -163,34 +226,62 @@ def _marker_sql(lang: str) -> str:
     return f"len(list_filter(toks, x -> x IN ({words})))"
 
 
+# d05 (merged gate, r5 driver-budget): language-ID confusion matrix
+# (ex-d05) + per-lang vocabulary/TTR over the BPE-ish regex tokenizer
+# (ex-d08) in one quad-schema union.
 @qdef(
     QUERIES,
-    "d05_langid_confusion",
-    oracle=f"""
-    SELECT lang, predicted, count(*) AS n
-    FROM (
-      SELECT lang,
-             CASE
-               WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-               WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-               WHEN s_de >= s_fr THEN 'de'
-               ELSE 'fr'
-             END AS predicted
+    "d05_text_stats",
+    oracle=rf"""
+    WITH lid AS (
+      SELECT lang, predicted, count(*) AS n
       FROM (
         SELECT lang,
-               {_marker_sql('en')} AS s_en,
-               {_marker_sql('es')} AS s_es,
-               {_marker_sql('de')} AS s_de,
-               {_marker_sql('fr')} AS s_fr
-        FROM (SELECT lang, {_SQL_TOKS} AS toks FROM documents)
+               CASE
+                 WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                 WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                 WHEN s_de >= s_fr THEN 'de'
+                 ELSE 'fr'
+               END AS predicted
+        FROM (
+          SELECT lang,
+                 {_marker_sql('en')} AS s_en,
+                 {_marker_sql('es')} AS s_es,
+                 {_marker_sql('de')} AS s_de,
+                 {_marker_sql('fr')} AS s_fr
+          FROM (SELECT lang, {_SQL_TOKS} AS toks FROM documents)
+        )
       )
+      GROUP BY lang, predicted
+    ),
+    vocab AS (
+      SELECT lang,
+             CAST(count(DISTINCT token) AS DOUBLE) AS nv,
+             CAST(count(*) AS DOUBLE) AS nt,
+             round(count(DISTINCT token) * 1.0 / count(*), 4) AS ttr
+      FROM (
+        SELECT lang, unnest(regexp_extract_all(text, '[\w]+|[^\w\s]')) AS token
+        FROM documents
+      )
+      GROUP BY lang
     )
-    GROUP BY lang, predicted
+    SELECT 'lid' AS gate, lang || '>' || predicted AS k,
+           CAST(NULL AS VARCHAR) AS v_s, CAST(n AS DOUBLE) AS v_d FROM lid
+    UNION ALL
+    SELECT 'vocab', lang || ':nv', CAST(NULL AS VARCHAR), nv FROM vocab
+    UNION ALL
+    SELECT 'vocab', lang || ':nt', CAST(NULL AS VARCHAR), nt FROM vocab
+    UNION ALL
+    SELECT 'vocab', lang || ':ttr', CAST(NULL AS VARCHAR), ttr FROM vocab
     """,
-    doc="marker-token language-ID heuristic, confusion matrix vs labeled lang",
+    doc="merged gate (r5 driver-budget): marker-token language-ID "
+    "heuristic confusion matrix vs labeled lang (ex-d05) + per-lang "
+    "vocabulary size + type-token ratio over the BPE-ish regex "
+    "tokenizer (word runs + single symbols, ex-d08)",
 )
-def d05_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    nul_s = F.lit(None).cast("string")
     toks = tokens("text")
     scored = docs.select(
         "lang",
@@ -206,42 +297,42 @@ def d05_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(de >= fr, "de")
         .otherwise("fr")
     )
-    return scored.groupBy("lang", predicted.alias("predicted")).agg(
-        F.count(F.lit(1)).alias("n")
+    lid = scored.groupBy("lang", predicted.alias("predicted")).agg(
+        F.count(F.lit(1)).cast("double").alias("v_d")
+    ).select(
+        F.lit("lid").alias("gate"),
+        F.concat("lang", F.lit(">"), F.col("predicted")).alias("k"),
+        nul_s.alias("v_s"),
+        "v_d",
     )
-
-
-# --------------------------------------------------------------------------
-@qdef(
-    QUERIES,
-    "d08_vocab_stats",
-    oracle=r"""
-    SELECT lang,
-           count(DISTINCT token) AS n_vocab,
-           count(*) AS n_tokens,
-           round(count(DISTINCT token) * 1.0 / count(*), 4) AS ttr
-    FROM (
-      SELECT lang, unnest(regexp_extract_all(text, '[\w]+|[^\w\s]')) AS token
-      FROM documents
-    )
-    GROUP BY lang
-    """,
-    doc="per-lang vocabulary size + type-token ratio over the BPE-ish "
-    "regex tokenizer (word runs + single symbols)",
-)
-def d08_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    return (
+    vocab = (
         docs.select("lang", F.explode(regex_tokens("text")).alias("token"))
         .groupBy("lang")
         .agg(
-            F.countDistinct("token").alias("n_vocab"),
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").cast("double").alias("nv"),
+            F.count(F.lit(1)).cast("double").alias("nt"),
             F.round(
                 F.countDistinct("token") * 1.0 / F.count(F.lit(1)), 4
             ).alias("ttr"),
         )
     )
+    vocab_u = vocab.select(
+        "lang",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("m"), F.col(m).alias("v"))
+                    for m in ("nv", "nt", "ttr")
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        F.lit("vocab").alias("gate"),
+        F.concat("lang", F.lit(":"), F.col("e.m")).alias("k"),
+        nul_s.alias("v_s"),
+        F.col("e.v").alias("v_d"),
+    )
+    return lid.unionByName(vocab_u)
 
 
 # --------------------------------------------------------------------------
@@ -385,26 +476,3 @@ def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-@qdef(
-    QUERIES,
-    "d09_exact_precluster",
-    oracle="""
-    SELECT doc_id,
-           CASE WHEN text IS NULL THEN doc_id
-                ELSE min(doc_id) OVER (PARTITION BY md5(text)) END AS canon_id
-    FROM documents
-    """,
-    doc="exact pre-cluster mapping (operators/dedup.exact_precluster): "
-    "every doc -> min-id member of its md5 fingerprint cluster; NULL "
-    "texts stay their own canonical. The quadratic-bucket killer run "
-    "before sketch dedup, under the oracle gate",
-)
-def d09_exact_precluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_governance_spark.operators.dedup import exact_precluster
-
-    docs = table(spark, sf_dir, "documents")
-    _canonical, mapping = exact_precluster(
-        docs, F.md5(F.encode(F.col("text"), "UTF-8"))
-    )
-    return mapping

@@ -1,12 +1,14 @@
 """Similarity-search and dedup-sketch suite over ``documents`` +
 ``embeddings``.
 
-e-queries with oracles run exact math that DuckDB can mirror; the
-probabilistic sketches (MinHash, SimHash, LSH-ANN) have no faithful
-ANSI-SQL twin (hash functions differ across engines) so they are
-registered without oracles — the driver records rows-only checks and
-pytest verifies them against exact Jaccard / brute-force cosine on
-crafted fixtures (tests/test_dedup.py, tests/test_similarity.py).
+Every query here carries a DuckDB oracle (r5). The probabilistic
+sketches (MinHash, SimHash, LSH/IVF-ANN) have no faithful ANSI-SQL twin
+for their full output (hash functions differ across engines), so their
+gates assert GUARANTEED-exact subsets instead: planted exact-duplicate
+pairs every sketch must catch (e03), and configurations where the ANN
+is exact by construction (e05). Probabilistic recall behavior stays
+verified against exact Jaccard / brute-force cosine on crafted fixtures
+(tests/test_dedup.py, tests/test_similarity.py).
 """
 
 from __future__ import annotations
@@ -94,33 +96,89 @@ def e02_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Planted-duplicate ids live far above any real doc_id/vec_id (testdata
+# ids are dense and small even at sf0.1).
+_DUP_OFFSET = 10_000_000
+
+# DuckDB-side tokenizer identical to functions.text.tokens
+_SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+
+# e03 (merged gate, r5 driver-budget; replaces the no-oracle ex-e03/
+# ex-e04 rows with a driver-hashable one): both sketches run over the
+# corpus PLUS planted exact duplicates (doc_id + _DUP_OFFSET for every
+# doc_id % 5 == 0 with at least one token). An exact duplicate has an
+# identical shingle set and token list, so MinHash signatures match on
+# every band (est_jaccard exactly 1.0) and SimHash signatures are equal
+# (hamming 0, equal chunks) — catching every planted pair is a
+# GUARANTEE of the sketch + banding machinery, not a probabilistic
+# recall, which is what makes a deterministic DuckDB oracle possible.
+# The inner join means a missed pair fails the row-count match loudly.
+# Probabilistic near-dup recall stays covered by tests/test_dedup.py
+# against exact Jaccard / Hamming on crafted fixtures.
 @qdef(
     QUERIES,
-    "e03_minhash_dedup_pairs",
-    oracle=None,  # engine-specific hash sketch; verified in tests/test_dedup.py
-    doc="MinHash(64) + LSH banding (16x4) near-dup candidate pairs, est Jaccard >= 0.5",
+    "e03_sketch_dedup_recall",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 5 = 0 AND text IS NOT NULL AND len({_SQL_TOKS}) >= 1
+    )
+    SELECT 'mh' AS gate,
+           CAST(doc_id AS VARCHAR) || '>' || CAST(doc_id + {_DUP_OFFSET} AS VARCHAR)
+             AS k,
+           CAST(NULL AS VARCHAR) AS v_s, CAST(1.0 AS DOUBLE) AS v_d
+    FROM planted
+    UNION ALL
+    SELECT 'sh',
+           CAST(doc_id AS VARCHAR) || '>' || CAST(doc_id + {_DUP_OFFSET} AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(0.0 AS DOUBLE)
+    FROM planted
+    """,
+    doc="merged gate (r5): MinHash(64)+LSH banding (16x4, ex-e03) and "
+    "SimHash64 chunk blocking (ex-e04) must catch every planted exact-"
+    "duplicate pair with est_jaccard 1.0 / hamming 0 — guaranteed "
+    "(identical signatures), so DuckDB can state the expected rows",
 )
-def e03_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e03_sketch_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-materialize tokens: word_shingles indexes the token array per
     # gram position and must not re-run the tokenizer each time
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("toks")
+    base = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 1)
     )
-    return minhash_dedup_pairs(
-        docs, F.array_distinct(word_shingles(F.col("toks"), 3)), threshold=0.5
+    planted = base.filter(F.col("doc_id") % 5 == 0)
+    aug = base.unionByName(
+        planted.select(
+            (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "toks"
+        )
     )
-
-
-# --------------------------------------------------------------------------
-@qdef(
-    QUERIES,
-    "e04_simhash_dedup_pairs",
-    oracle=None,  # engine-specific hash sketch; verified in tests/test_dedup.py
-    doc="SimHash64 near-dup candidate pairs via 16-bit chunk blocking, hamming <= 8",
-)
-def e04_simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    return simhash_dedup_pairs(docs, tokens("text"), max_hamming=8)
+    mh = minhash_dedup_pairs(
+        aug, F.array_distinct(word_shingles(F.col("toks"), 3)), threshold=0.5
+    )
+    sh = simhash_dedup_pairs(aug, F.col("toks"), max_hamming=8)
+    expected = planted.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + _DUP_OFFSET).alias("doc_b"),
+    )
+    nul_s = F.lit(None).cast("string")
+    key = F.concat(
+        F.col("doc_a").cast("string"), F.lit(">"), F.col("doc_b").cast("string")
+    )
+    mh_rows = expected.join(mh, ["doc_a", "doc_b"]).select(
+        F.lit("mh").alias("gate"),
+        key.alias("k"),
+        nul_s.alias("v_s"),
+        F.col("est_jaccard").alias("v_d"),
+    )
+    sh_rows = expected.join(sh, ["doc_a", "doc_b"]).select(
+        F.lit("sh").alias("gate"),
+        key.alias("k"),
+        nul_s.alias("v_s"),
+        F.col("hamming").cast("double").alias("v_d"),
+    )
+    return mh_rows.unionByName(sh_rows)
 
 
 # --------------------------------------------------------------------------
@@ -156,37 +214,62 @@ def e07_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# e05 (merged gate, r5 driver-budget; replaces the no-oracle ex-e05/
+# ex-e06 rows with a driver-hashable one). Two guaranteed-exact ANN
+# properties:
+#   'ivf' — ivf_knn probing EVERY cell (n_probe = n_cells) is exact by
+#   construction (the global top-k is inside some probed cell's local
+#   top-k), so the full IVF machinery — broadcast cell assignment,
+#   probe ranking, Arrow/numpy in-cell rerank, global merge — must
+#   reproduce DuckDB's brute-force top-k bit-for-bit (queries kept as a
+#   separate DataFrame: retrieval shape, self-match included at rk 1).
+#   'lsh' — an identical planted vector (vec_id + _DUP_OFFSET) hashes
+#   to the SAME hyperplane signs, hence the same bucket, and its cosine
+#   (exactly 1.0 after rounding) outranks every other bucket member —
+#   so lsh_knn must return it among the top-k for every planted query.
+# Approximate-recall behavior (n_probe < n_cells, missed buckets) stays
+# covered by tests/test_similarity.py.
 @qdef(
     QUERIES,
-    "e05_lsh_knn",
-    oracle=None,  # approximate by design; recall vs e01 checked in tests
-    doc="ANN: random-hyperplane LSH buckets + exact cosine rerank within bucket",
+    "e05_ann_recall",
+    oracle=f"""
+    SELECT 'ivf' AS gate,
+           CAST(query_id AS VARCHAR) || ':' || CAST(rk AS VARCHAR) || ':'
+             || CAST(neighbor_id AS VARCHAR) AS k,
+           CAST(NULL AS VARCHAR) AS v_s,
+           round(cosine, 4) + 0.0 AS v_d
+    FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(n.embedding AS DOUBLE[])) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(n.embedding AS DOUBLE[])) DESC,
+                        n.vec_id ASC
+             ) AS rk
+      FROM embeddings q, embeddings n
+      WHERE q.vec_id % 5 = 0
+    ) WHERE rk <= {_K}
+    UNION ALL
+    SELECT 'lsh', CAST(vec_id AS VARCHAR), CAST(NULL AS VARCHAR), 1.0
+    FROM embeddings WHERE vec_id % 7 = 0
+    """,
+    doc="merged gate (r5): IVF ANN with all cells probed == exact "
+    "brute-force top-k (ex-e06 machinery under an exact oracle) + LSH "
+    "ANN must retrieve a planted identical vector from its own bucket "
+    "at cosine 1.0 (ex-e05 machinery, guaranteed self-bucket recall)",
 )
-def e05_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    return lsh_knn(emb, k=_K, n_planes=10, dim=64)
-
-
-# --------------------------------------------------------------------------
-@qdef(
-    QUERIES,
-    "e06_ivf_knn",
-    oracle=None,  # approximate by design; recall vs e01 checked in tests
-    doc="IVF ANN: per-label centroids as cells, n_probe=2, exact in-cell rerank",
-)
-def e06_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.col("embedding").cast("array<double>").alias("emb"),
     )
     # deterministic cell centers: per-label mean vectors (a k-means
-    # trainer would slot in here unchanged). A 64-wide flat avg
-    # aggregate measures the same as this explode shape at test scale
-    # (both dominated by fixed JIT/setup cost); explode is kept for the
-    # generic-dim code and the smaller generated class.
+    # trainer would slot in here unchanged — train_ivf_cells). A
+    # 64-wide flat avg aggregate measures the same as this explode
+    # shape at test scale; explode is kept for the generic-dim code.
     cells = (
         emb.select("label", F.posexplode("emb").alias("dim", "v"))
         .groupBy("label", "dim")
@@ -202,4 +285,35 @@ def e06_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("cell_id"), "centroid")
     )
-    return ivf_knn(emb.select("vec_id", "emb"), cells, k=_K, n_probe=2)
+    n_cells = emb.select("label").distinct().count()
+    queries = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "emb")
+    ivf = ivf_knn(
+        emb.select("vec_id", "emb"), cells, k=_K, n_probe=n_cells, queries=queries
+    )
+    nul_s = F.lit(None).cast("string")
+    ivf_rows = ivf.select(
+        F.lit("ivf").alias("gate"),
+        F.concat(
+            F.col("query_id").cast("string"), F.lit(":"),
+            F.col("rk").cast("string"), F.lit(":"),
+            F.col("neighbor_id").cast("string"),
+        ).alias("k"),
+        nul_s.alias("v_s"),
+        (F.round("cosine", 4) + F.lit(0.0)).alias("v_d"),
+    )
+    planted = emb.filter(F.col("vec_id") % 7 == 0)
+    aug = emb.select("vec_id", "emb").unionByName(
+        planted.select((F.col("vec_id") + _DUP_OFFSET).alias("vec_id"), "emb")
+    )
+    knn = lsh_knn(aug, k=_K, n_planes=10, dim=64)
+    lsh_rows = knn.filter(
+        (F.col("neighbor_id") == F.col("query_id") + _DUP_OFFSET)
+        & (F.col("query_id") % 7 == 0)
+        & (F.col("query_id") < _DUP_OFFSET)
+    ).select(
+        F.lit("lsh").alias("gate"),
+        F.col("query_id").cast("string").alias("k"),
+        nul_s.alias("v_s"),
+        (F.round("cosine", 4) + F.lit(0.0)).alias("v_d"),
+    )
+    return ivf_rows.unionByName(lsh_rows)

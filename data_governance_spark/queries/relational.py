@@ -173,55 +173,64 @@ def q04_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # conditional sum; F17 date slicing).
 @qdef(
     QUERIES,
-    "q05_daily_event_timeline",
+    "q05_event_rollups",
     oracle="""
-    SELECT strftime(ts, '%Y-%m-%d') AS day,
-           count(*) AS n_events,
-           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_purchases,
-           CAST(sum(CASE WHEN event_type = 'purchase'
-                    THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
-                AS DOUBLE)
-             AS purchase_value
-    FROM events
-    GROUP BY 1
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS DOUBLE) AS ne,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS np,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS pv
+      FROM events GROUP BY 1
+    )
+    SELECT 'daily' AS gate, day || ':ne' AS k,
+           CAST(NULL AS VARCHAR) AS v_s, ne AS v_d FROM daily
+    UNION ALL
+    SELECT 'daily', day || ':np', CAST(NULL AS VARCHAR), np FROM daily
+    UNION ALL
+    SELECT 'daily', day || ':pv', CAST(NULL AS VARCHAR), pv FROM daily
+    UNION ALL
+    SELECT 'recode',
+           CASE WHEN event_type = 'purchase' THEN 'Conversion'
+                WHEN event_type = 'signup'   THEN 'Acquisition'
+                WHEN event_type IN ('click', 'view') THEN 'Engagement'
+                WHEN event_type = 'error'    THEN 'Failure'
+                ELSE 'Other' END,
+           CAST(NULL AS VARCHAR), CAST(count(*) AS DOUBLE)
+    FROM events GROUP BY 2
     """,
-    doc="date-derived key + conditional count/sum (ref A11/A12 timeline+map)",
+    doc="merged gate (r5 driver-budget): date-derived key + conditional "
+    "count/sum (ref A11/A12 timeline+map, ex-q05) UNION when-chain "
+    "recode + grouped count (ref A3/A4 $switch recodes, ex-q06)",
 )
-def q05_daily_event_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q05_event_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     is_purchase = F.col("event_type") == "purchase"
-    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.when(is_purchase, 1).otherwise(0)).alias("n_purchases"),
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("ne"),
+        F.sum(F.when(is_purchase, 1).otherwise(0)).cast("double").alias("np"),
         F.sum(F.when(is_purchase, _dec(F.col("value"))).otherwise(_dec(F.lit(0))))
         .cast("double")
-        .alias("purchase_value"),
+        .alias("pv"),
     )
-
-
-# --------------------------------------------------------------------------
-# q6: when-chain recode + group (ref A3/A4 $switch doctype/studytype
-# recodes — 9/24-branch CASE tables).
-@qdef(
-    QUERIES,
-    "q06_event_type_recode",
-    oracle="""
-    SELECT CASE
-             WHEN event_type = 'purchase' THEN 'Conversion'
-             WHEN event_type = 'signup'   THEN 'Acquisition'
-             WHEN event_type IN ('click', 'view') THEN 'Engagement'
-             WHEN event_type = 'error'    THEN 'Failure'
-             ELSE 'Other'
-           END AS event_class,
-           count(*) AS n
-    FROM events
-    GROUP BY 1
-    """,
-    doc="CASE-recode then grouped count (ref A3/A4 $switch recodes)",
-)
-def q06_event_type_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    daily_u = daily.select(
+        "day",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("m"), F.col(m).alias("v"))
+                    for m in ("ne", "np", "pv")
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        F.lit("daily").alias("gate"),
+        F.concat("day", F.lit(":"), F.col("e.m")).alias("k"),
+        F.lit(None).cast("string").alias("v_s"),
+        F.col("e.v").alias("v_d"),
+    )
     et = F.col("event_type")
     recoded = (
         F.when(et == "purchase", "Conversion")
@@ -230,7 +239,17 @@ def q06_event_type_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(et == "error", "Failure")
         .otherwise("Other")
     )
-    return ev.groupBy(recoded.alias("event_class")).agg(F.count(F.lit(1)).alias("n"))
+    recode_u = (
+        ev.groupBy(recoded.alias("k"))
+        .agg(F.count(F.lit(1)).cast("double").alias("v_d"))
+        .select(
+            F.lit("recode").alias("gate"),
+            "k",
+            F.lit(None).cast("string").alias("v_s"),
+            "v_d",
+        )
+    )
+    return daily_u.unionByName(recode_u)
 
 
 # --------------------------------------------------------------------------
@@ -308,67 +327,107 @@ def q08_union_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q9: distinct (ref A15 grouped identity / distinct lists).
+# q9 (merged gate, r5 driver-budget): distinct (ref A15, ex-q09) +
+# global min/max incl. derived year (ref O5, ex-q10) + map-literal
+# status decode (ref F16, ex-q11) in one quad-schema union.
 @qdef(
     QUERIES,
-    "q09_distinct_segments",
-    oracle="SELECT DISTINCT c_mktsegment FROM customer",
-    doc="distinct over a low-cardinality column (ref A15)",
-)
-def q09_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
-
-
-# --------------------------------------------------------------------------
-# q10: global min/max (ref O5 slider-range min/max year).
-@qdef(
-    QUERIES,
-    "q10_order_date_range",
+    "q09_scalar_stats",
     oracle="""
-    SELECT strftime(min(o_orderdate), '%Y-%m-%d') AS min_day,
-           strftime(max(o_orderdate), '%Y-%m-%d') AS max_day,
-           min(CAST(strftime(o_orderdate, '%Y') AS INT)) AS min_year,
-           max(CAST(strftime(o_orderdate, '%Y') AS INT)) AS max_year
+    SELECT 'seg' AS gate, c_mktsegment AS k,
+           CAST(NULL AS VARCHAR) AS v_s, CAST(NULL AS DOUBLE) AS v_d
+    FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    UNION ALL
+    SELECT 'range', 'min_day', strftime(min(o_orderdate), '%Y-%m-%d'),
+           CAST(NULL AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT 'range', 'max_day', strftime(max(o_orderdate), '%Y-%m-%d'),
+           CAST(NULL AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT 'range', 'min_year', CAST(NULL AS VARCHAR),
+           CAST(min(CAST(strftime(o_orderdate, '%Y') AS INT)) AS DOUBLE)
     FROM orders
+    UNION ALL
+    SELECT 'range', 'max_year', CAST(NULL AS VARCHAR),
+           CAST(max(CAST(strftime(o_orderdate, '%Y') AS INT)) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'status',
+           CASE o_orderstatus
+             WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Finished' WHEN 'P' THEN 'Pending'
+             ELSE 'Unknown' END,
+           CAST(NULL AS VARCHAR), CAST(count(*) AS DOUBLE)
+    FROM orders
+    GROUP BY 2
     """,
-    doc="global min/max incl. derived year (ref O5)",
+    doc="merged gate (r5 driver-budget): distinct over a low-cardinality "
+    "column (ref A15, ex-q09) + global min/max incl. derived year "
+    "(ref O5, ex-q10) + map-literal status decode (ref F16, ex-q11)",
 )
-def q10_order_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q09_scalar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nul_s = F.lit(None).cast("string")
+    nul_d = F.lit(None).cast("double")
+    seg = (
+        table(spark, sf_dir, "customer")
+        .select("c_mktsegment")
+        .distinct()
+        .select(
+            F.lit("seg").alias("gate"),
+            F.col("c_mktsegment").alias("k"),
+            nul_s.alias("v_s"),
+            nul_d.alias("v_d"),
+        )
+    )
     orders = table(spark, sf_dir, "orders")
-    return orders.agg(
+    rng = orders.agg(
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_day"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_day"),
-        F.min(F.year("o_orderdate")).alias("min_year"),
-        F.max(F.year("o_orderdate")).alias("max_year"),
+        F.min(F.year("o_orderdate")).cast("double").alias("min_year"),
+        F.max(F.year("o_orderdate")).cast("double").alias("max_year"),
     )
-
-
-# --------------------------------------------------------------------------
-# q11: map-literal decode (ref F16 status int -> label decode).
-@qdef(
-    QUERIES,
-    "q11_status_decode",
-    oracle="""
-    SELECT CASE o_orderstatus
-             WHEN 'O' THEN 'Open' WHEN 'F' THEN 'Finished' WHEN 'P' THEN 'Pending'
-             ELSE 'Unknown' END AS status_label,
-           count(*) AS n
-    FROM orders
-    GROUP BY 1
-    """,
-    doc="map-literal decode of a status code (ref F16 status decode)",
-)
-def q11_status_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders")
+    rng_u = rng.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("min_day").alias("k"),
+                    F.col("min_day").alias("v_s"),
+                    nul_d.alias("v_d"),
+                ),
+                F.struct(
+                    F.lit("max_day").alias("k"),
+                    F.col("max_day").alias("v_s"),
+                    nul_d.alias("v_d"),
+                ),
+                F.struct(
+                    F.lit("min_year").alias("k"),
+                    nul_s.alias("v_s"),
+                    F.col("min_year").alias("v_d"),
+                ),
+                F.struct(
+                    F.lit("max_year").alias("k"),
+                    nul_s.alias("v_s"),
+                    F.col("max_year").alias("v_d"),
+                ),
+            )
+        ).alias("e")
+    ).select(
+        F.lit("range").alias("gate"),
+        F.col("e.k").alias("k"),
+        F.col("e.v_s").alias("v_s"),
+        F.col("e.v_d").alias("v_d"),
+    )
     decode = F.create_map(
         F.lit("O"), F.lit("Open"), F.lit("F"), F.lit("Finished"), F.lit("P"), F.lit("Pending")
     )
     label = F.coalesce(
         F.element_at(decode, F.col("o_orderstatus")), F.lit("Unknown")
     )
-    return orders.groupBy(label.alias("status_label")).agg(
-        F.count(F.lit(1)).alias("n")
+    status = orders.groupBy(label.alias("k")).agg(
+        F.count(F.lit(1)).cast("double").alias("v_d")
+    ).select(
+        F.lit("status").alias("gate"), "k", nul_s.alias("v_s"), "v_d"
     )
+    return seg.unionByName(rng_u).unionByName(status)
 
 
 # --------------------------------------------------------------------------

@@ -1,17 +1,24 @@
-"""Oracle gates q41-q44 for the engine's source/sink boundaries: the
-Solr-XML source (S8-S11, F21), the XML document sink serialization
-(S12/P8/F6-extended), the paginated REST harvester (S1-S5 with error
-capture, composed with the S6 upsert), and the chart-JSON pivot
-(S14/S15 served layer, O1 year sort).
+"""Oracle gates (merged, r5 driver-budget) for the engine's source/sink
+boundaries: q41 = Solr-XML source round-trip (S8-S11, F21) + XML
+document sink serialization (S12/P8/F6-extended); q43 = paginated REST
+harvester (S1-S6) + date-range/id-list extract params (S2-S4) + the
+chart-JSON pivot (S14/S15 served layer, O1 year sort).
 
-q41 materializes real XML files (content derived from `customer`) and
-reads them back through the real source; q42 gates the `doc_xml`
-serialization column directly; q43 drives harvest_pages with a
-deterministic injected fetch; q44 pivots real event metrics — all with
-analytically-stated DuckDB oracles, like q25-q40.
+q41 materializes real XML files (content derived from `customer`) once
+per process (staged dir reused across invocations and removed at exit —
+repeated bench/sweep runs must not accumulate /tmp, ADVICE r4) and
+reads them back through the real source; the sink half gates the
+`doc_xml` serialization column directly. q43 drives harvest_pages with
+deterministic injected fetches — all with analytically-stated DuckDB
+oracles, like q25-q40.
 """
 
 from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,34 +34,28 @@ def _s(c: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
-# q41: the Solr-XML source round-trip. Two files are generated from the
-# first 200 customers (a.xml: ck<=100, b.xml: the rest): repeated
-# <field name="la"> values become a list (F21/S8), docs with
-# instance='other' (ck%3==0) are dropped by the S9 filter, and each
+# Sub-gate 'src' (ex-q41): the Solr-XML source round-trip. Two files are
+# generated from the first 200 customers (a.xml: ck<=100, b.xml: the
+# rest): repeated <field name="la"> values become a list (F21/S8), docs
+# with instance='other' (ck%3==0) are dropped by the S9 filter, and each
 # file re-emits every ck%10==0 doc with a poisoned note — S10's
 # first-in-file-wins dedup must keep the original. The files are read
 # back via the glob path (S11).
 # Reference: dags/tmgl_metrics/dag_01_full_update.py:83-211.
-@qdef(
-    QUERIES,
-    "q41_solr_xml_roundtrip",
-    oracle="""
-    SELECT 'd' || CAST(c_custkey AS VARCHAR) AS id,
-           CASE WHEN c_custkey <= 100 THEN 'a.xml' ELSE 'b.xml' END AS file,
-           'en|pt' AS la_s,
-           'N' || CAST(c_custkey AS VARCHAR) AS note
-    FROM customer
-    WHERE c_custkey <= 200 AND c_custkey % 3 <> 0
-    """,
-    doc="S8-S11 Solr-XML source: streaming parse, repeated-field lists, "
-    "instance filter, first-in-file dedup, glob listing",
-)
-def q41_solr_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
+_XML_STAGING: dict[str, str] = {}
 
-    from data_governance_spark.sources.solr_xml import read_solr_xml
 
+def _cleanup_xml_staging() -> None:
+    for d in _XML_STAGING.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _XML_STAGING.clear()
+
+
+def _staged_xml_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Generate the q41 XML fixture files once per (process, sf_dir);
+    reused across repeated gate/bench invocations, removed atexit."""
+    if sf_dir in _XML_STAGING:
+        return _XML_STAGING[sf_dir]
     rows = (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") <= 200)
@@ -80,8 +81,19 @@ def q41_solr_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         body += [doc(ck, "DUP") for ck in cks if ck % 10 == 0]
         with open(os.path.join(out_dir, fname), "w") as f:
             f.write("<add>" + "".join(body) + "</add>")
+    if not _XML_STAGING:
+        atexit.register(_cleanup_xml_staging)
+    _XML_STAGING[sf_dir] = out_dir
+    return out_dir
 
-    parsed = read_solr_xml(spark, os.path.join(out_dir, "*.xml"), instance_filter="tmgl")
+
+def q41_solr_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.sources.solr_xml import read_solr_xml
+
+    out_dir = _staged_xml_dir(spark, sf_dir)
+    parsed = read_solr_xml(
+        spark, os.path.join(out_dir, "*.xml"), instance_filter="tmgl"
+    )
     return parsed.select(
         "id",
         F.col("_file").alias("file"),
@@ -91,41 +103,14 @@ def q41_solr_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q42: the XML sink's per-document serialization (S12). Exercises:
-# sorted field order; array fields repeated with ''/NULL values pruned
-# (P8); &<> escaped in text and " additionally in data-derived dyn-map
-# attribute names; NULL/'' scalars pruned; ti-style prefixed map keys
-# ('' -> bare name); the dyn map appended after the named fields; the
-# F6-extended invalid-char strip (\\x01 removed); and the boost
-# attribute from weight.
+# Sub-gate 'ser' (ex-q42): the XML sink's per-document serialization
+# (S12). Exercises: sorted field order; array fields repeated with
+# ''/NULL values pruned (P8); &<> escaped in text and " additionally in
+# data-derived dyn-map attribute names; NULL/'' scalars pruned; ti-style
+# prefixed map keys ('' -> bare name); the dyn map appended after the
+# named fields; the F6-extended invalid-char strip (\\x01 removed); and
+# the boost attribute from weight.
 # Reference: 04_export_xml.py:82-128 (sink), :39-57 (sanitizer).
-@qdef(
-    QUERIES,
-    "q42_xml_sink_serialization",
-    oracle="""
-    WITH f AS (SELECT c_custkey AS ck, CAST(c_custkey AS VARCHAR) AS cs
-               FROM customer)
-    SELECT 'D' || cs AS id,
-      '<doc boost="' || CAST(ck % 7 AS VARCHAR) || '">' || chr(10)
-      || '  <field name="aa_arr">v1-' || cs || '</field>' || chr(10)
-      || '  <field name="aa_arr">v&lt;2&gt;&amp;' || cs || '</field>' || chr(10)
-      || '  <field name="id">D' || cs || '</field>' || chr(10)
-      || '  <field name="mm">base' || cs || '</field>' || chr(10)
-      || '  <field name="mm_en">e1</field>' || chr(10)
-      || CASE WHEN ck % 2 = 0
-              THEN '  <field name="mm_en">e2</field>' || chr(10) ELSE '' END
-      || CASE WHEN ck % 5 <> 0
-              THEN '  <field name="sc">S"x"' || cs || '</field>' || chr(10)
-              ELSE '' END
-      || '  <field name="k&quot;' || CAST(ck % 2 AS VARCHAR) || '">dv' || cs
-      || '</field>' || chr(10)
-      || '  <field name="kc">cv' || cs || '</field>' || chr(10)
-      || '</doc>' AS xml
-    FROM f
-    """,
-    doc="S12 XML sink serialization: sorted fields, P8 pruning, text/"
-    "attr escaping, prefixed + dynamic maps, invalid-char strip, boost",
-)
 def q42_xml_sink_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.sinks.xml_sink import doc_xml
 
@@ -161,29 +146,69 @@ def q42_xml_sink_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q43: the REST harvester (S1 page fan-out, S2 watermark params, S5
-# partitioned fetch, page-level error capture) composed with S6's
-# upsert merge. The injected fetch is deterministic: every third page
-# (offset//50 % 3 == 1) raises (those records must be ABSENT, not fail
-# the job); records carry the watermark param to prove params plumb
-# through; ids divisible by 4 arrive in two versions and the upsert
-# must keep the newer. total_count derives from `customer` so the gate
-# scales with sf. Reference: tasks_for_01.py:96-191.
 @qdef(
     QUERIES,
-    "q43_rest_harvest_upsert",
+    "q41_xml_source_sink",
     oracle="""
-    WITH t AS (SELECT CAST(LEAST(count(*), 500) AS BIGINT) AS n FROM customer),
-    ids AS (SELECT unnest(range(0, (SELECT n FROM t))) AS id)
-    SELECT id,
-           CASE WHEN id % 4 = 0 THEN '2025-02-02' ELSE '2025-01-01' END
-             AS updated_time,
-           '2025-07-22' AS v
-    FROM ids WHERE (id // 50) % 3 <> 1
+    SELECT 'src' AS gate, 'd' || CAST(c_custkey AS VARCHAR) AS k,
+           (CASE WHEN c_custkey <= 100 THEN 'a.xml' ELSE 'b.xml' END)
+             || '|en|pt|N' || CAST(c_custkey AS VARCHAR) AS v_s,
+           CAST(NULL AS DOUBLE) AS v_d
+    FROM customer
+    WHERE c_custkey <= 200 AND c_custkey % 3 <> 0
+    UNION ALL
+    SELECT 'ser', 'D' || cs,
+      '<doc boost="' || CAST(ck % 7 AS VARCHAR) || '">' || chr(10)
+      || '  <field name="aa_arr">v1-' || cs || '</field>' || chr(10)
+      || '  <field name="aa_arr">v&lt;2&gt;&amp;' || cs || '</field>' || chr(10)
+      || '  <field name="id">D' || cs || '</field>' || chr(10)
+      || '  <field name="mm">base' || cs || '</field>' || chr(10)
+      || '  <field name="mm_en">e1</field>' || chr(10)
+      || CASE WHEN ck % 2 = 0
+              THEN '  <field name="mm_en">e2</field>' || chr(10) ELSE '' END
+      || CASE WHEN ck % 5 <> 0
+              THEN '  <field name="sc">S"x"' || cs || '</field>' || chr(10)
+              ELSE '' END
+      || '  <field name="k&quot;' || CAST(ck % 2 AS VARCHAR) || '">dv' || cs
+      || '</field>' || chr(10)
+      || '  <field name="kc">cv' || cs || '</field>' || chr(10)
+      || '</doc>',
+      CAST(NULL AS DOUBLE)
+    FROM (SELECT c_custkey AS ck, CAST(c_custkey AS VARCHAR) AS cs
+          FROM customer)
     """,
-    doc="S1-S5 paginated REST harvest (error pages captured, watermark "
-    "params) + S6 upsert merge by newest version",
+    doc="merged gate (r5 driver-budget): S8-S11 Solr-XML source "
+    "(streaming parse, repeated-field lists, instance filter, first-in-"
+    "file dedup, glob listing; ex-q41) + S12 XML sink serialization "
+    "(sorted fields, P8 pruning, text/attr escaping, prefixed + dynamic "
+    "maps, invalid-char strip, boost; ex-q42)",
 )
+def q41_xml_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nul_d = F.lit(None).cast("double")
+    src = q41_solr_xml_roundtrip(spark, sf_dir).select(
+        F.lit("src").alias("gate"),
+        F.col("id").alias("k"),
+        F.concat_ws("|", "file", "la_s", "note").alias("v_s"),
+        nul_d.alias("v_d"),
+    )
+    ser = q42_xml_sink_serialization(spark, sf_dir).select(
+        F.lit("ser").alias("gate"),
+        F.col("id").alias("k"),
+        F.col("xml").alias("v_s"),
+        nul_d.alias("v_d"),
+    )
+    return src.unionByName(ser)
+
+
+# --------------------------------------------------------------------------
+# Sub-gate 'h' (ex-q43): the REST harvester (S1 page fan-out, S2
+# watermark params, S5 partitioned fetch, page-level error capture)
+# composed with S6's upsert merge. The injected fetch is deterministic:
+# every third page (offset//50 % 3 == 1) raises (those records must be
+# ABSENT, not fail the job); records carry the watermark param to prove
+# params plumb through; ids divisible by 4 arrive in two versions and
+# the upsert must keep the newer. total_count derives from `customer`
+# so the gate scales with sf. Reference: tasks_for_01.py:96-191.
 def q43_rest_harvest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datetime import date
 
@@ -230,27 +255,12 @@ def q43_rest_harvest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q44: the served-layer chart pivot (S14 JSON artifact body, also the
-# engine side of the S15 HTML report): long metrics (type, region,
-# name, year, count) -> wide per-year rows with one column per entity,
-# sorted by year (O1). Absent (year, entity) pairs stay NULL (the
-# reference emits only present entities per year).
+# Sub-gate 'pivot' (ex-q44): the served-layer chart pivot (S14 JSON
+# artifact body, also the engine side of the S15 HTML report): long
+# metrics (type, region, name, year, count) -> wide per-year rows with
+# one column per entity, sorted by year (O1). Absent (year, entity)
+# pairs stay NULL (the reference emits only present entities per year).
 # Reference: tmgl_regions/tasks_for_export/journal.py:148-190.
-@qdef(
-    QUERIES,
-    "q44_chart_pivot",
-    oracle="""
-    SELECT CAST(strftime(ts, '%Y') AS INT) AS ano,
-      CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
-      CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
-      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
-      CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
-      CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
-    FROM events GROUP BY 1
-    """,
-    doc="S14/S15 served-layer pivot: long metrics -> wide year rows, "
-    "NULL for absent entities, year-sorted (O1)",
-)
 def q44_chart_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.metrics.runner import MetricSpec, run_metric
     from data_governance_spark.sinks.json_sink import pivot_metric
@@ -260,3 +270,136 @@ def q44_chart_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     metrics = run_metric(ev, MetricSpec(name="event", entity_col="event_type"))
     return pivot_metric(metrics, "event")
+
+
+# --------------------------------------------------------------------------
+# Sub-gates 'range' (S3) and 'ids' (S4), new in r5: the two remaining
+# extract modes driven through the same harvest_pages machinery with
+# deterministic fetches that echo the mode's params back into the
+# records — proving date_range_params / id_list_params plumb through
+# the partitioned fan-out. Reference: 01_*.py extract modes.
+def s3_s4_param_harvests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from data_governance_spark.sources.rest_source import (
+        date_range_params,
+        harvest_pages,
+        id_list_params,
+        records_df,
+    )
+
+    total = min(table(spark, sf_dir, "customer").count(), 120)
+
+    def fetch_range(offset: int, limit: int, params: dict) -> list[dict]:
+        span = params["updated_time__gte"] + ".." + params["updated_time__lte"]
+        return [
+            {"id": f"r{i}", "v": span}
+            for i in range(offset, min(offset + limit, total))
+        ]
+
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("v", T.StringType())]
+    )
+    rng = records_df(
+        harvest_pages(
+            spark,
+            fetch_range,
+            total_count=total,
+            limit=40,
+            params=date_range_params("2025-03-01", "2025-03-31"),
+        ),
+        schema,
+    )
+    wanted = ["alpha", "beta", "gamma"]
+
+    def fetch_ids(offset: int, limit: int, params: dict) -> list[dict]:
+        ids = params["ids"]
+        return [{"id": f"i:{x}", "v": "ok"} for x in ids[offset : offset + limit]]
+
+    by_id = records_df(
+        harvest_pages(
+            spark,
+            fetch_ids,
+            total_count=len(wanted),
+            limit=2,
+            params=id_list_params(wanted),
+        ),
+        schema,
+    )
+    return rng.unionByName(by_id)
+
+
+# --------------------------------------------------------------------------
+@qdef(
+    QUERIES,
+    "q43_harvest_serving",
+    oracle="""
+    WITH t AS (SELECT CAST(LEAST(count(*), 500) AS BIGINT) AS n FROM customer),
+    ids AS (SELECT unnest(range(0, (SELECT n FROM t))) AS id),
+    t2 AS (SELECT CAST(LEAST(count(*), 120) AS BIGINT) AS n FROM customer),
+    ids2 AS (SELECT unnest(range(0, (SELECT n FROM t2))) AS id)
+    SELECT 'h' AS gate, CAST(id AS VARCHAR) AS k,
+           (CASE WHEN id % 4 = 0 THEN '2025-02-02' ELSE '2025-01-01' END)
+             || '|2025-07-22' AS v_s,
+           CAST(NULL AS DOUBLE) AS v_d
+    FROM ids WHERE (id // 50) % 3 <> 1
+    UNION ALL
+    SELECT 'pivot', CAST(ano AS VARCHAR),
+           COALESCE(CAST(click AS VARCHAR), 'None') || '|'
+             || COALESCE(CAST(error AS VARCHAR), 'None') || '|'
+             || COALESCE(CAST(purchase AS VARCHAR), 'None') || '|'
+             || COALESCE(CAST(signup AS VARCHAR), 'None') || '|'
+             || COALESCE(CAST(view AS VARCHAR), 'None'),
+           CAST(NULL AS DOUBLE)
+    FROM (
+      SELECT CAST(strftime(ts, '%Y') AS INT) AS ano,
+        CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+          AS purchase,
+        CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+      FROM events GROUP BY 1
+    )
+    UNION ALL
+    SELECT 'range', 'r' || CAST(id AS VARCHAR), '2025-03-01..2025-03-31',
+           CAST(NULL AS DOUBLE)
+    FROM ids2
+    UNION ALL
+    SELECT 'ids', 'i:' || x, 'ok', CAST(NULL AS DOUBLE)
+    FROM (SELECT unnest(['alpha', 'beta', 'gamma']) AS x)
+    """,
+    doc="merged gate (r5 driver-budget): S1-S5 paginated REST harvest "
+    "(error pages captured, watermark params) + S6 upsert merge "
+    "(ex-q43) + S14/S15 served-layer pivot (long metrics -> wide year "
+    "rows, NULL for absent entities, year-sorted O1; ex-q44) + S3 "
+    "date-range and S4 id-list extract params (new)",
+)
+def q43_harvest_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nul_d = F.lit(None).cast("double")
+    h = q43_rest_harvest_upsert(spark, sf_dir).select(
+        F.lit("h").alias("gate"),
+        F.col("id").cast("string").alias("k"),
+        F.concat_ws("|", "updated_time", "v").alias("v_s"),
+        nul_d.alias("v_d"),
+    )
+    piv = q44_chart_pivot(spark, sf_dir)
+    cnt = lambda c: F.coalesce(F.col(c).cast("string"), F.lit("None"))  # noqa: E731
+    piv_rows = piv.select(
+        F.lit("pivot").alias("gate"),
+        F.col("ano").cast("string").alias("k"),
+        F.concat_ws(
+            "|", cnt("click"), cnt("error"), cnt("purchase"), cnt("signup"),
+            cnt("view"),
+        ).alias("v_s"),
+        nul_d.alias("v_d"),
+    )
+    params = s3_s4_param_harvests(spark, sf_dir).select(
+        F.when(F.col("id").startswith("i:"), F.lit("ids"))
+        .otherwise(F.lit("range"))
+        .alias("gate"),
+        F.col("id").alias("k"),
+        F.col("v").alias("v_s"),
+        nul_d.alias("v_d"),
+    )
+    return h.unionByName(piv_rows).unionByName(params)

@@ -1,6 +1,8 @@
-"""Oracle gates q33/q35 for the standardize field builders that had no
-driver-gate coverage: the language-keyed title/abstract pivots (F7/F8)
-and the `lo` location builder + SUS-digital theme extraction (F12/F14).
+"""Oracle gate q33 (merged, r5 driver-budget) for the standardize field
+builders that had no relational-suite coverage: the language-keyed
+title/abstract pivots (F7/F8, ex-q33) and the `lo` location builder +
+SUS-digital theme extraction (F12/F14, ex-q35) — one row per customer,
+all six serialized columns in a single pass.
 
 Same synthesis pattern as q25-q32: arithmetic dims/facts from
 customer/nation through the REAL operators, expected output stated
@@ -68,7 +70,7 @@ def _pivot_str_s(m: Column, prefix: str) -> Column:
 
 
 # --------------------------------------------------------------------------
-# q33: F7/F8 under the oracle gate.
+# Sub-gate a (ex-q33): F7/F8 under the oracle gate.
 #
 # Title entries exercise: uppercase lang codes ('EN' -> 'en'), NULL
 # text dropped, NULL _i behaving as the bare field, same-lang values
@@ -77,9 +79,21 @@ def _pivot_str_s(m: Column, prefix: str) -> Column:
 # concat, the en-fallback only-when-no-en rule, and a NULL fallback
 # (ck%11==0) that must not fire. Abstracts exercise the F6 scrub
 # (\r\n and control chars -> ' ') and same-lang ' '-concat order.
+#
+# Sub-gate b (ex-q35): F12 `lo` + F14 susdigital.
+#
+# The lo entries exercise: the 'text;' prefix and its dangling-';'
+# removal (entry2 is text-only), the _a/_b/_c separator state machine
+# (b with NO separator when a is absent), ', '/'. ' subfield
+# separators including the no-space ',' of _i, the _6 placement rule
+# (' ' after text, '. ' without), NULL vs '' subfields, an
+# all-empty entry dropped from the ' / ' join, and NULL call_number ->
+# NULL lo. susdigital exercises: marker filtering, first-pt-occurrence
+# selection (skipping non-pt occurrences), segment-after-last-'/',
+# trim, a no-slash occurrence, and pt-less items dropped.
 @qdef(
     QUERIES,
-    "q33_language_pivots",
+    "q33_standardize_text_builders",
     oracle=r"""
     WITH f AS (SELECT c_custkey AS ck, CAST(c_custkey AS VARCHAR) AS cs
                FROM customer)
@@ -130,112 +144,7 @@ def _pivot_str_s(m: Column, prefix: str) -> Column:
         ELSE ''      -- unknown treatment level -> empty
       END AS mt_s,
       'ab:t' || cs || CASE WHEN ck % 3 = 0 THEN '|ab_es:u' ELSE '' END
-        || '|ab_pt:p' || cs || ' q r s' AS ab_s
-    FROM f
-    """,
-    doc="F7/F8 language pivots: title/abstract lang maps, multilingual "
-    "title dispatch with en-fallback, F6 control-char scrub",
-)
-def q33_language_pivots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_governance_spark.standardize.fields import (
-        abstract_lang_map,
-        multilingual_title,
-        title_lang_map,
-    )
-
-    cust = table(spark, sf_dir, "customer")
-    k = F.col("c_custkey")
-
-    def ent(text: Column, lang: Column) -> Column:
-        return F.struct(text.alias("text"), lang.alias("_i"))
-
-    nul = F.lit(None).cast("string")
-    titles = F.array(
-        ent(
-            F.concat(F.lit("T1-"), _s(k)),
-            F.when(k % 3 == 0, F.lit("EN")).otherwise(F.lit("pt")),
-        ),
-        ent(F.when(k % 5 != 0, F.concat(F.lit("T2-"), _s(k))), F.lit("es")),
-        ent(
-            F.concat(F.lit("T3-"), _s(k)),
-            F.when(k % 7 == 0, nul)
-            .when(k % 2 == 0, F.lit("pt"))
-            .otherwise(F.lit("")),
-        ),
-    )
-    monographic = F.array(
-        ent(F.concat(F.lit("M1-"), _s(k)), F.lit("pt")),
-        ent(
-            F.concat(F.lit("M2-"), _s(k)),
-            F.when(k % 5 == 1, F.lit("en")).otherwise(F.lit("es")),
-        ),
-    )
-    collection = F.array(
-        ent(
-            F.concat(F.lit("C1-"), _s(k)),
-            F.when(k % 2 == 0, F.lit("")).otherwise(F.lit("en")),
-        )
-    )
-    abstracts = F.array(
-        ent(F.concat(F.lit("p"), _s(k), F.lit("\r\nq")), F.lit("PT")),
-        ent(F.lit("r\x07s"), F.lit("pt")),
-        ent(nul, F.lit("en")),  # NULL text: dropped, no 'en' key
-        ent(F.concat(F.lit("t"), _s(k)), nul),  # NULL _i -> bare 'ab'
-        ent(F.when(k % 3 == 0, F.lit("u")), F.lit("ES")),
-    )
-    tl = (
-        F.when(k % 6 == 0, F.lit("a"))
-        .when(k % 6 == 1, F.lit("as"))
-        .when(k % 6 == 2, F.lit("mc"))
-        .when(k % 6 == 3, F.lit("m"))
-        .when(k % 6 == 4, F.lit("c"))
-        .otherwise(F.lit("zz"))
-    )
-    lit_type = F.when(k % 2 == 0, F.lit("mc")).otherwise(F.lit("x"))
-    ett = F.when(k % 11 != 0, F.concat(F.lit("ET-"), _s(k)))
-
-    facts = cust.select(
-        k.alias("id"),
-        title_lang_map(titles).alias("ti_map"),
-        multilingual_title(
-            tl,
-            lit_type,
-            titles,
-            monographic,
-            collection,
-            ett,
-            F.concat(F.lit("EM-"), _s(k)),
-            F.concat(F.lit("EC-"), _s(k)),
-        ).alias("mt_map"),
-        abstract_lang_map(abstracts).alias("ab_map"),
-    )
-    return facts.select(
-        "id",
-        _pivot_arr_s(F.col("ti_map"), "ti").alias("ti_s"),
-        _pivot_arr_s(F.col("mt_map"), "ti").alias("mt_s"),
-        _pivot_str_s(F.col("ab_map"), "ab").alias("ab_s"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q35: F12 `lo` + F14 susdigital under the oracle gate.
-#
-# The lo entries exercise: the 'text;' prefix and its dangling-';'
-# removal (entry2 is text-only), the _a/_b/_c separator state machine
-# (b with NO separator when a is absent), ', '/'. ' subfield
-# separators including the no-space ',' of _i, the _6 placement rule
-# (' ' after text, '. ' without), NULL vs '' subfields, an
-# all-empty entry dropped from the ' / ' join, and NULL call_number ->
-# NULL lo. susdigital exercises: marker filtering, first-pt-occurrence
-# selection (skipping non-pt occurrences), segment-after-last-'/',
-# trim, a no-slash occurrence, and pt-less items dropped.
-@qdef(
-    QUERIES,
-    "q35_location_susdigital",
-    oracle="""
-    WITH f AS (SELECT c_custkey AS ck, CAST(c_custkey AS VARCHAR) AS cs
-               FROM customer)
-    SELECT ck AS id,
+        || '|ab_pt:p' || cs || ' q r s' AS ab_s,
       CASE WHEN ck % 10 = 0 THEN NULL ELSE
         CASE WHEN ck % 2 = 0 THEN 'LOC' || cs || ';' ELSE '' END
         || CASE WHEN ck % 3 = 0
@@ -260,20 +169,76 @@ def q33_language_pivots(spark: SparkSession, sf_dir: str) -> DataFrame:
       'AT' || cs AS alvo_s
     FROM f
     """,
-    doc="F12 lo location builder (26-subfield separator state machine) "
-    "+ F14 SUS-digital theme extraction",
+    doc="merged gate (r5 driver-budget): F7/F8 language pivots "
+    "(title/abstract lang maps, multilingual title dispatch with "
+    "en-fallback, F6 control-char scrub; ex-q33) + F12 lo location "
+    "builder (26-subfield separator state machine) + F14 SUS-digital "
+    "theme extraction (ex-q35)",
 )
-def q35_location_susdigital(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q33_standardize_text_builders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.standardize.citation import lo
-    from data_governance_spark.standardize.fields import susdigital_themes
+    from data_governance_spark.standardize.fields import (
+        abstract_lang_map,
+        multilingual_title,
+        susdigital_themes,
+        title_lang_map,
+    )
 
     cust = table(spark, sf_dir, "customer")
     k = F.col("c_custkey")
     cs = _s(k)
+
+    def ent(text: Column, lang: Column) -> Column:
+        return F.struct(text.alias("text"), lang.alias("_i"))
+
+    nul = F.lit(None).cast("string")
+    titles = F.array(
+        ent(
+            F.concat(F.lit("T1-"), cs),
+            F.when(k % 3 == 0, F.lit("EN")).otherwise(F.lit("pt")),
+        ),
+        ent(F.when(k % 5 != 0, F.concat(F.lit("T2-"), cs)), F.lit("es")),
+        ent(
+            F.concat(F.lit("T3-"), cs),
+            F.when(k % 7 == 0, nul)
+            .when(k % 2 == 0, F.lit("pt"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    monographic = F.array(
+        ent(F.concat(F.lit("M1-"), cs), F.lit("pt")),
+        ent(
+            F.concat(F.lit("M2-"), cs),
+            F.when(k % 5 == 1, F.lit("en")).otherwise(F.lit("es")),
+        ),
+    )
+    collection = F.array(
+        ent(
+            F.concat(F.lit("C1-"), cs),
+            F.when(k % 2 == 0, F.lit("")).otherwise(F.lit("en")),
+        )
+    )
+    abstracts = F.array(
+        ent(F.concat(F.lit("p"), cs, F.lit("\r\nq")), F.lit("PT")),
+        ent(F.lit("r\x07s"), F.lit("pt")),
+        ent(nul, F.lit("en")),  # NULL text: dropped, no 'en' key
+        ent(F.concat(F.lit("t"), cs), nul),  # NULL _i -> bare 'ab'
+        ent(F.when(k % 3 == 0, F.lit("u")), F.lit("ES")),
+    )
+    tl = (
+        F.when(k % 6 == 0, F.lit("a"))
+        .when(k % 6 == 1, F.lit("as"))
+        .when(k % 6 == 2, F.lit("mc"))
+        .when(k % 6 == 3, F.lit("m"))
+        .when(k % 6 == 4, F.lit("c"))
+        .otherwise(F.lit("zz"))
+    )
+    lit_type = F.when(k % 2 == 0, F.lit("mc")).otherwise(F.lit("x"))
+    ett = F.when(k % 11 != 0, F.concat(F.lit("ET-"), cs))
+
     lo_fields = ["text"] + [f"_{c}" for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
 
     def entry(**vals: Column) -> Column:
-        nul = F.lit(None).cast("string")
         return F.struct(*[vals.get(f, nul).alias(f) for f in lo_fields])
 
     e1 = entry(
@@ -306,9 +271,30 @@ def q35_location_susdigital(spark: SparkSession, sf_dir: str) -> DataFrame:
             k % 7 == 0, F.array(F.concat(F.lit("Programas|ptnoslash"), cs))
         ).otherwise(F.array().cast("array<string>")),
     )
-    return cust.select(
+    facts = cust.select(
         k.alias("id"),
+        title_lang_map(titles).alias("ti_map"),
+        multilingual_title(
+            tl,
+            lit_type,
+            titles,
+            monographic,
+            collection,
+            ett,
+            F.concat(F.lit("EM-"), cs),
+            F.concat(F.lit("EC-"), cs),
+        ).alias("mt_map"),
+        abstract_lang_map(abstracts).alias("ab_map"),
         lo(call_number).alias("lo_s"),
         F.array_join(susdigital_themes(paths, "Programas"), "|").alias("prog_s"),
         F.array_join(susdigital_themes(paths, "Alvo"), "|").alias("alvo_s"),
+    )
+    return facts.select(
+        "id",
+        _pivot_arr_s(F.col("ti_map"), "ti").alias("ti_s"),
+        _pivot_arr_s(F.col("mt_map"), "ti").alias("mt_s"),
+        _pivot_str_s(F.col("ab_map"), "ab").alias("ab_s"),
+        "lo_s",
+        "prog_s",
+        "alvo_s",
     )

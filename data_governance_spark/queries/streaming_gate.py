@@ -1,19 +1,42 @@
-"""q47: the Structured-Streaming windowed aggregation under the oracle
-gate. The driver gate runs batch DataFrames, but an availableNow
-stream drains to completion synchronously — so the query stages the
-events table as a file-stream source, runs the REAL streaming plan
-(watermark + tumbling windows) through a memory sink, and returns the
-drained result. This is the engine's only path that exercises the
-streaming runtime inside the correctness gate; the stateful
-sessionizer keeps its batch-equivalence pytest (its multi-batch
-watermark protocol can't drain in one pass).
+"""q47/q48: the Structured-Streaming runtime under the oracle gate. The
+driver gate runs batch DataFrames, but an availableNow stream drains to
+completion synchronously — so these queries stage the events table as a
+file-stream source, run the REAL streaming plans through a memory sink,
+and return the drained result.
 
-Counts only: the streaming agg sums raw doubles (q15, the batch twin,
-gates the decimal-cast sum), and float summation order would
-hash-diverge between engines.
+q47 — watermarked tumbling-window aggregation (complete mode; counts
+only: the streaming agg sums raw doubles and float summation order
+would hash-diverge between engines — q15, the batch twin, gates the
+decimal-cast sum).
+
+q48 (new in r5) — the custom stateful sessionizer
+(streaming/events.py sessionize_stream, applyInPandasWithState, append
+mode). Emission model under one availableNow drain: the single data
+batch runs at watermark 0 (nothing emitted, per-user state buffered,
+event-time timeout armed at last_event + gap); the trailing no-data
+microbatch advances the watermark to max(ts) - delay and fires the
+timeout for every user whose (last event + gap) lies strictly below it
+— those users emit ALL their gap-split sessions; unfired users emit
+nothing. Spark tracks event time in MILLISECONDS (micros are floor-
+divided), so the oracle mirrors the ms truncation exactly:
+  wm_ms = epoch_us(max(ts)) // 1000 - 7_200_000
+  user fired iff (epoch_us(max(user ts)) + 1_800_000_000) // 1000 < wm_ms
+The oracle is q19's batch gap-sessionization restricted to fired users
+— the watermark-closed subset.
+
+Temp hygiene (ADVICE r4): the staged source copy is written once per
+(process, sf_dir) and reused; checkpoint dirs are per-invocation but
+removed right after the drain (the memory sink holds the rows);
+everything else is removed atexit.
 """
 
 from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,6 +45,47 @@ from data_governance_spark.queries.base import QueryDef, qdef
 from data_governance_spark.tables import table
 
 QUERIES: dict[str, QueryDef] = {}
+
+_STAGING: dict[tuple[str, str], str] = {}
+
+
+def _cleanup_staging() -> None:
+    for d in _STAGING.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STAGING.clear()
+
+
+def _staged_events(spark: SparkSession, sf_dir: str, single_file: bool) -> str:
+    """Stage the events table as a parquet dir for the file-stream
+    source, once per (process, sf_dir, layout); reused across
+    invocations, removed atexit. ``single_file`` guarantees the drain
+    is ONE data microbatch — q48's emission model requires the whole
+    input to enter at watermark 0."""
+    key = (sf_dir, "single" if single_file else "multi")
+    if key in _STAGING:
+        return _STAGING[key]
+    work = tempfile.mkdtemp(prefix="dg_stream_src_")
+    src = os.path.join(work, "src")
+    df = table(spark, sf_dir, "events")
+    if single_file:
+        df = df.coalesce(1)
+    df.write.parquet(src)
+    if not _STAGING:
+        atexit.register(_cleanup_staging)
+    _STAGING[key] = work
+    return src
+
+
+def _drain(agg: DataFrame, name: str, output_mode: str) -> None:
+    from data_governance_spark.streaming.events import run_available_now
+
+    ckpt = tempfile.mkdtemp(prefix="dg_stream_ckpt_")
+    try:
+        run_available_now(
+            agg, os.path.join(ckpt, "c"), query_name=name, output_mode=output_mode
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @qdef(
@@ -37,25 +101,82 @@ QUERIES: dict[str, QueryDef] = {}
     "through a memory sink) == the batch hourly counts",
 )
 def q47_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
-
     from data_governance_spark.streaming.events import (
         read_event_stream,
-        run_available_now,
         windowed_counts,
     )
 
-    work = tempfile.mkdtemp(prefix="dg_q47_")
-    src = os.path.join(work, "src")
-    table(spark, sf_dir, "events").write.parquet(src)
+    src = _staged_events(spark, sf_dir, single_file=False)
     stream = read_event_stream(spark, src)
     agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
     name = f"q47_windows_{uuid.uuid4().hex[:8]}"
-    run_available_now(agg, os.path.join(work, "ckpt"), query_name=name)
+    _drain(agg, name, output_mode="complete")
     return spark.table(name).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         "n",
+    )
+
+
+@qdef(
+    QUERIES,
+    "q48_streaming_sessionization",
+    oracle="""
+    WITH bounds AS (
+      SELECT epoch_us(max(ts)) // 1000 - 7200000 AS wm_ms FROM events
+    ),
+    sess AS (
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM (
+        SELECT user_id, ts,
+               sum(is_new) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+        )
+      )
+      GROUP BY user_id, sid
+    ),
+    fired AS (
+      SELECT user_id
+      FROM events, bounds
+      GROUP BY user_id, wm_ms
+      HAVING (epoch_us(max(ts)) + 1800000000) // 1000 < wm_ms
+    )
+    SELECT s.user_id,
+           strftime(s.session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(s.session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           s.n_events
+    FROM sess s JOIN fired f ON s.user_id = f.user_id
+    """,
+    doc="streaming stateful sessionization (applyInPandasWithState, "
+    "event-time timeouts, append mode) == batch gap sessionization "
+    "restricted to watermark-closed users (q19's streaming twin)",
+)
+def q48_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.streaming.events import (
+        read_event_stream,
+        sessionize_stream,
+    )
+
+    src = _staged_events(spark, sf_dir, single_file=True)
+    stream = read_event_stream(spark, src)
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
+    name = f"q48_sessions_{uuid.uuid4().hex[:8]}"
+    _drain(sessions, name, output_mode="append")
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
     )

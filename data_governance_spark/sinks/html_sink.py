@@ -79,6 +79,16 @@ def iso_col(sinonimo: F.Column) -> F.Column:
     return F.try_element_at(F.filter(sinonimo, lambda s: F.length(s) == 2), F.lit(1))
 
 
+def report_filename_col(iso: F.Column, country: F.Column) -> F.Column:
+    """The per-country report file key: lowercased ISO code, falling
+    back to the space-underscored country name
+    (tmgl_countries/dag_03_export_html.py:274-276). Column twin of the
+    driver-side expression in write_country_reports — iso_col never
+    yields '' (NULL or a 2-char synonym), so COALESCE matches the
+    reference's `or` fallback."""
+    return F.lower(F.coalesce(iso, F.regexp_replace(country, " ", "_")))
+
+
 def iso_code(who_region_dim: DataFrame, country: str) -> str | None:
     """J13: the country's first 2-char synonym (dag_02_map.py:30)."""
     row = (

@@ -340,7 +340,12 @@ def decs_code_array(
         F.broadcast(qual_lk), "_qual_key", "left"
     )
     # RAW first char, not trimmed: the reference tests keyword[0] — a
-    # ' 12x' keyword goes down the term path, not the passthrough
+    # ' 12x' keyword goes down the term path, not the passthrough.
+    # Documented divergence (ADVICE r4): [0-9] is ASCII-only, while the
+    # reference's str.isdigit() is also True for non-ASCII Unicode digits
+    # (e.g. Arabic-Indic '١٢'), which there take the ^d passthrough. Such
+    # keywords do not occur in the corpus; ASCII is kept so the check
+    # stays a codegen'd rlike instead of a per-row Python UDF.
     digit_lead = F.substring(kw, 1, 1).rlike("[0-9]")
     formatted = F.when(
         ~nz(kw), F.lit(None).cast("string")

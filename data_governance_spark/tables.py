@@ -47,6 +47,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # and fail loudly on anything else rather than letting a future
         # Spark bump surface as dozens of scattered query errors.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ -> timestamp cast below (and every date_format over ts)
+        # reads the SESSION timezone. Our own session pins UTC
+        # (session.py), but the driver's vanilla session inherits the JVM
+        # default — a non-UTC TZ would shift epoch-aligned windows vs the
+        # DuckDB oracle's raw NTZ arithmetic. Pin it here so the events
+        # path is TZ-correct under ANY session (ADVICE r4).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":

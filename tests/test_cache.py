@@ -27,7 +27,7 @@ def test_query_sweep_leaves_no_storage(spark):
     does (build -> action -> next) and assert zero residual storage."""
     release_caches()
     spark.catalog.clearCache()
-    for name in ("e03_minhash_dedup_pairs", "e06_ivf_knn", "d06_shingle_jaccard_pairs"):
+    for name in ("e03_sketch_dedup_recall", "e05_ann_recall", "d06_shingle_jaccard_pairs"):
         QUERIES[name].fn(spark, SF).write.format("noop").mode("overwrite").save()
     release_caches()
     assert _cache_empty(spark), "tracked persists survived the sweep"

@@ -78,11 +78,11 @@ def test_no_cartesian_products_anywhere(spark, name):
 
 
 def test_sketches_join_on_keys_not_pairs(spark):
-    # candidate generation must be an equi-join on band/bucket keys
-    for name in ("e03_minhash_dedup_pairs", "e04_simhash_dedup_pairs"):
-        plan = plan_of(spark, name)
-        assert "BroadcastNestedLoopJoin" not in plan
-        assert "CartesianProduct" not in plan
+    # candidate generation must be an equi-join on band/bucket keys —
+    # the merged e03 gate contains BOTH sketches (minhash + simhash)
+    plan = plan_of(spark, "e03_sketch_dedup_recall")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_q21_single_scan_for_all_families(spark):
@@ -96,7 +96,7 @@ def test_q21_single_scan_for_all_families(spark):
 
 
 def test_d01_partial_aggregation(spark):
-    plan = plan_of(spark, "d01_token_counts")
+    plan = plan_of(spark, "d01_token_quality")
     assert "partial_count" in plan  # map-side combine on the exploded rows
 
 
@@ -124,8 +124,16 @@ def test_q34_sliced_runner_scans_twice_not_n_plus_1(spark):
 
 def test_q38_p4_fanout_is_a_projection(spark):
     # attach_slice_p4 fans out via a when()-array + explode: ONE scan,
-    # no join at all (the reference fires one server query per country)
-    plan = plan_of(spark, "q38_p4_map_metric")
+    # no join at all (the reference fires one server query per country).
+    # The sub-builder is pinned directly — inside the merged
+    # q37_dim_lookup_bundle its scan would be unioned with the others.
+    from data_governance_spark.queries.dim_gates import q38_p4_map_metric
+
+    df = q38_p4_map_metric(spark, SF_SMOKE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
     scans = [
         l for l in plan.splitlines() if l.startswith("(") and "Scan parquet" in l
     ]
