@@ -476,3 +476,53 @@ def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# d10: transitive closure of the near-dup pair graph — the step between
+# pair generation (d06/e03/e04/e07) and canonical-doc selection that
+# d09 only covers for the exact-fingerprint special case (where closure
+# degenerates to a groupBy). A~B and B~C put A and C in one dup cluster
+# without sharing any key; min-label propagation finds that closure in
+# O(diameter) join+agg rounds (operators/components.py). The oracle
+# states the same closure with a recursive CTE over d06's (already
+# oracle-proven) pair SQL; every document appears, singletons as their
+# own component.
+_D10_ORACLE = """
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({d06})
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.d AS id, reach.r AS r
+      FROM reach JOIN edges e ON e.s = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+    """.format(d06=QUERIES["d06_shingle_jaccard_pairs"].oracle)
+
+
+@qdef(
+    QUERIES,
+    "d10_dedup_components",
+    oracle=_D10_ORACLE,
+    doc="near-dup cluster closure: connected components (min-label "
+    "propagation) over the d06 Jaccard pair graph, all docs labeled, "
+    "singletons their own component",
+)
+def d10_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.operators.components import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = d06_shingle_jaccard_pairs(spark, sf_dir)
+    comp = connected_components(
+        pairs, "doc_a", "doc_b", nodes=docs, node_col="doc_id"
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+

@@ -26,6 +26,23 @@ from data_governance_spark.tables import table
 
 QUERIES: dict[str, QueryDef] = {}
 
+# One checkpoint dir per process, reused across repeated gate/bench
+# invocations (the stage write is mode=overwrite) and removed atexit —
+# repeated sweeps must not accumulate /tmp copies (ADVICE r4).
+_CKPT_DIR: list[str] = []
+
+
+def _checkpoint_dir() -> str:
+    if not _CKPT_DIR:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="dg_q36_")
+        _CKPT_DIR.append(d)
+        atexit.register(lambda: shutil.rmtree(d, ignore_errors=True))
+    return _CKPT_DIR[0]
+
 
 def _s(c: Column) -> Column:
     return c.cast("string")
@@ -237,9 +254,7 @@ def q36_pipeline_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory bounded (a 1g-heap vanilla driver session OOMs on the
     # un-truncated composed lineage) without paying three disk
     # round-trips; x01+enrich stay one lazy lineage on top.
-    import tempfile
-
-    ckpt = tempfile.mkdtemp(prefix="dg_q36_")
+    ckpt = _checkpoint_dir()
     out = run_pipeline(
         landing,
         dims,

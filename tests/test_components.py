@@ -1,0 +1,68 @@
+"""Unit tests for operators/components.py (d10's engine)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_governance_spark.operators.components import connected_components
+
+
+def _run(spark, edges, nodes=None, **kw):
+    e = spark.createDataFrame(edges or [(None, None)], "s long, d long")
+    if not edges:
+        e = e.filter(F.lit(False))
+    n = (
+        spark.createDataFrame([(x,) for x in nodes], "id long")
+        if nodes is not None
+        else None
+    )
+    out = connected_components(e, "s", "d", nodes=n, node_col="id", **kw)
+    return {r["id"]: r["comp"] for r in out.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4-5 chain: diameter 4, still one component labeled 1
+    got = _run(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_disjoint_components_and_singletons(spark):
+    got = _run(spark, [(10, 11), (20, 21), (21, 22)], nodes=[10, 11, 20, 21, 22, 99])
+    assert got == {10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 99: 99}
+
+
+def test_transitivity_without_shared_key(spark):
+    # A~B, B~C but never A~C in the edge list — the d09-can't-do case
+    got = _run(spark, [(2, 7), (7, 1)])
+    assert got == {1: 1, 2: 1, 7: 1}
+
+
+def test_self_loops_and_duplicate_edges(spark):
+    got = _run(spark, [(3, 3), (3, 4), (4, 3), (3, 4)])
+    assert got == {3: 3, 4: 3}
+
+
+def test_null_endpoints_ignored(spark):
+    e = spark.createDataFrame([(1, 2), (None, 5), (6, None)], "s long, d long")
+    out = connected_components(e, "s", "d")
+    got = {r["id"]: r["comp"] for r in out.collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_no_edges_all_singletons(spark):
+    got = _run(spark, [], nodes=[5, 6, 7])
+    assert got == {5: 5, 6: 6, 7: 7}
+
+
+def test_string_ids(spark):
+    e = spark.createDataFrame([("doc_b", "doc_a"), ("doc_c", "doc_b")], "s string, d string")
+    out = connected_components(e, "s", "d")
+    got = {r["id"]: r["comp"] for r in out.collect()}
+    assert got == {"doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a"}
+
+
+def test_max_iter_guard(spark):
+    e = spark.createDataFrame([(i, i + 1) for i in range(1, 12)], "s long, d long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, "s", "d", max_iter=2)
