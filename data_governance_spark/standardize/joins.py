@@ -310,14 +310,50 @@ def decs_code_array(
     out_col: str,
     id_col: str = "id_pk",
 ) -> DataFrame:
-    """get_decs_mfn (misc.py:129-158) over an array column:
-    digit-leading keywords pass through as '^d<kw>'; otherwise
+    """Single-field J3 — see decs_code_arrays for the batched form."""
+    return decs_code_arrays(df, decs_lk, [(src_col, out_col)], id_col=id_col)
+
+
+def decs_code_arrays(
+    df: DataFrame,
+    decs_lk: DataFrame,
+    specs: list[tuple[Column, str]],
+    id_col: str = "id_pk",
+) -> DataFrame:
+    """get_decs_mfn (misc.py:129-158) over MANY array columns in ONE
+    pass: digit-leading keywords pass through as '^d<kw>'; otherwise
     diacritics-stripped lowered term splits on '/' into main +
     qualifier; '^d<main_mfn>' or '^d<main>^s<qual>' (qualifier miss
-    nulls the whole entry); main miss drops the entry."""
+    nulls the whole entry); main miss drops the entry.
+
+    Batching matters twice over: per-field calls cost one explode + two
+    broadcast builds of the lookup + one groupBy shuffle + one join-back
+    EACH (standardize has four DECS fields -> 4 shuffles, 8 broadcast
+    builds, 4 diacritics-UDF passes); tagging every keyword with its
+    field and pushing the union through one pipeline costs exactly one
+    of each, at identical per-field semantics. Every doc keeps one
+    (possibly null-keyword) row, so each output array is [] — never
+    NULL — exactly like the per-field posexplode_outer did."""
+    empty = F.array().cast("array<string>")
+
+    def tag_fn(tag: str):
+        return lambda x, i: F.struct(
+            F.lit(tag).alias("f"), i.alias("p"), x.alias("kw")
+        )
+
+    tagged = F.concat(
+        *[
+            F.transform(F.coalesce(src, empty), tag_fn(out_col))
+            for src, out_col in specs
+        ]
+    )
     exploded = df.select(
-        F.col(id_col).alias("_did"),
-        F.posexplode_outer(src_col).alias("_pos", "_kw"),
+        F.col(id_col).alias("_did"), F.explode_outer(tagged).alias("_e")
+    ).select(
+        "_did",
+        F.col("_e.f").alias("_fld"),
+        F.col("_e.p").alias("_pos"),
+        F.col("_e.kw").alias("_kw"),
     )
     kw = F.col("_kw")
     clean = strip_diacritics_udf(F.lower(F.trim(kw)))
@@ -327,7 +363,7 @@ def decs_code_array(
         F.concat(F.lit("/"), F.split(clean, "/")[1]),
     )
     e = exploded.select(
-        "_did", "_pos", "_kw",
+        "_did", "_fld", "_pos", "_kw",
         main_key.alias("_main_key"), qual_key.alias("_qual_key"),
     )
     main_lk = decs_lk.select(
@@ -358,20 +394,30 @@ def decs_code_array(
             F.lit("^d"), F.col("_main_mfn"), F.lit("^s"), F.col("_qual_mfn")
         ),
     )
+    def field_agg(out_col: str) -> Column:
+        # collect_list skips nulls, so the when() routes each keyword
+        # to its own field's aggregate only
+        return F.filter(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_fld") == out_col,
+                            F.struct(
+                                F.col("_pos").alias("pos"), F.col("_fmt").alias("v")
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["v"],
+            ),
+            lambda v: v.isNotNull(),
+        ).alias(out_col)
+
     agg = (
         e.withColumn("_fmt", formatted)
         .groupBy("_did")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("_pos").alias("pos"), F.col("_fmt").alias("v")))
-                ),
-                lambda x: x["v"],
-            ).alias("_vals")
-        )
-        .select(
-            "_did", F.filter(F.col("_vals"), lambda v: v.isNotNull()).alias(out_col)
-        )
+        .agg(*[field_agg(out_col) for _, out_col in specs])
     )
     return df.join(agg, df[id_col] == agg["_did"], "left").drop("_did")
 

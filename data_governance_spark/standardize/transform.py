@@ -67,10 +67,19 @@ def standardize(
         F.coalesce(F.col(c), F.array().cast("array<struct<text:string>>")),
         lambda x: F.regexp_replace(x["text"], r"\^d", ""),
     )
-    df = J.decs_code_array(df, decs_lk, F.col("check_tags"), "ct", id_col="id")
-    df = J.decs_code_array(df, decs_lk, F.col("publication_type"), "pt", id_col="id")
-    df = J.decs_code_array(df, decs_lk, text_of("descriptors_primary"), "mj", id_col="id")
-    df = J.decs_code_array(df, decs_lk, text_of("descriptors_secondary"), "mh", id_col="id")
+    # one batched pass for all four DECS fields: 1 shuffle + 2 broadcast
+    # builds instead of 4 + 8 (see decs_code_arrays)
+    df = J.decs_code_arrays(
+        df,
+        decs_lk,
+        [
+            (F.col("check_tags"), "ct"),
+            (F.col("publication_type"), "pt"),
+            (text_of("descriptors_primary"), "mj"),
+            (text_of("descriptors_secondary"), "mh"),
+        ],
+        id_col="id",
+    )
 
     id_value = X.doc_id(F.col("id"), F.col("LILACS_original_id"))
     descritores = X.descritores_locais(F.col("local_descriptors"))
