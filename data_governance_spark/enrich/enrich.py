@@ -78,7 +78,7 @@ def _apply(df: DataFrame, agg: DataFrame, id_col: str, merge_db: bool = False) -
     """Left-join the aggregated enrichment and fold it into
     instance/dyn (and db when merge_db)."""
     df = _ensure_dyn(df)
-    out = df.join(agg, df[id_col] == agg["_eid"], "left")
+    out = df.join(agg, F.col(id_col) == F.col("_eid"), "left")
     out = out.withColumn(
         "instance",
         F.when(

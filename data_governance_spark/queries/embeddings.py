@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_governance_spark.cache import tracked_persist
 from data_governance_spark.functions.text import tokens, word_shingles
 from data_governance_spark.operators.dedup import (
     minhash_dedup_pairs,
@@ -149,9 +150,14 @@ def e03_sketch_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("toks") >= 1)
     )
     planted = base.filter(F.col("doc_id") % 5 == 0)
-    aug = base.unionByName(
-        planted.select(
-            (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "toks"
+    # both sketches (minhash shingles + simhash tokens) consume the
+    # augmented corpus — persist so the scan+tokenize runs once, not
+    # once per sketch
+    aug = tracked_persist(
+        base.unionByName(
+            planted.select(
+                (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "toks"
+            )
         )
     )
     mh = minhash_dedup_pairs(

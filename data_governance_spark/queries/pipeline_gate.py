@@ -165,13 +165,18 @@ def q36_pipeline_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         "updated_time": F.lit("2025-06-07T01:02:03"),
         "transfer_date_to_database": F.lit("2023-02-03"),
     }
+    # null columns via one server-side-parsed expr each (1 py4j round
+    # trip) instead of lit(None).cast(DataType) (several) — the landing
+    # synthesis was ~3s of pure py4j chatter for the ~60 all-null fields
     landing = cust.select(
         *[
             (
-                overrides[f.name]
+                overrides[f.name].alias(f.name)
                 if f.name in overrides
-                else F.lit(None).cast(f.dataType)
-            ).alias(f.name)
+                else F.expr(
+                    f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+                )
+            )
             for f in FIADMIN_LANDING_SCHEMA
         ]
     )

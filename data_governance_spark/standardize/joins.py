@@ -259,7 +259,7 @@ def add_author_fields(
         F.filter(F.transform(r, auid_of), nz).alias("auid"),
         F.filter(F.transform(r, lambda x: x["a"]["_e"]), nz).alias("email"),
     )
-    return df.join(out, df[id_col] == out["_aid"], "left").drop("_aid")
+    return df.join(out, F.col(id_col) == F.col("_aid"), "left").drop("_aid")
 
 
 # --------------------------------------------------------------------------
@@ -419,7 +419,7 @@ def decs_code_arrays(
         .groupBy("_did")
         .agg(*[field_agg(out_col) for _, out_col in specs])
     )
-    return df.join(agg, df[id_col] == agg["_did"], "left").drop("_did")
+    return df.join(agg, F.col(id_col) == F.col("_did"), "left").drop("_did")
 
 
 # --------------------------------------------------------------------------
@@ -472,12 +472,12 @@ def add_ta_var(
     out = (
         df.join(
             F.broadcast(by_issn),
-            _key(F.coalesce(df["issn"], F.lit(""))) == F.col("_ik"),
+            _key(F.coalesce(F.col("issn"), F.lit(""))) == F.col("_ik"),
             "left",
         )
         .join(
             F.broadcast(by_st),
-            _key(F.coalesce(df["shortened_title"], F.lit(""))) == F.col("_sk"),
+            _key(F.coalesce(F.col("shortened_title"), F.lit(""))) == F.col("_sk"),
             "left",
         )
         .withColumn("ta_var", F.coalesce(F.col("_tv_issn"), F.col("_tv_st")))

@@ -86,7 +86,7 @@ def rename_ai(df: DataFrame, brisa: DataFrame, id_col: str = "id") -> DataFrame:
         )
     )
     return (
-        df.join(agg, df[id_col] == agg["_xid"], "left")
+        df.join(agg, F.col(id_col) == F.col("_xid"), "left")
         .withColumn("ai", F.when(F.col("ai").isNotNull(), F.col("_new_ai")))
         .drop("_xid", "_new_ai")
     )
