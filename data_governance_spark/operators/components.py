@@ -106,3 +106,34 @@ def connected_components(
         )
     e.unpersist()
     return labels
+
+
+def keep_canonical(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """The last step of the dedup pipeline: one representative row per
+    component. ``labels`` is ``connected_components`` output
+    (id, comp); ``order_by`` ranks candidates within a component (e.g.
+    ``[F.desc("quality"), F.col("doc_id")]`` = keep the highest-quality
+    doc, ties to the smallest id) — default: smallest id wins, which
+    makes the representative the component label itself.
+
+    One shuffle on the component key (window rank); docs without a
+    label row pass through as their own singleton representative, so
+    composing with a pair generator that only labels paired docs is
+    safe."""
+    from pyspark.sql import Window
+
+    joined = docs.join(
+        labels.select(F.col("id").alias(id_col), "comp"), id_col, "left"
+    ).withColumn("_comp", F.coalesce(F.col("comp"), F.col(id_col)))
+    order = order_by if order_by is not None else [F.col(id_col)]
+    w = Window.partitionBy("_comp").orderBy(*order)
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_comp", "comp")
+    )

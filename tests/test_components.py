@@ -66,3 +66,70 @@ def test_max_iter_guard(spark):
     e = spark.createDataFrame([(i, i + 1) for i in range(1, 12)], "s long, d long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(e, "s", "d", max_iter=2)
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_randomized_differential_vs_duckdb(spark, seed):
+    """Random sparse graphs: Spark min-label propagation must agree
+    with DuckDB's recursive-CTE closure (the same oracle shape d10
+    uses) node for node."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(seed)
+    n = 60
+    edges = sorted(
+        {
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(20, 70))
+        }
+    )
+    nodes = list(range(n))
+    got = _run(spark, edges or [(0, 0)], nodes=nodes)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nodes(id BIGINT)")
+    con.executemany("INSERT INTO nodes VALUES (?)", [(x,) for x in nodes])
+    con.execute("CREATE TABLE pairs(s BIGINT, d BIGINT)")
+    con.executemany("INSERT INTO pairs VALUES (?, ?)", edges or [(0, 0)])
+    want = dict(
+        con.execute(
+            """
+            WITH RECURSIVE edges AS (
+              SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs
+            ),
+            reach AS (
+              SELECT id, id AS r FROM nodes
+              UNION
+              SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id
+            )
+            SELECT id, MIN(r) FROM reach GROUP BY id
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_keep_canonical_default_and_ordered(spark):
+    from data_governance_spark.operators.components import keep_canonical
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0), (9, 5.0)], "doc_id long, quality double"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id long, comp long"
+    )
+    # default: min id per component; unlabeled doc 9 survives as itself
+    got = sorted(r["doc_id"] for r in keep_canonical(docs, labels).collect())
+    assert got == [1, 9]
+    # quality policy: doc 2 wins its cluster
+    got = sorted(
+        r["doc_id"]
+        for r in keep_canonical(
+            docs, labels, order_by=[F.desc("quality"), F.col("doc_id")]
+        ).collect()
+    )
+    assert got == [2, 9]
+    # schema passes through unchanged
+    assert keep_canonical(docs, labels).columns == ["doc_id", "quality"]
