@@ -139,3 +139,43 @@ def test_q38_p4_fanout_is_a_projection(spark):
     ]
     assert len(scans) == 1
     assert "Join" not in plan
+
+
+def test_decs_batched_single_pass(spark):
+    """The four DECS fields (ct/pt/mj/mh) must ride ONE tagged explode
+    -> one keyword aggregate -> one join-back, with both thesaurus
+    lookups broadcast — not one pipeline per field (the r5 batching;
+    4x fewer shuffles on the standardize hot path)."""
+    from pyspark.sql import functions as F
+
+    from data_governance_spark.standardize import joins as J
+
+    docs = spark.range(10).select(
+        F.col("id"),
+        F.array(F.lit("heart attack")).alias("c1"),
+        F.array(F.lit("12x")).alias("c2"),
+        F.array(F.lit("stroke/therapy")).alias("c3"),
+        F.array(F.lit("nope")).alias("c4"),
+    )
+    decs_lk = spark.createDataFrame(
+        [("heart attack", "1"), ("stroke", "2"), ("/therapy", "3")],
+        "term string, mfn string",
+    )
+    out = J.decs_code_arrays(
+        docs,
+        decs_lk,
+        [(F.col(c), o) for c, o in (("c1", "ct"), ("c2", "pt"), ("c3", "mj"), ("c4", "mh"))],
+        id_col="id",
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(mode)
+    gens = [
+        l for l in plan.splitlines() if l.startswith("(") and "Generate" in l
+    ]
+    assert len(gens) == 1  # ONE explode serves all four fields
+    # exactly one keyword aggregate (partial+final pair), keyed by doc
+    assert plan.count("HashAggregate") <= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
