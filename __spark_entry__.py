@@ -3,8 +3,9 @@
 entry(spark)   — flagship query (broadcast dim joins + ROLLUP) at sf0.001.
 queries()      — every implemented operator from SURVEY.md §2 as
                  (spark, sf_dir) -> DataFrame callables.
-oracle_sql()   — DuckDB-equivalent ANSI SQL per query (omitted for the
-                 probabilistic sketches, which get rows-only checks).
+oracle_sql()   — DuckDB-equivalent ANSI SQL per query; ALL 50 queries
+                 carry one (the sketch gates assert planted-duplicate
+                 recall / probe-all exactness, which SQL can state).
 """
 
 from __future__ import annotations

@@ -111,6 +111,57 @@ def test_randomized_differential_vs_duckdb(spark, seed):
     assert got == want
 
 
+def test_full_dedup_pipeline_composition(spark):
+    """The complete LLM-corpus dedup story end-to-end on an inflated
+    synthetic corpus: exact_precluster collapses exact copies BEFORE
+    sketching (the quadratic-bucket killer), MinHash+LSH finds the
+    near-dups among canonicals, connected_components closes the
+    combined exact+near pair graph, keep_canonical emits one survivor
+    per true cluster. 40 disjoint-vocabulary base docs x (self + 4
+    exact copies + 2 near-dups) = 280 rows -> exactly 40 survivors,
+    each the min id of its cluster."""
+    from pyspark.sql import Row
+
+    from data_governance_spark.functions.text import tokens, word_shingles
+    from data_governance_spark.operators.components import (
+        connected_components,
+        keep_canonical,
+    )
+    from data_governance_spark.operators.dedup import (
+        exact_precluster,
+        minhash_dedup_pairs,
+    )
+
+    rows = []
+    for i in range(40):
+        words = [f"w{i}_{j}" for j in range(60)]
+        rows.append(Row(doc_id=i, text=" ".join(words)))
+        for c in range(4):  # exact copies
+            rows.append(Row(doc_id=1000 + i * 10 + c, text=" ".join(words)))
+        for c in range(2):  # near-dups: one token swapped
+            w = list(words)
+            w[30 + c] = f"x{i}_{c}"
+            rows.append(Row(doc_id=2000 + i * 10 + c, text=" ".join(w)))
+    docs = spark.createDataFrame(rows)
+
+    canonical, mapping = exact_precluster(docs, F.md5("text"))
+    assert canonical.count() == 40 * 3  # 1 canonical + 2 near-dups per base
+    toks = canonical.select("doc_id", tokens("text").alias("toks"))
+    near = minhash_dedup_pairs(
+        toks, F.array_distinct(word_shingles(F.col("toks"), 3)), threshold=0.5
+    ).select("doc_a", "doc_b")
+    exact = mapping.filter(F.col("doc_id") != F.col("canon_id")).select(
+        F.col("doc_id").alias("doc_a"), F.col("canon_id").alias("doc_b")
+    )
+    comp = connected_components(
+        near.unionByName(exact), "doc_a", "doc_b", nodes=docs, node_col="doc_id"
+    )
+    assert comp.select("comp").distinct().count() == 40
+    survivors = keep_canonical(docs, comp)
+    got = sorted(r["doc_id"] for r in survivors.select("doc_id").collect())
+    assert got == list(range(40))  # min id of every cluster is the base doc
+
+
 def test_keep_canonical_default_and_ordered(spark):
     from data_governance_spark.operators.components import keep_canonical
 
