@@ -93,8 +93,13 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     nul_s = F.lit(None).cast("string")
+    # both sub-gates (lang~token counts, per-doc quality) consume the
+    # tokenized corpus — persist so the scan+tokenize runs once
+    toked = tracked_persist(
+        docs.select("doc_id", "lang", tokens("text").alias("_toks"))
+    )
     tok = (
-        docs.select("lang", F.explode(tokens("text")).alias("token"))
+        toked.select("lang", F.explode("_toks").alias("token"))
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).cast("double").alias("v_d"))
         .select(
@@ -105,7 +110,7 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     toks = F.col("_toks")
-    base = docs.select("doc_id", tokens("text").alias("_toks")).select(
+    base = toked.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
