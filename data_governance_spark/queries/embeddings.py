@@ -267,10 +267,14 @@ def e07_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at cosine 1.0 (ex-e05 machinery, guaranteed self-bucket recall)",
 )
 def e05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.col("embedding").cast("array<double>").alias("emb"),
+    # scanned by the cell trainer, the n_cells count, the query subset,
+    # the IVF corpus, and the LSH planted union — persist once
+    emb = tracked_persist(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
     )
     # deterministic cell centers: per-label mean vectors (a k-means
     # trainer would slot in here unchanged — train_ivf_cells). A
