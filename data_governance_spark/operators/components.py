@@ -77,34 +77,38 @@ def connected_components(
             ).filter(F.col("id").isNotNull())
         )
     labels = universe.distinct().withColumn("comp", F.col("id"))
-    labels = labels.localCheckpoint()
 
-    for _ in range(max_iter):
-        # min label over each node's neighborhood this round
-        upd = (
-            labels.join(e, labels["id"] == e["s"])
-            .groupBy(F.col("d").alias("id"))
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        joined = labels.join(upd, "id", "left").select(
-            "id",
-            "comp",
-            F.least(F.col("comp"), F.col("ncomp")).alias("new_comp"),
-        )
-        # localCheckpoint is eager: one computation serves both the
-        # convergence count and next round's labels
-        joined = joined.localCheckpoint()
-        changed = joined.filter(F.col("new_comp") != F.col("comp")).count()
-        labels = joined.select("id", F.col("new_comp").alias("comp"))
-        if changed == 0:
-            break
-    else:
+    # try/finally: a failed round (executor loss, task failure past
+    # retries) must not leak the cached edge list — this persist is
+    # module-local, so the registry's release_caches can't reclaim it
+    try:
+        labels = labels.localCheckpoint()
+        for _ in range(max_iter):
+            # min label over each node's neighborhood this round
+            upd = (
+                labels.join(e, labels["id"] == e["s"])
+                .groupBy(F.col("d").alias("id"))
+                .agg(F.min("comp").alias("ncomp"))
+            )
+            joined = labels.join(upd, "id", "left").select(
+                "id",
+                "comp",
+                F.least(F.col("comp"), F.col("ncomp")).alias("new_comp"),
+            )
+            # localCheckpoint is eager: one computation serves both the
+            # convergence count and next round's labels
+            joined = joined.localCheckpoint()
+            changed = joined.filter(F.col("new_comp") != F.col("comp")).count()
+            labels = joined.select("id", F.col("new_comp").alias("comp"))
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds; "
+                "for high-diameter graphs use large-star/small-star"
+            )
+    finally:
         e.unpersist()
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "for high-diameter graphs use large-star/small-star"
-        )
-    e.unpersist()
     return labels
 
 

@@ -164,7 +164,11 @@ def e03_sketch_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         aug, F.array_distinct(word_shingles(F.col("toks"), 3)), threshold=0.5
     )
     sh = simhash_dedup_pairs(aug, F.col("toks"), max_hamming=8)
-    expected = planted.select(
+    # derive the expected pairs from the PERSISTED aug, not from base
+    # (base would re-scan + re-tokenize the corpus once per sub-gate)
+    expected = aug.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < _DUP_OFFSET)
+    ).select(
         F.col("doc_id").alias("doc_a"),
         (F.col("doc_id") + _DUP_OFFSET).alias("doc_b"),
     )

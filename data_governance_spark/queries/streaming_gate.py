@@ -63,7 +63,11 @@ def _staged_events(spark: SparkSession, sf_dir: str, single_file: bool) -> str:
     input to enter at watermark 0."""
     key = (sf_dir, "single" if single_file else "multi")
     if key in _STAGING:
-        return _STAGING[key]
+        # _STAGING holds the parent work dir (what atexit removes);
+        # the source reads the src/ subdir — returning the parent here
+        # would stream an empty directory (zero rows, silent oracle
+        # mismatch) on every cache hit
+        return os.path.join(_STAGING[key], "src")
     work = tempfile.mkdtemp(prefix="dg_stream_src_")
     src = os.path.join(work, "src")
     df = table(spark, sf_dir, "events")
