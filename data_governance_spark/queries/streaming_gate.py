@@ -11,8 +11,9 @@ decimal-cast sum).
 
 q48 (new in r5) — the custom stateful sessionizer
 (streaming/events.py sessionize_stream, applyInPandasWithState, append
-mode). Emission model under one availableNow drain: the single data
-batch runs at watermark 0 (nothing emitted, per-user state buffered,
+mode). Emission model under one availableNow drain (the snapshot is
+always a single data batch — see _staged_events): that batch runs at
+watermark 0 (nothing emitted, per-user state buffered,
 event-time timeout armed at last_event + gap); the trailing no-data
 microbatch advances the watermark to max(ts) - delay and fires the
 timeout for every user whose (last event + gap) lies strictly below it
@@ -46,7 +47,7 @@ from data_governance_spark.tables import table
 
 QUERIES: dict[str, QueryDef] = {}
 
-_STAGING: dict[tuple[str, str], str] = {}
+_STAGING: dict[str, str] = {}
 
 
 def _cleanup_staging() -> None:
@@ -55,28 +56,27 @@ def _cleanup_staging() -> None:
     _STAGING.clear()
 
 
-def _staged_events(spark: SparkSession, sf_dir: str, single_file: bool) -> str:
+def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     """Stage the events table as a parquet dir for the file-stream
-    source, once per (process, sf_dir, layout); reused across
-    invocations, removed atexit. ``single_file`` guarantees the drain
-    is ONE data microbatch — q48's emission model requires the whole
-    input to enter at watermark 0."""
-    key = (sf_dir, "single" if single_file else "multi")
-    if key in _STAGING:
+    source, once per (process, sf_dir); reused across invocations
+    (q47 AND q48 share it), removed atexit. Multi-file is safe for
+    q48's one-batch emission model: Trigger.AvailableNow with no
+    maxFilesPerTrigger snapshots ALL files into a single data
+    microbatch, so the whole input enters at watermark 0 regardless of
+    file count (verified empirically at every test SF, twice per
+    process to exercise the cache-hit path)."""
+    if sf_dir in _STAGING:
         # _STAGING holds the parent work dir (what atexit removes);
         # the source reads the src/ subdir — returning the parent here
         # would stream an empty directory (zero rows, silent oracle
         # mismatch) on every cache hit
-        return os.path.join(_STAGING[key], "src")
+        return os.path.join(_STAGING[sf_dir], "src")
     work = tempfile.mkdtemp(prefix="dg_stream_src_")
     src = os.path.join(work, "src")
-    df = table(spark, sf_dir, "events")
-    if single_file:
-        df = df.coalesce(1)
-    df.write.parquet(src)
+    table(spark, sf_dir, "events").write.parquet(src)
     if not _STAGING:
         atexit.register(_cleanup_staging)
-    _STAGING[key] = work
+    _STAGING[sf_dir] = work
     return src
 
 
@@ -110,7 +110,7 @@ def q47_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_counts,
     )
 
-    src = _staged_events(spark, sf_dir, single_file=False)
+    src = _staged_events(spark, sf_dir)
     stream = read_event_stream(spark, src)
     agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
     name = f"q47_windows_{uuid.uuid4().hex[:8]}"
@@ -173,7 +173,7 @@ def q48_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionize_stream,
     )
 
-    src = _staged_events(spark, sf_dir, single_file=True)
+    src = _staged_events(spark, sf_dir)
     stream = read_event_stream(spark, src)
     sessions = sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
     name = f"q48_sessions_{uuid.uuid4().hex[:8]}"
