@@ -29,6 +29,13 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # remove any previous run's file copy up front: a mid-sweep crash
+    # must not leave a stale bench_out.json that a file-fallback reader
+    # would mistake for THIS run's results
+    out_path = os.path.join(REPO, "bench_out.json")
+    if os.path.exists(out_path):
+        os.remove(out_path)
+
     spark = get_spark("dg_spark_bench")
     # JVM/codegen warmup on a tiny query so q1 isn't charged for startup
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -65,7 +72,7 @@ def main() -> None:
     # truncated the stdout line in r4 (BENCH_r04 parsed: null), so the
     # canonical JSON also lands in bench_out.json next to this script
     print(payload)
-    with open(os.path.join(REPO, "bench_out.json"), "w") as f:
+    with open(out_path, "w") as f:
         f.write(payload + "\n")
 
 

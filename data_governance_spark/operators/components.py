@@ -131,13 +131,18 @@ def keep_canonical(
     safe."""
     from pyspark.sql import Window
 
+    # internal names: docs is arbitrary caller data and may itself carry
+    # a 'comp' column (e.g. a prior closure's output) — joining labels'
+    # raw 'comp' in would be an ambiguous reference or clobber it
     joined = docs.join(
-        labels.select(F.col("id").alias(id_col), "comp"), id_col, "left"
-    ).withColumn("_comp", F.coalesce(F.col("comp"), F.col(id_col)))
+        labels.select(F.col("id").alias(id_col), F.col("comp").alias("_cc_comp")),
+        id_col,
+        "left",
+    ).withColumn("_cc_key", F.coalesce(F.col("_cc_comp"), F.col(id_col)))
     order = order_by if order_by is not None else [F.col(id_col)]
-    w = Window.partitionBy("_comp").orderBy(*order)
+    w = Window.partitionBy("_cc_key").orderBy(*order)
     return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_comp", "comp")
+        joined.withColumn("_cc_rn", F.row_number().over(w))
+        .filter(F.col("_cc_rn") == 1)
+        .drop("_cc_rn", "_cc_key", "_cc_comp")
     )

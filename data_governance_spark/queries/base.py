@@ -14,10 +14,11 @@ identically in the DataFrame code and the SQL.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass(frozen=True)
@@ -26,6 +27,35 @@ class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str = ""
+
+
+def melt_metrics(
+    df: DataFrame,
+    key: Column,
+    metrics: Sequence[str],
+    gate: str,
+    sep: str = ":",
+) -> DataFrame:
+    """Unpivot per-row NUMERIC metric columns into the compound gates'
+    shared quad schema: one (gate, k, v_s, v_d) row per (input row,
+    metric), with k = <key><sep><metric>, v_d = the metric value and
+    v_s NULL. Pins the k/v_s/v_d contract in one place instead of a
+    hand-rolled explode(array(struct(...))) per gate (a key-format slip
+    in any copy is a silent oracle mismatch)."""
+    e = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(m).alias("m"), F.col(m).alias("v"))
+                for m in metrics
+            ]
+        )
+    ).alias("e")
+    return df.select(key.alias("_mk"), e).select(
+        F.lit(gate).alias("gate"),
+        F.concat(F.col("_mk"), F.lit(sep), F.col("e.m")).alias("k"),
+        F.lit(None).cast("string").alias("v_s"),
+        F.col("e.v").alias("v_d"),
+    )
 
 
 def qdef(

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_governance_spark.queries.base import QueryDef, qdef
+from data_governance_spark.queries.base import melt_metrics, QueryDef, qdef
 from data_governance_spark.tables import table
 
 QUERIES: dict[str, QueryDef] = {}
@@ -364,20 +364,7 @@ def q37_dim_lookup_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("double").alias("t"),
         F.col("with_fulltext").cast("double").alias("f"),
     )
-    mp_rows = mp.select(
-        "ky",
-        F.explode(
-            F.array(
-                F.struct(F.lit("t").alias("m"), F.col("t").alias("v")),
-                F.struct(F.lit("f").alias("m"), F.col("f").alias("v")),
-            )
-        ).alias("e"),
-    ).select(
-        F.lit("map").alias("gate"),
-        F.concat("ky", F.lit(":"), F.col("e.m")).alias("k"),
-        nul_s.alias("v_s"),
-        F.col("e.v").alias("v_d"),
-    )
+    mp_rows = melt_metrics(mp, F.col("ky"), ("t", "f"), "map")
     dc = q39_decs_label_decode(spark, sf_dir).select(
         F.lit("decs").alias("gate"),
         F.concat("name", F.lit(":"), F.col("year").cast("string")).alias("k"),

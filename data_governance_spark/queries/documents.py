@@ -32,7 +32,7 @@ from data_governance_spark.functions.text import (
     winnow_fingerprints,
     word_shingles,
 )
-from data_governance_spark.queries.base import QueryDef, qdef
+from data_governance_spark.queries.base import melt_metrics, QueryDef, qdef
 from data_governance_spark.tables import table
 
 QUERIES: dict[str, QueryDef] = {}
@@ -129,21 +129,8 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_frac, 4).alias("sr"),
         F.round(F.least(nt / 100.0, F.lit(1.0)) * (1.0 - stop_frac), 4).alias("qs"),
     )
-    q_u = q.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(m).alias("m"), F.col(m).alias("v"))
-                    for m in ("nt", "al", "sr", "qs")
-                ]
-            )
-        ).alias("e"),
-    ).select(
-        F.lit("q").alias("gate"),
-        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("e.m")).alias("k"),
-        nul_s.alias("v_s"),
-        F.col("e.v").alias("v_d"),
+    q_u = melt_metrics(
+        q, F.col("doc_id").cast("string"), ("nt", "al", "sr", "qs"), "q"
     )
     return tok.unionByName(q_u)
 
@@ -321,22 +308,7 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ttr"),
         )
     )
-    vocab_u = vocab.select(
-        "lang",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(m).alias("m"), F.col(m).alias("v"))
-                    for m in ("nv", "nt", "ttr")
-                ]
-            )
-        ).alias("e"),
-    ).select(
-        F.lit("vocab").alias("gate"),
-        F.concat("lang", F.lit(":"), F.col("e.m")).alias("k"),
-        nul_s.alias("v_s"),
-        F.col("e.v").alias("v_d"),
-    )
+    vocab_u = melt_metrics(vocab, F.col("lang"), ("nv", "nt", "ttr"), "vocab")
     return lid.unionByName(vocab_u)
 
 

@@ -29,19 +29,10 @@ QUERIES: dict[str, QueryDef] = {}
 # One checkpoint dir per process, reused across repeated gate/bench
 # invocations (the stage write is mode=overwrite) and removed atexit —
 # repeated sweeps must not accumulate /tmp copies (ADVICE r4).
-_CKPT_DIR: list[str] = []
-
-
 def _checkpoint_dir() -> str:
-    if not _CKPT_DIR:
-        import atexit
-        import shutil
-        import tempfile
+    from data_governance_spark.queries.staging import staged_tmpdir
 
-        d = tempfile.mkdtemp(prefix="dg_q36_")
-        _CKPT_DIR.append(d)
-        atexit.register(lambda: shutil.rmtree(d, ignore_errors=True))
-    return _CKPT_DIR[0]
+    return staged_tmpdir("q36_ckpt", lambda d: None, prefix="dg_q36_")
 
 
 def _s(c: Column) -> Column:

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from data_governance_spark.queries.base import QueryDef, qdef
+from data_governance_spark.queries.base import melt_metrics, QueryDef, qdef
 from data_governance_spark.tables import table
 
 QUERIES: dict[str, QueryDef] = {}
@@ -215,22 +215,7 @@ def q05_event_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("pv"),
     )
-    daily_u = daily.select(
-        "day",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(m).alias("m"), F.col(m).alias("v"))
-                    for m in ("ne", "np", "pv")
-                ]
-            )
-        ).alias("e"),
-    ).select(
-        F.lit("daily").alias("gate"),
-        F.concat("day", F.lit(":"), F.col("e.m")).alias("k"),
-        F.lit(None).cast("string").alias("v_s"),
-        F.col("e.v").alias("v_d"),
-    )
+    daily_u = melt_metrics(daily, F.col("day"), ("ne", "np", "pv"), "daily")
     et = F.col("event_type")
     recoded = (
         F.when(et == "purchase", "Conversion")

@@ -15,15 +15,13 @@ oracles, like q25-q40.
 
 from __future__ import annotations
 
-import atexit
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_governance_spark.queries.base import QueryDef, qdef
+from data_governance_spark.queries.staging import staged_tmpdir
 from data_governance_spark.tables import table
 
 QUERIES: dict[str, QueryDef] = {}
@@ -42,49 +40,37 @@ def _s(c: Column) -> Column:
 # first-in-file-wins dedup must keep the original. The files are read
 # back via the glob path (S11).
 # Reference: dags/tmgl_metrics/dag_01_full_update.py:83-211.
-_XML_STAGING: dict[str, str] = {}
-
-
-def _cleanup_xml_staging() -> None:
-    for d in _XML_STAGING.values():
-        shutil.rmtree(d, ignore_errors=True)
-    _XML_STAGING.clear()
-
-
 def _staged_xml_dir(spark: SparkSession, sf_dir: str) -> str:
     """Generate the q41 XML fixture files once per (process, sf_dir);
     reused across repeated gate/bench invocations, removed atexit."""
-    if sf_dir in _XML_STAGING:
-        return _XML_STAGING[sf_dir]
-    rows = (
-        table(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") <= 200)
-        .select("c_custkey")
-        .orderBy("c_custkey")
-        .collect()
-    )
 
-    def doc(ck: int, note: str) -> str:
-        inst = "tmgl" if ck % 3 != 0 else "other"
-        return (
-            f'<doc><field name="id">d{ck}</field>'
-            f'<field name="instance">{inst}</field>'
-            f'<field name="la">en</field><field name="la">pt</field>'
-            f'<field name="note">{note}</field></doc>'
+    def build(out_dir: str) -> None:
+        rows = (
+            table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= 200)
+            .select("c_custkey")
+            .orderBy("c_custkey")
+            .collect()
         )
 
-    out_dir = tempfile.mkdtemp(prefix="dg_q41_")
-    for fname, lo, hi in (("a.xml", 1, 100), ("b.xml", 101, 10**9)):
-        cks = [r["c_custkey"] for r in rows if lo <= r["c_custkey"] <= hi]
-        body = [doc(ck, f"N{ck}") for ck in cks]
-        # dup docs after the originals: S10 keeps the first occurrence
-        body += [doc(ck, "DUP") for ck in cks if ck % 10 == 0]
-        with open(os.path.join(out_dir, fname), "w") as f:
-            f.write("<add>" + "".join(body) + "</add>")
-    if not _XML_STAGING:
-        atexit.register(_cleanup_xml_staging)
-    _XML_STAGING[sf_dir] = out_dir
-    return out_dir
+        def doc(ck: int, note: str) -> str:
+            inst = "tmgl" if ck % 3 != 0 else "other"
+            return (
+                f'<doc><field name="id">d{ck}</field>'
+                f'<field name="instance">{inst}</field>'
+                f'<field name="la">en</field><field name="la">pt</field>'
+                f'<field name="note">{note}</field></doc>'
+            )
+
+        for fname, lo, hi in (("a.xml", 1, 100), ("b.xml", 101, 10**9)):
+            cks = [r["c_custkey"] for r in rows if lo <= r["c_custkey"] <= hi]
+            body = [doc(ck, f"N{ck}") for ck in cks]
+            # dup docs after the originals: S10 keeps the first occurrence
+            body += [doc(ck, "DUP") for ck in cks if ck % 10 == 0]
+            with open(os.path.join(out_dir, fname), "w") as f:
+                f.write("<add>" + "".join(body) + "</add>")
+
+    return staged_tmpdir(("q41xml", sf_dir), build, prefix="dg_q41_")
 
 
 def q41_solr_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,7 +33,6 @@ everything else is removed atexit.
 
 from __future__ import annotations
 
-import atexit
 import os
 import shutil
 import tempfile
@@ -43,17 +42,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_governance_spark.queries.base import QueryDef, qdef
+from data_governance_spark.queries.staging import staged_tmpdir
 from data_governance_spark.tables import table
 
 QUERIES: dict[str, QueryDef] = {}
-
-_STAGING: dict[str, str] = {}
-
-
-def _cleanup_staging() -> None:
-    for d in _STAGING.values():
-        shutil.rmtree(d, ignore_errors=True)
-    _STAGING.clear()
 
 
 def _staged_events(spark: SparkSession, sf_dir: str) -> str:
@@ -64,20 +56,17 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     maxFilesPerTrigger snapshots ALL files into a single data
     microbatch, so the whole input enters at watermark 0 regardless of
     file count (verified empirically at every test SF, twice per
-    process to exercise the cache-hit path)."""
-    if sf_dir in _STAGING:
-        # _STAGING holds the parent work dir (what atexit removes);
-        # the source reads the src/ subdir — returning the parent here
-        # would stream an empty directory (zero rows, silent oracle
-        # mismatch) on every cache hit
-        return os.path.join(_STAGING[sf_dir], "src")
-    work = tempfile.mkdtemp(prefix="dg_stream_src_")
-    src = os.path.join(work, "src")
-    table(spark, sf_dir, "events").write.parquet(src)
-    if not _STAGING:
-        atexit.register(_cleanup_staging)
-    _STAGING[sf_dir] = work
-    return src
+    process to exercise the cache-hit path). The parquet lands in a
+    src/ subdir (the writer refuses an existing dir); the join below
+    runs identically on hit and miss."""
+    work = staged_tmpdir(
+        ("events", sf_dir),
+        lambda d: table(spark, sf_dir, "events").write.parquet(
+            os.path.join(d, "src")
+        ),
+        prefix="dg_stream_src_",
+    )
+    return os.path.join(work, "src")
 
 
 def _drain(agg: DataFrame, name: str, output_mode: str) -> None:

@@ -53,6 +53,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # default — a non-UTC TZ would shift epoch-aligned windows vs the
         # DuckDB oracle's raw NTZ arithmetic. Pin it here so the events
         # path is TZ-correct under ANY session (ADVICE r4).
+        # DELIBERATE GLOBAL SIDE EFFECT: this mutates the caller's
+        # session for the rest of its life. The engine's timestamp
+        # semantics are defined as UTC (DEPLOY.md); a caller that set a
+        # different session TZ on purpose would get shifted not-UTC
+        # semantics from every query here anyway, so failing their
+        # assumption loudly-in-UTC beats returning windows that silently
+        # disagree with the engine's own oracles.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ts_type = dict(df.dtypes)["ts"]

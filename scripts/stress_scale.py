@@ -71,6 +71,8 @@ def run_pipeline_once(spark, docs):
 
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    if mult < 2:
+        sys.exit("mult must be >= 2 (x1 vs x1 is not a scaling measurement)")
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("dg_stress_scale")
     spark.range(1000).selectExpr("sum(id)").collect()
