@@ -1140,3 +1140,49 @@ def test_pages_tafascic_booktitle_randomized_differential(spark):
         )
         want_bt = ref_book_title(c["tm"], c["lit"], c["tl"])
         assert r["bt"] == want_bt, f"case {i} bt: {c!r}\n got={r['bt']}\nwant={want_bt}"
+
+
+def test_decs_batched_equals_per_field_calls(spark):
+    """The r5 batched decs_code_arrays must be row-for-row identical to
+    four independent decs_code_array calls on randomized multi-field
+    inputs — including the field-routing axis the single-field
+    differential can't see (empty/NULL arrays per field, the same
+    keyword appearing in several fields, digit-leads, qualifier
+    hits/misses)."""
+    import random
+
+    decs_lk = J.decs_lookup(_decs(spark))
+    rng = random.Random(1234)
+    pool = [
+        "Acupuntura", "acupuncture/therapy", "42 foo", "unknown",
+        "acupuncture/missing", "ACUPUNCTURE", " 12x", "needling", "",
+        None, "7 lead", "Acupunturá",
+    ]
+
+    def arr():
+        r = rng.random()
+        if r < 0.15:
+            return None
+        if r < 0.3:
+            return []
+        return [rng.choice(pool) for _ in range(rng.randrange(1, 5))]
+
+    rows = [(i, arr(), arr(), arr(), arr()) for i in range(60)]
+    schema = (
+        "id_pk long, f1 array<string>, f2 array<string>, "
+        "f3 array<string>, f4 array<string>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    batched = J.decs_code_arrays(
+        df, decs_lk,
+        [(F.col(c), f"o{c}") for c in ("f1", "f2", "f3", "f4")],
+    )
+    single = df
+    for c in ("f1", "f2", "f3", "f4"):
+        single = J.decs_code_array(single, decs_lk, F.col(c), f"o{c}")
+    got = {r["id_pk"]: r for r in batched.collect()}
+    want = {r["id_pk"]: r for r in single.collect()}
+    assert got.keys() == want.keys()
+    for i in got:
+        for c in ("of1", "of2", "of3", "of4"):
+            assert list(got[i][c] or []) == list(want[i][c] or []), (i, c)
