@@ -1,1 +1,5 @@
-"""Composite operators: dedup sketches, similarity search, metric runner."""
+"""Composite operators: dedup sketches (MinHash/SimHash/exact
+precluster), similarity search (brute-force/LSH/IVF kNN, cosine
+near-dup), connected-components dedup closure + canonical selection,
+salted-aggregation skew tools, bucketed co-located joins, and the
+multimodal Arrow plumbing."""
