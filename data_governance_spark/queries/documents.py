@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 
 from data_governance_spark.cache import tracked_persist
 
+from data_governance_spark.operators.repetition import (
+    dup_line_stats,
+    top_ngram_stats,
+)
 from data_governance_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -46,9 +50,17 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
 # d01 (merged gate, r5 driver-budget): token-count pipeline (ex-d01,
-# ref BASE_PIPELINE A1 shape) + per-doc quality scoring (ex-d02) in one
-# quad-schema union. Sub-gate 'tok' keys (lang~token); 'q' emits one
-# row per (doc, metric).
+# ref BASE_PIPELINE A1 shape) + per-doc quality scoring (ex-d02) + the
+# C4/Gopher repetition signals (operators/repetition.py, new in r5) in
+# one quad-schema union. Sub-gate 'tok' keys (lang~token); 'q' and
+# 'rep' emit one row per (doc, metric).
+#
+# 'rep' metrics: tg = top-bigram token coverage over the raw corpus
+# text; dl = duplicate-line char fraction over a SYNTHESIZED multi-line
+# variant (the flat synthetic corpus has no newlines, so the gate
+# builds text with doc_id%3+1 copies of the doc's first-5-token line
+# plus one unique line — known nonzero dup fractions, same arithmetic
+# on both sides).
 @qdef(
     QUERIES,
     "d01_token_quality",
@@ -73,6 +85,49 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
         FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
         WHERE len(toks) > 0
       )
+    ),
+    repg AS (
+      SELECT doc_id, round(2 * max(c) / nt, 4) AS tg
+      FROM (
+        SELECT doc_id, nt, g, count(*) AS c
+        FROM (
+          SELECT doc_id, len(toks) AS nt,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS g
+          FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+          WHERE len(toks) >= 2
+        )
+        GROUP BY doc_id, nt, g
+      )
+      GROUP BY doc_id, nt
+    ),
+    synth AS (
+      SELECT doc_id,
+             array_to_string(
+               list_append(
+                 list_transform(range(1, CAST(2 + doc_id % 3 AS INTEGER)),
+                                i -> la),
+                 'u' || CAST(doc_id AS VARCHAR)),
+               chr(10)) AS t2
+      FROM (
+        SELECT doc_id, array_to_string(({_SQL_TOKS})[1:5], ' ') AS la
+        FROM documents
+      )
+    ),
+    repl AS (
+      SELECT doc_id,
+             round(CAST(sum((c - 1) * l) AS DOUBLE) / sum(c * l), 4) AS dl
+      FROM (
+        SELECT doc_id, line, count(*) AS c, len(line) AS l
+        FROM (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(t2, chr(10)),
+                                    x -> trim(x) <> '')) AS line
+          FROM synth
+        )
+        GROUP BY doc_id, line
+      )
+      GROUP BY doc_id
     )
     SELECT 'tok' AS gate, lang || '~' || token AS k,
            CAST(NULL AS VARCHAR) AS v_s, CAST(n AS DOUBLE) AS v_d FROM tok
@@ -84,11 +139,16 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
     SELECT 'q', CAST(doc_id AS VARCHAR) || ':sr', CAST(NULL AS VARCHAR), sr FROM q
     UNION ALL
     SELECT 'q', CAST(doc_id AS VARCHAR) || ':qs', CAST(NULL AS VARCHAR), qs FROM q
+    UNION ALL
+    SELECT 'rep', CAST(doc_id AS VARCHAR) || ':tg', CAST(NULL AS VARCHAR), tg FROM repg
+    UNION ALL
+    SELECT 'rep', CAST(doc_id AS VARCHAR) || ':dl', CAST(NULL AS VARCHAR), dl FROM repl
     """,
     doc="merged gate (r5 driver-budget): explode tokens -> grouped count "
     "per (lang, token) (ref BASE_PIPELINE A1 shape, ex-d01) + per-doc "
     "quality (token count, avg token length, stopword ratio, score; "
-    "ex-d02)",
+    "ex-d02) + C4/Gopher repetition signals (top-bigram coverage, "
+    "duplicate-line char fraction; operators/repetition.py)",
 )
 def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -132,7 +192,33 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_u = melt_metrics(
         q, F.col("doc_id").cast("string"), ("nt", "al", "sr", "qs"), "q"
     )
-    return tok.unionByName(q_u)
+    # rep sub-gate: Gopher-style top-bigram coverage over the raw text;
+    # C4-style duplicate-line char fraction over the synthesized
+    # multi-line variant (the flat corpus has no newlines — see the
+    # oracle's `synth` CTE for the identical arithmetic)
+    tg = top_ngram_stats(docs, n=2)
+    line_a = F.concat_ws(" ", F.slice(tokens("text"), 1, 5))
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(
+                F.array_repeat(
+                    line_a, (F.col("doc_id") % 3 + 1).cast("int")
+                ),
+                F.array(
+                    F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+                ),
+            ),
+        ).alias("text"),
+    )
+    dl = dup_line_stats(synth)
+    rep_u = melt_metrics(
+        tg, F.col("doc_id").cast("string"), ("tg",), "rep"
+    ).unionByName(
+        melt_metrics(dl, F.col("doc_id").cast("string"), ("dl",), "rep")
+    )
+    return tok.unionByName(q_u).unionByName(rep_u)
 
 
 # --------------------------------------------------------------------------
