@@ -25,6 +25,12 @@ from data_governance_spark.operators.repetition import (
     dup_line_stats,
     top_ngram_stats,
 )
+from data_governance_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    sample_pred_sql,
+    split_case_sql,
+)
 from data_governance_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -299,6 +305,12 @@ def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Holdout layout for the d05 split sub-gate — insertion order fixes the
+# hash-threshold layout (operators/sampling.hash_split).
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SAMPLE_FRAC = 0.25
+
+
 def _marker_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
     return f"len(list_filter(toks, x -> x IN ({words})))"
@@ -306,7 +318,11 @@ def _marker_sql(lang: str) -> str:
 
 # d05 (merged gate, r5 driver-budget): language-ID confusion matrix
 # (ex-d05) + per-lang vocabulary/TTR over the BPE-ish regex tokenizer
-# (ex-d08) in one quad-schema union.
+# (ex-d08) + deterministic hash-split/sample accounting (new in r5,
+# operators/sampling.py) in one quad-schema union. The 'split' rows
+# carry per-split doc counts AND sum(doc_id) checksums, so the gate
+# proves exact membership parity of the md5-threshold assignment, not
+# just proportions; 'samp' ditto for the 25% Bernoulli hash sample.
 @qdef(
     QUERIES,
     "d05_text_stats",
@@ -342,6 +358,19 @@ def _marker_sql(lang: str) -> str:
         FROM documents
       )
       GROUP BY lang
+    ),
+    sp AS (
+      SELECT {split_case_sql(SPLIT_WEIGHTS, "doc_id")} AS s,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(doc_id) AS DOUBLE) AS ck
+      FROM documents
+      GROUP BY s
+    ),
+    samp AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(doc_id) AS DOUBLE) AS ck
+      FROM documents
+      WHERE {sample_pred_sql(SAMPLE_FRAC, "doc_id")}
     )
     SELECT 'lid' AS gate, lang || '>' || predicted AS k,
            CAST(NULL AS VARCHAR) AS v_s, CAST(n AS DOUBLE) AS v_d FROM lid
@@ -351,6 +380,14 @@ def _marker_sql(lang: str) -> str:
     SELECT 'vocab', lang || ':nt', CAST(NULL AS VARCHAR), nt FROM vocab
     UNION ALL
     SELECT 'vocab', lang || ':ttr', CAST(NULL AS VARCHAR), ttr FROM vocab
+    UNION ALL
+    SELECT 'split', s || ':n', CAST(NULL AS VARCHAR), n FROM sp
+    UNION ALL
+    SELECT 'split', s || ':ck', CAST(NULL AS VARCHAR), ck FROM sp
+    UNION ALL
+    SELECT 'split', 'sample:n', CAST(NULL AS VARCHAR), n FROM samp
+    UNION ALL
+    SELECT 'split', 'sample:ck', CAST(NULL AS VARCHAR), ck FROM samp
     """,
     doc="merged gate (r5 driver-budget): marker-token language-ID "
     "heuristic confusion matrix vs labeled lang (ex-d05) + per-lang "
@@ -395,7 +432,24 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     vocab_u = melt_metrics(vocab, F.col("lang"), ("nv", "nt", "ttr"), "vocab")
-    return lid.unionByName(vocab_u)
+    # split sub-gate: count + sum(doc_id) checksum per hash split and
+    # for the deterministic 25% sample — exact-membership parity
+    ids = docs.select("doc_id")
+    sp = (
+        hash_split(ids, SPLIT_WEIGHTS, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("doc_id").cast("double").alias("ck"),
+        )
+    )
+    sp_u = melt_metrics(sp, F.col("split"), ("n", "ck"), "split")
+    samp = hash_sample(ids, SAMPLE_FRAC, "doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("doc_id").cast("double").alias("ck"),
+    )
+    samp_u = melt_metrics(samp, F.lit("sample"), ("n", "ck"), "split")
+    return lid.unionByName(vocab_u).unionByName(sp_u).unionByName(samp_u)
 
 
 # --------------------------------------------------------------------------
