@@ -13,15 +13,16 @@ n-gram. This module computes those per-document fractions:
 - ``top_ngram_stats``: fraction of tokens covered by the single most
   frequent token n-gram — ``tg``.
 
-Scale shape: both are explode -> hash-aggregate on a (doc_id, value)
-key, then a second per-doc aggregate. Both aggregations are map-side
-combinable, there is no per-document quadratic work (no self-join of
-lines against lines), and no Python in the hot path — so at 100 TB
-these behave exactly like any other two-level hash aggregation: one
-shuffle of the (doc, line/ngram) partial counts, partitioned by doc_id.
-A pathologically hot doc_id cannot skew the first aggregate because the
-key includes the line/ngram value; the second (per-doc) aggregate
-receives at most one row per distinct value per doc.
+Scale shape: both metrics are strictly per-document, so they are
+computed as MAP-ONLY higher-order expressions — sort the per-row
+line/n-gram array, then one linear pass counts repeats (an element
+equal to its sorted predecessor is a repeat) or the longest equal run
+(the max n-gram frequency). No explode, no shuffle, no Python: at
+100 TB the cost is O(L log L) per document inside whole-stage codegen,
+embarrassingly parallel, versus the naive explode -> groupBy(doc, gram)
+route which shuffles one row per token of the entire corpus. (The
+naive route was this module's first implementation; the map-only
+rewrite removed d01's largest shuffle.)
 
 Reference twin: none — the reference pipeline has no training-data
 operators; this family extends the engine per SURVEY.md §6.
@@ -46,6 +47,51 @@ def doc_lines(col: Column | str) -> Column:
     return F.filter(F.split(c, "\n"), lambda x: F.trim(x) != F.lit(""))
 
 
+def _dup_char_count(sorted_arr: Column) -> Column:
+    """Characters in elements equal to their sorted predecessor — i.e.
+    every occurrence of a value beyond its first, weighted by length.
+    One linear fold over the sorted array; state (prev, dup)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+    return F.aggregate(
+        sorted_arr,
+        init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (
+                acc["dup"]
+                + F.when(x == acc["prev"], F.length(x)).otherwise(0)
+            ).alias("dup"),
+        ),
+        lambda acc: acc["dup"],
+    )
+
+
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a sorted
+    array == the max frequency of any value. State (prev, run, best)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(  # noqa: E731
+        F.lit(1).cast("long")
+    )
+    return F.aggregate(
+        sorted_arr,
+        init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 def dup_line_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -58,18 +104,20 @@ def dup_line_stats(
     occurrences. 0.0 = no line repeats; -> 1.0 = the document is one
     line repeated many times. Documents with no non-empty line emit no
     row (the fraction is undefined).
+
+    Map-only: sort the line array, count chars in elements equal to
+    their predecessor — no explode, no shuffle.
     """
     lines = docs.select(
-        id_col, F.explode(doc_lines(text_col)).alias("_line")
+        id_col, F.array_sort(doc_lines(text_col)).alias("_lines")
+    ).filter(F.size("_lines") > 0)
+    arr = F.col("_lines")
+    tot = F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
-    per_line = lines.groupBy(id_col, "_line").agg(
-        F.count(F.lit(1)).alias("_c"), F.length(F.first("_line")).alias("_l")
-    )
-    c, l = F.col("_c"), F.col("_l")
-    return per_line.groupBy(id_col).agg(
-        F.round(
-            F.sum((c - 1) * l).cast("double") / F.sum(c * l), 4
-        ).alias("dl")
+    return lines.select(
+        id_col,
+        F.round(_dup_char_count(arr).cast("double") / tot, 4).alias("dl"),
     )
 
 
@@ -78,6 +126,7 @@ def top_ngram_stats(
     n: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document top-n-gram token coverage ``tg``.
 
@@ -88,16 +137,27 @@ def top_ngram_stats(
     docs ("a a a a": bigram "a a" occurs 3x, tg = 6/4); that
     overshoot is part of the published heuristic (counts are raw
     occurrence counts) and still ranks repetitive docs first.
+
+    Map-only: sort the n-gram array, the max frequency is the longest
+    equal-adjacent run — no explode, no shuffle.
+
+    Pass ``tokens_col`` to reuse an already-tokenized (e.g. persisted)
+    array column instead of re-tokenizing ``text_col``.
     """
+    tok = F.col(tokens_col) if tokens_col else tokens(text_col)
     toked = docs.select(
-        id_col, F.size(tokens(text_col)).alias("_nt"), tokens(text_col).alias("_toks")
+        id_col,
+        F.size(tok).alias("_nt"),
+        tok.alias("_toks"),
     ).filter(F.col("_nt") >= n)
+    # word_shingles must see a materialized column, not an inline
+    # expression (HOFs re-evaluate argument expressions per element)
     grams = toked.select(
-        id_col, "_nt", F.explode(word_shingles(F.col("_toks"), n)).alias("_g")
+        id_col, "_nt", F.array_sort(word_shingles(F.col("_toks"), n)).alias("_g")
     )
-    per_gram = grams.groupBy(id_col, "_nt", "_g").agg(
-        F.count(F.lit(1)).alias("_c")
+    return grams.select(
+        id_col,
+        F.round(
+            F.lit(n) * _max_run_length(F.col("_g")) / F.col("_nt"), 4
+        ).alias("tg"),
     )
-    return per_gram.groupBy(id_col, "_nt").agg(
-        F.round(F.lit(n) * F.max("_c") / F.col("_nt"), 4).alias("tg")
-    ).select(id_col, "tg")

@@ -201,10 +201,11 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rep sub-gate: Gopher-style top-bigram coverage over the raw text;
     # C4-style duplicate-line char fraction over the synthesized
     # multi-line variant (the flat corpus has no newlines — see the
-    # oracle's `synth` CTE for the identical arithmetic)
-    tg = top_ngram_stats(docs, n=2)
-    line_a = F.concat_ws(" ", F.slice(tokens("text"), 1, 5))
-    synth = docs.select(
+    # oracle's `synth` CTE for the identical arithmetic). Both reuse
+    # the persisted tokenized corpus — no re-scan, no re-tokenize.
+    tg = top_ngram_stats(toked, n=2, tokens_col="_toks")
+    line_a = F.concat_ws(" ", F.slice(F.col("_toks"), 1, 5))
+    synth = toked.select(
         "doc_id",
         F.concat_ws(
             "\n",
