@@ -1,5 +1,6 @@
 """Composite operators: dedup sketches (MinHash/SimHash/exact
 precluster), similarity search (brute-force/LSH/IVF kNN, cosine
 near-dup), connected-components dedup closure + canonical selection,
-salted-aggregation skew tools, bucketed co-located joins, and the
-multimodal Arrow plumbing."""
+C4/Gopher intra-document repetition signals, deterministic hash-based
+holdout split/sampling, salted-aggregation skew tools, bucketed
+co-located joins, and the multimodal Arrow plumbing."""

@@ -179,3 +179,50 @@ def test_decs_batched_single_pass(spark):
     assert plan.count("HashAggregate") <= 4
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _fmt_plan(df):
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_repetition_stats_are_map_only(spark):
+    # per-document metrics must not shuffle: the sort+run-length
+    # rewrite keeps both operators as pure projections over the scan
+    from pyspark.sql import functions as F
+
+    from data_governance_spark.operators.repetition import (
+        dup_line_stats,
+        top_ngram_stats,
+    )
+
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a b a\nx\na b a"), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    for df in (dup_line_stats(docs), top_ngram_stats(docs, n=2)):
+        plan = _fmt_plan(df)
+        assert "Exchange" not in plan
+        assert "HashAggregate" not in plan  # the fold is per-row, not grouped
+
+
+def test_hash_split_sample_are_stateless_projections(spark):
+    # split assignment / sampling must stay shuffle-free single-stage
+    # expressions (no Exchange, no aggregate) so they compose with any
+    # downstream plan for free
+    from data_governance_spark.operators.sampling import (
+        hash_sample,
+        hash_split,
+    )
+
+    ids = spark.range(100).withColumnRenamed("id", "k")
+    split_plan = _fmt_plan(hash_split(ids, {"a": 0.5, "b": 0.5}, "k"))
+    sample_plan = _fmt_plan(hash_sample(ids, 0.25, "k"))
+    for plan in (split_plan, sample_plan):
+        assert "Exchange" not in plan
+        assert "HashAggregate" not in plan
