@@ -92,6 +92,75 @@ def _max_run_length(sorted_arr: Column) -> Column:
     )
 
 
+def _dup_run_chars(sorted_arr: Column) -> Column:
+    """Characters in ALL occurrences of values appearing more than once
+    (Gopher's duplicated-n-gram accounting: the first copy counts too).
+    Linear fold with end-of-run flush; state (prev, run, dup)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def flush(acc):
+        # chars of the finished run, counted only if it repeated
+        return F.when(
+            acc["run"] > 1, acc["run"] * F.length(acc["prev"])
+        ).otherwise(F.lit(0).cast("long"))
+
+    return F.aggregate(
+        sorted_arr,
+        init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            (
+                acc["dup"]
+                + F.when(x == acc["prev"], F.lit(0).cast("long")).otherwise(
+                    flush(acc)
+                )
+            ).alias("dup"),
+        ),
+        lambda acc: acc["dup"] + flush(acc),
+    )
+
+
+def dup_ngram_stats(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Per-document duplicated-n-gram character fraction ``dg``.
+
+    dg = chars in every occurrence of an n-gram that appears more than
+    once / chars in all n-grams — Gopher's "fraction of characters in
+    duplicate n-grams" (all copies count, including the first).
+    Documents with fewer than n tokens emit no row.
+
+    Map-only like its siblings: sort the n-gram array, one fold sums
+    run lengths > 1 — no explode, no shuffle.
+    """
+    tok = F.col(tokens_col) if tokens_col else tokens(text_col)
+    toked = docs.select(
+        id_col, F.size(tok).alias("_nt"), tok.alias("_toks")
+    ).filter(F.col("_nt") >= n)
+    grams = toked.select(
+        id_col, F.array_sort(word_shingles(F.col("_toks"), n)).alias("_g")
+    )
+    arr = F.col("_g")
+    tot = F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return grams.select(
+        id_col,
+        F.round(_dup_run_chars(arr).cast("double") / tot, 4).alias("dg"),
+    )
+
+
 def dup_line_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

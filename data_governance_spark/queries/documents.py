@@ -23,6 +23,7 @@ from data_governance_spark.cache import tracked_persist
 
 from data_governance_spark.operators.repetition import (
     dup_line_stats,
+    dup_ngram_stats,
     top_ngram_stats,
 )
 from data_governance_spark.operators.sampling import (
@@ -107,6 +108,25 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
       )
       GROUP BY doc_id, nt
     ),
+    repd AS (
+      SELECT doc_id,
+             round(CAST(sum(CASE WHEN c > 1 THEN c * l ELSE 0 END) AS DOUBLE)
+                   / sum(c * l), 4) AS dg
+      FROM (
+        SELECT doc_id, g, count(*) AS c, len(g) AS l
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 3),
+                                       i -> toks[i] || ' ' || toks[i + 1] || ' '
+                                            || toks[i + 2] || ' ' || toks[i + 3]
+                                            || ' ' || toks[i + 4])) AS g
+          FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+          WHERE len(toks) >= 5
+        )
+        GROUP BY doc_id, g
+      )
+      GROUP BY doc_id
+    ),
     synth AS (
       SELECT doc_id,
              array_to_string(
@@ -149,6 +169,8 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
     SELECT 'rep', CAST(doc_id AS VARCHAR) || ':tg', CAST(NULL AS VARCHAR), tg FROM repg
     UNION ALL
     SELECT 'rep', CAST(doc_id AS VARCHAR) || ':dl', CAST(NULL AS VARCHAR), dl FROM repl
+    UNION ALL
+    SELECT 'rep', CAST(doc_id AS VARCHAR) || ':dg', CAST(NULL AS VARCHAR), dg FROM repd
     """,
     doc="merged gate (r5 driver-budget): explode tokens -> grouped count "
     "per (lang, token) (ref BASE_PIPELINE A1 shape, ex-d01) + per-doc "
@@ -204,6 +226,7 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's `synth` CTE for the identical arithmetic). Both reuse
     # the persisted tokenized corpus — no re-scan, no re-tokenize.
     tg = top_ngram_stats(toked, n=2, tokens_col="_toks")
+    dg = dup_ngram_stats(toked, n=5, tokens_col="_toks")
     line_a = F.concat_ws(" ", F.slice(F.col("_toks"), 1, 5))
     synth = toked.select(
         "doc_id",
@@ -220,10 +243,14 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     dl = dup_line_stats(synth)
-    rep_u = melt_metrics(
-        tg, F.col("doc_id").cast("string"), ("tg",), "rep"
-    ).unionByName(
-        melt_metrics(dl, F.col("doc_id").cast("string"), ("dl",), "rep")
+    rep_u = (
+        melt_metrics(tg, F.col("doc_id").cast("string"), ("tg",), "rep")
+        .unionByName(
+            melt_metrics(dl, F.col("doc_id").cast("string"), ("dl",), "rep")
+        )
+        .unionByName(
+            melt_metrics(dg, F.col("doc_id").cast("string"), ("dg",), "rep")
+        )
     )
     return tok.unionByName(q_u).unionByName(rep_u)
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from data_governance_spark.operators.repetition import (
     doc_lines,
     dup_line_stats,
+    dup_ngram_stats,
     top_ngram_stats,
 )
 
@@ -86,3 +87,78 @@ class TestTopNgramStats:
         # tg = 3*3/9 = 1.0
         docs = _docs(spark, [(1, "a b c a b c a b c")])
         assert top_ngram_stats(docs, n=3).first()["tg"] == 1.0
+
+
+# --------------------------------------------------------------------------
+# Randomized differential: the map-only fold implementations vs direct
+# Python transcriptions of the published definitions (Counter-based).
+import random
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+
+def _r4(x):
+    # Spark's F.round is HALF_UP on the exact binary double; Python's
+    # built-in round is banker's (0.15625 -> 0.1562 vs Spark 0.1563)
+    return float(Decimal(x).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+def _py_dl(text):
+    lines = [l for l in text.split("\n") if l.strip() != ""]
+    if not lines:
+        return None
+    c = Counter(lines)
+    tot = sum(len(l) * k for l, k in c.items())
+    dup = sum(len(l) * (k - 1) for l, k in c.items())
+    return _r4(dup / tot)
+
+
+def _grams(toks, n):
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _py_tg(text, n):
+    toks = [t for t in text.split() if t]
+    if len(toks) < n:
+        return None
+    c = Counter(_grams(toks, n))
+    return _r4(n * max(c.values()) / len(toks))
+
+
+def _py_dg(text, n):
+    toks = [t for t in text.split() if t]
+    if len(toks) < n:
+        return None
+    c = Counter(_grams(toks, n))
+    tot = sum(len(g) * k for g, k in c.items())
+    dup = sum(len(g) * k for g, k in c.items() if k > 1)
+    return _r4(dup / tot)
+
+
+def test_randomized_differential_vs_python(spark):
+    rng = random.Random(20260814)
+    vocab = ["a", "bb", "ccc", "data", "x1", "yz", "longword", "q"]
+    rows = []
+    for i in range(300):
+        n_lines = rng.randint(0, 6)
+        lines = []
+        for _ in range(n_lines):
+            n_tok = rng.randint(0, 12)
+            lines.append(" ".join(rng.choice(vocab) for _ in range(n_tok)))
+        # force duplicate lines/grams in about half the docs
+        if lines and rng.random() < 0.5:
+            lines += [rng.choice(lines)] * rng.randint(1, 3)
+        rows.append((i, "\n".join(lines)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got_dl = {r["doc_id"]: r["dl"] for r in dup_line_stats(docs).collect()}
+    got_tg = {
+        r["doc_id"]: r["tg"] for r in top_ngram_stats(docs, n=2).collect()
+    }
+    got_dg = {
+        r["doc_id"]: r["dg"] for r in dup_ngram_stats(docs, n=3).collect()
+    }
+    for i, text in rows:
+        assert got_dl.get(i) == _py_dl(text), (i, "dl", text)
+        assert got_tg.get(i) == _py_tg(text, 2), (i, "tg", text)
+        assert got_dg.get(i) == _py_dg(text, 3), (i, "dg", text)
