@@ -164,6 +164,31 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the continuous-ingest twin of the d03
+    batch exact-dedup family: the first row per key passes, duplicates
+    arriving within the watermark horizon are dropped.
+
+    Uses ``dropDuplicatesWithinWatermark`` so the per-key state expires
+    once the watermark passes the first occurrence — bounded state, the
+    property plain streaming ``dropDuplicates`` lacks (its key store
+    grows with every distinct key forever, which at 100 TB/day of
+    ingest is an OOM countdown). The trade-off is the dedup horizon: a
+    duplicate arriving later than the watermark delay after its
+    original is NOT dropped — downstream batch dedup (d03/d09) remains
+    the exactness backstop, exactly like every published ingest+compact
+    corpus design.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def run_available_now(
     agg: DataFrame,
     checkpoint: str,

@@ -309,3 +309,32 @@ def test_multimodal_stub_and_plumbing(spark):
     assert media_repartition(media).rdd.getNumPartitions() == 1
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")
+
+
+def test_streaming_dedup_drops_watermark_window_duplicates(spark, tmp_path):
+    """dedup_stream: first occurrence per key passes; duplicates inside
+    the watermark horizon are dropped; batch recount confirms the kept
+    set is exactly one row per key."""
+    from data_governance_spark.streaming.events import dedup_stream
+    from data_governance_spark.tables import table as load_table
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+    # duplicate every event (identical key column event_id, same ts)
+    ev.write.parquet(str(src / "w1"))
+    ev.write.parquet(str(src / "w2"))
+    sink = str(tmp_path / "dd_out")
+    out = dedup_stream(
+        read_event_stream(spark, str(src) + "/*"), key_cols=["event_id"]
+    )
+    run_available_now(
+        out, str(tmp_path / "dd_ckpt"), output_mode="append", path=sink
+    )
+    got = spark.read.parquet(sink)
+    assert got.count() == 500
+    assert got.select("event_id").distinct().count() == 500
+    # and the kept rows are the real events, not mangled
+    assert (
+        got.join(ev, ["event_id", "ts", "user_id"], "left_anti").count() == 0
+    )
