@@ -1,0 +1,90 @@
+"""Sequence packing: assign documents to fixed-token-budget packs.
+
+LLM training consumes fixed-length token sequences; the standard
+pre-processing step concatenates documents into "packs" of at most
+``max_tokens`` tokens (with the tail doc overflowing or truncated,
+depending on the trainer). The interesting part at corpus scale is the
+assignment, not the concatenation — this operator computes a
+deterministic ``(pack_bucket, pack_id)`` for every document:
+
+1. Every doc hashes to one of ``num_buckets`` independent lanes
+   (md5-keyed, so the layout is stable across runs/cluster sizes —
+   same property as operators/sampling).
+2. Within a lane, docs are ordered by the same hash and packed by
+   exclusive prefix-sum: a doc starts the pack its running-start token
+   offset falls in (``pack_id = floor(start_offset / max_tokens)``).
+
+Semantics (documented, deterministic): a pack targets ``max_tokens``
+and may overflow by at most one document's tokens (the straddling doc
+belongs to the pack its start falls in); a document longer than
+``max_tokens`` spans its own pack(s). Trainers that need hard caps
+truncate at materialization — assignment stays the same.
+
+Scale shape: one shuffle (hash-partition by lane) + one window
+prefix-sum per lane. Lanes are independent, so parallelism is
+``num_buckets`` regardless of corpus size — size it ≥ cluster cores.
+A single global ordering would funnel the whole corpus through one
+window partition; the lane split is what makes packing feasible at
+100 TB, at the cost of lane-boundary fragmentation (≤ one underfull
+pack per lane, negligible for lanes ≫ max_tokens).
+
+Reference twin: none — training-data extension per SURVEY.md §6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_governance_spark.functions.text import tokens
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    num_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count_col: str | None = None,
+    seed: str = "pack",
+) -> DataFrame:
+    """Returns ``id_col, n_tokens, pack_bucket, pack_id, pack_offset``
+    — pack_offset is the doc's token start position within its pack.
+
+    Pass ``token_count_col`` when token counts are precomputed (e.g.
+    by d01); otherwise the whitespace tokenizer runs inline. Docs with
+    zero tokens are dropped (nothing to pack).
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    nt = (
+        F.col(token_count_col)
+        if token_count_col
+        else F.size(tokens(text_col))
+    )
+    h = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    base = (
+        docs.select(
+            id_col,
+            nt.cast("long").alias("n_tokens"),
+            (
+                F.conv(F.substring(h, 1, 6), 16, 10).cast("long")
+                % num_buckets
+            ).alias("pack_bucket"),
+            h.alias("_h"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    w = Window.partitionBy("pack_bucket").orderBy("_h", id_col)
+    start = F.coalesce(
+        F.sum("n_tokens").over(w) - F.col("n_tokens"), F.lit(0)
+    )
+    return base.select(
+        id_col,
+        "n_tokens",
+        "pack_bucket",
+        F.floor(start / max_tokens).alias("pack_id"),
+        (start % max_tokens).alias("pack_offset"),
+    )

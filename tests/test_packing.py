@@ -1,0 +1,117 @@
+"""Sequence packing (operators/packing.py): assignment invariants,
+determinism, and the documented overflow semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_governance_spark.operators.packing import pack_sequences
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # ~200 docs, 1-40 tokens each, deterministic
+    return spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), (F.col("id") % 40 + 1).cast("int")),
+                lambda i: F.concat(F.lit("w"), i.cast("string")),
+            ),
+        ).alias("text"),
+    )
+
+
+class TestPackSequences:
+    def test_every_doc_assigned_exactly_once(self, spark, corpus):
+        out = pack_sequences(corpus, max_tokens=100, num_buckets=8)
+        assert out.count() == 200
+        assert out.select("doc_id").distinct().count() == 200
+
+    def test_offsets_tile_each_pack_contiguously(self, spark, corpus):
+        """Docs sharing a pack tile contiguously: each doc starts where
+        the previous one ends (offset_i+1 == offset_i + n_i). The first
+        doc of a pack may start at offset > 0 — that shadow region is
+        the previous pack's straddling doc overflowing in (documented
+        semantics)."""
+        out = pack_sequences(corpus, max_tokens=100, num_buckets=8).collect()
+        packs = {}
+        for r in out:
+            packs.setdefault((r["pack_bucket"], r["pack_id"]), []).append(
+                (r["pack_offset"], r["n_tokens"])
+            )
+        for key, docs in packs.items():
+            docs.sort()
+            for (off1, n1), (off2, _) in zip(docs, docs[1:]):
+                assert off2 == off1 + n1, (key, docs)
+
+    def test_overflow_bounded_by_one_doc(self, spark, corpus):
+        L = 100
+        out = pack_sequences(corpus, max_tokens=L, num_buckets=8)
+        per_pack = (
+            out.groupBy("pack_bucket", "pack_id")
+            .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+            .collect()
+        )
+        for r in per_pack:
+            assert r["tot"] <= L + r["mx"], r
+
+    def test_deterministic_across_repartition(self, spark, corpus):
+        a = {
+            r["doc_id"]: (r["pack_bucket"], r["pack_id"], r["pack_offset"])
+            for r in pack_sequences(corpus, 100, num_buckets=8).collect()
+        }
+        b = {
+            r["doc_id"]: (r["pack_bucket"], r["pack_id"], r["pack_offset"])
+            for r in pack_sequences(
+                corpus.repartition(13), 100, num_buckets=8
+            ).collect()
+        }
+        assert a == b
+
+    def test_oversized_doc_owns_its_packs(self, spark):
+        docs = spark.createDataFrame(
+            [(1, " ".join(["t"] * 250))], "doc_id long, text string"
+        )
+        r = pack_sequences(docs, max_tokens=100, num_buckets=4).first()
+        assert r["n_tokens"] == 250
+        assert r["pack_offset"] == 0  # starts its own pack
+
+    def test_zero_token_docs_dropped(self, spark):
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "  "), (3, "a b")], "doc_id long, text string"
+        )
+        got = pack_sequences(docs, 10).select("doc_id").collect()
+        assert [r["doc_id"] for r in got] == [3]
+
+    def test_precomputed_token_counts(self, spark):
+        docs = spark.createDataFrame(
+            [(1, 5), (2, 7), (3, 9)], "doc_id long, nt long"
+        )
+        out = pack_sequences(
+            docs, 10, num_buckets=1, token_count_col="nt"
+        ).collect()
+        assert sum(r["n_tokens"] for r in out) == 21
+
+    def test_bad_max_tokens_rejected(self, spark, corpus):
+        with pytest.raises(ValueError):
+            pack_sequences(corpus, 0)
+
+    def test_plan_single_exchange_per_lane_window(self, spark, corpus):
+        # one hash-partition shuffle (the lane split) + in-lane window;
+        # no global single-partition sort
+        df = pack_sequences(corpus, 100, num_buckets=8)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        ex = [
+            l
+            for l in plan.splitlines()
+            if l.startswith("(") and "Exchange" in l
+        ]
+        assert len(ex) == 1, plan
+        assert "SinglePartition" not in plan
