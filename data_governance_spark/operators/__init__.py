@@ -2,5 +2,6 @@
 precluster), similarity search (brute-force/LSH/IVF kNN, cosine
 near-dup), connected-components dedup closure + canonical selection,
 C4/Gopher intra-document repetition signals, deterministic hash-based
-holdout split/sampling, salted-aggregation skew tools, bucketed
+holdout split/sampling, sequence
+packing, salted-aggregation skew tools, bucketed
 co-located joins, and the multimodal Arrow plumbing."""
