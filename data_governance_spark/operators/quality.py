@@ -1,0 +1,110 @@
+"""Corpus quality filtering: the Gopher-rule composition, one call.
+
+``corpus_signals`` annotates every document with the engine's per-doc
+quality signals — token count, mean token length, stopword ratio,
+top-bigram coverage, duplicated-5-gram char fraction, duplicate-line
+char fraction — all MAP-ONLY column expressions (tokenize once, fold
+per row; zero shuffle, plan shape identical to operators/repetition).
+``filter_corpus`` applies threshold rules over those signals, defaulted
+to the published Gopher ranges (Rae et al. 2021, appendix A1) scaled to
+this engine's whitespace tokenizer.
+
+At 100 TB this is the first pass of a training-data pipeline: a pure
+projection+filter that Catalyst fuses into the scan stage, dropping
+boilerplate before any shuffle-bearing operator (dedup, packing) runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_governance_spark.functions.text import STOPWORDS, tokens, word_shingles
+from data_governance_spark.operators.repetition import (
+    _dup_char_count,
+    _dup_run_chars,
+    _max_run_length,
+    doc_lines,
+)
+
+# Gopher-flavored defaults: (signal, min, max); None = unbounded.
+DEFAULT_RULES: dict[str, tuple[float | None, float | None]] = {
+    "n_tokens": (50, 100_000),
+    "mean_token_len": (2.0, 10.0),
+    "stopword_ratio": (0.01, None),
+    "top_bigram_frac": (None, 0.30),
+    "dup_5gram_frac": (None, 0.30),
+    "dup_line_frac": (None, 0.30),
+}
+
+
+def _signal_cols(text_col: str) -> dict[str, Column]:
+    raw = tokens(text_col)
+    nt = F.size(raw)
+    sum_len = F.aggregate(
+        raw, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    n_stop = F.size(F.filter(raw, lambda t: t.isin(*STOPWORDS)))
+    grams2 = F.array_sort(word_shingles(raw, 2))
+    grams5 = F.array_sort(word_shingles(raw, 5))
+    g5_tot = F.aggregate(
+        grams5, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    lines = F.array_sort(doc_lines(text_col))
+    l_tot = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    return {
+        "n_tokens": nt.cast("long"),
+        "mean_token_len": F.when(nt > 0, sum_len / nt),
+        "stopword_ratio": F.when(nt > 0, n_stop / nt),
+        "top_bigram_frac": F.when(
+            nt >= 2, F.lit(2) * _max_run_length(grams2) / nt
+        ),
+        "dup_5gram_frac": F.when(nt >= 5, _dup_run_chars(grams5) / g5_tot),
+        "dup_line_frac": F.when(
+            F.size(lines) > 0, _dup_char_count(lines) / l_tot
+        ),
+    }
+
+
+def corpus_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Annotate with all quality signals (NULL where undefined — empty
+    doc, fewer tokens than the n-gram width)."""
+    sig = _signal_cols(text_col)
+    return docs.select("*", *[c.alias(n) for n, c in sig.items()])
+
+
+def filter_corpus(
+    docs: DataFrame,
+    rules: dict[str, tuple[float | None, float | None]] | None = None,
+    text_col: str = "text",
+    keep_signals: bool = False,
+) -> DataFrame:
+    """Keep documents whose signals fall inside every rule's
+    [min, max] range. A NULL signal fails any bounded rule on it (an
+    empty doc has no business in a training corpus). Unknown rule keys
+    raise — a typo must not silently disable a filter.
+    """
+    rules = DEFAULT_RULES if rules is None else rules
+    sig = _signal_cols(text_col)
+    unknown = rules.keys() - sig.keys()
+    if unknown:
+        raise ValueError(f"unknown quality signals: {sorted(unknown)}")
+    annotated = docs.select("*", *[c.alias(f"_q_{n}") for n, c in sig.items()])
+    pred = F.lit(True)
+    for name, (lo, hi) in rules.items():
+        c = F.col(f"_q_{name}")
+        if lo is not None:
+            pred = pred & (c >= lo)
+        if hi is not None:
+            pred = pred & (c <= hi)
+        if lo is not None or hi is not None:
+            pred = pred & c.isNotNull()
+    out = annotated.filter(pred)
+    if keep_signals:
+        return out.select(
+            *docs.columns,
+            *[F.col(f"_q_{n}").alias(n) for n in sig],
+        )
+    return out.select(*docs.columns)

@@ -1,0 +1,76 @@
+"""Quality filter composition (operators/quality.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_governance_spark.operators.quality import (
+    DEFAULT_RULES,
+    corpus_signals,
+    filter_corpus,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    words = [f"tok{i}" for i in range(80)]
+    good = "the of " + " ".join(words)  # 82 tokens, varied, has stopwords
+    return spark.createDataFrame(
+        [
+            (1, good),  # passes defaults
+            (2, "short text"),  # too few tokens
+            (3, " ".join(["spam"] * 200)),  # no stopwords + pure repetition
+            (4, ""),  # empty -> NULL signals -> dropped
+        ],
+        "doc_id long, text string",
+    )
+
+
+class TestCorpusSignals:
+    def test_signal_values(self, spark, docs):
+        r = {x["doc_id"]: x for x in corpus_signals(docs).collect()}
+        assert r[1]["n_tokens"] == 82
+        assert r[2]["n_tokens"] == 2
+        assert r[3]["top_bigram_frac"] == pytest.approx(2 * 199 / 200)
+        assert r[3]["dup_5gram_frac"] == 1.0
+        assert r[4]["n_tokens"] == 0
+        assert r[4]["mean_token_len"] is None
+        # varied doc: every bigram unique
+        assert r[1]["dup_5gram_frac"] == 0.0
+
+    def test_no_shuffle_in_plan(self, spark, docs):
+        plan = (
+            corpus_signals(docs)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        assert "Exchange" not in plan
+
+
+class TestFilterCorpus:
+    def test_default_rules_keep_only_clean_doc(self, spark, docs):
+        kept = filter_corpus(docs).collect()
+        assert [r["doc_id"] for r in kept] == [1]
+        assert [c for c in filter_corpus(docs).columns] == ["doc_id", "text"]
+
+    def test_keep_signals_appends_columns(self, spark, docs):
+        out = filter_corpus(docs, keep_signals=True)
+        assert "n_tokens" in out.columns and "dup_line_frac" in out.columns
+        assert out.first()["n_tokens"] == 82
+
+    def test_custom_rules(self, spark, docs):
+        kept = filter_corpus(docs, {"n_tokens": (100, None)}).collect()
+        assert [r["doc_id"] for r in kept] == [3]
+
+    def test_unknown_rule_raises(self, spark, docs):
+        with pytest.raises(ValueError, match="unknown quality signals"):
+            filter_corpus(docs, {"n_tokenz": (1, None)})
+
+    def test_default_rules_are_well_formed(self):
+        for name, (lo, hi) in DEFAULT_RULES.items():
+            assert lo is not None or hi is not None, name
