@@ -1,0 +1,98 @@
+"""PII detection and redaction for training corpora.
+
+Web-scale training pipelines scrub obvious personal identifiers before
+a corpus ships (the published pipelines — C4, RefinedWeb, Dolma — all
+run a regex pass of exactly this shape). This module provides the
+standard four detectors as pure Catalyst regex expressions:
+
+- email addresses
+- phone-number-shaped digit runs (international/US formats)
+- IPv4 addresses
+- URLs (http/https/www)
+
+``pii_counts`` annotates per-document match counts (the audit view);
+``redact_pii`` replaces matches with typed placeholder tokens
+(``<EMAIL>`` etc.), the corpus-mutation view. Both are map-only
+projections — no shuffle, no UDF; at 100 TB they fuse into the scan.
+
+Patterns are deliberately conservative (high precision over recall):
+a training-data scrub that eats ordinary prose does more damage than
+one that misses an exotic phone format. Recall-critical deployments
+(GDPR erasure, medical records) need NER models, not regexes — that is
+out of scope here, as in the published pipelines.
+
+Order matters in ``redact_pii``: URLs are redacted BEFORE emails and
+phones so a URL containing an @ or digit run collapses to one <URL>
+token instead of a mixed redaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Conservative shared-dialect regexes (no lookaround, no \b ambiguity
+# across engines; Java and RE2 both accept these).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"(https?://|www\.)[^\s<>\"']+"
+IPV4_RE = r"(^|[^0-9.])((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])($|[^0-9.])"
+# +country / (area) / dash- or space-grouped digits. Deliberately NOT
+# dotted groups: "192.168" inside any IPv4 would match a dotted phone
+# (precision-over-recall, like the rest of this module).
+PHONE_RE = r"(\+[0-9]{1,3}[ -]?)?(\([0-9]{2,4}\)[ -]?)?[0-9]{3}[ -][0-9]{3,4}([ -][0-9]{2,4})?"
+
+PII_PATTERNS: dict[str, str] = {
+    "url": URL_RE,
+    "email": EMAIL_RE,
+    "ipv4": IPV4_RE,
+    "phone": PHONE_RE,
+}
+
+
+def _count(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Annotate with ``n_<kind>`` match counts per document — the audit
+    pass a pipeline runs to size the scrub before mutating anything."""
+    c = F.col(text_col)
+    return docs.select(
+        "*",
+        *[
+            _count(c, p).alias(f"n_{kind}")
+            for kind, p in PII_PATTERNS.items()
+        ],
+    )
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("url", "email", "ipv4", "phone"),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace each PII match with its ``<KIND>`` placeholder, in the
+    declared order (URL first — see module docstring). Writes over
+    ``text_col`` unless ``out_col`` names a new column."""
+    unknown = set(kinds) - PII_PATTERNS.keys()
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    c = F.col(text_col)
+    for kind in kinds:
+        if kind == "ipv4":
+            # pattern anchors on the surrounding non-digit chars — keep
+            # them (groups 1 and 5) around the placeholder
+            c = F.regexp_replace(
+                c, PII_PATTERNS[kind], r"$1<IPV4>$5"
+            )
+        else:
+            c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    if out_col:
+        return docs.select("*", c.alias(out_col))
+    return docs.select(
+        *[
+            c.alias(text_col) if x == text_col else F.col(x)
+            for x in docs.columns
+        ]
+    )
