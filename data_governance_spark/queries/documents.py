@@ -26,6 +26,7 @@ from data_governance_spark.operators.repetition import (
     dup_ngram_stats,
     top_ngram_stats,
 )
+from data_governance_spark.operators.pii import pii_counts
 from data_governance_spark.operators.sampling import (
     hash_sample,
     hash_split,
@@ -344,13 +345,26 @@ def _marker_sql(lang: str) -> str:
     return f"len(list_filter(toks, x -> x IN ({words})))"
 
 
+def _sql_pat(kind: str) -> str:
+    """PII pattern escaped for a single-quoted SQL literal."""
+    from data_governance_spark.operators.pii import PII_PATTERNS
+
+    return PII_PATTERNS[kind].replace("'", "''")
+
+
 # d05 (merged gate, r5 driver-budget): language-ID confusion matrix
 # (ex-d05) + per-lang vocabulary/TTR over the BPE-ish regex tokenizer
 # (ex-d08) + deterministic hash-split/sample accounting (new in r5,
-# operators/sampling.py) in one quad-schema union. The 'split' rows
+# operators/sampling.py) + PII detector totals (new in r5,
+# operators/pii.py) in one quad-schema union. The 'split' rows
 # carry per-split doc counts AND sum(doc_id) checksums, so the gate
 # proves exact membership parity of the md5-threshold assignment, not
 # just proportions; 'samp' ditto for the 25% Bernoulli hash sample.
+# The 'pii' rows count matches of all four detectors over a synthetic
+# PII-bearing variant of the corpus (email/url/ip/phone appended on
+# modular doc_id classes — the flat corpus itself contains none), with
+# the identical regexes evaluated by DuckDB's RE2 (patterns restricted
+# to the shared dialect by construction).
 @qdef(
     QUERIES,
     "d05_text_stats",
@@ -399,6 +413,29 @@ def _marker_sql(lang: str) -> str:
              CAST(sum(doc_id) AS DOUBLE) AS ck
       FROM documents
       WHERE {sample_pred_sql(SAMPLE_FRAC, "doc_id")}
+    ),
+    pii_synth AS (
+      SELECT text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' x' || CAST(doc_id AS STRING) || '@ex.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' visit www.s' || CAST(doc_id AS STRING) || '.org'
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' at 10.0.0.' || CAST(doc_id % 250 AS STRING)
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+                     ELSE '' END AS t2
+      FROM documents
+    ),
+    pii AS (
+      SELECT CAST(sum(len(regexp_extract_all(t2, '{_sql_pat("email")}'))) AS DOUBLE) AS email,
+             CAST(sum(len(regexp_extract_all(t2, '{_sql_pat("url")}'))) AS DOUBLE) AS url,
+             CAST(sum(len(regexp_extract_all(t2, '{_sql_pat("ipv4")}'))) AS DOUBLE) AS ipv4,
+             CAST(sum(len(regexp_extract_all(t2, '{_sql_pat("phone")}'))) AS DOUBLE) AS phone
+      FROM pii_synth
     )
     SELECT 'lid' AS gate, lang || '>' || predicted AS k,
            CAST(NULL AS VARCHAR) AS v_s, CAST(n AS DOUBLE) AS v_d FROM lid
@@ -416,6 +453,14 @@ def _marker_sql(lang: str) -> str:
     SELECT 'split', 'sample:n', CAST(NULL AS VARCHAR), n FROM samp
     UNION ALL
     SELECT 'split', 'sample:ck', CAST(NULL AS VARCHAR), ck FROM samp
+    UNION ALL
+    SELECT 'pii', 'email', CAST(NULL AS VARCHAR), email FROM pii
+    UNION ALL
+    SELECT 'pii', 'url', CAST(NULL AS VARCHAR), url FROM pii
+    UNION ALL
+    SELECT 'pii', 'ipv4', CAST(NULL AS VARCHAR), ipv4 FROM pii
+    UNION ALL
+    SELECT 'pii', 'phone', CAST(NULL AS VARCHAR), phone FROM pii
     """,
     doc="merged gate (r5 driver-budget): marker-token language-ID "
     "heuristic confusion matrix vs labeled lang (ex-d05) + per-lang "
@@ -477,7 +522,52 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("double").alias("ck"),
     )
     samp_u = melt_metrics(samp, F.lit("sample"), ("n", "ck"), "split")
-    return lid.unionByName(vocab_u).unionByName(sp_u).unionByName(samp_u)
+    # pii sub-gate: detector totals over the synthetic PII-bearing
+    # variant (the oracle's pii_synth CTE builds the identical text)
+    did = F.col("doc_id")
+    ids_s = did.cast("string")
+    blank = F.lit("")
+    pii_docs = docs.select(
+        F.concat(
+            "text",
+            F.when(did % 3 == 0, F.concat(F.lit(" x"), ids_s, F.lit("@ex.com"))).otherwise(blank),
+            F.when(did % 5 == 0, F.concat(F.lit(" visit www.s"), ids_s, F.lit(".org"))).otherwise(blank),
+            F.when(did % 7 == 0, F.concat(F.lit(" at 10.0.0."), (did % 250).cast("string"))).otherwise(blank),
+            F.when(did % 11 == 0, F.concat(F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(blank),
+        ).alias("text")
+    )
+    pii_tot = pii_counts(pii_docs).agg(
+        *[
+            F.sum(f"n_{kind}").cast("double").alias(kind)
+            for kind in ("email", "url", "ipv4", "phone")
+        ]
+    )
+    pii_u = (
+        pii_tot.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(kind).alias("m"), F.col(kind).alias("v")
+                        )
+                        for kind in ("email", "url", "ipv4", "phone")
+                    ]
+                )
+            ).alias("e")
+        )
+        .select(
+            F.lit("pii").alias("gate"),
+            F.col("e.m").alias("k"),
+            F.lit(None).cast("string").alias("v_s"),
+            F.col("e.v").alias("v_d"),
+        )
+    )
+    return (
+        lid.unionByName(vocab_u)
+        .unionByName(sp_u)
+        .unionByName(samp_u)
+        .unionByName(pii_u)
+    )
 
 
 # --------------------------------------------------------------------------
