@@ -26,6 +26,7 @@ from data_governance_spark.operators.repetition import (
     dup_ngram_stats,
     top_ngram_stats,
 )
+from data_governance_spark.operators.packing import pack_sequences
 from data_governance_spark.operators.pii import pii_counts
 from data_governance_spark.operators.sampling import (
     hash_sample,
@@ -338,6 +339,9 @@ def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-threshold layout (operators/sampling.hash_split).
 SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SAMPLE_FRAC = 0.25
+# d05 pack sub-gate layout (operators/packing.pack_sequences)
+_PACK_MAX = 128
+_PACK_BUCKETS = 8
 
 
 def _marker_sql(lang: str) -> str:
@@ -436,6 +440,23 @@ def _sql_pat(kind: str) -> str:
              CAST(sum(len(regexp_extract_all(t2, '{_sql_pat("ipv4")}'))) AS DOUBLE) AS ipv4,
              CAST(sum(len(regexp_extract_all(t2, '{_sql_pat("phone")}'))) AS DOUBLE) AS phone
       FROM pii_synth
+    ),
+    pk AS (
+      SELECT doc_id, nt, h,
+             CAST('0x' || substr(h, 1, 6) AS BIGINT) % {_PACK_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, len({_SQL_TOKS}) AS nt,
+               md5('pack:' || CAST(doc_id AS STRING)) AS h
+        FROM documents
+      )
+      WHERE nt > 0
+    ),
+    pk2 AS (
+      SELECT doc_id, b,
+             sum(nt) OVER (PARTITION BY b ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - nt AS s
+      FROM pk
     )
     SELECT 'lid' AS gate, lang || '>' || predicted AS k,
            CAST(NULL AS VARCHAR) AS v_s, CAST(n AS DOUBLE) AS v_d FROM lid
@@ -461,6 +482,12 @@ def _sql_pat(kind: str) -> str:
     SELECT 'pii', 'ipv4', CAST(NULL AS VARCHAR), ipv4 FROM pii
     UNION ALL
     SELECT 'pii', 'phone', CAST(NULL AS VARCHAR), phone FROM pii
+    UNION ALL
+    SELECT 'pack', CAST(doc_id AS VARCHAR),
+           CAST(b AS VARCHAR) || ':' || CAST(s // {_PACK_MAX} AS VARCHAR)
+             || ':' || CAST(s % {_PACK_MAX} AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM pk2
     """,
     doc="merged gate (r5 driver-budget): marker-token language-ID "
     "heuristic confusion matrix vs labeled lang (ex-d05) + per-lang "
@@ -562,11 +589,27 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.v").alias("v_d"),
         )
     )
+    # pack sub-gate: the full (bucket, pack, offset) assignment of
+    # every doc, restated by the oracle's window prefix-sum
+    pk = pack_sequences(
+        docs, max_tokens=_PACK_MAX, num_buckets=_PACK_BUCKETS, seed="pack"
+    ).select(
+        F.lit("pack").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws(
+            ":",
+            F.col("pack_bucket").cast("string"),
+            F.col("pack_id").cast("string"),
+            F.col("pack_offset").cast("string"),
+        ).alias("v_s"),
+        F.lit(None).cast("double").alias("v_d"),
+    )
     return (
         lid.unionByName(vocab_u)
         .unionByName(sp_u)
         .unionByName(samp_u)
         .unionByName(pii_u)
+        .unionByName(pk)
     )
 
 
