@@ -178,7 +178,8 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
     "per (lang, token) (ref BASE_PIPELINE A1 shape, ex-d01) + per-doc "
     "quality (token count, avg token length, stopword ratio, score; "
     "ex-d02) + C4/Gopher repetition signals (top-bigram coverage, "
-    "duplicate-line char fraction; operators/repetition.py)",
+    "duplicated-5-gram char fraction, duplicate-line char fraction; "
+    "operators/repetition.py)",
 )
 def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -492,7 +493,11 @@ def _sql_pat(kind: str) -> str:
     doc="merged gate (r5 driver-budget): marker-token language-ID "
     "heuristic confusion matrix vs labeled lang (ex-d05) + per-lang "
     "vocabulary size + type-token ratio over the BPE-ish regex "
-    "tokenizer (word runs + single symbols, ex-d08)",
+    "tokenizer (word runs + single symbols, ex-d08) + exact-membership "
+    "checksums for the deterministic hash split/sample "
+    "(operators/sampling.py) + PII detector totals (operators/pii.py) "
+    "+ the full per-doc sequence-packing assignment "
+    "(operators/packing.py)",
 )
 def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
