@@ -52,3 +52,28 @@ def test_normalize_afiliacao_idempotent(segs, marker):
 def test_strip_diacritics_preserves_ascii(s):
     ascii_only = "".join(c for c in s if ord(c) < 128)
     assert strip_diacritics(ascii_only) == ascii_only
+
+
+# --------------------------------------------------------------------------
+# operators/sampling.threshold_hex: the entire split/sample design rests
+# on "fixed-width lowercase hex compares lexicographically exactly as it
+# compares numerically" — sweep that claim, not just three examples.
+from data_governance_spark.operators.sampling import threshold_hex
+
+
+@given(st.integers(0, 0xFFFFFFFF), st.floats(0.0, 1.0, allow_nan=False))
+@settings(max_examples=500, deadline=None)
+def test_threshold_membership_equals_numeric(v, frac):
+    h = format(v, "08x")
+    expected = v < min(int(frac * 2**32), 2**32)
+    assert (h < threshold_hex(frac)) == expected
+
+
+@given(
+    st.floats(0.0, 1.0, allow_nan=False),
+    st.floats(0.0, 1.0, allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_threshold_hex_monotone(a, b):
+    lo, hi = sorted((a, b))
+    assert threshold_hex(lo) <= threshold_hex(hi)
