@@ -1,0 +1,107 @@
+"""WARC source (sources/warc.py): record splitting, header parsing,
+HTTP envelope stripping, documents mapping."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from data_governance_spark.sources.warc import (
+    http_body,
+    read_warc,
+    warc_documents,
+)
+
+
+def _rec(wtype, uri, rid, body, extra=""):
+    headers = (
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + extra
+        + f"Content-Length: {len(body.encode())}\r\n"
+    )
+    return f"WARC/1.0\r\n{headers}\r\n{body}\r\n\r\n"
+
+
+WARC_TEXT = (
+    _rec("warcinfo", None, "aaa", "software: test-writer 1.0")
+    + _rec("conversion", "http://x.org/a", "bbb", "extracted plain text a")
+    + _rec(
+        "response",
+        "http://x.org/b",
+        "ccc",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>B</html>",
+    )
+)
+
+
+@pytest.fixture(scope="module")
+def warc_path(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    p = d / "test.warc"
+    p.write_bytes(WARC_TEXT.encode())
+    # a gzipped sibling: whole-file gzip, Spark decompresses transparently
+    (d / "test2.warc.gz").write_bytes(gzip.compress(WARC_TEXT.encode()))
+    return d
+
+
+class TestReadWarc:
+    def test_record_split_and_headers(self, spark, warc_path):
+        rows = {
+            r["record_id"]: r
+            for r in read_warc(spark, str(warc_path / "test.warc")).collect()
+        }
+        assert set(rows) == {
+            "<urn:uuid:aaa>", "<urn:uuid:bbb>", "<urn:uuid:ccc>"
+        }
+        b = rows["<urn:uuid:bbb>"]
+        assert b["warc_type"] == "conversion"
+        assert b["target_uri"] == "http://x.org/a"
+        assert b["payload"] == "extracted plain text a"
+        assert b["content_length"] == len(b"extracted plain text a")
+        assert b["date"] == "2025-01-01T00:00:00Z"
+        # warcinfo has no URI -> empty extract
+        assert rows["<urn:uuid:aaa>"]["target_uri"] == ""
+
+    def test_gzip_whole_file(self, spark, warc_path):
+        got = read_warc(spark, str(warc_path / "test2.warc.gz")).count()
+        assert got == 3
+
+    def test_http_envelope_stripped(self, spark, warc_path):
+        rows = {
+            r["record_id"]: r
+            for r in read_warc(spark, str(warc_path / "test.warc"))
+            .withColumn("body", http_body("payload"))
+            .collect()
+        }
+        assert rows["<urn:uuid:ccc>"]["body"] == "<html>B</html>"
+        # non-HTTP payloads untouched
+        assert rows["<urn:uuid:bbb>"]["body"] == "extracted plain text a"
+
+
+class TestWarcDocuments:
+    def test_documents_shape(self, spark, warc_path):
+        docs = warc_documents(spark, str(warc_path / "test.warc"))
+        assert docs.columns == ["doc_id", "url", "text"]
+        rows = {r["url"]: r for r in docs.collect()}
+        # warcinfo filtered out; conversion + response kept
+        assert set(rows) == {"http://x.org/a", "http://x.org/b"}
+        assert rows["http://x.org/b"]["text"] == "<html>B</html>"
+        ids = [r["doc_id"] for r in rows.values()]
+        assert len(set(ids)) == 2 and all(i is not None for i in ids)
+
+    def test_no_python_in_plan(self, spark, warc_path):
+        plan = (
+            warc_documents(spark, str(warc_path / "test.warc"))
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan  # pure scan + projection
