@@ -38,8 +38,49 @@ DEFAULT_RULES: dict[str, tuple[float | None, float | None]] = {
 }
 
 
-def _signal_cols(text_col: str) -> dict[str, Column]:
-    raw = tokens(text_col)
+def _materialize(docs: DataFrame, text_col: str) -> DataFrame:
+    """Token and line arrays as REAL columns before any higher-order
+    fold touches them: HOFs re-evaluate inline argument expressions per
+    element access, so word_shingles over an inline tokens() would
+    re-run the tokenizer once per n-gram (measured 10x+ slowdown —
+    the same trap functions/text.shingle_hashes documents).
+
+    NOTE the projection alone does NOT protect ``filter_corpus``:
+    the optimizer substitutes these aliases into the filter predicate
+    and prunes the projections away, re-inlining ``tokens()`` into
+    every fold (measured: the collapsed predicate carried 72 copies of
+    ``split(text)``, 57 s for 5 000 docs). ``filter_corpus`` therefore
+    inserts a structural barrier — see ``_fence``."""
+    return docs.select(
+        "*",
+        tokens(text_col).alias("_qm_toks"),
+        doc_lines(text_col).alias("_qm_lines"),
+    )
+
+
+def _fence(df: DataFrame) -> DataFrame:
+    """Optimizer barrier between the signal projection and the filter:
+    ``Sample(0, 1.0)`` keeps every row (Bernoulli keep is rand() < 1.0
+    and rand() ∈ [0,1)) but predicates cannot be pushed through a
+    Sample node and alias substitution stops at it, so the filter
+    evaluates the MATERIALIZED signal columns instead of re-inlining
+    ``tokens()`` into every fold at the scan. Effect at sf0.1 / 5 000
+    docs: 57 s -> ~2 s (the collapsed predicate carried 72 copies of
+    ``split(text)``).
+
+    Rejected alternatives, both defeated by the optimizer (verified):
+    a nondeterministic fence CONJUNCT (pushdown partitions a
+    conjunction and pushes every deterministic conjunct regardless of
+    position), and a nondeterministic CASE wrapper around the whole
+    predicate (aliases still get substituted into the filter and the
+    projections pruned away). ``rand() >= -1`` specifically is folded
+    to true by Spark 4's rand-domain awareness."""
+    return df.sample(1.0, seed=0)
+
+
+def _signal_cols() -> dict[str, Column]:
+    """Signal expressions over the _materialize() columns."""
+    raw = F.col("_qm_toks")
     nt = F.size(raw)
     sum_len = F.aggregate(
         raw, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
@@ -50,7 +91,7 @@ def _signal_cols(text_col: str) -> dict[str, Column]:
     g5_tot = F.aggregate(
         grams5, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
-    lines = F.array_sort(doc_lines(text_col))
+    lines = F.array_sort(F.col("_qm_lines"))
     l_tot = F.aggregate(
         lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
@@ -71,8 +112,10 @@ def _signal_cols(text_col: str) -> dict[str, Column]:
 def corpus_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Annotate with all quality signals (NULL where undefined — empty
     doc, fewer tokens than the n-gram width)."""
-    sig = _signal_cols(text_col)
-    return docs.select("*", *[c.alias(n) for n, c in sig.items()])
+    sig = _signal_cols()
+    return _materialize(docs, text_col).select(
+        *docs.columns, *[c.alias(n) for n, c in sig.items()]
+    )
 
 
 def filter_corpus(
@@ -87,11 +130,13 @@ def filter_corpus(
     raise — a typo must not silently disable a filter.
     """
     rules = DEFAULT_RULES if rules is None else rules
-    sig = _signal_cols(text_col)
+    sig = _signal_cols()
     unknown = rules.keys() - sig.keys()
     if unknown:
         raise ValueError(f"unknown quality signals: {sorted(unknown)}")
-    annotated = docs.select("*", *[c.alias(f"_q_{n}") for n, c in sig.items()])
+    annotated = _materialize(docs, text_col).select(
+        *docs.columns, *[c.alias(f"_q_{n}") for n, c in sig.items()]
+    )
     pred = F.lit(True)
     for name, (lo, hi) in rules.items():
         c = F.col(f"_q_{name}")
@@ -101,7 +146,7 @@ def filter_corpus(
             pred = pred & (c <= hi)
         if lo is not None or hi is not None:
             pred = pred & c.isNotNull()
-    out = annotated.filter(pred)
+    out = _fence(annotated).filter(pred)
     if keep_signals:
         return out.select(
             *docs.columns,

@@ -74,3 +74,24 @@ class TestFilterCorpus:
     def test_default_rules_are_well_formed(self):
         for name, (lo, hi) in DEFAULT_RULES.items():
             assert lo is not None or hi is not None, name
+
+
+class TestFencePlan:
+    def test_filter_plan_tokenizes_once(self, spark, docs):
+        """The Sample fence must keep the token materialization alive:
+        without it the optimizer collapses the signal projections into
+        the filter predicate and re-inlines split(text) into every
+        fold (72 copies, measured 47x slower)."""
+        plan = (
+            filter_corpus(docs)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        # exactly two splits: tokens (\s+) and lines (\n), each
+        # evaluated once in the materializing projection
+        assert plan.count("split(text") == 2, plan[:2000]
+        assert "Sample" in plan
+        # the filter must test materialized _q_ attributes, not
+        # substituted expressions
+        assert "_q_n_tokens#" in plan.split("Sample")[0]
