@@ -1,0 +1,67 @@
+"""HTML -> text extraction as a pure Catalyst expression chain.
+
+The step between a WARC ``response`` record and the quality filter:
+drop non-content blocks (script/style/head/comments), strip tags,
+decode the common entities, collapse whitespace. Block-level tags
+become newlines so C4-style line-dedup (operators/repetition) still
+sees line structure.
+
+Scope (stated): this is the regex tier of HTML cleaning — the same
+trade the published pipelines make when they bulk-clean petabytes
+before a heavier DOM-based extractor touches the survivors. It does
+not execute scripts, resolve CSS visibility, or handle pathologically
+malformed markup; a DOM parser (trafilatura/resiliparse-class) is a
+Python-library stage outside this engine's no-extra-deps envelope.
+
+Everything here is regexp_replace inside codegen — no UDFs, no
+shuffle; at 100 TB it runs at scan speed like the PII scrub.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (?is): dot matches newlines, case-insensitive
+_DROP_BLOCKS = (
+    r"(?is)<(script|style|head|noscript|template|svg)[^>]*>.*?</\1\s*>"
+)
+_COMMENTS = r"(?s)<!--.*?-->"
+# block-level closers/openers that imply a line break
+_BLOCK_TAGS = (
+    r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article|header|"
+    r"footer|blockquote|pre|hr)[^>]*>"
+)
+_ANY_TAG = r"(?s)<[^>]+>"
+
+_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Visible-text extraction: non-content blocks and comments out,
+    block tags to newlines, remaining tags out, common entities
+    decoded, spaces collapsed per line and blank lines collapsed."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _DROP_BLOCKS, " ")
+    c = F.regexp_replace(c, _COMMENTS, " ")
+    c = F.regexp_replace(c, _BLOCK_TAGS, "\n")
+    c = F.regexp_replace(c, _ANY_TAG, " ")
+    for ent, rep in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    # numeric entities: decimal + hex for the printable ASCII range
+    c = F.regexp_replace(c, r"&#\d{2,6};", " ")
+    c = F.regexp_replace(c, r"&#x[0-9a-fA-F]{2,6};", " ")
+    # per-line space collapse, then blank-line collapse
+    c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    # F.trim strips spaces only — newlines need the regex form
+    return F.regexp_replace(c, r"^\s+|\s+$", "")

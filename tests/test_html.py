@@ -1,0 +1,64 @@
+"""HTML -> text extraction (functions/html.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_governance_spark.functions.html import html_to_text
+
+
+def _extract(spark, html):
+    df = spark.createDataFrame([(html,)], "html string")
+    return df.select(html_to_text("html").alias("t")).first()["t"]
+
+
+class TestHtmlToText:
+    def test_basic_page(self, spark):
+        html = (
+            "<html><head><title>T</title><style>p{color:red}</style></head>"
+            "<body><h1>Header</h1><p>First para with <b>bold</b> text.</p>"
+            "<p>Second &amp; last.</p>"
+            "<script>var x = '<p>not text</p>';</script></body></html>"
+        )
+        assert _extract(spark, html) == (
+            "Header\nFirst para with bold text.\nSecond & last."
+        )
+
+    def test_entities(self, spark):
+        assert (
+            _extract(spark, "a &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end")
+            == 'a <tag> "q" \'s\' end'
+        )
+
+    def test_comments_and_numeric_entities(self, spark):
+        assert (
+            _extract(spark, "keep<!-- drop\nme -->this &#8212; and&#x2014;that")
+            == "keep this and that"
+        )
+
+    def test_lists_become_lines(self, spark):
+        got = _extract(spark, "<ul><li>one</li><li>two</li></ul>")
+        assert got == "one\ntwo"
+
+    def test_plain_text_passthrough(self, spark):
+        assert _extract(spark, "no markup here") == "no markup here"
+
+    def test_case_insensitive_blocks(self, spark):
+        assert _extract(spark, "<SCRIPT>x</SCRIPT>visible") == "visible"
+
+    def test_no_python_no_shuffle(self, spark):
+        df = spark.range(3).select(
+            F.concat(F.lit("<p>x</p>"), F.col("id").cast("string")).alias("h")
+        )
+        plan = (
+            df.select(html_to_text("h"))
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
