@@ -72,7 +72,11 @@ def warc_file(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def pipeline_out(spark, warc_file):
-    docs = warc_documents(spark, warc_file)
+    from data_governance_spark.functions.html import html_to_text
+
+    docs = warc_documents(spark, warc_file).withColumn(
+        "text", html_to_text("text")
+    )
 
     clean = filter_corpus(docs, text_col="text")
     clean = redact_pii(clean, text_col="text")
