@@ -34,9 +34,12 @@ _BLOCK_TAGS = (
 )
 _ANY_TAG = r"(?s)<[^>]+>"
 
+# ORDER MATTERS: '&amp;' must decode LAST (after the named + numeric
+# entity passes), otherwise doubly-escaped entities double-decode —
+# '&amp;lt;' renders as '&lt;' and must come out as the literal
+# '&lt;', not '<'.
 _ENTITIES = (
     ("&nbsp;", " "),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
@@ -56,9 +59,10 @@ def html_to_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, _ANY_TAG, " ")
     for ent, rep in _ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(rep))
-    # numeric entities: decimal + hex for the printable ASCII range
+    # numeric entities (decimal + hex), then '&amp;' strictly last
     c = F.regexp_replace(c, r"&#\d{2,6};", " ")
     c = F.regexp_replace(c, r"&#x[0-9a-fA-F]{2,6};", " ")
+    c = F.replace(c, F.lit("&amp;"), F.lit("&"))
     # per-line space collapse, then blank-line collapse
     c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
     c = F.regexp_replace(c, r" ?\n ?", "\n")

@@ -46,10 +46,20 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     token_count_col: str | None = None,
+    partition_cols: list[str] | None = None,
     seed: str = "pack",
 ) -> DataFrame:
-    """Returns ``id_col, n_tokens, pack_bucket, pack_id, pack_offset``
-    — pack_offset is the doc's token start position within its pack.
+    """Returns ``[*partition_cols,] id_col, n_tokens, pack_bucket,
+    pack_id, pack_offset`` — pack_offset is the doc's token start
+    position within its pack.
+
+    ``partition_cols`` scopes the pack space: lanes become
+    (partition values x pack_bucket), so documents with different
+    partition values NEVER share a pack. When packing the output of
+    ``hash_split``, PASS ``partition_cols=["split"]`` — otherwise a
+    pack's token range interleaves train/val/test documents and
+    materializing the packs leaks holdout text into training
+    sequences.
 
     Pass ``token_count_col`` when token counts are precomputed (e.g.
     by d01); otherwise the whitespace tokenizer runs inline. Docs with
@@ -57,6 +67,7 @@ def pack_sequences(
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    parts = list(partition_cols or [])
     nt = (
         F.col(token_count_col)
         if token_count_col
@@ -67,6 +78,7 @@ def pack_sequences(
     )
     base = (
         docs.select(
+            *parts,
             id_col,
             nt.cast("long").alias("n_tokens"),
             (
@@ -77,11 +89,19 @@ def pack_sequences(
         )
         .filter(F.col("n_tokens") > 0)
     )
-    w = Window.partitionBy("pack_bucket").orderBy("_h", id_col)
+    # ROWS frame, not the default RANGE: rows tied on (_h, id) — e.g.
+    # duplicate ids in un-deduped input — must not share an inclusive
+    # running sum, or they'd claim the same offset and break tiling
+    w = (
+        Window.partitionBy(*parts, "pack_bucket")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     start = F.coalesce(
         F.sum("n_tokens").over(w) - F.col("n_tokens"), F.lit(0)
     )
     return base.select(
+        *parts,
         id_col,
         "n_tokens",
         "pack_bucket",

@@ -36,10 +36,18 @@ from pyspark.sql import functions as F
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"(https?://|www\.)[^\s<>\"']+"
 IPV4_RE = r"(^|[^0-9.])((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])($|[^0-9.])"
-# +country / (area) / dash- or space-grouped digits. Deliberately NOT
+# +country / (area) / dash- or space-grouped digits, guarded by
+# non-digit boundaries so the engine can't backtrack into a longer
+# digit run ("2024 2025" must not yield "024 2025"). Deliberately NOT
 # dotted groups: "192.168" inside any IPv4 would match a dotted phone
 # (precision-over-recall, like the rest of this module).
-PHONE_RE = r"(\+[0-9]{1,3}[ -]?)?(\([0-9]{2,4}\)[ -]?)?[0-9]{3}[ -][0-9]{3,4}([ -][0-9]{2,4})?"
+#
+# Boundary guards CONSUME one character (no lookaround: the same
+# patterns run under DuckDB's RE2 in the d05 oracle, which has none),
+# so two phones/IPs separated by a single character leave the second
+# undetected in that pass — a stated limitation; run the scrub twice
+# if that matters.
+PHONE_RE = r"(^|[^0-9])((\+[0-9]{1,3}[ -]?)?(\([0-9]{2,4}\)[ -]?)?[0-9]{3}[ -][0-9]{3,4}([ -][0-9]{2,4})?)($|[^0-9-])"
 
 PII_PATTERNS: dict[str, str] = {
     "url": URL_RE,
@@ -79,15 +87,15 @@ def redact_pii(
     if unknown:
         raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
     c = F.col(text_col)
+    # boundary-guarded patterns consume their surrounding chars — keep
+    # them (the named groups) around the placeholder
+    _guarded = {"ipv4": r"$1<IPV4>$5", "phone": r"$1<PHONE>$6"}
     for kind in kinds:
-        if kind == "ipv4":
-            # pattern anchors on the surrounding non-digit chars — keep
-            # them (groups 1 and 5) around the placeholder
-            c = F.regexp_replace(
-                c, PII_PATTERNS[kind], r"$1<IPV4>$5"
-            )
-        else:
-            c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+        c = F.regexp_replace(
+            c,
+            PII_PATTERNS[kind],
+            _guarded.get(kind, f"<{kind.upper()}>"),
+        )
     if out_col:
         return docs.select("*", c.alias(out_col))
     return docs.select(

@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_governance_spark.functions.text import STOPWORDS, tokens, word_shingles
+from data_governance_spark.functions.text import (
+    stopword_count,
+    tokens,
+    word_shingles,
+)
 from data_governance_spark.operators.repetition import (
     _dup_char_count,
     _dup_run_chars,
@@ -85,7 +89,7 @@ def _signal_cols() -> dict[str, Column]:
     sum_len = F.aggregate(
         raw, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
     )
-    n_stop = F.size(F.filter(raw, lambda t: t.isin(*STOPWORDS)))
+    n_stop = stopword_count(raw)
     grams2 = F.array_sort(word_shingles(raw, 2))
     grams5 = F.array_sort(word_shingles(raw, 5))
     g5_tot = F.aggregate(

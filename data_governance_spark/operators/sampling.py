@@ -16,6 +16,13 @@ numerically, split assignment is a plain string comparison against
 precomputed hex thresholds — pure Catalyst expressions, no UDF, no
 bigint conversion, trivially mirrored in any SQL oracle.
 
+NULL-key contract (both sides of the mirror agree — NULL propagates
+through the concat and every comparison): ``hash_sample`` DROPS
+NULL-key rows (NULL predicate), and ``hash_split`` routes them all to
+the LAST declared split (every WHEN is NULL, the otherwise fires).
+Keys are identities; assign real ids upstream rather than leaning on
+either behavior.
+
 Scale shape: both operators are stateless per-row projections/filters —
 no shuffle, no state, fully pushdown-compatible (a ``hash_sample``
 filter reaches the scan like any other predicate). At 100 TB they cost

@@ -34,7 +34,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_RECORD_SEP = "WARC/1.0\r\n"
+# Split on the version prefix, not a full pinned version: records then
+# begin "0\r\n..." / "1\r\n..." and both WARC/1.0 and WARC/1.1 (the
+# current ISO 28500 revision) parse. Known limitation of separator
+# splitting (stated): a payload that itself contains the literal
+# marker bytes (a page ABOUT web archiving) false-splits that record —
+# the corrupted fragment drops at the warc_type filter, the remainder
+# surfaces as a bogus record. Record-framed parsing needs a custom
+# InputFormat; every lineSep-based reader shares this trade.
+_RECORD_SEP = "WARC/1."
 _HDR_BODY_SEP = "\r\n\r\n"
 
 
@@ -47,7 +55,8 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     block.
     """
     raw = spark.read.option("lineSep", _RECORD_SEP).text(path)
-    rec = F.col("value")
+    # strip the residual version digits + CRLF ("0\r\n" / "1\r\n")
+    rec = F.regexp_replace(F.col("value"), r"^[0-9]+\r\n", "")
     sep_pos = F.instr(rec, _HDR_BODY_SEP)
     headers = F.when(sep_pos > 0, rec.substr(F.lit(1), sep_pos - 1))
     payload = F.when(sep_pos > 0, rec.substr(sep_pos + 4, F.length(rec)))
@@ -77,10 +86,16 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 def http_body(payload_col):
     """Strip the HTTP response envelope from a ``response`` record's
     payload (everything through the first blank line); payloads without
-    an envelope (WET conversion records) pass through unchanged."""
+    an envelope (WET conversion records) pass through unchanged.
+
+    Empty-body responses (204/304/redirects — common in any real
+    crawl) have had their envelope-terminating blank line consumed by
+    read_warc's trailing-CRLF strip, so instr finds no separator:
+    those yield '' rather than a garbled substring of the headers."""
     c = F.col(payload_col) if isinstance(payload_col, str) else payload_col
-    stripped = c.substr(
-        F.instr(c, _HDR_BODY_SEP) + 4, F.length(c)
+    pos = F.instr(c, _HDR_BODY_SEP)
+    stripped = F.when(pos > 0, c.substr(pos + 4, F.length(c))).otherwise(
+        F.lit("")
     )
     return F.when(c.startswith("HTTP/"), stripped).otherwise(c)
 
@@ -91,8 +106,14 @@ def warc_documents(spark: SparkSession, path: str) -> DataFrame:
     rec = read_warc(spark, path).filter(
         F.col("warc_type").isin("conversion", "response")
     )
+    # records missing WARC-Record-ID (extract returns '') must NOT all
+    # collapse onto xxhash64('') — fall back to a content+URI hash
+    rid = F.col("record_id")
+    key = F.when(rid != "", rid).otherwise(
+        F.concat(F.lit("noid:"), F.col("target_uri"), F.lit(":"), F.col("payload"))
+    )
     return rec.select(
-        F.xxhash64("record_id").alias("doc_id"),
+        F.xxhash64(key).alias("doc_id"),
         F.col("target_uri").alias("url"),
         http_body("payload").alias("text"),
     )

@@ -81,9 +81,10 @@ def main() -> None:
     kept = keep_canonical(clean, comp).persist()
     stage("kept", kept)
     split = hash_split(kept, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id")
-    packed = pack_sequences(split, max_tokens=4096, num_buckets=64)
+    packed = pack_sequences(split, max_tokens=4096, num_buckets=64,
+                            partition_cols=["split"])
     stage("packed", packed)
-    n_packs = packed.select("pack_bucket", "pack_id").distinct().count()
+    n_packs = packed.select("split", "pack_bucket", "pack_id").distinct().count()
     print(f"{'packs':>12}: {n_packs:>8}")
     print(f"{'TOTAL':>12}: {time.perf_counter()-t_all:15.2f}s", flush=True)
 

@@ -101,13 +101,16 @@ def pipeline_out(spark, warc_file):
     )
     kept = keep_canonical(clean, comp)
     split = hash_split(kept, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id")
-    packed = pack_sequences(split, max_tokens=64, num_buckets=4)
+    # partition_cols=["split"]: packs must never mix holdout splits
+    packed = pack_sequences(
+        split, max_tokens=64, num_buckets=4, partition_cols=["split"]
+    )
     return {
         "docs": docs,
         "clean": clean,
         "kept": kept,
         "split": split,
-        "packed": packed.join(split.select("doc_id", "split"), "doc_id"),
+        "packed": packed,
     }
 
 
@@ -136,15 +139,19 @@ class TestCorpusPipeline:
         assert split.filter(F.col("split").isNull()).count() == 0
         assert split.count() == N_BASE
 
-    def test_packs_tile(self, pipeline_out):
+    def test_packs_tile_and_never_mix_splits(self, pipeline_out):
         rows = pipeline_out["packed"].collect()
         assert len(rows) == N_BASE
         per_pack = {}
         for r in rows:
-            per_pack.setdefault((r["pack_bucket"], r["pack_id"]), []).append(
-                (r["pack_offset"], r["n_tokens"])
-            )
+            per_pack.setdefault(
+                (r["split"], r["pack_bucket"], r["pack_id"]), []
+            ).append((r["pack_offset"], r["n_tokens"], r["split"]))
         for key, docs in per_pack.items():
             docs.sort()
-            for (o1, n1), (o2, _) in zip(docs, docs[1:]):
+            for (o1, n1, _), (o2, _, _) in zip(docs, docs[1:]):
                 assert o2 == o1 + n1, (key, docs)
+        # a (bucket, pack) pair carries exactly one split by construction
+        seen = {}
+        for split, bucket, pack in per_pack:
+            assert seen.setdefault((split, bucket, pack), split) == split

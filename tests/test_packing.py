@@ -115,3 +115,43 @@ class TestPackSequences:
         ]
         assert len(ex) == 1, plan
         assert "SinglePartition" not in plan
+
+
+class TestPartitionCols:
+    def test_splits_never_share_a_pack(self, spark, corpus):
+        from data_governance_spark.operators.sampling import hash_split
+
+        split = hash_split(
+            corpus, {"train": 0.5, "test": 0.5}, "doc_id"
+        )
+        out = pack_sequences(
+            split, max_tokens=100, num_buckets=4, partition_cols=["split"]
+        )
+        # within one split, tiling still holds
+        rows = out.collect()
+        packs = {}
+        for r in rows:
+            packs.setdefault(
+                (r["split"], r["pack_bucket"], r["pack_id"]), []
+            ).append((r["pack_offset"], r["n_tokens"]))
+        for key, docs in packs.items():
+            docs.sort()
+            for (o1, n1), (o2, _) in zip(docs, docs[1:]):
+                assert o2 == o1 + n1, (key, docs)
+        assert out.count() == 200
+
+    def test_duplicate_ids_do_not_share_offsets(self, spark):
+        """ROWS frame regression: tied (hash, id) rows must each get
+        their own running sum, not the RANGE-frame shared one."""
+        from pyspark.sql import functions as F
+
+        dup = spark.createDataFrame(
+            [(1, "a b c"), (1, "a b c"), (2, "d e")],
+            "doc_id long, text string",
+        )
+        out = pack_sequences(dup, max_tokens=100, num_buckets=1).collect()
+        offs = sorted(
+            (r["pack_offset"], r["n_tokens"]) for r in out
+        )
+        for (o1, n1), (o2, _) in zip(offs, offs[1:]):
+            assert o2 == o1 + n1, offs
