@@ -105,3 +105,43 @@ class TestWarcDocuments:
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "Exchange" not in plan  # pure scan + projection
+
+
+class TestReviewRegressions:
+    def test_warc_1_1_records_parse(self, spark, tmp_path):
+        rec = WARC_TEXT.replace("WARC/1.0", "WARC/1.1")
+        p = tmp_path / "v11.warc"
+        p.write_bytes(rec.encode())
+        assert read_warc(spark, str(p)).count() == 3
+
+    def test_empty_body_response_yields_empty_text(self, spark, tmp_path):
+        body = "HTTP/1.1 204 No Content\r\nServer: x"
+        rec = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            "WARC-Record-ID: <urn:uuid:e>\r\n"
+            "WARC-Target-URI: http://x/e\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            f"\r\n{body}\r\n\r\n"
+        )
+        p = tmp_path / "empty.warc"
+        p.write_bytes(rec.encode())
+        rows = warc_documents(spark, str(p)).collect()
+        assert len(rows) == 1
+        # no garbled header substring — empty body stays empty
+        assert rows[0]["text"] == ""
+
+    def test_missing_record_id_gets_distinct_doc_ids(self, spark, tmp_path):
+        def rec(uri, body):
+            return (
+                "WARC/1.0\r\n"
+                "WARC-Type: conversion\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                f"Content-Length: {len(body)}\r\n"
+                f"\r\n{body}\r\n\r\n"
+            )
+
+        p = tmp_path / "noid.warc"
+        p.write_bytes((rec("http://a", "text a") + rec("http://b", "text b")).encode())
+        ids = [r["doc_id"] for r in warc_documents(spark, str(p)).collect()]
+        assert len(ids) == 2 and len(set(ids)) == 2
