@@ -75,3 +75,27 @@ class TestRedactPii:
             )
         )
         assert "Exchange" not in plan
+
+
+class TestReviewRegressions:
+    def test_year_pairs_are_not_phones(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "from 2024 2025 onward, pages 123 4567 of the report")],
+            "doc_id long, text string",
+        )
+        # the old pattern backtracked into '024 2025'; boundary guards
+        # forbid matches whose first digit follows another digit
+        out = redact_pii(docs).first()["text"]
+        assert "2024 2025" in out
+        # 'pages 123 4567' DOES look like a guarded phone (3+4 digits
+        # with clean boundaries) — precision-first means shapes
+        # indistinguishable from phones still redact
+        assert "<PHONE>" in out
+
+    def test_redaction_preserves_guard_chars(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "call (415) 555-0199, then stop")],
+            "doc_id long, text string",
+        )
+        out = redact_pii(docs).first()["text"]
+        assert out == "call <PHONE>, then stop"
