@@ -1,0 +1,118 @@
+"""The training-corpus preparation pipeline as one composable call.
+
+``prepare_corpus`` chains the engine's corpus operators in the order
+every published web-corpus pipeline uses them — cheapest and most
+selective first, shuffle-bearing stages only after the row count has
+been cut down:
+
+    [html_to_text] -> quality filter -> PII redaction
+    -> exact precluster -> MinHash near-dup -> component closure
+    -> canonical selection -> holdout split -> sequence packing
+
+Each stage is the real operator (operators/*, functions/html.py); this
+module adds no logic of its own beyond wiring and defaults. All knobs
+surface as keyword arguments; every intermediate worth inspecting is
+returned, lazily — nothing here triggers a job, the caller decides
+what to materialize (and should persist ``clean`` before the dedup
+stages when running the whole thing in one action, as
+scripts/corpus_bench.py does).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_governance_spark.functions.html import html_to_text
+from data_governance_spark.functions.text import tokens, word_shingles
+from data_governance_spark.operators.components import (
+    connected_components,
+    keep_canonical,
+)
+from data_governance_spark.operators.dedup import (
+    exact_precluster,
+    minhash_dedup_pairs,
+)
+from data_governance_spark.operators.packing import pack_sequences
+from data_governance_spark.operators.pii import redact_pii
+from data_governance_spark.operators.quality import filter_corpus
+from data_governance_spark.operators.sampling import hash_split
+
+DEFAULT_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@dataclass
+class CorpusResult:
+    """Lazy stage outputs of ``prepare_corpus``."""
+
+    clean: DataFrame  # quality-filtered, PII-redacted documents
+    dup_pairs: DataFrame  # near-dup (doc_a, doc_b) pairs incl. exact
+    kept: DataFrame  # one canonical survivor per dup cluster
+    split: DataFrame  # kept + 'split' assignment column
+    packed: DataFrame  # (split, doc, pack_bucket, pack_id, pack_offset)
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    html: bool = False,
+    quality_rules: dict | None = None,
+    pii: bool = True,
+    shingle_n: int = 3,
+    minhash_threshold: float = 0.5,
+    split_weights: dict[str, float] | None = None,
+    max_tokens: int = 4096,
+    num_buckets: int = 64,
+) -> CorpusResult:
+    """Run the full preparation chain; see module docstring.
+
+    ``html=True`` inserts html_to_text first (WARC ``response``
+    records); ``quality_rules=None`` means the Gopher defaults
+    (operators/quality.DEFAULT_RULES). Splits are always packed with
+    ``partition_cols=[split]`` so no pack mixes holdout splits.
+    """
+    if html:
+        docs = docs.withColumn(text_col, html_to_text(text_col))
+    clean = redact_pii(
+        filter_corpus(docs, quality_rules, text_col=text_col),
+        text_col=text_col,
+    ) if pii else filter_corpus(docs, quality_rules, text_col=text_col)
+
+    canonical, mapping = exact_precluster(
+        clean, F.md5(text_col), id_col=id_col
+    )
+    shingled = canonical.select(
+        id_col, tokens(text_col).alias("_t")
+    ).select(
+        id_col,
+        F.array_distinct(word_shingles(F.col("_t"), shingle_n)).alias("_sh"),
+    )
+    near = minhash_dedup_pairs(
+        shingled, F.col("_sh"), threshold=minhash_threshold
+    ).select("doc_a", "doc_b")
+    exact_pairs = mapping.filter(
+        F.col(id_col) != F.col("canon_id")
+    ).select(F.col(id_col).alias("doc_a"), F.col("canon_id").alias("doc_b"))
+    dup_pairs = near.unionByName(exact_pairs)
+
+    comp = connected_components(
+        dup_pairs, "doc_a", "doc_b", nodes=clean.select(id_col), node_col=id_col
+    )
+    kept = keep_canonical(clean, comp, id_col=id_col)
+    split = hash_split(
+        kept, split_weights or DEFAULT_SPLITS, id_col
+    )
+    packed = pack_sequences(
+        split,
+        max_tokens=max_tokens,
+        num_buckets=num_buckets,
+        id_col=id_col,
+        text_col=text_col,
+        partition_cols=["split"],
+    )
+    return CorpusResult(
+        clean=clean, dup_pairs=dup_pairs, kept=kept, split=split, packed=packed
+    )

@@ -15,19 +15,6 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from data_governance_spark.functions.text import tokens, word_shingles
-from data_governance_spark.operators.components import (
-    connected_components,
-    keep_canonical,
-)
-from data_governance_spark.operators.dedup import (
-    exact_precluster,
-    minhash_dedup_pairs,
-)
-from data_governance_spark.operators.packing import pack_sequences
-from data_governance_spark.operators.pii import redact_pii
-from data_governance_spark.operators.quality import filter_corpus
-from data_governance_spark.operators.sampling import hash_split
 from data_governance_spark.sources.warc import warc_documents
 
 
@@ -72,45 +59,18 @@ def warc_file(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def pipeline_out(spark, warc_file):
-    from data_governance_spark.functions.html import html_to_text
+    """Drives the PUBLIC composition API (corpus.prepare_corpus); the
+    operator-level steps it wires are covered by their own suites."""
+    from data_governance_spark.corpus import prepare_corpus
 
-    docs = warc_documents(spark, warc_file).withColumn(
-        "text", html_to_text("text")
-    )
-
-    clean = filter_corpus(docs, text_col="text")
-    clean = redact_pii(clean, text_col="text")
-
-    canonical, mapping = exact_precluster(clean, F.md5("text"))
-    toked = canonical.select(
-        "doc_id", "url", "text", tokens("text").alias("toks")
-    )
-    shingled = toked.select(
-        "doc_id", F.array_distinct(word_shingles(F.col("toks"), 3)).alias("sh")
-    )
-    near = minhash_dedup_pairs(shingled, F.col("sh"), threshold=0.5)
-    exact_pairs = mapping.filter("doc_id != canon_id").selectExpr(
-        "doc_id AS doc_a", "canon_id AS doc_b"
-    )
-    comp = connected_components(
-        near.select("doc_a", "doc_b").unionByName(exact_pairs),
-        "doc_a",
-        "doc_b",
-        nodes=clean.select("doc_id"),
-        node_col="doc_id",
-    )
-    kept = keep_canonical(clean, comp)
-    split = hash_split(kept, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id")
-    # partition_cols=["split"]: packs must never mix holdout splits
-    packed = pack_sequences(
-        split, max_tokens=64, num_buckets=4, partition_cols=["split"]
-    )
+    docs = warc_documents(spark, warc_file)
+    r = prepare_corpus(docs, html=True, max_tokens=64, num_buckets=4)
     return {
         "docs": docs,
-        "clean": clean,
-        "kept": kept,
-        "split": split,
-        "packed": packed,
+        "clean": r.clean,
+        "kept": r.kept,
+        "split": r.split,
+        "packed": r.packed,
     }
 
 
