@@ -1,7 +1,9 @@
 """Composite operators: dedup sketches (MinHash/SimHash/exact
 precluster), similarity search (brute-force/LSH/IVF kNN, cosine
 near-dup), connected-components dedup closure + canonical selection,
-C4/Gopher intra-document repetition signals, deterministic hash-based
-holdout split/sampling, sequence
-packing, salted-aggregation skew tools, bucketed
-co-located joins, and the multimodal Arrow plumbing."""
+C4/Gopher intra-document repetition signals, Gopher quality-filter
+composition, PII detection/redaction, deterministic hash-based holdout
+split/sampling, sequence packing, salted-aggregation skew tools,
+bucketed co-located joins, and the multimodal Arrow plumbing.
+``data_governance_spark.corpus.prepare_corpus`` chains the corpus
+subset end-to-end."""
