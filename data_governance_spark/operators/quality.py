@@ -32,6 +32,8 @@ from data_governance_spark.operators.repetition import (
 )
 
 # Gopher-flavored defaults: (signal, min, max); None = unbounded.
+# replacement_char_frac is the mojibake detector (fraction of U+FFFD
+# from a broken decode) the post-Gopher pipelines added.
 DEFAULT_RULES: dict[str, tuple[float | None, float | None]] = {
     "n_tokens": (50, 100_000),
     "mean_token_len": (2.0, 10.0),
@@ -39,6 +41,7 @@ DEFAULT_RULES: dict[str, tuple[float | None, float | None]] = {
     "top_bigram_frac": (None, 0.30),
     "dup_5gram_frac": (None, 0.30),
     "dup_line_frac": (None, 0.30),
+    "replacement_char_frac": (None, 0.05),
 }
 
 
@@ -57,6 +60,7 @@ def _materialize(docs: DataFrame, text_col: str) -> DataFrame:
     inserts a structural barrier — see ``_fence``."""
     return docs.select(
         "*",
+        F.col(text_col).alias("_qm_text"),
         tokens(text_col).alias("_qm_toks"),
         doc_lines(text_col).alias("_qm_lines"),
     )
@@ -99,6 +103,9 @@ def _signal_cols() -> dict[str, Column]:
     l_tot = F.aggregate(
         lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
+    txt = F.col("_qm_text")
+    n_chars = F.length(txt)
+    n_repl = n_chars - F.length(F.replace(txt, F.lit("�"), F.lit("")))
     return {
         "n_tokens": nt.cast("long"),
         "mean_token_len": F.when(nt > 0, sum_len / nt),
@@ -110,6 +117,7 @@ def _signal_cols() -> dict[str, Column]:
         "dup_line_frac": F.when(
             F.size(lines) > 0, _dup_char_count(lines) / l_tot
         ),
+        "replacement_char_frac": F.when(n_chars > 0, n_repl / n_chars),
     }
 
 

@@ -95,3 +95,28 @@ class TestFencePlan:
         # the filter must test materialized _q_ attributes, not
         # substituted expressions
         assert "_q_n_tokens#" in plan.split("Sample")[0]
+
+
+class TestMojibake:
+    def test_replacement_char_fraction(self, spark):
+        rows = [
+            (1, "clean text here"),
+            (2, "brok�en te�xt"),   # 2 of 13 chars
+            (3, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["replacement_char_frac"]
+               for r in corpus_signals(df).collect()}
+        assert got[1] == 0.0
+        assert got[2] == pytest.approx(2 / 13)
+        assert got[3] is None
+
+    def test_mojibake_docs_filtered_by_default(self, spark):
+        words = ["the", "of"] + [f"w{j}" for j in range(58)]
+        good = " ".join(words)
+        bad = good + " " + "�" * len(good)  # ~50% replacement
+        df = spark.createDataFrame(
+            [(1, good), (2, bad)], "doc_id long, text string"
+        )
+        kept = [r["doc_id"] for r in filter_corpus(df).collect()]
+        assert kept == [1]
