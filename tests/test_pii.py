@@ -99,3 +99,14 @@ class TestReviewRegressions:
         )
         out = redact_pii(docs).first()["text"]
         assert out == "call <PHONE>, then stop"
+
+
+def test_redaction_idempotent(spark, docs):
+    """Scrubbing a scrubbed corpus is a no-op: placeholders contain
+    no digits/@/scheme, so a second pass can't re-match (re-running
+    the scrub on already-clean data must be safe)."""
+    once = redact_pii(docs)
+    twice = redact_pii(once)
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b
