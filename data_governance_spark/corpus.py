@@ -11,11 +11,19 @@ been cut down:
 
 Each stage is the real operator (operators/*, functions/html.py); this
 module adds no logic of its own beyond wiring and defaults. All knobs
-surface as keyword arguments; every intermediate worth inspecting is
-returned, lazily — nothing here triggers a job, the caller decides
-what to materialize (and should persist ``clean`` before the dedup
-stages when running the whole thing in one action, as
-scripts/corpus_bench.py does).
+surface as keyword arguments and every intermediate worth inspecting
+is returned.
+
+Execution model (honest, not "fully lazy"): the component-closure
+stage (``connected_components``) is iterative — it runs Spark jobs AT
+CALL TIME (per-round localCheckpoint + convergence count). Everything
+upstream of it therefore executes during ``prepare_corpus`` itself,
+which is why ``persist_clean=True`` (default) persists the filtered+
+scrubbed corpus first: without it each closure round would recompute
+html_to_text + the quality signals + the PII regexes from the raw
+scan. The caller owns the release: ``result.clean.unpersist()`` when
+done (or pass ``persist_clean=False`` and manage persistence
+yourself).
 """
 
 from __future__ import annotations
@@ -66,6 +74,7 @@ def prepare_corpus(
     split_weights: dict[str, float] | None = None,
     max_tokens: int = 4096,
     num_buckets: int = 64,
+    persist_clean: bool = True,
 ) -> CorpusResult:
     """Run the full preparation chain; see module docstring.
 
@@ -76,10 +85,10 @@ def prepare_corpus(
     """
     if html:
         docs = docs.withColumn(text_col, html_to_text(text_col))
-    clean = redact_pii(
-        filter_corpus(docs, quality_rules, text_col=text_col),
-        text_col=text_col,
-    ) if pii else filter_corpus(docs, quality_rules, text_col=text_col)
+    filtered = filter_corpus(docs, quality_rules, text_col=text_col)
+    clean = redact_pii(filtered, text_col=text_col) if pii else filtered
+    if persist_clean:
+        clean = clean.persist()
 
     canonical, mapping = exact_precluster(
         clean, F.md5(text_col), id_col=id_col
@@ -91,7 +100,7 @@ def prepare_corpus(
         F.array_distinct(word_shingles(F.col("_t"), shingle_n)).alias("_sh"),
     )
     near = minhash_dedup_pairs(
-        shingled, F.col("_sh"), threshold=minhash_threshold
+        shingled, F.col("_sh"), id_col=id_col, threshold=minhash_threshold
     ).select("doc_a", "doc_b")
     exact_pairs = mapping.filter(
         F.col(id_col) != F.col("canon_id")

@@ -37,14 +37,32 @@ _ANY_TAG = r"(?s)<[^>]+>"
 # ORDER MATTERS: '&amp;' must decode LAST (after the named + numeric
 # entity passes), otherwise doubly-escaped entities double-decode —
 # '&amp;lt;' renders as '&lt;' and must come out as the literal
-# '&lt;', not '<'.
+# '&lt;', not '<'. The typographic set (curly quotes, dashes,
+# ellipsis — the entities CMS escaping emits constantly) decodes to
+# real characters so contractions survive ("don&#8217;t" must become
+# "don't", not "don t"); anything else numeric falls back to a space.
 _ENTITIES = (
     ("&nbsp;", " "),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
+    ("&#34;", '"'),
     ("&#39;", "'"),
     ("&apos;", "'"),
+    ("&#8216;", "'"),
+    ("&#8217;", "'"),
+    ("&lsquo;", "'"),
+    ("&rsquo;", "'"),
+    ("&#8220;", '"'),
+    ("&#8221;", '"'),
+    ("&ldquo;", '"'),
+    ("&rdquo;", '"'),
+    ("&#8211;", "-"),
+    ("&#8212;", "-"),
+    ("&ndash;", "-"),
+    ("&mdash;", "-"),
+    ("&#8230;", "..."),
+    ("&hellip;", "..."),
 )
 
 
@@ -53,12 +71,19 @@ def html_to_text(col: Column | str) -> Column:
     block tags to newlines, remaining tags out, common entities
     decoded, spaces collapsed per line and blank lines collapsed."""
     c = F.col(col) if isinstance(col, str) else col
-    c = F.regexp_replace(c, _DROP_BLOCKS, " ")
+    # comments FIRST: a commented-out unclosed <script> opener would
+    # otherwise make _DROP_BLOCKS consume visible text up to the next
+    # real closing tag
     c = F.regexp_replace(c, _COMMENTS, " ")
+    c = F.regexp_replace(c, _DROP_BLOCKS, " ")
     c = F.regexp_replace(c, _BLOCK_TAGS, "\n")
     c = F.regexp_replace(c, _ANY_TAG, " ")
     for ent, rep in _ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(rep))
+    # '&#38;' is the ampersand itself — normalize it to '&amp;' BEFORE
+    # the numeric fallback eats it, so the final decode-last pass
+    # resolves both forms without double-decoding '&#38;amp;'
+    c = F.replace(c, F.lit("&#38;"), F.lit("&amp;"))
     # numeric entities (decimal + hex), then '&amp;' strictly last
     c = F.regexp_replace(c, r"&#\d{2,6};", " ")
     c = F.regexp_replace(c, r"&#x[0-9a-fA-F]{2,6};", " ")

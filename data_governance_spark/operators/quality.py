@@ -93,7 +93,9 @@ def _signal_cols() -> dict[str, Column]:
     sum_len = F.aggregate(
         raw, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
     )
-    n_stop = stopword_count(raw)
+    # lowercase before the stopword probe: an ALL-CAPS document ('THE
+    # TERMS OF...') must not score stopword_ratio 0 and get rejected
+    n_stop = stopword_count(F.transform(raw, F.lower))
     grams2 = F.array_sort(word_shingles(raw, 2))
     grams5 = F.array_sort(word_shingles(raw, 5))
     g5_tot = F.aggregate(
@@ -123,10 +125,16 @@ def _signal_cols() -> dict[str, Column]:
 
 def corpus_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Annotate with all quality signals (NULL where undefined — empty
-    doc, fewer tokens than the n-gram width)."""
+    doc, fewer tokens than the n-gram width).
+
+    Fenced like ``filter_corpus``: a caller filtering on the returned
+    signal columns (the natural audit query) would otherwise hit the
+    same predicate-inlining blowup."""
     sig = _signal_cols()
-    return _materialize(docs, text_col).select(
-        *docs.columns, *[c.alias(n) for n, c in sig.items()]
+    return _fence(
+        _materialize(docs, text_col).select(
+            *docs.columns, *[c.alias(n) for n, c in sig.items()]
+        )
     )
 
 

@@ -50,14 +50,17 @@ def main() -> None:
 
     docs = table(spark, sf, "documents").select("doc_id", "text")
     stage("ingest", docs)
-    # the synthetic corpus averages ~150 tokens/doc — loosen only the
-    # length band; every other Gopher rule applies as-is
-    clean = redact_pii(
-        filter_corpus(docs, {"n_tokens": (20, 100_000),
-                             "mean_token_len": (2.0, 10.0),
-                             "top_bigram_frac": (None, 0.5),
-                             "dup_5gram_frac": (None, 0.5)})
-    ).persist()
+    # the synthetic corpus averages ~150 tokens/doc — loosen the
+    # length band and the two frac caps (short vocab-soup docs repeat
+    # n-grams more than prose); every other Gopher default applies
+    # as-is via the merge (filter_corpus REPLACES, never merges)
+    from data_governance_spark.operators.quality import DEFAULT_RULES
+
+    rules = {**DEFAULT_RULES,
+             "n_tokens": (20, 100_000),
+             "top_bigram_frac": (None, 0.5),
+             "dup_5gram_frac": (None, 0.5)}
+    clean = redact_pii(filter_corpus(docs, rules)).persist()
     stage("clean", clean)
     canonical, mapping = exact_precluster(clean, F.md5("text"))
     canonical = canonical.persist()
@@ -71,6 +74,10 @@ def main() -> None:
     exact_pairs = mapping.filter("doc_id != canon_id").selectExpr(
         "doc_id AS doc_a", "canon_id AS doc_b"
     )
+    # connected_components is iterative and runs its jobs AT CALL TIME
+    # (per-round localCheckpoint + convergence count) — time it as its
+    # own stage or its cost would hide between stage prints
+    t0 = time.perf_counter()
     comp = connected_components(
         near.select("doc_a", "doc_b").unionByName(exact_pairs),
         "doc_a",
@@ -78,6 +85,8 @@ def main() -> None:
         nodes=clean.select("doc_id"),
         node_col="doc_id",
     )
+    print(f"{'closure':>12}: {'-':>8} rows  {time.perf_counter()-t0:6.2f}s",
+          flush=True)
     kept = keep_canonical(clean, comp).persist()
     stage("kept", kept)
     split = hash_split(kept, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id")

@@ -32,10 +32,25 @@ class TestHtmlToText:
         )
 
     def test_comments_and_numeric_entities(self, spark):
+        # &#8212; is in the typographic decode set (em dash -> '-');
+        # the hex variant isn't and falls back to a space
         assert (
             _extract(spark, "keep<!-- drop\nme -->this &#8212; and&#x2014;that")
-            == "keep this and that"
+            == "keep this - and that"
         )
+
+    def test_typographic_entities_preserve_words(self, spark):
+        got = _extract(
+            spark, "don&#8217;t split &mdash; words&hellip; AT&#38;T"
+        )
+        assert got == "don't split - words... AT&T"
+
+    def test_commented_script_opener_cannot_eat_content(self, spark):
+        html = (
+            '<!-- ad: <script data-src="x"> here -->'
+            "<p>Real article text</p><script>analytics()</script>"
+        )
+        assert _extract(spark, html) == "Real article text"
 
     def test_lists_become_lines(self, spark):
         got = _extract(spark, "<ul><li>one</li><li>two</li></ul>")
