@@ -115,3 +115,43 @@ class TestCorpusPipeline:
         seen = {}
         for split, bucket, pack in per_pack:
             assert seen.setdefault((split, bucket, pack), split) == split
+
+
+class TestPrepareCorpusOptions:
+    def test_custom_id_col_works(self, spark):
+        """Regression: minhash_dedup_pairs previously hard-defaulted
+        doc_id and crashed on any other id column."""
+        from data_governance_spark.corpus import prepare_corpus
+
+        def text(i):
+            return " ".join(["the", "of"] + [f"v{i}x{j}" for j in range(58)])
+
+        docs = spark.createDataFrame(
+            [(i, text(i)) for i in range(8)]
+            + [(100, text(0).replace("v0x30", "qz"))],  # near-dup of 0
+            "page_id long, text string",
+        )
+        r = prepare_corpus(
+            docs, id_col="page_id", max_tokens=64, num_buckets=2,
+            persist_clean=False,
+        )
+        kept = r.kept.count()
+        assert kept == 8  # 100 collapsed into 0's cluster
+        assert "page_id" in r.packed.columns
+
+    def test_pii_and_html_toggles(self, spark):
+        from data_governance_spark.corpus import prepare_corpus
+
+        words = ["the", "of"] + [f"u{j}" for j in range(58)]
+        docs = spark.createDataFrame(
+            [(1, "<p>" + " ".join(words) + " mail x@y.io</p>")],
+            "doc_id long, text string",
+        )
+        with_pii = prepare_corpus(
+            docs, html=True, pii=False, persist_clean=False
+        ).clean.first()["text"]
+        assert "x@y.io" in with_pii and "<p>" not in with_pii
+        no_pii = prepare_corpus(
+            docs, html=True, pii=True, persist_clean=False
+        ).clean.first()["text"]
+        assert "<EMAIL>" in no_pii
