@@ -338,3 +338,60 @@ def test_streaming_dedup_drops_watermark_window_duplicates(spark, tmp_path):
     assert (
         got.join(ev, ["event_id", "ts", "user_id"], "left_anti").count() == 0
     )
+
+
+def test_streaming_dedup_state_expires_with_watermark(spark, tmp_path):
+    """The bounded-state claim, pinned deterministically: after drain 1
+    the watermark sits at max(ts) - 2h, so key A (old, state expired)
+    lets its later duplicate PASS — the documented horizon trade-off —
+    while key B (recent, state live) still DROPS its duplicate."""
+    from datetime import datetime
+
+    from data_governance_spark.streaming.events import dedup_stream
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    from datetime import timedelta
+
+    t0 = datetime(2025, 1, 1, 0, 0, 0)
+
+    def at(h, m=0):
+        return t0 + timedelta(hours=h, minutes=m)
+
+    src = tmp_path / "exp_src"
+    src.mkdir()
+    # A old; B recent (10h later). Watermark after drain 1 = B - 2h,
+    # so A's state (expires A+2h) is gone, B's (B+2h) is live.
+    frame(
+        [(1, at(0), 1, "a", 0.0, "{}"), (2, at(10), 1, "b", 0.0, "{}")]
+    ).write.parquet(str(src / "w1"))
+    sink = str(tmp_path / "exp_out")
+    ckpt = str(tmp_path / "exp_ckpt")
+
+    def drain():
+        out = dedup_stream(
+            read_event_stream(spark, str(src) + "/*"),
+            key_cols=["event_id"],
+            watermark="2 hours",
+        )
+        run_available_now(out, ckpt, output_mode="append", path=sink)
+
+    drain()
+    assert spark.read.parquet(sink).count() == 2
+    frame(
+        [
+            (1, at(20), 1, "a2", 0.0, "{}"),  # dup of EXPIRED A: passes
+            (2, at(10, 30), 1, "b2", 0.0, "{}"),  # dup of LIVE B: drops
+        ]
+    ).write.parquet(str(src / "w2"))
+    drain()
+    got = {
+        (r["event_id"], r["event_type"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {(1, "a"), (2, "b"), (1, "a2")}
