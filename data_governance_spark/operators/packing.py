@@ -39,6 +39,35 @@ from pyspark.sql import functions as F
 from data_governance_spark.functions.text import tokens
 
 
+def write_packed(
+    assigned: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Materialize a ``pack_sequences`` assignment (joined back with
+    whatever payload columns the trainer needs) as consumable shards:
+    one file per pack lane, rows physically ordered by
+    (pack_id, pack_offset) so a reader streams concatenation-ready
+    sequences without sorting.
+
+    Layout: ``path/[partition=value/]part-*`` via parquet
+    ``partitionBy`` on ``partition_cols`` (pass ``["split"]`` when the
+    assignment carries holdout splits); within each partition the data
+    is repartitioned by pack_bucket — lane files are independent, so a
+    trainer maps one reader per file. Parquet preserves row order
+    within a file.
+    """
+    parts = list(partition_cols or [])
+    writer = (
+        assigned.repartition(*[F.col(c) for c in parts + ["pack_bucket"]])
+        .sortWithinPartitions("pack_bucket", "pack_id", "pack_offset")
+        .write.mode("overwrite")
+    )
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(path)
+
+
 def pack_sequences(
     docs: DataFrame,
     max_tokens: int,

@@ -155,3 +155,38 @@ class TestPartitionCols:
         )
         for (o1, n1), (o2, _) in zip(offs, offs[1:]):
             assert o2 == o1 + n1, offs
+
+
+class TestWritePacked:
+    def test_shards_are_pack_ordered(self, spark, corpus, tmp_path):
+        from data_governance_spark.operators.packing import write_packed
+        from data_governance_spark.operators.sampling import hash_split
+
+        split = hash_split(corpus, {"train": 0.7, "test": 0.3}, "doc_id")
+        assigned = pack_sequences(
+            split, max_tokens=100, num_buckets=4, partition_cols=["split"]
+        ).join(corpus, "doc_id")
+        out = str(tmp_path / "shards")
+        write_packed(assigned, out, partition_cols=["split"])
+
+        got = spark.read.parquet(out)
+        assert got.count() == 200
+        assert set(r["split"] for r in got.select("split").distinct().collect()) == {
+            "train", "test"
+        }
+        # per-file row order: within each parquet file, rows must be
+        # sorted by (pack_bucket, pack_id, pack_offset)
+        import glob as g
+
+        files = g.glob(out + "/split=*/part-*.parquet")
+        assert files
+        import pyarrow.parquet as pq
+
+        for f in files:
+            t = pq.read_table(
+                f, columns=["pack_bucket", "pack_id", "pack_offset"]
+            ).to_pydict()
+            triples = list(
+                zip(t["pack_bucket"], t["pack_id"], t["pack_offset"])
+            )
+            assert triples == sorted(triples), f
