@@ -190,3 +190,41 @@ class TestWritePacked:
                 zip(t["pack_bucket"], t["pack_id"], t["pack_offset"])
             )
             assert triples == sorted(triples), f
+
+
+# --------------------------------------------------------------------------
+# Randomized differential: the whole assignment recomputed in pure
+# Python (hashlib md5, same seed/layout) must match Spark bit-for-bit.
+def _py_pack(rows, max_tokens, num_buckets, seed="pack"):
+    import hashlib
+
+    lanes = {}
+    for i, n in rows:
+        if n <= 0:
+            continue
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        b = int(h[:6], 16) % num_buckets
+        lanes.setdefault(b, []).append((h, i, n))
+    out = {}
+    for b, lane in lanes.items():
+        start = 0
+        for _h, i, n in sorted(lane):
+            out[i] = (b, start // max_tokens, start % max_tokens)
+            start += n
+    return out
+
+
+def test_randomized_differential_vs_python(spark):
+    import random
+
+    rng = random.Random(20260814)
+    rows = [(i, rng.randint(0, 300)) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, nt long")
+    got = {
+        r["doc_id"]: (r["pack_bucket"], r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(
+            docs, max_tokens=128, num_buckets=16, token_count_col="nt"
+        ).collect()
+    }
+    want = _py_pack(rows, max_tokens=128, num_buckets=16)
+    assert got == want

@@ -124,3 +124,30 @@ class TestSqlMirrors:
         via_sql = set(r["k"] for r in ids.filter(F.expr(pred)).collect())
         via_col = set(r["k"] for r in hash_sample(ids, 0.25, "k").collect())
         assert via_sql == via_col
+
+
+# --------------------------------------------------------------------------
+# Cross-implementation differential: assignment recomputed with
+# hashlib md5 must match Spark's md5 expression exactly.
+def test_randomized_split_differential_vs_python(spark):
+    import hashlib
+    import random
+
+    def py_split(key, weights, seed="split"):
+        h = hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:8]
+        cum = 0.0
+        names = list(weights)
+        for name in names[:-1]:
+            cum += weights[name]
+            if h < threshold_hex(cum):
+                return name
+        return names[-1]
+
+    rng = random.Random(7)
+    keys = [rng.randint(0, 10**12) for _ in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["split"] for r in hash_split(df, WEIGHTS, "k").collect()
+    }
+    for k in keys:
+        assert got[k] == py_split(k, WEIGHTS), k
