@@ -21,9 +21,13 @@ upstream of it therefore executes during ``prepare_corpus`` itself,
 which is why ``persist_clean=True`` (default) persists the filtered+
 scrubbed corpus first: without it each closure round would recompute
 html_to_text + the quality signals + the PII regexes from the raw
-scan. The caller owns the release: ``result.clean.unpersist()`` when
-done (or pass ``persist_clean=False`` and manage persistence
-yourself).
+scan. The dedup stage ALSO caches internally (``minhash_dedup_pairs``
+tracked-persists its signature DataFrame). The caller owns the
+release: call ``result.release()`` when done — it unpersists ``clean``
+AND drains ``cache.release_caches()`` so repeated invocations on a
+long-lived session don't accumulate persisted RDDs. (Or pass
+``persist_clean=False`` and manage ``cache.release_caches()``
+yourself.)
 """
 
 from __future__ import annotations
@@ -61,6 +65,20 @@ class CorpusResult:
     split: DataFrame  # kept + 'split' assignment column
     packed: DataFrame  # (split, doc, pack_bucket, pack_id, pack_offset)
 
+    def release(self) -> None:
+        """Release every cache this pipeline run created: the
+        ``clean`` persist AND the operator-internal tracked persists
+        (the MinHash signature DataFrame). Call after the terminal
+        action; re-evaluating the stage DataFrames afterwards stays
+        correct, just uncached."""
+        from data_governance_spark.cache import release_caches
+
+        try:
+            self.clean.unpersist()
+        except Exception:
+            pass  # session stopped; nothing to release
+        release_caches()
+
 
 def prepare_corpus(
     docs: DataFrame,
@@ -69,6 +87,7 @@ def prepare_corpus(
     html: bool = False,
     quality_rules: dict | None = None,
     pii: bool = True,
+    pii_passes: int = 2,
     shingle_n: int = 3,
     minhash_threshold: float = 0.5,
     split_weights: dict[str, float] | None = None,
@@ -82,11 +101,18 @@ def prepare_corpus(
     records); ``quality_rules=None`` means the Gopher defaults
     (operators/quality.DEFAULT_RULES). Splits are always packed with
     ``partition_cols=[split]`` so no pack mixes holdout splits.
+    ``pii_passes`` defaults to 2 — the second pass catches adjacent
+    items the boundary-guarded patterns miss in one pass (see
+    operators/pii.redact_pii).
     """
     if html:
         docs = docs.withColumn(text_col, html_to_text(text_col))
     filtered = filter_corpus(docs, quality_rules, text_col=text_col)
-    clean = redact_pii(filtered, text_col=text_col) if pii else filtered
+    clean = (
+        redact_pii(filtered, text_col=text_col, passes=pii_passes)
+        if pii
+        else filtered
+    )
     if persist_clean:
         clean = clean.persist()
 

@@ -65,6 +65,23 @@ _ENTITIES = (
     ("&hellip;", "..."),
 )
 
+# Hex twins of the typographic set above (&#x2019; == &#8217; etc.) —
+# matched case-insensitively because HTML allows &#X2019; and any hex
+# case. ASCII quote/amp escapes (&#x27;/&#x22;/&#x26;) are included:
+# x26 normalizes to &amp; alongside &#38; (decoded strictly last).
+_HEX_ENTITIES = (
+    (r"&#x2018;", "'"),
+    (r"&#x2019;", "'"),
+    (r"&#x201c;", '"'),
+    (r"&#x201d;", '"'),
+    (r"&#x2013;", "-"),
+    (r"&#x2014;", "-"),
+    (r"&#x2026;", "..."),
+    (r"&#x27;", "'"),
+    (r"&#x22;", '"'),
+    (r"&#xa0;", " "),
+)
+
 
 def html_to_text(col: Column | str) -> Column:
     """Visible-text extraction: non-content blocks and comments out,
@@ -80,10 +97,14 @@ def html_to_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, _ANY_TAG, " ")
     for ent, rep in _ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(rep))
-    # '&#38;' is the ampersand itself — normalize it to '&amp;' BEFORE
-    # the numeric fallback eats it, so the final decode-last pass
-    # resolves both forms without double-decoding '&#38;amp;'
+    for pat, rep in _HEX_ENTITIES:
+        c = F.regexp_replace(c, "(?i)" + pat, rep)
+    # '&#38;' / '&#x26;' are the ampersand itself — normalize them to
+    # '&amp;' BEFORE the numeric fallback eats them, so the final
+    # decode-last pass resolves all forms without double-decoding
+    # '&#38;amp;'
     c = F.replace(c, F.lit("&#38;"), F.lit("&amp;"))
+    c = F.regexp_replace(c, r"(?i)&#x26;", "&amp;")
     # numeric entities (decimal + hex), then '&amp;' strictly last
     c = F.regexp_replace(c, r"&#\d{2,6};", " ")
     c = F.regexp_replace(c, r"&#x[0-9a-fA-F]{2,6};", " ")

@@ -43,23 +43,38 @@ def write_packed(
     assigned: DataFrame,
     path: str,
     partition_cols: list[str] | None = None,
+    num_files: int | None = None,
 ) -> None:
     """Materialize a ``pack_sequences`` assignment (joined back with
     whatever payload columns the trainer needs) as consumable shards:
-    one file per pack lane, rows physically ordered by
-    (pack_id, pack_offset) so a reader streams concatenation-ready
-    sequences without sorting.
+    every file holds one-or-more WHOLE pack lanes (a lane never splits
+    across files — the repartition key is the full lane key), rows
+    physically ordered by (pack_bucket, pack_id, pack_offset) so a
+    reader streams concatenation-ready sequences without sorting.
+    Readers distinguish co-resident lanes by ``pack_bucket`` (each
+    lane's pack_id sequence restarts at 0) — do NOT assume one lane
+    per file.
+
+    ``num_files`` sets the shuffle partition count (== max output
+    files, == write parallelism). Pass the lane count — ``num_buckets``
+    times the cardinality of ``partition_cols`` values — so parallelism
+    scales with the lanes you configured instead of silently capping at
+    ``spark.sql.shuffle.partitions`` (with 8-16k lanes at 100 TB the
+    default 200 would bottleneck the write and pile ~40-80 lanes into
+    every file). Default: the distinct lane count, computed with one
+    cheap lane-key aggregation over the assignment.
 
     Layout: ``path/[partition=value/]part-*`` via parquet
     ``partitionBy`` on ``partition_cols`` (pass ``["split"]`` when the
-    assignment carries holdout splits); within each partition the data
-    is repartitioned by pack_bucket — lane files are independent, so a
-    trainer maps one reader per file. Parquet preserves row order
+    assignment carries holdout splits). Parquet preserves row order
     within a file.
     """
     parts = list(partition_cols or [])
+    lane_cols = parts + ["pack_bucket"]
+    if num_files is None:
+        num_files = max(assigned.select(*lane_cols).distinct().count(), 1)
     writer = (
-        assigned.repartition(*[F.col(c) for c in parts + ["pack_bucket"]])
+        assigned.repartition(num_files, *[F.col(c) for c in lane_cols])
         .sortWithinPartitions("pack_bucket", "pack_id", "pack_offset")
         .write.mode("overwrite")
     )

@@ -45,8 +45,8 @@ IPV4_RE = r"(^|[^0-9.])((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0
 # Boundary guards CONSUME one character (no lookaround: the same
 # patterns run under DuckDB's RE2 in the d05 oracle, which has none),
 # so two phones/IPs separated by a single character leave the second
-# undetected in that pass — a stated limitation; run the scrub twice
-# if that matters.
+# undetected in that pass — a stated limitation; redact_pii(passes=2)
+# catches it (prepare_corpus's default).
 PHONE_RE = r"(^|[^0-9])((\+[0-9]{1,3}[ -]?)?(\([0-9]{2,4}\)[ -]?)?[0-9]{3}[ -][0-9]{3,4}([ -][0-9]{2,4})?)($|[^0-9-])"
 
 PII_PATTERNS: dict[str, str] = {
@@ -79,23 +79,35 @@ def redact_pii(
     text_col: str = "text",
     kinds: tuple[str, ...] = ("url", "email", "ipv4", "phone"),
     out_col: str | None = None,
+    passes: int = 1,
 ) -> DataFrame:
     """Replace each PII match with its ``<KIND>`` placeholder, in the
     declared order (URL first — see module docstring). Writes over
-    ``text_col`` unless ``out_col`` names a new column."""
+    ``text_col`` unless ``out_col`` names a new column.
+
+    ``passes=2`` runs the whole scrub twice: the boundary-guarded
+    patterns (ipv4/phone) consume one surrounding character, so
+    ADJACENT items ('1.2.3.4,5.6.7.8') leave the second undetected in a
+    single pass — the second pass catches it. Still a pure projection
+    (the regex chain just doubles); more than 2 passes only matters for
+    runs of 3+ back-to-back guarded items, vanishingly rare in prose.
+    """
     unknown = set(kinds) - PII_PATTERNS.keys()
     if unknown:
         raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    if passes < 1:
+        raise ValueError(f"passes must be >= 1, got {passes}")
     c = F.col(text_col)
     # boundary-guarded patterns consume their surrounding chars — keep
     # them (the named groups) around the placeholder
     _guarded = {"ipv4": r"$1<IPV4>$5", "phone": r"$1<PHONE>$6"}
-    for kind in kinds:
-        c = F.regexp_replace(
-            c,
-            PII_PATTERNS[kind],
-            _guarded.get(kind, f"<{kind.upper()}>"),
-        )
+    for _ in range(passes):
+        for kind in kinds:
+            c = F.regexp_replace(
+                c,
+                PII_PATTERNS[kind],
+                _guarded.get(kind, f"<{kind.upper()}>"),
+            )
     if out_col:
         return docs.select("*", c.alias(out_col))
     return docs.select(

@@ -32,11 +32,24 @@ class TestHtmlToText:
         )
 
     def test_comments_and_numeric_entities(self, spark):
-        # &#8212; is in the typographic decode set (em dash -> '-');
-        # the hex variant isn't and falls back to a space
+        # &#8212; is in the typographic decode set (em dash -> '-') and
+        # so is its hex twin &#x2014; (ADVICE r5: hex entities must not
+        # fall to the word-splitting space fallback)
         assert (
             _extract(spark, "keep<!-- drop\nme -->this &#8212; and&#x2014;that")
-            == "keep this - and that"
+            == "keep this - and-that"
+        )
+
+    def test_hex_typographic_entities(self, spark):
+        # the ADVICE r5 case: hex apostrophes must not split words,
+        # any hex case accepted, &#x26; normalizes like &#38;
+        assert (
+            _extract(
+                spark,
+                "don&#x2019;t don&#X2019;t &#x201C;q&#x201d; "
+                "AT&#x26;T e&#x2026; un&#x2013;related &#x1F600; end",
+            )
+            == "don't don't \"q\" AT&T e... un-related end"
         )
 
     def test_typographic_entities_preserve_words(self, spark):

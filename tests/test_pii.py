@@ -101,6 +101,23 @@ class TestReviewRegressions:
         assert out == "call <PHONE>, then stop"
 
 
+def test_redaction_passes_catches_adjacent_items(spark):
+    """ADVICE r5: the boundary guards consume a character, so adjacent
+    PII items hide the second one from a single pass; passes=2 (the
+    prepare_corpus default) catches it."""
+    docs = spark.createDataFrame(
+        [(1, "ips 1.2.3.4,5.6.7.8 done"), (2, "tel 555-0100,555-0199 end")],
+        "doc_id long, text string",
+    )
+    one = {r["doc_id"]: r["text"] for r in redact_pii(docs).collect()}
+    two = {
+        r["doc_id"]: r["text"] for r in redact_pii(docs, passes=2).collect()
+    }
+    assert one[1] == "ips <IPV4>,5.6.7.8 done"  # the stated 1-pass gap
+    assert two[1] == "ips <IPV4>,<IPV4> done"
+    assert two[2] == "tel <PHONE>,<PHONE> end"
+
+
 def test_redaction_idempotent(spark, docs):
     """Scrubbing a scrubbed corpus is a no-op: placeholders contain
     no digits/@/scheme, so a second pass can't re-match (re-running
