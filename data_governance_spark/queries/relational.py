@@ -834,7 +834,7 @@ def q22_standardize_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     "punctuation-exact vs an arithmetic oracle",
 )
 def q23_citation_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_governance_spark.standardize.citation import FO_FIELDS, fo
+    from data_governance_spark.standardize.citation import fo_standard
 
     o = table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
@@ -924,9 +924,7 @@ def q23_citation_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast(au_t))
         .alias("title_monographic"),
     )
-    return landing.select(
-        "id", fo({f: F.col(f) for f in FO_FIELDS}).alias("fo")
-    )
+    return landing.select("id", fo_standard().alias("fo"))
 
 
 # --------------------------------------------------------------------------

@@ -201,6 +201,40 @@ def fo_from(df_cols) -> Column:
     return fo({name: F.col(name) for name in FO_FIELDS})
 
 
+# ---------------------------------------------------------------------------
+# Memoized standard trees. Building the fo tree costs ~2.5 s of pure
+# py4j round-trips (measured; lo ~0.5 s) and the standard invocation —
+# unresolved F.col references over the canonical field names — is
+# identical everywhere it appears (transform.standardize, the q23/q36
+# gates), so build it once per JVM. Keyed by the active SparkContext:
+# a Column wraps a JVM object, so a stopped+restarted context must not
+# serve a stale tree.
+_STD_TREE_CACHE: dict[tuple, Column] = {}
+
+
+def _ctx_key():
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return id(sc) if sc is not None else None
+
+
+def fo_standard() -> Column:
+    """``fo`` over the standard FO_FIELDS names, memoized per JVM."""
+    key = ("fo", _ctx_key())
+    if key not in _STD_TREE_CACHE:
+        _STD_TREE_CACHE[key] = fo({name: F.col(name) for name in FO_FIELDS})
+    return _STD_TREE_CACHE[key]
+
+
+def lo_standard() -> Column:
+    """``lo`` over the standard call_number column, memoized per JVM."""
+    key = ("lo", _ctx_key())
+    if key not in _STD_TREE_CACHE:
+        _STD_TREE_CACHE[key] = lo(F.col("call_number"))
+    return _STD_TREE_CACHE[key]
+
+
 # --------------------------------------------------------------------------
 # F12: lo location builder (:194-270)
 _SUBFIELDS = [

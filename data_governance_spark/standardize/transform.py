@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 
 from data_governance_spark.standardize import fields as X
 from data_governance_spark.standardize import joins as J
-from data_governance_spark.standardize.citation import FO_FIELDS, fo, lo
+from data_governance_spark.standardize.citation import (
+    _ctx_key,
+    fo_standard,
+    lo_standard,
+)
 
 AUTHOR_PRIORITY = (
     "individual_author",
@@ -81,11 +85,27 @@ def standardize(
         id_col="id",
     )
 
+    return df.select(*_wide_select_cols(current_year))
+
+
+# The ~60-field wide select is a pure function of column NAMES plus
+# current_year — every reference is an unresolved F.col. Building it
+# costs ~4 s of py4j round-trips (fo alone 2.5 s), paid per
+# standardize() call without this cache (VERDICT r5 #4: the q36 gate's
+# dominant cost). Keyed per JVM like citation._STD_TREE_CACHE.
+_WIDE_SELECT_CACHE: dict[tuple, list] = {}
+
+
+def _wide_select_cols(current_year: int) -> list:
+    key = (_ctx_key(), current_year)
+    if key in _WIDE_SELECT_CACHE:
+        return _WIDE_SELECT_CACHE[key]
+
     id_value = X.doc_id(F.col("id"), F.col("LILACS_original_id"))
     descritores = X.descritores_locais(F.col("local_descriptors"))
     year4 = F.substring(F.coalesce(F.col("publication_date_normalized"), F.lit("")), 1, 4)
 
-    return df.select(
+    cols = [
         id_value.alias("id"),
         F.col("id").alias("id_pk"),
         X.ai_corporate(
@@ -201,6 +221,8 @@ def standardize(
         X.susdigital_themes(F.col("community_collection_path"), "Alvo").alias(
             "tema_susdigital_publico_alvo"
         ),
-        fo({name: F.col(name) for name in FO_FIELDS}).alias("fo"),
-        lo(F.col("call_number")).alias("lo"),
-    )
+        fo_standard().alias("fo"),
+        lo_standard().alias("lo"),
+    ]
+    _WIDE_SELECT_CACHE[key] = cols
+    return cols
