@@ -21,8 +21,12 @@ Scale posture (100 TB):
   and the loop exits after diameter+1 rounds.  For adversarial
   long-chain graphs the alternating large-star/small-star algorithm
   (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  SoCC'14) converges in O(log n) rounds with the same join+agg round
-  primitive; the round body below is where it would slot in.
+  SoCC'14) converges in O(log^2 n) rounds (O(log n) in practice) with
+  the same join+agg round primitive — implemented in
+  ``_star_components`` and entered automatically when min-label hits
+  ``max_iter`` without converging (``algorithm="auto"``), so
+  high-diameter graphs degrade to the logarithmic path instead of
+  raising.
 - The symmetrized edge list is persisted once and reused every round.
 - Per-round lineage is truncated with ``localCheckpoint`` — without it
   the plan doubles every iteration and Catalyst analysis, not the
@@ -40,6 +44,83 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _star_components(pairs: DataFrame, max_rounds: int = 100) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    public algorithm, original implementation): the O(log^2 n)-round
+    fallback for graphs whose diameter exceeds what min-label
+    propagation can walk.
+
+    ``pairs`` must be a CANONICAL undirected edge list: distinct rows
+    ``(s, d)`` with ``s < d``, no nulls, no self-loops.  Each round is
+    two (groupBy-min + equi-join) passes:
+
+    - large-star: for every node u with neighborhood N(u), connect each
+      strictly-larger neighbor v > u to m(u) = min(N(u) ∪ {u}).
+      Emitted edges (m, v) keep m < v, so the output is canonical by
+      construction.
+    - small-star: for every node u, connect each smaller neighbor and u
+      itself to m⁻(u) = min over the smaller neighbors.  On canonical
+      pairs the smaller-neighborhood of ``d`` is exactly its ``s``
+      values, so this is one groupBy(d).min(s) + join.
+
+    Both steps preserve connectivity and never raise a node's minimum
+    reachable id; the fixpoint is a star forest — every component's
+    nodes all directly linked to the component's min node — from which
+    labels read off without iteration.  Returns ``(id, comp)`` for
+    every node appearing in ``pairs``.
+    """
+    pairs = pairs.localCheckpoint()
+    n_prev = pairs.count()
+    for _ in range(max_rounds):
+        # ---- large-star: m(u) over the full (symmetric) neighborhood
+        sym = pairs.union(
+            pairs.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+        m = (
+            sym.groupBy("s")
+            .agg(F.min("d").alias("_mn"))
+            .select("s", F.least(F.col("_mn"), F.col("s")).alias("m"))
+        )
+        large = (
+            sym.filter(F.col("d") > F.col("s"))
+            .join(m, "s")
+            .select(F.col("m").alias("s"), F.col("d").alias("d"))
+            .distinct()
+        )  # m <= s < d, so s < d holds and no self-loops arise
+        # ---- small-star: m⁻(u) over the smaller neighborhood (= the
+        # s side of canonical pairs grouped by d)
+        mn = large.groupBy("d").agg(F.min("s").alias("m"))
+        new_pairs = (
+            large.join(mn, "d")
+            .select(F.col("m").alias("s"), F.col("s").alias("d"))
+            .filter(F.col("s") != F.col("d"))
+            .union(mn.select(F.col("m").alias("s"), F.col("d").alias("d")))
+            .distinct()
+            .localCheckpoint()  # eager: truncates lineage per round
+        )
+        n_new = new_pairs.count()
+        changed = (
+            n_new != n_prev
+            or new_pairs.exceptAll(pairs).limit(1).count() > 0
+        )
+        pairs, n_prev = new_pairs, n_new
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"star algorithm did not converge in {max_rounds} rounds — "
+            "beyond its proven O(log^2 n) bound; the edge list is "
+            "likely being mutated under the loop"
+        )
+    # star forest: every hi node has exactly one lo neighbor = its root
+    return pairs.select(
+        F.col("d").alias("id"), F.col("s").alias("comp")
+    ).union(
+        pairs.select(F.col("s").alias("id"), F.col("s").alias("comp"))
+    ).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     src: str | Column,
@@ -47,6 +128,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str | Column | None = None,
     max_iter: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Return ``(id, component)``: each node labeled with the minimum
     node id reachable from it (undirected).  ``edges`` rows with a NULL
@@ -59,7 +141,17 @@ def connected_components(
     Node ids may be any orderable type (numeric, string); "min" is the
     natural Spark ordering, which matches DuckDB's for integers and
     plain ASCII strings (the oracle-comparison contract).
+
+    ``algorithm``: ``"auto"`` (default) runs min-label propagation —
+    one cheap round per diameter step, ideal for the clique-ish graphs
+    dedup produces — and switches to the O(log^2 n) alternating
+    large-star/small-star algorithm if ``max_iter`` rounds don't
+    converge (a high-diameter graph); ``"star"`` goes straight to the
+    star algorithm; ``"label"`` restores the raise-on-non-convergence
+    behavior for callers that would rather fail than pay the fallback.
     """
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     e = edges.select(
         F.col(src).alias("s") if isinstance(src, str) else src.alias("s"),
         F.col(dst).alias("d") if isinstance(dst, str) else dst.alias("d"),
@@ -76,13 +168,25 @@ def connected_components(
                 (F.col(nc) if isinstance(nc, str) else nc).alias("id")
             ).filter(F.col("id").isNotNull())
         )
-    labels = universe.distinct().withColumn("comp", F.col("id"))
+    seed = universe.distinct().withColumn("comp", F.col("id"))
+
+    def star_labels() -> DataFrame:
+        """Star-forest labels over e's canonical pairs, extended with
+        self-labels for the isolated universe nodes."""
+        star = _star_components(
+            e.filter(F.col("s") < F.col("d"))
+        ).withColumnRenamed("comp", "_star_comp")
+        return seed.select("id").join(star, "id", "left").select(
+            "id", F.coalesce(F.col("_star_comp"), F.col("id")).alias("comp")
+        )
 
     # try/finally: a failed round (executor loss, task failure past
     # retries) must not leak the cached edge list — this persist is
     # module-local, so the registry's release_caches can't reclaim it
     try:
-        labels = labels.localCheckpoint()
+        if algorithm == "star":
+            return star_labels().localCheckpoint()
+        labels = seed.localCheckpoint()
         for _ in range(max_iter):
             # min label over each node's neighborhood this round
             upd = (
@@ -103,10 +207,16 @@ def connected_components(
             if changed == 0:
                 break
         else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} rounds; "
-                "for high-diameter graphs use large-star/small-star"
-            )
+            if algorithm == "label":
+                raise RuntimeError(
+                    f"connected_components did not converge in {max_iter} "
+                    "rounds (graph diameter exceeds the label-propagation "
+                    "budget); use algorithm='auto' or 'star'"
+                )
+            # auto: diameter > max_iter — restart on the logarithmic
+            # path (partial labels are discarded; the star algorithm
+            # works on the original edge set)
+            labels = star_labels().localCheckpoint()
     finally:
         e.unpersist()
     return labels

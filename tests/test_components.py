@@ -62,17 +62,57 @@ def test_string_ids(spark):
     assert got == {"doc_a": "doc_a", "doc_b": "doc_a", "doc_c": "doc_a"}
 
 
-def test_max_iter_guard(spark):
+def test_max_iter_guard_label_mode(spark):
     e = spark.createDataFrame([(i, i + 1) for i in range(1, 12)], "s long, d long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(e, "s", "d", max_iter=2)
+        connected_components(e, "s", "d", max_iter=2, algorithm="label")
 
 
-@pytest.mark.parametrize("seed", [7, 23, 99])
-def test_randomized_differential_vs_duckdb(spark, seed):
-    """Random sparse graphs: Spark min-label propagation must agree
-    with DuckDB's recursive-CTE closure (the same oracle shape d10
-    uses) node for node."""
+def test_auto_falls_back_to_star_on_high_diameter(spark):
+    # path graph with diameter >> max_iter: min-label can't finish in 2
+    # rounds; auto must hand off to large-star/small-star and still
+    # produce the right labels (VERDICT r5 #2: no RuntimeError path for
+    # legal inputs)
+    got = _run(
+        spark, [(i, i + 1) for i in range(1, 40)], nodes=[50], max_iter=2
+    )
+    assert got == {**{i: 1 for i in range(1, 41)}, 50: 50}
+
+
+def test_star_algorithm_direct(spark):
+    # same fixtures as the label tests, straight through the star path
+    got = _run(
+        spark,
+        [(10, 11), (20, 21), (21, 22), (3, 3)],
+        nodes=[10, 11, 20, 21, 22, 3, 99],
+        algorithm="star",
+    )
+    assert got == {10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 3: 3, 99: 99}
+
+
+def test_star_long_chain_and_reversed_ids(spark):
+    # descending chain (worst case for min-propagation direction) and a
+    # star converging to the middle id
+    chain = [(i + 1, i) for i in range(1, 30)]
+    got = _run(spark, chain, algorithm="star")
+    assert got == {i: 1 for i in range(1, 31)}
+
+
+def test_unknown_algorithm_raises(spark):
+    e = spark.createDataFrame([(1, 2)], "s long, d long")
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(e, "s", "d", algorithm="bogus")
+
+
+@pytest.mark.parametrize(
+    "seed,algorithm",
+    [(7, "auto"), (23, "auto"), (99, "auto"), (7, "star"), (99, "star")],
+)
+def test_randomized_differential_vs_duckdb(spark, seed, algorithm):
+    """Random sparse graphs: Spark min-label propagation AND the
+    large-star/small-star fallback must agree with DuckDB's
+    recursive-CTE closure (the same oracle shape d10 uses) node for
+    node."""
     import random
 
     import duckdb
@@ -86,7 +126,7 @@ def test_randomized_differential_vs_duckdb(spark, seed):
         }
     )
     nodes = list(range(n))
-    got = _run(spark, edges or [(0, 0)], nodes=nodes)
+    got = _run(spark, edges or [(0, 0)], nodes=nodes, algorithm=algorithm)
 
     con = duckdb.connect()
     con.execute("CREATE TABLE nodes(id BIGINT)")
