@@ -26,7 +26,7 @@ from data_governance_spark.operators.repetition import (
     dup_ngram_stats,
     top_ngram_stats,
 )
-from data_governance_spark.operators.packing import pack_sequences
+from data_governance_spark.operators.packing import pack_sequences, write_packed
 from data_governance_spark.operators.pii import pii_counts
 from data_governance_spark.operators.sampling import (
     hash_sample,
@@ -58,11 +58,25 @@ _SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
-# d01 (merged gate, r5 driver-budget): token-count pipeline (ex-d01,
+# Rules for the d01 'qf' sub-gate (operators/quality.filter_corpus):
+# thresholds sized to the synthetic corpus so the decision is a real
+# mix (~1/4 of docs dropped at every SF), exercising a lower bound, an
+# upper bound and a repetition signal together.
+QF_RULES = {
+    "n_tokens": (30, 100_000),
+    "stopword_ratio": (0.02, None),
+    "top_bigram_frac": (None, 0.12),
+}
+
+
+# d01 (merged gate, r5/r6 driver-budget): token-count pipeline (ex-d01,
 # ref BASE_PIPELINE A1 shape) + per-doc quality scoring (ex-d02) + the
-# C4/Gopher repetition signals (operators/repetition.py, new in r5) in
-# one quad-schema union. Sub-gate 'tok' keys (lang~token); 'q' and
-# 'rep' emit one row per (doc, metric).
+# C4/Gopher repetition signals (operators/repetition.py, new in r5) +
+# the Gopher-rule keep/drop decision (filter_corpus over QF_RULES, new
+# in r6: the rule APPLICATION, whose constituent signals the other
+# sub-gates already state) in one quad-schema union. Sub-gate 'tok'
+# keys (lang~token); 'q' and 'rep' emit one row per (doc, metric);
+# 'qf' one row per KEPT doc (membership checked by the row multiset).
 #
 # 'rep' metrics: tg = top-bigram token coverage over the raw corpus
 # text; dl = duplicate-line char fraction over a SYNTHESIZED multi-line
@@ -156,6 +170,29 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
         GROUP BY doc_id, line
       )
       GROUP BY doc_id
+    ),
+    qfs AS (
+      SELECT doc_id, len(toks) AS nt,
+             CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+                                  x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+               / len(toks) AS sr
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+      WHERE len(toks) > 0
+    ),
+    qfg AS (
+      SELECT doc_id, 2 * max(c) / nt AS tg
+      FROM (
+        SELECT doc_id, nt, g, count(*) AS c
+        FROM (
+          SELECT doc_id, len(toks) AS nt,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS g
+          FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+          WHERE len(toks) >= 2
+        )
+        GROUP BY doc_id, nt, g
+      )
+      GROUP BY doc_id, nt
     )
     SELECT 'tok' AS gate, lang || '~' || token AS k,
            CAST(NULL AS VARCHAR) AS v_s, CAST(n AS DOUBLE) AS v_d FROM tok
@@ -173,13 +210,18 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
     SELECT 'rep', CAST(doc_id AS VARCHAR) || ':dl', CAST(NULL AS VARCHAR), dl FROM repl
     UNION ALL
     SELECT 'rep', CAST(doc_id AS VARCHAR) || ':dg', CAST(NULL AS VARCHAR), dg FROM repd
+    UNION ALL
+    SELECT 'qf', CAST(s.doc_id AS VARCHAR), CAST(NULL AS VARCHAR), 1.0
+    FROM qfs s JOIN qfg g ON s.doc_id = g.doc_id
+    WHERE s.nt >= 30 AND s.nt <= 100000 AND s.sr >= 0.02 AND g.tg <= 0.12
     """,
-    doc="merged gate (r5 driver-budget): explode tokens -> grouped count "
-    "per (lang, token) (ref BASE_PIPELINE A1 shape, ex-d01) + per-doc "
-    "quality (token count, avg token length, stopword ratio, score; "
-    "ex-d02) + C4/Gopher repetition signals (top-bigram coverage, "
-    "duplicated-5-gram char fraction, duplicate-line char fraction; "
-    "operators/repetition.py)",
+    doc="merged gate (r5/r6 driver-budget): explode tokens -> grouped "
+    "count per (lang, token) (ref BASE_PIPELINE A1 shape, ex-d01) + "
+    "per-doc quality (token count, avg token length, stopword ratio, "
+    "score; ex-d02) + C4/Gopher repetition signals (top-bigram "
+    "coverage, duplicated-5-gram char fraction, duplicate-line char "
+    "fraction; operators/repetition.py) + the filter_corpus keep/drop "
+    "decision over QF_RULES (operators/quality.py; new in r6)",
 )
 def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -255,7 +297,18 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             melt_metrics(dg, F.col("doc_id").cast("string"), ("dg",), "rep")
         )
     )
-    return tok.unionByName(q_u).unionByName(rep_u)
+    # qf sub-gate: the REAL filter_corpus (fence and all) over the raw
+    # corpus; one row per kept doc — a dropped doc that should have
+    # been kept (or vice versa) is a row-multiset mismatch
+    from data_governance_spark.operators.quality import filter_corpus
+
+    qf = filter_corpus(docs, QF_RULES).select(
+        F.lit("qf").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        nul_s.alias("v_s"),
+        F.lit(1.0).alias("v_d"),
+    )
+    return tok.unionByName(q_u).unionByName(rep_u).unionByName(qf)
 
 
 # --------------------------------------------------------------------------
@@ -357,7 +410,83 @@ def _sql_pat(kind: str) -> str:
     return PII_PATTERNS[kind].replace("'", "''")
 
 
-# d05 (merged gate, r5 driver-budget): language-ID confusion matrix
+# d05 'wp' sub-gate staging (new in r6): materialize the packed-shard
+# layout once per (process, sf_dir) via the REAL write_packed —
+# split-partitioned parquet, lane-keyed repartition, within-file sort —
+# then read it back for the physical-layout checks. staged_tmpdir
+# reuses the dir across repeated gate/bench invocations, removed
+# atexit (same hygiene as the q41/q47 staging).
+def _staged_packed_dir(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from data_governance_spark.queries.staging import staged_tmpdir
+
+    def build(out_dir: str) -> None:
+        docs = table(spark, sf_dir, "documents")
+        assigned = pack_sequences(
+            hash_split(docs, SPLIT_WEIGHTS, "doc_id"),
+            max_tokens=_PACK_MAX,
+            num_buckets=_PACK_BUCKETS,
+            partition_cols=["split"],
+            seed="pack",
+        )
+        write_packed(assigned, os.path.join(out_dir, "packed"), ["split"])
+
+    return os.path.join(
+        staged_tmpdir(("d05packed", sf_dir), build, prefix="dg_d05wp_"),
+        "packed",
+    )
+
+
+def _wp_layout_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the write_packed output back and verify the physical
+    contract a trainer relies on: (rows) every assigned doc landed,
+    (ooo) rows inside each FILE are ordered by (pack_bucket, pack_id,
+    pack_offset) — parquet preserves row order, so a reader streams
+    concatenation-ready sequences, (lanesplit) no lane (split x
+    pack_bucket) spans more than one file. Returns one row per metric
+    in the quad schema."""
+    from pyspark.sql import Window
+
+    back = spark.read.parquet(_staged_packed_dir(spark, sf_dir))
+    meta = back.select(
+        "split",
+        "pack_bucket",
+        "pack_id",
+        "pack_offset",
+        F.col("_metadata.file_path").alias("f"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    key = F.struct("pack_bucket", "pack_id", "pack_offset")
+    w = Window.partitionBy("f").orderBy("ri")
+    ordered = meta.select("f", "ri", key.alias("key")).withColumn(
+        "prev", F.lag("key").over(w)
+    )
+    ooo = ordered.agg(
+        F.sum(
+            F.when(F.col("prev") > F.col("key"), 1).otherwise(0)
+        ).alias("n")
+    )
+    lanesplit = (
+        meta.groupBy("split", "pack_bucket")
+        .agg(F.countDistinct("f").alias("nf"))
+        .agg(F.sum(F.when(F.col("nf") > 1, 1).otherwise(0)).alias("n"))
+    )
+    rows = meta.agg(F.count(F.lit(1)).alias("n"))
+    branch = lambda df, name: df.select(  # noqa: E731
+        F.lit("wp").alias("gate"),
+        F.lit(name).alias("k"),
+        F.lit(None).cast("string").alias("v_s"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("v_d"),
+    )
+    return (
+        branch(rows, "rows")
+        .unionByName(branch(ooo, "ooo"))
+        .unionByName(branch(lanesplit, "lanesplit"))
+    )
+
+
+# d05 (merged gate, r5/r6 driver-budget): language-ID confusion matrix
 # (ex-d05) + per-lang vocabulary/TTR over the BPE-ish regex tokenizer
 # (ex-d08) + deterministic hash-split/sample accounting (new in r5,
 # operators/sampling.py) + PII detector totals (new in r5,
@@ -489,6 +618,13 @@ def _sql_pat(kind: str) -> str:
              || ':' || CAST(s % {_PACK_MAX} AS VARCHAR),
            CAST(NULL AS DOUBLE)
     FROM pk2
+    UNION ALL
+    SELECT 'wp', 'rows', CAST(NULL AS VARCHAR),
+           CAST(count(*) AS DOUBLE) FROM pk
+    UNION ALL
+    SELECT 'wp', 'ooo', CAST(NULL AS VARCHAR), 0.0
+    UNION ALL
+    SELECT 'wp', 'lanesplit', CAST(NULL AS VARCHAR), 0.0
     """,
     doc="merged gate (r5 driver-budget): marker-token language-ID "
     "heuristic confusion matrix vs labeled lang (ex-d05) + per-lang "
@@ -497,7 +633,9 @@ def _sql_pat(kind: str) -> str:
     "checksums for the deterministic hash split/sample "
     "(operators/sampling.py) + PII detector totals (operators/pii.py) "
     "+ the full per-doc sequence-packing assignment "
-    "(operators/packing.py)",
+    "(operators/packing.py) + write_packed shard read-back layout "
+    "checks (row conservation, within-file ordering, lane wholeness; "
+    "new in r6)",
 )
 def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -609,12 +747,14 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v_s"),
         F.lit(None).cast("double").alias("v_d"),
     )
+    wp = _wp_layout_checks(spark, sf_dir)
     return (
         lid.unionByName(vocab_u)
         .unionByName(sp_u)
         .unionByName(samp_u)
         .unionByName(pii_u)
         .unionByName(pk)
+        .unionByName(wp)
     )
 
 

@@ -132,6 +132,85 @@ def q42_xml_sink_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Sub-gate 'warc' (new in r6): WARC source (sources/warc.py) composed
+# with html_to_text (functions/html.py) — the Common Crawl ingest path.
+# One synthetic WARC file is generated from `customer`: a warcinfo
+# header record (dropped by the type filter), one HTTP `response`
+# record per ck<=150 whose HTML body exercises comment/script/head
+# drops, block-tag newlines, named + hex entity decode and whitespace
+# collapse (ck%9==0 gets a 204 empty-body response — the envelope-
+# consumed-by-trailing-strip case http_body documents), a `request`
+# record for ck%4==0 (must be dropped), and a WET `conversion` record
+# with bare text for ck%2==0 (html_to_text pass-through). The oracle
+# states the extracted text analytically.
+# Reference twin: none — training-data extension per SURVEY §6.
+def _warc_record(wtype: str, uri: str, rid: str, payload: str) -> str:
+    hdrs = [f"WARC-Type: {wtype}"]
+    if uri:
+        hdrs.append(f"WARC-Target-URI: {uri}")
+    hdrs += [f"WARC-Record-ID: {rid}", f"Content-Length: {len(payload.encode())}"]
+    return "WARC/1.0\r\n" + "\r\n".join(hdrs) + "\r\n\r\n" + payload + "\r\n\r\n"
+
+
+def _staged_warc_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(out_dir: str) -> None:
+        rows = (
+            table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= 150)
+            .select("c_custkey")
+            .orderBy("c_custkey")
+            .collect()
+        )
+        recs = [_warc_record("warcinfo", "", "<urn:t:info>", "software: synth")]
+        for r in rows:
+            ck = r["c_custkey"]
+            if ck % 9 == 0:
+                payload = "HTTP/1.1 204 No Content\r\nX-Empty: y\r\n\r\n"
+            else:
+                body = (
+                    "<html><head><title>t</title></head><body><!--c-->"
+                    f"<script>var z=1;</script><p>Hello &amp; d&#x2019;accord {ck}</p>"
+                    "<div>Tail&#8230;</div></body></html>"
+                )
+                payload = (
+                    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+                )
+            recs.append(
+                _warc_record("response", f"http://ex.com/r{ck}", f"<urn:t:r{ck}>", payload)
+            )
+            if ck % 4 == 0:
+                recs.append(
+                    _warc_record(
+                        "request", f"http://ex.com/r{ck}", f"<urn:t:q{ck}>",
+                        "GET / HTTP/1.1\r\nHost: ex.com",
+                    )
+                )
+            if ck % 2 == 0:
+                recs.append(
+                    _warc_record(
+                        "conversion", f"http://ex.com/w{ck}", f"<urn:t:w{ck}>",
+                        f"wet text {ck}",
+                    )
+                )
+        # newline='' so \r\n survives on any platform
+        with open(os.path.join(out_dir, "a.warc"), "w", newline="") as f:
+            f.write("".join(recs))
+
+    return staged_tmpdir(("q41warc", sf_dir), build, prefix="dg_q41w_")
+
+
+def q41_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.functions.html import html_to_text
+    from data_governance_spark.sources.warc import warc_documents
+
+    out_dir = _staged_warc_dir(spark, sf_dir)
+    docs = warc_documents(spark, os.path.join(out_dir, "a.warc"))
+    return docs.select(
+        F.col("url").alias("k"), html_to_text("text").alias("v_s")
+    )
+
+
+# --------------------------------------------------------------------------
 @qdef(
     QUERIES,
     "q41_xml_source_sink",
@@ -142,6 +221,17 @@ def q42_xml_sink_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE) AS v_d
     FROM customer
     WHERE c_custkey <= 200 AND c_custkey % 3 <> 0
+    UNION ALL
+    SELECT 'warc', 'http://ex.com/r' || CAST(c_custkey AS VARCHAR),
+           CASE WHEN c_custkey % 9 = 0 THEN ''
+                ELSE 'Hello & d''accord ' || CAST(c_custkey AS VARCHAR)
+                     || chr(10) || 'Tail...' END,
+           CAST(NULL AS DOUBLE)
+    FROM customer WHERE c_custkey <= 150
+    UNION ALL
+    SELECT 'warc', 'http://ex.com/w' || CAST(c_custkey AS VARCHAR),
+           'wet text ' || CAST(c_custkey AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM customer WHERE c_custkey <= 150 AND c_custkey % 2 = 0
     UNION ALL
     SELECT 'ser', 'D' || cs,
       '<doc boost="' || CAST(ck % 7 AS VARCHAR) || '">' || chr(10)
@@ -163,11 +253,14 @@ def q42_xml_sink_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT c_custkey AS ck, CAST(c_custkey AS VARCHAR) AS cs
           FROM customer)
     """,
-    doc="merged gate (r5 driver-budget): S8-S11 Solr-XML source "
+    doc="merged gate (r5/r6 driver-budget): S8-S11 Solr-XML source "
     "(streaming parse, repeated-field lists, instance filter, first-in-"
     "file dedup, glob listing; ex-q41) + S12 XML sink serialization "
     "(sorted fields, P8 pruning, text/attr escaping, prefixed + dynamic "
-    "maps, invalid-char strip, boost; ex-q42)",
+    "maps, invalid-char strip, boost; ex-q42) + WARC source composed "
+    "with html_to_text (record split, type filter, http_body envelope "
+    "strip incl. the 204 empty-body case, tag/entity/whitespace "
+    "extraction; new in r6)",
 )
 def q41_xml_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     nul_d = F.lit(None).cast("double")
@@ -183,7 +276,10 @@ def q41_xml_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xml").alias("v_s"),
         nul_d.alias("v_d"),
     )
-    return src.unionByName(ser)
+    warc = q41_warc_extract(spark, sf_dir).select(
+        F.lit("warc").alias("gate"), "k", "v_s", nul_d.alias("v_d")
+    )
+    return src.unionByName(ser).unionByName(warc)
 
 
 # --------------------------------------------------------------------------
