@@ -68,6 +68,16 @@ QF_RULES = {
     "top_bigram_frac": (None, 0.12),
 }
 
+# Holdout layout for the d05 split sub-gate and the d03 'pipe'
+# composition — insertion order fixes the hash-threshold layout
+# (operators/sampling.hash_split).
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SAMPLE_FRAC = 0.25
+# d05 pack sub-gate layout (operators/packing.pack_sequences), shared
+# by the d03 'pipe' composition
+_PACK_MAX = 128
+_PACK_BUCKETS = 8
+
 
 # d01 (merged gate, r5/r6 driver-budget): token-count pipeline (ex-d01,
 # ref BASE_PIPELINE A1 shape) + per-doc quality scoring (ex-d02) + the
@@ -312,15 +322,75 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# d03 (merged gate, r5 driver-budget): the exact-dedup family — per-
+# d03 (merged gate, r5/r6 driver-budget): the exact-dedup family — per-
 # source dedup accounting (ex-d03), normalized-md5 fingerprint clusters
-# (ex-d04), and the exact pre-cluster canonical mapping (ex-d09,
+# (ex-d04), the exact pre-cluster canonical mapping (ex-d09,
 # operators/dedup.exact_precluster — the quadratic-bucket killer run
-# before sketch dedup).
+# before sketch dedup) — and, new in r6, the 'pipe' sub-gate: the
+# WHOLE corpus.prepare_corpus composition (quality filter -> exact
+# precluster -> MinHash -> component closure -> canonical -> hash split
+# -> sequence packing) run end-to-end through the one-call public API
+# and matched doc-for-doc by an analytic oracle. To keep the oracle
+# exact, the gate invocation sets minhash_threshold=1.01 (the sketch
+# stage runs for real but cannot emit pairs — its recall is separately
+# gated in e03) and pii=False (membership-preserving; detector totals
+# are gated in d05), so the surviving set is exactly "quality-kept docs
+# that are the min doc_id of their md5(text) group", and the packing
+# assignment follows d05's window arithmetic per (split, lane).
 @qdef(
     QUERIES,
     "d03_exact_dedup_family",
-    oracle="""
+    oracle=f"""
+    WITH pq AS (
+      SELECT doc_id, text, len(toks) AS nt,
+             CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+                                  x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+               / len(toks) AS sr
+      FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+      WHERE len(toks) > 0
+    ),
+    ptg AS (
+      SELECT doc_id, 2 * max(c) / nt AS tg
+      FROM (
+        SELECT doc_id, nt, g, count(*) AS c
+        FROM (
+          SELECT doc_id, len(toks) AS nt,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS g
+          FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+          WHERE len(toks) >= 2
+        )
+        GROUP BY doc_id, nt, g
+      )
+      GROUP BY doc_id, nt
+    ),
+    pkept AS (
+      SELECT doc_id, text FROM (
+        SELECT q.doc_id, q.text,
+               min(q.doc_id) OVER (PARTITION BY md5(q.text)) AS canon
+        FROM pq q JOIN ptg g ON q.doc_id = g.doc_id
+        WHERE q.nt >= 30 AND q.nt <= 100000
+          AND q.sr >= 0.02 AND g.tg <= 0.12
+      ) WHERE doc_id = canon
+    ),
+    ppk AS (
+      SELECT doc_id,
+             {split_case_sql(SPLIT_WEIGHTS, "doc_id")} AS s,
+             len({_SQL_TOKS}) AS nt,
+             md5('pack:' || CAST(doc_id AS STRING)) AS h
+      FROM pkept
+    ),
+    ppk2 AS (
+      SELECT doc_id, s,
+             CAST('0x' || substr(h, 1, 6) AS BIGINT) % {_PACK_BUCKETS} AS b,
+             sum(nt) OVER (
+               PARTITION BY s,
+                 CAST('0x' || substr(h, 1, 6) AS BIGINT) % {_PACK_BUCKETS}
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - nt AS st
+      FROM ppk
+    )
     SELECT 'stats' AS gate, source AS k,
            CAST(count(*) AS VARCHAR) || '|'
              || CAST(count(DISTINCT text) AS VARCHAR) || '|'
@@ -337,12 +407,21 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN text IS NULL THEN doc_id
                 ELSE min(doc_id) OVER (PARTITION BY md5(text)) END AS DOUBLE)
     FROM documents
+    UNION ALL
+    SELECT 'pipe', CAST(doc_id AS VARCHAR),
+           s || ':' || CAST(b AS VARCHAR)
+             || ':' || CAST(st // {_PACK_MAX} AS VARCHAR)
+             || ':' || CAST(st % {_PACK_MAX} AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM ppk2
     """,
-    doc="merged gate (r5 driver-budget): exact dedup accounting per "
+    doc="merged gate (r5/r6 driver-budget): exact dedup accounting per "
     "source (hash-groupBy, ex-d03) + normalized-text md5 fingerprint "
     "clusters w/ canonical doc (ref F6-style scrub + dedup, ex-d04) + "
     "exact pre-cluster canonical mapping (ex-d09; NULL texts stay their "
-    "own canonical)",
+    "own canonical) + the end-to-end prepare_corpus composition "
+    "(quality -> precluster -> sketch -> closure -> canonical -> split "
+    "-> pack through corpus.prepare_corpus; new in r6)",
 )
 def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.dedup import exact_precluster
@@ -376,6 +455,37 @@ def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v_s"),
         nul_d.alias("v_d"),
     )
+    # pipe sub-gate: the one-call public pipeline, end to end (see the
+    # gate comment for why threshold=1.01 / pii=False keep it exact).
+    # persist_clean=False: the gate contract releases only TRACKED
+    # persists between queries, so prepare_corpus's internal clean
+    # cache would leak across a 50-query sweep; at gate scale the
+    # closure's recompute of the quality scan is noise.
+    from data_governance_spark.corpus import prepare_corpus
+
+    res = prepare_corpus(
+        docs,
+        quality_rules=QF_RULES,
+        pii=False,
+        minhash_threshold=1.01,
+        split_weights=SPLIT_WEIGHTS,
+        max_tokens=_PACK_MAX,
+        num_buckets=_PACK_BUCKETS,
+        persist_clean=False,
+    )
+    pipe = res.packed.select(
+        F.lit("pipe").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws(
+            ":",
+            "split",
+            F.col("pack_bucket").cast("string"),
+            F.col("pack_id").cast("string"),
+            F.col("pack_offset").cast("string"),
+        ).alias("v_s"),
+        nul_d.alias("v_d"),
+    )
+
     _canonical, mapping = exact_precluster(
         docs, F.md5(F.encode(F.col("text"), "UTF-8"))
     )
@@ -385,19 +495,10 @@ def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_s.alias("v_s"),
         F.col("canon_id").cast("double").alias("v_d"),
     )
-    return stats.unionByName(fp).unionByName(pre)
+    return stats.unionByName(fp).unionByName(pre).unionByName(pipe)
 
 
 # --------------------------------------------------------------------------
-# Holdout layout for the d05 split sub-gate — insertion order fixes the
-# hash-threshold layout (operators/sampling.hash_split).
-SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
-SAMPLE_FRAC = 0.25
-# d05 pack sub-gate layout (operators/packing.pack_sequences)
-_PACK_MAX = 128
-_PACK_BUCKETS = 8
-
-
 def _marker_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
     return f"len(list_filter(toks, x -> x IN ({words})))"

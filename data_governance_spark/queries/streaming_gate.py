@@ -9,9 +9,11 @@ only: the streaming agg sums raw doubles and float summation order
 would hash-diverge between engines — q15, the batch twin, gates the
 decimal-cast sum).
 
-q48 (new in r5) — the custom stateful sessionizer
+q48 (new in r5; quad-schema compound since r6, adding the 'sdd'
+streaming-dedup sub-gate) — the custom stateful sessionizer
 (streaming/events.py sessionize_stream, applyInPandasWithState, append
-mode). Emission model under one availableNow drain (the snapshot is
+mode) plus dedup_stream (dropDuplicatesWithinWatermark) under the same
+staged source. Emission model under one availableNow drain (the snapshot is
 always a single data batch — see _staged_events): that batch runs at
 watermark 0 (nothing emitted, per-user state buffered,
 event-time timeout armed at last_event + gap); the trailing no-data
@@ -146,18 +148,28 @@ def q47_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id, wm_ms
       HAVING (epoch_us(max(ts)) + 1800000000) // 1000 < wm_ms
     )
-    SELECT s.user_id,
-           strftime(s.session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
-           strftime(s.session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
-           s.n_events
+    SELECT 'sess' AS gate, CAST(s.user_id AS VARCHAR) AS k,
+           strftime(s.session_start, '%Y-%m-%d %H:%M:%S') || '|'
+             || strftime(s.session_end, '%Y-%m-%d %H:%M:%S') || '|'
+             || CAST(s.n_events AS VARCHAR) AS v_s,
+           CAST(NULL AS DOUBLE) AS v_d
     FROM sess s JOIN fired f ON s.user_id = f.user_id
+    UNION ALL
+    SELECT 'sdd', CAST(user_id AS VARCHAR) || ':' || event_type,
+           CAST(NULL AS VARCHAR), 1.0
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
     """,
-    doc="streaming stateful sessionization (applyInPandasWithState, "
-    "event-time timeouts, append mode) == batch gap sessionization "
-    "restricted to watermark-closed users (q19's streaming twin)",
+    doc="merged gate (r6 driver-budget): streaming stateful "
+    "sessionization (applyInPandasWithState, event-time timeouts, "
+    "append mode) == batch gap sessionization restricted to "
+    "watermark-closed users (q19's streaming twin; sub-gate 'sess') + "
+    "streaming exact dedup (dropDuplicatesWithinWatermark over "
+    "(user_id, event_type) through a real availableNow drain — exactly "
+    "one surviving row per key; sub-gate 'sdd', new in r6)",
 )
 def q48_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.streaming.events import (
+        dedup_stream,
         read_event_stream,
         sessionize_stream,
     )
@@ -167,9 +179,35 @@ def q48_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
     name = f"q48_sessions_{uuid.uuid4().hex[:8]}"
     _drain(sessions, name, output_mode="append")
-    return spark.table(name).select(
-        "user_id",
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-        "n_events",
+    nul_d = F.lit(None).cast("double")
+    sess = spark.table(name).select(
+        F.lit("sess").alias("gate"),
+        F.col("user_id").cast("string").alias("k"),
+        F.concat_ws(
+            "|",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss"),
+            F.col("n_events").cast("string"),
+        ).alias("v_s"),
+        nul_d.alias("v_d"),
     )
+    # sdd: the dedup operator emits first-per-key rows in append mode;
+    # projecting just the key columns makes the check order-independent
+    # — a missed duplicate would surface as a repeated k in the
+    # row multiset
+    deduped = dedup_stream(
+        read_event_stream(spark, src).select("user_id", "event_type", "ts"),
+        ["user_id", "event_type"],
+        watermark="2 hours",
+    )
+    dname = f"q48_dedup_{uuid.uuid4().hex[:8]}"
+    _drain(deduped, dname, output_mode="append")
+    sdd = spark.table(dname).select(
+        F.lit("sdd").alias("gate"),
+        F.concat_ws(":", F.col("user_id").cast("string"), "event_type").alias(
+            "k"
+        ),
+        F.lit(None).cast("string").alias("v_s"),
+        F.lit(1.0).alias("v_d"),
+    )
+    return sess.unionByName(sdd)

@@ -90,3 +90,37 @@ class TestHtmlToText:
         )
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+def test_entity_form_consistency_named_decimal_hex(spark):
+    """Every typographic entity decodes identically in its named,
+    decimal and hex forms (ADVICE r5: the hex twins used to fall to
+    the word-splitting space fallback)."""
+    triples = [
+        ("&rsquo;", "&#8217;", "&#x2019;"),
+        ("&lsquo;", "&#8216;", "&#x2018;"),
+        ("&ldquo;", "&#8220;", "&#x201C;"),
+        ("&rdquo;", "&#8221;", "&#x201D;"),
+        ("&ndash;", "&#8211;", "&#x2013;"),
+        ("&mdash;", "&#8212;", "&#x2014;"),
+        ("&hellip;", "&#8230;", "&#x2026;"),
+        ("&#39;", "&apos;", "&#x27;"),
+        ("&quot;", "&#34;", "&#x22;"),
+        ("&amp;", "&#38;", "&#x26;"),
+    ]
+    rows = [
+        (f"{i}:{j}", f"word{e}word")
+        for i, t in enumerate(triples)
+        for j, e in enumerate(t)
+    ]
+    df = spark.createDataFrame(rows, "id string, html string")
+    got = {
+        r["id"]: r["t"]
+        for r in df.select("id", html_to_text("html").alias("t")).collect()
+    }
+    for i, t in enumerate(triples):
+        outs = {got[f"{i}:{j}"] for j in range(3)}
+        assert len(outs) == 1, (t, outs)
+        out = outs.pop()
+        # decodes to a joined word (no space split), never stays raw
+        assert " " not in out and "&" not in out or t[0] == "&amp;", (t, out)

@@ -145,3 +145,70 @@ class TestReviewRegressions:
         p.write_bytes((rec("http://a", "text a") + rec("http://b", "text b")).encode())
         ids = [r["doc_id"] for r in warc_documents(spark, str(p)).collect()]
         assert len(ids) == 2 and len(set(ids)) == 2
+
+
+class TestFalseSplitResilience:
+    """The documented lineSep limitation (warc.py:41-44): a payload
+    containing the literal record marker false-splits that record.
+    Pin the failure MODE — truncation of the poisoned record, zero
+    collateral damage, no bogus typed records — so the docstring's
+    claim stays true under change."""
+
+    def test_marker_in_payload_truncates_only_that_record(
+        self, spark, tmp_path
+    ):
+        txt = (
+            _rec("conversion", "http://x.org/ok", "k1", "clean text one")
+            + _rec(
+                "conversion", "http://x.org/poison", "k2",
+                "discusses the WARC/1.0\r\nformat spec at length",
+            )
+            + _rec("conversion", "http://x.org/ok2", "k3", "clean text two")
+        )
+        p = tmp_path / "poison.warc"
+        p.write_bytes(txt.encode())
+        rows = {
+            r["record_id"]: r for r in read_warc(spark, str(p)).collect()
+        }
+        # neighbors intact, byte for byte
+        assert rows["<urn:uuid:k1>"]["payload"] == "clean text one"
+        assert rows["<urn:uuid:k3>"]["payload"] == "clean text two"
+        # the poisoned record survives truncated at the marker
+        assert rows["<urn:uuid:k2>"]["payload"].startswith("discusses the")
+        assert "format spec" not in rows["<urn:uuid:k2>"]["payload"]
+        # the split-off fragment has no WARC headers -> dropped, so no
+        # bogus extra document appears
+        assert warc_documents(spark, str(p)).count() == 3
+
+    def test_random_clean_payloads_roundtrip_exactly(self, spark, tmp_path):
+        # seeded fuzz: payloads over a nasty alphabet (CR/LF, colons,
+        # angle brackets, partial markers like 'WARC/' and 'HTTP/x')
+        # that do NOT contain the full marker must round-trip exactly
+        import random
+
+        rng = random.Random(20260814)
+        frags = [
+            "WARC", "WARC/", "ARC/1.0", "HTTP/9 ", "a: b", "<doc>",
+            "text ", "\r\n", ": ", "x",
+        ]
+        payloads = []
+        for i in range(25):
+            s = "".join(rng.choice(frags) for _ in range(rng.randrange(1, 12)))
+            s = s.replace("WARC/1.", "WARC_1.")  # keep marker-free
+            # trailing CR/LF is framing-ambiguous by design (read_warc
+            # strips it); leading header-shaped lines before \r\n\r\n
+            # would legitimately parse as headers — normalize both away
+            s = s.strip("\r\n")
+            payloads.append(s if s else f"p{i}")
+        txt = "".join(
+            _rec("conversion", f"http://x.org/{i}", f"f{i}", s)
+            for i, s in enumerate(payloads)
+        )
+        p = tmp_path / "fuzz.warc"
+        p.write_bytes(txt.encode())
+        got = {
+            r["record_id"]: r["payload"]
+            for r in read_warc(spark, str(p)).collect()
+        }
+        for i, s in enumerate(payloads):
+            assert got[f"<urn:uuid:f{i}>"] == s, (i, s)
