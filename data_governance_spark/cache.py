@@ -35,3 +35,31 @@ def release_caches() -> int:
         except Exception:
             pass  # session may be stopped; nothing to release
     return n
+
+
+def tracked_mark() -> int:
+    """Position marker for ``tracked_since`` — call before an operator
+    chain to scope its internal persists (single-threaded driver
+    assumption, same as the rest of this module)."""
+    return len(_TRACKED)
+
+
+def tracked_since(mark: int) -> list[DataFrame]:
+    """The DataFrames tracked_persist'ed since ``mark``."""
+    return list(_TRACKED[mark:])
+
+
+def release_tracked(dfs: list[DataFrame]) -> int:
+    """Unpersist exactly ``dfs`` and drop them from the registry —
+    the scoped alternative to the global ``release_caches`` when other
+    tracked caches must stay live. Identity-based removal: DataFrame
+    ``==`` builds a Column, so list.remove/`in` must not be used."""
+    n = 0
+    for df in dfs:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    _TRACKED[:] = [t for t in _TRACKED if not any(t is d for d in dfs)]
+    return n

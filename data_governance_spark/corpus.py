@@ -24,10 +24,11 @@ html_to_text + the quality signals + the PII regexes from the raw
 scan. The dedup stage ALSO caches internally (``minhash_dedup_pairs``
 tracked-persists its signature DataFrame). The caller owns the
 release: call ``result.release()`` when done — it unpersists ``clean``
-AND drains ``cache.release_caches()`` so repeated invocations on a
-long-lived session don't accumulate persisted RDDs. (Or pass
-``persist_clean=False`` and manage ``cache.release_caches()``
-yourself.)
+and exactly the tracked persists THIS run created (captured via
+``cache.tracked_mark``/``tracked_since``), so repeated invocations on
+a long-lived session don't accumulate persisted RDDs and concurrent
+results' caches stay untouched. (Or pass ``persist_clean=False`` and
+manage ``cache.release_caches()`` yourself.)
 """
 
 from __future__ import annotations
@@ -64,20 +65,24 @@ class CorpusResult:
     kept: DataFrame  # one canonical survivor per dup cluster
     split: DataFrame  # kept + 'split' assignment column
     packed: DataFrame  # (split, doc, pack_bucket, pack_id, pack_offset)
+    _caches: list[DataFrame] | None = None  # this run's tracked persists
 
     def release(self) -> None:
-        """Release every cache this pipeline run created: the
-        ``clean`` persist AND the operator-internal tracked persists
-        (the MinHash signature DataFrame). Call after the terminal
-        action; re-evaluating the stage DataFrames afterwards stays
-        correct, just uncached."""
-        from data_governance_spark.cache import release_caches
+        """Release the caches THIS run created — the ``clean`` persist
+        and the operator-internal tracked persists captured during the
+        call (the MinHash signature DataFrame) — leaving other runs' and
+        operators' caches alone. Call after the terminal action;
+        re-evaluating the stage DataFrames afterwards stays correct,
+        just uncached."""
+        from data_governance_spark.cache import release_tracked
 
         try:
             self.clean.unpersist()
         except Exception:
             pass  # session stopped; nothing to release
-        release_caches()
+        if self._caches:
+            release_tracked(self._caches)
+            self._caches = []
 
 
 def prepare_corpus(
@@ -105,6 +110,9 @@ def prepare_corpus(
     items the boundary-guarded patterns miss in one pass (see
     operators/pii.redact_pii).
     """
+    from data_governance_spark.cache import tracked_mark, tracked_since
+
+    mark = tracked_mark()
     if html:
         docs = docs.withColumn(text_col, html_to_text(text_col))
     filtered = filter_corpus(docs, quality_rules, text_col=text_col)
@@ -149,5 +157,10 @@ def prepare_corpus(
         partition_cols=["split"],
     )
     return CorpusResult(
-        clean=clean, dup_pairs=dup_pairs, kept=kept, split=split, packed=packed
+        clean=clean,
+        dup_pairs=dup_pairs,
+        kept=kept,
+        split=split,
+        packed=packed,
+        _caches=tracked_since(mark),
     )

@@ -105,9 +105,10 @@ def html_to_text(col: Column | str) -> Column:
     # '&#38;amp;'
     c = F.replace(c, F.lit("&#38;"), F.lit("&amp;"))
     c = F.regexp_replace(c, r"(?i)&#x26;", "&amp;")
-    # numeric entities (decimal + hex), then '&amp;' strictly last
+    # numeric entities (decimal + hex, any case like the known set),
+    # then '&amp;' strictly last
     c = F.regexp_replace(c, r"&#\d{2,6};", " ")
-    c = F.regexp_replace(c, r"&#x[0-9a-fA-F]{2,6};", " ")
+    c = F.regexp_replace(c, r"(?i)&#x[0-9a-f]{2,6};", " ")
     c = F.replace(c, F.lit("&amp;"), F.lit("&"))
     # per-line space collapse, then blank-line collapse
     c = F.regexp_replace(c, r"[ \t\r\f]+", " ")

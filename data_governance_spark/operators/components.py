@@ -72,6 +72,8 @@ def _star_components(pairs: DataFrame, max_rounds: int = 100) -> DataFrame:
     """
     pairs = pairs.localCheckpoint()
     n_prev = pairs.count()
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     for _ in range(max_rounds):
         # ---- large-star: m(u) over the full (symmetric) neighborhood
         sym = pairs.union(
@@ -109,9 +111,12 @@ def _star_components(pairs: DataFrame, max_rounds: int = 100) -> DataFrame:
             break
     else:
         raise RuntimeError(
-            f"star algorithm did not converge in {max_rounds} rounds — "
-            "beyond its proven O(log^2 n) bound; the edge list is "
-            "likely being mutated under the loop"
+            f"star algorithm did not converge in {max_rounds} rounds. "
+            "Observed behavior is ~2 log2(n) rounds (the proven worst "
+            "case is O(log^2 n), which can exceed this default on "
+            "enormous adversarial graphs) — raise star_max_rounds on "
+            "connected_components, or check whether the edge input is "
+            "nondeterministic across re-evaluations"
         )
     # star forest: every hi node has exactly one lo neighbor = its root
     return pairs.select(
@@ -129,6 +134,7 @@ def connected_components(
     node_col: str | Column | None = None,
     max_iter: int = 25,
     algorithm: str = "auto",
+    star_max_rounds: int = 100,
 ) -> DataFrame:
     """Return ``(id, component)``: each node labeled with the minimum
     node id reachable from it (undirected).  ``edges`` rows with a NULL
@@ -149,6 +155,9 @@ def connected_components(
     converge (a high-diameter graph); ``"star"`` goes straight to the
     star algorithm; ``"label"`` restores the raise-on-non-convergence
     behavior for callers that would rather fail than pay the fallback.
+    ``star_max_rounds`` bounds the star loop (default 100 ≈ far beyond
+    the ~2 log2(n) rounds observed in practice; raise it for enormous
+    adversarial graphs where the O(log^2 n) worst case could bite).
     """
     if algorithm not in ("auto", "label", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
@@ -174,7 +183,7 @@ def connected_components(
         """Star-forest labels over e's canonical pairs, extended with
         self-labels for the isolated universe nodes."""
         star = _star_components(
-            e.filter(F.col("s") < F.col("d"))
+            e.filter(F.col("s") < F.col("d")), max_rounds=star_max_rounds
         ).withColumnRenamed("comp", "_star_comp")
         return seed.select("id").join(star, "id", "left").select(
             "id", F.coalesce(F.col("_star_comp"), F.col("id")).alias("comp")

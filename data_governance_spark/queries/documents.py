@@ -68,6 +68,48 @@ QF_RULES = {
     "top_bigram_frac": (None, 0.12),
 }
 
+# Shared oracle fragments for the quality-filter decision, derived
+# FROM QF_RULES so the thresholds live in exactly one place (used by
+# both the d01 'qf' and d03 'pipe' sub-gates). _QSIG_SQL yields
+# (doc_id, text, nt, sr) per non-empty doc with the engine's
+# lowercased stopword probe; _QTG_SQL yields the per-doc top-bigram
+# coverage, unrounded like the engine's predicate input.
+_QSIG_SQL = f"""
+      SELECT doc_id, text, len(toks) AS nt,
+             CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+                                  x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+               / len(toks) AS sr
+      FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+      WHERE len(toks) > 0
+"""
+_QTG_SQL = f"""
+      SELECT doc_id, 2 * max(c) / nt AS tg
+      FROM (
+        SELECT doc_id, nt, g, count(*) AS c
+        FROM (
+          SELECT doc_id, len(toks) AS nt,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS g
+          FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+          WHERE len(toks) >= 2
+        )
+        GROUP BY doc_id, nt, g
+      )
+      GROUP BY doc_id, nt
+"""
+
+
+def _qf_pred_sql(nt: str, sr: str, tg: str) -> str:
+    """The QF_RULES keep-predicate over the given signal column refs."""
+    lo, hi = QF_RULES["n_tokens"]
+    sr_lo = QF_RULES["stopword_ratio"][0]
+    tg_hi = QF_RULES["top_bigram_frac"][1]
+    return (
+        f"{nt} >= {lo} AND {nt} <= {hi} AND {sr} >= {sr_lo} "
+        f"AND {tg} <= {tg_hi}"
+    )
+
+
 # Holdout layout for the d05 split sub-gate and the d03 'pipe'
 # composition — insertion order fixes the hash-threshold layout
 # (operators/sampling.hash_split).
@@ -181,29 +223,8 @@ _PACK_BUCKETS = 8
       )
       GROUP BY doc_id
     ),
-    qfs AS (
-      SELECT doc_id, len(toks) AS nt,
-             CAST(len(list_filter(list_transform(toks, x -> lower(x)),
-                                  x -> x IN ({_STOP_SQL}))) AS DOUBLE)
-               / len(toks) AS sr
-      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
-      WHERE len(toks) > 0
-    ),
-    qfg AS (
-      SELECT doc_id, 2 * max(c) / nt AS tg
-      FROM (
-        SELECT doc_id, nt, g, count(*) AS c
-        FROM (
-          SELECT doc_id, len(toks) AS nt,
-                 unnest(list_transform(range(1, len(toks)),
-                                       i -> toks[i] || ' ' || toks[i + 1])) AS g
-          FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
-          WHERE len(toks) >= 2
-        )
-        GROUP BY doc_id, nt, g
-      )
-      GROUP BY doc_id, nt
-    )
+    qfs AS ({_QSIG_SQL}),
+    qfg AS ({_QTG_SQL})
     SELECT 'tok' AS gate, lang || '~' || token AS k,
            CAST(NULL AS VARCHAR) AS v_s, CAST(n AS DOUBLE) AS v_d FROM tok
     UNION ALL
@@ -223,7 +244,7 @@ _PACK_BUCKETS = 8
     UNION ALL
     SELECT 'qf', CAST(s.doc_id AS VARCHAR), CAST(NULL AS VARCHAR), 1.0
     FROM qfs s JOIN qfg g ON s.doc_id = g.doc_id
-    WHERE s.nt >= 30 AND s.nt <= 100000 AND s.sr >= 0.02 AND g.tg <= 0.12
+    WHERE {_qf_pred_sql("s.nt", "s.sr", "g.tg")}
     """,
     doc="merged gate (r5/r6 driver-budget): explode tokens -> grouped "
     "count per (lang, token) (ref BASE_PIPELINE A1 shape, ex-d01) + "
@@ -341,36 +362,14 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUERIES,
     "d03_exact_dedup_family",
     oracle=f"""
-    WITH pq AS (
-      SELECT doc_id, text, len(toks) AS nt,
-             CAST(len(list_filter(list_transform(toks, x -> lower(x)),
-                                  x -> x IN ({_STOP_SQL}))) AS DOUBLE)
-               / len(toks) AS sr
-      FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
-      WHERE len(toks) > 0
-    ),
-    ptg AS (
-      SELECT doc_id, 2 * max(c) / nt AS tg
-      FROM (
-        SELECT doc_id, nt, g, count(*) AS c
-        FROM (
-          SELECT doc_id, len(toks) AS nt,
-                 unnest(list_transform(range(1, len(toks)),
-                                       i -> toks[i] || ' ' || toks[i + 1])) AS g
-          FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
-          WHERE len(toks) >= 2
-        )
-        GROUP BY doc_id, nt, g
-      )
-      GROUP BY doc_id, nt
-    ),
+    WITH pq AS ({_QSIG_SQL}),
+    ptg AS ({_QTG_SQL}),
     pkept AS (
       SELECT doc_id, text FROM (
         SELECT q.doc_id, q.text,
                min(q.doc_id) OVER (PARTITION BY md5(q.text)) AS canon
         FROM pq q JOIN ptg g ON q.doc_id = g.doc_id
-        WHERE q.nt >= 30 AND q.nt <= 100000
-          AND q.sr >= 0.02 AND g.tg <= 0.12
+        WHERE {_qf_pred_sql("q.nt", "q.sr", "g.tg")}
       ) WHERE doc_id = canon
     ),
     ppk AS (

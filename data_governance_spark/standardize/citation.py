@@ -6,6 +6,8 @@ as pure column expression trees (no UDFs; punctuation is bug-for-bug).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -206,33 +208,46 @@ def fo_from(df_cols) -> Column:
 # py4j round-trips (measured; lo ~0.5 s) and the standard invocation —
 # unresolved F.col references over the canonical field names — is
 # identical everywhere it appears (transform.standardize, the q23/q36
-# gates), so build it once per JVM. Keyed by the active SparkContext:
-# a Column wraps a JVM object, so a stopped+restarted context must not
-# serve a stale tree.
-_STD_TREE_CACHE: dict[tuple, Column] = {}
+# gates), so build it once per SparkContext. The store is a
+# WeakKeyDictionary keyed by the context OBJECT (a Column wraps a JVM
+# handle): entries die with their context, so a stopped+restarted
+# context can neither serve a stale tree via a recycled object address
+# (the id()-keyed design's failure mode) nor accumulate dead entries.
+_PER_CONTEXT = weakref.WeakKeyDictionary()
 
 
-def _ctx_key():
+def per_context_cache() -> dict:
+    """The expression-tree memo dict scoped to the active SparkContext
+    (shared with transform.py's wide-select cache). Returns a throwaway
+    dict when no context is active — building a Column would fail there
+    anyway, so nothing cacheable can arise."""
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
-    return id(sc) if sc is not None else None
+    if sc is None:
+        return {}
+    cache = _PER_CONTEXT.get(sc)
+    if cache is None:
+        cache = {}
+        _PER_CONTEXT[sc] = cache
+    return cache
 
 
 def fo_standard() -> Column:
-    """``fo`` over the standard FO_FIELDS names, memoized per JVM."""
-    key = ("fo", _ctx_key())
-    if key not in _STD_TREE_CACHE:
-        _STD_TREE_CACHE[key] = fo({name: F.col(name) for name in FO_FIELDS})
-    return _STD_TREE_CACHE[key]
+    """``fo`` over the standard FO_FIELDS names, memoized per context."""
+    cache = per_context_cache()
+    if "fo" not in cache:
+        cache["fo"] = fo({name: F.col(name) for name in FO_FIELDS})
+    return cache["fo"]
 
 
 def lo_standard() -> Column:
-    """``lo`` over the standard call_number column, memoized per JVM."""
-    key = ("lo", _ctx_key())
-    if key not in _STD_TREE_CACHE:
-        _STD_TREE_CACHE[key] = lo(F.col("call_number"))
-    return _STD_TREE_CACHE[key]
+    """``lo`` over the standard call_number column, memoized per
+    context."""
+    cache = per_context_cache()
+    if "lo" not in cache:
+        cache["lo"] = lo(F.col("call_number"))
+    return cache["lo"]
 
 
 # --------------------------------------------------------------------------

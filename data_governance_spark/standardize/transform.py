@@ -23,9 +23,9 @@ from pyspark.sql import functions as F
 from data_governance_spark.standardize import fields as X
 from data_governance_spark.standardize import joins as J
 from data_governance_spark.standardize.citation import (
-    _ctx_key,
     fo_standard,
     lo_standard,
+    per_context_cache,
 )
 
 AUTHOR_PRIORITY = (
@@ -92,14 +92,15 @@ def standardize(
 # current_year — every reference is an unresolved F.col. Building it
 # costs ~4 s of py4j round-trips (fo alone 2.5 s), paid per
 # standardize() call without this cache (VERDICT r5 #4: the q36 gate's
-# dominant cost). Keyed per JVM like citation._STD_TREE_CACHE.
-_WIDE_SELECT_CACHE: dict[tuple, list] = {}
+# dominant cost). Stored in citation.per_context_cache() — scoped to
+# the live SparkContext object, so stale trees can't outlive it.
 
 
 def _wide_select_cols(current_year: int) -> list:
-    key = (_ctx_key(), current_year)
-    if key in _WIDE_SELECT_CACHE:
-        return _WIDE_SELECT_CACHE[key]
+    store = per_context_cache()
+    key = ("wide_select", current_year)
+    if key in store:
+        return store[key]
 
     id_value = X.doc_id(F.col("id"), F.col("LILACS_original_id"))
     descritores = X.descritores_locais(F.col("local_descriptors"))
@@ -224,5 +225,5 @@ def _wide_select_cols(current_year: int) -> list:
         fo_standard().alias("fo"),
         lo_standard().alias("lo"),
     ]
-    _WIDE_SELECT_CACHE[key] = cols
+    store[key] = cols
     return cols

@@ -10,6 +10,7 @@ without touching query code.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,20 +32,26 @@ TABLE_NAMES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
-# Sessions whose events-path confs are already pinned (keyed by the
-# session object id — one entry per live session). spark.conf.set is an
-# RPC; paying it twice per table() call on every invocation measurably
-# drags hot sweep queries (q18 drifted 0.84 s -> 1.50 s when the pair
-# was added in r5), so pin once per session instead.
-_EVENTS_CONF_PINNED: set[int] = set()
+# Sessions whose events-path confs are already pinned. spark.conf.set
+# is an RPC; paying it twice per table() call on every invocation
+# measurably drags hot sweep queries (q18 drifted 0.84 s -> 1.50 s when
+# the pair was added in r5), so pin once per session instead. A WeakSet
+# (identity-hashed, entries die with the session) rather than an
+# id()-keyed set: a recycled object address must not make a NEW session
+# skip its pinning. Known trade (documented at the call site): a caller
+# that mutates these confs after the first events read keeps its
+# mutation — the per-call re-pin this replaces would have silently
+# reverted it, neither behavior can satisfy both callers, and the
+# engine's contract is UTC anyway.
+_EVENTS_CONF_PINNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def _pin_events_confs(spark: SparkSession) -> None:
-    if id(spark) in _EVENTS_CONF_PINNED:
+    if spark in _EVENTS_CONF_PINNED:
         return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    _EVENTS_CONF_PINNED.add(id(spark))
+    _EVENTS_CONF_PINNED.add(spark)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

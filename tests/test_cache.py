@@ -31,3 +31,28 @@ def test_query_sweep_leaves_no_storage(spark):
         QUERIES[name].fn(spark, SF).write.format("noop").mode("overwrite").save()
     release_caches()
     assert _cache_empty(spark), "tracked persists survived the sweep"
+
+
+def test_scoped_release_leaves_other_caches_alone(spark):
+    """release_tracked (the CorpusResult.release path) must unpersist
+    exactly its own slice of the registry — a concurrent result's
+    caches stay live (r6 review finding)."""
+    from data_governance_spark.cache import (
+        release_tracked,
+        tracked_mark,
+        tracked_since,
+    )
+
+    release_caches()
+    other = tracked_persist(spark.range(5))
+    other.count()
+    mark = tracked_mark()
+    mine = tracked_persist(spark.range(7))
+    mine.count()
+    slice_ = tracked_since(mark)
+    assert len(slice_) == 1 and slice_[0] is mine
+    assert release_tracked(slice_) == 1
+    # 'other' is still tracked AND still cached
+    assert other.storageLevel.useMemory
+    assert not mine.storageLevel.useMemory
+    assert release_caches() == 1  # only 'other' remained
