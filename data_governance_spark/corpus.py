@@ -122,7 +122,13 @@ def prepare_corpus(
         else filtered
     )
     if persist_clean:
-        clean = clean.persist()
+        # tracked: lands in result._caches (scoped release) AND in the
+        # global registry, so registry-driven sweeps (bench, the
+        # correctness gate) release it between queries like every other
+        # operator-internal cache
+        from data_governance_spark.cache import tracked_persist
+
+        clean = tracked_persist(clean)
 
     canonical, mapping = exact_precluster(
         clean, F.md5(text_col), id_col=id_col

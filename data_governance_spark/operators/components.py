@@ -168,6 +168,13 @@ def connected_components(
     # symmetrize + dedup once; reused every round
     e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     e = e.persist()
+    # materialize the cache NOW: the edge lineage is typically the
+    # expensive part (a sketch band-join feeding the pairs), and the
+    # universe below reads e — without this eager count the first
+    # consumer computes the full lineage BYPASSING the still-cold cache
+    # and the first round pays it again (measured: ~2x the sketch cost
+    # inside the d03 'pipe' gate)
+    e.count()
 
     universe = e.select(F.col("s").alias("id"))
     if nodes is not None:

@@ -456,10 +456,10 @@ def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pipe sub-gate: the one-call public pipeline, end to end (see the
     # gate comment for why threshold=1.01 / pii=False keep it exact).
-    # persist_clean=False: the gate contract releases only TRACKED
-    # persists between queries, so prepare_corpus's internal clean
-    # cache would leak across a 50-query sweep; at gate scale the
-    # closure's recompute of the quality scan is noise.
+    # persist_clean=True is a TRACKED persist, so the registry releases
+    # it between queries; without it every closure round recomputes the
+    # HOF-heavy quality signals from the scan (measured 2 s -> 18.7 s
+    # on this gate at sf0.1).
     from data_governance_spark.corpus import prepare_corpus
 
     res = prepare_corpus(
@@ -470,7 +470,6 @@ def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_weights=SPLIT_WEIGHTS,
         max_tokens=_PACK_MAX,
         num_buckets=_PACK_BUCKETS,
-        persist_clean=False,
     )
     pipe = res.packed.select(
         F.lit("pipe").alias("gate"),
