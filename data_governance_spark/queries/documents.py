@@ -907,6 +907,14 @@ def d07_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _RARE_DF = 5
 _JACCARD_MIN = 0.05
+# Decontamination sub-gate layout: the synthetic "benchmark" is the
+# first _DECON_PREFIX tokens of every doc_id % _DECON_MOD == 0 doc with
+# at least that many tokens — so the benchmark-source docs (and their
+# exact duplicates) are contaminated by construction while unrelated
+# docs stay clean, and the oracle restates the overlap analytically.
+_DECON_N = 13
+_DECON_PREFIX = 20
+_DECON_MOD = 7
 
 
 @qdef(
@@ -934,16 +942,44 @@ _JACCARD_MIN = 0.05
       JOIN rare r ON a.shingle = r.shingle
       JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+    ),
+    bt AS (
+      SELECT t[1:{_DECON_PREFIX}] AS bt FROM toks
+      WHERE doc_id % {_DECON_MOD} = 0 AND len(t) >= {_DECON_PREFIX}
+    ),
+    bg AS (
+      SELECT DISTINCT unnest(list_transform(
+               range(1, len(bt) - {_DECON_N - 2}),
+               i -> array_to_string(bt[i:i+{_DECON_N - 1}], ' '))) AS gram
+      FROM bt
+    ),
+    cg AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(t) - {_DECON_N - 2}),
+                 i -> array_to_string(t[i:i+{_DECON_N - 1}], ' '))) AS gram
+        FROM toks WHERE len(t) >= {_DECON_N}
+      )
     )
-    SELECT p.doc_a, p.doc_b,
-           round(p.inter / (sa.n + sb.n - p.inter), 4) AS jaccard
+    SELECT 'pairs' AS gate,
+           CAST(p.doc_a AS VARCHAR) || ':' || CAST(p.doc_b AS VARCHAR) AS k,
+           CAST(NULL AS VARCHAR) AS v_s,
+           round(p.inter / (sa.n + sb.n - p.inter), 4) AS v_d
     FROM pairs p
     JOIN sizes sa ON p.doc_a = sa.doc_id
     JOIN sizes sb ON p.doc_b = sb.doc_id
     WHERE p.inter / (sa.n + sb.n - p.inter) >= {_JACCARD_MIN}
+    UNION ALL
+    SELECT 'decon', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(count(*) AS DOUBLE)
+    FROM cg JOIN bg USING (gram) GROUP BY doc_id
     """,
-    doc="n-gram Jaccard near-dup pairs with rare-shingle candidate pruning "
-    f"(df<={_RARE_DF}): the O(df^2) pair blow-up killer at scale",
+    doc="merged gate (r6 driver-budget): n-gram Jaccard near-dup pairs "
+    f"with rare-shingle candidate pruning (df<={_RARE_DF}, the O(df^2) "
+    "pair blow-up killer at scale; ex-d06) + benchmark decontamination "
+    f"({_DECON_N}-gram overlap hit counts vs a synthesized eval set, "
+    "operators/decontam.py; new in r6)",
 )
 def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -990,12 +1026,36 @@ def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
-    return (
+    pair_rows = (
         pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= _JACCARD_MIN)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select(
+            F.lit("pairs").alias("gate"),
+            F.concat_ws(
+                ":", F.col("doc_a").cast("string"), F.col("doc_b").cast("string")
+            ).alias("k"),
+            F.lit(None).cast("string").alias("v_s"),
+            F.round(jac, 4).alias("v_d"),
+        )
     )
+    # decon sub-gate: the real operator over the synthesized benchmark
+    # (first _DECON_PREFIX tokens of every doc_id%_DECON_MOD==0 doc)
+    from data_governance_spark.operators.decontam import contaminated_ids
+
+    bench = toks.filter(
+        (F.col("doc_id") % _DECON_MOD == 0)
+        & (F.size("toks") >= _DECON_PREFIX)
+    ).select(
+        F.concat_ws(" ", F.slice("toks", 1, _DECON_PREFIX)).alias("text")
+    )
+    decon = contaminated_ids(docs, bench, n=_DECON_N).select(
+        F.lit("decon").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.lit(None).cast("string").alias("v_s"),
+        F.col("hits").cast("double").alias("v_d"),
+    )
+    return pair_rows.unionByName(decon)
 
 
 # --------------------------------------------------------------------------

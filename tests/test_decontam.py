@@ -1,0 +1,94 @@
+"""Benchmark decontamination (operators/decontam.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_governance_spark.operators.decontam import (
+    benchmark_ngrams,
+    contaminated_ids,
+    decontaminate,
+)
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "a completely different document about spark engines"),
+            (3, "prefix words then the quick brown fox jumps over the lazy dog today"),
+            (4, "quick brown fox"),  # shorter than n -> never flagged
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog today ok",)],
+        "text string",
+    )
+
+
+def test_overlap_flags_and_counts(spark):
+    got = {
+        r["doc_id"]: r["hits"]
+        for r in contaminated_ids(_corpus(spark), _bench(spark), n=10).collect()
+    }
+    # doc 1: its single 10-gram is the benchmark prefix -> 1 hit
+    # doc 3: contains the same 10-gram run shifted -> 1 hit
+    # doc 2: disjoint; doc 4: < n tokens, no grams
+    assert got == {1: 1, 3: 1}
+
+
+def test_min_hits_threshold(spark):
+    assert (
+        contaminated_ids(_corpus(spark), _bench(spark), n=10, min_hits=2).count()
+        == 0
+    )
+
+
+def test_decontaminate_removes_only_flagged(spark):
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(_corpus(spark), _bench(spark), n=10).collect()
+    )
+    assert kept == [2, 4]
+
+
+def test_short_docs_and_short_benchmark_emit_no_grams(spark):
+    short_bench = spark.createDataFrame(
+        [("quick brown fox",)], "text string"
+    )
+    assert benchmark_ngrams(short_bench, n=10).count() == 0
+    # doc 4 is identical to the benchmark text but both are < n tokens
+    assert contaminated_ids(_corpus(spark), short_bench, n=10).count() == 0
+
+
+def test_hit_count_is_distinct_grams(spark):
+    # a doc repeating the contaminated run counts each DISTINCT gram
+    # once, not per occurrence
+    corpus = spark.createDataFrame(
+        [(9, "one two three four five one two three four five")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("one two three four five",)], "text string"
+    )
+    got = contaminated_ids(corpus, bench, n=5).collect()
+    assert len(got) == 1 and got[0]["hits"] == 1
+
+
+def test_plan_broadcasts_benchmark(spark):
+    plan = (
+        contaminated_ids(_corpus(spark), _bench(spark), n=10)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    # the gram match must be a broadcast join — the corpus side never
+    # shuffles on gram keys
+    assert "BroadcastHashJoin" in plan
