@@ -5,7 +5,7 @@ every published web-corpus pipeline uses them — cheapest and most
 selective first, shuffle-bearing stages only after the row count has
 been cut down:
 
-    [html_to_text] -> quality filter -> PII redaction
+    [html_to_text] -> quality filter -> [decontamination] -> PII redaction
     -> exact precluster -> MinHash near-dup -> component closure
     -> canonical selection -> holdout split -> sequence packing
 
@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from data_governance_spark.functions.html import html_to_text
 from data_governance_spark.functions.text import tokens, word_shingles
+from data_governance_spark.operators.decontam import decontaminate
 from data_governance_spark.operators.components import (
     connected_components,
     keep_canonical,
@@ -91,6 +92,8 @@ def prepare_corpus(
     text_col: str = "text",
     html: bool = False,
     quality_rules: dict | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 13,
     pii: bool = True,
     pii_passes: int = 2,
     shingle_n: int = 3,
@@ -108,7 +111,10 @@ def prepare_corpus(
     ``partition_cols=[split]`` so no pack mixes holdout splits.
     ``pii_passes`` defaults to 2 — the second pass catches adjacent
     items the boundary-guarded patterns miss in one pass (see
-    operators/pii.redact_pii).
+    operators/pii.redact_pii). ``benchmark`` (optional) drops documents
+    sharing a ``decontam_n``-token gram with the eval set
+    (operators/decontam.py), after the quality cut and before PII
+    redaction.
     """
     from data_governance_spark.cache import tracked_mark, tracked_since
 
@@ -116,6 +122,14 @@ def prepare_corpus(
     if html:
         docs = docs.withColumn(text_col, html_to_text(text_col))
     filtered = filter_corpus(docs, quality_rules, text_col=text_col)
+    if benchmark is not None:
+        # decontaminate AFTER the quality cut (fewer docs to gram) and
+        # BEFORE PII redaction (placeholders must not mask an overlap
+        # with the raw eval text)
+        filtered = decontaminate(
+            filtered, benchmark, n=decontam_n,
+            id_col=id_col, text_col=text_col,
+        )
     clean = (
         redact_pii(filtered, text_col=text_col, passes=pii_passes)
         if pii

@@ -155,3 +155,24 @@ class TestPrepareCorpusOptions:
             docs, html=True, pii=True, persist_clean=False
         ).clean.first()["text"]
         assert "<EMAIL>" in no_pii
+
+    def test_benchmark_decontamination(self, spark):
+        from data_governance_spark.corpus import prepare_corpus
+
+        def text(i, tail=""):
+            return " ".join(
+                ["the", "of"] + [f"w{i}x{j}" for j in range(58)]
+            ) + tail
+
+        docs = spark.createDataFrame(
+            [(i, text(i)) for i in range(6)], "doc_id long, text string"
+        )
+        # benchmark = a 13-token slice of doc 2's text
+        bench = spark.createDataFrame(
+            [(" ".join(text(2).split()[10:23]),)], "text string"
+        )
+        r = prepare_corpus(
+            docs, benchmark=bench, pii=False, persist_clean=False
+        )
+        kept = sorted(row["doc_id"] for row in r.kept.collect())
+        assert kept == [0, 1, 3, 4, 5]  # doc 2 decontaminated away
