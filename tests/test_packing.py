@@ -192,6 +192,37 @@ class TestWritePacked:
             assert triples == sorted(triples), f
 
 
+    def test_lanes_never_split_and_num_files_controls_width(
+        self, spark, corpus, tmp_path
+    ):
+        """ADVICE r5: files hold one-or-more WHOLE lanes; write width
+        defaults to the lane count and num_files overrides it."""
+        import glob as g
+
+        from pyspark.sql import functions as F
+
+        from data_governance_spark.operators.packing import write_packed
+
+        assigned = pack_sequences(corpus, max_tokens=100, num_buckets=6)
+        out = str(tmp_path / "lanes")
+        write_packed(assigned, out)  # default: distinct lane count (6)
+        files = g.glob(out + "/part-*.parquet")
+        assert 0 < len(files) <= 6
+        got = spark.read.parquet(out).select(
+            "pack_bucket", F.input_file_name().alias("f")
+        )
+        per_lane = (
+            got.groupBy("pack_bucket")
+            .agg(F.countDistinct("f").alias("nf"))
+            .collect()
+        )
+        assert all(r["nf"] == 1 for r in per_lane)
+
+        out2 = str(tmp_path / "one")
+        write_packed(assigned, out2, num_files=1)
+        assert len(g.glob(out2 + "/part-*.parquet")) == 1
+
+
 # --------------------------------------------------------------------------
 # Randomized differential: the whole assignment recomputed in pure
 # Python (hashlib md5, same seed/layout) must match Spark bit-for-bit.
