@@ -92,3 +92,41 @@ def test_plan_broadcasts_benchmark(spark):
     # the gram match must be a broadcast join — the corpus side never
     # shuffles on gram keys
     assert "BroadcastHashJoin" in plan
+
+
+def test_randomized_differential_vs_python(spark):
+    """Random corpora vs a pure-Python recomputation of the overlap:
+    same tokenization (split on whitespace), same distinct-gram hit
+    counting, bit-for-bit."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"t{i}" for i in range(30)]
+    n = 6
+
+    def rand_text(lo, hi):
+        return " ".join(rng.choice(vocab) for _ in range(rng.randrange(lo, hi)))
+
+    corpus_rows = [(i, rand_text(3, 25)) for i in range(60)]
+    bench_rows = [(rand_text(4, 12),) for _ in range(8)]
+
+    def grams(text):
+        t = text.split()
+        return {
+            " ".join(t[i : i + n]) for i in range(len(t) - n + 1)
+        } if len(t) >= n else set()
+
+    bench_set = set().union(*(grams(b[0]) for b in bench_rows))
+    want = {}
+    for i, text in corpus_rows:
+        hits = len(grams(text) & bench_set)
+        if hits >= 1:
+            want[i] = hits
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "text string")
+    got = {
+        r["doc_id"]: r["hits"]
+        for r in contaminated_ids(corpus, bench, n=n).collect()
+    }
+    assert got == want
