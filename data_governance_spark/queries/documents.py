@@ -917,10 +917,10 @@ _DECON_PREFIX = 20
 _DECON_MOD = 7
 
 
-@qdef(
-    QUERIES,
-    "d06_shingle_jaccard_pairs",
-    oracle=f"""
+# The rare-shingle Jaccard pair query as standalone SQL — embedded by
+# BOTH d06's quad oracle and d10's recursive-CTE closure oracle (d10
+# consumes the same pair set, so the two must never drift).
+_D06_PAIRS_SQL = f"""
     WITH toks AS (
       SELECT doc_id, {_SQL_TOKS} AS t FROM documents
     ),
@@ -942,6 +942,22 @@ _DECON_MOD = 7
       JOIN rare r ON a.shingle = r.shingle
       JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(p.inter / (sa.n + sb.n - p.inter), 4) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE p.inter / (sa.n + sb.n - p.inter) >= {_JACCARD_MIN}
+"""
+
+
+@qdef(
+    QUERIES,
+    "d06_shingle_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
     ),
     bt AS (
       SELECT t[1:{_DECON_PREFIX}] AS bt FROM toks
@@ -963,13 +979,10 @@ _DECON_MOD = 7
       )
     )
     SELECT 'pairs' AS gate,
-           CAST(p.doc_a AS VARCHAR) || ':' || CAST(p.doc_b AS VARCHAR) AS k,
+           CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR) AS k,
            CAST(NULL AS VARCHAR) AS v_s,
-           round(p.inter / (sa.n + sb.n - p.inter), 4) AS v_d
-    FROM pairs p
-    JOIN sizes sa ON p.doc_a = sa.doc_id
-    JOIN sizes sb ON p.doc_b = sb.doc_id
-    WHERE p.inter / (sa.n + sb.n - p.inter) >= {_JACCARD_MIN}
+           jaccard AS v_d
+    FROM ({_D06_PAIRS_SQL})
     UNION ALL
     SELECT 'decon', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(count(*) AS DOUBLE)
@@ -982,6 +995,38 @@ _DECON_MOD = 7
     "operators/decontam.py; new in r6)",
 )
 def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    pair_rows = _d06_pair_df(spark, sf_dir).select(
+        F.lit("pairs").alias("gate"),
+        F.concat_ws(
+            ":", F.col("doc_a").cast("string"), F.col("doc_b").cast("string")
+        ).alias("k"),
+        F.lit(None).cast("string").alias("v_s"),
+        F.col("jaccard").alias("v_d"),
+    )
+    # decon sub-gate: the real operator over the synthesized benchmark
+    # (first _DECON_PREFIX tokens of every doc_id%_DECON_MOD==0 doc)
+    from data_governance_spark.operators.decontam import contaminated_ids
+
+    bench = toks.filter(
+        (F.col("doc_id") % _DECON_MOD == 0)
+        & (F.size("toks") >= _DECON_PREFIX)
+    ).select(
+        F.concat_ws(" ", F.slice("toks", 1, _DECON_PREFIX)).alias("text")
+    )
+    decon = contaminated_ids(docs, bench, n=_DECON_N).select(
+        F.lit("decon").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.lit(None).cast("string").alias("v_s"),
+        F.col("hits").cast("double").alias("v_d"),
+    )
+    return pair_rows.unionByName(decon)
+
+
+def _d06_pair_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rare-shingle Jaccard pair set as (doc_a, doc_b, jaccard) —
+    shared by the d06 gate (quad-wrapped) and d10's closure input."""
     docs = table(spark, sf_dir, "documents")
     # the shingle relation feeds two consumers (doc sizes, rare-shingle
     # pair generation) — persist it once instead of re-tokenizing the
@@ -1026,36 +1071,12 @@ def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
-    pair_rows = (
+    return (
         pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= _JACCARD_MIN)
-        .select(
-            F.lit("pairs").alias("gate"),
-            F.concat_ws(
-                ":", F.col("doc_a").cast("string"), F.col("doc_b").cast("string")
-            ).alias("k"),
-            F.lit(None).cast("string").alias("v_s"),
-            F.round(jac, 4).alias("v_d"),
-        )
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
-    # decon sub-gate: the real operator over the synthesized benchmark
-    # (first _DECON_PREFIX tokens of every doc_id%_DECON_MOD==0 doc)
-    from data_governance_spark.operators.decontam import contaminated_ids
-
-    bench = toks.filter(
-        (F.col("doc_id") % _DECON_MOD == 0)
-        & (F.size("toks") >= _DECON_PREFIX)
-    ).select(
-        F.concat_ws(" ", F.slice("toks", 1, _DECON_PREFIX)).alias("text")
-    )
-    decon = contaminated_ids(docs, bench, n=_DECON_N).select(
-        F.lit("decon").alias("gate"),
-        F.col("doc_id").cast("string").alias("k"),
-        F.lit(None).cast("string").alias("v_s"),
-        F.col("hits").cast("double").alias("v_d"),
-    )
-    return pair_rows.unionByName(decon)
 
 
 # --------------------------------------------------------------------------
@@ -1084,7 +1105,7 @@ _D10_ORACLE = """
       FROM reach JOIN edges e ON e.s = reach.id
     )
     SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
-    """.format(d06=QUERIES["d06_shingle_jaccard_pairs"].oracle)
+    """.format(d06=_D06_PAIRS_SQL)
 
 
 @qdef(
@@ -1099,7 +1120,7 @@ def d10_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.components import connected_components
 
     docs = table(spark, sf_dir, "documents")
-    pairs = d06_shingle_jaccard_pairs(spark, sf_dir)
+    pairs = _d06_pair_df(spark, sf_dir)
     comp = connected_components(
         pairs, "doc_a", "doc_b", nodes=docs, node_col="doc_id"
     )
