@@ -98,6 +98,8 @@ def prepare_corpus(
     pii_passes: int = 2,
     shingle_n: int = 3,
     minhash_threshold: float = 0.5,
+    minhash_hashes: int = 64,
+    minhash_bands: int = 16,
     split_weights: dict[str, float] | None = None,
     max_tokens: int = 4096,
     num_buckets: int = 64,
@@ -114,7 +116,9 @@ def prepare_corpus(
     operators/pii.redact_pii). ``benchmark`` (optional) drops documents
     sharing a ``decontam_n``-token gram with the eval set
     (operators/decontam.py), after the quality cut and before PII
-    redaction.
+    redaction. ``minhash_hashes``/``minhash_bands`` size the sketch
+    (rows-per-band = hashes/bands sets the LSH S-curve; the 64/16
+    default matches the published web-dedup configs).
     """
     from data_governance_spark.cache import tracked_mark, tracked_since
 
@@ -154,7 +158,12 @@ def prepare_corpus(
         F.array_distinct(word_shingles(F.col("_t"), shingle_n)).alias("_sh"),
     )
     near = minhash_dedup_pairs(
-        shingled, F.col("_sh"), id_col=id_col, threshold=minhash_threshold
+        shingled,
+        F.col("_sh"),
+        id_col=id_col,
+        num_hashes=minhash_hashes,
+        bands=minhash_bands,
+        threshold=minhash_threshold,
     ).select("doc_a", "doc_b")
     exact_pairs = mapping.filter(
         F.col(id_col) != F.col("canon_id")
