@@ -9,6 +9,13 @@ sequence packing — at 1x and Nx exact-duplication inflation (LSH's worst
 case) and reports the wall-clock scaling ratio. Near-linear means no
 stage re-introduced a quadratic term on mass-duplicated input.
 
+Measured r6 (sf0.1, local[32]):
+    x1  (5 000 rows):   14.6 s  packed=2573
+    x32 (160 000 rows): 29.0 s  packed=2573
+2.0x wall for 32x rows, survivor set and pack layout bit-identical at
+both scales (supersedes the r5 scripts/corpus_scale.py one-off, whose
+1/8/32 curve showed the same 2x-at-32x shape). DEPLOY.md cites these.
+
 Usage: python scripts/stress_corpus.py [mult]   (default 32)
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 """
