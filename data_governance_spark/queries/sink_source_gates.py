@@ -199,6 +199,48 @@ def _staged_warc_dir(spark: SparkSession, sf_dir: str) -> str:
     return staged_tmpdir(("q41warc", sf_dir), build, prefix="dg_q41w_")
 
 
+# Sub-gate 'ufil' (new in r6): URL/domain filtering
+# (operators/urlfilter.py) — block mode with subdomain + case/port
+# normalization (spam.com catches Track.Spam.COM:8080 and
+# x.sub.bad.net via bad.net), the regex pattern tier (.zip), and the
+# NULL-url keep semantics, over URLs synthesized from customer keys.
+# The oracle restates the keep-set and surviving URLs arithmetically.
+def q41_url_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.operators.urlfilter import (
+        filter_domains,
+        filter_url_patterns,
+    )
+
+    cust = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cs = _s(k)
+    url = (
+        F.when(k % 17 == 0, F.lit(None).cast("string"))
+        .when(k % 11 == 0, F.concat(F.lit("https://x.sub.bad.net/p"), cs))
+        .when(
+            k % 7 == 0,
+            F.concat(F.lit("http://Track.Spam.COM:8080/p"), cs, F.lit("?g=1")),
+        )
+        .when(
+            k % 13 == 0,
+            F.concat(F.lit("http://files.example.org/a"), cs, F.lit(".zip")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://ok"), _s(k % 4), F.lit(".example.org/p"), cs
+            )
+        )
+    )
+    docs = cust.select(k.alias("doc_id"), url.alias("url"))
+    out = filter_url_patterns(
+        filter_domains(docs, ["spam.com", "bad.net"]), [r"\.zip$"]
+    )
+    return out.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("k"),
+        F.coalesce("url", F.lit("")).alias("v_s"),
+    )
+
+
 def q41_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.functions.html import html_to_text
     from data_governance_spark.sources.warc import warc_documents
@@ -233,6 +275,16 @@ def q41_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            'wet text ' || CAST(c_custkey AS VARCHAR), CAST(NULL AS DOUBLE)
     FROM customer WHERE c_custkey <= 150 AND c_custkey % 2 = 0
     UNION ALL
+    SELECT 'ufil', 'u' || CAST(c_custkey AS VARCHAR),
+           CASE WHEN c_custkey % 17 = 0 THEN ''
+                ELSE 'http://ok' || CAST(c_custkey % 4 AS VARCHAR)
+                     || '.example.org/p' || CAST(c_custkey AS VARCHAR) END,
+           CAST(NULL AS DOUBLE)
+    FROM customer
+    WHERE c_custkey % 17 = 0
+       OR (c_custkey % 11 <> 0 AND c_custkey % 7 <> 0
+           AND c_custkey % 13 <> 0)
+    UNION ALL
     SELECT 'ser', 'D' || cs,
       '<doc boost="' || CAST(ck % 7 AS VARCHAR) || '">' || chr(10)
       || '  <field name="aa_arr">v1-' || cs || '</field>' || chr(10)
@@ -260,7 +312,8 @@ def q41_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "maps, invalid-char strip, boost; ex-q42) + WARC source composed "
     "with html_to_text (record split, type filter, http_body envelope "
     "strip incl. the 204 empty-body case, tag/entity/whitespace "
-    "extraction; new in r6)",
+    "extraction; new in r6) + URL/domain filtering (suffix-aware "
+    "blocklist, pattern tier, NULL-url semantics; new in r6)",
 )
 def q41_xml_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     nul_d = F.lit(None).cast("double")
@@ -279,7 +332,10 @@ def q41_xml_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     warc = q41_warc_extract(spark, sf_dir).select(
         F.lit("warc").alias("gate"), "k", "v_s", nul_d.alias("v_d")
     )
-    return src.unionByName(ser).unionByName(warc)
+    ufil = q41_url_filtering(spark, sf_dir).select(
+        F.lit("ufil").alias("gate"), "k", "v_s", nul_d.alias("v_d")
+    )
+    return src.unionByName(ser).unionByName(warc).unionByName(ufil)
 
 
 # --------------------------------------------------------------------------

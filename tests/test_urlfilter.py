@@ -1,0 +1,116 @@
+"""URL/domain filtering (operators/urlfilter.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_governance_spark.operators.urlfilter import (
+    domain_suffixes,
+    extract_domain,
+    filter_domains,
+    filter_url_patterns,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "http://good.org/page"),
+            (2, "https://user:pw@Spam.COM:8080/x?q=1"),
+            (3, "http://a.b.spam.com/deep"),
+            (4, "http://notspam.com/x"),  # NOT a subdomain of spam.com
+            (5, "ftp://files.bad.net/f.zip"),
+            (6, "relative/path/only"),  # host = 'relative' — no match
+            (7, None),
+        ],
+        "doc_id long, url string",
+    )
+
+
+def test_extract_domain(spark):
+    got = [
+        r["d"]
+        for r in _docs(spark).select(extract_domain("url").alias("d")).collect()
+    ]
+    assert got == [
+        "good.org", "spam.com", "a.b.spam.com", "notspam.com",
+        "files.bad.net", "relative", None,
+    ]
+
+
+def test_suffix_chain(spark):
+    row = (
+        spark.range(1)
+        .select(domain_suffixes(F.lit("a.b.spam.com")).alias("s"))
+        .first()
+    )
+    assert row["s"] == ["a.b.spam.com", "b.spam.com", "spam.com", "com"]
+
+
+@pytest.mark.parametrize("as_df", [False, True])
+def test_block_matches_subdomains_not_lookalikes(spark, as_df):
+    doms = ["SPAM.com", "bad.net"]
+    if as_df:
+        doms = spark.createDataFrame([(d,) for d in doms], "domain string")
+    kept = sorted(
+        r["doc_id"] for r in filter_domains(_docs(spark), doms).collect()
+    )
+    # 2 (case/port/userinfo), 3 (subdomain), 5 (subdomain of bad.net)
+    # blocked; 4 is a lookalike, 6/7 have no matchable host
+    assert kept == [1, 4, 6, 7]
+
+
+def test_allow_mode(spark):
+    kept = sorted(
+        r["doc_id"]
+        for r in filter_domains(
+            _docs(spark), ["spam.com"], mode="allow"
+        ).collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_large_list_path_matches_inline_path(spark):
+    import data_governance_spark.operators.urlfilter as U
+
+    doms = ["spam.com", "bad.net"] + [f"filler{i}.zz" for i in range(20)]
+    inline = sorted(
+        r["doc_id"] for r in filter_domains(_docs(spark), doms).collect()
+    )
+    old = U._INLINE_MAX
+    U._INLINE_MAX = 1  # force the explode/semi-join tier
+    try:
+        big = sorted(
+            r["doc_id"] for r in filter_domains(_docs(spark), doms).collect()
+        )
+    finally:
+        U._INLINE_MAX = old
+    assert inline == big == [1, 4, 6, 7]
+
+
+def test_url_patterns(spark):
+    kept = sorted(
+        r["doc_id"]
+        for r in filter_url_patterns(
+            _docs(spark), [r"\.zip$", r"\?q="]
+        ).collect()
+    )
+    assert kept == [1, 3, 4, 6, 7]  # 2 (query) and 5 (.zip) dropped
+
+
+def test_empty_patterns_noop(spark):
+    assert filter_url_patterns(_docs(spark), []).count() == 7
+
+
+def test_inline_path_is_shuffle_free(spark):
+    plan = (
+        filter_domains(_docs(spark), ["spam.com"])
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "Exchange" not in plan  # literal-array tier: pure filter
