@@ -5,7 +5,8 @@ every published web-corpus pipeline uses them — cheapest and most
 selective first, shuffle-bearing stages only after the row count has
 been cut down:
 
-    [html_to_text] -> quality filter -> [decontamination] -> PII redaction
+    [URL filter] -> [html_to_text] -> [C4 line cleaning]
+    -> quality filter -> [decontamination] -> PII redaction
     -> exact precluster -> MinHash near-dup -> component closure
     -> canonical selection -> holdout split -> sequence packing
 
@@ -41,6 +42,11 @@ from pyspark.sql import functions as F
 from data_governance_spark.functions.html import html_to_text
 from data_governance_spark.functions.text import tokens, word_shingles
 from data_governance_spark.operators.decontam import decontaminate
+from data_governance_spark.operators.lines import clean_lines
+from data_governance_spark.operators.urlfilter import (
+    filter_domains,
+    filter_url_patterns,
+)
 from data_governance_spark.operators.components import (
     connected_components,
     keep_canonical,
@@ -91,6 +97,10 @@ def prepare_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     html: bool = False,
+    url_blocklist: list[str] | DataFrame | None = None,
+    url_patterns: list[str] | None = None,
+    url_col: str = "url",
+    c4_lines: bool = False,
     quality_rules: dict | None = None,
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
@@ -116,15 +126,29 @@ def prepare_corpus(
     operators/pii.redact_pii). ``benchmark`` (optional) drops documents
     sharing a ``decontam_n``-token gram with the eval set
     (operators/decontam.py), after the quality cut and before PII
-    redaction. ``minhash_hashes``/``minhash_bands`` size the sketch
+    redaction. ``url_blocklist``/``url_patterns`` run the URL tier
+    first (operators/urlfilter.py) when the corpus carries ``url_col``.
+    ``c4_lines=True`` inserts the C4 line-level cleaning pass
+    (operators/lines.py, published defaults) after extraction.
+    ``minhash_hashes``/``minhash_bands`` size the sketch
     (rows-per-band = hashes/bands sets the LSH S-curve; the 64/16
     default matches the published web-dedup configs).
     """
     from data_governance_spark.cache import tracked_mark, tracked_since
 
     mark = tracked_mark()
+    # URL tier first: the cheapest cut a web pipeline has (row-local
+    # predicates, no content inspection)
+    if url_blocklist is not None:
+        docs = filter_domains(docs, url_blocklist, url_col=url_col, id_col=id_col)
+    if url_patterns:
+        docs = filter_url_patterns(docs, url_patterns, url_col=url_col)
     if html:
         docs = docs.withColumn(text_col, html_to_text(text_col))
+    if c4_lines:
+        # C4's order: line cleaning right after extraction, so the
+        # doc-level Gopher signals see the rebuilt text
+        docs = clean_lines(docs, text_col=text_col)
     filtered = filter_corpus(docs, quality_rules, text_col=text_col)
     if benchmark is not None:
         # decontaminate AFTER the quality cut (fewer docs to gram) and

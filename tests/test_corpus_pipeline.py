@@ -176,3 +176,49 @@ class TestPrepareCorpusOptions:
         )
         kept = sorted(row["doc_id"] for row in r.kept.collect())
         assert kept == [0, 1, 3, 4, 5]  # doc 2 decontaminated away
+
+    def test_url_tier(self, spark):
+        from data_governance_spark.corpus import prepare_corpus
+
+        def text(i):
+            return " ".join(["the", "of"] + [f"q{i}x{j}" for j in range(58)])
+
+        docs = spark.createDataFrame(
+            [
+                (1, "http://ok.org/a", text(1)),
+                (2, "http://a.spam.com/b", text(2)),  # domain-blocked
+                (3, "http://ok.org/c.zip", text(3)),  # pattern-blocked
+            ],
+            "doc_id long, url string, text string",
+        )
+        r = prepare_corpus(
+            docs,
+            url_blocklist=["spam.com"],
+            url_patterns=[r"\.zip$"],
+            pii=False,
+            persist_clean=False,
+        )
+        assert [row["doc_id"] for row in r.kept.collect()] == [1]
+
+    def test_c4_line_tier(self, spark):
+        from data_governance_spark.corpus import prepare_corpus
+
+        body = " ".join(
+            f"w{j}" for j in range(12)
+        )  # 12 words, needs terminal punct
+        good_lines = "\n".join(f"{body} line{i}." for i in range(5))
+        noisy = "Home | About\n" + good_lines + "\nMenu."
+        docs = spark.createDataFrame(
+            [(1, noisy)], "doc_id long, text string"
+        )
+        r = prepare_corpus(
+            docs,
+            c4_lines=True,
+            quality_rules={"n_tokens": (10, 100000)},
+            pii=False,
+            persist_clean=False,
+        )
+        out = r.clean.collect()
+        assert len(out) == 1
+        assert "Home" not in out[0]["text"] and "Menu." not in out[0]["text"]
+        assert len(out[0]["text"].split("\n")) == 5
