@@ -2,8 +2,8 @@
 precluster), similarity search (brute-force/LSH/IVF kNN, cosine
 near-dup), connected-components dedup closure + canonical selection,
 C4/Gopher intra-document repetition signals, Gopher quality-filter
-composition, C4 line-level cleaning, PII detection/redaction,
-benchmark decontamination
+composition, C4 line-level cleaning + cross-corpus line dedup,
+PII detection/redaction, benchmark decontamination
 (n-gram overlap vs an eval set), URL/domain filtering (suffix-aware
 blocklists + pattern tier), deterministic hash-based holdout
 split/sampling, sequence packing, salted-aggregation skew tools,

@@ -1,9 +1,11 @@
-"""C4-style line-level cleaning (Raffel et al. 2020, §2.2).
+"""Line-level corpus cleaning: C4 rules + cross-corpus line dedup.
 
 Gopher-style DOCUMENT filters (operators/quality.py) drop whole pages;
-C4's complementary LINE tier rewrites pages: navigation stubs, cookie
-banners and menu fragments are short un-punctuated lines inside
-otherwise-good pages. The published rules, re-expressed as pure
+the LINE tier rewrites pages. Two published operators live here:
+
+``clean_lines`` — C4's intra-document rules (Raffel et al. 2020,
+§2.2): navigation stubs, cookie banners and menu fragments are short
+un-punctuated lines inside otherwise-good pages. Re-expressed as pure
 higher-order column functions:
 
 - keep only lines with >= ``min_words`` words;
@@ -16,9 +18,18 @@ higher-order column functions:
   "lorem ipsum", a "{" — code leakage);
 - surviving documents get their text REBUILT from the kept lines.
 
-Everything is map-only (split -> filter -> rejoin inside codegen-able
-HOFs; zero shuffle) — at 100 TB this runs at scan speed ahead of the
-shuffle-bearing dedup stages, exactly where C4 runs it.
+``clean_lines`` is map-only (split -> filter -> rejoin inside
+codegen-able HOFs; zero shuffle) — at 100 TB it runs at scan speed
+ahead of the shuffle-bearing dedup stages, exactly where C4 runs it.
+
+``dedup_lines_global`` — the INTER-document sibling (RefinedWeb /
+MassiveText line dedup, C4's duplicated-span removal): a line
+occurring in many documents is boilerplate no intra-doc rule can see
+(the same cookie banner on every page of a site). Occurrence counting
+is inherently global, so this one DOES shuffle — once on the line key
+(window) and once on the doc key (rebuild) — which is the honest
+minimum for the semantics; run it after the map-only tiers have cut
+the volume.
 
 Reference twin: none — training-data extension per SURVEY.md §6.
 """
@@ -94,6 +105,77 @@ def clean_lines(
     return staged.filter(doc_ok).select(
         *[
             rebuilt.alias(c) if c == text_col else F.col(c)
+            for c in docs.columns
+        ]
+    )
+
+
+def dedup_lines_global(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_dup: int = 2,
+    keep: str = "first",
+) -> DataFrame:
+    """Remove exact-duplicate lines ACROSS the corpus. A (trimmed,
+    non-empty) line occurring in >= ``min_dup`` places is treated as
+    boilerplate; ``keep="first"`` retains its single first occurrence
+    (ordered by (``id_col``, line position) — deterministic),
+    ``keep="none"`` removes every occurrence. Unique lines always
+    survive. Documents are rebuilt from their surviving lines in
+    original order; documents with no surviving line are dropped.
+
+    Plan: posexplode lines -> one window over the line key (count +
+    rank) -> filter -> groupBy doc to rebuild -> join back for the
+    payload columns. Two key-shuffles total, both unavoidable for
+    global semantics; the window state per line key is a counter, so
+    skewed mega-lines (a banner on a billion pages) cost one hot
+    partition — at that scale pre-aggregate with a salted count
+    (operators/skew.py) and broadcast the boilerplate set instead.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if min_dup < 2:
+        raise ValueError(f"min_dup must be >= 2, got {min_dup}")
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        F.col(id_col).alias("_dl_id"),
+        F.posexplode(doc_lines(text_col)).alias("_dl_pos", "_dl_line"),
+    )
+    w = Window.partitionBy("_dl_line")
+    w_rank = w.orderBy("_dl_id", "_dl_pos")
+    ranked = lines.select(
+        "_dl_id",
+        "_dl_pos",
+        "_dl_line",
+        F.count(F.lit(1)).over(w).alias("_dl_n"),
+        F.row_number().over(w_rank).alias("_dl_rn"),
+    )
+    survivors = ranked.filter(
+        (F.col("_dl_n") < min_dup)
+        | (F.lit(keep == "first") & (F.col("_dl_rn") == 1))
+    )
+    rebuilt = (
+        survivors.groupBy("_dl_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_dl_pos", "_dl_line"))
+                    ),
+                    lambda s: s["_dl_line"],
+                ),
+                "\n",
+            ).alias("_dl_text")
+        )
+    )
+    out = docs.join(
+        rebuilt, docs[id_col] == rebuilt["_dl_id"], "inner"
+    )
+    return out.select(
+        *[
+            F.col("_dl_text").alias(c) if c == text_col else docs[c]
             for c in docs.columns
         ]
     )

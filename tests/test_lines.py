@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_governance_spark.operators.lines import clean_lines
 
@@ -76,3 +77,112 @@ def test_map_only_plan(spark):
         )
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+class TestGlobalLineDedup:
+    def _df(self, spark):
+        from pyspark.sql import SparkSession  # noqa: F401
+
+        banner = "Accept our cookies to continue browsing."
+        return spark.createDataFrame(
+            [
+                (1, f"{banner}\nUnique content of the first page."),
+                (2, f"{banner}\nSecond page says something else."),
+                (3, f"{banner}\nThird page has its own words."),
+                (4, "A page with no boilerplate at all."),
+                (5, banner),  # nothing but the banner
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_keep_first(self, spark):
+        from data_governance_spark.operators.lines import dedup_lines_global
+
+        out = {
+            r["doc_id"]: r["text"]
+            for r in dedup_lines_global(self._df(spark)).collect()
+        }
+        banner = "Accept our cookies to continue browsing."
+        # first occurrence (doc 1, pos 0) survives; later ones removed
+        assert out[1].split("\n") == [
+            banner, "Unique content of the first page.",
+        ]
+        assert out[2] == "Second page says something else."
+        assert out[3] == "Third page has its own words."
+        assert out[4] == "A page with no boilerplate at all."
+        assert 5 not in out  # banner-only doc emptied -> dropped
+
+    def test_keep_none(self, spark):
+        from data_governance_spark.operators.lines import dedup_lines_global
+
+        out = {
+            r["doc_id"]: r["text"]
+            for r in dedup_lines_global(self._df(spark), keep="none").collect()
+        }
+        assert out[1] == "Unique content of the first page."
+        assert 5 not in out
+
+    def test_min_dup_threshold(self, spark):
+        from data_governance_spark.operators.lines import dedup_lines_global
+
+        # banner appears 4x; with min_dup=5 nothing is boilerplate
+        out = dedup_lines_global(self._df(spark), min_dup=5)
+        assert out.count() == 5
+
+    def test_payload_columns_survive(self, spark):
+        from data_governance_spark.operators.lines import dedup_lines_global
+
+        docs = self._df(spark).withColumn(
+            "lang", F.lit("en")
+        )
+        out = dedup_lines_global(docs).select("doc_id", "lang", "text")
+        assert all(r["lang"] == "en" for r in out.collect())
+
+    def test_differential_vs_python(self, spark):
+        """Seeded random corpora vs a pure-Python recomputation."""
+        import random
+
+        from data_governance_spark.operators.lines import dedup_lines_global
+
+        rng = random.Random(7)
+        pool = [f"line {i} of shared text." for i in range(12)]
+        rows = [
+            (
+                i,
+                "\n".join(
+                    rng.choice(pool) for _ in range(rng.randrange(1, 6))
+                ),
+            )
+            for i in range(40)
+        ]
+        min_dup = 3
+
+        # python reference
+        def lines_of(t):
+            return [x.strip() for x in t.split("\n") if x.strip()]
+
+        from collections import Counter
+
+        cnt = Counter(
+            ln for _, t in rows for ln in lines_of(t)
+        )
+        first = {}
+        for i, t in sorted(rows):
+            for p, ln in enumerate(lines_of(t)):
+                first.setdefault(ln, (i, p))
+        want = {}
+        for i, t in rows:
+            kept = [
+                ln
+                for p, ln in enumerate(lines_of(t))
+                if cnt[ln] < min_dup or first[ln] == (i, p)
+            ]
+            if kept:
+                want[i] = "\n".join(kept)
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["text"]
+            for r in dedup_lines_global(docs, min_dup=min_dup).collect()
+        }
+        assert got == want
