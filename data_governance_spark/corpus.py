@@ -74,6 +74,33 @@ class CorpusResult:
     packed: DataFrame  # (split, doc, pack_bucket, pack_id, pack_offset)
     _caches: list[DataFrame] | None = None  # this run's tracked persists
 
+    def report(self) -> dict:
+        """The data-card numbers a corpus release ships with, computed
+        with one small aggregation per stage: clean/kept doc counts,
+        dup-pair count, per-split doc and token totals, pack count.
+        Driver-side result is a handful of scalars — safe at any scale
+        (the aggregations run distributed; only totals collect)."""
+        per_split = {
+            r["split"]: {
+                "docs": r["docs"],
+                "tokens": r["tokens"],
+                "packs": r["packs"],
+            }
+            for r in self.packed.groupBy("split")
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_tokens").alias("tokens"),
+                F.countDistinct("pack_bucket", "pack_id").alias("packs"),
+            )
+            .collect()
+        }
+        return {
+            "clean_docs": self.clean.count(),
+            "dup_pairs": self.dup_pairs.count(),
+            "kept_docs": self.kept.count(),
+            "splits": per_split,
+        }
+
     def release(self) -> None:
         """Release the caches THIS run created — the ``clean`` persist
         and the operator-internal tracked persists captured during the

@@ -222,3 +222,28 @@ class TestPrepareCorpusOptions:
         assert len(out) == 1
         assert "Home" not in out[0]["text"] and "Menu." not in out[0]["text"]
         assert len(out[0]["text"].split("\n")) == 5
+
+    def test_report_data_card(self, spark):
+        from data_governance_spark.corpus import prepare_corpus
+
+        def text(i):
+            return " ".join(["the", "of"] + [f"r{i}x{j}" for j in range(58)])
+
+        docs = spark.createDataFrame(
+            [(i, text(i)) for i in range(10)]
+            + [(100, text(0))],  # exact dup of 0 -> collapsed
+            "doc_id long, text string",
+        )
+        r = prepare_corpus(
+            docs, pii=False, max_tokens=64, num_buckets=2,
+            persist_clean=False,
+        )
+        card = r.report()
+        assert card["clean_docs"] == 11
+        assert card["kept_docs"] == 10
+        assert card["dup_pairs"] >= 1  # at least the exact pair
+        tot_docs = sum(s["docs"] for s in card["splits"].values())
+        assert tot_docs == 10
+        for s in card["splits"].values():
+            assert s["tokens"] == s["docs"] * 60  # 60 tokens per doc
+            assert s["packs"] >= 1
