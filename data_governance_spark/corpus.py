@@ -6,7 +6,8 @@ selective first, shuffle-bearing stages only after the row count has
 been cut down:
 
     [URL filter] -> [html_to_text] -> [C4 line cleaning]
-    -> quality filter -> [decontamination] -> PII redaction
+    -> [global line dedup] -> quality filter -> [decontamination]
+    -> PII redaction
     -> exact precluster -> MinHash near-dup -> component closure
     -> canonical selection -> holdout split -> sequence packing
 
@@ -42,7 +43,10 @@ from pyspark.sql import functions as F
 from data_governance_spark.functions.html import html_to_text
 from data_governance_spark.functions.text import tokens, word_shingles
 from data_governance_spark.operators.decontam import decontaminate
-from data_governance_spark.operators.lines import clean_lines
+from data_governance_spark.operators.lines import (
+    clean_lines,
+    dedup_lines_global,
+)
 from data_governance_spark.operators.urlfilter import (
     filter_domains,
     filter_url_patterns,
@@ -128,6 +132,7 @@ def prepare_corpus(
     url_patterns: list[str] | None = None,
     url_col: str = "url",
     c4_lines: bool = False,
+    dedup_lines: bool = False,
     quality_rules: dict | None = None,
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
@@ -156,7 +161,9 @@ def prepare_corpus(
     redaction. ``url_blocklist``/``url_patterns`` run the URL tier
     first (operators/urlfilter.py) when the corpus carries ``url_col``.
     ``c4_lines=True`` inserts the C4 line-level cleaning pass
-    (operators/lines.py, published defaults) after extraction.
+    (operators/lines.py, published defaults) after extraction;
+    ``dedup_lines=True`` adds cross-corpus boilerplate-line removal
+    (``dedup_lines_global``) after it.
     ``minhash_hashes``/``minhash_bands`` size the sketch
     (rows-per-band = hashes/bands sets the LSH S-curve; the 64/16
     default matches the published web-dedup configs).
@@ -176,6 +183,10 @@ def prepare_corpus(
         # C4's order: line cleaning right after extraction, so the
         # doc-level Gopher signals see the rebuilt text
         docs = clean_lines(docs, text_col=text_col)
+    if dedup_lines:
+        # cross-corpus boilerplate removal (2 shuffles — the one
+        # non-map-only pre-filter stage, hence opt-in)
+        docs = dedup_lines_global(docs, id_col=id_col, text_col=text_col)
     filtered = filter_corpus(docs, quality_rules, text_col=text_col)
     if benchmark is not None:
         # decontaminate AFTER the quality cut (fewer docs to gram) and

@@ -247,3 +247,32 @@ class TestPrepareCorpusOptions:
         for s in card["splits"].values():
             assert s["tokens"] == s["docs"] * 60  # 60 tokens per doc
             assert s["packs"] >= 1
+
+    def test_dedup_lines_tier(self, spark):
+        from data_governance_spark.corpus import prepare_corpus
+
+        banner = "the of " + " ".join(f"b{j}" for j in range(20))
+        docs = spark.createDataFrame(
+            [
+                (
+                    i,
+                    banner
+                    + "\nthe of "
+                    + " ".join(f"v{i}x{j}" for j in range(40)),
+                )
+                for i in range(4)
+            ],
+            "doc_id long, text string",
+        )
+        r = prepare_corpus(
+            docs,
+            dedup_lines=True,
+            quality_rules={"n_tokens": (10, 100000)},
+            pii=False,
+            persist_clean=False,
+        )
+        texts = {row["doc_id"]: row["text"] for row in r.clean.collect()}
+        assert len(texts) == 4
+        # banner survives only in its first occurrence (doc 0)
+        assert sum(banner in t for t in texts.values()) == 1
+        assert banner in texts[0]
