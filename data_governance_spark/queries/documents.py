@@ -195,6 +195,11 @@ _PACK_BUCKETS = 8
       )
       GROUP BY doc_id
     ),
+    syn0 AS (
+      SELECT doc_id, array_to_string(({_SQL_TOKS})[1:5], ' ') AS la,
+             len({_SQL_TOKS}) AS nt0
+      FROM documents
+    ),
     synth AS (
       SELECT doc_id,
              array_to_string(
@@ -203,10 +208,39 @@ _PACK_BUCKETS = 8
                                 i -> la),
                  'u' || CAST(doc_id AS VARCHAR)),
                chr(10)) AS t2
+      FROM syn0
+    ),
+    c4l AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_transform(range(1, CAST(2 + doc_id % 3 AS INTEGER)),
+                              i -> la),
+               chr(10))) AS h
+      FROM syn0
+      WHERE nt0 >= 3
+    ),
+    gl1 AS (
+      SELECT doc_id, unnest(ls) AS line,
+             unnest(range(1, len(ls) + 1)) AS pos
       FROM (
-        SELECT doc_id, array_to_string(({_SQL_TOKS})[1:5], ' ') AS la
-        FROM documents
+        SELECT doc_id,
+               list_filter(string_split(t2, chr(10)),
+                           x -> trim(x) <> '') AS ls
+        FROM synth
       )
+    ),
+    gl2 AS (
+      SELECT doc_id, pos, line,
+             count(*) OVER (PARTITION BY line) AS n,
+             row_number() OVER (PARTITION BY line
+                                ORDER BY doc_id, pos) AS rn
+      FROM gl1
+    ),
+    gld AS (
+      SELECT doc_id,
+             md5(array_to_string(list(line ORDER BY pos), chr(10))) AS h
+      FROM gl2 WHERE n < 2 OR rn = 1
+      GROUP BY doc_id
     ),
     repl AS (
       SELECT doc_id,
@@ -245,6 +279,10 @@ _PACK_BUCKETS = 8
     SELECT 'qf', CAST(s.doc_id AS VARCHAR), CAST(NULL AS VARCHAR), 1.0
     FROM qfs s JOIN qfg g ON s.doc_id = g.doc_id
     WHERE {_qf_pred_sql("s.nt", "s.sr", "g.tg")}
+    UNION ALL
+    SELECT 'c4l', CAST(doc_id AS VARCHAR), h, CAST(NULL AS DOUBLE) FROM c4l
+    UNION ALL
+    SELECT 'gld', CAST(doc_id AS VARCHAR), h, CAST(NULL AS DOUBLE) FROM gld
     """,
     doc="merged gate (r5/r6 driver-budget): explode tokens -> grouped "
     "count per (lang, token) (ref BASE_PIPELINE A1 shape, ex-d01) + "
@@ -252,7 +290,9 @@ _PACK_BUCKETS = 8
     "score; ex-d02) + C4/Gopher repetition signals (top-bigram "
     "coverage, duplicated-5-gram char fraction, duplicate-line char "
     "fraction; operators/repetition.py) + the filter_corpus keep/drop "
-    "decision over QF_RULES (operators/quality.py; new in r6)",
+    "decision over QF_RULES (operators/quality.py; new in r6) + C4 "
+    "line cleaning and cross-corpus line dedup rebuild hashes over the "
+    "synthesized multi-line corpus (operators/lines.py; new in r6)",
 )
 def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -339,7 +379,46 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_s.alias("v_s"),
         F.lit(1.0).alias("v_d"),
     )
-    return tok.unionByName(q_u).unionByName(rep_u).unionByName(qf)
+    # c4l / gld sub-gates (new in r6): the two line-tier operators
+    # over the SAME synthesized multi-line corpus the 'dl' signal uses.
+    # c4l: clean_lines with phrase rules off (synthetic tokens could
+    # legitimately contain a phrase) — keeps the 5-word repeated line,
+    # drops the 1-word unique line, rebuilds; v_s is the md5 of the
+    # rebuilt text. gld: dedup_lines_global(min_dup=2, keep=first) —
+    # the repeated line survives only at its corpus-wide first
+    # occurrence; the unique per-doc line everywhere.
+    from data_governance_spark.operators.lines import (
+        clean_lines,
+        dedup_lines_global,
+    )
+
+    def _h(df):
+        return df.select(
+            F.col("doc_id").cast("string").alias("k"),
+            F.md5(F.encode(F.col("text"), "UTF-8")).alias("v_s"),
+        )
+
+    nul_d = F.lit(None).cast("double")
+    c4l = _h(
+        clean_lines(
+            synth,
+            min_words=3,
+            terminal_punct=False,
+            drop_line_phrases=(),
+            min_lines=1,
+            drop_doc_phrases=(),
+        )
+    ).select(F.lit("c4l").alias("gate"), "k", "v_s", nul_d.alias("v_d"))
+    gld = _h(dedup_lines_global(synth, min_dup=2, keep="first")).select(
+        F.lit("gld").alias("gate"), "k", "v_s", nul_d.alias("v_d")
+    )
+    return (
+        tok.unionByName(q_u)
+        .unionByName(rep_u)
+        .unionByName(qf)
+        .unionByName(c4l)
+        .unionByName(gld)
+    )
 
 
 # --------------------------------------------------------------------------
