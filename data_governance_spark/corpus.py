@@ -79,11 +79,14 @@ class CorpusResult:
     _caches: list[DataFrame] | None = None  # this run's tracked persists
 
     def report(self) -> dict:
-        """The data-card numbers a corpus release ships with, computed
-        with one small aggregation per stage: clean/kept doc counts,
-        dup-pair count, per-split doc and token totals, pack count.
-        Driver-side result is a handful of scalars — safe at any scale
-        (the aggregations run distributed; only totals collect)."""
+        """The data-card numbers a corpus release ships with:
+        clean/kept doc counts, dup-pair count, per-split doc and token
+        totals, pack count. Only scalars reach the driver, but each
+        stage is its own Spark JOB over that stage's lineage — with
+        ``persist_clean=True`` (the default) the quality/PII work is
+        read from cache, while ``dup_pairs.count()`` always replays the
+        sketch band join. Call it BEFORE ``release()``, and expect one
+        full pipeline recompute per stage if ``persist_clean=False``."""
         per_split = {
             r["split"]: {
                 "docs": r["docs"],

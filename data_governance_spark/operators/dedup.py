@@ -145,6 +145,17 @@ def minhash_dedup_pairs(
     (band, key) -> distinct pairs -> estimate from signatures.
     ``max_bucket_size`` caps the per-bucket pair blow-up (_cap_buckets).
     """
+    if bands < 1 or bands > num_hashes:
+        raise ValueError(
+            f"bands must be in [1, num_hashes]; got bands={bands}, "
+            f"num_hashes={num_hashes}"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) — a "
+            "non-divisor would silently drop the trailing hashes and "
+            "shift the LSH S-curve"
+        )
     rows = num_hashes // bands
     # signatures feed the band join AND two estimate joins — persist so
     # the explode+64-hash aggregation runs once, not three times

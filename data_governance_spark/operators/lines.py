@@ -117,9 +117,11 @@ def dedup_lines_global(
     min_dup: int = 2,
     keep: str = "first",
 ) -> DataFrame:
-    """Remove exact-duplicate lines ACROSS the corpus. A (trimmed,
-    non-empty) line occurring in >= ``min_dup`` places is treated as
-    boilerplate; ``keep="first"`` retains its single first occurrence
+    """Remove exact-duplicate lines ACROSS the corpus. A non-empty
+    line whose TRIMMED form occurs in >= ``min_dup`` places is treated
+    as boilerplate (trailing-whitespace variants of a banner are the
+    same banner; surviving occurrences keep their raw bytes);
+    ``keep="first"`` retains its single first occurrence
     (ordered by (``id_col``, line position) — deterministic),
     ``keep="none"`` removes every occurrence. Unique lines always
     survive. Documents are rebuilt from their surviving lines in
@@ -142,8 +144,11 @@ def dedup_lines_global(
     lines = docs.select(
         F.col(id_col).alias("_dl_id"),
         F.posexplode(doc_lines(text_col)).alias("_dl_pos", "_dl_line"),
-    )
-    w = Window.partitionBy("_dl_line")
+    ).withColumn("_dl_key", F.trim(F.col("_dl_line")))
+    # duplicate identity is the TRIMMED line (a banner with a trailing
+    # space on some pages is the same boilerplate); the rebuild keeps
+    # each surviving occurrence's raw bytes
+    w = Window.partitionBy("_dl_key")
     w_rank = w.orderBy("_dl_id", "_dl_pos")
     ranked = lines.select(
         "_dl_id",

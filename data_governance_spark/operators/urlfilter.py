@@ -110,7 +110,12 @@ def filter_url_patterns(
     """Drop documents whose URL matches ANY of ``patterns`` (Java
     regexes), compiled into one alternation — a single codegen rlike
     per row however long the list. URL-less (NULL) documents are
-    kept (nothing to match)."""
+    kept (nothing to match).
+
+    Limitation (stated): the alternation renumbers capture groups, so
+    patterns using NUMBERED BACKREFERENCES (``(x)\\1``) break when
+    combined — use named groups with named backreferences
+    (``(?<a>x)\\k<a>``) or call this once per such pattern."""
     if not patterns:
         return docs
     alternation = "(?:" + ")|(?:".join(patterns) + ")"

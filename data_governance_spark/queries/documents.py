@@ -1075,8 +1075,10 @@ _D06_PAIRS_SQL = f"""
 )
 def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    # one tokenize pass shared by the bench synthesis and the pair
+    # query (r6 review: the gate used to tokenize three times)
     toks = docs.select("doc_id", tokens("text").alias("toks"))
-    pair_rows = _d06_pair_df(spark, sf_dir).select(
+    pair_rows = _d06_pair_df(spark, sf_dir, toks=toks).select(
         F.lit("pairs").alias("gate"),
         F.concat_ws(
             ":", F.col("doc_a").cast("string"), F.col("doc_b").cast("string")
@@ -1103,9 +1105,12 @@ def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_rows.unionByName(decon)
 
 
-def _d06_pair_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _d06_pair_df(
+    spark: SparkSession, sf_dir: str, toks: DataFrame | None = None
+) -> DataFrame:
     """The rare-shingle Jaccard pair set as (doc_a, doc_b, jaccard) —
-    shared by the d06 gate (quad-wrapped) and d10's closure input."""
+    shared by the d06 gate (quad-wrapped, which passes its tokenized
+    relation in) and d10's closure input."""
     docs = table(spark, sf_dir, "documents")
     # the shingle relation feeds two consumers (doc sizes, rare-shingle
     # pair generation) — persist it once instead of re-tokenizing the
@@ -1115,7 +1120,8 @@ def _d06_pair_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens MUST be materialized before shingling: word_shingles reads
     # the token array once per gram position, and an inlined tokenize
     # expression would be re-evaluated each time (~3x per shingle)
-    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    if toks is None:
+        toks = docs.select("doc_id", tokens("text").alias("toks"))
     sh = toks.select(
         "doc_id", F.explode(word_shingles(F.col("toks"), 3)).alias("shingle")
     )

@@ -145,7 +145,12 @@ class TestGlobalLineDedup:
         from data_governance_spark.operators.lines import dedup_lines_global
 
         rng = random.Random(7)
-        pool = [f"line {i} of shared text." for i in range(12)]
+        # pool includes trailing-whitespace variants: dedup identity is
+        # the TRIMMED line, rebuild keeps raw bytes
+        pool = [f"line {i} of shared text." for i in range(12)] + [
+            "line 0 of shared text.  ",
+            " line 3 of shared text.",
+        ]
         rows = [
             (
                 i,
@@ -157,25 +162,25 @@ class TestGlobalLineDedup:
         ]
         min_dup = 3
 
-        # python reference
+        # python reference: strip for identity, raw for the rebuild
         def lines_of(t):
-            return [x.strip() for x in t.split("\n") if x.strip()]
+            return [x for x in t.split("\n") if x.strip()]
 
         from collections import Counter
 
         cnt = Counter(
-            ln for _, t in rows for ln in lines_of(t)
+            ln.strip() for _, t in rows for ln in lines_of(t)
         )
         first = {}
         for i, t in sorted(rows):
             for p, ln in enumerate(lines_of(t)):
-                first.setdefault(ln, (i, p))
+                first.setdefault(ln.strip(), (i, p))
         want = {}
         for i, t in rows:
             kept = [
                 ln
                 for p, ln in enumerate(lines_of(t))
-                if cnt[ln] < min_dup or first[ln] == (i, p)
+                if cnt[ln.strip()] < min_dup or first[ln.strip()] == (i, p)
             ]
             if kept:
                 want[i] = "\n".join(kept)
