@@ -468,6 +468,56 @@ def s3_s4_param_harvests(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Sub-gate 'jsonl' (new in r6): the JSONL source round-trip
+# (sources/jsonl.py) — write_jsonl shards a customer-derived corpus,
+# jsonl_documents reads it back after a corrupt line and a
+# type-mismatched line are appended to the directory; well-formed rows
+# and the quarantine count are matched analytically.
+def q43_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.queries.staging import staged_tmpdir
+    from data_governance_spark.sources.jsonl import (
+        jsonl_documents,
+        write_jsonl,
+    )
+
+    def build(out_dir: str) -> None:
+        cust = (
+            table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= 120)
+            .select(
+                F.col("c_custkey").alias("doc_id"),
+                F.concat(F.lit("http://j/"), _s(F.col("c_custkey"))).alias(
+                    "url"
+                ),
+                F.lit("en").alias("lang"),
+                F.lit("jgate").alias("source"),
+                F.concat(F.lit("body "), _s(F.col("c_custkey"))).alias(
+                    "text"
+                ),
+            )
+        )
+        data = os.path.join(out_dir, "data")
+        write_jsonl(cust, data, num_files=2)
+        with open(os.path.join(data, "zz_bad.jsonl"), "w") as f:
+            f.write('{"doc_id": 7777, "text": "trunc...\n')
+            f.write('{"doc_id": "NaN", "text": "bad type"}\n')
+
+    work = staged_tmpdir(("q43jsonl", sf_dir), build, prefix="dg_q43j_")
+    corpus = jsonl_documents(spark, os.path.join(work, "data"))
+    rows = corpus.docs.select(
+        F.concat(F.lit("j"), F.col("doc_id").cast("string")).alias("k"),
+        F.concat_ws("|", "url", "lang", "source", "text").alias("v_s"),
+        F.lit(None).cast("double").alias("v_d"),
+    )
+    badn = corpus.bad.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("quarantine").alias("k"),
+        F.lit(None).cast("string").alias("v_s"),
+        F.col("n").cast("double").alias("v_d"),
+    )
+    return rows.unionByName(badn)
+
+
+# --------------------------------------------------------------------------
 @qdef(
     QUERIES,
     "q43_harvest_serving",
@@ -506,12 +556,22 @@ def s3_s4_param_harvests(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'ids', 'i:' || x, 'ok', CAST(NULL AS DOUBLE)
     FROM (SELECT unnest(['alpha', 'beta', 'gamma']) AS x)
+    UNION ALL
+    SELECT 'jsonl', 'j' || CAST(c_custkey AS VARCHAR),
+           'http://j/' || CAST(c_custkey AS VARCHAR) || '|en|jgate|body '
+             || CAST(c_custkey AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM customer WHERE c_custkey <= 120
+    UNION ALL
+    SELECT 'jsonl', 'quarantine', CAST(NULL AS VARCHAR), 2.0
     """,
     doc="merged gate (r5 driver-budget): S1-S5 paginated REST harvest "
     "(error pages captured, watermark params) + S6 upsert merge "
     "(ex-q43) + S14/S15 served-layer pivot (long metrics -> wide year "
     "rows, NULL for absent entities, year-sorted O1; ex-q44) + S3 "
-    "date-range and S4 id-list extract params (new)",
+    "date-range and S4 id-list extract params + JSONL source/sink "
+    "round-trip with corrupt-line quarantine (sources/jsonl.py; new "
+    "in r6)",
 )
 def q43_harvest_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     nul_d = F.lit(None).cast("double")
@@ -540,4 +600,7 @@ def q43_harvest_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("v_s"),
         nul_d.alias("v_d"),
     )
-    return h.unionByName(piv_rows).unionByName(params)
+    jsonl = q43_jsonl_roundtrip(spark, sf_dir).select(
+        F.lit("jsonl").alias("gate"), "k", "v_s", "v_d"
+    )
+    return h.unionByName(piv_rows).unionByName(params).unionByName(jsonl)
