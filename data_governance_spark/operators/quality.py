@@ -138,6 +138,28 @@ def corpus_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def signal_summary(
+    docs: DataFrame,
+    text_col: str = "text",
+    probs: tuple[float, ...] = (0.01, 0.25, 0.5, 0.75, 0.99),
+) -> DataFrame:
+    """Quantiles of every quality signal in ONE aggregation pass — the
+    dashboard a pipeline owner reads before picking ``filter_corpus``
+    thresholds (eyeballing where the corpus mass sits beats copying
+    another corpus's cutoffs). Returns a single row with one
+    ``array<double>`` per signal, ordered like ``probs``;
+    approx_percentile keeps it a bounded-memory partial aggregate, so
+    at 100 TB this is one scan + one tiny shuffle."""
+    sig = corpus_signals(docs, text_col)
+    p = F.array(*[F.lit(x) for x in probs])
+    return sig.agg(
+        *[
+            F.percentile_approx(n, p).alias(n)
+            for n in _signal_cols().keys()
+        ]
+    )
+
+
 def filter_corpus(
     docs: DataFrame,
     rules: dict[str, tuple[float | None, float | None]] | None = None,

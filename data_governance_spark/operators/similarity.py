@@ -350,6 +350,43 @@ def cosine_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    block_col: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    max_block_size: int | None = None,
+):
+    """SemDeDup-style embedding deduplication (Abbas et al. 2023,
+    public paper) as one composition of this engine's operators:
+    cluster-blocked cosine near-dup pairs -> connected-component
+    closure -> keep the smallest-id representative per cluster.
+
+    ``block_col`` is the clustering label (an IVF cell from
+    ``train_ivf_cells``/``assign_cells``, or any k-means label) —
+    SemDeDup's insight is that near-duplicates share a cluster, so the
+    quadratic comparison happens only within blocks. Returns
+    ``(labels, kept)``: the full ``(id, comp)`` labeling and the
+    deduplicated rows of ``df``. Pure composition — each stage is the
+    already-gated operator (e07 pairs, d10 closure), nothing new to
+    verify."""
+    from data_governance_spark.operators.components import (
+        connected_components,
+        keep_canonical,
+    )
+
+    pairs = cosine_neardup_pairs(
+        df, block_col, threshold=threshold, id_col=id_col,
+        vec_col=vec_col, max_block_size=max_block_size,
+    )
+    labels = connected_components(
+        pairs, "id_a", "id_b", nodes=df.select(id_col), node_col=id_col
+    )
+    kept = keep_canonical(df, labels, id_col=id_col)
+    return labels, kept
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no numpy dependency in
     the plan; literals are folded into codegen)."""

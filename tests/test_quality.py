@@ -120,3 +120,23 @@ class TestMojibake:
         )
         kept = [r["doc_id"] for r in filter_corpus(df).collect()]
         assert kept == [1]
+
+
+def test_signal_summary_quantiles(spark):
+    from data_governance_spark.operators.quality import signal_summary
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(["the"] * 5 + [f"w{i}x{j}" for j in range(5 + i)]))
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    row = signal_summary(docs).first()
+    nt = row["n_tokens"]
+    assert len(nt) == 5
+    # quantiles are monotone and bracket the real range [10, 29]
+    assert nt == sorted(nt)
+    assert 10 <= nt[0] and nt[-1] <= 29
+    sr = row["stopword_ratio"]
+    assert all(0.0 <= x <= 1.0 for x in sr)

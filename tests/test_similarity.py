@@ -181,3 +181,23 @@ def test_ivf_deterministic(vectors, spark):
     a = sorted(map(str, ivf_knn(base, cells, k=2).collect()))
     b = sorted(map(str, ivf_knn(base, cells, k=2).collect()))
     assert a == b
+
+
+def test_semantic_dedup_composition(spark):
+    """SemDeDup composition: near-identical vectors within a block
+    collapse to one representative; distinct vectors all survive."""
+    from data_governance_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [0.999, 0.01, 0.0]),   # ~dup of 1 (same block)
+        (3, 0, [0.0, 1.0, 0.0]),      # distinct
+        (4, 1, [1.0, 0.0, 0.0]),      # identical to 1 but other block
+        (5, 1, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, cell int, emb array<double>")
+    labels, kept = semantic_dedup(df, "cell", threshold=0.99)
+    lab = {r["id"]: r["comp"] for r in labels.collect()}
+    assert lab[2] == lab[1] == 1  # collapsed
+    assert lab[3] == 3 and lab[4] == 4 and lab[5] == 5
+    assert sorted(r["vec_id"] for r in kept.collect()) == [1, 3, 4, 5]
