@@ -1,12 +1,21 @@
-"""q45: the multimodal column plumbing under the oracle gate.
+"""q45 (quad-schema compound since r6): the multimodal column plumbing
+AND the real uncompressed-format codec under the oracle gate.
 
-Binary content is synthesized deterministically from `customer`
-(utf-8 bytes of 'blob<ck>'), so the DuckDB oracle can recompute the
-fake feature extractor's folded byte histogram analytically — gating
-the REAL Arrow path: BinaryType columns through mapInPandas batches,
-byte-budget repartitioning, and the frame-sampling explode. The codec
-itself stays the documented stub (operators/multimodal.py); this gate
-certifies everything around it.
+Sub-gate 'hist' (ex-q45 shape): binary content synthesized
+deterministically from `customer` (utf-8 bytes of 'blob<ck>') so the
+DuckDB oracle recomputes the fake feature extractor's folded byte
+histogram analytically — gating the Arrow path itself: BinaryType
+columns through mapInPandas batches, byte-budget repartitioning, and
+the frame-sampling explode.
+
+Sub-gate 'real' (new in r6): a REAL image decode with no codec
+library — each customer key becomes a 4x2 binary PPM (P6) built
+byte-for-byte in Spark (constant planes r=ck%121, g=2ck%121,
+b=3ck%121; values <128 so UTF-8 encode is byte-identity), decoded by
+operators/multimodal.decode_ppm inside the decoder="real" mapInPandas
+path; width/height/channels/per-plane means/std are stated
+analytically by the oracle. Compressed formats (JPEG/PNG) remain the
+documented environment-constraint stub.
 """
 
 from __future__ import annotations
@@ -14,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_governance_spark.queries.base import QueryDef, qdef
+from data_governance_spark.queries.base import QueryDef, melt_metrics, qdef
 from data_governance_spark.tables import table
 
 QUERIES: dict[str, QueryDef] = {}
@@ -39,19 +48,50 @@ def _s(c: Column) -> Column:
         CAST(list_sum(list_transform(range(1, length(s) + 1),
                                      i -> ascii(substr(s, i, 1)))) AS DOUBLE) AS total
       FROM f
+    ),
+    rgb AS (
+      SELECT ck, CAST(ck % 121 AS DOUBLE) AS r,
+             CAST((ck * 2) % 121 AS DOUBLE) AS g,
+             CAST((ck * 3) % 121 AS DOUBLE) AS b
+      FROM f
     )
-    SELECT ck AS media_id, CAST(n AS BIGINT) AS n_bytes,
-      {", ".join(
-        "round(CAST(CAST(COALESCE(list_sum(list_transform("
-        f"range({b} + 1, n + 1, {_DIM}), i -> ascii(substr(s, i, 1)))), 0)"
-        f" / total AS FLOAT) AS DOUBLE), 4) + 0.0 AS f{b}"
-        for b in range(4)
-      )},
-      CASE WHEN ck % 3 = 0 THEN ck % 5 + 1 END AS n_frames
-    FROM h
+    SELECT 'hist' AS gate, CAST(ck AS VARCHAR) || ':nb' AS k,
+           CAST(NULL AS VARCHAR) AS v_s, CAST(n AS DOUBLE) AS v_d FROM h
+    {"".join(
+      " UNION ALL SELECT 'hist', CAST(ck AS VARCHAR) || ':f" + str(b)
+      + "', CAST(NULL AS VARCHAR), "
+      + "round(CAST(CAST(COALESCE(list_sum(list_transform("
+      + f"range({b} + 1, n + 1, {_DIM}), i -> ascii(substr(s, i, 1)))), 0)"
+      + " / total AS FLOAT) AS DOUBLE), 4) + 0.0 FROM h"
+      for b in range(4)
+    )}
+    UNION ALL
+    SELECT 'hist', CAST(ck AS VARCHAR) || ':fr', CAST(NULL AS VARCHAR),
+           CAST(CASE WHEN ck % 3 = 0 THEN ck % 5 + 1 END AS DOUBLE) FROM h
+    UNION ALL
+    SELECT 'real', CAST(ck AS VARCHAR) || ':w', CAST(NULL AS VARCHAR), 4.0 FROM rgb
+    UNION ALL
+    SELECT 'real', CAST(ck AS VARCHAR) || ':h', CAST(NULL AS VARCHAR), 2.0 FROM rgb
+    UNION ALL
+    SELECT 'real', CAST(ck AS VARCHAR) || ':c', CAST(NULL AS VARCHAR), 3.0 FROM rgb
+    UNION ALL
+    SELECT 'real', CAST(ck AS VARCHAR) || ':mr', CAST(NULL AS VARCHAR), r FROM rgb
+    UNION ALL
+    SELECT 'real', CAST(ck AS VARCHAR) || ':mg', CAST(NULL AS VARCHAR), g FROM rgb
+    UNION ALL
+    SELECT 'real', CAST(ck AS VARCHAR) || ':mb', CAST(NULL AS VARCHAR), b FROM rgb
+    UNION ALL
+    SELECT 'real', CAST(ck AS VARCHAR) || ':sd', CAST(NULL AS VARCHAR),
+           round(CAST(CAST(sqrt((r*r + g*g + b*b) / 3
+                      - ((r + g + b) / 3) * ((r + g + b) / 3)) AS FLOAT)
+                 AS DOUBLE), 4) + 0.0
+    FROM rgb
     """,
-    doc="multimodal plumbing: BinaryType through Arrow mapInPandas "
-    "(fake codec histogram), byte-budget repartition, frame-sample plan",
+    doc="merged gate (r6): multimodal plumbing — BinaryType through "
+    "Arrow mapInPandas (fake codec histogram), byte-budget repartition, "
+    "frame-sample plan (sub-gate 'hist') + REAL PPM decode via the "
+    "numpy-only codec (decoder='real' path: dims/means/std of "
+    "Spark-synthesized P6 bytes; sub-gate 'real', new in r6)",
 )
 def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.multimodal import (
@@ -81,11 +121,58 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("media_id")
         .agg(F.count(F.lit(1)).alias("n_frames"))
     )
-    out = feats.join(n_frames, "media_id", "left")
-    fcols = [
-        (F.round(F.get(F.col("feature"), b).cast("double"), 4) + F.lit(0.0)).alias(
-            f"f{b}"
+    wide = feats.join(n_frames, "media_id", "left").select(
+        "media_id",
+        F.col("n_bytes").cast("double").alias("nb"),
+        *[
+            (
+                F.round(F.get(F.col("feature"), b).cast("double"), 4)
+                + F.lit(0.0)
+            ).alias(f"f{b}")
+            for b in range(4)
+        ],
+        F.col("n_frames").cast("double").alias("fr"),
+    )
+    hist = melt_metrics(
+        wide,
+        F.col("media_id").cast("string"),
+        ("nb", "f0", "f1", "f2", "f3", "fr"),
+        "hist",
+    )
+
+    # 'real' sub-gate: 4x2 P6 PPM built byte-for-byte in Spark
+    # (values < 128, so UTF-8 encode is byte-identity), decoded by the
+    # REAL numpy codec inside the decoder="real" Arrow path
+    r, g, b = k % 121, (k * 2) % 121, (k * 3) % 121
+    pix = F.repeat(F.concat(F.char(r), F.char(g), F.char(b)), 8)
+    ppm = cust.select(
+        k.alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(
+            F.concat(F.lit("P6\n4 2\n255\n"), pix), "UTF-8"
+        ).alias("content"),
+        F.lit(None)
+        .cast(
+            "struct<mime:string,width:int,height:int,"
+            "duration_ms:bigint,sample_rate:int>"
         )
-        for b in range(4)
-    ]
-    return out.select("media_id", "n_bytes", *fcols, "n_frames")
+        .alias("meta"),
+    )
+    rf = extract_features(ppm, decoder="real").select(
+        "media_id",
+        *[
+            F.get(F.col("feature"), i).cast("double").alias(n)
+            for i, n in enumerate(("w", "h", "c", "mr", "mg", "mb"))
+        ],
+        (
+            F.round(F.get(F.col("feature"), 6).cast("double"), 4)
+            + F.lit(0.0)
+        ).alias("sd"),
+    )
+    real = melt_metrics(
+        rf,
+        F.col("media_id").cast("string"),
+        ("w", "h", "c", "mr", "mg", "mb", "sd"),
+        "real",
+    )
+    return hist.unionByName(real)
