@@ -156,6 +156,22 @@ def minhash_dedup_pairs(
             "non-divisor would silently drop the trailing hashes and "
             "shift the LSH S-curve"
         )
+    if threshold > 1.0:
+        # estimated Jaccard is matching-hash-count / num_hashes <= 1.0,
+        # so a threshold above 1 provably emits zero pairs — skip the
+        # signature computation entirely (callers use threshold=1.01 to
+        # disable the sketch stage while keeping the pipeline shape,
+        # e.g. an exact-oracle gate over prepare_corpus). limit(0) over
+        # the typed projection keeps the exact output schema and is
+        # folded to an empty relation by OptimizeLimitZero — no scan.
+        return docs.select(
+            F.col(id_col).alias("doc_a"),
+            F.col(id_col).alias("doc_b"),
+            # None-cast, not lit(0.0): keeps the column NULLABLE like
+            # the real path's join-derived estimate, so the schemas are
+            # byte-identical (the frame is empty either way)
+            F.lit(None).cast("double").alias("est_jaccard"),
+        ).limit(0)
     rows = num_hashes // bands
     # signatures feed the band join AND two estimate joins — persist so
     # the explode+64-hash aggregation runs once, not three times

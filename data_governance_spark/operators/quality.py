@@ -45,12 +45,39 @@ DEFAULT_RULES: dict[str, tuple[float | None, float | None]] = {
 }
 
 
-def _materialize(docs: DataFrame, text_col: str) -> DataFrame:
+# Which _materialize() source column each signal reads. Lets
+# filter_corpus skip building sources no rule touches (a token-only
+# rule set never splits lines), and lets a caller with a PRE-TOKENIZED
+# relation (tokens_col=) run token-signal rules without a text column.
+_SIGNAL_SOURCE: dict[str, str] = {
+    "n_tokens": "toks",
+    "mean_token_len": "toks",
+    "stopword_ratio": "toks",
+    "top_bigram_frac": "toks",
+    "dup_5gram_frac": "toks",
+    "dup_line_frac": "lines",
+    "replacement_char_frac": "text",
+}
+
+
+def _materialize(
+    docs: DataFrame,
+    text_col: str,
+    tokens_col: str | None = None,
+    needs: frozenset[str] | set[str] = frozenset({"text", "toks", "lines"}),
+) -> DataFrame:
     """Token and line arrays as REAL columns before any higher-order
     fold touches them: HOFs re-evaluate inline argument expressions per
     element access, so word_shingles over an inline tokens() would
     re-run the tokenizer once per n-gram (measured 10x+ slowdown —
     the same trap functions/text.shingle_hashes documents).
+
+    ``tokens_col`` reuses an existing token-array column (caller
+    already tokenized — e.g. a persisted relation shared with other
+    signal consumers) instead of re-running ``tokens(text_col)``.
+    ``needs`` ⊆ {text, toks, lines} limits which source columns are
+    built; a source not built must not be referenced downstream (the
+    caller selects only signals whose source is in ``needs``).
 
     NOTE the projection alone does NOT protect ``filter_corpus``:
     the optimizer substitutes these aliases into the filter predicate
@@ -58,12 +85,15 @@ def _materialize(docs: DataFrame, text_col: str) -> DataFrame:
     every fold (measured: the collapsed predicate carried 72 copies of
     ``split(text)``, 57 s for 5 000 docs). ``filter_corpus`` therefore
     inserts a structural barrier — see ``_fence``."""
-    return docs.select(
-        "*",
-        F.col(text_col).alias("_qm_text"),
-        tokens(text_col).alias("_qm_toks"),
-        doc_lines(text_col).alias("_qm_lines"),
-    )
+    cols: list = ["*"]
+    if "text" in needs:
+        cols.append(F.col(text_col).alias("_qm_text"))
+    if "toks" in needs:
+        tok = F.col(tokens_col) if tokens_col is not None else tokens(text_col)
+        cols.append(tok.alias("_qm_toks"))
+    if "lines" in needs:
+        cols.append(doc_lines(text_col).alias("_qm_lines"))
+    return docs.select(*cols)
 
 
 def _fence(df: DataFrame) -> DataFrame:
@@ -123,16 +153,21 @@ def _signal_cols() -> dict[str, Column]:
     }
 
 
-def corpus_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def corpus_signals(
+    docs: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
     """Annotate with all quality signals (NULL where undefined — empty
-    doc, fewer tokens than the n-gram width).
+    doc, fewer tokens than the n-gram width). ``tokens_col`` reuses a
+    precomputed token-array column instead of re-tokenizing
+    ``text_col`` (the text column must still exist — line and
+    replacement-char signals read it).
 
     Fenced like ``filter_corpus``: a caller filtering on the returned
     signal columns (the natural audit query) would otherwise hit the
     same predicate-inlining blowup."""
     sig = _signal_cols()
     return _fence(
-        _materialize(docs, text_col).select(
+        _materialize(docs, text_col, tokens_col=tokens_col).select(
             *docs.columns, *[c.alias(n) for n, c in sig.items()]
         )
     )
@@ -142,6 +177,9 @@ def signal_summary(
     docs: DataFrame,
     text_col: str = "text",
     probs: tuple[float, ...] = (0.01, 0.25, 0.5, 0.75, 0.99),
+    signals: tuple[str, ...] | None = None,
+    accuracy: int = 10_000,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Quantiles of every quality signal in ONE aggregation pass — the
     dashboard a pipeline owner reads before picking ``filter_corpus``
@@ -149,14 +187,29 @@ def signal_summary(
     another corpus's cutoffs). Returns a single row with one
     ``array<double>`` per signal, ordered like ``probs``;
     approx_percentile keeps it a bounded-memory partial aggregate, so
-    at 100 TB this is one scan + one tiny shuffle."""
-    sig = corpus_signals(docs, text_col)
+    at 100 TB this is one scan + one tiny shuffle.
+
+    ``signals`` restricts the dashboard to named signals (default:
+    all); only the source columns those signals read are built, so a
+    token-only subset never splits lines. ``accuracy`` is
+    percentile_approx's knob: with ``accuracy >= #non-null rows`` the
+    sketch retains every value and the result is the EXACT order
+    statistic at rank ceil(p*n) — the regime the driver gate pins;
+    the default stays the approximate bounded-memory regime."""
+    sig_all = _signal_cols()
+    names = list(sig_all) if signals is None else list(signals)
+    unknown = set(names) - sig_all.keys()
+    if unknown:
+        raise ValueError(f"unknown quality signals: {sorted(unknown)}")
+    needs = {_SIGNAL_SOURCE[n] for n in names}
+    sig = _fence(
+        _materialize(docs, text_col, tokens_col=tokens_col, needs=needs).select(
+            *[sig_all[n].alias(n) for n in names]
+        )
+    )
     p = F.array(*[F.lit(x) for x in probs])
     return sig.agg(
-        *[
-            F.percentile_approx(n, p).alias(n)
-            for n in _signal_cols().keys()
-        ]
+        *[F.percentile_approx(n, p, accuracy).alias(n) for n in names]
     )
 
 
@@ -165,19 +218,37 @@ def filter_corpus(
     rules: dict[str, tuple[float | None, float | None]] | None = None,
     text_col: str = "text",
     keep_signals: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Keep documents whose signals fall inside every rule's
     [min, max] range. A NULL signal fails any bounded rule on it (an
     empty doc has no business in a training corpus). Unknown rule keys
     raise — a typo must not silently disable a filter.
+
+    ``tokens_col`` reuses a precomputed token-array column (skipping
+    the tokenize). Only the source columns the RULED signals read are
+    built (unless ``keep_signals``, which returns all signals): with
+    token-only rules and ``tokens_col`` set, ``text_col`` need not
+    even exist — a persisted (id, tokens) relation is a valid input.
     """
     rules = DEFAULT_RULES if rules is None else rules
     sig = _signal_cols()
     unknown = rules.keys() - sig.keys()
     if unknown:
         raise ValueError(f"unknown quality signals: {sorted(unknown)}")
-    annotated = _materialize(docs, text_col).select(
-        *docs.columns, *[c.alias(f"_q_{n}") for n, c in sig.items()]
+    if keep_signals:
+        needs = frozenset(_SIGNAL_SOURCE.values())
+    else:
+        needs = frozenset(_SIGNAL_SOURCE[n] for n in rules)
+    annotated = _materialize(
+        docs, text_col, tokens_col=tokens_col, needs=needs
+    ).select(
+        *docs.columns,
+        *[
+            c.alias(f"_q_{n}")
+            for n, c in sig.items()
+            if _SIGNAL_SOURCE[n] in needs
+        ],
     )
     pred = F.lit(True)
     for name, (lo, hi) in rules.items():

@@ -368,12 +368,15 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             melt_metrics(dg, F.col("doc_id").cast("string"), ("dg",), "rep")
         )
     )
-    # qf sub-gate: the REAL filter_corpus (fence and all) over the raw
-    # corpus; one row per kept doc — a dropped doc that should have
+    # qf sub-gate: the REAL filter_corpus (fence and all), fed the
+    # PERSISTED tokenized relation (tokens_col=) so the decision reuses
+    # the one scan+tokenize the other sub-gates share instead of
+    # re-tokenizing the raw corpus (r6 verdict: ~a third of d01's
+    # 17 s). One row per kept doc — a dropped doc that should have
     # been kept (or vice versa) is a row-multiset mismatch
     from data_governance_spark.operators.quality import filter_corpus
 
-    qf = filter_corpus(docs, QF_RULES).select(
+    qf = filter_corpus(toked, QF_RULES, tokens_col="_toks").select(
         F.lit("qf").alias("gate"),
         F.col("doc_id").cast("string").alias("k"),
         nul_s.alias("v_s"),

@@ -58,6 +58,25 @@ def test_minhash_finds_near_and_exact_dups(spark, docs):
     assert abs(got[(1, 2)] - exact) < 0.2
 
 
+def test_minhash_threshold_above_one_short_circuits(spark, docs):
+    """threshold > 1 provably yields zero pairs (est <= 1.0), so the
+    operator must return an empty frame with the REAL output schema
+    without computing signatures — the d03 'pipe' gate relies on this
+    to disable the sketch stage while exercising the pipeline shape."""
+    sh = F.array_distinct(word_shingles(F.col("toks"), 3))
+    real = minhash_dedup_pairs(docs, sh, threshold=0.3)
+    empty = minhash_dedup_pairs(docs, sh, threshold=1.01)
+    assert empty.schema == real.schema
+    assert empty.count() == 0
+    # the short-circuit plan must not carry the signature aggregation:
+    # OptimizeLimitZero folds it to an empty relation (no scan, no agg)
+    plan = empty._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan and "Aggregate" not in plan
+    # invalid band config still raises even in the short-circuit regime
+    with pytest.raises(ValueError):
+        minhash_dedup_pairs(docs, sh, threshold=1.01, bands=7)
+
+
 def test_minhash_signature_shape(spark, docs):
     sigs = minhash_signatures(docs, F.array_distinct(word_shingles(F.col("toks"), 3)))
     rows = sigs.collect()

@@ -140,3 +140,61 @@ def test_signal_summary_quantiles(spark):
     assert 10 <= nt[0] and nt[-1] <= 29
     sr = row["stopword_ratio"]
     assert all(0.0 <= x <= 1.0 for x in sr)
+
+
+def test_signal_summary_exact_regime_is_rank_statistic(spark):
+    """accuracy >= n retains every value, so the returned quantile is
+    the exact order statistic at rank ceil(p*n) — the contract the d05
+    'ssum' driver sub-gate's oracle restates in SQL."""
+    import math
+
+    from data_governance_spark.operators.quality import signal_summary
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(i + 1))) for i in range(37)],
+        "doc_id long, text string",
+    )
+    probs = (0.01, 0.25, 0.5, 0.75, 0.99)
+    row = signal_summary(
+        docs, probs=probs, signals=("n_tokens",), accuracy=1_000_000
+    ).first()
+    values = sorted(range(1, 38))  # n_tokens = doc_id + 1
+    expect = [values[max(math.ceil(p * 37), 1) - 1] for p in probs]
+    assert row["n_tokens"] == expect
+
+
+def test_signal_summary_subset_and_unknown(spark, docs):
+    from data_governance_spark.operators.quality import signal_summary
+
+    row = signal_summary(docs, signals=("n_tokens", "stopword_ratio")).first()
+    assert set(row.asDict()) == {"n_tokens", "stopword_ratio"}
+    with pytest.raises(ValueError):
+        signal_summary(docs, signals=("nope",))
+
+
+def test_filter_corpus_pretokenized_matches_text_path(spark, docs):
+    """tokens_col over a textless (id, tokens) relation must reproduce
+    the text-path decision for token-only rules — the d01 'qf' gate
+    feeds its persisted tokenized relation through this path."""
+    from data_governance_spark.functions.text import tokens
+
+    rules = {
+        "n_tokens": (3, None),
+        "stopword_ratio": (0.01, None),
+        "top_bigram_frac": (None, 0.5),
+    }
+    baseline = sorted(r["doc_id"] for r in filter_corpus(docs, rules).collect())
+    toked = docs.select("doc_id", tokens("text").alias("_toks"))
+    via_tokens = sorted(
+        r["doc_id"]
+        for r in filter_corpus(toked, rules, tokens_col="_toks").collect()
+    )
+    assert via_tokens == baseline
+    # a rule needing text still works when text exists alongside tokens
+    with_text = docs.select("doc_id", "text", tokens("text").alias("_toks"))
+    rules2 = dict(rules, replacement_char_frac=(None, 0.05))
+    both = sorted(
+        r["doc_id"]
+        for r in filter_corpus(with_text, rules2, tokens_col="_toks").collect()
+    )
+    assert both == baseline
