@@ -120,6 +120,24 @@ SAMPLE_FRAC = 0.25
 _PACK_MAX = 128
 _PACK_BUCKETS = 8
 
+# d05 'ssum' sub-gate (operators/quality.signal_summary, driver-scored
+# since r7): quantile dashboard in the EXACT regime — with accuracy >=
+# #rows percentile_approx retains every value and returns the order
+# statistic at rank ceil(p*n) (pinned by
+# tests/test_quality.py::test_signal_summary_exact_regime...), which
+# the oracle restates as a row_number rank selection. Signals limited
+# to the four whose SQL the d01/d03 oracles already share; short names
+# key the output rows.
+_SSUM_PROBS = (0.01, 0.25, 0.5, 0.75, 0.99)
+_SSUM_SIGNALS = {
+    "n_tokens": "nt",
+    "mean_token_len": "mtl",
+    "stopword_ratio": "sr",
+    "top_bigram_frac": "tg",
+}
+_SSUM_PROBS_SQL = ", ".join(str(p) for p in _SSUM_PROBS)
+_SSUM_IDX_SQL = ", ".join(str(i) for i in range(len(_SSUM_PROBS)))
+
 
 # d01 (merged gate, r5/r6 driver-budget): token-count pipeline (ex-d01,
 # ref BASE_PIPELINE A1 shape) + per-doc quality scoring (ex-d02) + the
@@ -768,6 +786,48 @@ def _wp_layout_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                - nt AS s
       FROM pk
+    ),
+    ssv AS (
+      SELECT 'nt' AS sig, CAST(len(toks) AS DOUBLE) AS v
+      FROM (SELECT {_SQL_TOKS} AS toks FROM documents)
+      UNION ALL
+      SELECT 'mtl',
+             CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+               / len(toks)
+      FROM (SELECT {_SQL_TOKS} AS toks FROM documents)
+      WHERE len(toks) > 0
+      UNION ALL
+      SELECT 'sr',
+             CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+                                  x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+               / len(toks)
+      FROM (SELECT {_SQL_TOKS} AS toks FROM documents)
+      WHERE len(toks) > 0
+      UNION ALL
+      SELECT 'tg', 2.0 * max(c) / nt
+      FROM (
+        SELECT doc_id, nt, g, count(*) AS c
+        FROM (
+          SELECT doc_id, len(toks) AS nt,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS g
+          FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+          WHERE len(toks) >= 2
+        )
+        GROUP BY doc_id, nt, g
+      )
+      GROUP BY doc_id, nt
+    ),
+    ssr AS (
+      SELECT sig, v, row_number() OVER (PARTITION BY sig ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY sig) AS n
+      FROM ssv
+    ),
+    ssq AS (
+      SELECT sig, pi, v
+      FROM ssr, (SELECT unnest([{_SSUM_PROBS_SQL}]) AS p,
+                        unnest([{_SSUM_IDX_SQL}]) AS pi)
+      WHERE rn = greatest(CAST(ceil(p * n) AS BIGINT), 1)
     )
     SELECT 'lid' AS gate, lang || '>' || predicted AS k,
            CAST(NULL AS VARCHAR) AS v_s, CAST(n AS DOUBLE) AS v_d FROM lid
@@ -806,6 +866,10 @@ def _wp_layout_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'wp', 'ooo', CAST(NULL AS VARCHAR), 0.0
     UNION ALL
     SELECT 'wp', 'lanesplit', CAST(NULL AS VARCHAR), 0.0
+    UNION ALL
+    SELECT 'ssum', sig || ':' || CAST(pi AS VARCHAR), CAST(NULL AS VARCHAR),
+           round(v, 4) + 0.0
+    FROM ssq
     """,
     doc="merged gate (r5 driver-budget): marker-token language-ID "
     "heuristic confusion matrix vs labeled lang (ex-d05) + per-lang "
@@ -816,7 +880,8 @@ def _wp_layout_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "+ the full per-doc sequence-packing assignment "
     "(operators/packing.py) + write_packed shard read-back layout "
     "checks (row conservation, within-file ordering, lane wholeness; "
-    "new in r6)",
+    "new in r6) + the signal_summary quantile dashboard in the exact-"
+    "accuracy regime (operators/quality.py; new in r7)",
 )
 def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -929,6 +994,35 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v_d"),
     )
     wp = _wp_layout_checks(spark, sf_dir)
+    # ssum sub-gate: the real signal_summary in the exact-accuracy
+    # regime; one quad row per (signal, prob index)
+    from data_governance_spark.operators.quality import signal_summary
+
+    ss = signal_summary(
+        docs,
+        probs=_SSUM_PROBS,
+        signals=tuple(_SSUM_SIGNALS),
+        accuracy=2_000_000,
+    )
+    ssum_entries = [
+        F.struct(
+            F.lit(f"{short}:{i}").alias("k"),
+            (
+                F.round(
+                    F.element_at(F.col(name), i + 1).cast("double"), 4
+                )
+                + F.lit(0.0)
+            ).alias("v"),
+        )
+        for name, short in _SSUM_SIGNALS.items()
+        for i in range(len(_SSUM_PROBS))
+    ]
+    ssum = ss.select(F.explode(F.array(*ssum_entries)).alias("e")).select(
+        F.lit("ssum").alias("gate"),
+        F.col("e.k").alias("k"),
+        nul_s.alias("v_s"),
+        F.col("e.v").alias("v_d"),
+    )
     return (
         lid.unionByName(vocab_u)
         .unionByName(sp_u)
@@ -936,6 +1030,7 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pii_u)
         .unionByName(pk)
         .unionByName(wp)
+        .unionByName(ssum)
     )
 
 

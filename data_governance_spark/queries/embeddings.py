@@ -195,32 +195,89 @@ def e03_sketch_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEARDUP_T = 0.30
 
 
+# e07 (quad-schema since r7): the label-blocked cosine pair set
+# ('pairs', the original e07 relation restated as quad rows) + the
+# SemDeDup composition over the SAME pair graph ('sd',
+# operators/similarity.semantic_dedup: pairs -> connected-component
+# closure -> keep the min-id representative per cluster). The oracle
+# restates the closure with a recursive CTE (the d10 pattern) over the
+# same cosine join and keeps ids equal to their component minimum —
+# exactly keep_canonical's default ordering.
 @qdef(
     QUERIES,
     "e07_cosine_neardup_pairs",
     oracle=f"""
-    SELECT label, id_a, id_b, round(cosine, 4) + 0.0 AS cosine FROM (
-      SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])) AS cosine
-      FROM embeddings a
-      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    ) WHERE cosine >= {_NEARDUP_T}
+    WITH RECURSIVE pairs AS (
+      SELECT label, id_a, id_b, cosine FROM (
+        SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      ) WHERE cosine >= {_NEARDUP_T}
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS r FROM embeddings
+      UNION
+      SELECT e.d AS id, reach.r AS r
+      FROM reach JOIN edges e ON e.s = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id)
+    SELECT 'pairs' AS gate,
+           CAST(label AS VARCHAR) || ':' || CAST(id_a AS VARCHAR)
+             || ':' || CAST(id_b AS VARCHAR) AS k,
+           CAST(NULL AS VARCHAR) AS v_s,
+           round(cosine, 4) + 0.0 AS v_d
+    FROM pairs
+    UNION ALL
+    SELECT 'sd', CAST(id AS VARCHAR), CAST(NULL AS VARCHAR), 1.0
+    FROM comp WHERE id = c
     """,
-    doc="embedding-cosine near-dup pairs, label-blocked (exact within block); "
-    "the block key is the O(N^2)->equi-join scale path",
+    doc="merged gate (r7): embedding-cosine near-dup pairs, "
+    "label-blocked (exact within block; the block key is the "
+    "O(N^2)->equi-join scale path) + the SemDeDup composition "
+    "(semantic_dedup: blocked pairs -> component closure -> min-id "
+    "representative) — one row per surviving vector, membership "
+    "checked by the row multiset",
 )
 def e07_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    from data_governance_spark.operators.similarity import semantic_dedup
+
+    # the pair join and the semantic_dedup composition both scan the
+    # cast embeddings — persist once (released by the registry sweep)
+    emb = tracked_persist(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
     )
     out = cosine_neardup_pairs(emb, "label", threshold=_NEARDUP_T)
-    return out.select(
-        F.col("block").alias("label"),
-        "id_a",
-        "id_b",
-        (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"),
+    nul_s = F.lit(None).cast("string")
+    pair_rows = out.select(
+        F.lit("pairs").alias("gate"),
+        F.concat_ws(
+            ":",
+            F.col("block").cast("string"),
+            F.col("id_a").cast("string"),
+            F.col("id_b").cast("string"),
+        ).alias("k"),
+        nul_s.alias("v_s"),
+        (F.round("cosine", 4) + F.lit(0.0)).alias("v_d"),
     )
+    _, kept = semantic_dedup(emb, "label", threshold=_NEARDUP_T)
+    sd_rows = kept.select(
+        F.lit("sd").alias("gate"),
+        F.col("vec_id").cast("string").alias("k"),
+        nul_s.alias("v_s"),
+        F.lit(1.0).alias("v_d"),
+    )
+    return pair_rows.unionByName(sd_rows)
 
 
 # --------------------------------------------------------------------------
