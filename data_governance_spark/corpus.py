@@ -162,7 +162,8 @@ def prepare_corpus(
     sharing a ``decontam_n``-token gram with the eval set
     (operators/decontam.py), after the quality cut and before PII
     redaction. ``url_blocklist``/``url_patterns`` run the URL tier
-    first (operators/urlfilter.py) when the corpus carries ``url_col``.
+    first (operators/urlfilter.py); passing either requires the corpus
+    to carry ``url_col`` (targeted ValueError otherwise).
     ``c4_lines=True`` inserts the C4 line-level cleaning pass
     (operators/lines.py, published defaults) after extraction;
     ``dedup_lines=True`` adds cross-corpus boilerplate-line removal
@@ -176,6 +177,11 @@ def prepare_corpus(
     mark = tracked_mark()
     # URL tier first: the cheapest cut a web pipeline has (row-local
     # predicates, no content inspection)
+    if (url_blocklist is not None or url_patterns) and url_col not in docs.columns:
+        raise ValueError(
+            f"url_blocklist/url_patterns require column {url_col!r} "
+            f"(url_col=) on the corpus; got columns {docs.columns}"
+        )
     if url_blocklist is not None:
         docs = filter_domains(docs, url_blocklist, url_col=url_col, id_col=id_col)
     if url_patterns:

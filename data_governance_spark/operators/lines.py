@@ -116,6 +116,7 @@ def dedup_lines_global(
     text_col: str = "text",
     min_dup: int = 2,
     keep: str = "first",
+    strategy: str = "window",
 ) -> DataFrame:
     """Remove exact-duplicate lines ACROSS the corpus. A non-empty
     line whose TRIMMED form occurs in >= ``min_dup`` places is treated
@@ -126,19 +127,41 @@ def dedup_lines_global(
     ``keep="none"`` removes every occurrence. Unique lines always
     survive. Documents are rebuilt from their surviving lines in
     original order; documents with no surviving line are dropped.
+    (Whitespace-only lines never reach the dedup: ``doc_lines`` drops
+    them at the split — the "non-empty" wording above rests on that
+    upstream invariant.)
 
-    Plan: posexplode lines -> one window over the line key (count +
-    rank) -> filter -> groupBy doc to rebuild -> join back for the
-    payload columns. Two key-shuffles total, both unavoidable for
-    global semantics; the window state per line key is a counter, so
-    skewed mega-lines (a banner on a billion pages) cost one hot
-    partition — at that scale pre-aggregate with a salted count
-    (operators/skew.py) and broadcast the boilerplate set instead.
+    ``strategy``:
+
+    - ``"window"`` (default): posexplode lines -> one window over the
+      line key (count + rank) -> filter -> groupBy doc to rebuild ->
+      join back for the payload columns. Two key-shuffles total, the
+      honest minimum for global semantics — but the window routes ALL
+      occurrences of a key to one partition, so a mega-line (the same
+      banner on a billion pages) makes one hot partition.
+    - ``"broadcast"`` (the skew tier): aggregate per-key count + first
+      occurrence with a hash aggregate — partial (map-side) combine
+      does the salting implicitly, each map task emits one row per
+      key, so no reducer ever sees a key's full occurrence list — then
+      keep only keys with ``count >= min_dup`` (the boilerplate set,
+      tiny by construction: only REPEATED lines) and broadcast it back
+      against the line relation as a line-local filter. One shuffle of
+      (key, partial rows) + one broadcast, no hot partition at any
+      occurrence skew. Requires the boilerplate set to fit a broadcast
+      (lines repeated >= min_dup times — if THAT overflows, raise
+      min_dup or fall back to ``"window"`` + AQE skew handling).
+
+    Both strategies produce identical output (differentially tested,
+    including an every-doc-shares-a-line adversarial fixture).
     """
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
     if min_dup < 2:
         raise ValueError(f"min_dup must be >= 2, got {min_dup}")
+    if strategy not in ("window", "broadcast"):
+        raise ValueError(
+            f"strategy must be 'window' or 'broadcast', got {strategy!r}"
+        )
     from pyspark.sql import Window
 
     lines = docs.select(
@@ -148,19 +171,44 @@ def dedup_lines_global(
     # duplicate identity is the TRIMMED line (a banner with a trailing
     # space on some pages is the same boilerplate); the rebuild keeps
     # each surviving occurrence's raw bytes
-    w = Window.partitionBy("_dl_key")
-    w_rank = w.orderBy("_dl_id", "_dl_pos")
-    ranked = lines.select(
-        "_dl_id",
-        "_dl_pos",
-        "_dl_line",
-        F.count(F.lit(1)).over(w).alias("_dl_n"),
-        F.row_number().over(w_rank).alias("_dl_rn"),
-    )
-    survivors = ranked.filter(
-        (F.col("_dl_n") < min_dup)
-        | (F.lit(keep == "first") & (F.col("_dl_rn") == 1))
-    )
+    if strategy == "window":
+        w = Window.partitionBy("_dl_key")
+        w_rank = w.orderBy("_dl_id", "_dl_pos")
+        ranked = lines.select(
+            "_dl_id",
+            "_dl_pos",
+            "_dl_line",
+            F.count(F.lit(1)).over(w).alias("_dl_n"),
+            F.row_number().over(w_rank).alias("_dl_rn"),
+        )
+        survivors = ranked.filter(
+            (F.col("_dl_n") < min_dup)
+            | (F.lit(keep == "first") & (F.col("_dl_rn") == 1))
+        )
+    else:
+        # count and min-occurrence are both algebraic, so the hash
+        # aggregate's partial combine bounds every reducer's input at
+        # (#map tasks) rows per key regardless of occurrence skew
+        boiler = (
+            lines.groupBy("_dl_key")
+            .agg(
+                F.count(F.lit(1)).alias("_dl_n"),
+                F.min(F.struct("_dl_id", "_dl_pos")).alias("_dl_first"),
+            )
+            .filter(F.col("_dl_n") >= min_dup)
+            .select("_dl_key", "_dl_first")
+        )
+        tagged = lines.join(F.broadcast(boiler), "_dl_key", "left")
+        survivors = tagged.filter(
+            F.col("_dl_first").isNull()
+            | (
+                F.lit(keep == "first")
+                & (
+                    F.struct("_dl_id", "_dl_pos")
+                    == F.col("_dl_first")
+                )
+            )
+        )
     rebuilt = (
         survivors.groupBy("_dl_id")
         .agg(

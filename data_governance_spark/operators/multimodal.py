@@ -84,10 +84,21 @@ def decode_ppm(content: bytes):
         j = i
         while j < len(content) and not content[j : j + 1].isspace():
             j += 1
+        if j == i:  # ran off the end before 3 header tokens appeared
+            raise ValueError("malformed netpbm header: truncated")
         tokens.append(content[i:j])
         i = j
     i += 1  # single whitespace after maxval, then raw pixel bytes
+    if not all(t.isdigit() for t in tokens):
+        raise ValueError(
+            f"malformed netpbm header: non-numeric tokens {tokens!r}"
+        )
     width, height, maxval = (int(t) for t in tokens)
+    if width <= 0 or height <= 0 or maxval <= 0:
+        raise ValueError(
+            "malformed netpbm header: non-positive "
+            f"width/height/maxval ({width}x{height}, maxval={maxval})"
+        )
     if maxval > 255:
         raise NotImplementedError("16-bit netpbm not supported")
     ch = 3 if content[:2] == b"P6" else 1

@@ -76,7 +76,12 @@ def filter_domains(
     sfx = domain_suffixes(extract_domain(url_col))
 
     if isinstance(domains, list) and len(domains) <= _INLINE_MAX:
-        lst = F.array(*[F.lit(d.lower()) for d in sorted(set(domains))])
+        # ONE array literal (a single py4j call), not F.array over
+        # per-entry F.lit columns — at _INLINE_MAX entries the
+        # column-at-a-time tree costs seconds of driver time (the same
+        # py4j-forest cost standardize/citation.py measured and
+        # memoized)
+        lst = F.lit(sorted({d.lower() for d in domains}))
         # null-safe: a NULL url yields a NULL suffix array and
         # arrays_overlap returns NULL — that row "never matches"
         hit = F.coalesce(F.arrays_overlap(sfx, lst), F.lit(False))

@@ -1209,7 +1209,6 @@ def _d06_pair_df(
     """The rare-shingle Jaccard pair set as (doc_a, doc_b, jaccard) —
     shared by the d06 gate (quad-wrapped, which passes its tokenized
     relation in) and d10's closure input."""
-    docs = table(spark, sf_dir, "documents")
     # the shingle relation feeds two consumers (doc sizes, rare-shingle
     # pair generation) — persist it once instead of re-tokenizing the
     # corpus per consumer (2x scan -> 1 scan + cache). No pre-distinct:
@@ -1219,6 +1218,7 @@ def _d06_pair_df(
     # the token array once per gram position, and an inlined tokenize
     # expression would be re-evaluated each time (~3x per shingle)
     if toks is None:
+        docs = table(spark, sf_dir, "documents")
         toks = docs.select("doc_id", tokens("text").alias("toks"))
     sh = toks.select(
         "doc_id", F.explode(word_shingles(F.col("toks"), 3)).alias("shingle")

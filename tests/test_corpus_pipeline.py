@@ -200,6 +200,19 @@ class TestPrepareCorpusOptions:
         )
         assert [row["doc_id"] for row in r.kept.collect()] == [1]
 
+    def test_url_tier_without_url_column_raises(self, spark):
+        import pytest
+
+        from data_governance_spark.corpus import prepare_corpus
+
+        docs = spark.createDataFrame(
+            [(1, "some text")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="url_blocklist"):
+            prepare_corpus(docs, url_blocklist=["spam.com"])
+        with pytest.raises(ValueError, match="url_patterns"):
+            prepare_corpus(docs, url_patterns=[r"\.zip$"])
+
     def test_c4_line_tier(self, spark):
         from data_governance_spark.corpus import prepare_corpus
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_governance_spark.operators.decontam import (
@@ -130,3 +131,46 @@ def test_randomized_differential_vs_python(spark):
         for r in contaminated_ids(corpus, bench, n=n).collect()
     }
     assert got == want
+    # the shuffle tier (oversized-benchmark path) must agree exactly
+    got_sh = {
+        r["doc_id"]: r["hits"]
+        for r in contaminated_ids(
+            corpus, bench, n=n, strategy="shuffle"
+        ).collect()
+    }
+    assert got_sh == want
+
+
+def test_shuffle_tier_plan_and_auto_pick(spark):
+    corpus, bench = _corpus(spark), _bench(spark)
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan_sh = (
+        contaminated_ids(corpus, bench, n=10, strategy="shuffle")
+        ._jdf.queryExecution()
+        .explainString(fmt)
+    )
+    # the gram match hash-partitions instead of broadcasting (the
+    # decontaminate anti-join on ids may still broadcast — assert on
+    # the gram-key join specifically via the absence of a broadcast
+    # exchange feeding the gram join in this single-join plan)
+    assert "BroadcastHashJoin" not in plan_sh
+    assert "SortMergeJoin" in plan_sh or "ShuffledHashJoin" in plan_sh
+    # auto: tiny benchmark -> broadcast; forced-low cap -> shuffle
+    plan_auto = (
+        contaminated_ids(corpus, bench, n=10, strategy="auto")
+        ._jdf.queryExecution()
+        .explainString(fmt)
+    )
+    assert "BroadcastHashJoin" in plan_auto
+    plan_auto_low = (
+        contaminated_ids(
+            corpus, bench, n=10, strategy="auto", broadcast_max_docs=0
+        )
+        ._jdf.queryExecution()
+        .explainString(fmt)
+    )
+    assert "BroadcastHashJoin" not in plan_auto_low
+    with pytest.raises(ValueError):
+        contaminated_ids(corpus, bench, strategy="bucketed")

@@ -191,3 +191,56 @@ class TestGlobalLineDedup:
             for r in dedup_lines_global(docs, min_dup=min_dup).collect()
         }
         assert got == want
+        # the skew tier must reproduce the window tier bit-for-bit
+        got_b = {
+            r["doc_id"]: r["text"]
+            for r in dedup_lines_global(
+                docs, min_dup=min_dup, strategy="broadcast"
+            ).collect()
+        }
+        assert got_b == want
+
+    @pytest.mark.parametrize("keep", ["first", "none"])
+    def test_broadcast_strategy_every_doc_shares_a_line(self, spark, keep):
+        """Adversarial skew fixture: ONE line occurs in every document
+        (the mega-key that makes the window tier's hot partition). The
+        broadcast tier must agree with the window tier exactly."""
+        from data_governance_spark.operators.lines import dedup_lines_global
+
+        banner = "The same banner is on every single page."
+        rows = [
+            (i, f"{banner}\nDocument {i} body line {i % 7}.")
+            for i in range(200)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        win = {
+            r["doc_id"]: r["text"]
+            for r in dedup_lines_global(docs, keep=keep).collect()
+        }
+        bc = {
+            r["doc_id"]: r["text"]
+            for r in dedup_lines_global(
+                docs, keep=keep, strategy="broadcast"
+            ).collect()
+        }
+        assert bc == win
+        if keep == "first":
+            assert win[0].split("\n")[0] == banner
+            assert all(banner not in win[i] for i in range(1, 200) if i in win)
+
+    def test_broadcast_strategy_plan_has_no_window(self, spark):
+        from data_governance_spark.operators.lines import dedup_lines_global
+
+        docs = spark.createDataFrame(
+            [(1, "a line here\nanother line")], "doc_id long, text string"
+        )
+        plan = (
+            dedup_lines_global(docs, strategy="broadcast")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "Window" not in plan
+        assert "broadcast" in plan.lower()
+        with pytest.raises(ValueError):
+            dedup_lines_global(docs, strategy="salted")

@@ -78,6 +78,18 @@ def test_ppm_truncated_raises():
         decode_ppm(raw[:-5])
 
 
+def test_ppm_malformed_header_raises_clearly():
+    # truncated INSIDE the header (fewer than 3 tokens present)
+    with pytest.raises(ValueError, match="malformed netpbm header"):
+        decode_ppm(b"P6\n4 ")
+    # negative width: must be a header error, not a numpy reshape blowup
+    with pytest.raises(ValueError, match="malformed netpbm header"):
+        decode_ppm(b"P6\n-4 3\n255\n" + b"\x00" * 64)
+    # non-numeric token
+    with pytest.raises(ValueError, match="malformed netpbm header"):
+        decode_ppm(b"P6\nfour 3\n255\n" + b"\x00" * 64)
+
+
 def test_bmp_roundtrip_padding_and_bgr():
     pix = (np.arange(3 * 3 * 3, dtype=np.int64) % 250).astype(
         np.uint8
