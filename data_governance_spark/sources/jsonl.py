@@ -79,7 +79,11 @@ def jsonl_documents(
     lines whose fields mismatch the schema's TYPES both land in
     ``bad`` with their raw text — a doc whose ``doc_id`` arrives as a
     string is a producer bug you want surfaced, not silently nulled.
-    Fields absent from a line are simply NULL (not corruption).
+    Fields absent from a line are simply NULL (not corruption). One
+    Jackson leniency to know: a JSON NUMBER in a STRING-typed field
+    coerces ("text": 5 -> "5") rather than quarantining — only
+    narrowing mismatches (string where a number is required, wrong
+    structure) are corruption (fuzz-pinned in tests/test_urlfilter.py).
     """
     # Both relations parse via text + from_json rather than the raw
     # json reader: Spark forbids plans whose only referenced column of
