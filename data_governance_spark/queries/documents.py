@@ -1038,13 +1038,34 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_K = 4  # shingle size (tokens)
 _WINNOW_W = 4  # winnowing window (shingles)
 
+# d07 'dsir'/'dsel' sub-gates (operators/dsir.py, new in r7): DSIR
+# importance scoring with target = the corpus's 'en' slice and raw =
+# the whole corpus. The fit is deterministic (bucket counts + ln on
+# both sides, micro-nat integerization absorbing any last-ulp libm
+# difference) and the score fold runs in INTEGER micro-units, so the
+# oracle restates the entire chain bit-for-bit with NO output
+# rounding; 'dsel' is the deterministic top-k selection.
+_DSIR_B = 256
+_DSIR_ALPHA = 1.0
+_DSIR_TARGET_LANG = "en"
+_DSIR_K = 50
+# engine-portable md5 bucket + unigram++bigram feature sequence,
+# shared by the score and fit CTEs
+_DSIR_BUCKET_SQL = "CAST('0x' || substr(md5({g}), 1, 6) AS BIGINT) % " + str(
+    _DSIR_B
+)
+_DSIR_GRAMS_SQL = (
+    "list_concat(t, list_transform(range(1, len(t)), "
+    "i -> t[i] || ' ' || t[i + 1]))"
+)
+
 
 @qdef(
     QUERIES,
     "d07_winnow_fingerprints",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+      SELECT doc_id, lang, {_SQL_TOKS} AS t FROM documents
     ),
     sh AS (
       SELECT doc_id, CASE WHEN len(t) >= {_WINNOW_K}
@@ -1053,19 +1074,82 @@ _WINNOW_W = 4  # winnowing window (shingles)
         ELSE [array_to_string(t, ' ')] END AS shs
       FROM toks
     ),
-    hs AS (SELECT doc_id, list_transform(shs, s -> md5(s)) AS hs FROM sh)
-    SELECT DISTINCT doc_id, fp FROM (
-      SELECT doc_id, unnest(CASE WHEN len(hs) >= {_WINNOW_W}
-        THEN list_transform(range(1, len(hs) - {_WINNOW_W - 2}),
-               j -> list_min(hs[j:j+{_WINNOW_W - 1}]))
-        ELSE [list_min(hs)] END) AS fp
-      FROM hs
+    hs AS (SELECT doc_id, list_transform(shs, s -> md5(s)) AS hs FROM sh),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id, unnest(CASE WHEN len(hs) >= {_WINNOW_W}
+          THEN list_transform(range(1, len(hs) - {_WINNOW_W - 2}),
+                 j -> list_min(hs[j:j+{_WINNOW_W - 1}]))
+          ELSE [list_min(hs)] END) AS fp
+        FROM hs
+      )
+    ),
+    dsg AS (
+      SELECT lang, unnest({_DSIR_GRAMS_SQL}) AS g FROM toks
+    ),
+    dsb AS (
+      SELECT {_DSIR_BUCKET_SQL.format(g="g")} AS b,
+             count(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}') AS tb,
+             count(*) AS rb
+      FROM dsg GROUP BY b
+    ),
+    dslr AS (
+      SELECT bs.b AS b,
+             CAST(round(
+               (ln((coalesce(tb, 0) + {_DSIR_ALPHA})
+                   / ((SELECT sum(tb) FROM dsb) + {_DSIR_ALPHA} * {_DSIR_B}))
+              - ln((coalesce(rb, 0) + {_DSIR_ALPHA})
+                   / ((SELECT sum(rb) FROM dsb) + {_DSIR_ALPHA} * {_DSIR_B})))
+               * 1000000) AS BIGINT) AS lr
+      FROM (SELECT unnest(range(0, {_DSIR_B})) AS b) bs
+      LEFT JOIN dsb ON bs.b = dsb.b
+    ),
+    dslrs AS (SELECT list(lr ORDER BY b) AS lrs FROM dslr),
+    dsscore AS (
+      SELECT doc_id,
+             CASE WHEN gs IS NULL OR len(gs) = 0 THEN 0.0
+                  ELSE list_reduce(
+                    list_transform(
+                      gs, g -> lrs[{_DSIR_BUCKET_SQL.format(g="g")} + 1]),
+                    (x, y) -> x + y)
+                  / 1000000.0
+             END AS score
+      FROM (SELECT doc_id, {_DSIR_GRAMS_SQL} AS gs FROM toks), dslrs
+    ),
+    dsel AS (
+      SELECT doc_id, rk FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        FROM dsscore
+      ) WHERE rk <= {_DSIR_K}
     )
+    SELECT 'fp' AS gate, CAST(doc_id AS VARCHAR) AS k, fp AS v_s,
+           CAST(NULL AS DOUBLE) AS v_d
+    FROM fps
+    UNION ALL
+    SELECT 'dsir', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR), score
+    FROM dsscore
+    UNION ALL
+    SELECT 'dsel', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(rk AS DOUBLE)
+    FROM dsel
     """,
-    doc="rolling-hash winnowing fingerprints (Schleimer et al. 2003): "
-    "min md5 per window of consecutive k-gram shingles, per doc",
+    doc="merged gate (r7): rolling-hash winnowing fingerprints "
+    "(Schleimer et al. 2003; min md5 per window of consecutive k-gram "
+    "shingles, per doc) + DSIR importance scores (Xie et al. 2023; "
+    "hashed unigram+bigram log-ratio fold, target = 'en' slice, raw = "
+    "whole corpus) + the deterministic top-k selection on the rounded "
+    "score (operators/dsir.py)",
 )
 def d07_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from data_governance_spark.operators.dsir import (
+        fit_log_ratios_split,
+        importance_scores,
+        select_top_k,
+    )
+
     docs = table(spark, sf_dir, "documents")
     # two materialization fences: word_shingles indexes the token array
     # per gram position, and winnow_fingerprints reads the hash array
@@ -1075,10 +1159,54 @@ def d07_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = toks.select(
         "doc_id", shingle_hashes(word_shingles(F.col("toks"), _WINNOW_K)).alias("hs")
     )
-    return hs.select(
-        "doc_id",
-        F.explode(winnow_fingerprints(F.col("hs"), _WINNOW_W)).alias("fp"),
+    nul_s = F.lit(None).cast("string")
+    nul_d = F.lit(None).cast("double")
+    fp_rows = hs.select(
+        F.lit("fp").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.explode(winnow_fingerprints(F.col("hs"), _WINNOW_W)).alias("v_s"),
+        nul_d.alias("v_d"),
+    ).select("gate", "k", "v_s", "v_d")
+    # dsir sub-gate: the fit runs Spark jobs AT CALL TIME (a B-row
+    # collect per sample — chart-sized), then scoring is map-only.
+    # Local parquet is ONE split, which would serialize the
+    # interpreted HOF folds onto one core — spread the rows first (a
+    # cluster gets this parallelism from its input splits; the
+    # operator itself correctly never forces a shuffle). The integer
+    # fold is order-independent, so repartitioning cannot change a
+    # score bit.
+    rdocs = docs.repartition(32)
+    lr = fit_log_ratios_split(
+        rdocs,
+        F.col("lang") == _DSIR_TARGET_LANG,
+        n_buckets=_DSIR_B,
+        alpha=_DSIR_ALPHA,
     )
+    # no rounding: the integer-micro-unit fold makes scores
+    # bit-identical across engines (see importance_scores docstring);
+    # persisted because both the score rows and the top-k selection
+    # consume it
+    scored = tracked_persist(
+        importance_scores(rdocs, lr).select(
+            "doc_id", F.col("dsir_score").alias("score")
+        )
+    )
+    dsir_rows = scored.select(
+        F.lit("dsir").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        nul_s.alias("v_s"),
+        F.col("score").alias("v_d"),
+    )
+    top = select_top_k(scored, _DSIR_K, score_col="score")
+    # rank the k survivors (post-limit: a k-row window, driver-scale)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    dsel_rows = top.withColumn("rk", F.row_number().over(w)).select(
+        F.lit("dsel").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        nul_s.alias("v_s"),
+        F.col("rk").cast("double").alias("v_d"),
+    )
+    return fp_rows.unionByName(dsir_rows).unionByName(dsel_rows)
 
 
 # --------------------------------------------------------------------------

@@ -120,8 +120,11 @@ def assert_matches_oracle(df: DataFrame, con: duckdb.DuckDBPyConnection, sql: st
         f"spark sample: {s_canon[:5]}\noracle sample: {o_canon[:5]}"
     )
     if s_canon != o_canon:
-        diff_s = [r for r in s_canon if r not in set(o_canon)][:5]
-        diff_o = [r for r in o_canon if r not in set(s_canon)][:5]
+        # hoist the sets — building them inside the comprehension made
+        # the diff path O(n^2) set constructions (minutes at 100k rows)
+        o_set, s_set = set(o_canon), set(s_canon)
+        diff_s = [r for r in s_canon if r not in o_set][:5]
+        diff_o = [r for r in o_canon if r not in s_set][:5]
         raise AssertionError(
             f"value mismatch\nonly-in-spark: {diff_s}\nonly-in-oracle: {diff_o}"
         )
