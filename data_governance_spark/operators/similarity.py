@@ -357,6 +357,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "emb",
     max_block_size: int | None = None,
+    pairs: DataFrame | None = None,
 ):
     """SemDeDup-style embedding deduplication (Abbas et al. 2023,
     public paper) as one composition of this engine's operators:
@@ -370,16 +371,24 @@ def semantic_dedup(
     ``(labels, kept)``: the full ``(id, comp)`` labeling and the
     deduplicated rows of ``df``. Pure composition — each stage is the
     already-gated operator (e07 pairs, d10 closure), nothing new to
-    verify."""
+    verify.
+
+    ``pairs`` (optional): a precomputed ``cosine_neardup_pairs``-shaped
+    relation (``id_a``, ``id_b``) to reuse — pass a PERSISTED pair set
+    when the caller also consumes it (audit output, the e07 gate), so
+    the blocked cosine join evaluates once instead of once per
+    consumer; the threshold/block args are then ignored for pair
+    generation."""
     from data_governance_spark.operators.components import (
         connected_components,
         keep_canonical,
     )
 
-    pairs = cosine_neardup_pairs(
-        df, block_col, threshold=threshold, id_col=id_col,
-        vec_col=vec_col, max_block_size=max_block_size,
-    )
+    if pairs is None:
+        pairs = cosine_neardup_pairs(
+            df, block_col, threshold=threshold, id_col=id_col,
+            vec_col=vec_col, max_block_size=max_block_size,
+        )
     labels = connected_components(
         pairs, "id_a", "id_b", nodes=df.select(id_col), node_col=id_col
     )

@@ -65,7 +65,10 @@ def test_string_ids(spark):
 def test_max_iter_guard_label_mode(spark):
     e = spark.createDataFrame([(i, i + 1) for i in range(1, 12)], "s long, d long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(e, "s", "d", max_iter=2, algorithm="label")
+        connected_components(
+            e, "s", "d", max_iter=2, algorithm="label",
+            small_graph_threshold=0,
+        )
 
 
 def test_auto_falls_back_to_star_on_high_diameter(spark):
@@ -74,7 +77,11 @@ def test_auto_falls_back_to_star_on_high_diameter(spark):
     # produce the right labels (VERDICT r5 #2: no RuntimeError path for
     # legal inputs)
     got = _run(
-        spark, [(i, i + 1) for i in range(1, 40)], nodes=[50], max_iter=2
+        spark,
+        [(i, i + 1) for i in range(1, 40)],
+        nodes=[50],
+        max_iter=2,
+        small_graph_threshold=0,
     )
     assert got == {**{i: 1 for i in range(1, 41)}, 50: 50}
 
@@ -86,6 +93,7 @@ def test_star_algorithm_direct(spark):
         [(10, 11), (20, 21), (21, 22), (3, 3)],
         nodes=[10, 11, 20, 21, 22, 3, 99],
         algorithm="star",
+        small_graph_threshold=0,
     )
     assert got == {10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 3: 3, 99: 99}
 
@@ -94,7 +102,7 @@ def test_star_long_chain_and_reversed_ids(spark):
     # descending chain (worst case for min-propagation direction) and a
     # star converging to the middle id
     chain = [(i + 1, i) for i in range(1, 30)]
-    got = _run(spark, chain, algorithm="star")
+    got = _run(spark, chain, algorithm="star", small_graph_threshold=0)
     assert got == {i: 1 for i in range(1, 31)}
 
 
@@ -105,14 +113,25 @@ def test_unknown_algorithm_raises(spark):
 
 
 @pytest.mark.parametrize(
-    "seed,algorithm",
-    [(7, "auto"), (23, "auto"), (99, "auto"), (7, "star"), (99, "star")],
+    "seed,algorithm,thresh",
+    [
+        # thresh=0 forces the DISTRIBUTED paths (label / star);
+        # the default threshold exercises the driver union-find path
+        (7, "auto", 0),
+        (23, "auto", 0),
+        (99, "auto", 0),
+        (7, "star", 0),
+        (99, "star", 0),
+        (7, "auto", 100_000),
+        (23, "auto", 100_000),
+        (99, "auto", 100_000),
+    ],
 )
-def test_randomized_differential_vs_duckdb(spark, seed, algorithm):
-    """Random sparse graphs: Spark min-label propagation AND the
-    large-star/small-star fallback must agree with DuckDB's
-    recursive-CTE closure (the same oracle shape d10 uses) node for
-    node."""
+def test_randomized_differential_vs_duckdb(spark, seed, algorithm, thresh):
+    """Random sparse graphs: Spark min-label propagation, the
+    large-star/small-star fallback AND the small-graph driver
+    union-find must agree with DuckDB's recursive-CTE closure (the
+    same oracle shape d10 uses) node for node."""
     import random
 
     import duckdb
@@ -126,7 +145,13 @@ def test_randomized_differential_vs_duckdb(spark, seed, algorithm):
         }
     )
     nodes = list(range(n))
-    got = _run(spark, edges or [(0, 0)], nodes=nodes, algorithm=algorithm)
+    got = _run(
+        spark,
+        edges or [(0, 0)],
+        nodes=nodes,
+        algorithm=algorithm,
+        small_graph_threshold=thresh,
+    )
 
     con = duckdb.connect()
     con.execute("CREATE TABLE nodes(id BIGINT)")

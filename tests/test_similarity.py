@@ -201,3 +201,12 @@ def test_semantic_dedup_composition(spark):
     assert lab[2] == lab[1] == 1  # collapsed
     assert lab[3] == 3 and lab[4] == 4 and lab[5] == 5
     assert sorted(r["vec_id"] for r in kept.collect()) == [1, 3, 4, 5]
+    # precomputed-pairs reuse path (what the e07 gate persists) gives
+    # the identical result
+    from data_governance_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    pre = cosine_neardup_pairs(df, "cell", threshold=0.99)
+    _, kept2 = semantic_dedup(df, "cell", pairs=pre)
+    assert sorted(r["vec_id"] for r in kept2.collect()) == [1, 3, 4, 5]
