@@ -301,6 +301,9 @@ _SSUM_IDX_SQL = ", ".join(str(i) for i in range(len(_SSUM_PROBS)))
     SELECT 'c4l', CAST(doc_id AS VARCHAR), h, CAST(NULL AS DOUBLE) FROM c4l
     UNION ALL
     SELECT 'gld', CAST(doc_id AS VARCHAR), h, CAST(NULL AS DOUBLE) FROM gld
+    UNION ALL
+    SELECT 'zr', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR), 1.0
+    FROM documents WHERE doc_id % 2 = 1
     """,
     doc="merged gate (r5/r6 driver-budget): explode tokens -> grouped "
     "count per (lang, token) (ref BASE_PIPELINE A1 shape, ex-d01) + "
@@ -310,7 +313,10 @@ _SSUM_IDX_SQL = ", ".join(str(i) for i in range(len(_SSUM_PROBS)))
     "fraction; operators/repetition.py) + the filter_corpus keep/drop "
     "decision over QF_RULES (operators/quality.py; new in r6) + C4 "
     "line cleaning and cross-corpus line dedup rebuild hashes over the "
-    "synthesized multi-line corpus (operators/lines.py; new in r6)",
+    "synthesized multi-line corpus (operators/lines.py; new in r6) + "
+    "the zlib compression-ratio keep/drop decision over a planted "
+    "two-class corpus (operators/quality.compression_ratio, "
+    "Arrow-batched pandas UDF; new in r7)",
 )
 def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -413,6 +419,51 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_lines_global,
     )
 
+    # zr sub-gate (new in r7): the zlib compression-ratio signal
+    # (operators/quality.compression_ratio, Arrow-batched pandas UDF)
+    # as a keep/drop decision over a PLANTED corpus whose two classes
+    # sit far on either side of the threshold: even doc_ids get a
+    # repeated 20-char phrase (ratio ~0.06-0.08), odd ones 256 chars
+    # of md5 hex (ratio ~0.55-0.65) — the 0.2 cut is decision-stable
+    # across zlib builds, so the oracle states the kept set
+    # analytically (the odd ids). Ratio VALUES are intentionally not
+    # hashed (zlib output length is not SQL-expressible).
+    from data_governance_spark.operators.quality import compression_ratio
+
+    zsyn = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.repeat(
+                F.lit("the quick brown fox "),
+                (F.lit(20) + F.col("doc_id") % 7).cast("int"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                *[
+                    F.md5(
+                        F.concat(
+                            F.lit(f"z{i}:"), F.col("doc_id").cast("string")
+                        )
+                    )
+                    for i in range(8)
+                ]
+            )
+        )
+        .alias("text"),
+    )
+    zr = (
+        compression_ratio(zsyn)
+        .filter(F.col("compression_ratio") > 0.2)
+        .select(
+            F.lit("zr").alias("gate"),
+            F.col("doc_id").cast("string").alias("k"),
+            nul_s.alias("v_s"),
+            F.lit(1.0).alias("v_d"),
+        )
+    )
+
     def _h(df):
         return df.select(
             F.col("doc_id").cast("string").alias("k"),
@@ -439,6 +490,7 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(qf)
         .unionByName(c4l)
         .unionByName(gld)
+        .unionByName(zr)
     )
 
 

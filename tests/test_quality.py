@@ -198,3 +198,36 @@ def test_filter_corpus_pretokenized_matches_text_path(spark, docs):
         for r in filter_corpus(with_text, rules2, tokens_col="_toks").collect()
     )
     assert both == baseline
+
+
+def test_compression_ratio_signal(spark):
+    from data_governance_spark.operators.quality import compression_ratio
+
+    import zlib
+
+    rows = [
+        (1, "the quick brown fox " * 25),     # repetitive -> low
+        (2, "k9f2 q8zl m3vx j7pw b4nc " * 1 + "x1y2z3w4 v5u6t7s8"),
+        (3, ""),                               # empty -> NULL
+        (4, None),                             # NULL -> NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in compression_ratio(df).collect()
+    }
+    # exact parity with local zlib (same level, same bytes)
+    for i, t in rows:
+        if t:
+            raw = t.encode()
+            assert got[i] == len(zlib.compress(raw, 6)) / len(raw), i
+    assert got[1] < 0.2 < got[2]
+    assert got[3] is None and got[4] is None
+    # map-only: no shuffle in the plan
+    plan = (
+        compression_ratio(df)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Repartition" not in plan
