@@ -137,6 +137,7 @@ def prepare_corpus(
     c4_lines: bool = False,
     dedup_lines: bool = False,
     quality_rules: dict | None = None,
+    compression_bounds: tuple[float, float] | None = None,
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
     pii: bool = True,
@@ -171,6 +172,9 @@ def prepare_corpus(
     ``minhash_hashes``/``minhash_bands`` size the sketch
     (rows-per-band = hashes/bands sets the LSH S-curve; the 64/16
     default matches the published web-dedup configs).
+    ``compression_bounds=(lo, hi)`` adds the zlib compression-ratio
+    cut (Dolma/RedPajama tier) after the Catalyst quality rules —
+    docs whose ratio falls outside [lo, hi] (or is NULL) drop.
     """
     from data_governance_spark.cache import tracked_mark, tracked_since
 
@@ -197,6 +201,24 @@ def prepare_corpus(
         # non-map-only pre-filter stage, hence opt-in)
         docs = dedup_lines_global(docs, id_col=id_col, text_col=text_col)
     filtered = filter_corpus(docs, quality_rules, text_col=text_col)
+    if compression_bounds is not None:
+        # zlib-ratio cut (operators/quality.compression_ratio): the
+        # one pandas-UDF stage in the chain — run it AFTER the
+        # Catalyst-only rules so the Arrow transfer sees the smaller
+        # surviving corpus; NULL ratios (empty docs) drop like every
+        # bounded quality rule
+        lo, hi = compression_bounds
+        from data_governance_spark.operators.quality import (
+            compression_ratio,
+        )
+
+        filtered = (
+            compression_ratio(filtered, text_col=text_col)
+            .filter(
+                F.col("compression_ratio").between(float(lo), float(hi))
+            )
+            .drop("compression_ratio")
+        )
     if benchmark is not None:
         # decontaminate AFTER the quality cut (fewer docs to gram) and
         # BEFORE PII redaction (placeholders must not mask an overlap

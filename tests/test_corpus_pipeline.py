@@ -200,6 +200,30 @@ class TestPrepareCorpusOptions:
         )
         assert [row["doc_id"] for row in r.kept.collect()] == [1]
 
+    def test_compression_bounds_tier(self, spark):
+        from data_governance_spark.corpus import prepare_corpus
+
+        good = " ".join(
+            ["the", "of"] + [f"real{i}word{i % 9}" for i in range(60)]
+        )
+        spam = "the of " + "buy now " * 40  # compresses to almost nothing
+        docs = spark.createDataFrame(
+            [(1, good), (2, spam)], "doc_id long, text string"
+        )
+        rules = {"n_tokens": (3, None)}
+        base = prepare_corpus(
+            docs, quality_rules=rules, pii=False, persist_clean=False
+        )
+        assert sorted(r["doc_id"] for r in base.kept.collect()) == [1, 2]
+        cut = prepare_corpus(
+            docs,
+            quality_rules=rules,
+            compression_bounds=(0.2, 0.95),
+            pii=False,
+            persist_clean=False,
+        )
+        assert [r["doc_id"] for r in cut.kept.collect()] == [1]
+
     def test_url_tier_without_url_column_raises(self, spark):
         import pytest
 
