@@ -212,12 +212,12 @@ def prepare_corpus(
             compression_ratio,
         )
 
+        # reserved scratch name: a caller's own compression_ratio
+        # column must survive untouched
         filtered = (
-            compression_ratio(filtered, text_col=text_col)
-            .filter(
-                F.col("compression_ratio").between(float(lo), float(hi))
-            )
-            .drop("compression_ratio")
+            compression_ratio(filtered, text_col=text_col, ratio_col="_zr_ratio")
+            .filter(F.col("_zr_ratio").between(float(lo), float(hi)))
+            .drop("_zr_ratio")
         )
     if benchmark is not None:
         # decontaminate AFTER the quality cut (fewer docs to gram) and

@@ -196,11 +196,14 @@ def importance_scores(
     scale = 10**ndigits
     micro = [int(round(float(x) * scale)) for x in log_ratios]
     lr = F.lit(micro)
-    # tokens materialized as a real column before the HOFs read them
-    # (HOF re-evaluation trap — functions/text.shingle_hashes)
+    # TWO staging selects: tokens must be a REAL column before
+    # word_shingles indexes it (an inline tokens() re-runs the
+    # tokenizer per gram position — measured 28x slower on 2000-token
+    # docs), and the gram array must be a real column before the fold
+    # reads it (functions/text.shingle_hashes documents the trap)
     staged = corpus.select(
-        "*", _grams(tokens(text_col)).alias("_ds_grams")
-    )
+        "*", tokens(text_col).alias("_ds_toks")
+    ).select("*", _grams(F.col("_ds_toks")).alias("_ds_grams"))
     total = F.aggregate(
         F.col("_ds_grams"),
         F.lit(0).cast("long"),
@@ -238,12 +241,16 @@ def gumbel_top_k(
     """Sample k documents WITHOUT replacement with probability
     proportional to ``exp(score)`` via the Gumbel-top-k trick: top-k
     of ``score + g_i`` with ``g_i = -ln(-ln(u_i))`` i.i.d. Gumbel.
-    ``u_i`` comes from md5(seed:id) (uniform in (0,1], the same
-    deterministic-hash idiom as operators/sampling.py), so the sample
-    is reproducible and cluster-size independent."""
+    ``u_i`` comes from md5(seed:id) (uniform strictly inside (0,1),
+    the same deterministic-hash idiom as operators/sampling.py), so
+    the sample is reproducible and cluster-size independent."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    # 13 hex chars = 52 bits < double mantissa: exact uniform grid
+    # 13 hex chars = 52 bits < double mantissa: exact uniform grid.
+    # (h+1)/(16^13+1) keeps u STRICTLY inside (0,1): u=1.0 (an
+    # all-'f' hash prefix, p=16^-13 per id — real at 10^10 docs)
+    # would make -ln(-ln(u)) hit ln(0) -> NULL and silently exile
+    # that doc to the bottom of the sample order
     u = (
         F.conv(
             F.substring(
@@ -259,7 +266,7 @@ def gumbel_top_k(
             10,
         ).cast("double")
         + F.lit(1.0)
-    ) / F.lit(float(16**13))
+    ) / F.lit(float(16**13 + 1))
     g = -F.log(-F.log(u))
     keyed = scored.withColumn("_ds_gumbel", F.col(score_col) + g)
     return (

@@ -840,8 +840,12 @@ def _wp_layout_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pk
     ),
     ssv AS (
+      -- toks IS NOT NULL mirrors Spark's NULL semantics: size(NULL
+      -- tokens from a NULL text) is NULL and percentile_approx
+      -- excludes it; an unguarded branch would rank the NULL row
       SELECT 'nt' AS sig, CAST(len(toks) AS DOUBLE) AS v
       FROM (SELECT {_SQL_TOKS} AS toks FROM documents)
+      WHERE toks IS NOT NULL
       UNION ALL
       SELECT 'mtl',
              CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)

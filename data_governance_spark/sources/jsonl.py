@@ -83,7 +83,7 @@ def jsonl_documents(
     Jackson leniency to know: a JSON NUMBER in a STRING-typed field
     coerces ("text": 5 -> "5") rather than quarantining — only
     narrowing mismatches (string where a number is required, wrong
-    structure) are corruption (fuzz-pinned in tests/test_urlfilter.py).
+    structure) are corruption (fuzz-pinned in tests/test_jsonl.py).
     """
     # Both relations parse via text + from_json rather than the raw
     # json reader: Spark forbids plans whose only referenced column of

@@ -145,7 +145,7 @@ def test_gumbel_top_k_matches_python(spark, corpus):
                 hashlib.md5(f"s1:{i}".encode()).hexdigest()[:13], 16
             )
             + 1.0
-        ) / float(16**13)
+        ) / float(16**13 + 1)
         return got_scores[i] + -math.log(-math.log(u))
 
     want = sorted(got_scores, key=lambda i: (-key(i), i))[:8]

@@ -148,49 +148,3 @@ def test_patterns_property_combined_equals_sequential(spark):
             seq = filter_url_patterns(seq, [p])
         sequential = sorted(r["doc_id"] for r in seq.collect())
         assert combined == sequential, pats
-
-
-def test_jsonl_quarantine_fuzz_vs_json_loads(spark, tmp_path):
-    """Fuzz the JSONL source's quarantine split against Python's
-    json.loads: a line lands in the clean relation iff it parses AND
-    type-checks against the schema; everything else quarantines."""
-    import json
-
-    from data_governance_spark.sources.jsonl import jsonl_documents
-
-    frags = [
-        '{"doc_id": %d, "text": "ok"}', '{"doc_id": %d}',
-        '{"doc_id": "s%d", "text": "x"}',  # type mismatch -> quarantine
-        '{"doc_id": %d, "text": 5}',  # number->string COERCES (Jackson)
-        '{broken %d', '[1, 2, %d]', '%d', 'null', '',
-        '{"text": "only"}',
-    ]
-    lines = [frags[i % len(frags)].replace("%d", str(i)) for i in range(120)]
-    p = tmp_path / "fuzz.jsonl"
-    p.write_text("\n".join(lines) + "\n")
-
-    def py_ok(ln):
-        if not ln.strip():
-            return False  # blank lines are framing, skipped entirely
-        try:
-            d = json.loads(ln)
-        except Exception:
-            return False
-        if not isinstance(d, dict):
-            return False
-        did, txt = d.get("doc_id"), d.get("text")
-        if did is not None and (isinstance(did, bool) or not isinstance(did, int)):
-            return False
-        # strings stay; JSON numbers coerce to string (Jackson
-        # leniency, pinned above); other types quarantine
-        if txt is not None and not isinstance(txt, (str, int, float)):
-            return False
-        return True
-
-    c = jsonl_documents(spark, str(p))
-    n_clean = c.docs.count()
-    n_quar = c.bad.count()
-    want_clean = sum(1 for ln in lines if py_ok(ln))
-    blank = sum(1 for ln in lines if not ln.strip())
-    assert n_clean == want_clean
-    assert n_quar == len(lines) - want_clean - blank
