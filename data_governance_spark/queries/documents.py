@@ -942,8 +942,14 @@ def _wp_layout_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     nul_s = F.lit(None).cast("string")
-    toks = tokens("text")
-    scored = docs.select(
+    # ONE whitespace tokenize shared by the lid scores, the ssum
+    # signals (tokens_col=) and the pack token counts
+    # (token_count_col=) — the gate used to tokenize three times
+    toked = tracked_persist(
+        docs.select("doc_id", "lang", tokens("text").alias("_toks"))
+    )
+    toks = F.col("_toks")
+    scored = toked.select(
         "lang",
         marker_score(toks, "en").alias("s_en"),
         marker_score(toks, "es").alias("s_es"),
@@ -1035,9 +1041,14 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # pack sub-gate: the full (bucket, pack, offset) assignment of
-    # every doc, restated by the oracle's window prefix-sum
+    # every doc, restated by the oracle's window prefix-sum; token
+    # counts come precomputed from the shared tokenized relation
     pk = pack_sequences(
-        docs, max_tokens=_PACK_MAX, num_buckets=_PACK_BUCKETS, seed="pack"
+        toked.select("doc_id", F.size(toks).alias("_nt")),
+        max_tokens=_PACK_MAX,
+        num_buckets=_PACK_BUCKETS,
+        token_count_col="_nt",
+        seed="pack",
     ).select(
         F.lit("pack").alias("gate"),
         F.col("doc_id").cast("string").alias("k"),
@@ -1055,10 +1066,11 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.quality import signal_summary
 
     ss = signal_summary(
-        docs,
+        toked,
         probs=_SSUM_PROBS,
         signals=tuple(_SSUM_SIGNALS),
         accuracy=2_000_000,
+        tokens_col="_toks",
     )
     ssum_entries = [
         F.struct(
