@@ -152,13 +152,15 @@ def e03_sketch_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = base.filter(F.col("doc_id") % 5 == 0)
     # both sketches (minhash shingles + simhash tokens) consume the
     # augmented corpus — persist so the scan+tokenize runs once, not
-    # once per sketch
+    # once per sketch; repartition first so the 64-hash sketch folds
+    # spread across cores (the local parquet is one split — a cluster
+    # gets this from its input splits)
     aug = tracked_persist(
         base.unionByName(
             planted.select(
                 (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "toks"
             )
-        )
+        ).repartition(32)
     )
     mh = minhash_dedup_pairs(
         aug, F.array_distinct(word_shingles(F.col("toks"), 3)), threshold=0.5
