@@ -119,3 +119,65 @@ def sample_pred_sql(frac: float, key_expr: str, seed: str = "sample") -> str:
     """The DuckDB/ANSI mirror of ``hash_sample``'s predicate."""
     h = f"substr(md5('{seed}:' || CAST({key_expr} AS STRING)), 1, 8)"
     return f"{h} < '{threshold_hex(frac)}'"
+
+
+def hash_sample_stratified(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    seed: str = "sample",
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Deterministic PER-STRATUM Bernoulli sampling — the domain
+    re-weighting step of a training-data mix (down-sample web crawl,
+    keep all books): each row keeps with its stratum's fraction,
+    decided by the same content-hash coordinate as ``hash_sample`` so
+    the result is stable across runs/cluster sizes/corpus growth and
+    strata stay MUTUALLY CONSISTENT (a row's coordinate doesn't change
+    if its stratum's fraction does — raising a fraction only ADDS
+    rows, it never swaps them; the same monotonicity published
+    pipelines rely on when iterating on mix weights).
+
+    ``fractions`` maps stratum value -> keep fraction in [0, 1];
+    strata not listed (and NULL strata) use ``default_frac`` (default
+    0.0 = drop — an unlisted domain must be an explicit decision, not
+    a silent pass-through). Pure projection+filter: one md5 per row,
+    no shuffle, pushdown-compatible. NULL keys drop (NULL predicate),
+    matching ``hash_sample``.
+    """
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(
+                f"fraction for stratum {name!r} must be in [0, 1], "
+                f"got {frac}"
+            )
+    if not 0.0 <= default_frac <= 1.0:
+        raise ValueError(
+            f"default_frac must be in [0, 1], got {default_frac}"
+        )
+    h = _bucket_hex(F.col(key_col), seed)
+    s = F.col(strata_col)
+    thr = F.lit(threshold_hex(default_frac))
+    for name, frac in fractions.items():
+        thr = F.when(s == name, threshold_hex(frac)).otherwise(thr)
+    return df.filter(h < thr)
+
+
+def stratified_pred_sql(
+    fractions: dict[str, float],
+    strata_expr: str,
+    key_expr: str,
+    seed: str = "sample",
+    default_frac: float = 0.0,
+) -> str:
+    """The DuckDB/ANSI mirror of ``hash_sample_stratified``'s
+    predicate (shared threshold computation)."""
+    h = f"substr(md5('{seed}:' || CAST({key_expr} AS STRING)), 1, 8)"
+    case = " ".join(
+        f"WHEN {strata_expr} = '{name}' THEN '{threshold_hex(frac)}'"
+        for name, frac in fractions.items()
+    )
+    return (
+        f"{h} < (CASE {case} ELSE '{threshold_hex(default_frac)}' END)"
+    )

@@ -30,9 +30,11 @@ from data_governance_spark.operators.packing import pack_sequences, write_packed
 from data_governance_spark.operators.pii import pii_counts
 from data_governance_spark.operators.sampling import (
     hash_sample,
+    hash_sample_stratified,
     hash_split,
     sample_pred_sql,
     split_case_sql,
+    stratified_pred_sql,
 )
 from data_governance_spark.functions.text import (
     LANG_MARKERS,
@@ -137,6 +139,13 @@ _SSUM_SIGNALS = {
 }
 _SSUM_PROBS_SQL = ", ".join(str(p) for p in _SSUM_PROBS)
 _SSUM_IDX_SQL = ", ".join(str(i) for i in range(len(_SSUM_PROBS)))
+
+# d05 'strat' sub-gate (operators/sampling.hash_sample_stratified,
+# new in r7): per-language keep fractions exercising three distinct
+# rates plus the default tier (corpus langs en/es/de/fr — 'fr' is
+# deliberately unlisted so the default path carries real rows).
+_STRAT_FRACS = {"en": 0.5, "es": 0.25, "de": 0.1}
+_STRAT_DEFAULT = 0.05
 
 
 # d01 (merged gate, r5/r6 driver-budget): token-count pipeline (ex-d01,
@@ -799,6 +808,14 @@ def _wp_layout_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
       WHERE {sample_pred_sql(SAMPLE_FRAC, "doc_id")}
     ),
+    strat AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(doc_id) AS DOUBLE) AS ck
+      FROM documents
+      WHERE {stratified_pred_sql(_STRAT_FRACS, "lang", "doc_id",
+                                 default_frac=_STRAT_DEFAULT)}
+      GROUP BY lang
+    ),
     pii_synth AS (
       SELECT text
              || CASE WHEN doc_id % 3 = 0
@@ -902,6 +919,10 @@ def _wp_layout_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'split', 'sample:ck', CAST(NULL AS VARCHAR), ck FROM samp
     UNION ALL
+    SELECT 'strat', lang || ':n', CAST(NULL AS VARCHAR), n FROM strat
+    UNION ALL
+    SELECT 'strat', lang || ':ck', CAST(NULL AS VARCHAR), ck FROM strat
+    UNION ALL
     SELECT 'pii', 'email', CAST(NULL AS VARCHAR), email FROM pii
     UNION ALL
     SELECT 'pii', 'url', CAST(NULL AS VARCHAR), url FROM pii
@@ -937,7 +958,9 @@ def _wp_layout_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/packing.py) + write_packed shard read-back layout "
     "checks (row conservation, within-file ordering, lane wholeness; "
     "new in r6) + the signal_summary quantile dashboard in the exact-"
-    "accuracy regime (operators/quality.py; new in r7)",
+    "accuracy regime (operators/quality.py; new in r7) + deterministic "
+    "stratified per-language sampling with a default tier "
+    "(operators/sampling.hash_sample_stratified; new in r7)",
 )
 def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -1000,6 +1023,23 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("double").alias("ck"),
     )
     samp_u = melt_metrics(samp, F.lit("sample"), ("n", "ck"), "split")
+    # strat sub-gate: per-language keep fractions + the default tier,
+    # exact membership proven by per-lang count + sum(doc_id) checksum
+    strat = (
+        hash_sample_stratified(
+            toked.select("doc_id", "lang"),
+            _STRAT_FRACS,
+            "lang",
+            "doc_id",
+            default_frac=_STRAT_DEFAULT,
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("doc_id").cast("double").alias("ck"),
+        )
+    )
+    strat_u = melt_metrics(strat, F.col("lang"), ("n", "ck"), "strat")
     # pii sub-gate: detector totals over the synthetic PII-bearing
     # variant (the oracle's pii_synth CTE builds the identical text)
     did = F.col("doc_id")
@@ -1095,6 +1135,7 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         lid.unionByName(vocab_u)
         .unionByName(sp_u)
         .unionByName(samp_u)
+        .unionByName(strat_u)
         .unionByName(pii_u)
         .unionByName(pk)
         .unionByName(wp)

@@ -151,3 +151,103 @@ def test_randomized_split_differential_vs_python(spark):
     }
     for k in keys:
         assert got[k] == py_split(k, WEIGHTS), k
+
+
+class TestStratified:
+    def _df(self, spark):
+        rows = [
+            (i, ["web", "books", "code", None][i % 4]) for i in range(400)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, domain string")
+
+    def test_per_stratum_rates_and_default_drop(self, spark):
+        from data_governance_spark.operators.sampling import (
+            hash_sample_stratified,
+        )
+
+        df = self._df(spark)
+        out = hash_sample_stratified(
+            df, {"web": 0.25, "books": 1.0}, "domain", "doc_id"
+        )
+        got = {
+            r["domain"]: r["n"]
+            for r in out.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got.get("books") == 100  # frac 1.0 keeps every row
+        assert 10 <= got.get("web", 0) <= 40  # ~25 of 100
+        assert "code" not in got and None not in got  # default 0.0
+
+    def test_monotone_in_fraction_and_stable(self, spark):
+        """Raising a stratum's fraction only ADDS rows (same hash
+        coordinate), and the decision is key-content-determined."""
+        from data_governance_spark.operators.sampling import (
+            hash_sample_stratified,
+        )
+
+        df = self._df(spark)
+        lo = {
+            r["doc_id"]
+            for r in hash_sample_stratified(
+                df, {"web": 0.2}, "domain", "doc_id"
+            ).collect()
+        }
+        hi = {
+            r["doc_id"]
+            for r in hash_sample_stratified(
+                df, {"web": 0.6}, "domain", "doc_id"
+            ).collect()
+        }
+        assert lo <= hi
+        again = {
+            r["doc_id"]
+            for r in hash_sample_stratified(
+                df.repartition(7), {"web": 0.2}, "domain", "doc_id"
+            ).collect()
+        }
+        assert again == lo
+
+    def test_matches_sql_mirror(self, spark):
+        import duckdb
+
+        from data_governance_spark.operators.sampling import (
+            hash_sample_stratified,
+            stratified_pred_sql,
+        )
+
+        df = self._df(spark)
+        fr = {"web": 0.3, "books": 0.7}
+        got = sorted(
+            r["doc_id"]
+            for r in hash_sample_stratified(
+                df, fr, "domain", "doc_id", default_frac=0.1
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(doc_id BIGINT, domain VARCHAR)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)",
+            [(i, ["web", "books", "code", None][i % 4]) for i in range(400)],
+        )
+        pred = stratified_pred_sql(fr, "domain", "doc_id", default_frac=0.1)
+        want = [
+            r[0]
+            for r in con.execute(
+                f"SELECT doc_id FROM t WHERE {pred} ORDER BY doc_id"
+            ).fetchall()
+        ]
+        assert got == want
+
+    def test_validation(self, spark):
+        from data_governance_spark.operators.sampling import (
+            hash_sample_stratified,
+        )
+
+        with pytest.raises(ValueError):
+            hash_sample_stratified(
+                self._df(spark), {"web": 1.5}, "domain", "doc_id"
+            )
+        with pytest.raises(ValueError):
+            hash_sample_stratified(
+                self._df(spark), {"web": 0.5}, "domain", "doc_id",
+                default_frac=-0.1,
+            )
