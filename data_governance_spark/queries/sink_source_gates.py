@@ -518,6 +518,61 @@ def q43_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Sub-gate 'csv' (new in r7): the CSV source round-trip
+# (sources/csvq.py) — write_csv shards, csv_documents reads back after
+# an un-castable row, a short row and an extra-column row are appended;
+# well-formed rows and the quarantine count matched analytically.
+def q43_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from data_governance_spark.queries.staging import staged_tmpdir
+    from data_governance_spark.sources.csvq import csv_documents, write_csv
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def build(out_dir: str) -> None:
+        cust = (
+            table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= 100)
+            .select(
+                F.col("c_custkey").alias("doc_id"),
+                F.lit("en").alias("lang"),
+                F.concat(F.lit("row "), _s(F.col("c_custkey"))).alias(
+                    "text"
+                ),
+            )
+        )
+        data = os.path.join(out_dir, "data")
+        write_csv(cust, data, num_files=2, header=False)
+        with open(os.path.join(data, "zz_bad.csv"), "w") as f:
+            f.write("notanumber,en,broken id\n")
+            f.write("8888,en\n")          # short row
+            f.write("9999,en,x,extra\n")  # long row
+
+    work = staged_tmpdir(("q43csv", sf_dir), build, prefix="dg_q43c_")
+    corpus = csv_documents(
+        spark, os.path.join(work, "data"), schema, header=False
+    )
+    rows = corpus.docs.select(
+        F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("k"),
+        F.concat_ws("|", "lang", "text").alias("v_s"),
+        F.lit(None).cast("double").alias("v_d"),
+    )
+    badn = corpus.bad.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("quarantine").alias("k"),
+        F.lit(None).cast("string").alias("v_s"),
+        F.col("n").cast("double").alias("v_d"),
+    )
+    return rows.unionByName(badn)
+
+
+# --------------------------------------------------------------------------
 @qdef(
     QUERIES,
     "q43_harvest_serving",
@@ -564,6 +619,12 @@ def q43_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer WHERE c_custkey <= 120
     UNION ALL
     SELECT 'jsonl', 'quarantine', CAST(NULL AS VARCHAR), 2.0
+    UNION ALL
+    SELECT 'csv', 'c' || CAST(c_custkey AS VARCHAR),
+           'en|row ' || CAST(c_custkey AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM customer WHERE c_custkey <= 100
+    UNION ALL
+    SELECT 'csv', 'quarantine', CAST(NULL AS VARCHAR), 3.0
     """,
     doc="merged gate (r5 driver-budget): S1-S5 paginated REST harvest "
     "(error pages captured, watermark params) + S6 upsert merge "
@@ -571,7 +632,8 @@ def q43_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rows, NULL for absent entities, year-sorted O1; ex-q44) + S3 "
     "date-range and S4 id-list extract params + JSONL source/sink "
     "round-trip with corrupt-line quarantine (sources/jsonl.py; new "
-    "in r6)",
+    "in r6) + CSV source/sink round-trip with corrupt-row quarantine "
+    "(sources/csvq.py; new in r7)",
 )
 def q43_harvest_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     nul_d = F.lit(None).cast("double")
@@ -603,4 +665,12 @@ def q43_harvest_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     jsonl = q43_jsonl_roundtrip(spark, sf_dir).select(
         F.lit("jsonl").alias("gate"), "k", "v_s", "v_d"
     )
-    return h.unionByName(piv_rows).unionByName(params).unionByName(jsonl)
+    csvr = q43_csv_roundtrip(spark, sf_dir).select(
+        F.lit("csv").alias("gate"), "k", "v_s", "v_d"
+    )
+    return (
+        h.unionByName(piv_rows)
+        .unionByName(params)
+        .unionByName(jsonl)
+        .unionByName(csvr)
+    )

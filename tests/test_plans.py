@@ -226,3 +226,42 @@ def test_hash_split_sample_are_stateless_projections(spark):
     for plan in (split_plan, sample_plan):
         assert "Exchange" not in plan
         assert "HashAggregate" not in plan
+
+
+def test_stratified_sample_is_stateless_projection(spark):
+    from data_governance_spark.operators.sampling import (
+        hash_sample_stratified,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("books").alias("d"),
+    )
+    plan = _fmt_plan(hash_sample_stratified(df, {"web": 0.2}, "d", "k"))
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_dsir_scoring_is_map_only(spark):
+    """The score fold must stay a shuffle-free projection — the 100 TB
+    contract: the ratio vector is a literal, no join, no aggregate by
+    key (the corpus never shuffles to get scored)."""
+    from data_governance_spark.operators.dsir import importance_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )
+    plan = _fmt_plan(importance_scores(docs, [0.1] * 16))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    # tokens staged exactly once (the 28x HOF re-evaluation regression
+    # guard: an inline tokens() shows up as repeated split(text))
+    opt = (
+        importance_scores(docs, [0.1] * 16)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert opt.count("split(text") == 1, opt[:1500]
