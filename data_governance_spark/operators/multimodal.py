@@ -161,29 +161,160 @@ def decode_wav(content: bytes):
     return arr, rate
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW (LSB-first bit packing, CLEAR/END codes,
+    code width grows 3..12 bits) -> pixel index list. Pure stdlib."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    # bit reader over the concatenated sub-block payload
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return end  # truncated stream: treat as end-of-information
+        byte = bitpos >> 3
+        val = int.from_bytes(data[byte : byte + 3], "little")
+        val = (val >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        return val
+
+    def reset():
+        return (
+            {i: (i,) for i in range(clear)},
+            min_code_size + 1,
+            None,
+        )
+
+    table, width, prev = reset()
+    while True:
+        code = read_code(width)
+        if code == clear:
+            table, width, prev = reset()
+            continue
+        if code == end:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == len(table) + 2 and prev is not None:
+            # the KwKwK case (code == next unassigned slot)
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None and len(table) + 2 < 4096:
+            table[len(table) + 2] = prev + (entry[0],)
+            # width timing (validated against real-world GIFs — the
+            # IDLE icon set decodes bit-exact): after filling slot m
+            # (post-insert next slot = len(table)+2 = m+1), widen when
+            # the next slot saturates the current width. The encoder
+            # mirror: it defines slot m one emission EARLIER than the
+            # decoder learns m's content, and bumps after defining
+            # slot 1<<width (definition is free; only wire codes are
+            # width-limited, and that slot is only ever referenced
+            # after the bump).
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def decode_gif(content: bytes):
+    """REAL decoder for a COMPRESSED format, pure stdlib+numpy: GIF
+    (87a/89a) first frame -> numpy uint8 (H, W, 3). Handles global and
+    local color tables, extension blocks, interlacing, and the full
+    LZW variable-width code stream — no Pillow. Animated GIFs decode
+    their first image descriptor (the corpus-pipeline contract:
+    thumbnails/features, not playback)."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"GIF8" or content[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", content, pos + 1)
+        pos += 10
+        table = gct
+        if ipacked & 0x80:
+            n = 2 ** ((ipacked & 0x07) + 1)
+            table = np.frombuffer(content, np.uint8, n * 3, pos).reshape(
+                n, 3
+            )
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF image has no color table")
+        mcs = content[pos]
+        pos += 1
+        chunks = []
+        while content[pos] != 0:
+            ln = content[pos]
+            chunks.append(content[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        idx = _gif_lzw_decode(b"".join(chunks), mcs)
+        if len(idx) < w * h:
+            raise ValueError("truncated GIF pixel data")
+        rows = np.asarray(idx[: w * h], dtype=np.int64).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            de = np.empty_like(rows)
+            de[order] = rows
+            rows = de
+        return table[rows]  # palette lookup -> (H, W, 3)
+    raise ValueError("GIF contains no image descriptor")
+
+
 # magic bytes of formats that NEED an external codec library
 _COMPRESSED_MAGICS = (
     (b"\xff\xd8\xff", "JPEG"),
     (b"\x89PNG", "PNG"),
-    (b"GIF8", "GIF"),
     (b"RIFF", "RIFF-container (WEBP/AVI; WAV goes to decode_wav)"),
 )
 
 
 def decode_image(content: bytes):
-    """Dispatch by magic bytes: PPM/PGM and uncompressed BMP decode
-    for REAL (numpy-only); compressed formats raise the documented
-    environment-constraint error (Pillow/opencv absent)."""
+    """Dispatch by magic bytes: PPM/PGM, uncompressed BMP and GIF
+    (a real LZW decode — the one compressed format the stdlib tier
+    covers) decode for REAL; the remaining compressed formats raise
+    the documented environment-constraint error (Pillow/opencv
+    absent)."""
     if content[:2] in (b"P6", b"P5"):
         return decode_ppm(content)
     if content[:2] == b"BM":
         return decode_bmp(content)
+    if content[:4] == b"GIF8":
+        return decode_gif(content)
     for magic, name in _COMPRESSED_MAGICS:
         if content.startswith(magic):
             raise NotImplementedError(
                 f"{name} decode requires Pillow/opencv — not installed "
-                "in this environment; the numpy-only path covers "
-                "PPM/PGM/uncompressed-BMP"
+                "in this environment; the numpy/stdlib path covers "
+                "PPM/PGM/uncompressed-BMP/GIF"
             )
     raise ValueError("unrecognized image payload")
 

@@ -30,6 +30,23 @@ QUERIES: dict[str, QueryDef] = {}
 
 _DIM = 8  # histogram bins; oracle mirrors via range(b+1, len+1, 8)
 
+# 'gif' sub-gate (new in r7): a fixed 4x2 4-color GIF89a byte literal
+# (palette (255,0,0)/(0,255,0)/(0,0,255)/(10,20,30), pixel index rows
+# [0,1,2,3]/[3,2,1,0], real LZW stream) decoded by the pure-stdlib
+# decode_gif inside the decoder="real" Arrow path; the oracle states
+# the analytically-known features as constants (the same
+# planted-constant style as e05's 'lsh' rows). The byte string was
+# produced by the spec encoder in tests/test_multimodal_codecs.py —
+# the decoder is ALSO validated against real-world GIFs (the stdlib
+# IDLE icon set decodes bit-exact, incl. interlaced files).
+_GIF_HEX = (
+    "47494638396104000200810000ff000000ff000000ff0a141e"
+    "2c00000000040002000002054434230105003b"
+)
+# (w, h, c, mean_r, mean_g, mean_b) exact in float32; std rounded @4
+_GIF_CONSTS = (4.0, 2.0, 3.0, 66.25, 68.75, 71.25)
+_GIF_SD = 107.9183
+
 
 def _s(c: Column) -> Column:
     return c.cast("string")
@@ -86,12 +103,20 @@ def _s(c: Column) -> Column:
                       - ((r + g + b) / 3) * ((r + g + b) / 3)) AS FLOAT)
                  AS DOUBLE), 4) + 0.0
     FROM rgb
+    {"".join(
+      f" UNION ALL SELECT 'gif', 'g:{n}', CAST(NULL AS VARCHAR), {v}"
+      for n, v in zip(("w", "h", "c", "mr", "mg", "mb"), _GIF_CONSTS)
+    )}
+    UNION ALL
+    SELECT 'gif', 'g:sd', CAST(NULL AS VARCHAR), {_GIF_SD}
     """,
-    doc="merged gate (r6): multimodal plumbing — BinaryType through "
+    doc="merged gate (r6/r7): multimodal plumbing — BinaryType through "
     "Arrow mapInPandas (fake codec histogram), byte-budget repartition, "
     "frame-sample plan (sub-gate 'hist') + REAL PPM decode via the "
     "numpy-only codec (decoder='real' path: dims/means/std of "
-    "Spark-synthesized P6 bytes; sub-gate 'real', new in r6)",
+    "Spark-synthesized P6 bytes; sub-gate 'real', new in r6) + REAL "
+    "GIF (LZW) decode of a fixed compressed payload via the "
+    "pure-stdlib decoder (sub-gate 'gif', new in r7)",
 )
 def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.multimodal import (
@@ -175,4 +200,29 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("w", "h", "c", "mr", "mg", "mb", "sd"),
         "real",
     )
-    return hist.unionByName(real)
+    # 'gif' sub-gate: the fixed compressed payload through the SAME
+    # decoder="real" Arrow path (decode_gif via magic dispatch)
+    gif = spark.createDataFrame(
+        [(1, "image", bytearray(bytes.fromhex(_GIF_HEX)), None)],
+        "media_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,"
+        "duration_ms:bigint,sample_rate:int>",
+    )
+    gf = extract_features(gif, decoder="real").select(
+        F.lit("g").alias("media_id"),
+        *[
+            F.get(F.col("feature"), i).cast("double").alias(n)
+            for i, n in enumerate(("w", "h", "c", "mr", "mg", "mb"))
+        ],
+        (
+            F.round(F.get(F.col("feature"), 6).cast("double"), 4)
+            + F.lit(0.0)
+        ).alias("sd"),
+    )
+    gif_rows = melt_metrics(
+        gf,
+        F.col("media_id"),
+        ("w", "h", "c", "mr", "mg", "mb", "sd"),
+        "gif",
+    )
+    return hist.unionByName(real).unionByName(gif_rows)

@@ -138,3 +138,160 @@ def test_extract_features_real_decoder(spark):
     f = out[0]["feature"]
     assert f[0] == 4.0 and f[1] == 2.0 and f[2] == 3.0
     assert out[0]["n_bytes"] == len(raw1)
+
+
+# ---- GIF: hand-rolled spec encoder for round-trip testing ----------------
+def _lzw_encode(indices, mcs):
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    codes = [(clear, mcs + 1)]
+    width = mcs + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    w = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        codes.append((table[w], width))
+        if next_code < 4096:
+            table[wk] = next_code
+            # spec timing (matches real encoders + our decoder): bump
+            # AFTER defining slot 1<<width — defining is free, only
+            # wire codes are width-limited, and that slot is only
+            # referenced post-bump
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        w = (k,)
+    if w:
+        codes.append((table[w], width))
+    codes.append((end, width))
+    # LSB-first bit packing
+    acc = bitn = 0
+    out = bytearray()
+    for code, cw in codes:
+        acc |= code << bitn
+        bitn += cw
+        while bitn >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bitn -= 8
+    if bitn:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_bytes(pix_idx, palette, interlace=False, animated_ext=False):
+    """Minimal GIF89a: global palette, one image descriptor."""
+    import struct
+
+    h = len(pix_idx)
+    w = len(pix_idx[0])
+    n = len(palette)
+    size_bits = max((n - 1).bit_length(), 1) - 1
+    full = 2 ** (size_bits + 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_bits, 0, 0)
+    for r, g, b in palette + [(0, 0, 0)] * (full - n):
+        out += bytes((r, g, b))
+    if animated_ext:  # a graphics-control extension to skip over
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    rows = list(range(h))
+    if interlace:
+        rows = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+    flat = [v for r in rows for v in pix_idx[r]]
+    mcs = max(size_bits + 1, 2)
+    data = _lzw_encode(flat, mcs)
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out += bytes([mcs])
+    for i in range(0, len(data), 200):
+        chunk = data[i : i + 200]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+PALETTE4 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+
+
+def test_gif_roundtrip_basic():
+    from data_governance_spark.operators.multimodal import decode_gif
+
+    pix = [[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 2, 2]]
+    got = decode_gif(gif_bytes(pix, PALETTE4))
+    assert got.shape == (3, 4, 3)
+    for r in range(3):
+        for c in range(4):
+            assert tuple(got[r][c]) == PALETTE4[pix[r][c]], (r, c)
+
+
+def test_gif_lzw_dictionary_growth_and_random():
+    """Random larger images force real dictionary growth (and width
+    bumps) through encode->decode."""
+    import random
+
+    import numpy as np
+
+    from data_governance_spark.operators.multimodal import decode_gif
+
+    rng = random.Random(11)
+    for trial in range(4):
+        h, w = rng.randrange(5, 40), rng.randrange(5, 40)
+        # runs of repeated values exercise KwKwK and growth
+        pix = [
+            [
+                rng.choice([0, 1, 2, 3]) if rng.random() < 0.4 else 0
+                for _ in range(w)
+            ]
+            for _ in range(h)
+        ]
+        got = decode_gif(gif_bytes(pix, PALETTE4))
+        want = np.array(PALETTE4, dtype=np.uint8)[np.array(pix)]
+        assert np.array_equal(got, want), trial
+
+
+def test_gif_interlaced_and_extension_skip():
+    import numpy as np
+
+    from data_governance_spark.operators.multimodal import decode_gif
+
+    pix = [[(r + c) % 4 for c in range(6)] for r in range(9)]
+    got = decode_gif(
+        gif_bytes(pix, PALETTE4, interlace=True, animated_ext=True)
+    )
+    want = np.array(PALETTE4, dtype=np.uint8)[np.array(pix)]
+    assert np.array_equal(got, want)
+
+
+def test_gif_dispatch_and_features():
+    from data_governance_spark.operators.multimodal import (
+        decode_image,
+        image_features,
+    )
+
+    pix = [[0, 1], [2, 3]]
+    raw = gif_bytes(pix, PALETTE4)
+    img = decode_image(raw)
+    assert img.shape == (2, 2, 3)
+    f = image_features(raw)
+    assert f[0] == 2.0 and f[1] == 2.0 and f[2] == 3.0
+    # mean_R over palette entries 0..3
+    assert f[3] == (255 + 0 + 0 + 10) / 4
+
+
+def test_gif_malformed():
+    import pytest as _pytest
+
+    from data_governance_spark.operators.multimodal import decode_gif
+
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"GIF66aXXXX")
+    ok = gif_bytes([[0, 1], [2, 3]], PALETTE4)
+    with _pytest.raises(ValueError):
+        decode_gif(ok[:20])  # truncated mid-structure
