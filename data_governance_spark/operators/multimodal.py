@@ -230,10 +230,22 @@ def decode_gif(content: bytes):
     thumbnails/features, not playback)."""
     import struct
 
-    import numpy as np
-
     if content[:4] != b"GIF8" or content[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF payload")
+    try:
+        return _decode_gif_body(content)
+    except (IndexError, struct.error) as exc:
+        # the codec tier's contract is TYPED loud failure — running
+        # off the end of a truncated/hostile payload must not surface
+        # as an opaque IndexError inside the Arrow path
+        raise ValueError(f"truncated or corrupt GIF payload: {exc}")
+
+
+def _decode_gif_body(content: bytes):
+    import struct
+
+    import numpy as np
+
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
     pos = 13
     gct = None

@@ -172,8 +172,12 @@ def stratified_pred_sql(
     default_frac: float = 0.0,
 ) -> str:
     """The DuckDB/ANSI mirror of ``hash_sample_stratified``'s
-    predicate (shared threshold computation)."""
+    predicate (shared threshold computation). An empty ``fractions``
+    degenerates to the plain default-threshold comparison (a CASE
+    with zero WHENs would not parse)."""
     h = f"substr(md5('{seed}:' || CAST({key_expr} AS STRING)), 1, 8)"
+    if not fractions:
+        return f"{h} < '{threshold_hex(default_frac)}'"
     case = " ".join(
         f"WHEN {strata_expr} = '{name}' THEN '{threshold_hex(frac)}'"
         for name, frac in fractions.items()

@@ -142,8 +142,9 @@ _SSUM_IDX_SQL = ", ".join(str(i) for i in range(len(_SSUM_PROBS)))
 
 # d05 'strat' sub-gate (operators/sampling.hash_sample_stratified,
 # new in r7): per-language keep fractions exercising three distinct
-# rates plus the default tier (corpus langs en/es/de/fr — 'fr' is
-# deliberately unlisted so the default path carries real rows).
+# rates plus the default tier (corpus langs en/de/es/fr/zh — 'fr' and
+# 'zh' are deliberately unlisted so the default path carries real
+# rows from more than one stratum).
 _STRAT_FRACS = {"en": 0.5, "es": 0.25, "de": 0.1}
 _STRAT_DEFAULT = 0.05
 

@@ -24,8 +24,24 @@ Same corpus-grade stance as the JSONL source:
 
 One deliberate divergence from the JSONL source: a ROW SHORTER than
 the schema quarantines (missing columns = structural damage in CSV,
-where fields are positional) — whereas JSONL treats absent fields as
-NULL (keys are named, absence is legitimate sparsity).
+where fields are positional — from_csv's PERMISSIVE mode flags both
+short and long rows via the corrupt-record column, empirically
+verified) — whereas JSONL treats absent fields as NULL (keys are
+named, absence is legitimate sparsity).
+
+ONE-RECORD-PER-LINE contract (the same contract as Spark's own
+default ``multiLine=false`` CSV reader): a quoted field containing a
+NEWLINE spans physical lines, which a line-based reader cannot
+reassemble. Rather than silently truncating such records (what a
+plain ``spark.read.csv`` does), ``csv_documents`` quarantines their
+fragments via a quote-parity probe: an RFC-4180 single-line record
+always carries an EVEN number of quote chars (embedded quotes are
+doubled), so an odd-quote line is a broken fragment, never a clean
+record. The head and tail fragments of a split record are always
+odd-parity; an interior fragment (3+-line fields) has no quotes and
+is caught by the column-count flag unless it coincidentally parses —
+if your corpus carries newline-bearing text, use the JSONL source
+(newlines are escaped there) or strip newlines before ``write_csv``.
 
 Reference twin: none — training-data extension per SURVEY.md §6.
 """
@@ -65,6 +81,11 @@ def csv_documents(
         "columnNameOfCorruptRecord": "_corrupt_record",
         "mode": "PERMISSIVE",
         "sep": sep,
+        # RFC-4180 quoting: '"' quotes, '""' escapes an embedded quote
+        # (from_csv does NOT unquote without these — verified; and the
+        # writer below mirrors escape='"' so round-trips agree)
+        "quote": '"',
+        "escape": '"',
     }
     lines = spark.read.text(path).filter(F.trim("value") != "")
     if header:
@@ -78,13 +99,17 @@ def csv_documents(
         "value",
         F.from_csv("value", ddl, opts).alias("c"),
     )
-    # from_csv's PERMISSIVE mode nulls out a MISSING trailing column
-    # instead of flagging it; positional formats must treat a short
-    # row as structural damage, so the last schema column doubles as
-    # the completeness probe via a raw field-count check
-    n_fields = F.size(F.split("value", _sep_re(sep), -1))
-    too_short = n_fields < len(schema.fields)
-    is_bad = F.col("c._corrupt_record").isNotNull() | too_short
+    # from_csv's PERMISSIVE mode flags BOTH short and long rows via
+    # the corrupt-record column (verified empirically on this Spark).
+    # The one failure it cannot see line-locally: fragments of a
+    # quoted MULTI-LINE record (see module docstring) — caught by
+    # quote parity: a well-formed single-line record always has an
+    # even number of '"' chars
+    n_quotes = F.length("value") - F.length(
+        F.replace(F.col("value"), F.lit('"'), F.lit(""))
+    )
+    odd_quotes = n_quotes % 2 == 1
+    is_bad = F.col("c._corrupt_record").isNotNull() | odd_quotes
     docs = parsed.filter(~is_bad).select(
         *[F.col(f"c.{f.name}").alias(f.name) for f in schema.fields]
     )
@@ -92,17 +117,6 @@ def csv_documents(
         F.col("value").alias("_corrupt_record")
     )
     return CsvCorpus(docs=docs, bad=bad)
-
-
-def _sep_re(sep: str) -> str:
-    """Regex-escaped separator for the raw field-count probe. NOTE:
-    the probe counts raw separators, so a QUOTED field containing the
-    separator inflates the count — acceptable for the short-row check
-    (it can only make a row look LONGER, never shorter; a quoted-sep
-    row is never falsely quarantined as short)."""
-    import re
-
-    return re.escape(sep)
 
 
 def write_csv(
@@ -115,11 +129,19 @@ def write_csv(
     compression: str | None = None,
 ) -> None:
     """Shard-writer mirror (native csv writer, no Python in the
-    plan); same knobs as write_jsonl."""
+    plan); same knobs as write_jsonl. NOTE the module's
+    one-record-per-line contract: a text value containing a newline
+    writes as a quoted multi-line record that the line-based reader
+    QUARANTINES on read-back (never silently truncates) — strip
+    newlines first, or ship such corpora as JSONL."""
     if num_files is not None:
         df = df.repartition(num_files)
-    w = df.write.mode("overwrite").option("sep", sep).option(
-        "header", str(header).lower()
+    w = (
+        df.write.mode("overwrite")
+        .option("sep", sep)
+        .option("header", str(header).lower())
+        .option("quote", '"')
+        .option("escape", '"')
     )
     if compression:
         w = w.option("compression", compression)

@@ -106,3 +106,56 @@ def test_fuzz_vs_python_reference(spark, tmp_path):
 def test_schema_required(spark, tmp_path):
     with pytest.raises(TypeError):
         csv_documents(spark, str(tmp_path / "x.csv"))  # no schema arg
+
+
+def test_multiline_quoted_record_quarantines_not_truncates(spark, tmp_path):
+    """A quoted field containing a newline spans physical lines; the
+    line-based reader must QUARANTINE the fragments (odd quote
+    parity), never emit a silently-truncated clean row — the failure
+    Spark's own default multiLine=false CSV reader commits."""
+    lines = [
+        "doc_id,lang,text",
+        '1,en,"line one',
+        'line two"',
+        "2,de,intact row",
+    ]
+    path = _write(tmp_path, lines)
+    c = csv_documents(spark, path, SCHEMA)
+    docs = {r["doc_id"]: r["text"] for r in c.docs.collect()}
+    assert docs == {2: "intact row"}  # nothing truncated into docs
+    bad = sorted(r["_corrupt_record"] for r in c.bad.collect())
+    assert bad == ['1,en,"line one', 'line two"']
+
+
+def test_embedded_doubled_quotes_stay_clean(spark, tmp_path):
+    # RFC-4180 doubled quotes keep parity even -> well-formed rows pass
+    lines = ["doc_id,lang,text", '3,en,"say ""hi"" now"']
+    c = csv_documents(spark, _write(tmp_path, lines), SCHEMA)
+    assert [r["text"] for r in c.docs.collect()] == ['say "hi" now']
+    assert c.bad.count() == 0
+
+
+def test_stratified_pred_sql_empty_fractions_parses(spark):
+    import duckdb
+
+    from data_governance_spark.operators.sampling import (
+        hash_sample_stratified,
+        stratified_pred_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(50)], "doc_id long, domain string"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in hash_sample_stratified(
+            df, {}, "domain", "doc_id", default_frac=0.3
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(range(0, 50)) AS doc_id, 'web' AS domain")
+    pred = stratified_pred_sql({}, "domain", "doc_id", default_frac=0.3)
+    want = [r[0] for r in con.execute(
+        f"SELECT doc_id FROM t WHERE {pred} ORDER BY doc_id"
+    ).fetchall()]
+    assert got == want
