@@ -5,13 +5,16 @@ Codec status (honest tiering):
 
 - REAL decoders, numpy/stdlib only, no external libs: PPM P6/P5
   (``decode_ppm``), uncompressed 24-bit BMP (``decode_bmp``), PCM WAV
-  via the stdlib ``wave`` module (``decode_wav``). These are complete
-  decoders for their formats, not stubs — uncompressed interchange
-  formats need no codec library.
-- STUBBED: compressed formats (JPEG/PNG/MP3/H.264) require
+  via the stdlib ``wave`` module (``decode_wav``), GIF 87a/89a with a
+  full variable-width LZW implementation (``decode_gif``), and PNG —
+  whose only compression is DEFLATE, i.e. the stdlib ``zlib`` module —
+  including all 5 scanline filters, Adam7 interlace, palettes, and
+  sub-8-bit depths (``decode_png``). These are complete decoders, not
+  stubs.
+- STUBBED: transform-coded formats (JPEG/MP3/H.264/WEBP) require
   Pillow/ffmpeg, absent from this environment. ``decode_image``
-  dispatches: supported magic bytes decode for real, compressed magics
-  raise the clearly-marked NotImplementedError, and
+  dispatches: supported magic bytes decode for real, the remaining
+  compressed magics raise the clearly-marked NotImplementedError, and
   ``fake_image_features`` remains the deterministic stand-in for
   arbitrary bytes.
 
@@ -301,26 +304,183 @@ def _decode_gif_body(content: bytes):
     raise ValueError("GIF contains no image descriptor")
 
 
+# PNG Adam7 interlace pass geometry: (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, ph: int, stride: int, bpp: int):
+    """Undo PNG scanline filtering for one (sub-)image: `ph` scanlines
+    of `stride` bytes, each prefixed by a filter-type byte, starting at
+    `raw[off]`. Returns a (ph, stride) uint8 array. Filter types 0
+    (None), 2 (Up) and 1 (Sub, via per-lane cumulative sum) are
+    vectorized; 3 (Average) and 4 (Paeth) carry a genuine serial
+    dependency on the just-reconstructed left neighbor, so they run
+    per-byte — fine for the icon/thumbnail sizes the corpus tier
+    decodes, and mapInPandas parallelism covers the rest."""
+    import numpy as np
+
+    recon = np.zeros((ph, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(ph):
+        ft = raw[off]
+        row = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+        off += 1 + stride
+        if ft == 0:
+            r = row
+        elif ft == 2:  # Up
+            r = (row + prev) & 0xFF
+        elif ft == 1:  # Sub: cumulative sum along each bpp-strided lane
+            pad = (-stride) % bpp
+            lanes = np.concatenate([row, np.zeros(pad, np.int32)])
+            lanes = lanes.reshape(-1, bpp).cumsum(axis=0) & 0xFF
+            r = lanes.reshape(-1)[:stride]
+        elif ft == 3:  # Average
+            r = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = r[i - bpp] if i >= bpp else 0
+                r[i] = (row[i] + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            r = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(r[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"corrupt PNG: unknown filter type {ft}")
+        recon[y] = r
+        prev = r
+    return recon.astype(np.uint8)
+
+
+def decode_png(content: bytes):
+    """REAL decoder for a second COMPRESSED format, pure stdlib+numpy:
+    PNG -> numpy uint8 of shape (H, W) for grayscale, (H, W, 2) for
+    gray+alpha, (H, W, 3) for RGB/palette, (H, W, 4) for RGBA.
+
+    PNG's only compression is DEFLATE — which the stdlib ``zlib``
+    module IS — so no codec library is needed: chunk walk (with CRC32
+    verification), inflate, per-scanline unfilter (all 5 filter
+    types), Adam7 deinterlace, palette expansion, and sub-8-bit sample
+    unpacking/scaling are all implemented here. 16-bit channels raise
+    NotImplementedError (widening is a caller decision, mirroring the
+    netpbm tier); a palette tRNS chunk is ignored (the corpus contract
+    is thumbnails/features, not compositing)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    try:
+        pos = 8
+        ihdr = None
+        plte = None
+        idat: list[bytes] = []
+        while pos + 8 <= len(content):
+            ln, typ = struct.unpack_from(">I4s", content, pos)
+            data = content[pos + 8 : pos + 8 + ln]
+            if len(data) < ln or pos + 12 + ln > len(content):
+                raise ValueError("truncated PNG chunk")
+            (crc,) = struct.unpack_from(">I", content, pos + 8 + ln)
+            if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG chunk CRC mismatch ({typ!r})")
+            pos += 12 + ln
+            if typ == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif typ == b"PLTE":
+                plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+        if ihdr is None or not idat:
+            raise ValueError("PNG missing IHDR or IDAT")
+        w, h, depth, ctype, comp, filt, interlace = ihdr
+        if w == 0 or h == 0 or comp != 0 or filt != 0 or interlace > 1:
+            raise ValueError("malformed PNG IHDR")
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+        if channels is None:
+            raise ValueError(f"malformed PNG IHDR: color type {ctype}")
+        if depth == 16:
+            raise NotImplementedError("16-bit PNG not supported")
+        if depth not in (1, 2, 4, 8) or (depth < 8 and ctype not in (0, 3)):
+            raise ValueError(f"malformed PNG IHDR: bit depth {depth}")
+        raw = zlib.decompress(b"".join(idat))
+
+        out = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        bpp = max(1, channels * depth // 8)
+        for x0, y0, dx, dy in _ADAM7 if interlace else ((0, 0, 1, 1),):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * channels * depth + 7) // 8
+            if off + ph * (stride + 1) > len(raw):
+                raise ValueError("truncated PNG pixel data")
+            recon = _png_unfilter(raw, off, ph, stride, bpp)
+            off += ph * (stride + 1)
+            if depth == 8:
+                sub = recon[:, : pw * channels].reshape(ph, pw, channels)
+            else:  # MSB-first packed sub-byte samples (gray or palette)
+                bits = np.unpackbits(recon, axis=1)[:, : pw * depth]
+                weights = 1 << np.arange(depth - 1, -1, -1)
+                sub = (bits.reshape(ph, pw, depth) * weights).sum(
+                    axis=2, dtype=np.int32
+                ).astype(np.uint8)[:, :, None]
+            out[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+    except (IndexError, struct.error, zlib.error) as exc:
+        # same loud-typed-failure contract as decode_gif: hostile bytes
+        # must not surface as opaque low-level errors in the Arrow path
+        raise ValueError(f"truncated or corrupt PNG payload: {exc}")
+
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        idx = out[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]  # (H, W, 3)
+    if ctype == 0:
+        gray = out[:, :, 0]
+        if depth < 8:  # scale to 8-bit: 255/(2^d-1) is exact for 1/2/4
+            gray = (gray.astype(np.int32) * (255 // ((1 << depth) - 1))).astype(
+                np.uint8
+            )
+        return gray  # (H, W)
+    return out  # (H, W, 2) gray+alpha or (H, W, 4) RGBA
+
+
 # magic bytes of formats that NEED an external codec library
 _COMPRESSED_MAGICS = (
     (b"\xff\xd8\xff", "JPEG"),
-    (b"\x89PNG", "PNG"),
     (b"RIFF", "RIFF-container (WEBP/AVI; WAV goes to decode_wav)"),
 )
 
 
 def decode_image(content: bytes):
-    """Dispatch by magic bytes: PPM/PGM, uncompressed BMP and GIF
-    (a real LZW decode — the one compressed format the stdlib tier
-    covers) decode for REAL; the remaining compressed formats raise
-    the documented environment-constraint error (Pillow/opencv
-    absent)."""
+    """Dispatch by magic bytes: PPM/PGM, uncompressed BMP, GIF (real
+    LZW decode) and PNG (real DEFLATE decode via stdlib zlib) decode
+    for REAL; the remaining compressed formats raise the documented
+    environment-constraint error (Pillow/opencv absent)."""
     if content[:2] in (b"P6", b"P5"):
         return decode_ppm(content)
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:4] == b"GIF8":
         return decode_gif(content)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(content)
     for magic, name in _COMPRESSED_MAGICS:
         if content.startswith(magic):
             raise NotImplementedError(
@@ -335,16 +495,20 @@ def image_features(content: bytes) -> list[float]:
     """REAL feature vector for decodable images:
     [width, height, channels, mean_R, mean_G, mean_B, std_all] —
     deterministic, analytically stated by the q45 oracle for
-    synthesized PPM bytes. Grayscale repeats its single mean."""
+    synthesized PPM bytes. Grayscale (and gray+alpha) repeat the
+    single gray mean; RGBA reports RGB means (alpha excluded from
+    means, included in std_all and the channel count)."""
     img = decode_image(content)
     import numpy as np
 
-    if img.ndim == 2:
+    h, w = img.shape[0], img.shape[1]
+    c = 1 if img.ndim == 2 else img.shape[2]
+    if c == 1:
         means = [float(img.mean())] * 3
-        h, w, c = img.shape[0], img.shape[1], 1
+    elif c == 2:
+        means = [float(img[:, :, 0].mean())] * 3
     else:
         means = [float(img[:, :, k].mean()) for k in range(3)]
-        h, w, c = img.shape[0], img.shape[1], 3
     return [
         float(w), float(h), float(c), *means,
         float(np.asarray(img, dtype=np.float64).std()),

@@ -33,7 +33,7 @@ def melt_metrics(
     df: DataFrame,
     key: Column,
     metrics: Sequence[str],
-    gate: str,
+    gate: str | Column,
     sep: str = ":",
 ) -> DataFrame:
     """Unpivot per-row NUMERIC metric columns into the compound gates'
@@ -41,7 +41,8 @@ def melt_metrics(
     metric), with k = <key><sep><metric>, v_d = the metric value and
     v_s NULL. Pins the k/v_s/v_d contract in one place instead of a
     hand-rolled explode(array(struct(...))) per gate (a key-format slip
-    in any copy is a silent oracle mismatch)."""
+    in any copy is a silent oracle mismatch). `gate` may be a Column
+    for per-row sub-gate labels (e.g. q45's codec rows)."""
     e = F.explode(
         F.array(
             *[
@@ -50,8 +51,9 @@ def melt_metrics(
             ]
         )
     ).alias("e")
-    return df.select(key.alias("_mk"), e).select(
-        F.lit(gate).alias("gate"),
+    gcol = gate if isinstance(gate, Column) else F.lit(gate)
+    return df.select(gcol.alias("_mg"), key.alias("_mk"), e).select(
+        F.col("_mg").alias("gate"),
         F.concat(F.col("_mk"), F.lit(sep), F.col("e.m")).alias("k"),
         F.lit(None).cast("string").alias("v_s"),
         F.col("e.v").alias("v_d"),

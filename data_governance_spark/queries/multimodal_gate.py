@@ -14,8 +14,13 @@ byte-for-byte in Spark (constant planes r=ck%121, g=2ck%121,
 b=3ck%121; values <128 so UTF-8 encode is byte-identity), decoded by
 operators/multimodal.decode_ppm inside the decoder="real" mapInPandas
 path; width/height/channels/per-plane means/std are stated
-analytically by the oracle. Compressed formats (JPEG/PNG) remain the
-documented environment-constraint stub.
+analytically by the oracle.
+
+Sub-gates 'gif' (r7) and 'png' (r7): fixed COMPRESSED payloads —
+a real LZW-coded GIF and a real DEFLATE-coded interlaced palette
+PNG — decoded by the pure-stdlib codecs through the same Arrow path;
+only transform-coded formats (JPEG/MP3) remain the documented
+environment-constraint stub.
 """
 
 from __future__ import annotations
@@ -46,6 +51,25 @@ _GIF_HEX = (
 # (w, h, c, mean_r, mean_g, mean_b) exact in float32; std rounded @4
 _GIF_CONSTS = (4.0, 2.0, 3.0, 66.25, 68.75, 71.25)
 _GIF_SD = 107.9183
+
+# 'png' sub-gate (new in r7): a fixed 6x4 4-color PALETTE png at bit
+# depth 2, Adam7-INTERLACED, rows filtered with a 0/1/2 mix — one
+# 106-byte payload exercising chunk CRC walk, zlib inflate, three
+# filter types, 7-pass deinterlace, sub-byte sample unpacking and
+# palette expansion. Pixel pattern (r+c)%4 over palette
+# (200,10,60)/(40,80,120)/(0,255,34)/(90,90,90): each color appears
+# exactly 6 times, so the means are exact in float32. Bytes produced
+# by the spec encoder in tests/test_multimodal_codecs.py; the decoder
+# is ALSO validated against OS-shipped PNGs from independent encoders
+# (python3-doc + gitweb icons).
+_PNG_HEX = (
+    "89504e470d0a1a0a0000000d4948445200000006000000040203000001a76d9646"
+    "0000000c504c5445c80a3c28507800ff225a5a5a2a37e810000000194944415478"
+    "9c6360008206860e8612c63b0c39098cc77e01001caf04e7cd40385e0000000049"
+    "454e44ae426082"
+)
+_PNG_CONSTS = (6.0, 4.0, 3.0, 82.5, 108.75, 76.0)
+_PNG_SD = 71.5023
 
 
 def _s(c: Column) -> Column:
@@ -109,14 +133,21 @@ def _s(c: Column) -> Column:
     )}
     UNION ALL
     SELECT 'gif', 'g:sd', CAST(NULL AS VARCHAR), {_GIF_SD}
+    {"".join(
+      f" UNION ALL SELECT 'png', 'p:{n}', CAST(NULL AS VARCHAR), {v}"
+      for n, v in zip(("w", "h", "c", "mr", "mg", "mb"), _PNG_CONSTS)
+    )}
+    UNION ALL
+    SELECT 'png', 'p:sd', CAST(NULL AS VARCHAR), {_PNG_SD}
     """,
     doc="merged gate (r6/r7): multimodal plumbing — BinaryType through "
     "Arrow mapInPandas (fake codec histogram), byte-budget repartition, "
     "frame-sample plan (sub-gate 'hist') + REAL PPM decode via the "
     "numpy-only codec (decoder='real' path: dims/means/std of "
     "Spark-synthesized P6 bytes; sub-gate 'real', new in r6) + REAL "
-    "GIF (LZW) decode of a fixed compressed payload via the "
-    "pure-stdlib decoder (sub-gate 'gif', new in r7)",
+    "GIF (LZW) and PNG (zlib-DEFLATE, Adam7-interlaced depth-2 "
+    "palette) decodes of fixed compressed payloads via the "
+    "pure-stdlib decoders (sub-gates 'gif'/'png', new in r7)",
 )
 def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.multimodal import (
@@ -200,16 +231,28 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("w", "h", "c", "mr", "mg", "mb", "sd"),
         "real",
     )
-    # 'gif' sub-gate: the fixed compressed payload through the SAME
-    # decoder="real" Arrow path (decode_gif via magic dispatch)
-    gif = spark.createDataFrame(
-        [(1, "image", bytearray(bytes.fromhex(_GIF_HEX)), None)],
-        "media_id long, kind string, content binary, "
+    # 'gif' + 'png' sub-gates: both fixed compressed payloads through
+    # ONE decoder="real" Arrow pass (decode_gif/decode_png via magic
+    # dispatch); the gate label derives from the payload's magic
+    compressed = spark.createDataFrame(
+        [
+            ("gif", "g", "image", bytearray(bytes.fromhex(_GIF_HEX)), None),
+            ("png", "p", "image", bytearray(bytes.fromhex(_PNG_HEX)), None),
+        ],
+        "fmt string, tag string, kind string, content binary, "
         "meta struct<mime:string,width:int,height:int,"
         "duration_ms:bigint,sample_rate:int>",
     )
-    gf = extract_features(gif, decoder="real").select(
-        F.lit("g").alias("media_id"),
+    media_c = compressed.select(
+        F.monotonically_increasing_id().alias("media_id"),
+        "fmt", "tag", "kind", "content", "meta",
+    )
+    cf = extract_features(
+        media_c.select("media_id", "kind", "content", "meta"),
+        decoder="real",
+    ).join(media_c.select("media_id", "fmt", "tag"), "media_id").select(
+        "fmt",
+        F.col("tag").alias("media_id"),
         *[
             F.get(F.col("feature"), i).cast("double").alias(n)
             for i, n in enumerate(("w", "h", "c", "mr", "mg", "mb"))
@@ -219,10 +262,10 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("sd"),
     )
-    gif_rows = melt_metrics(
-        gf,
+    codec_rows = melt_metrics(
+        cf,
         F.col("media_id"),
         ("w", "h", "c", "mr", "mg", "mb", "sd"),
-        "gif",
+        F.col("fmt"),
     )
-    return hist.unionByName(real).unionByName(gif_rows)
+    return hist.unionByName(real).unionByName(codec_rows)
