@@ -463,14 +463,14 @@ def decode_png(content: bytes):
 
 # magic bytes of formats that NEED an external codec library
 _COMPRESSED_MAGICS = (
-    (b"\xff\xd8\xff", "JPEG"),
     (b"RIFF", "RIFF-container (WEBP/AVI; WAV goes to decode_wav)"),
 )
 
 
 def decode_image(content: bytes):
     """Dispatch by magic bytes: PPM/PGM, uncompressed BMP, GIF (real
-    LZW decode) and PNG (real DEFLATE decode via stdlib zlib) decode
+    LZW decode), PNG (real DEFLATE decode via stdlib zlib) and
+    baseline JPEG (real Huffman+IDCT decode, operators/jpeg.py) decode
     for REAL; the remaining compressed formats raise the documented
     environment-constraint error (Pillow/opencv absent)."""
     if content[:2] in (b"P6", b"P5"):
@@ -481,6 +481,10 @@ def decode_image(content: bytes):
         return decode_gif(content)
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(content)
+    if content[:3] == b"\xff\xd8\xff":
+        from data_governance_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     for magic, name in _COMPRESSED_MAGICS:
         if content.startswith(magic):
             raise NotImplementedError(

@@ -16,11 +16,12 @@ operators/multimodal.decode_ppm inside the decoder="real" mapInPandas
 path; width/height/channels/per-plane means/std are stated
 analytically by the oracle.
 
-Sub-gates 'gif' (r7) and 'png' (r7): fixed COMPRESSED payloads —
-a real LZW-coded GIF and a real DEFLATE-coded interlaced palette
-PNG — decoded by the pure-stdlib codecs through the same Arrow path;
-only transform-coded formats (JPEG/MP3) remain the documented
-environment-constraint stub.
+Sub-gates 'gif', 'png' and 'jpg' (all r7): fixed COMPRESSED payloads
+— a real LZW-coded GIF, a real DEFLATE-coded interlaced palette PNG,
+and a real baseline JPEG (4:2:0, restart markers) — decoded by the
+pure-stdlib/numpy codecs through the same Arrow path; only
+progressive JPEG and audio/video transform codecs (MP3/H.264) remain
+the documented environment-constraint stub.
 """
 
 from __future__ import annotations
@@ -70,6 +71,29 @@ _PNG_HEX = (
 )
 _PNG_CONSTS = (6.0, 4.0, 3.0, 82.5, 108.75, 76.0)
 _PNG_SD = 71.5023
+
+# 'jpg' sub-gate (new in r7): a fixed 310-byte BASELINE JPEG — 16x16
+# smooth gradient, 4:2:0 chroma subsampling, restart markers every
+# MCU — decoded by the pure-numpy baseline decoder
+# (operators/jpeg.py: canonical DHT Huffman, entropy unstuffing +
+# RST segmentation, dequant, batched IDCT, chroma upsample,
+# YCbCr->RGB). Means are k/256 dyadics, exact in float32; bytes from
+# the spec encoder in tests/test_jpeg_codec.py, and the decoder is
+# ALSO validated against Spark's own mllib photo fixtures.
+_JPG_HEX = (
+    "ffd8ffdb00430003030303030304040404040404040404040404040404040404"
+    "0404040505050505050505050505050505050505050505050606060606060606"
+    "06060606070707ffdb0043010404040404040606060606060606060606060606"
+    "0606060606060606070707070707070707070707070707070707070707090909"
+    "0909090909090909090a0a0affc00011080010001003012200021101031101ff"
+    "c4001500000200000000000000000000000000000405ffc40015010002000000"
+    "00000000000000000000000506ffc40018100000050000000000000000000000"
+    "00000001020311ffc4001d110000000a00000000000000000000000000010203"
+    "040512132131ffdd00040001ffda000c03010002110311003f005097c1ad3e11"
+    "254720d69460aa4a210c8e00eab3539976380a41ffd9"
+)
+_JPG_CONSTS = (16.0, 16.0, 3.0, 155.95703125, 96.27734375, 137.41015625)
+_JPG_SD = 29.3629
 
 
 def _s(c: Column) -> Column:
@@ -139,15 +163,22 @@ def _s(c: Column) -> Column:
     )}
     UNION ALL
     SELECT 'png', 'p:sd', CAST(NULL AS VARCHAR), {_PNG_SD}
+    {"".join(
+      f" UNION ALL SELECT 'jpg', 'j:{n}', CAST(NULL AS VARCHAR), {v}"
+      for n, v in zip(("w", "h", "c", "mr", "mg", "mb"), _JPG_CONSTS)
+    )}
+    UNION ALL
+    SELECT 'jpg', 'j:sd', CAST(NULL AS VARCHAR), {_JPG_SD}
     """,
     doc="merged gate (r6/r7): multimodal plumbing — BinaryType through "
     "Arrow mapInPandas (fake codec histogram), byte-budget repartition, "
     "frame-sample plan (sub-gate 'hist') + REAL PPM decode via the "
     "numpy-only codec (decoder='real' path: dims/means/std of "
     "Spark-synthesized P6 bytes; sub-gate 'real', new in r6) + REAL "
-    "GIF (LZW) and PNG (zlib-DEFLATE, Adam7-interlaced depth-2 "
-    "palette) decodes of fixed compressed payloads via the "
-    "pure-stdlib decoders (sub-gates 'gif'/'png', new in r7)",
+    "GIF (LZW), PNG (zlib-DEFLATE, Adam7-interlaced depth-2 palette) "
+    "and baseline JPEG (Huffman+IDCT, 4:2:0, restart markers) decodes "
+    "of fixed compressed payloads via the pure-stdlib/numpy decoders "
+    "(sub-gates 'gif'/'png'/'jpg', new in r7)",
 )
 def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.multimodal import (
@@ -238,6 +269,7 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ("gif", "g", "image", bytearray(bytes.fromhex(_GIF_HEX)), None),
             ("png", "p", "image", bytearray(bytes.fromhex(_PNG_HEX)), None),
+            ("jpg", "j", "image", bytearray(bytes.fromhex(_JPG_HEX)), None),
         ],
         "fmt string, tag string, kind string, content binary, "
         "meta struct<mime:string,width:int,height:int,"

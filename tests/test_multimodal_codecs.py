@@ -107,8 +107,12 @@ def test_wav_roundtrip():
 def test_dispatch_and_compressed_magic():
     raw, _ = ppm_bytes(2, 2)
     assert decode_image(raw).shape == (2, 2, 3)
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    # JPEG now dispatches to the REAL baseline decoder; a garbled
+    # payload surfaces its typed corruption error
+    with pytest.raises(ValueError, match="JPEG"):
         decode_image(b"\xff\xd8\xff\xe0rest")
+    with pytest.raises(NotImplementedError, match="RIFF"):
+        decode_image(b"RIFFxxxxWEBP")
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"???")
 
