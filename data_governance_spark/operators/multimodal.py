@@ -9,14 +9,15 @@ Codec status (honest tiering):
   full variable-width LZW implementation (``decode_gif``), and PNG —
   whose only compression is DEFLATE, i.e. the stdlib ``zlib`` module —
   including all 5 scanline filters, Adam7 interlace, palettes, and
-  sub-8-bit depths (``decode_png``). These are complete decoders, not
-  stubs.
-- STUBBED: transform-coded formats (JPEG/MP3/H.264/WEBP) require
-  Pillow/ffmpeg, absent from this environment. ``decode_image``
-  dispatches: supported magic bytes decode for real, the remaining
-  compressed magics raise the clearly-marked NotImplementedError, and
-  ``fake_image_features`` remains the deterministic stand-in for
-  arbitrary bytes.
+  sub-8-bit depths (``decode_png``); and JPEG — baseline AND
+  progressive, full Huffman + batched-IDCT pipeline
+  (``operators/jpeg.py``). These are complete decoders, not stubs.
+- STUBBED: the remaining transform codecs (MP3/H.264/WEBP) require
+  ffmpeg-class libraries, absent from this environment.
+  ``decode_image`` dispatches: supported magic bytes decode for real,
+  the remaining compressed magics raise the clearly-marked
+  NotImplementedError, and ``fake_image_features`` remains the
+  deterministic stand-in for arbitrary bytes.
 
 Scale notes: media bytes never pass through Python row-at-a-time —
 mapInPandas streams Arrow record batches; ``media_repartition`` sizes

@@ -19,8 +19,9 @@ analytically by the oracle.
 Sub-gates 'gif', 'png' and 'jpg' (all r7): fixed COMPRESSED payloads
 — a real LZW-coded GIF, a real DEFLATE-coded interlaced palette PNG,
 and a real baseline JPEG (4:2:0, restart markers) — decoded by the
-pure-stdlib/numpy codecs through the same Arrow path; only
-progressive JPEG and audio/video transform codecs (MP3/H.264) remain
+pure-stdlib/numpy codecs through the same Arrow path (the JPEG tier
+also decodes progressive/SOF2, exercised in tests against real
+fixtures); only audio/video transform codecs (MP3/H.264/WEBP) remain
 the documented environment-constraint stub.
 """
 

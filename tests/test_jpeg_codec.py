@@ -290,12 +290,38 @@ def test_jpeg_real_world_fixtures():
     assert decoded >= 1
 
 
-def test_jpeg_progressive_raises():
-    paths = glob.glob("/usr/share/doc/nodejs/*-white-stripe.jpg")
-    if not paths:
+def test_jpeg_progressive_white_stripe_semantics():
+    """Real progressive (SOF2) fixtures whose CONTENT is known from
+    the filename: the nodejs doc images are white stripes, so the
+    decoded pixels must be overwhelmingly near-white — a semantic
+    check no structural parse can fake."""
+    path = "/usr/share/doc/nodejs/full-white-stripe.jpg"
+    if not glob.glob(path):
         pytest.skip("no progressive fixture on this host")
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(open(paths[0], "rb").read())
+    img = decode_jpeg(open(path, "rb").read())
+    assert img.shape == (312, 493, 3)
+    assert (img.min(axis=2) > 240).mean() > 0.9
+
+
+def test_jpeg_progressive_vs_baseline_cross_format():
+    """Spark mllib ships the same scene twice: a PROGRESSIVE grayscale
+    and a BASELINE color image. Decoding both through the two code
+    paths and correlating gray vs luma cross-validates the
+    progressive spectral-selection/refinement algorithms against the
+    independently-exercised sequential path (and against two
+    independent third-party encoders)."""
+    base = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+    gpath = base + "multi-channel/grayscale.jpg"
+    cpath = base + "multi-channel/chr30.4.184.jpg"
+    if not (glob.glob(gpath) and glob.glob(cpath)):
+        pytest.skip("no mllib fixtures on this host")
+    g = decode_jpeg(open(gpath, "rb").read()).astype(float)
+    c = decode_jpeg(open(cpath, "rb").read()).astype(float)
+    luma = 0.299 * c[:, :, 0] + 0.587 * c[:, :, 1] + 0.114 * c[:, :, 2]
+    assert g.shape == luma.shape
+    corr = np.corrcoef(g.ravel(), luma.ravel())[0, 1]
+    assert corr > 0.99
+    assert np.abs(g - luma).mean() < 8
 
 
 def test_jpeg_malformed():
