@@ -144,25 +144,177 @@ def decode_bmp(content: bytes):
     return img[::-1] if bottom_up else img
 
 
+def _g711_luts():
+    """256-entry decode LUTs for G.711 mu-law and A-law -> int16,
+    built from the published piecewise-linear formulas (validated
+    byte-for-byte against the stdlib ``audioop`` reference in
+    tests/test_multimodal_codecs.py)."""
+    import numpy as np
+
+    mu = np.zeros(256, np.int16)
+    al = np.zeros(256, np.int16)
+    for i in range(256):
+        b = ~i & 0xFF
+        exp = (b >> 4) & 7
+        val = (((b & 0x0F) << 3) + 0x84 << exp) - 0x84
+        mu[i] = -val if b & 0x80 else val
+        b = i ^ 0x55
+        exp = (b >> 4) & 7
+        mant = b & 0x0F
+        val = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (
+            exp - 1
+        )
+        # A-law sign convention is inverted vs mu-law: bit 7 SET (after
+        # the 0x55 toggle) marks the POSITIVE half
+        al[i] = val if b & 0x80 else -val
+    return mu, al
+
+
+# IMA ADPCM step/index tables (public spec constants)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibbles(nibbles, pred: int, idx: int):
+    """Serial IMA ADPCM core: one int16 sample per 4-bit code."""
+    out = []
+    for n in nibbles:
+        step = _IMA_STEPS[idx]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = max(-32768, min(32767, pred - diff if n & 8 else pred + diff))
+        idx = max(0, min(88, idx + _IMA_INDEX[n & 7]))
+        out.append(pred)
+    return out, pred, idx
+
+
 def decode_wav(content: bytes):
-    """REAL decoder: PCM WAV via the stdlib ``wave`` module ->
-    (numpy int16/uint8 array of shape (frames, channels), sample_rate).
-    Compressed WAV raises inside ``wave`` itself."""
-    import io
-    import wave
+    """REAL decoder: WAV container parsed directly (RIFF chunk walk)
+    -> (numpy array of shape (frames, channels), sample_rate).
+
+    Format coverage: PCM 8-bit (uint8) / 16-bit (int16), IEEE float32
+    (float32), G.711 A-law/mu-law (decoded to int16 via exact LUTs),
+    and IMA ADPCM format 0x11 (per-block headers, interleaved 4-byte
+    channel groups, low-nibble-first). WAVE_FORMAT_EXTENSIBLE unwraps
+    to its inner tag. Other compressions (MP3-in-WAV, GSM) raise the
+    typed NotImplementedError."""
+    import struct
 
     import numpy as np
 
-    with wave.open(io.BytesIO(content), "rb") as w:
-        rate = w.getframerate()
-        n_ch = w.getnchannels()
-        width = w.getsampwidth()
-        frames = w.readframes(w.getnframes())
-    dtype = {1: np.uint8, 2: np.int16}.get(width)
-    if dtype is None:
-        raise NotImplementedError(f"{width * 8}-bit WAV not supported")
-    arr = np.frombuffer(frames, dtype=dtype).reshape(-1, n_ch)
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        ln = struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    tag, n_ch, rate, _br, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if n_ch == 0:
+        raise ValueError("WAV with zero channels")
+    if tag == 0xFFFE and len(fmt) >= 26:  # EXTENSIBLE: real tag in GUID
+        tag = struct.unpack_from("<H", fmt, 24)[0]
+    if tag == 1:  # PCM
+        dtype = {8: np.uint8, 16: np.int16}.get(bits)
+        if dtype is None:
+            raise NotImplementedError(f"{bits}-bit PCM WAV not supported")
+        n = len(data) // (n_ch * (bits // 8)) * n_ch
+        return np.frombuffer(data, dtype, n).reshape(-1, n_ch), rate
+    if tag == 3:  # IEEE float
+        if bits != 32:
+            raise NotImplementedError(f"{bits}-bit float WAV not supported")
+        n = len(data) // (4 * n_ch) * n_ch
+        return np.frombuffer(data, np.float32, n).reshape(-1, n_ch), rate
+    if tag in (6, 7):  # G.711 A-law / mu-law
+        mu, al = _g711_luts()
+        lut = mu if tag == 7 else al
+        n = len(data) // n_ch * n_ch
+        codes = np.frombuffer(data, np.uint8, n)
+        return lut[codes].reshape(-1, n_ch), rate
+    if tag == 0x11:  # IMA ADPCM
+        return _decode_ima_wav(data, n_ch, rate, block_align)
+    raise NotImplementedError(f"WAV format tag 0x{tag:02x} not supported")
+
+
+def _decode_ima_wav(data: bytes, n_ch: int, rate: int, block_align: int):
+    """IMA ADPCM WAV: per-block 4-byte channel headers (int16
+    predictor emitted as the first sample + step index), then
+    interleaved 4-byte groups of 8 low-nibble-first codes per
+    channel."""
+    import struct
+
+    import numpy as np
+
+    if block_align < 4 * n_ch:
+        raise ValueError("IMA ADPCM block smaller than its headers")
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    for boff in range(0, len(data) - len(data) % block_align, block_align):
+        block = data[boff : boff + block_align]
+        preds = []
+        idxs = []
+        for c in range(n_ch):
+            pred, idx, _rsv = struct.unpack_from("<hBB", block, 4 * c)
+            if idx > 88:
+                raise ValueError("corrupt IMA ADPCM step index")
+            preds.append(pred)
+            idxs.append(idx)
+            chans[c].append(pred)  # header predictor IS sample 0
+        p = 4 * n_ch
+        while p + 4 * n_ch <= len(block):
+            for c in range(n_ch):
+                nib = []
+                for b in block[p + 4 * c : p + 4 * c + 4]:
+                    nib.append(b & 0x0F)  # low nibble first
+                    nib.append(b >> 4)
+                out, preds[c], idxs[c] = _ima_decode_nibbles(
+                    nib, preds[c], idxs[c]
+                )
+                chans[c].extend(out)
+            p += 4 * n_ch
+    n = min(len(c) for c in chans)
+    arr = np.empty((n, n_ch), np.int16)
+    for c in range(n_ch):
+        arr[:, c] = chans[c][:n]
     return arr, rate
+
+
+def audio_features(content: bytes) -> list[float]:
+    """REAL feature vector for decodable audio:
+    [n_frames, channels, sample_rate, mean, mean, mean, std] — the
+    same 7-wide shape as ``image_features`` so both flow through one
+    Arrow schema (mean repeated where images carry per-plane means)."""
+    import numpy as np
+
+    arr, rate = decode_wav(content)
+    m = float(np.asarray(arr, dtype=np.float64).mean())
+    return [
+        float(arr.shape[0]), float(arr.shape[1]), float(rate), m, m, m,
+        float(np.asarray(arr, dtype=np.float64).std()),
+    ]
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
@@ -536,22 +688,29 @@ def extract_features(
     """mapInPandas feature extraction: one Arrow batch in, one out.
 
     ``decoder="fake"`` uses the deterministic byte-histogram stand-in
-    (works on ANY bytes); ``decoder="real"`` runs ``image_features`` —
-    a genuine decode for PPM/PGM/uncompressed-BMP payloads (compressed
-    formats raise, surfacing the environment constraint loudly rather
-    than silently faking). Batch iteration, schema and null handling
-    are the production shape either way.
+    (works on ANY bytes); ``decoder="real"`` runs a genuine decode —
+    ``image_features`` for image magics (PPM/PGM/BMP/GIF/PNG/JPEG) and
+    ``audio_features`` for WAV payloads (PCM/float/G.711/IMA-ADPCM) —
+    while the remaining compressed formats raise, surfacing the
+    environment constraint loudly rather than silently faking. Batch
+    iteration, schema and null handling are the production shape
+    either way.
     """
     if decoder not in ("fake", "real"):
         raise ValueError(f"decoder must be 'fake' or 'real', got {decoder!r}")
     use_real = decoder == "real"
+
+    def real_features(c: bytes) -> list[float]:
+        if c[:4] == b"RIFF" and c[8:12] == b"WAVE":
+            return audio_features(c)
+        return image_features(c)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
                 None
                 if c is None
-                else (image_features(c) if use_real else fake_image_features(c, dim))
+                else (real_features(c) if use_real else fake_image_features(c, dim))
                 for c in pdf["content"]
             ]
             yield pd.DataFrame(

@@ -18,11 +18,15 @@ analytically by the oracle.
 
 Sub-gates 'gif', 'png' and 'jpg' (all r7): fixed COMPRESSED payloads
 — a real LZW-coded GIF, a real DEFLATE-coded interlaced palette PNG,
-and a real baseline JPEG (4:2:0, restart markers) — decoded by the
+a real baseline JPEG (4:2:0, restart markers), and — sub-gate 'wav'
+— a real G.711 mu-law compressed-audio payload — all decoded by the
 pure-stdlib/numpy codecs through the same Arrow path (the JPEG tier
-also decodes progressive/SOF2, exercised in tests against real
-fixtures); only audio/video transform codecs (MP3/H.264/WEBP) remain
-the documented environment-constraint stub.
+also decodes progressive/SOF2, and the WAV tier also covers A-law,
+IMA ADPCM and IEEE float, exercised in tests against the stdlib
+audioop reference); only MP3/H.264/WEBP-class transform codecs remain
+the documented environment-constraint stub. The 'wav' melt reuses the
+7-wide metric labels; for audio they read
+[frames, channels, rate, mean x3, std].
 """
 
 from __future__ import annotations
@@ -95,6 +99,24 @@ _JPG_HEX = (
 )
 _JPG_CONSTS = (16.0, 16.0, 3.0, 155.95703125, 96.27734375, 137.41015625)
 _JPG_SD = 29.3629
+
+# 'wav' sub-gate (new in r7): a fixed 172-byte G.711 mu-law WAV
+# (compressed telephony audio, stereo framing) decoded by the exact
+# 256-entry LUT tier in decode_wav — the audio_features vector is
+# [frames, channels, rate, mean x3, std], mean 2312/64 exact in
+# float32. The LUT is validated byte-for-byte against the stdlib
+# audioop reference; bytes from tests/test_multimodal_codecs.py's
+# wav_container + audioop.lin2ulaw.
+_WAV_HEX = (
+    "52494646a400000057415645666d74201000000007000200803e0000007d0000"
+    "020008006461746180000000ffbdaea7a09d9b9a9a9a9c9ea2a9b2c557382c25"
+    "1f1d1b1a1a1b1c1f242b364fc9b4aaa39e9c9a9a9a9b9d9fa6adbbe63f2f2821"
+    "1d1b1a1a1a1b1e21283041e0bbada69f9d9b9a9a9a9c9ea3aab4cb4e362b241f"
+    "1c1b1a1a1b1d1f252c395ac4b1a9a29e9c9a9a9a9b9da0a7afbe723d2e26201d"
+    "1b1a1a1a1c1e22293247d4b8"
+)
+_WAV_CONSTS = (64.0, 2.0, 16000.0, 36.125, 36.125, 36.125)
+_WAV_SD = 7708.3828
 
 
 def _s(c: Column) -> Column:
@@ -170,16 +192,23 @@ def _s(c: Column) -> Column:
     )}
     UNION ALL
     SELECT 'jpg', 'j:sd', CAST(NULL AS VARCHAR), {_JPG_SD}
+    {"".join(
+      f" UNION ALL SELECT 'wav', 'a:{n}', CAST(NULL AS VARCHAR), {v}"
+      for n, v in zip(("w", "h", "c", "mr", "mg", "mb"), _WAV_CONSTS)
+    )}
+    UNION ALL
+    SELECT 'wav', 'a:sd', CAST(NULL AS VARCHAR), {_WAV_SD}
     """,
     doc="merged gate (r6/r7): multimodal plumbing — BinaryType through "
     "Arrow mapInPandas (fake codec histogram), byte-budget repartition, "
     "frame-sample plan (sub-gate 'hist') + REAL PPM decode via the "
     "numpy-only codec (decoder='real' path: dims/means/std of "
     "Spark-synthesized P6 bytes; sub-gate 'real', new in r6) + REAL "
-    "GIF (LZW), PNG (zlib-DEFLATE, Adam7-interlaced depth-2 palette) "
-    "and baseline JPEG (Huffman+IDCT, 4:2:0, restart markers) decodes "
-    "of fixed compressed payloads via the pure-stdlib/numpy decoders "
-    "(sub-gates 'gif'/'png'/'jpg', new in r7)",
+    "GIF (LZW), PNG (zlib-DEFLATE, Adam7-interlaced depth-2 palette), "
+    "baseline JPEG (Huffman+IDCT, 4:2:0, restart markers) and G.711 "
+    "mu-law audio decodes of fixed compressed payloads via the "
+    "pure-stdlib/numpy decoders (sub-gates 'gif'/'png'/'jpg'/'wav', "
+    "new in r7)",
 )
 def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.multimodal import (
@@ -271,6 +300,7 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("gif", "g", "image", bytearray(bytes.fromhex(_GIF_HEX)), None),
             ("png", "p", "image", bytearray(bytes.fromhex(_PNG_HEX)), None),
             ("jpg", "j", "image", bytearray(bytes.fromhex(_JPG_HEX)), None),
+            ("wav", "a", "audio", bytearray(bytes.fromhex(_WAV_HEX)), None),
         ],
         "fmt string, tag string, kind string, content binary, "
         "meta struct<mime:string,width:int,height:int,"

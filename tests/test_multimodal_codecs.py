@@ -546,3 +546,175 @@ def test_png_dispatch_and_features():
     ga[:, :, 1] = 200
     f2 = image_features(png_bytes(ga, 4))
     assert f2[:6] == [2.0, 2.0, 2.0, 77.0, 77.0, 77.0]
+
+
+# ---- compressed audio: G.711 + IMA ADPCM --------------------------------
+def wav_container(tag, n_ch, rate, bits, block_align, data, extensible=False):
+    fmt = struct.pack("<HHIIHH", 0xFFFE if extensible else tag, n_ch, rate,
+                      rate * block_align, block_align, bits)
+    if extensible:
+        # cbSize=22, validbits, chanmask, GUID starting with the tag
+        fmt += struct.pack("<HHI", 22, bits, 0) + struct.pack("<H", tag)
+        fmt += b"\x00\x00" + b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    riff = b"WAVE"
+    riff += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        riff += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def test_g711_luts_match_audioop_exhaustively():
+    audioop = pytest.importorskip("audioop")
+
+    from data_governance_spark.operators.multimodal import _g711_luts
+
+    mu, al = _g711_luts()
+    codes = bytes(range(256))
+    assert np.array_equal(mu, np.frombuffer(audioop.ulaw2lin(codes, 2),
+                                            np.int16))
+    assert np.array_equal(al, np.frombuffer(audioop.alaw2lin(codes, 2),
+                                            np.int16))
+
+
+def test_g711_wav_end_to_end():
+    audioop = pytest.importorskip("audioop")
+
+    t = np.arange(240, dtype=np.float64)
+    pcm = (12000 * np.sin(t / 7)).astype(np.int16)
+    for tag, enc, dec in ((7, audioop.lin2ulaw, audioop.ulaw2lin),
+                          (6, audioop.lin2alaw, audioop.alaw2lin)):
+        coded = enc(pcm.tobytes(), 2)
+        raw = wav_container(tag, 1, 8000, 8, 1, coded)
+        arr, rate = decode_wav(raw)
+        want = np.frombuffer(dec(coded, 2), np.int16)
+        assert rate == 8000
+        assert np.array_equal(arr[:, 0], want)
+
+
+def test_g711_stereo_and_extensible():
+    audioop = pytest.importorskip("audioop")
+
+    pcm = (np.arange(120, dtype=np.int64) * 257 - 15000).astype(np.int16)
+    coded = audioop.lin2ulaw(pcm.tobytes(), 2)
+    raw = wav_container(7, 2, 16000, 8, 2, coded, extensible=True)
+    arr, rate = decode_wav(raw)
+    want = np.frombuffer(audioop.ulaw2lin(coded, 2), np.int16).reshape(-1, 2)
+    assert rate == 16000 and np.array_equal(arr, want)
+
+
+def test_float32_wav():
+    x = (np.sin(np.arange(50) / 3.0)).astype(np.float32)
+    raw = wav_container(3, 1, 44100, 32, 4, x.tobytes())
+    arr, rate = decode_wav(raw)
+    assert rate == 44100 and arr.dtype == np.float32
+    assert np.array_equal(arr[:, 0], x)
+
+
+def test_ima_nibble_core_matches_audioop():
+    """audioop.adpcm2lin is the same Intel/DVI algorithm minus WAV
+    block framing (and packs high-nibble-first): random code streams
+    decoded from random valid states must agree sample-for-sample,
+    including predictor clamping and end state."""
+    audioop = pytest.importorskip("audioop")
+
+    import random
+
+    from data_governance_spark.operators.multimodal import (
+        _ima_decode_nibbles,
+    )
+
+    rng = random.Random(99)
+    for _ in range(20):
+        data = bytes(rng.randrange(256) for _ in range(rng.randrange(4, 60)))
+        pred = rng.randrange(-30000, 30000)
+        idx = rng.randrange(0, 89)
+        dec, (p_ref, i_ref) = audioop.adpcm2lin(data, 2, (pred, idx))
+        want = np.frombuffer(dec, np.int16)
+        nib = []
+        for b in data:  # audioop emits the HIGH nibble first
+            nib.append(b >> 4)
+            nib.append(b & 0x0F)
+        out, p, i = _ima_decode_nibbles(nib, pred, idx)
+        assert np.array_equal(np.asarray(out, np.int16), want)
+        assert (p, i) == (p_ref, i_ref)
+
+
+def ima_wav_bytes(samples, rate=8000, block_samples=505):
+    """Test-side IMA ADPCM WAV encoder (mono): per-block 4-byte header
+    (first sample verbatim + step index), then low-nibble-first codes."""
+    from data_governance_spark.operators.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+        _ima_decode_nibbles,
+    )
+
+    samples = list(int(s) for s in samples)
+    idx = 0
+    blocks = bytearray()
+    block_align = 4 + (block_samples - 1 + 1) // 2
+    i = 0
+    while i < len(samples):
+        chunk = samples[i : i + block_samples]
+        i += block_samples
+        pred = chunk[0]
+        blocks += struct.pack("<hBB", pred, idx, 0)
+        nibs = []
+        for s in chunk[1:]:
+            step = _IMA_STEPS[idx]
+            delta = s - pred
+            code = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                code |= 4
+                delta -= step
+            if delta >= step >> 1:
+                code |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                code |= 1
+            out, pred, idx = _ima_decode_nibbles([code], pred, idx)
+            nibs.append(code)
+        while len(nibs) < (block_align - 4) * 2:
+            nibs.append(0)  # pad the block
+        for a, b in zip(nibs[0::2], nibs[1::2]):
+            blocks.append(a | (b << 4))  # low nibble first
+    return wav_container(0x11, 1, rate, 4, block_align, bytes(blocks))
+
+
+def test_ima_adpcm_wav_roundtrip():
+    t = np.arange(1200, dtype=np.float64)
+    pcm = (9000 * np.sin(t / 11) + 2000 * np.sin(t / 3)).astype(np.int16)
+    raw = ima_wav_bytes(pcm, block_samples=505)
+    arr, rate = decode_wav(raw)
+    got = arr[: len(pcm), 0].astype(np.float64)
+    err = np.abs(got - pcm.astype(np.float64))
+    # ADPCM is lossy; error is bounded by the adaptive step size, and
+    # the first samples carry the step-adaptation ramp (index starts 0)
+    assert err.mean() < 120
+    assert np.corrcoef(got, pcm)[0, 1] > 0.995
+    assert np.corrcoef(got[100:], pcm[100:])[0, 1] > 0.999
+
+
+def test_wav_unknown_compression_raises():
+    raw = wav_container(0x55, 1, 8000, 0, 1, b"\x00" * 16)  # MP3-in-WAV
+    with pytest.raises(NotImplementedError, match="0x55"):
+        decode_wav(raw)
+
+
+def test_audio_features_and_arrow_dispatch(spark):
+    from data_governance_spark.operators.multimodal import audio_features
+
+    raw, samples, rate = wav_bytes(rate=8000, n=64, channels=2)
+    f = audio_features(raw)
+    assert f[:3] == [64.0, 2.0, 8000.0]
+    assert f[3] == pytest.approx(samples.mean())
+    # WAV payloads flow through the same decoder="real" Arrow path
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(raw), None)],
+        "media_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,"
+        "duration_ms:long,sample_rate:int>",
+    )
+    out = extract_features(df, decoder="real").collect()
+    assert out[0]["feature"][0] == 64.0 and out[0]["feature"][2] == 8000.0
