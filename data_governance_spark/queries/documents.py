@@ -747,6 +747,26 @@ def _wp_layout_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# d05 'bpe' sub-gate (operators/bpe.py, new in r7): train a real BPE
+# merge table on the PLANTED Sennrich-2016 corpus (low x5, lower x2,
+# newest x6, widest x3 across four docs) through the distributed
+# word-frequency job, then apply it through the Arrow mapInPandas
+# path. The planted corpus makes the oracle constants literature-
+# verifiable, not self-referential: the learned sequence ('e','s'),
+# ('es','t'), ('est','</w>'), ('l','o'), ('lo','w'), ('e','w') is the
+# paper's canonical example (tests/test_bpe.py also re-derives it with
+# an independent reference implementation). Rows: merge table (v_s),
+# per-doc subword token counts, vocab size.
+_BPE_ROWS = (
+    (0, "low low low low low"),
+    (1, "lower lower widest"),
+    (2, "newest newest newest newest"),
+    (3, "newest newest widest widest"),
+)
+_BPE_MERGES = ("e+s", "es+t", "est+</w>", "l+o", "lo+w", "e+w")
+_BPE_COUNTS = (10, 12, 12, 14)
+_BPE_VOCAB = 10
+
 # d05 (merged gate, r5/r6 driver-budget): language-ID confusion matrix
 # (ex-d05) + per-lang vocabulary/TTR over the BPE-ish regex tokenizer
 # (ex-d08) + deterministic hash-split/sample accounting (new in r5,
@@ -948,6 +968,16 @@ def _wp_layout_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'ssum', sig || ':' || CAST(pi AS VARCHAR), CAST(NULL AS VARCHAR),
            round(v, 4) + 0.0
     FROM ssq
+    {"".join(
+      f" UNION ALL SELECT 'bpe', 'm:{i}', '{m}', CAST(NULL AS DOUBLE)"
+      for i, m in enumerate(_BPE_MERGES)
+    )}
+    {"".join(
+      f" UNION ALL SELECT 'bpe', 'd:{i}', CAST(NULL AS VARCHAR), {c}.0"
+      for i, c in enumerate(_BPE_COUNTS)
+    )}
+    UNION ALL
+    SELECT 'bpe', 'v', CAST(NULL AS VARCHAR), {_BPE_VOCAB}.0
     """,
     doc="merged gate (r5 driver-budget): marker-token language-ID "
     "heuristic confusion matrix vs labeled lang (ex-d05) + per-lang "
@@ -961,7 +991,10 @@ def _wp_layout_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "new in r6) + the signal_summary quantile dashboard in the exact-"
     "accuracy regime (operators/quality.py; new in r7) + deterministic "
     "stratified per-language sampling with a default tier "
-    "(operators/sampling.hash_sample_stratified; new in r7)",
+    "(operators/sampling.hash_sample_stratified; new in r7) + real BPE "
+    "training (distributed word-frequency job, driver merge learning) "
+    "and distributed subword apply over the planted Sennrich corpus "
+    "(operators/bpe.py; new in r7)",
 )
 def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -1132,6 +1165,33 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_s.alias("v_s"),
         F.col("e.v").alias("v_d"),
     )
+    # bpe sub-gate: real training (distributed word-freq job) + real
+    # distributed apply over the planted Sennrich corpus
+    from data_governance_spark.operators.bpe import (
+        bpe_token_counts,
+        train_bpe,
+    )
+
+    bdocs = spark.createDataFrame(
+        list(_BPE_ROWS), "doc_id long, text string"
+    )
+    model = train_bpe(bdocs, num_merges=6, min_freq=2)
+    merge_rows = spark.createDataFrame(
+        [(f"m:{i}", f"{a}+{b}") for i, (a, b) in enumerate(model.merges)]
+        + [("v", None)],
+        "k string, v_s string",
+    ).select(
+        F.lit("bpe").alias("gate"),
+        "k",
+        "v_s",
+        F.when(F.col("k") == "v", float(len(model.vocab))).alias("v_d"),
+    )
+    bpe_counts = bpe_token_counts(bdocs, model).select(
+        F.lit("bpe").alias("gate"),
+        F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("k"),
+        nul_s.alias("v_s"),
+        F.col("bpe_token_count").cast("double").alias("v_d"),
+    )
     return (
         lid.unionByName(vocab_u)
         .unionByName(sp_u)
@@ -1141,6 +1201,8 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pk)
         .unionByName(wp)
         .unionByName(ssum)
+        .unionByName(merge_rows)
+        .unionByName(bpe_counts)
     )
 
 

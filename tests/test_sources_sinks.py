@@ -307,10 +307,11 @@ def test_multimodal_stub_and_plumbing(spark):
     frames = sample_frames(media).collect()
     assert [f["frame_ts_ms"] for f in frames] == [0, 1000, 2000, 3000]
     assert media_repartition(media).rdd.getNumPartitions() == 1
-    # r6 dispatch semantics: compressed magics raise the documented
-    # environment-constraint error, arbitrary bytes are a ValueError
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        decode_image(b"\xff\xd8\xff\xe0abc")
+    # dispatch semantics (r7: JPEG decodes for REAL now): the still-
+    # stubbed compressed magics raise the documented environment-
+    # constraint error, arbitrary bytes are a ValueError
+    with pytest.raises(NotImplementedError, match="RIFF"):
+        decode_image(b"RIFFxxxxWEBPdata")
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"abc")
 
