@@ -139,6 +139,9 @@ def _decode_jpeg_body(content: bytes):
         if content[i] != 0xFF:
             raise ValueError(f"marker expected at offset {i}")
         marker = content[i + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional 0xFF fill bytes
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue

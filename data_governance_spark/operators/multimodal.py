@@ -213,13 +213,26 @@ def decode_wav(content: bytes):
     typed NotImplementedError."""
     import struct
 
-    import numpy as np
-
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
+    try:
+        return _decode_wav_body(content)
+    except (IndexError, struct.error) as exc:
+        # same loud-typed-failure contract as the image codecs: hostile
+        # bytes must not surface as opaque low-level errors in the
+        # Arrow path
+        raise ValueError(f"truncated or corrupt WAV payload: {exc}")
+
+
+def _decode_wav_body(content: bytes):
+    import struct
+
+    import numpy as np
+
     pos = 12
     fmt = None
     data = None
+    fact_frames = None  # 'fact' chunk: true per-channel sample count
     while pos + 8 <= len(content):
         cid = content[pos : pos + 4]
         ln = struct.unpack_from("<I", content, pos + 4)[0]
@@ -229,8 +242,12 @@ def decode_wav(content: bytes):
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and ln >= 4:
+            fact_frames = struct.unpack_from("<I", body, 0)[0]
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
+    if len(fmt) < 16:
+        raise ValueError("truncated WAV fmt chunk")
     tag, n_ch, rate, _br, block_align, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
@@ -256,33 +273,59 @@ def decode_wav(content: bytes):
         codes = np.frombuffer(data, np.uint8, n)
         return lut[codes].reshape(-1, n_ch), rate
     if tag == 0x11:  # IMA ADPCM
-        return _decode_ima_wav(data, n_ch, rate, block_align)
+        # honor wSamplesPerBlock from the fmt extension when present —
+        # without it the final block's zero-pad nibbles would decode
+        # as trailing garbage samples
+        spb = None
+        if len(fmt) >= 20:
+            cb = struct.unpack_from("<H", fmt, 16)[0]
+            if cb >= 2:
+                spb = struct.unpack_from("<H", fmt, 18)[0]
+        arr, rate = _decode_ima_wav(data, n_ch, rate, block_align, spb)
+        if fact_frames is not None:  # spec: fact states the true length
+            arr = arr[:fact_frames]
+        return arr, rate
     raise NotImplementedError(f"WAV format tag 0x{tag:02x} not supported")
 
 
-def _decode_ima_wav(data: bytes, n_ch: int, rate: int, block_align: int):
+def _decode_ima_wav(
+    data: bytes,
+    n_ch: int,
+    rate: int,
+    block_align: int,
+    samples_per_block: int | None = None,
+):
     """IMA ADPCM WAV: per-block 4-byte channel headers (int16
     predictor emitted as the first sample + step index), then
     interleaved 4-byte groups of 8 low-nibble-first codes per
-    channel."""
+    channel. Each block's output is trimmed to ``samples_per_block``
+    (from the fmt extension, defaulting to the block-geometry value),
+    and a truncated final block decodes as far as its data reaches."""
     import struct
 
     import numpy as np
 
     if block_align < 4 * n_ch:
         raise ValueError("IMA ADPCM block smaller than its headers")
+    if samples_per_block is None:
+        samples_per_block = (block_align - 4 * n_ch) * 2 // n_ch + 1
+    if samples_per_block < 1:
+        raise ValueError("corrupt IMA ADPCM samples-per-block")
     chans: list[list[int]] = [[] for _ in range(n_ch)]
-    for boff in range(0, len(data) - len(data) % block_align, block_align):
+    for boff in range(0, len(data), block_align):
         block = data[boff : boff + block_align]
+        if len(block) < 4 * n_ch:
+            break  # final partial block too short for its headers
         preds = []
         idxs = []
+        block_out: list[list[int]] = [[] for _ in range(n_ch)]
         for c in range(n_ch):
             pred, idx, _rsv = struct.unpack_from("<hBB", block, 4 * c)
             if idx > 88:
                 raise ValueError("corrupt IMA ADPCM step index")
             preds.append(pred)
             idxs.append(idx)
-            chans[c].append(pred)  # header predictor IS sample 0
+            block_out[c].append(pred)  # header predictor IS sample 0
         p = 4 * n_ch
         while p + 4 * n_ch <= len(block):
             for c in range(n_ch):
@@ -293,8 +336,12 @@ def _decode_ima_wav(data: bytes, n_ch: int, rate: int, block_align: int):
                 out, preds[c], idxs[c] = _ima_decode_nibbles(
                     nib, preds[c], idxs[c]
                 )
-                chans[c].extend(out)
+                block_out[c].extend(out)
             p += 4 * n_ch
+        for c in range(n_ch):
+            chans[c].extend(block_out[c][:samples_per_block])
+    if not chans[0]:
+        raise ValueError("IMA ADPCM WAV contains no complete block")
     n = min(len(c) for c in chans)
     arr = np.empty((n, n_ch), np.int16)
     for c in range(n_ch):
@@ -310,10 +357,13 @@ def audio_features(content: bytes) -> list[float]:
     import numpy as np
 
     arr, rate = decode_wav(content)
-    m = float(np.asarray(arr, dtype=np.float64).mean())
+    if arr.shape[0] == 0:
+        raise ValueError("WAV contains no samples")
+    a = np.asarray(arr, dtype=np.float64)
+    m = float(a.mean())
     return [
         float(arr.shape[0]), float(arr.shape[1]), float(rate), m, m, m,
-        float(np.asarray(arr, dtype=np.float64).std()),
+        float(a.std()),
     ]
 
 
@@ -648,14 +698,8 @@ def decode_image(content: bytes):
     raise ValueError("unrecognized image payload")
 
 
-def image_features(content: bytes) -> list[float]:
-    """REAL feature vector for decodable images:
-    [width, height, channels, mean_R, mean_G, mean_B, std_all] —
-    deterministic, analytically stated by the q45 oracle for
-    synthesized PPM bytes. Grayscale (and gray+alpha) repeat the
-    single gray mean; RGBA reports RGB means (alpha excluded from
-    means, included in std_all and the channel count)."""
-    img = decode_image(content)
+def _img_stats(img) -> list[float]:
+    """The shared 7-wide stats vector for a decoded pixel array."""
     import numpy as np
 
     h, w = img.shape[0], img.shape[1]
@@ -670,6 +714,16 @@ def image_features(content: bytes) -> list[float]:
         float(w), float(h), float(c), *means,
         float(np.asarray(img, dtype=np.float64).std()),
     ]
+
+
+def image_features(content: bytes) -> list[float]:
+    """REAL feature vector for decodable images:
+    [width, height, channels, mean_R, mean_G, mean_B, std_all] —
+    deterministic, analytically stated by the q45 oracle for
+    synthesized PPM bytes. Grayscale (and gray+alpha) repeat the
+    single gray mean; RGBA reports RGB means (alpha excluded from
+    means, included in std_all and the channel count)."""
+    return _img_stats(decode_image(content))
 
 
 def fake_image_features(content: bytes, dim: int = 8) -> list[float]:
@@ -722,6 +776,117 @@ def extract_features(
             )
 
     return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def decode_avi_mjpeg(content: bytes, every_n: int = 1,
+                     max_frames: int | None = None):
+    """REAL video decoder for MJPEG-in-AVI, pure stdlib+numpy: walks
+    the RIFF/AVI container (hdrl avih header, movi LIST, ``##dc``/
+    ``##db`` video chunks of stream 0), decodes every ``every_n``-th
+    frame with the pure-numpy JPEG decoder (operators/jpeg.py).
+    Returns (frames, fps) where frames is a list of (H, W[, 3]) uint8
+    arrays. Frames must carry their own DHT/DQT segments (our muxer
+    and most MJPEG writers do; the legacy no-DHT MJPEG dialect
+    surfaces the decoder's typed missing-table error). Non-MJPEG
+    streams raise NotImplementedError at the first non-JPEG frame."""
+    import struct
+
+    from data_governance_spark.operators.jpeg import decode_jpeg
+
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    usec_per_frame = 0
+    payloads: list[bytes] = []
+
+    def walk(start: int, end: int, depth: int = 0):
+        nonlocal usec_per_frame
+        if depth > 32:
+            raise ValueError("AVI LIST nesting too deep")
+        pos = start
+        end = min(end, len(content))
+        while pos + 8 <= end:
+            cid = content[pos : pos + 4]
+            ln = struct.unpack_from("<I", content, pos + 4)[0]
+            body_start = pos + 8
+            pos = body_start + ln + (ln & 1)  # word-aligned
+            if cid == b"LIST":
+                walk(body_start + 4, min(body_start + ln, end), depth + 1)
+            elif cid == b"avih" and ln >= 4 and body_start + 4 <= end:
+                usec_per_frame = struct.unpack_from(
+                    "<I", content, body_start
+                )[0]
+            elif cid[:2] == b"00" and cid[2:4] in (b"dc", b"db") and ln:
+                payloads.append(
+                    content[body_start : min(body_start + ln, end)]
+                )
+
+    try:
+        walk(12, len(content))
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated or corrupt AVI payload: {exc}")
+    if not payloads:
+        raise ValueError("AVI contains no stream-0 video frames")
+    frames = []
+    for i in range(0, len(payloads), every_n):
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+        p = payloads[i]
+        if p[:3] != b"\xff\xd8\xff":
+            raise NotImplementedError(
+                "AVI video stream is not MJPEG (frame lacks JPEG SOI); "
+                "other video codecs need ffmpeg-class libraries"
+            )
+        frames.append(decode_jpeg(p))
+    fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+    return frames, fps
+
+
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def frame_features(
+    media: DataFrame, every_n: int = 1, max_frames: int | None = None
+) -> DataFrame:
+    """REAL per-frame feature extraction for MJPEG-in-AVI video rows:
+    mapInPandas decodes every ``every_n``-th frame and emits one row
+    per frame with the same 7-wide image feature vector as
+    ``image_features``. This is the real counterpart of
+    ``sample_frames`` (which only plans timestamps from metadata)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, fpss, feats = [], [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                if c is None:
+                    # null content keeps its row (null feature), same
+                    # as extract_features — rows must never vanish
+                    ids.append(mid)
+                    idxs.append(None)
+                    fpss.append(None)
+                    feats.append(None)
+                    continue
+                frames, fps = decode_avi_mjpeg(c, every_n, max_frames)
+                for j, img in enumerate(frames):
+                    ids.append(mid)
+                    idxs.append(j)
+                    fpss.append(fps)
+                    feats.append(_img_stats(img))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "fps": fpss,
+                 "feature": feats}
+            )
+
+    return media.mapInPandas(run, FRAME_FEATURES_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -23,10 +23,15 @@ a real baseline JPEG (4:2:0, restart markers), and — sub-gate 'wav'
 pure-stdlib/numpy codecs through the same Arrow path (the JPEG tier
 also decodes progressive/SOF2, and the WAV tier also covers A-law,
 IMA ADPCM and IEEE float, exercised in tests against the stdlib
-audioop reference); only MP3/H.264/WEBP-class transform codecs remain
-the documented environment-constraint stub. The 'wav' melt reuses the
-7-wide metric labels; for audio they read
-[frames, channels, rate, mean x3, std].
+audioop reference). The 'wav' melt reuses the 7-wide metric labels;
+for audio they read [frames, channels, rate, mean x3, std].
+
+Sub-gate 'vid' (r7): a fixed MJPEG-in-AVI payload through
+frame_features — real VIDEO frame decode (RIFF/AVI container walk +
+per-frame JPEG decode), one oracle row per (frame, metric), frames
+planted on the quantization grid so they reconstruct exactly. Only
+MP3/H.264/WEBP-class transform codecs remain the documented
+environment-constraint stub.
 """
 
 from __future__ import annotations
@@ -118,6 +123,31 @@ _WAV_HEX = (
 _WAV_CONSTS = (64.0, 2.0, 16000.0, 36.125, 36.125, 36.125)
 _WAV_SD = 7708.3828
 
+# 'vid' sub-gate (new in r7): a fixed 404-byte MJPEG-in-AVI video —
+# two 12x8 solid-gray JPEG frames whose DC values sit on the
+# quantization grid, so each frame reconstructs EXACTLY (mean = the
+# planted gray, std = 0). frame_features walks the RIFF/AVI container
+# and decodes each frame through the same pure-numpy JPEG decoder;
+# one oracle row per (frame, metric). Bytes from the muxer in
+# tests/test_jpeg_codec.py.
+_VID_HEX = (
+    "524946468c010000415649204c495354440000006864726c6176696838000000"
+    "50c3000000000000000000001000000002000000000000000100000000000000"
+    "0000000000000000000000000000000000000000000000004c49535434010000"
+    "6d6f7669303064638f000000ffd8ffdb00430003040404040404040404050505"
+    "0505050505050505060606060606060606060606060606060606060606060707"
+    "07070707070707070708080808080808080809ffc0000b080008000c01011100"
+    "ffc4001500000200000000000000000000000000000005ffc400141001000000"
+    "00000000000000000000000000ffda0008010100003f00601fffd90030306463"
+    "8f000000ffd8ffdb004300030404040404040404040505050505050505050505"
+    "0606060606060606060606060606060606060606060607070707070707070707"
+    "0708080808080808080809ffc0000b080008000c01011100ffc4001500000200"
+    "000000000000000000000000000005ffc4001410010000000000000000000000"
+    "0000000000ffda0008010100003f004e1fffd900"
+)
+_VID_FRAMES = ((0, 134.0), (1, 119.0))  # (frame_idx, exact gray mean)
+_VID_FPS = 20.0
+
 
 def _s(c: Column) -> Column:
     return c.cast("string")
@@ -198,6 +228,12 @@ def _s(c: Column) -> Column:
     )}
     UNION ALL
     SELECT 'wav', 'a:sd', CAST(NULL AS VARCHAR), {_WAV_SD}
+    {"".join(
+      f" UNION ALL SELECT 'vid', 'v:{fi}:{n}', CAST(NULL AS VARCHAR), {v}"
+      for fi, mean in _VID_FRAMES
+      for n, v in (("w", 12.0), ("h", 8.0), ("c", 1.0), ("m", mean),
+                   ("sd", 0.0), ("fps", _VID_FPS))
+    )}
     """,
     doc="merged gate (r6/r7): multimodal plumbing — BinaryType through "
     "Arrow mapInPandas (fake codec histogram), byte-budget repartition, "
@@ -205,10 +241,10 @@ def _s(c: Column) -> Column:
     "numpy-only codec (decoder='real' path: dims/means/std of "
     "Spark-synthesized P6 bytes; sub-gate 'real', new in r6) + REAL "
     "GIF (LZW), PNG (zlib-DEFLATE, Adam7-interlaced depth-2 palette), "
-    "baseline JPEG (Huffman+IDCT, 4:2:0, restart markers) and G.711 "
-    "mu-law audio decodes of fixed compressed payloads via the "
-    "pure-stdlib/numpy decoders (sub-gates 'gif'/'png'/'jpg'/'wav', "
-    "new in r7)",
+    "baseline JPEG (Huffman+IDCT, 4:2:0, restart markers), G.711 "
+    "mu-law audio and MJPEG-in-AVI video-frame decodes of fixed "
+    "compressed payloads via the pure-stdlib/numpy decoders "
+    "(sub-gates 'gif'/'png'/'jpg'/'wav'/'vid', new in r7)",
 )
 def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.multimodal import (
@@ -295,27 +331,36 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 'gif' + 'png' sub-gates: both fixed compressed payloads through
     # ONE decoder="real" Arrow pass (decode_gif/decode_png via magic
     # dispatch); the gate label derives from the payload's magic
-    compressed = spark.createDataFrame(
+    # literal media_ids keyed to (fmt, tag) driver-side: no join, and
+    # no reliance on monotonically_increasing_id re-evaluating
+    # identically across two plan branches
+    codec_payloads = [
+        (0, "gif", "g", _GIF_HEX),
+        (1, "png", "p", _PNG_HEX),
+        (2, "jpg", "j", _JPG_HEX),
+        (3, "wav", "a", _WAV_HEX),
+    ]
+    media_c = spark.createDataFrame(
         [
-            ("gif", "g", "image", bytearray(bytes.fromhex(_GIF_HEX)), None),
-            ("png", "p", "image", bytearray(bytes.fromhex(_PNG_HEX)), None),
-            ("jpg", "j", "image", bytearray(bytes.fromhex(_JPG_HEX)), None),
-            ("wav", "a", "audio", bytearray(bytes.fromhex(_WAV_HEX)), None),
+            (mid, "audio" if fmt == "wav" else "image",
+             bytearray(bytes.fromhex(hexs)), None)
+            for mid, fmt, _tag, hexs in codec_payloads
         ],
-        "fmt string, tag string, kind string, content binary, "
+        "media_id long, kind string, content binary, "
         "meta struct<mime:string,width:int,height:int,"
         "duration_ms:bigint,sample_rate:int>",
     )
-    media_c = compressed.select(
-        F.monotonically_increasing_id().alias("media_id"),
-        "fmt", "tag", "kind", "content", "meta",
+    fmt_map = F.element_at(
+        F.array(*[F.lit(f) for _m, f, _t, _h in codec_payloads]),
+        (F.col("media_id") + 1).cast("int"),
     )
-    cf = extract_features(
-        media_c.select("media_id", "kind", "content", "meta"),
-        decoder="real",
-    ).join(media_c.select("media_id", "fmt", "tag"), "media_id").select(
-        "fmt",
-        F.col("tag").alias("media_id"),
+    tag_map = F.element_at(
+        F.array(*[F.lit(t) for _m, _f, t, _h in codec_payloads]),
+        (F.col("media_id") + 1).cast("int"),
+    )
+    cf = extract_features(media_c, decoder="real").select(
+        fmt_map.alias("fmt"),
+        tag_map.alias("media_id"),
         *[
             F.get(F.col("feature"), i).cast("double").alias(n)
             for i, n in enumerate(("w", "h", "c", "mr", "mg", "mb"))
@@ -331,4 +376,33 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("w", "h", "c", "mr", "mg", "mb", "sd"),
         F.col("fmt"),
     )
-    return hist.unionByName(real).unionByName(codec_rows)
+    # 'vid' sub-gate: MJPEG-in-AVI through frame_features — one row
+    # per (frame, metric), frames decoded by the same JPEG codec
+    from data_governance_spark.operators.multimodal import frame_features
+
+    vid = spark.createDataFrame(
+        [(1, "video", bytearray(bytes.fromhex(_VID_HEX)), None)],
+        "media_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,"
+        "duration_ms:bigint,sample_rate:int>",
+    )
+    vf = frame_features(vid).select(
+        F.concat(F.lit("v:"), F.col("frame_idx").cast("string")).alias(
+            "vkey"
+        ),
+        *[
+            F.get(F.col("feature"), i).cast("double").alias(n)
+            for i, n in ((0, "w"), (1, "h"), (2, "c"), (3, "m"))
+        ],
+        (
+            F.round(F.get(F.col("feature"), 6).cast("double"), 4)
+            + F.lit(0.0)
+        ).alias("sd"),
+        F.col("fps"),
+    )
+    vid_rows = melt_metrics(
+        vf, F.col("vkey"), ("w", "h", "c", "m", "sd", "fps"), "vid"
+    )
+    return (
+        hist.unionByName(real).unionByName(codec_rows).unionByName(vid_rows)
+    )

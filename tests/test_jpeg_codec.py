@@ -344,3 +344,129 @@ def test_jpeg_dispatch_and_features():
     f = image_features(raw)
     assert f[:3] == [16.0, 16.0, 3.0]
     assert abs(f[3] - img[:, :, 0].mean()) < 4
+
+
+# ---- MJPEG-in-AVI video --------------------------------------------------
+def avi_bytes(frame_payloads, usec_per_frame=40000):
+    """Minimal AVI muxer: hdrl with avih (frame rate), movi LIST of
+    00dc chunks. Word-aligns odd-length chunks per RIFF rules."""
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack("<14I", usec_per_frame, 0, 0, 0x10,
+                       len(frame_payloads), 0, 1, 0, 0, 0, 0, 0, 0, 0)
+    hdrl = b"LIST" + struct.pack(
+        "<I", 4 + len(chunk(b"avih", avih))
+    ) + b"hdrl" + chunk(b"avih", avih)
+    movi_body = b"".join(chunk(b"00dc", p) for p in frame_payloads)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_mjpeg_frame_decode():
+    from data_governance_spark.operators.multimodal import decode_avi_mjpeg
+    from data_governance_spark.operators.jpeg import decode_jpeg  # noqa: F401
+
+    # solid grays on the quantization grid decode EXACTLY (see
+    # test_jpeg_solid_color_exact), so frame content is checkable
+    qlum, _ = _quant_tables(90)
+    q00 = int(qlum[0, 0])
+    vals = [128 + q00 * k for k in (-2, -1, 0, 1, 2)]
+    frames = [jpeg_bytes(np.full((16, 24), v, np.uint8), quality=90)
+              for v in vals]
+    raw = avi_bytes(frames, usec_per_frame=100000)  # 10 fps
+    got, fps = decode_avi_mjpeg(raw)
+    assert fps == pytest.approx(10.0)
+    assert len(got) == 5
+    for img, v in zip(got, vals):
+        assert img.shape == (16, 24)
+        assert np.array_equal(img, np.full((16, 24), v, np.uint8))
+    # frame sampling: every 2nd frame
+    got2, _ = decode_avi_mjpeg(raw, every_n=2)
+    assert [int(f[0, 0]) for f in got2] == [vals[0], vals[2], vals[4]]
+    got3, _ = decode_avi_mjpeg(raw, max_frames=2)
+    assert len(got3) == 2
+
+
+def test_avi_malformed_and_non_mjpeg():
+    from data_governance_spark.operators.multimodal import decode_avi_mjpeg
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_mjpeg(b"RIFFxxxxWAVEdata")
+    empty = avi_bytes([])
+    with pytest.raises(ValueError, match="no stream-0"):
+        decode_avi_mjpeg(empty)
+    with pytest.raises(NotImplementedError, match="not MJPEG"):
+        decode_avi_mjpeg(avi_bytes([b"\x00\x01\x02\x03"]))
+
+
+def test_frame_features_arrow_path(spark):
+    from data_governance_spark.operators.multimodal import frame_features
+
+    qlum, _ = _quant_tables(90)
+    q00 = int(qlum[0, 0])
+    vals = [128 + q00, 128 - q00 * 2]
+    frames = [jpeg_bytes(np.full((8, 8), v, np.uint8), quality=90)
+              for v in vals]
+    raw = avi_bytes(frames, usec_per_frame=50000)
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(raw), None)],
+        "media_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,"
+        "duration_ms:long,sample_rate:int>",
+    )
+    rows = frame_features(df).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1]
+    assert rows[0]["fps"] == pytest.approx(20.0)
+    for r, v in zip(rows, vals):
+        f = r["feature"]
+        assert f[:3] == [8.0, 8.0, 1.0]
+        assert f[3] == float(v) and f[6] == 0.0
+
+
+def test_jpeg_fill_bytes_between_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker; real encoders emit them for alignment."""
+    img = _smooth(8, 8, rgb=False)
+    ok = jpeg_bytes(img, quality=95)
+    # inject fill bytes before the DQT marker (right after SOI)
+    padded = ok[:2] + b"\xff\xff\xff" + ok[2:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(ok))
+
+
+def test_avi_corrupt_is_typed_valueerror():
+    from data_governance_spark.operators.multimodal import decode_avi_mjpeg
+
+    img = _smooth(8, 8, rgb=False)
+    ok = avi_bytes([jpeg_bytes(img)])
+    # LIST length pointing past EOF must be a typed ValueError (or a
+    # clean no-frames error), never a raw struct.error/RecursionError
+    bogus = bytearray(ok)
+    bogus[16:20] = struct.pack("<I", 2**31)
+    try:
+        decode_avi_mjpeg(bytes(bogus))
+    except ValueError:
+        pass
+    # truncated mid-container
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(ok[:40])
+
+
+def test_frame_features_null_content_row_preserved(spark):
+    from data_governance_spark.operators.multimodal import frame_features
+
+    img = _smooth(8, 8, rgb=False)
+    raw = avi_bytes([jpeg_bytes(img)])
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(raw), None), (2, "video", None, None)],
+        "media_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,"
+        "duration_ms:long,sample_rate:int>",
+    )
+    rows = {r["media_id"]: r for r in frame_features(df).collect()}
+    assert set(rows) == {1, 2}  # the null-content row did NOT vanish
+    assert rows[2]["feature"] is None and rows[2]["frame_idx"] is None
+    assert rows[1]["feature"] is not None

@@ -642,7 +642,10 @@ def test_ima_nibble_core_matches_audioop():
 
 def ima_wav_bytes(samples, rate=8000, block_samples=505):
     """Test-side IMA ADPCM WAV encoder (mono): per-block 4-byte header
-    (first sample verbatim + step index), then low-nibble-first codes."""
+    (first sample verbatim + step index), then low-nibble-first codes.
+    Emits the spec-required fmt extension (wSamplesPerBlock) and fact
+    chunk (true sample count), so final-block pad nibbles must NOT
+    surface as trailing samples."""
     from data_governance_spark.operators.multimodal import (
         _IMA_INDEX,
         _IMA_STEPS,
@@ -679,7 +682,15 @@ def ima_wav_bytes(samples, rate=8000, block_samples=505):
             nibs.append(0)  # pad the block
         for a, b in zip(nibs[0::2], nibs[1::2]):
             blocks.append(a | (b << 4))  # low nibble first
-    return wav_container(0x11, 1, rate, 4, block_align, bytes(blocks))
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate, rate, block_align, 4,
+                      2, block_samples)
+    riff = b"WAVE"
+    riff += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"fact" + struct.pack("<II", 4, len(samples))
+    riff += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    if len(blocks) % 2:
+        riff += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
 def test_ima_adpcm_wav_roundtrip():
@@ -687,13 +698,29 @@ def test_ima_adpcm_wav_roundtrip():
     pcm = (9000 * np.sin(t / 11) + 2000 * np.sin(t / 3)).astype(np.int16)
     raw = ima_wav_bytes(pcm, block_samples=505)
     arr, rate = decode_wav(raw)
-    got = arr[: len(pcm), 0].astype(np.float64)
+    # fact + wSamplesPerBlock: the decoded length is EXACT — final-
+    # block pad nibbles never surface as trailing samples
+    assert arr.shape == (len(pcm), 1)
+    got = arr[:, 0].astype(np.float64)
     err = np.abs(got - pcm.astype(np.float64))
     # ADPCM is lossy; error is bounded by the adaptive step size, and
     # the first samples carry the step-adaptation ramp (index starts 0)
     assert err.mean() < 120
     assert np.corrcoef(got, pcm)[0, 1] > 0.995
     assert np.corrcoef(got[100:], pcm[100:])[0, 1] > 0.999
+
+
+def test_wav_corrupt_is_typed_valueerror():
+    # truncated fmt chunk must be ValueError, not a raw struct.error
+    bad = b"RIFF\x10\x00\x00\x00WAVEfmt \x04\x00\x00\x00\x01\x00\x01\x00"
+    with pytest.raises(ValueError, match="WAV"):
+        decode_wav(bad)
+    # empty data chunk -> typed error from audio_features, not NaNs
+    from data_governance_spark.operators.multimodal import audio_features
+
+    empty = wav_container(1, 1, 8000, 16, 2, b"")
+    with pytest.raises(ValueError, match="no samples"):
+        audio_features(empty)
 
 
 def test_wav_unknown_compression_raises():
