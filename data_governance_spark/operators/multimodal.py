@@ -909,6 +909,76 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return frames
 
 
+def dedup_media_exact(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Exact media deduplication: byte-identical payloads (the
+    dominant duplicate class in web crawls — re-hosted images, mirror
+    copies) grouped by sha2-256 over the binary column. Returns
+    (id, canonical_id, group_size) with canonical = min id per group.
+
+    Scale shape: the hash is computed map-side AT THE SCAN and only
+    (hash, id) ever shuffles — the binary payloads themselves never
+    move (a 100 TB media corpus shuffles ~50 bytes/row). One shuffle
+    (the window on the hash key)."""
+    from pyspark.sql import Window
+
+    h = media.select(
+        F.col(id_col), F.sha2(F.col(content_col), 256).alias("_h")
+    )
+    w = Window.partitionBy("_h")
+    return h.select(
+        id_col,
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+    )
+
+
+def dedup_media_near(
+    media: DataFrame,
+    decoder: str = "fake",
+    dim: int = 8,
+    n_planes: int = 8,
+    threshold: float = 0.98,
+    seed: int = 42,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate media pairs: the standard embedding-dedup
+    composition applied to decoded media features — extract (Arrow
+    path) -> hyperplane LSH blocking -> exact within-block cosine
+    (``similarity.cosine_neardup_pairs``). Catches re-encodes and
+    minor edits that exact hashing misses; pair with
+    ``dedup_media_exact`` for the full tiering. Feature width is
+    ``dim`` for the fake decoder and 7 for the real one."""
+    from data_governance_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        hyperplanes,
+        lsh_bucket,
+    )
+
+    width = 7 if decoder == "real" else dim
+    feats = (
+        extract_features(media, dim=dim, decoder=decoder)
+        .filter(F.col("feature").isNotNull())
+        .select(
+            "media_id",
+            F.col("feature").cast("array<double>").alias("emb"),
+        )
+    )
+    planes = hyperplanes(width, n_planes, seed)
+    blocked = feats.withColumn("block", lsh_bucket(F.col("emb"), planes))
+    return cosine_neardup_pairs(
+        blocked,
+        "block",
+        threshold=threshold,
+        id_col="media_id",
+        vec_col="emb",
+        max_block_size=max_block_size,
+    )
+
+
 def media_repartition(media: DataFrame, target_bytes: int = 128 << 20) -> DataFrame:
     """Partition by byte budget, not row count: estimates total size
     from a cheap aggregate and repartitions so each partition carries

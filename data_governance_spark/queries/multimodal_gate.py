@@ -148,6 +148,14 @@ _VID_HEX = (
 _VID_FRAMES = ((0, 134.0), (1, 119.0))  # (frame_idx, exact gray mean)
 _VID_FPS = 20.0
 
+# 'mdd' sub-gate (new in r7): exact media dedup over payloads
+# synthesized with PLANTED DUPLICATES — content 'blob<ck % _MDD_CLASSES>'
+# makes the duplicate classes analytic, so the oracle restates the
+# sha2-grouping's OUTPUT SEMANTICS (canonical = min key per class,
+# group size = class count) without needing the hash itself. A real
+# oracle over the live customer table, not embedded constants.
+_MDD_CLASSES = 40
+
 
 def _s(c: Column) -> Column:
     return c.cast("string")
@@ -234,6 +242,22 @@ def _s(c: Column) -> Column:
       for n, v in (("w", 12.0), ("h", 8.0), ("c", 1.0), ("m", mean),
                    ("sd", 0.0), ("fps", _VID_FPS))
     )}
+    UNION ALL
+    SELECT 'mdd', CAST(ck AS VARCHAR) || ':c', CAST(NULL AS VARCHAR),
+           CAST(canon AS DOUBLE)
+    FROM (SELECT c_custkey AS ck, c_custkey % {_MDD_CLASSES} AS g
+          FROM customer)
+    JOIN (SELECT c_custkey % {_MDD_CLASSES} AS g,
+                 min(c_custkey) AS canon, count(*) AS n
+          FROM customer GROUP BY g) USING (g)
+    UNION ALL
+    SELECT 'mdd', CAST(ck AS VARCHAR) || ':n', CAST(NULL AS VARCHAR),
+           CAST(n AS DOUBLE)
+    FROM (SELECT c_custkey AS ck, c_custkey % {_MDD_CLASSES} AS g
+          FROM customer)
+    JOIN (SELECT c_custkey % {_MDD_CLASSES} AS g,
+                 min(c_custkey) AS canon, count(*) AS n
+          FROM customer GROUP BY g) USING (g)
     """,
     doc="merged gate (r6/r7): multimodal plumbing — BinaryType through "
     "Arrow mapInPandas (fake codec histogram), byte-budget repartition, "
@@ -244,7 +268,9 @@ def _s(c: Column) -> Column:
     "baseline JPEG (Huffman+IDCT, 4:2:0, restart markers), G.711 "
     "mu-law audio and MJPEG-in-AVI video-frame decodes of fixed "
     "compressed payloads via the pure-stdlib/numpy decoders "
-    "(sub-gates 'gif'/'png'/'jpg'/'wav'/'vid', new in r7)",
+    "(sub-gates 'gif'/'png'/'jpg'/'wav'/'vid', new in r7) + exact "
+    "media dedup over planted duplicate classes (sha2 grouping, "
+    "sub-gate 'mdd', new in r7)",
 )
 def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.multimodal import (
@@ -403,6 +429,24 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     vid_rows = melt_metrics(
         vf, F.col("vkey"), ("w", "h", "c", "m", "sd", "fps"), "vid"
     )
+    # 'mdd' sub-gate: exact media dedup with planted duplicate classes
+    from data_governance_spark.operators.multimodal import dedup_media_exact
+
+    dup_media = cust.select(
+        k.alias("media_id"),
+        F.encode(
+            F.concat(F.lit("blob"), _s(k % _MDD_CLASSES)), "UTF-8"
+        ).alias("content"),
+    )
+    mdd = dedup_media_exact(dup_media).select(
+        F.col("media_id").cast("string").alias("mk"),
+        F.col("canonical_id").cast("double").alias("c"),
+        F.col("group_size").cast("double").alias("n"),
+    )
+    mdd_rows = melt_metrics(mdd, F.col("mk"), ("c", "n"), "mdd")
     return (
-        hist.unionByName(real).unionByName(codec_rows).unionByName(vid_rows)
+        hist.unionByName(real)
+        .unionByName(codec_rows)
+        .unionByName(vid_rows)
+        .unionByName(mdd_rows)
     )

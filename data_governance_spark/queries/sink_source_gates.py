@@ -20,7 +20,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_governance_spark.queries.base import QueryDef, qdef
+from data_governance_spark.queries.base import QueryDef, melt_metrics, qdef
 from data_governance_spark.queries.staging import staged_tmpdir
 from data_governance_spark.tables import table
 
@@ -572,6 +572,34 @@ def q43_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.unionByName(badn)
 
 
+# Sub-gate 'orc' (new in r7): the second columnar format — write an
+# orders slice as ORC through Spark's native writer, read it back, and
+# aggregate; the oracle recomputes from the parquet ground truth, so a
+# value changed anywhere in the ORC write/read path fails the hash.
+def q43_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.queries.staging import staged_tmpdir
+
+    def build(out_dir: str) -> None:
+        table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") <= 2000
+        ).write.mode("overwrite").orc(os.path.join(out_dir, "data"))
+
+    work = staged_tmpdir(("q43orc", sf_dir), build, prefix="dg_q43o_")
+    back = spark.read.orc(os.path.join(work, "data"))
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            )
+            + F.lit(0.0)
+        ).alias("s"),
+    )
+
+
 # --------------------------------------------------------------------------
 @qdef(
     QUERIES,
@@ -625,6 +653,15 @@ def q43_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer WHERE c_custkey <= 100
     UNION ALL
     SELECT 'csv', 'quarantine', CAST(NULL AS VARCHAR), 3.0
+    UNION ALL
+    SELECT 'orc', o_orderpriority || ':n', CAST(NULL AS VARCHAR),
+           CAST(count(*) AS DOUBLE)
+    FROM orders WHERE o_orderkey <= 2000 GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'orc', o_orderpriority || ':s', CAST(NULL AS VARCHAR),
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             + 0.0
+    FROM orders WHERE o_orderkey <= 2000 GROUP BY o_orderpriority
     """,
     doc="merged gate (r5 driver-budget): S1-S5 paginated REST harvest "
     "(error pages captured, watermark params) + S6 upsert merge "
@@ -633,7 +670,8 @@ def q43_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "date-range and S4 id-list extract params + JSONL source/sink "
     "round-trip with corrupt-line quarantine (sources/jsonl.py; new "
     "in r6) + CSV source/sink round-trip with corrupt-row quarantine "
-    "(sources/csvq.py; new in r7)",
+    "(sources/csvq.py; new in r7) + ORC columnar round-trip via "
+    "Spark's native writer/reader (new in r7)",
 )
 def q43_harvest_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     nul_d = F.lit(None).cast("double")
@@ -668,9 +706,16 @@ def q43_harvest_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     csvr = q43_csv_roundtrip(spark, sf_dir).select(
         F.lit("csv").alias("gate"), "k", "v_s", "v_d"
     )
+    orc = melt_metrics(
+        q43_orc_roundtrip(spark, sf_dir),
+        F.col("o_orderpriority"),
+        ("n", "s"),
+        "orc",
+    )
     return (
         h.unionByName(piv_rows)
         .unionByName(params)
         .unionByName(jsonl)
         .unionByName(csvr)
+        .unionByName(orc)
     )

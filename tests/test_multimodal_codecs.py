@@ -745,3 +745,48 @@ def test_audio_features_and_arrow_dispatch(spark):
     )
     out = extract_features(df, decoder="real").collect()
     assert out[0]["feature"][0] == 64.0 and out[0]["feature"][2] == 8000.0
+
+
+# ---- media dedup ---------------------------------------------------------
+def test_dedup_media_exact(spark):
+    from data_governance_spark.operators.multimodal import dedup_media_exact
+
+    rows = [
+        (1, bytearray(b"payload-A")),
+        (2, bytearray(b"payload-B")),
+        (3, bytearray(b"payload-A")),  # exact dup of 1
+        (7, bytearray(b"payload-A")),  # and another
+        (9, bytearray(b"payload-C")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r["media_id"]: (r["canonical_id"], r["group_size"])
+        for r in dedup_media_exact(media).collect()
+    }
+    assert got == {1: (1, 3), 3: (1, 3), 7: (1, 3), 2: (2, 1), 9: (9, 1)}
+
+
+def test_dedup_media_near(spark):
+    from data_governance_spark.operators.multimodal import dedup_media_near
+
+    # fake-decoder features are folded byte histograms: identical bytes
+    # -> identical features (cosine 1); a small byte edit -> near-dup;
+    # different content -> distant
+    base = b"the quick brown fox jumps over the lazy dog " * 4
+    near = b"the quick brown fox jumps over the lazy cat " * 4
+    # the fake features are POSITIONAL byte histograms (bin = i % dim);
+    # text has a near-uniform one, so 'far' must concentrate its mass
+    # in a single position class to be genuinely distant in cosine
+    far = bytes(255 if i % 8 == 0 else 0 for i in range(120))
+    media = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(near)), (3, bytearray(far)),
+         (4, bytearray(base))],
+        "media_id long, content binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup_media_near(media, threshold=0.99).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == pytest.approx(1.0)
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert not any(3 in p for p in pairs)
