@@ -286,3 +286,71 @@ def prepare_corpus(
         packed=packed,
         _caches=tracked_since(mark),
     )
+
+
+@dataclass
+class MediaCorpusResult:
+    """Lazy stage outputs of ``prepare_media_corpus``."""
+
+    sized: DataFrame  # byte-budget repartitioned input
+    exact_groups: DataFrame  # (media_id, canonical_id, group_size)
+    kept: DataFrame  # one canonical row per byte-identical group
+    features: DataFrame  # per-kept-row feature vectors
+    near_pairs: DataFrame | None = None  # near-dup pairs among kept
+
+
+def prepare_media_corpus(
+    media: DataFrame,
+    decoder: str = "fake",
+    dim: int = 8,
+    near_dedup: bool = False,
+    near_threshold: float = 0.98,
+    n_planes: int = 8,
+    target_bytes: int = 128 << 20,
+    max_block_size: int | None = None,
+) -> MediaCorpusResult:
+    """The multimodal counterpart of ``prepare_corpus``, same
+    cheapest-first discipline: size partitions by BYTE budget (row
+    counts are meaningless for binary columns), drop byte-identical
+    duplicates while shuffling only (hash, id) — never the payloads —
+    and only then run the expensive step (decode + feature extraction)
+    over the canonical survivors. ``near_dedup=True`` additionally
+    flags re-encode/minor-edit pairs among the survivors via the
+    LSH-blocked cosine tier (``dedup_media_near``).
+
+    Composition of gated operators (media_repartition,
+    dedup_media_exact, extract_features: q45; cosine_neardup_pairs:
+    e07) — this function adds ordering, not logic."""
+    from data_governance_spark.operators.multimodal import (
+        dedup_media_exact,
+        dedup_media_near,
+        extract_features,
+        media_repartition,
+    )
+
+    sized = media_repartition(media, target_bytes)
+    groups = dedup_media_exact(sized)
+    canon = groups.filter(
+        F.col("media_id") == F.col("canonical_id")
+    ).select("media_id")
+    kept = sized.join(canon, "media_id", "left_semi")
+    feats = extract_features(kept, dim=dim, decoder=decoder)
+    near = (
+        dedup_media_near(
+            kept,
+            decoder=decoder,
+            dim=dim,
+            n_planes=n_planes,
+            threshold=near_threshold,
+            max_block_size=max_block_size,
+        )
+        if near_dedup
+        else None
+    )
+    return MediaCorpusResult(
+        sized=sized,
+        exact_groups=groups,
+        kept=kept,
+        features=feats,
+        near_pairs=near,
+    )

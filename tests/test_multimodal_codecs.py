@@ -790,3 +790,31 @@ def test_dedup_media_near(spark):
     assert (1, 4) in pairs and pairs[(1, 4)] == pytest.approx(1.0)
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert not any(3 in p for p in pairs)
+
+
+def test_prepare_media_corpus(spark):
+    from data_governance_spark.corpus import prepare_media_corpus
+
+    rows = [
+        (1, "image", bytearray(b"AAAA" * 10), None),
+        (2, "image", bytearray(b"BBBB" * 10), None),
+        (3, "image", bytearray(b"AAAA" * 10), None),  # exact dup of 1
+        (4, "image", bytearray(b"AAAB" * 10), None),  # near-dup of 1
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary, "
+        "meta struct<mime:string,width:int,height:int,"
+        "duration_ms:long,sample_rate:int>",
+    )
+    res = prepare_media_corpus(media, near_dedup=True, near_threshold=0.9)
+    kept_ids = {r["media_id"] for r in res.kept.collect()}
+    assert kept_ids == {1, 2, 4}  # 3 collapsed into 1
+    feats = res.features.collect()
+    assert {r["media_id"] for r in feats} == kept_ids
+    groups = {
+        r["media_id"]: r["group_size"] for r in res.exact_groups.collect()
+    }
+    assert groups[1] == 2 and groups[2] == 1
+    pairs = {(r["id_a"], r["id_b"]) for r in res.near_pairs.collect()}
+    assert (1, 4) in pairs  # survivor-level near-dup flagged
