@@ -290,7 +290,11 @@ def prepare_corpus(
 
 @dataclass
 class MediaCorpusResult:
-    """Lazy stage outputs of ``prepare_media_corpus``."""
+    """Stage outputs of ``prepare_media_corpus``. The stage
+    DataFrames are lazy, but constructing the result runs one cheap
+    aggregate job up front: ``media_repartition`` collects the total
+    byte count to size partitions (a sum over payload lengths, not a
+    decode)."""
 
     sized: DataFrame  # byte-budget repartitioned input
     exact_groups: DataFrame  # (media_id, canonical_id, group_size)
@@ -343,6 +347,7 @@ def prepare_media_corpus(
             n_planes=n_planes,
             threshold=near_threshold,
             max_block_size=max_block_size,
+            features=feats,  # one decode pass, not two
         )
         if near_dedup
         else None

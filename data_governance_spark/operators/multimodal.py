@@ -665,16 +665,18 @@ def decode_png(content: bytes):
 
 
 # magic bytes of formats that NEED an external codec library
+# (AVI/WAV RIFF payloads are dispatched above, before this table)
 _COMPRESSED_MAGICS = (
-    (b"RIFF", "RIFF-container (WEBP/AVI; WAV goes to decode_wav)"),
+    (b"RIFF", "RIFF-container (WEBP)"),
 )
 
 
 def decode_image(content: bytes):
     """Dispatch by magic bytes: PPM/PGM, uncompressed BMP, GIF (real
-    LZW decode), PNG (real DEFLATE decode via stdlib zlib) and
-    baseline JPEG (real Huffman+IDCT decode, operators/jpeg.py) decode
-    for REAL; the remaining compressed formats raise the documented
+    LZW decode), PNG (real DEFLATE decode via stdlib zlib), JPEG (real
+    Huffman+IDCT decode, baseline AND progressive — operators/jpeg.py)
+    and MJPEG-in-AVI (first frame, the thumbnail contract) decode for
+    REAL; the remaining compressed formats raise the documented
     environment-constraint error (Pillow/opencv absent)."""
     if content[:2] in (b"P6", b"P5"):
         return decode_ppm(content)
@@ -688,6 +690,14 @@ def decode_image(content: bytes):
         from data_governance_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        frames, _fps = decode_avi_mjpeg(content, max_frames=1)
+        return frames[0]
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        raise ValueError(
+            "WAV payload is audio, not an image — use decode_wav / "
+            "audio_features (extract_features routes it automatically)"
+        )
     for magic, name in _COMPRESSED_MAGICS:
         if content.startswith(magic):
             raise NotImplementedError(
@@ -922,11 +932,19 @@ def dedup_media_exact(
     Scale shape: the hash is computed map-side AT THE SCAN and only
     (hash, id) ever shuffles — the binary payloads themselves never
     move (a 100 TB media corpus shuffles ~50 bytes/row). One shuffle
-    (the window on the hash key)."""
+    (the window on the hash key). NULL payloads are each their own
+    singleton group (a missing payload is unknown content, not a
+    duplicate of other missing payloads — and rows must never
+    vanish)."""
     from pyspark.sql import Window
 
     h = media.select(
-        F.col(id_col), F.sha2(F.col(content_col), 256).alias("_h")
+        F.col(id_col),
+        F.coalesce(
+            F.sha2(F.col(content_col), 256),
+            # per-row sentinel: impossible as a sha2 hex, unique per id
+            F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+        ).alias("_h"),
     )
     w = Window.partitionBy("_h")
     return h.select(
@@ -944,6 +962,7 @@ def dedup_media_near(
     threshold: float = 0.98,
     seed: int = 42,
     max_block_size: int | None = None,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate media pairs: the standard embedding-dedup
     composition applied to decoded media features — extract (Arrow
@@ -951,7 +970,10 @@ def dedup_media_near(
     (``similarity.cosine_neardup_pairs``). Catches re-encodes and
     minor edits that exact hashing misses; pair with
     ``dedup_media_exact`` for the full tiering. Feature width is
-    ``dim`` for the fake decoder and 7 for the real one."""
+    ``dim`` for the fake decoder and 7 for the real one. Pass a
+    precomputed ``features`` frame (extract_features output) to reuse
+    an existing decode pass — the same reuse hook as
+    ``similarity.semantic_dedup(pairs=)``."""
     from data_governance_spark.operators.similarity import (
         cosine_neardup_pairs,
         hyperplanes,
@@ -959,8 +981,10 @@ def dedup_media_near(
     )
 
     width = 7 if decoder == "real" else dim
+    if features is None:
+        features = extract_features(media, dim=dim, decoder=decoder)
     feats = (
-        extract_features(media, dim=dim, decoder=decoder)
+        features
         .filter(F.col("feature").isNotNull())
         .select(
             "media_id",

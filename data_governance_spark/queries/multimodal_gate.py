@@ -180,6 +180,14 @@ def _s(c: Column) -> Column:
              CAST((ck * 2) % 121 AS DOUBLE) AS g,
              CAST((ck * 3) % 121 AS DOUBLE) AS b
       FROM f
+    ),
+    mddg AS (
+      SELECT ck, canon, n
+      FROM (SELECT c_custkey AS ck, c_custkey % {_MDD_CLASSES} AS g
+            FROM customer)
+      JOIN (SELECT c_custkey % {_MDD_CLASSES} AS g,
+                   min(c_custkey) AS canon, count(*) AS n
+            FROM customer GROUP BY g) USING (g)
     )
     SELECT 'hist' AS gate, CAST(ck AS VARCHAR) || ':nb' AS k,
            CAST(NULL AS VARCHAR) AS v_s, CAST(n AS DOUBLE) AS v_d FROM h
@@ -245,19 +253,11 @@ def _s(c: Column) -> Column:
     UNION ALL
     SELECT 'mdd', CAST(ck AS VARCHAR) || ':c', CAST(NULL AS VARCHAR),
            CAST(canon AS DOUBLE)
-    FROM (SELECT c_custkey AS ck, c_custkey % {_MDD_CLASSES} AS g
-          FROM customer)
-    JOIN (SELECT c_custkey % {_MDD_CLASSES} AS g,
-                 min(c_custkey) AS canon, count(*) AS n
-          FROM customer GROUP BY g) USING (g)
+    FROM mddg
     UNION ALL
     SELECT 'mdd', CAST(ck AS VARCHAR) || ':n', CAST(NULL AS VARCHAR),
            CAST(n AS DOUBLE)
-    FROM (SELECT c_custkey AS ck, c_custkey % {_MDD_CLASSES} AS g
-          FROM customer)
-    JOIN (SELECT c_custkey % {_MDD_CLASSES} AS g,
-                 min(c_custkey) AS canon, count(*) AS n
-          FROM customer GROUP BY g) USING (g)
+    FROM mddg
     """,
     doc="merged gate (r6/r7): multimodal plumbing — BinaryType through "
     "Arrow mapInPandas (fake codec histogram), byte-budget repartition, "

@@ -442,14 +442,17 @@ def test_avi_corrupt_is_typed_valueerror():
 
     img = _smooth(8, 8, rgb=False)
     ok = avi_bytes([jpeg_bytes(img)])
-    # LIST length pointing past EOF must be a typed ValueError (or a
-    # clean no-frames error), never a raw struct.error/RecursionError
+    # LIST length pointing past EOF: either a typed ValueError or a
+    # clean decode of whatever frames survive the clamp — never a raw
+    # struct.error/RecursionError, and never silent garbage
     bogus = bytearray(ok)
     bogus[16:20] = struct.pack("<I", 2**31)
     try:
-        decode_avi_mjpeg(bytes(bogus))
+        frames, _fps = decode_avi_mjpeg(bytes(bogus))
     except ValueError:
         pass
+    else:
+        assert all(f.shape == (8, 8) for f in frames)
     # truncated mid-container
     with pytest.raises(ValueError):
         decode_avi_mjpeg(ok[:40])

@@ -818,3 +818,34 @@ def test_prepare_media_corpus(spark):
     assert groups[1] == 2 and groups[2] == 1
     pairs = {(r["id_a"], r["id_b"]) for r in res.near_pairs.collect()}
     assert (1, 4) in pairs  # survivor-level near-dup flagged
+
+
+def test_dedup_media_exact_null_payloads_are_singletons(spark):
+    """A missing payload is unknown content, not a duplicate of other
+    missing payloads — null-content rows must each survive as their
+    own group (rows never vanish)."""
+    from data_governance_spark.operators.multimodal import dedup_media_exact
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"X")), (2, None), (3, None), (4, bytearray(b"X"))],
+        "media_id long, content binary",
+    )
+    got = {
+        r["media_id"]: (r["canonical_id"], r["group_size"])
+        for r in dedup_media_exact(media).collect()
+    }
+    assert got == {1: (1, 2), 4: (1, 2), 2: (2, 1), 3: (3, 1)}
+
+
+def test_decode_image_avi_first_frame_and_wav_guidance():
+    import sys
+    sys.path.insert(0, "tests")
+    from test_jpeg_codec import avi_bytes, jpeg_bytes
+
+    img = np.full((8, 8), 131, np.uint8)
+    raw = avi_bytes([jpeg_bytes(img, quality=90)])
+    first = decode_image(raw)
+    assert first.shape == (8, 8)
+    wav, _, _ = wav_bytes()
+    with pytest.raises(ValueError, match="audio"):
+        decode_image(wav)
