@@ -1,0 +1,317 @@
+"""Incremental corpus dedup: curate a NEW batch against the persisted
+dedup state of an EXISTING corpus — the daily-crawl-increment shape
+every production pipeline ends up needing (CommonCrawl snapshots,
+nightly harvests).
+
+State is two plain, parquet-round-trippable DataFrames:
+
+- ``exact``: ``(fp, doc_id)`` — one canonical doc per exact text
+  fingerprint already in the corpus.
+- ``sigs``:  ``(doc_id, sig array<bigint>)`` — MinHash signatures of
+  the corpus's canonical docs. Band keys are DERIVED from sigs at use
+  time (a map-only explode) rather than stored, so the state schema
+  stays parameter-portable across band/row re-tuning.
+
+Semantics — keep-first, corpus-immutable:
+
+- A new doc exactly matching the state is dropped (the shipped corpus
+  wins; you cannot retro-delete data already trained on).
+- Near-dup components are closed over the union of batch-internal
+  pairs and batch-vs-state pairs; any component touching an existing
+  doc keeps ONLY the existing doc(s), otherwise min-id-in-batch wins.
+- If one new doc bridges two existing canonicals, BOTH existing docs
+  stay (immutability) — the one place incremental output can differ
+  from re-running one-shot dedup on the union, and the test suite
+  pins both the equivalence (non-bridging case, exact match against
+  the one-shot pipeline) and this documented divergence.
+
+Scale shape: per-increment work is proportional to the BATCH plus one
+equi-join against the state tables on pre-hashed keys (fp; band key).
+Nothing is recomputed for the existing corpus — that is the point of
+persisting state. Both state tables can be bucketed by their join key
+in storage to make the increment join shuffle-free on the state side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_governance_spark.functions.text import tokens, word_shingles
+from data_governance_spark.operators.dedup import (
+    minhash_bands,
+    minhash_signatures,
+)
+
+
+@dataclass
+class DedupState:
+    """Persisted dedup state of an existing corpus (see module doc)."""
+
+    exact: DataFrame  # (fp, doc_id)
+    sigs: DataFrame  # (doc_id, sig)
+    num_hashes: int = 64
+    bands: int = 16
+
+
+def _fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(
+            F.md5(F.col(text_col)),
+            F.concat(F.lit("\0null-fp:"), F.col(id_col).cast("string")),
+        ).alias("fp"),
+    )
+
+
+def _shingles(docs: DataFrame, id_col: str, text_col: str, n: int):
+    # NULL text is MISSING content, not empty content: word_shingles
+    # would map it to [''] and make every null-text doc "identical" in
+    # sketch space. Excluding them here means they pass the near tier
+    # as singletons — consistent with the exact tier's per-row
+    # null fingerprints.
+    return docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(tokens(F.col(text_col)), n).alias("sh"),
+    )
+
+
+def build_dedup_state(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DedupState:
+    """Build state from an already-deduped corpus (its canonical
+    docs). One fingerprint scan + one signature aggregation."""
+    fp = _fingerprints(docs, id_col, text_col).groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    sh = _shingles(docs, id_col, text_col, shingle_n)
+    sigs = minhash_signatures(sh, F.col("sh"), "doc_id", num_hashes)
+    return DedupState(exact=fp, sigs=sigs, num_hashes=num_hashes, bands=bands)
+
+
+def save_dedup_state(state: DedupState, path: str) -> None:
+    """Persist both tables as parquet under ``path`` (exact/ sigs/)."""
+    state.exact.write.mode("overwrite").parquet(f"{path}/exact")
+    state.sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+
+
+def load_dedup_state(
+    spark: SparkSession, path: str, num_hashes: int = 64, bands: int = 16
+) -> DedupState:
+    return DedupState(
+        exact=spark.read.parquet(f"{path}/exact"),
+        sigs=spark.read.parquet(f"{path}/sigs"),
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+
+
+@dataclass
+class IncrementalResult:
+    """Outputs of ``incremental_dedup``."""
+
+    kept: DataFrame  # surviving new-batch rows (full columns)
+    dropped: DataFrame  # (doc_id, reason: 'exact'|'near', matched_id)
+    state: DedupState  # input state + the survivors' fps/sigs
+
+
+def _band_table(sigs: DataFrame, bands: int, num_hashes: int) -> DataFrame:
+    rows = num_hashes // bands
+    return sigs.select(
+        "doc_id",
+        F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    state: DedupState,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> IncrementalResult:
+    """Dedup ``new_docs`` within itself and against ``state``.
+
+    New ids must be distinct from the state's ids (append-only id
+    space — a timestamped or batch-prefixed id satisfies this)."""
+    from data_governance_spark.operators.components import (
+        connected_components,
+        keep_canonical,
+    )
+
+    nh, nb = state.num_hashes, state.bands
+
+    # --- exact tier: within-batch (min id wins), then vs state -------
+    fp = _fingerprints(new_docs, id_col, text_col)
+    batch_canon = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    exact_hits = batch_canon.join(
+        state.exact.select("fp", F.col("doc_id").alias("matched_id")),
+        "fp",
+    )
+    exact_alive = batch_canon.join(
+        exact_hits.select("fp"), "fp", "left_anti"
+    ).select("doc_id")
+    # every batch doc that is not its fp-class canonical, or whose
+    # canonical matched the state, drops with reason 'exact'
+    dropped_exact = (
+        fp.join(batch_canon.withColumnRenamed("doc_id", "canon"), "fp")
+        .join(
+            exact_hits.select(
+                "fp", F.col("matched_id").alias("state_match")
+            ),
+            "fp",
+            "left",
+        )
+        .filter(
+            (F.col("doc_id") != F.col("canon"))
+            | F.col("state_match").isNotNull()
+        )
+        .select(
+            "doc_id",
+            F.lit("exact").alias("reason"),
+            F.coalesce("state_match", "canon").alias("matched_id"),
+        )
+    )
+
+    # --- near tier over the exact survivors --------------------------
+    alive_docs = new_docs.join(
+        exact_alive.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+    )
+    if threshold > 1.0:
+        # same contract as minhash_dedup_pairs: estimated Jaccard
+        # cannot exceed 1, so the near tier is provably empty — skip
+        # signatures/banding entirely (exact-tier-only mode, used by
+        # exact-oracle gates and by corpora where near-dedup is done
+        # elsewhere)
+        surv_fp = _fingerprints(alive_docs, id_col, text_col)
+        new_state = DedupState(
+            exact=state.exact.unionByName(surv_fp.select("fp", "doc_id")),
+            sigs=state.sigs,
+            num_hashes=nh,
+            bands=nb,
+        )
+        return IncrementalResult(
+            kept=alive_docs, dropped=dropped_exact, state=new_state
+        )
+    sh = _shingles(alive_docs, id_col, text_col, shingle_n)
+    new_sigs = minhash_signatures(sh, F.col("sh"), "doc_id", nh)
+    new_bandt = _band_table(new_sigs, nb, nh)
+    state_bandt = _band_table(state.sigs, nb, nh)
+
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(nh))
+    )
+
+    def verified_pairs(cand: DataFrame, sigs_b: DataFrame) -> DataFrame:
+        sa = new_sigs.select(
+            F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+        )
+        sb = sigs_b.select(
+            F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+        )
+        return (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            # round(.,4) mirrors minhash_dedup_pairs exactly, so the
+            # incremental and one-shot paths agree at threshold edges
+            .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold)
+        )
+
+    a, b = new_bandt.alias("a"), new_bandt.alias("b")
+    internal = verified_pairs(
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct(),
+        new_sigs,
+    )
+    s = state_bandt.alias("s")
+    cross = verified_pairs(
+        a.join(
+            s,
+            (F.col("a.band") == F.col("s.band"))
+            & (F.col("a.key") == F.col("s.key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("s.doc_id").alias("doc_b")
+        )
+        .distinct(),
+        state.sigs,
+    )
+
+    # close over both edge sets; mark which nodes are state nodes
+    edges = internal.select("doc_a", "doc_b").unionByName(
+        cross.select("doc_a", "doc_b")
+    )
+    labels = connected_components(edges, "doc_a", "doc_b")
+    state_nodes = cross.select(F.col("doc_b").alias("id")).distinct()
+    # a component that touches ANY state node drops all its new docs
+    poisoned = labels.join(
+        state_nodes.withColumnRenamed("id", "id_"),
+        labels["id"] == F.col("id_"),
+    ).select(F.col("comp").alias("pc")).distinct()
+    batch_labels = labels.join(state_nodes, "id", "left_anti")
+    near_dropped_poison = batch_labels.join(
+        poisoned, batch_labels["comp"] == F.col("pc")
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.lit("near").alias("reason"),
+        F.col("comp").alias("matched_id"),
+    )
+    clean_labels = batch_labels.join(
+        poisoned, batch_labels["comp"] == F.col("pc"), "left_anti"
+    )
+    survivors = keep_canonical(
+        alive_docs.join(
+            near_dropped_poison.withColumnRenamed("doc_id", id_col),
+            id_col,
+            "left_anti",
+        ),
+        clean_labels.select("id", "comp"),
+        id_col=id_col,
+    )
+    near_dropped_canon = (
+        clean_labels.filter(F.col("id") != F.col("comp"))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit("near").alias("reason"),
+            F.col("comp").alias("matched_id"),
+        )
+    )
+    dropped = dropped_exact.unionByName(near_dropped_poison).unionByName(
+        near_dropped_canon
+    )
+
+    surv_fp = _fingerprints(survivors, id_col, text_col)
+    surv_sigs = new_sigs.join(
+        survivors.select(F.col(id_col).alias("doc_id")), "doc_id", "left_semi"
+    )
+    new_state = DedupState(
+        exact=state.exact.unionByName(surv_fp.select("fp", "doc_id")),
+        sigs=state.sigs.unionByName(surv_sigs),
+        num_hashes=nh,
+        bands=nb,
+    )
+    return IncrementalResult(kept=survivors, dropped=dropped, state=new_state)

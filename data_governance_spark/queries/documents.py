@@ -551,6 +551,34 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) - nt AS st
       FROM ppk
+    ),
+    ib2 AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 9 = 0 THEN COALESCE(n1.text, d.text)
+                  WHEN d.doc_id % 9 = 3 THEN COALESCE(n3.text, d.text)
+                  ELSE d.text END AS t
+      FROM documents d
+      LEFT JOIN documents n1 ON n1.doc_id = d.doc_id + 1
+      LEFT JOIN documents n3 ON n3.doc_id = d.doc_id + 3
+      WHERE d.doc_id % 3 = 0
+    ),
+    ib1fp AS (
+      SELECT COALESCE(md5(text), 'n' || CAST(doc_id AS STRING)) AS fp,
+             min(doc_id) AS sid
+      FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1
+    ),
+    ib2c AS (
+      SELECT doc_id, fp,
+             min(doc_id) OVER (PARTITION BY fp) AS canon
+      FROM (
+        SELECT doc_id,
+               COALESCE(md5(t), 'n' || CAST(doc_id AS STRING)) AS fp
+        FROM ib2
+      )
+    ),
+    ib2s AS (
+      SELECT ib2c.doc_id, ib2c.canon, ib1fp.sid
+      FROM ib2c LEFT JOIN ib1fp USING (fp)
     )
     SELECT 'stats' AS gate, source AS k,
            CAST(count(*) AS VARCHAR) || '|'
@@ -575,6 +603,14 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
              || ':' || CAST(st % {_PACK_MAX} AS VARCHAR),
            CAST(NULL AS DOUBLE)
     FROM ppk2
+    UNION ALL
+    SELECT 'inc', 'k:' || CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
+           1.0
+    FROM ib2s WHERE doc_id = canon AND sid IS NULL
+    UNION ALL
+    SELECT 'inc', 'd:' || CAST(doc_id AS VARCHAR), 'exact',
+           CAST(COALESCE(sid, canon) AS DOUBLE)
+    FROM ib2s WHERE doc_id <> canon OR sid IS NOT NULL
     """,
     doc="merged gate (r5/r6 driver-budget): exact dedup accounting per "
     "source (hash-groupBy, ex-d03) + normalized-text md5 fingerprint "
@@ -582,7 +618,9 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact pre-cluster canonical mapping (ex-d09; NULL texts stay their "
     "own canonical) + the end-to-end prepare_corpus composition "
     "(quality -> precluster -> sketch -> closure -> canonical -> split "
-    "-> pack through corpus.prepare_corpus; new in r6)",
+    "-> pack through corpus.prepare_corpus; new in r6) + incremental "
+    "batch-vs-state dedup in exact-tier mode "
+    "(operators/incremental.py; new in r7)",
 )
 def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.dedup import exact_precluster
@@ -655,7 +693,66 @@ def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_s.alias("v_s"),
         F.col("canon_id").cast("double").alias("v_d"),
     )
-    return stats.unionByName(fp).unionByName(pre).unionByName(pipe)
+    # inc sub-gate (new in r7): incremental dedup of a planted second
+    # batch against the first batch's persisted state
+    # (operators/incremental.py). threshold=1.01 short-circuits the
+    # near tier (same contract as 'pipe'), so the oracle is the exact
+    # keep-first semantics: batch-2 docs %9==0 copy their batch-1
+    # neighbor's text (state hit), %9==3 copy the text of doc_id+3
+    # (within-batch dup pair), everything else is fresh.
+    from data_governance_spark.operators.incremental import (
+        build_dedup_state,
+        incremental_dedup,
+    )
+
+    d = docs.alias("d")
+    b2 = (
+        d.join(
+            docs.select(
+                F.col("doc_id").alias("_d1"), F.col("text").alias("_t1")
+            ),
+            F.col("d.doc_id") + 1 == F.col("_d1"),
+            "left",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("_d3"), F.col("text").alias("_t3")
+            ),
+            F.col("d.doc_id") + 3 == F.col("_d3"),
+            "left",
+        )
+        .filter(F.col("d.doc_id") % 3 == 0)
+        .select(
+            F.col("d.doc_id").alias("doc_id"),
+            F.when(
+                F.col("d.doc_id") % 9 == 0, F.coalesce("_t1", "d.text")
+            )
+            .when(F.col("d.doc_id") % 9 == 3, F.coalesce("_t3", "d.text"))
+            .otherwise(F.col("d.text"))
+            .alias("text"),
+        )
+    )
+    b1 = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    inc_res = incremental_dedup(b2, build_dedup_state(b1), threshold=1.01)
+    inc_kept = inc_res.kept.select(
+        F.lit("inc").alias("gate"),
+        F.concat(F.lit("k:"), F.col("doc_id").cast("string")).alias("k"),
+        nul_s.alias("v_s"),
+        F.lit(1.0).alias("v_d"),
+    )
+    inc_drop = inc_res.dropped.select(
+        F.lit("inc").alias("gate"),
+        F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("k"),
+        F.col("reason").alias("v_s"),
+        F.col("matched_id").cast("double").alias("v_d"),
+    )
+    return (
+        stats.unionByName(fp)
+        .unionByName(pre)
+        .unionByName(pipe)
+        .unionByName(inc_kept)
+        .unionByName(inc_drop)
+    )
 
 
 # --------------------------------------------------------------------------

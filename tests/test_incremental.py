@@ -1,0 +1,149 @@
+"""Incremental corpus dedup (operators/incremental.py) — the core
+property is the batch-vs-incremental DIFFERENTIAL: processing batch 1,
+persisting state, then processing batch 2 must keep exactly the same
+documents as one-shot dedup over the union (keep-first = min id, ids
+append-only), except for the documented bridging divergence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_governance_spark.functions.text import tokens, word_shingles
+from data_governance_spark.operators.components import (
+    connected_components,
+    keep_canonical,
+)
+from data_governance_spark.operators.dedup import (
+    exact_precluster,
+    minhash_dedup_pairs,
+)
+from data_governance_spark.operators.incremental import (
+    build_dedup_state,
+    incremental_dedup,
+    load_dedup_state,
+    save_dedup_state,
+)
+
+SHINGLE_N = 2  # short docs in tests: 2-token shingles
+
+
+def one_shot_dedup(docs, threshold=0.5):
+    """The established one-shot pipeline shape (d03's composition),
+    assembled independently of incremental_dedup's internals."""
+    canonical, _ = exact_precluster(docs, F.md5("text"))
+    sh = canonical.select(
+        "doc_id", word_shingles(tokens(F.col("text")), SHINGLE_N).alias("sh")
+    )
+    pairs = minhash_dedup_pairs(sh, F.col("sh"), threshold=threshold)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    return keep_canonical(canonical, labels)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BATCH1 = [
+    (1, "alpha beta gamma delta epsilon zeta"),
+    (2, "one two three four five six seven"),
+    (3, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+    (4, "totally different content lives here now"),
+]
+BATCH2 = [
+    (11, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+    (12, "one two three four five six eight"),  # near-dup of 2
+    (13, "fresh unseen material for the second batch"),
+    (14, "fresh unseen material for the second batches"),  # near of 13
+    (15, "one two three four five six eight"),  # exact dup of 12
+]
+
+
+def test_incremental_equals_one_shot(spark, tmp_path):
+    b1 = _docs(spark, BATCH1)
+    b2 = _docs(spark, BATCH2)
+
+    # batch 1: one-shot dedup, then persist its state
+    kept1 = one_shot_dedup(b1)
+    state = build_dedup_state(kept1, shingle_n=SHINGLE_N)
+    save_dedup_state(state, str(tmp_path / "state"))
+    state = load_dedup_state(spark, str(tmp_path / "state"))
+
+    res = incremental_dedup(b2, state, shingle_n=SHINGLE_N)
+    got = {r["doc_id"] for r in kept1.collect()} | {
+        r["doc_id"] for r in res.kept.collect()
+    }
+    want = {r["doc_id"] for r in one_shot_dedup(_docs(spark, BATCH1 + BATCH2)).collect()}
+    assert got == want
+
+    reasons = {r["doc_id"]: r["reason"] for r in res.dropped.collect()}
+    assert reasons[11] == "exact"  # exact match against the state
+    assert reasons[12] == "near"  # near-dup of state doc 2
+    assert reasons[15] == "exact"  # within-batch exact dup of 12
+    assert 14 in reasons  # within-batch near-dup of 13
+
+
+def test_updated_state_carries_survivors(spark):
+    b1 = _docs(spark, BATCH1)
+    kept1 = one_shot_dedup(b1)
+    state = build_dedup_state(kept1, shingle_n=SHINGLE_N)
+    res = incremental_dedup(_docs(spark, BATCH2), state, shingle_n=SHINGLE_N)
+    # a THIRD batch duplicating a batch-2 survivor must now drop
+    b3 = _docs(spark, [(21, "fresh unseen material for the second batch")])
+    res3 = incremental_dedup(b3, res.state, shingle_n=SHINGLE_N)
+    assert res3.kept.count() == 0
+    assert {r["reason"] for r in res3.dropped.collect()} == {"exact"}
+
+
+def test_bridging_keeps_both_existing_docs(spark):
+    """The documented divergence: a new doc near-dupping TWO existing
+    canonicals drops itself but cannot retro-merge the shipped docs.
+    bands=num_hashes (one row per band) makes candidate generation
+    near-certain at moderate Jaccard, so the test pins semantics, not
+    the LSH S-curve."""
+    old = _docs(
+        spark,
+        [
+            (1, "red green blue yellow purple orange pink"),
+            (2, "seven eight nine ten eleven twelve thirteen"),
+        ],
+    )
+    state = build_dedup_state(
+        one_shot_dedup(old), shingle_n=SHINGLE_N, num_hashes=64, bands=64
+    )
+    # the bridge shares half its shingles with each existing doc
+    bridge = _docs(
+        spark,
+        [(10, "red green blue yellow eleven twelve thirteen")],
+    )
+    res = incremental_dedup(bridge, state, shingle_n=SHINGLE_N, threshold=0.2)
+    assert res.kept.count() == 0
+    assert {r["reason"] for r in res.dropped.collect()} == {"near"}
+    # the state still carries both originals, untouched
+    assert res.state.exact.count() == 2
+
+
+def test_empty_and_no_overlap_batches(spark):
+    b1 = _docs(spark, BATCH1)
+    state = build_dedup_state(one_shot_dedup(b1), shingle_n=SHINGLE_N)
+    fresh = _docs(
+        spark,
+        [(31, "completely novel words appear in this document"),
+         (32, "and a second novel document with other words")],
+    )
+    res = incremental_dedup(fresh, state, shingle_n=SHINGLE_N)
+    assert res.kept.count() == 2 and res.dropped.count() == 0
+    empty = _docs(spark, []).filter(F.lit(False))
+    res2 = incremental_dedup(empty, state, shingle_n=SHINGLE_N)
+    assert res2.kept.count() == 0 and res2.dropped.count() == 0
+
+
+def test_null_text_rows_survive(spark):
+    b1 = _docs(spark, BATCH1)
+    state = build_dedup_state(one_shot_dedup(b1), shingle_n=SHINGLE_N)
+    nulls = spark.createDataFrame(
+        [(41, None), (42, None)], "doc_id long, text string"
+    )
+    res = incremental_dedup(nulls, state, shingle_n=SHINGLE_N)
+    # null text is unknown content, never a duplicate of other nulls
+    assert {r["doc_id"] for r in res.kept.collect()} == {41, 42}
