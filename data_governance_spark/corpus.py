@@ -325,6 +325,7 @@ def prepare_media_corpus(
     Composition of gated operators (media_repartition,
     dedup_media_exact, extract_features: q45; cosine_neardup_pairs:
     e07) — this function adds ordering, not logic."""
+    from data_governance_spark.cache import tracked_persist
     from data_governance_spark.operators.multimodal import (
         dedup_media_exact,
         dedup_media_near,
@@ -339,6 +340,12 @@ def prepare_media_corpus(
     ).select("media_id")
     kept = sized.join(canon, "media_id", "left_semi")
     feats = extract_features(kept, dim=dim, decoder=decoder)
+    if near_dedup:
+        # evaluating .features AND .near_pairs must decode once, not
+        # twice — sharing the lazy DataFrame alone would re-run the
+        # mapInPandas decode per action, so persist it (tracked: the
+        # registry/caller releases via cache.release_tracked)
+        feats = tracked_persist(feats)
     near = (
         dedup_media_near(
             kept,
@@ -347,7 +354,7 @@ def prepare_media_corpus(
             n_planes=n_planes,
             threshold=near_threshold,
             max_block_size=max_block_size,
-            features=feats,  # one decode pass, not two
+            features=feats,
         )
         if near_dedup
         else None

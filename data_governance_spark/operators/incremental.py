@@ -19,11 +19,22 @@ Semantics — keep-first, corpus-immutable:
 - Near-dup components are closed over the union of batch-internal
   pairs and batch-vs-state pairs; any component touching an existing
   doc keeps ONLY the existing doc(s), otherwise min-id-in-batch wins.
-- If one new doc bridges two existing canonicals, BOTH existing docs
-  stay (immutability) — the one place incremental output can differ
-  from re-running one-shot dedup on the union, and the test suite
-  pins both the equivalence (non-bridging case, exact match against
-  the one-shot pipeline) and this documented divergence.
+
+Where incremental output can DIFFER from re-running one-shot dedup on
+the union (all three pinned by tests, none silently unstated):
+
+1. Bridging: a new doc near-dupping TWO existing canonicals drops
+   itself but cannot retro-merge the shipped docs — both stay.
+2. Transitivity through previously-dropped docs: if the state carries
+   only the KEPT docs, a new doc similar to a doc the corpus dropped
+   earlier (but not to that doc's canonical) survives. Mitigation,
+   recommended for production: build the state from ALL seen docs
+   (kept + dropped) — any state match poisons the component, so
+   including dropped docs' signatures restores transitive recall at
+   the cost of a larger sigs table.
+3. NULL text: treated as MISSING content — null-text docs never merge
+   with each other (the naive one-shot shingle path would give every
+   null text the same [''] shingle set and collapse them all).
 
 Scale shape: per-increment work is proportional to the BATCH plus one
 equi-join against the state tables on pre-hashed keys (fp; band key).
@@ -39,8 +50,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_governance_spark.cache import tracked_persist
 from data_governance_spark.functions.text import tokens, word_shingles
 from data_governance_spark.operators.dedup import (
+    _cap_buckets,
     minhash_bands,
     minhash_signatures,
 )
@@ -48,12 +61,25 @@ from data_governance_spark.operators.dedup import (
 
 @dataclass
 class DedupState:
-    """Persisted dedup state of an existing corpus (see module doc)."""
+    """Persisted dedup state of an existing corpus (see module doc).
+    The sketch parameters are PART OF the state — signatures computed
+    with one (shingle_n, num_hashes) are meaningless under another, so
+    ``save_dedup_state`` persists them and ``load_dedup_state`` reads
+    them back (never trusts caller-side defaults)."""
 
     exact: DataFrame  # (fp, doc_id)
     sigs: DataFrame  # (doc_id, sig)
     num_hashes: int = 64
     bands: int = 16
+    shingle_n: int = 3
+
+    def __post_init__(self):
+        if self.bands < 1 or self.num_hashes % self.bands != 0:
+            raise ValueError(
+                f"bands ({self.bands}) must divide num_hashes "
+                f"({self.num_hashes}) — a non-divisor silently drops "
+                "the trailing hashes and shifts the LSH S-curve"
+            )
 
 
 def _fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -93,23 +119,38 @@ def build_dedup_state(
     )
     sh = _shingles(docs, id_col, text_col, shingle_n)
     sigs = minhash_signatures(sh, F.col("sh"), "doc_id", num_hashes)
-    return DedupState(exact=fp, sigs=sigs, num_hashes=num_hashes, bands=bands)
+    return DedupState(
+        exact=fp,
+        sigs=sigs,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+    )
 
 
 def save_dedup_state(state: DedupState, path: str) -> None:
-    """Persist both tables as parquet under ``path`` (exact/ sigs/)."""
+    """Persist both tables AND the sketch parameters as parquet under
+    ``path`` (exact/ sigs/ params/)."""
     state.exact.write.mode("overwrite").parquet(f"{path}/exact")
     state.sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+    spark = state.exact.sparkSession
+    spark.createDataFrame(
+        [(state.num_hashes, state.bands, state.shingle_n)],
+        "num_hashes int, bands int, shingle_n int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
-def load_dedup_state(
-    spark: SparkSession, path: str, num_hashes: int = 64, bands: int = 16
-) -> DedupState:
+def load_dedup_state(spark: SparkSession, path: str) -> DedupState:
+    """Load a saved state; the sketch parameters come from the state
+    itself — a caller-supplied mismatch would silently zero the
+    near-dup recall (wrong band arithmetic, wrong shingle width)."""
+    p = spark.read.parquet(f"{path}/params").collect()[0]
     return DedupState(
         exact=spark.read.parquet(f"{path}/exact"),
         sigs=spark.read.parquet(f"{path}/sigs"),
-        num_hashes=num_hashes,
-        bands=bands,
+        num_hashes=p["num_hashes"],
+        bands=p["bands"],
+        shingle_n=p["shingle_n"],
     )
 
 
@@ -135,14 +176,19 @@ def incremental_dedup(
     state: DedupState,
     id_col: str = "doc_id",
     text_col: str = "text",
-    shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
 ) -> IncrementalResult:
     """Dedup ``new_docs`` within itself and against ``state``.
 
     New ids must be distinct from the state's ids (append-only id
-    space — a timestamped or batch-prefixed id satisfies this)."""
+    space — a timestamped or batch-prefixed id satisfies this). The
+    sketch parameters (num_hashes/bands/shingle_n) always come from
+    the STATE — batch signatures must be computed identically to the
+    stored ones or the comparison is meaningless.
+    ``max_bucket_size`` caps both sides of the band joins
+    (dedup._cap_buckets) against the quadratic duplicated-boilerplate
+    blow-up, same contract as minhash_dedup_pairs."""
     from data_governance_spark.operators.components import (
         connected_components,
         keep_canonical,
@@ -202,10 +248,19 @@ def incremental_dedup(
         return IncrementalResult(
             kept=alive_docs, dropped=dropped_exact, state=new_state
         )
-    sh = _shingles(alive_docs, id_col, text_col, shingle_n)
-    new_sigs = minhash_signatures(sh, F.col("sh"), "doc_id", nh)
-    new_bandt = _band_table(new_sigs, nb, nh)
-    state_bandt = _band_table(state.sigs, nb, nh)
+    sh = _shingles(alive_docs, id_col, text_col, state.shingle_n)
+    # sigs feed the band tables AND two estimate joins AND the updated
+    # state — persist so the explode + nh-hash aggregation runs once
+    # (the same measured lesson as minhash_dedup_pairs' sig persist)
+    new_sigs = tracked_persist(
+        minhash_signatures(sh, F.col("sh"), "doc_id", nh)
+    )
+    new_bandt = _cap_buckets(
+        _band_table(new_sigs, nb, nh), ["band", "key"], max_bucket_size
+    )
+    state_bandt = _cap_buckets(
+        _band_table(state.sigs, nb, nh), ["band", "key"], max_bucket_size
+    )
 
     est = (
         F.size(

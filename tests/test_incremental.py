@@ -69,7 +69,7 @@ def test_incremental_equals_one_shot(spark, tmp_path):
     save_dedup_state(state, str(tmp_path / "state"))
     state = load_dedup_state(spark, str(tmp_path / "state"))
 
-    res = incremental_dedup(b2, state, shingle_n=SHINGLE_N)
+    res = incremental_dedup(b2, state)
     got = {r["doc_id"] for r in kept1.collect()} | {
         r["doc_id"] for r in res.kept.collect()
     }
@@ -87,10 +87,10 @@ def test_updated_state_carries_survivors(spark):
     b1 = _docs(spark, BATCH1)
     kept1 = one_shot_dedup(b1)
     state = build_dedup_state(kept1, shingle_n=SHINGLE_N)
-    res = incremental_dedup(_docs(spark, BATCH2), state, shingle_n=SHINGLE_N)
+    res = incremental_dedup(_docs(spark, BATCH2), state)
     # a THIRD batch duplicating a batch-2 survivor must now drop
     b3 = _docs(spark, [(21, "fresh unseen material for the second batch")])
-    res3 = incremental_dedup(b3, res.state, shingle_n=SHINGLE_N)
+    res3 = incremental_dedup(b3, res.state)
     assert res3.kept.count() == 0
     assert {r["reason"] for r in res3.dropped.collect()} == {"exact"}
 
@@ -116,7 +116,7 @@ def test_bridging_keeps_both_existing_docs(spark):
         spark,
         [(10, "red green blue yellow eleven twelve thirteen")],
     )
-    res = incremental_dedup(bridge, state, shingle_n=SHINGLE_N, threshold=0.2)
+    res = incremental_dedup(bridge, state, threshold=0.2)
     assert res.kept.count() == 0
     assert {r["reason"] for r in res.dropped.collect()} == {"near"}
     # the state still carries both originals, untouched
@@ -131,10 +131,10 @@ def test_empty_and_no_overlap_batches(spark):
         [(31, "completely novel words appear in this document"),
          (32, "and a second novel document with other words")],
     )
-    res = incremental_dedup(fresh, state, shingle_n=SHINGLE_N)
+    res = incremental_dedup(fresh, state)
     assert res.kept.count() == 2 and res.dropped.count() == 0
     empty = _docs(spark, []).filter(F.lit(False))
-    res2 = incremental_dedup(empty, state, shingle_n=SHINGLE_N)
+    res2 = incremental_dedup(empty, state)
     assert res2.kept.count() == 0 and res2.dropped.count() == 0
 
 
@@ -144,6 +144,6 @@ def test_null_text_rows_survive(spark):
     nulls = spark.createDataFrame(
         [(41, None), (42, None)], "doc_id long, text string"
     )
-    res = incremental_dedup(nulls, state, shingle_n=SHINGLE_N)
+    res = incremental_dedup(nulls, state)
     # null text is unknown content, never a duplicate of other nulls
     assert {r["doc_id"] for r in res.kept.collect()} == {41, 42}

@@ -838,8 +838,6 @@ def test_dedup_media_exact_null_payloads_are_singletons(spark):
 
 
 def test_decode_image_avi_first_frame_and_wav_guidance():
-    import sys
-    sys.path.insert(0, "tests")
     from test_jpeg_codec import avi_bytes, jpeg_bytes
 
     img = np.full((8, 8), 131, np.uint8)
