@@ -600,11 +600,40 @@ def q43_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sub-gate 'zo' (new in r7): the Z-order layout key
+# (operators/zorder.py) with FIXED bucket boundaries, so the Morton
+# interleave is stated bit-for-bit by the oracle: bucket = count of
+# boundaries <= value (both engines compare the same double), key =
+# sum of disjoint bit shifts. Column order is zorder_key's sorted()
+# contract: o_custkey lane 0, o_totalprice lane 1.
+_ZO_BITS = 4
+_ZO_BOUNDS = {
+    "o_custkey": [float(100 * (i + 1)) for i in range(15)],
+    "o_totalprice": [float(30000 * (i + 1)) for i in range(15)],
+}
+
+
+def _zo_bucket_sql(col: str) -> str:
+    arr = ", ".join(str(b) for b in _ZO_BOUNDS[col])
+    return (
+        f"len(list_filter([{arr}], b -> b <= CAST({col} AS DOUBLE)))"
+    )
+
+
+def _zo_key_sql() -> str:
+    terms = []
+    for j, col in enumerate(sorted(_ZO_BOUNDS)):
+        b = _zo_bucket_sql(col)
+        for i in range(_ZO_BITS):
+            terms.append(f"((({b} >> {i}) & 1) << {i * 2 + j})")
+    return " + ".join(terms)
+
+
 # --------------------------------------------------------------------------
 @qdef(
     QUERIES,
     "q43_harvest_serving",
-    oracle="""
+    oracle=f"""
     WITH t AS (SELECT CAST(LEAST(count(*), 500) AS BIGINT) AS n FROM customer),
     ids AS (SELECT unnest(range(0, (SELECT n FROM t))) AS id),
     t2 AS (SELECT CAST(LEAST(count(*), 120) AS BIGINT) AS n FROM customer),
@@ -662,6 +691,10 @@ def q43_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
              + 0.0
     FROM orders WHERE o_orderkey <= 2000 GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'zo', 'z' || CAST(o_orderkey AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST({_zo_key_sql()} AS DOUBLE)
+    FROM orders WHERE o_orderkey <= 1000
     """,
     doc="merged gate (r5 driver-budget): S1-S5 paginated REST harvest "
     "(error pages captured, watermark params) + S6 upsert merge "
@@ -671,7 +704,9 @@ def q43_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "round-trip with corrupt-line quarantine (sources/jsonl.py; new "
     "in r6) + CSV source/sink round-trip with corrupt-row quarantine "
     "(sources/csvq.py; new in r7) + ORC columnar round-trip via "
-    "Spark's native writer/reader (new in r7)",
+    "Spark's native writer/reader (new in r7) + the Z-order (Morton) "
+    "layout key with fixed bucket boundaries, bit-for-bit vs the "
+    "oracle (operators/zorder.py; new in r7)",
 )
 def q43_harvest_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     nul_d = F.lit(None).cast("double")
@@ -712,10 +747,26 @@ def q43_harvest_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n", "s"),
         "orc",
     )
+    # zo sub-gate: the Morton layout key with fixed boundaries
+    from data_governance_spark.operators.zorder import zorder_key
+
+    zo = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select(
+            F.lit("zo").alias("gate"),
+            F.concat(F.lit("z"), F.col("o_orderkey").cast("string")).alias(
+                "k"
+            ),
+            F.lit(None).cast("string").alias("v_s"),
+            zorder_key(_ZO_BOUNDS, _ZO_BITS).cast("double").alias("v_d"),
+        )
+    )
     return (
         h.unionByName(piv_rows)
         .unionByName(params)
         .unionByName(jsonl)
         .unionByName(csvr)
         .unionByName(orc)
+        .unionByName(zo)
     )

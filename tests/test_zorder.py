@@ -1,0 +1,121 @@
+"""Z-order layout (operators/zorder.py): Morton key differential vs a
+pure-Python reference, and the measurable pruning property — z-ordered
+files carry far tighter per-file min/max boxes than a linear sort."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_governance_spark.operators.zorder import (
+    column_buckets,
+    layout_stats,
+    write_zordered,
+    zorder_key,
+)
+
+
+def ref_morton(vals: dict[str, int], bits: int) -> int:
+    """Pure-Python reference interleave, independent structure."""
+    out = 0
+    cols = sorted(vals)
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            if (vals[c] >> i) & 1:
+                out |= 1 << (i * len(cols) + j)
+    return out
+
+
+def test_zorder_key_matches_reference(spark):
+    bits = 4
+    # boundaries at 10,20,...,150: bucket(v) = number of bounds <= v
+    bounds = {"a": [float(10 * (i + 1)) for i in range(15)],
+              "b": [float(10 * (i + 1)) for i in range(15)]}
+    rows = [(i, (7 * i) % 160, (13 * i) % 160) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got = {
+        r["id"]: r["z"]
+        for r in df.withColumn("z", zorder_key(bounds, bits)).collect()
+    }
+    for i, a, b in rows:
+        ba = sum(1 for x in bounds["a"] if x <= a)
+        bb = sum(1 for x in bounds["b"] if x <= b)
+        assert got[i] == ref_morton({"a": ba, "b": bb}, bits), (i, a, b)
+
+
+def test_zorder_locality_property(spark):
+    """Points close in (a, b) space get close Morton keys: the key
+    range spanned by a small tile is far below the global key range."""
+    bounds = {"a": [float(i + 1) for i in range(255)],
+              "b": [float(i + 1) for i in range(255)]}
+    tile = [(i, 40 + i % 4, 80 + i // 4) for i in range(16)]  # 4x4 tile
+    df = spark.createDataFrame(tile, "id long, a long, b long")
+    keys = [
+        r["z"] for r in df.withColumn("z", zorder_key(bounds, 8)).collect()
+    ]
+    assert max(keys) - min(keys) < 1 << 8  # tile stays in a tiny range
+    assert len(set(keys)) == 16  # distinct cells -> distinct keys
+
+
+def test_write_zordered_tightens_boxes(spark, tmp_path):
+    """The pruning proxy: mean per-file box volume under Z-order must
+    be dramatically below a single-column linear sort's, and BOTH
+    dimensions' mean widths must be small (linear sort is tight on its
+    sort column and ~1.0 on the other)."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    cols = ["l_orderkey", "l_partkey"]
+    zp = str(tmp_path / "zord")
+    write_zordered(li, zp, cols, bits=8, num_files=16)
+    lp = str(tmp_path / "linear")
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(lp)
+    )
+    zs = layout_stats(spark, zp, cols).agg(
+        F.avg("box_volume").alias("v"),
+        F.avg("l_orderkey_width").alias("wa"),
+        F.avg("l_partkey_width").alias("wb"),
+    ).collect()[0]
+    ls = layout_stats(spark, lp, cols).agg(
+        F.avg("box_volume").alias("v"),
+        F.avg("l_orderkey_width").alias("wa"),
+        F.avg("l_partkey_width").alias("wb"),
+    ).collect()[0]
+    # linear: tight on orderkey, blind on partkey
+    assert ls["wa"] < 0.2 and ls["wb"] > 0.8
+    # z-order: BOTH dims bounded — the worst dimension (what a
+    # single-column predicate on the "wrong" column sees) improves
+    # ~3x over linear's blind dimension. NOTE the combined box VOLUME
+    # does NOT discriminate: any space-filling layout's volume ~= the
+    # file's row share (linear 1/16 x 1.0 ~= z-order 1/4 x 1/4); the
+    # per-dimension width is the real any-column pruning metric.
+    assert zs["wa"] < 0.5 and zs["wb"] < 0.5
+    assert max(zs["wa"], zs["wb"]) < max(ls["wa"], ls["wb"]) * 0.6
+    # volume stays within the jaggedness factor of the ideal 1/16
+    assert zs["v"] < 0.25
+    # row conservation
+    assert spark.read.parquet(zp).count() == li.count()
+
+
+def test_boundaries_reuse_for_increments(spark, tmp_path):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    cols = ["l_orderkey", "l_partkey"]
+    b = write_zordered(li.limit(500), str(tmp_path / "w1"), cols, bits=6)
+    # later increment laid out in the SAME key space: pass boundaries in
+    b2 = write_zordered(
+        li.limit(900), str(tmp_path / "w2"), cols, bits=6, boundaries=b
+    )
+    assert b2 is b
+
+
+def test_invalid_params(spark):
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="bits"):
+        column_buckets(df, ["a"], bits=0)
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_key({}, 8)
