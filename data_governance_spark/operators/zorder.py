@@ -35,12 +35,21 @@ from pyspark.sql import functions as F
 
 
 def column_buckets(
-    df: DataFrame, cols: list[str], bits: int = 8, rel_err: float = 0.01
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    rel_err: float | None = None,
 ) -> dict[str, list[float]]:
     """Quantile bucket boundaries per column: ``2^bits - 1`` interior
-    cut points from approxQuantile (one sampling job for all cols)."""
+    cut points from approxQuantile (one sampling job for all cols).
+    ``rel_err`` defaults to a quarter of the bucket spacing
+    (1 / (4 * 2^bits)) — a fixed coarse error would let adjacent
+    boundaries collide and leave buckets empty/uneven, defeating the
+    equal-population property."""
     if bits < 1 or bits > 16:
         raise ValueError("bits must be in [1, 16]")
+    if rel_err is None:
+        rel_err = 1.0 / (4 * (1 << bits))
     n = (1 << bits) - 1
     probs = [(i + 1) / (n + 1) for i in range(n)]
     quantiles = df.stat.approxQuantile(cols, probs, rel_err)
@@ -54,24 +63,52 @@ def _bucket_expr(col: str, bounds: list[float]) -> Column:
     return F.size(F.filter(arr, lambda b: b <= v)).cast("bigint")
 
 
+def _check_geometry(boundaries: dict[str, list[float]], bits: int) -> list[str]:
+    cols = sorted(boundaries)  # deterministic column order
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * len(cols) > 63:
+        # JVM long shifts wrap the amount mod 64: positions past 63
+        # would silently OR into other lanes (and 63 is the sign bit,
+        # breaking the range-partition ordering)
+        raise ValueError(
+            f"bits ({bits}) x columns ({len(cols)}) must be <= 63 "
+            "to fit a signed 64-bit Morton key"
+        )
+    for c in cols:
+        if len(boundaries[c]) != (1 << bits) - 1:
+            raise ValueError(
+                f"boundaries for {c!r} have {len(boundaries[c])} cut "
+                f"points but bits={bits} needs {(1 << bits) - 1} — "
+                "reused boundaries must be applied with the bits they "
+                "were built for"
+            )
+    return cols
+
+
+def _interleave(bucket_cols: list[Column], bits: int) -> Column:
+    key = F.lit(0).cast("bigint")
+    n = len(bucket_cols)
+    for i in range(bits):
+        for j, b in enumerate(bucket_cols):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * n + j).cast("bigint"))
+    return key
+
+
 def zorder_key(
     boundaries: dict[str, list[float]], bits: int = 8
 ) -> Column:
     """The Morton key: bit i of column j lands at position
-    i * n_cols + j. Pure shift/or Column expression — JVM-side,
-    whole-stage codegen'd, no UDF."""
-    cols = sorted(boundaries)  # deterministic column order
-    if not cols:
-        raise ValueError("zorder_key needs at least one column")
-    buckets = [_bucket_expr(c, boundaries[c]) for c in cols]
-    key = F.lit(0).cast("bigint")
-    for i in range(bits):
-        for j, b in enumerate(buckets):
-            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
-            key = key.bitwiseOR(
-                F.shiftleft(bit, i * len(cols) + j).cast("bigint")
-            )
-    return key
+    i * n_cols + j (columns in sorted-name order). Pure shift/or
+    Column expression, no UDF. NOTE: the bucket lookup is a HOF, which
+    Spark re-evaluates per bit reference (HOFs are excluded from
+    subexpression elimination — the repo's documented d06 lesson);
+    fine for gate/probe-sized inputs, but the WRITE path goes through
+    ``write_zordered``, which materializes the bucket columns once
+    before interleaving."""
+    cols = _check_geometry(boundaries, bits)
+    return _interleave([_bucket_expr(c, boundaries[c]) for c in cols], bits)
 
 
 def write_zordered(
@@ -87,12 +124,24 @@ def write_zordered(
     increments in the SAME key space)."""
     if boundaries is None:
         boundaries = column_buckets(df, cols, bits)
-    z = zorder_key(boundaries, bits)
+    ordered = _check_geometry(boundaries, bits)
+    # stage the HOF bucket lookups as REAL columns first: one
+    # evaluation each, instead of `bits` re-evaluations inside the
+    # interleave (HOFs are interpreted and skipped by subexpression
+    # elimination)
+    staged = df.select(
+        "*",
+        *[
+            _bucket_expr(c, boundaries[c]).alias(f"_zb{j}")
+            for j, c in enumerate(ordered)
+        ],
+    )
+    z = _interleave([F.col(f"_zb{j}") for j in range(len(ordered))], bits)
     (
-        df.withColumn("_z", z)
+        staged.withColumn("_z", z)
         .repartitionByRange(num_files, "_z")
         .sortWithinPartitions("_z")
-        .drop("_z")
+        .drop("_z", *[f"_zb{j}" for j in range(len(ordered))])
         .write.mode("overwrite")
         .parquet(path)
     )

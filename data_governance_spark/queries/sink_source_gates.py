@@ -622,10 +622,11 @@ def _zo_bucket_sql(col: str) -> str:
 
 def _zo_key_sql() -> str:
     terms = []
+    stride = len(_ZO_BOUNDS)  # lane stride derived, same as zorder_key
     for j, col in enumerate(sorted(_ZO_BOUNDS)):
         b = _zo_bucket_sql(col)
         for i in range(_ZO_BITS):
-            terms.append(f"((({b} >> {i}) & 1) << {i * 2 + j})")
+            terms.append(f"((({b} >> {i}) & 1) << {i * stride + j})")
     return " + ".join(terms)
 
 

@@ -100,17 +100,30 @@ def test_write_zordered_tightens_boxes(spark, tmp_path):
     assert spark.read.parquet(zp).count() == li.count()
 
 
-def test_boundaries_reuse_for_increments(spark, tmp_path):
+def test_boundaries_reuse_for_increments(spark, tmp_path, monkeypatch):
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
         "l_orderkey", "l_partkey"
     )
     cols = ["l_orderkey", "l_partkey"]
     b = write_zordered(li.limit(500), str(tmp_path / "w1"), cols, bits=6)
-    # later increment laid out in the SAME key space: pass boundaries in
+    # later increment laid out in the SAME key space: with boundaries
+    # passed in, write_zordered must NOT recompute them
+    import data_governance_spark.operators.zorder as zo
+
+    def boom(*a, **k):
+        raise AssertionError("boundaries were recomputed")
+
+    monkeypatch.setattr(zo, "column_buckets", boom)
     b2 = write_zordered(
         li.limit(900), str(tmp_path / "w2"), cols, bits=6, boundaries=b
     )
     assert b2 is b
+    # mismatched bits for reused boundaries is an error, not a silent
+    # degenerate key space
+    with pytest.raises(ValueError, match="cut"):
+        write_zordered(
+            li.limit(100), str(tmp_path / "w3"), cols, bits=4, boundaries=b
+        )
 
 
 def test_invalid_params(spark):
@@ -119,3 +132,8 @@ def test_invalid_params(spark):
         column_buckets(df, ["a"], bits=0)
     with pytest.raises(ValueError, match="at least one"):
         zorder_key({}, 8)
+    # 64-bit overflow guard: 5 cols x 16 bits = 80 > 63 must raise
+    too_many = {f"c{i}": [float(j + 1) for j in range(65535)]
+                for i in range(5)}
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(too_many, 16)
