@@ -349,14 +349,121 @@ def _decode_ima_wav(
     return arr, rate
 
 
+def decode_au(content: bytes):
+    """REAL decoder: Sun/NeXT .au -> (numpy array (frames, channels),
+    sample_rate). Big-endian header; encodings covered: G.711 mu-law
+    (1, via the exact LUT), 8-bit signed PCM (2), 16-bit PCM (3), and
+    G.711 A-law (27). Validated against the stdlib ``sunau`` +
+    ``audioop`` reference chain on CPython's own test fixtures."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b".snd":
+        raise ValueError("not an AU payload")
+    try:
+        off, _size, enc, rate, n_ch = struct.unpack_from(">IIIII", content, 4)
+        if n_ch == 0 or off < 24:
+            raise ValueError("malformed AU header")
+        data = content[off:]
+        if enc in (1, 27):  # G.711
+            mu, al = _g711_luts()
+            lut = mu if enc == 1 else al
+            n = len(data) // n_ch * n_ch
+            return lut[np.frombuffer(data, np.uint8, n)].reshape(-1, n_ch), rate
+        if enc == 2:  # 8-bit signed linear
+            n = len(data) // n_ch * n_ch
+            return np.frombuffer(data, np.int8, n).reshape(-1, n_ch), rate
+        if enc == 3:  # 16-bit BE linear
+            n = len(data) // (2 * n_ch) * n_ch
+            return np.frombuffer(data, ">i2", n).astype(np.int16).reshape(
+                -1, n_ch
+            ), rate
+        raise NotImplementedError(f"AU encoding {enc} not supported")
+    except struct.error as exc:
+        raise ValueError(f"truncated or corrupt AU payload: {exc}")
+
+
+def decode_aiff(content: bytes):
+    """REAL decoder: AIFF (uncompressed PCM) -> (numpy int16/int8
+    array (frames, channels), sample_rate). IFF chunk walk, COMM with
+    the 80-bit extended-float sample rate decoded manually, SSND with
+    offset/blocksize. AIFC compression types beyond NONE raise.
+    Validated against the stdlib ``aifc`` reference on CPython's own
+    test fixtures."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"FORM" or content[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF payload")
+    try:
+        pos = 12
+        comm = None
+        ssnd = None
+        while pos + 8 <= len(content):
+            cid = content[pos : pos + 4]
+            ln = struct.unpack_from(">I", content, pos + 4)[0]
+            body = content[pos + 8 : pos + 8 + ln]
+            pos += 8 + ln + (ln & 1)
+            if cid == b"COMM":
+                comm = body
+            elif cid == b"SSND":
+                ssnd = body
+        if comm is None or ssnd is None:
+            raise ValueError("AIFF missing COMM or SSND chunk")
+        n_ch, _frames, bits = struct.unpack_from(">hIh", comm, 0)
+        if n_ch <= 0:
+            raise ValueError("malformed AIFF COMM")
+        # 80-bit IEEE extended float: 1 sign + 15 exp + 64 mantissa
+        exp = struct.unpack_from(">H", comm, 8)[0]
+        mant = struct.unpack_from(">Q", comm, 10)[0]
+        if exp == 0 and mant == 0:
+            rate = 0
+        else:
+            rate = int(round(mant * 2.0 ** ((exp & 0x7FFF) - 16383 - 63)))
+        if len(comm) >= 22 and comm[18:22] not in (b"NONE", b"sowt"):
+            raise NotImplementedError(
+                f"AIFC compression {comm[18:22]!r} not supported"
+            )
+        little = len(comm) >= 22 and comm[18:22] == b"sowt"
+        data_off = struct.unpack_from(">I", ssnd, 0)[0]
+        data = ssnd[8 + data_off :]
+        if bits == 16:
+            dt = "<i2" if little else ">i2"
+            n = len(data) // (2 * n_ch) * n_ch
+            arr = np.frombuffer(data, dt, n).astype(np.int16)
+        elif bits == 8:
+            n = len(data) // n_ch * n_ch
+            arr = np.frombuffer(data, np.int8, n)
+        else:
+            raise NotImplementedError(f"{bits}-bit AIFF not supported")
+        return arr.reshape(-1, n_ch), rate
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"truncated or corrupt AIFF payload: {exc}")
+
+
+def decode_audio(content: bytes):
+    """Dispatch by magic: WAV (RIFF/WAVE), Sun AU (.snd), AIFF/AIFC
+    (FORM) -> (numpy array (frames, channels), sample_rate)."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return decode_wav(content)
+    if content[:4] == b".snd":
+        return decode_au(content)
+    if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
+        return decode_aiff(content)
+    raise ValueError("unrecognized audio payload")
+
+
 def audio_features(content: bytes) -> list[float]:
     """REAL feature vector for decodable audio:
     [n_frames, channels, sample_rate, mean, mean, mean, std] — the
     same 7-wide shape as ``image_features`` so both flow through one
-    Arrow schema (mean repeated where images carry per-plane means)."""
+    Arrow schema (mean repeated where images carry per-plane means).
+    Covers WAV, Sun AU and AIFF via ``decode_audio``."""
     import numpy as np
 
-    arr, rate = decode_wav(content)
+    arr, rate = decode_audio(content)
     if arr.shape[0] == 0:
         raise ValueError("WAV contains no samples")
     a = np.asarray(arr, dtype=np.float64)
@@ -765,7 +872,11 @@ def extract_features(
     use_real = decoder == "real"
 
     def real_features(c: bytes) -> list[float]:
-        if c[:4] == b"RIFF" and c[8:12] == b"WAVE":
+        if (
+            (c[:4] == b"RIFF" and c[8:12] == b"WAVE")
+            or c[:4] == b".snd"
+            or (c[:4] == b"FORM" and c[8:12] in (b"AIFF", b"AIFC"))
+        ):
             return audio_features(c)
         return image_features(c)
 

@@ -148,6 +148,22 @@ _VID_HEX = (
 _VID_FRAMES = ((0, 134.0), (1, 119.0))  # (frame_idx, exact gray mean)
 _VID_FPS = 20.0
 
+# 'au' sub-gate (new in r7): a fixed 120-byte Sun AU payload — G.711
+# mu-law, 96 samples alternating one code and its sign flip, so the
+# decoded values are exactly +/-2620: mean exactly 0.0, std exactly
+# 2620.0, all trivially float32-exact. Decoded by decode_au via the
+# decode_audio magic dispatch inside the same decoder="real" Arrow
+# path; the AU decoder is ALSO validated against CPython's own
+# audiotest.au through the stdlib sunau reference chain.
+_AU_HEX = (
+    "2e736e6400000018000000600000000100001f4c000000013aba3aba3aba3aba"
+    "3aba3aba3aba3aba3aba3aba3aba3aba3aba3aba3aba3aba3aba3aba3aba3aba"
+    "3aba3aba3aba3aba3aba3aba3aba3aba3aba3aba3aba3aba3aba3aba3aba3aba"
+    "3aba3aba3aba3aba3aba3aba3aba3aba3aba3aba3aba3aba"
+)
+_AU_CONSTS = (96.0, 1.0, 8012.0, 0.0, 0.0, 0.0)
+_AU_SD = 2620.0
+
 # 'mdd' sub-gate (new in r7): exact media dedup over payloads
 # synthesized with PLANTED DUPLICATES — content 'blob<ck % _MDD_CLASSES>'
 # makes the duplicate classes analytic, so the oracle restates the
@@ -245,6 +261,12 @@ def _s(c: Column) -> Column:
     UNION ALL
     SELECT 'wav', 'a:sd', CAST(NULL AS VARCHAR), {_WAV_SD}
     {"".join(
+      f" UNION ALL SELECT 'au', 'u:{n}', CAST(NULL AS VARCHAR), {v}"
+      for n, v in zip(("w", "h", "c", "mr", "mg", "mb"), _AU_CONSTS)
+    )}
+    UNION ALL
+    SELECT 'au', 'u:sd', CAST(NULL AS VARCHAR), {_AU_SD}
+    {"".join(
       f" UNION ALL SELECT 'vid', 'v:{fi}:{n}', CAST(NULL AS VARCHAR), {v}"
       for fi, mean in _VID_FRAMES
       for n, v in (("w", 12.0), ("h", 8.0), ("c", 1.0), ("m", mean),
@@ -266,11 +288,12 @@ def _s(c: Column) -> Column:
     "Spark-synthesized P6 bytes; sub-gate 'real', new in r6) + REAL "
     "GIF (LZW), PNG (zlib-DEFLATE, Adam7-interlaced depth-2 palette), "
     "baseline JPEG (Huffman+IDCT, 4:2:0, restart markers), G.711 "
-    "mu-law audio and MJPEG-in-AVI video-frame decodes of fixed "
-    "compressed payloads via the pure-stdlib/numpy decoders "
-    "(sub-gates 'gif'/'png'/'jpg'/'wav'/'vid', new in r7) + exact "
-    "media dedup over planted duplicate classes (sha2 grouping, "
-    "sub-gate 'mdd', new in r7)",
+    "mu-law audio (WAV and Sun-AU containers) and MJPEG-in-AVI "
+    "video-frame decodes of fixed compressed payloads via the "
+    "pure-stdlib/numpy decoders (sub-gates "
+    "'gif'/'png'/'jpg'/'wav'/'au'/'vid', new in r7) + exact media "
+    "dedup over planted duplicate classes (sha2 grouping, sub-gate "
+    "'mdd', new in r7)",
 )
 def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.multimodal import (
@@ -365,10 +388,11 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1, "png", "p", _PNG_HEX),
         (2, "jpg", "j", _JPG_HEX),
         (3, "wav", "a", _WAV_HEX),
+        (4, "au", "u", _AU_HEX),
     ]
     media_c = spark.createDataFrame(
         [
-            (mid, "audio" if fmt == "wav" else "image",
+            (mid, "audio" if fmt in ("wav", "au") else "image",
              bytearray(bytes.fromhex(hexs)), None)
             for mid, fmt, _tag, hexs in codec_payloads
         ],

@@ -847,3 +847,123 @@ def test_decode_image_avi_first_frame_and_wav_guidance():
     wav, _, _ = wav_bytes()
     with pytest.raises(ValueError, match="audio"):
         decode_image(wav)
+
+
+# ---- Sun AU + AIFF -------------------------------------------------------
+_CPY_TEST = "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/test"
+
+
+def test_au_mulaw_fixture_matches_sunau_reference():
+    """CPython's audiotest.au is a real mu-law recording: decode must
+    equal audioop.ulaw2lin over the raw frames sunau returns."""
+    import os
+
+    audioop = pytest.importorskip("audioop")
+    sunau = pytest.importorskip("sunau")
+
+    from data_governance_spark.operators.multimodal import decode_au
+
+    path = os.path.join(_CPY_TEST, "audiotest.au")
+    if not os.path.exists(path):
+        pytest.skip("no CPython AU fixture on this host")
+    arr, rate = decode_au(open(path, "rb").read())
+    with sunau.open(path) as f:
+        assert f.getcomptype() == "ULAW"
+        # sunau.readframes ALREADY mu-law-decodes via audioop — the
+        # stdlib chain is the independent reference for our LUT path
+        want = np.frombuffer(f.readframes(f.getnframes()), np.int16)
+        assert rate == f.getframerate()
+    assert arr.shape == (len(want), 1)
+    assert np.array_equal(arr[:, 0], want)
+
+
+def test_au_pcm16_and_synthetic_encodings():
+    import struct
+
+    from data_governance_spark.operators.multimodal import decode_au
+
+    pcm = (np.arange(40, dtype=np.int64) * 331 - 6000).astype(np.int16)
+
+    def au(enc, payload, n_ch=2, rate=44100):
+        return (
+            b".snd"
+            + struct.pack(">IIIII", 24, len(payload), enc, rate, n_ch)
+            + payload
+        )
+
+    arr, rate = decode_au(au(3, pcm.astype(">i2").tobytes()))
+    assert rate == 44100 and np.array_equal(arr, pcm.reshape(-1, 2))
+    s8 = (np.arange(20, dtype=np.int64) % 200 - 100).astype(np.int8)
+    arr8, _ = decode_au(au(2, s8.tobytes(), n_ch=1))
+    assert np.array_equal(arr8[:, 0], s8)
+    with pytest.raises(NotImplementedError, match="encoding 6"):
+        decode_au(au(6, b"\x00" * 16))
+    with pytest.raises(ValueError, match="not an AU"):
+        decode_au(b"nope")
+
+
+def test_aiff_fixture_matches_aifc_reference():
+    import os
+    import warnings
+
+    aifc = pytest.importorskip("aifc")
+
+    from data_governance_spark.operators.multimodal import decode_aiff
+
+    path = os.path.join(_CPY_TEST, "sndhdrdata", "sndhdr.aiff")
+    if not os.path.exists(path):
+        pytest.skip("no CPython AIFF fixture on this host")
+    arr, rate = decode_aiff(open(path, "rb").read())
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        f = aifc.open(path)
+        want = np.frombuffer(
+            f.readframes(f.getnframes()), ">i2"
+        ).astype(np.int16).reshape(-1, f.getnchannels())
+        assert rate == int(f.getframerate())
+        f.close()
+    assert np.array_equal(arr, want)
+
+
+def test_aiff_synthetic_roundtrip_via_stdlib_writer(tmp_path):
+    """aifc WRITES the file (an independent producer), we decode it —
+    incl. the 80-bit extended-float rate field. (A real file path:
+    aifc.close() patches the header and closes the underlying file.)"""
+    import warnings
+
+    aifc = pytest.importorskip("aifc")
+
+    from data_governance_spark.operators.multimodal import decode_aiff
+
+    pcm = (np.arange(120, dtype=np.int64) * 97 - 5000).astype(np.int16)
+    path = str(tmp_path / "synth.aiff")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        f = aifc.open(path, "wb")
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(22050)
+        f.writeframes(pcm.astype(">i2").tobytes())
+        f.close()
+    arr, rate = decode_aiff(open(path, "rb").read())
+    assert rate == 22050
+    assert np.array_equal(arr, pcm.reshape(-1, 2))
+
+
+def test_decode_audio_dispatch_and_features():
+    from data_governance_spark.operators.multimodal import (
+        audio_features,
+        decode_audio,
+    )
+    import struct
+
+    raw, samples, rate = wav_bytes()
+    arr, r = decode_audio(raw)
+    assert r == rate and np.array_equal(arr, samples)
+    pcm = np.full(32, 1000, np.int16)
+    au = (b".snd" + struct.pack(">IIIII", 24, 64, 3, 8000, 1)
+          + pcm.astype(">i2").tobytes())
+    f = audio_features(au)
+    assert f[:3] == [32.0, 1.0, 8000.0] and f[3] == 1000.0
+    with pytest.raises(ValueError, match="unrecognized audio"):
+        decode_audio(b"????" * 4)
