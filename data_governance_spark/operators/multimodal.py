@@ -445,13 +445,18 @@ def decode_aiff(content: bytes):
 
 def decode_audio(content: bytes):
     """Dispatch by magic: WAV (RIFF/WAVE), Sun AU (.snd), AIFF/AIFC
-    (FORM) -> (numpy array (frames, channels), sample_rate)."""
+    (FORM) and FLAC (real lossless decode, operators/flac.py)
+    -> (numpy array (frames, channels), sample_rate)."""
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return decode_wav(content)
     if content[:4] == b".snd":
         return decode_au(content)
     if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
         return decode_aiff(content)
+    if content[:4] == b"fLaC":
+        from data_governance_spark.operators.flac import decode_flac
+
+        return decode_flac(content)
     raise ValueError("unrecognized audio payload")
 
 
@@ -876,6 +881,7 @@ def extract_features(
             (c[:4] == b"RIFF" and c[8:12] == b"WAVE")
             or c[:4] == b".snd"
             or (c[:4] == b"FORM" and c[8:12] in (b"AIFF", b"AIFC"))
+            or c[:4] == b"fLaC"
         ):
             return audio_features(c)
         return image_features(c)

@@ -164,6 +164,20 @@ _AU_HEX = (
 _AU_CONSTS = (96.0, 1.0, 8012.0, 0.0, 0.0, 0.0)
 _AU_SD = 2620.0
 
+# 'flc' sub-gate (new in r7): a fixed 58-byte FLAC payload — REAL
+# lossless compressed audio (operators/flac.py: STREAMINFO, frame
+# header with verified CRC-8, two CONSTANT subframes, CRC-16 footer).
+# Stereo constants +/-3000: mean exactly 0.0, std exactly 3000.0 —
+# nothing to round. Bytes from the spec encoder in
+# tests/test_flac_codec.py, whose round-trips are bit-EXACT (lossless)
+# across all subframe types, Rice partitions and stereo modes.
+_FLC_HEX = (
+    "664c61438000002200600060000000000000056222f000000060000000000000"
+    "00000000000000000000fff8701000005f57000bb800f4489185"
+)
+_FLC_CONSTS = (96.0, 2.0, 22050.0, 0.0, 0.0, 0.0)
+_FLC_SD = 3000.0
+
 # 'mdd' sub-gate (new in r7): exact media dedup over payloads
 # synthesized with PLANTED DUPLICATES — content 'blob<ck % _MDD_CLASSES>'
 # makes the duplicate classes analytic, so the oracle restates the
@@ -267,6 +281,12 @@ def _s(c: Column) -> Column:
     UNION ALL
     SELECT 'au', 'u:sd', CAST(NULL AS VARCHAR), {_AU_SD}
     {"".join(
+      f" UNION ALL SELECT 'flc', 'f:{n}', CAST(NULL AS VARCHAR), {v}"
+      for n, v in zip(("w", "h", "c", "mr", "mg", "mb"), _FLC_CONSTS)
+    )}
+    UNION ALL
+    SELECT 'flc', 'f:sd', CAST(NULL AS VARCHAR), {_FLC_SD}
+    {"".join(
       f" UNION ALL SELECT 'vid', 'v:{fi}:{n}', CAST(NULL AS VARCHAR), {v}"
       for fi, mean in _VID_FRAMES
       for n, v in (("w", 12.0), ("h", 8.0), ("c", 1.0), ("m", mean),
@@ -288,10 +308,10 @@ def _s(c: Column) -> Column:
     "Spark-synthesized P6 bytes; sub-gate 'real', new in r6) + REAL "
     "GIF (LZW), PNG (zlib-DEFLATE, Adam7-interlaced depth-2 palette), "
     "baseline JPEG (Huffman+IDCT, 4:2:0, restart markers), G.711 "
-    "mu-law audio (WAV and Sun-AU containers) and MJPEG-in-AVI "
-    "video-frame decodes of fixed compressed payloads via the "
-    "pure-stdlib/numpy decoders (sub-gates "
-    "'gif'/'png'/'jpg'/'wav'/'au'/'vid', new in r7) + exact media "
+    "mu-law audio (WAV and Sun-AU containers), lossless FLAC and "
+    "MJPEG-in-AVI video-frame decodes of fixed compressed payloads "
+    "via the pure-stdlib/numpy decoders (sub-gates "
+    "'gif'/'png'/'jpg'/'wav'/'au'/'flc'/'vid', new in r7) + exact media "
     "dedup over planted duplicate classes (sha2 grouping, sub-gate "
     "'mdd', new in r7)",
 )
@@ -389,10 +409,11 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2, "jpg", "j", _JPG_HEX),
         (3, "wav", "a", _WAV_HEX),
         (4, "au", "u", _AU_HEX),
+        (5, "flc", "f", _FLC_HEX),
     ]
     media_c = spark.createDataFrame(
         [
-            (mid, "audio" if fmt in ("wav", "au") else "image",
+            (mid, "audio" if fmt in ("wav", "au", "flc") else "image",
              bytearray(bytes.fromhex(hexs)), None)
             for mid, fmt, _tag, hexs in codec_payloads
         ],
