@@ -261,6 +261,12 @@ def decode_flac(content: bytes):
             elif sr_code in (13, 14):
                 br.read(16)
             fbps = _SAMPLE_SIZE.get(ss_code, bps)
+            if fbps > bps:
+                # the output dtype is sized from STREAMINFO's bps; a
+                # wider frame would silently wrap sample values
+                raise ValueError(
+                    "FLAC frame sample size exceeds STREAMINFO bps"
+                )
             br.align()  # header ends byte-aligned before CRC-8
             hdr_end = br.pos >> 3
             if _crc8(content[frame_start_byte:hdr_end]) != content[hdr_end]:

@@ -362,10 +362,17 @@ def decode_au(content: bytes):
     if content[:4] != b".snd":
         raise ValueError("not an AU payload")
     try:
-        off, _size, enc, rate, n_ch = struct.unpack_from(">IIIII", content, 4)
+        off, size, enc, rate, n_ch = struct.unpack_from(">IIIII", content, 4)
         if n_ch == 0 or off < 24:
             raise ValueError("malformed AU header")
-        data = content[off:]
+        # honor the declared data size (0xFFFFFFFF = unknown) — the
+        # sunau reference bounds reads the same way; trailing
+        # annotation bytes must not decode as audio
+        data = (
+            content[off:]
+            if size == 0xFFFFFFFF
+            else content[off : off + size]
+        )
         if enc in (1, 27):  # G.711
             mu, al = _g711_luts()
             lut = mu if enc == 1 else al
@@ -412,14 +419,17 @@ def decode_aiff(content: bytes):
                 ssnd = body
         if comm is None or ssnd is None:
             raise ValueError("AIFF missing COMM or SSND chunk")
-        n_ch, _frames, bits = struct.unpack_from(">hIh", comm, 0)
+        n_ch, frames, bits = struct.unpack_from(">hIh", comm, 0)
         if n_ch <= 0:
             raise ValueError("malformed AIFF COMM")
-        # 80-bit IEEE extended float: 1 sign + 15 exp + 64 mantissa
+        # 80-bit IEEE extended float: 1 sign + 15 exp + 64 mantissa;
+        # real rates are tiny exponents — anything larger is corrupt
         exp = struct.unpack_from(">H", comm, 8)[0]
         mant = struct.unpack_from(">Q", comm, 10)[0]
         if exp == 0 and mant == 0:
             rate = 0
+        elif (exp & 0x7FFF) > 16383 + 62:
+            raise ValueError("malformed AIFF sample rate exponent")
         else:
             rate = int(round(mant * 2.0 ** ((exp & 0x7FFF) - 16383 - 63)))
         if len(comm) >= 22 and comm[18:22] not in (b"NONE", b"sowt"):
@@ -438,9 +448,24 @@ def decode_aiff(content: bytes):
             arr = np.frombuffer(data, np.int8, n)
         else:
             raise NotImplementedError(f"{bits}-bit AIFF not supported")
-        return arr.reshape(-1, n_ch), rate
-    except (struct.error, IndexError) as exc:
+        arr = arr.reshape(-1, n_ch)
+        if frames:  # COMM numSampleFrames bounds the data, like aifc:
+            arr = arr[:frames]  # SSND block padding is not audio
+        return arr, rate
+    except (struct.error, IndexError, OverflowError) as exc:
         raise ValueError(f"truncated or corrupt AIFF payload: {exc}")
+
+
+def is_audio_payload(content: bytes) -> bool:
+    """The single audio-container sniff shared by decode_audio,
+    decode_image's guidance error, and extract_features' routing —
+    one predicate, never three hand-synced copies."""
+    return (
+        (content[:4] == b"RIFF" and content[8:12] == b"WAVE")
+        or content[:4] == b".snd"
+        or (content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"))
+        or content[:4] == b"fLaC"
+    )
 
 
 def decode_audio(content: bytes):
@@ -465,12 +490,12 @@ def audio_features(content: bytes) -> list[float]:
     [n_frames, channels, sample_rate, mean, mean, mean, std] — the
     same 7-wide shape as ``image_features`` so both flow through one
     Arrow schema (mean repeated where images carry per-plane means).
-    Covers WAV, Sun AU and AIFF via ``decode_audio``."""
+    Covers WAV, Sun AU, AIFF and FLAC via ``decode_audio``."""
     import numpy as np
 
     arr, rate = decode_audio(content)
     if arr.shape[0] == 0:
-        raise ValueError("WAV contains no samples")
+        raise ValueError("audio stream contains no samples")
     a = np.asarray(arr, dtype=np.float64)
     m = float(a.mean())
     return [
@@ -805,9 +830,9 @@ def decode_image(content: bytes):
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         frames, _fps = decode_avi_mjpeg(content, max_frames=1)
         return frames[0]
-    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+    if is_audio_payload(content):
         raise ValueError(
-            "WAV payload is audio, not an image — use decode_wav / "
+            "payload is audio, not an image — use decode_audio / "
             "audio_features (extract_features routes it automatically)"
         )
     for magic, name in _COMPRESSED_MAGICS:
@@ -865,24 +890,19 @@ def extract_features(
 
     ``decoder="fake"`` uses the deterministic byte-histogram stand-in
     (works on ANY bytes); ``decoder="real"`` runs a genuine decode —
-    ``image_features`` for image magics (PPM/PGM/BMP/GIF/PNG/JPEG) and
-    ``audio_features`` for WAV payloads (PCM/float/G.711/IMA-ADPCM) —
-    while the remaining compressed formats raise, surfacing the
-    environment constraint loudly rather than silently faking. Batch
-    iteration, schema and null handling are the production shape
-    either way.
+    ``image_features`` for image magics (PPM/PGM/BMP/GIF/PNG/JPEG/AVI
+    first frame) and ``audio_features`` for audio containers
+    (WAV incl. PCM/float/G.711/IMA-ADPCM, Sun AU, AIFF, FLAC) — while
+    the remaining compressed formats raise, surfacing the environment
+    constraint loudly rather than silently faking. Batch iteration,
+    schema and null handling are the production shape either way.
     """
     if decoder not in ("fake", "real"):
         raise ValueError(f"decoder must be 'fake' or 'real', got {decoder!r}")
     use_real = decoder == "real"
 
     def real_features(c: bytes) -> list[float]:
-        if (
-            (c[:4] == b"RIFF" and c[8:12] == b"WAVE")
-            or c[:4] == b".snd"
-            or (c[:4] == b"FORM" and c[8:12] in (b"AIFF", b"AIFC"))
-            or c[:4] == b"fLaC"
-        ):
+        if is_audio_payload(c):
             return audio_features(c)
         return image_features(c)
 

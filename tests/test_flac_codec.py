@@ -96,32 +96,65 @@ def _pick_k(values):
 
 
 def _encode_subframe(bw, samples, bps, mode, fixed_order, p_order,
-                     force_escape):
+                     force_escape, wasted=0, kbits=4,
+                     lpc=None):
+    if wasted:
+        assert all(s % (1 << wasted) == 0 for s in samples)
+        samples = [s >> wasted for s in samples]
+        bps -= wasted
+
+    def wasted_flag():
+        if wasted:
+            bw.w(1, 1)
+            bw.unary(wasted - 1)
+        else:
+            bw.w(0, 1)
+
     if mode == "constant":
         bw.w(0, 1)
         bw.w(0, 6)
-        bw.w(0, 1)
+        wasted_flag()
         bw.sw(samples[0], bps)
         return
     if mode == "verbatim":
         bw.w(0, 1)
         bw.w(1, 6)
-        bw.w(0, 1)
+        wasted_flag()
         for s in samples:
             bw.sw(s, bps)
         return
-    order = fixed_order
-    bw.w(0, 1)
-    bw.w(8 + order, 6)
-    bw.w(0, 1)  # no wasted bits
-    for s in samples[:order]:
-        bw.sw(s, bps)
-    coefs = FIXED_COEFS[order]
-    res = [
-        samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
-        for i in range(order, len(samples))
-    ]
-    bw.w(0, 2)  # 4-bit Rice
+    if mode == "lpc":
+        coefs, shift, precision = lpc
+        order = len(coefs)
+        bw.w(0, 1)
+        bw.w(32 | (order - 1), 6)
+        wasted_flag()
+        for s in samples[:order]:
+            bw.sw(s, bps)
+        bw.w(precision - 1, 4)
+        bw.sw(shift, 5)
+        for c in coefs:
+            bw.sw(c, precision)
+        res = [
+            samples[i]
+            - (sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+               >> shift)
+            for i in range(order, len(samples))
+        ]
+    else:
+        order = fixed_order
+        bw.w(0, 1)
+        bw.w(8 + order, 6)
+        wasted_flag()
+        for s in samples[:order]:
+            bw.sw(s, bps)
+        coefs = FIXED_COEFS[order]
+        res = [
+            samples[i]
+            - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, len(samples))
+        ]
+    bw.w(kbits - 4, 2)  # 0 = 4-bit Rice, 1 = 5-bit Rice
     bw.w(p_order, 4)
     n_parts = 1 << p_order
     bs = len(samples)
@@ -133,13 +166,14 @@ def _encode_subframe(bw, samples, bps, mode, fixed_order, p_order,
         idx += n
         if force_escape and part == 0:
             bits = max((abs(v).bit_length() + 1 for v in chunk), default=1)
-            _rice_encode(bw, chunk, 0, escape_bits=bits)
+            _rice_encode(bw, chunk, 0, escape_bits=bits, kbits=kbits)
         else:
-            _rice_encode(bw, chunk, _pick_k(chunk))
+            _rice_encode(bw, chunk, _pick_k(chunk), kbits=kbits)
 
 
 def flac_bytes(samples, rate=8000, bps=16, blocksize=192, mode="fixed",
-               fixed_order=2, stereo=None, p_order=0, force_escape=False):
+               fixed_order=2, stereo=None, p_order=0, force_escape=False,
+               wasted=0, kbits=4, lpc=None):
     """samples: (n, ch) int array. stereo: None|'ls'|'rs'|'ms'."""
     samples = np.asarray(samples)
     if samples.ndim == 1:
@@ -196,7 +230,8 @@ def flac_bytes(samples, rate=8000, bps=16, blocksize=192, mode="fixed",
                 chans = [(mid, bps), (side, bps + 1)]
         for ch, cbps in chans:
             _encode_subframe(body, ch, cbps, mode, fixed_order, p_order,
-                             force_escape)
+                             force_escape, wasted=wasted, kbits=kbits,
+                             lpc=lpc)
         body.align()
         frame += body.buf
         frame += crc16(frame).to_bytes(2, "big")
@@ -274,3 +309,59 @@ def test_flac_audio_dispatch():
     assert rate == 16000 and np.array_equal(arr, pcm)
     f = audio_features(raw)
     assert f[:3] == [200.0, 1.0, 16000.0]
+
+
+def test_flac_lpc_wasted_bits_and_rice5():
+    """The real-world-dominant paths: LPC subframes (precision/shift/
+    coefficient parse + shifted prediction), wasted-bits unpacking,
+    and the 5-bit Rice parameter width — all bit-exact."""
+    pcm = _sig(384)
+    # LPC order 2, coefs in 4-bit signed range, shift 1
+    arr, _ = decode_flac(
+        flac_bytes(pcm, mode="lpc", lpc=([3, -1], 1, 4))
+    )
+    assert np.array_equal(arr, pcm)
+    # LPC order 3 with a bigger shift and 6-bit precision
+    arr, _ = decode_flac(
+        flac_bytes(pcm, mode="lpc", lpc=([5, -4, 2], 2, 6))
+    )
+    assert np.array_equal(arr, pcm)
+    # wasted bits: samples divisible by 4 -> encoder strips 2 bits,
+    # decoder must shift them back in (on fixed AND constant paths)
+    pcm4 = (pcm.astype(np.int32) & ~3).astype(np.int16)
+    arr, _ = decode_flac(flac_bytes(pcm4, mode="fixed", wasted=2))
+    assert np.array_equal(arr, pcm4)
+    const = np.full((192, 1), -4096, np.int16)
+    arr, _ = decode_flac(flac_bytes(const, mode="constant", wasted=3))
+    assert np.array_equal(arr, const)
+    # 5-bit Rice parameter width (residual method 1)
+    arr, _ = decode_flac(flac_bytes(pcm, fixed_order=2, kbits=5))
+    assert np.array_equal(arr, pcm)
+    # LPC under mid/side stereo too
+    st = _sig(192, ch=2)
+    arr, _ = decode_flac(
+        flac_bytes(st, mode="lpc", lpc=([3, -1], 1, 4), stereo="ms")
+    )
+    assert np.array_equal(arr, st)
+
+
+def test_flac_frame_bps_mismatch_rejected():
+    pcm = _sig(192)
+    ok = bytearray(flac_bytes(pcm))
+    # frame header byte carrying ss_code: flip 'from STREAMINFO' (000)
+    # to 24-bit (110); find it right after the 4-byte sync+codes —
+    # header layout: 2B sync/flags, 1B bs|sr codes, 1B ch|ss codes
+    fstart = ok.index(b"\xff\xf8")
+    b3 = ok[fstart + 3]
+    ok[fstart + 3] = (b3 & 0xF1) | (6 << 1)  # ss_code=6 (24-bit)
+    import struct as _s
+    # re-CRC the header so the bps check (not CRC-8) fires
+    from data_governance_spark.operators.flac import _crc8
+    hdr_end = fstart + 6  # sync..coded number(1B)+blocksize(2B)? find CRC byte by re-scan
+    # simpler: recompute over the real header span: everything up to
+    # the old CRC byte, whose position is unchanged by the bit edit
+    # (header length is fixed for this encoder: 4 + 1 + 2 = 7 bytes)
+    hdr_len = 7
+    ok[fstart + hdr_len] = _crc8(bytes(ok[fstart : fstart + hdr_len]))
+    with pytest.raises(ValueError, match="sample size exceeds"):
+        decode_flac(bytes(ok))

@@ -850,7 +850,15 @@ def test_decode_image_avi_first_frame_and_wav_guidance():
 
 
 # ---- Sun AU + AIFF -------------------------------------------------------
-_CPY_TEST = "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/test"
+def _cpy_test_dir():
+    """CPython's own test-data directory (ships with every <=3.12)."""
+    import os
+    import test
+
+    return os.path.dirname(test.__file__)
+
+
+_CPY_TEST = _cpy_test_dir()
 
 
 def test_au_mulaw_fixture_matches_sunau_reference():
@@ -967,3 +975,51 @@ def test_decode_audio_dispatch_and_features():
     assert f[:3] == [32.0, 1.0, 8000.0] and f[3] == 1000.0
     with pytest.raises(ValueError, match="unrecognized audio"):
         decode_audio(b"????" * 4)
+
+
+def test_au_honors_declared_data_size():
+    import struct
+
+    from data_governance_spark.operators.multimodal import decode_au
+
+    pcm = np.arange(10, dtype=np.int16)
+    payload = pcm.astype(">i2").tobytes()
+    raw = (b".snd" + struct.pack(">IIIII", 24, len(payload), 3, 8000, 1)
+           + payload + b"TRAILING-ANNOTATION-GARBAGE!")
+    arr, _ = decode_au(raw)
+    # trailing bytes after the declared size are NOT audio
+    assert arr.shape == (10, 1) and np.array_equal(arr[:, 0], pcm)
+
+
+def test_aiff_corrupt_exponent_is_typed_valueerror():
+    import struct
+
+    from data_governance_spark.operators.multimodal import decode_aiff
+
+    comm = struct.pack(">hIh", 1, 0, 16) + struct.pack(">H", 0x7FFE) \
+        + struct.pack(">Q", 1 << 63)
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">III", 12, 0, 0) + b"\x00\x00\x00\x00")
+    raw = b"FORM" + struct.pack(">I", len(body)) + body
+    with pytest.raises(ValueError, match="AIFF"):
+        decode_aiff(raw)
+
+
+def test_aiff_ssnd_padding_not_decoded():
+    """COMM numSampleFrames bounds the output, like the aifc
+    reference — SSND block padding is not audio."""
+    import struct
+
+    from data_governance_spark.operators.multimodal import decode_aiff
+
+    pcm = np.arange(6, dtype=np.int16)
+    data = pcm.astype(">i2").tobytes() + b"\x00" * 8  # 4 pad "frames"
+    comm = struct.pack(">hIh", 1, 6, 16) + struct.pack(">H", 16398) \
+        + struct.pack(">Q", 0xAC44 << 48)
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">III", len(data) + 8, 0, 0)[:4]
+            + struct.pack(">II", 0, 0) + data)
+    raw = b"FORM" + struct.pack(">I", len(body)) + body
+    arr, rate = decode_aiff(raw)
+    assert arr.shape == (6, 1) and np.array_equal(arr[:, 0], pcm)
+    assert rate == 44100
