@@ -178,3 +178,48 @@ def test_invalid_params(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         train_bpe(docs, min_freq=0)
+
+
+def test_bpe_counts_feed_sequence_packing(spark):
+    """The DEPLOY-documented composition: real subword counts from a
+    trained BPE replace the whitespace approximation as the packing
+    budget (pack_sequences consumes them via token_count_col)."""
+    from data_governance_spark.operators.packing import pack_sequences
+
+    train = spark.createDataFrame(
+        [(1, " ".join(w for w, f in SENNRICH.items() for _ in range(f)))],
+        "doc_id long, text string",
+    )
+    model = train_bpe(train, num_merges=6)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["low low lower", "newest widest", "low", "newest newest newest"]
+        )],
+        "doc_id long, text string",
+    )
+    counted = docs.join(bpe_token_counts(docs, model), "doc_id")
+    packed = pack_sequences(
+        counted, max_tokens=16, num_buckets=2,
+        token_count_col="bpe_token_count",
+    )
+    rows = {r["doc_id"]: r for r in packed.collect()}
+    ranks = model.ranks()
+    for i, t in enumerate(
+        ["low low lower", "newest widest", "low", "newest newest newest"]
+    ):
+        want = sum(len(bpe_encode_word(w, ranks)) for w in t.split())
+        assert rows[i]["n_tokens"] == want
+    # offsets are consistent with the concat-and-chunk layout: within
+    # each bucket the docs form one continuous token stream, and each
+    # doc's global start (pack_id * max + offset) is the running sum
+    # of the BPE counts before it (docs may straddle pack boundaries —
+    # that is the layout's contract, not a bug)
+    by_bucket = {}
+    for r in rows.values():
+        by_bucket.setdefault(r["pack_bucket"], []).append(r)
+    for group in by_bucket.values():
+        group.sort(key=lambda r: (r["pack_id"], r["pack_offset"]))
+        acc = 0
+        for r in group:
+            assert r["pack_id"] * 16 + r["pack_offset"] == acc
+            acc += r["n_tokens"]

@@ -159,6 +159,7 @@ def _encode_subframe(bw, samples, bps, mode, fixed_order, p_order,
     n_parts = 1 << p_order
     bs = len(samples)
     assert bs % n_parts == 0
+    assert bs // n_parts > order, "first partition must outlast warmup"
     idx = 0
     for part in range(n_parts):
         n = bs // n_parts - (order if part == 0 else 0)
