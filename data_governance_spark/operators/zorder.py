@@ -15,10 +15,12 @@ Shape:
   (sampling-based, driver-cheap, skew-robust — equal-POPULATION
   buckets, unlike min-max scaling which collapses under outliers).
 - ``zorder_key``: interleave the bucket bits JVM-side (shift/or
-  expression tree — no UDF). Boundary lookup is a sorted-array
-  ``size(filter(...))`` HOF: O(2^bits) comparisons per row, fine for
-  the default bits=8 write-side job (a native codegen'd binary search
-  is the production upgrade path, not a semantic change).
+  expression tree — no UDF). Boundary lookup is a balanced nested
+  ``CASE WHEN`` binary-search tree: codegen'd, O(bits) comparisons
+  per row (each row walks ONE root-to-leaf path). Spark's native
+  ``width_bucket`` was deliberately NOT used — it is equal-WIDTH
+  binning over [min, max], which collapses under skew; these are
+  equal-POPULATION quantile buckets with arbitrary boundaries.
 - ``write_zordered``: range-partition + sort by the key and write —
   ``repartitionByRange`` does a sampling pass so files get even row
   counts, then the within-partition sort makes each file a contiguous
@@ -57,10 +59,26 @@ def column_buckets(
 
 
 def _bucket_expr(col: str, bounds: list[float]) -> Column:
-    """Bucket index = number of boundaries <= value (sorted bounds)."""
-    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    """Bucket index = number of boundaries <= value (sorted bounds),
+    as a balanced binary-search tree of nested CASE WHEN: each row
+    evaluates O(bits) comparisons down one path, and CaseWhen stays
+    inside whole-stage codegen (vs the earlier ``size(filter(...))``
+    HOF — interpreted CodegenFallback doing O(2^bits) comparisons per
+    row; pinned equivalent in tests/test_zorder.py, including NULL →
+    bucket 0 and NaN → top bucket edge semantics)."""
+    bs = [float(b) for b in bounds]
     v = F.col(col).cast("double")
-    return F.size(F.filter(arr, lambda b: b <= v)).cast("bigint")
+
+    def search(lo: int, hi: int) -> Column:
+        # invariant: bucket index is known to lie in [lo, hi]
+        if lo >= hi:
+            return F.lit(lo).cast("bigint")
+        m = (lo + hi) // 2  # test boundary bs[m]: true => bucket > m
+        return F.when(v >= F.lit(bs[m]), search(m + 1, hi)).otherwise(
+            search(lo, m)
+        )
+
+    return search(0, len(bs))
 
 
 def _check_geometry(boundaries: dict[str, list[float]], bits: int) -> list[str]:
@@ -101,10 +119,9 @@ def zorder_key(
 ) -> Column:
     """The Morton key: bit i of column j lands at position
     i * n_cols + j (columns in sorted-name order). Pure shift/or
-    Column expression, no UDF. NOTE: the bucket lookup is a HOF, which
-    Spark re-evaluates per bit reference (HOFs are excluded from
-    subexpression elimination — the repo's documented d06 lesson);
-    fine for gate/probe-sized inputs, but the WRITE path goes through
+    Column expression, no UDF. The inline form repeats each bucket
+    tree per bit reference (codegen subexpression elimination usually
+    dedups it, but don't rely on that); the WRITE path goes through
     ``write_zordered``, which materializes the bucket columns once
     before interleaving."""
     cols = _check_geometry(boundaries, bits)
@@ -125,10 +142,11 @@ def write_zordered(
     if boundaries is None:
         boundaries = column_buckets(df, cols, bits)
     ordered = _check_geometry(boundaries, bits)
-    # stage the HOF bucket lookups as REAL columns first: one
-    # evaluation each, instead of `bits` re-evaluations inside the
-    # interleave (HOFs are interpreted and skipped by subexpression
-    # elimination)
+    # stage the bucket lookups as REAL columns first: one evaluation
+    # each, instead of `bits` textual repeats inside the interleave
+    # (codegen subexpr elimination would probably dedup the CaseWhen
+    # trees, but a materialized column is guaranteed and keeps the
+    # interleave expression small)
     staged = df.select(
         "*",
         *[

@@ -126,6 +126,58 @@ def test_boundaries_reuse_for_increments(spark, tmp_path, monkeypatch):
         )
 
 
+def test_bucket_expr_tree_matches_hof_reference(spark):
+    """Pin the CASE-WHEN binary-search bucket lookup against the
+    original count-of-boundaries-<= HOF semantics, across the edge
+    cases where they could plausibly diverge: exact boundary hits,
+    duplicated boundary values, NULL (bucket 0) and NaN (top bucket,
+    Spark orders NaN above everything)."""
+    from data_governance_spark.operators.zorder import _bucket_expr
+
+    bounds = [1.0, 2.0, 2.0, 3.5, 3.5, 3.5, 10.0]  # dups on purpose
+    vals = [0.5, 1.0, 1.5, 2.0, 2.5, 3.5, 9.99, 10.0, 11.0,
+            None, float("nan"), -1e18, 1e18]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    arr = F.array(*[F.lit(b) for b in bounds])
+    hof = F.size(
+        F.filter(arr, lambda b: b <= F.col("v").cast("double"))
+    ).cast("bigint")
+    out = df.select(
+        "id", "v",
+        _bucket_expr("v", bounds).alias("tree"), hof.alias("hof"),
+    ).collect()
+    for r in out:
+        assert r["tree"] == r["hof"], (r["v"], r["tree"], r["hof"])
+    # explicit edge pins (don't just trust the HOF reference)
+    got = {r["id"]: r["tree"] for r in out}
+    assert got[9] == 0  # NULL -> bucket 0
+    assert got[10] == len(bounds)  # NaN -> top bucket
+    assert got[3] == 3  # v == 2.0 counts both 2.0 boundaries + 1.0
+
+
+def test_bucket_expr_stays_in_codegen(spark):
+    """The write-path motivation for the tree: the bucket stage must
+    be codegen'd (the old HOF showed up as an interpreted
+    CodegenFallback filter/size over a 2^bits literal array)."""
+    from data_governance_spark.operators.zorder import _bucket_expr
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    bounds = [float(i + 1) for i in range(255)]  # bits=8 geometry
+    staged = df.select(_bucket_expr("v", bounds).alias("b"))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = staged._jdf.queryExecution().explainString(mode)
+    # formatted mode tags codegen'd nodes with "[codegen id : N]" and
+    # a "*" prefix; the projection node must carry one
+    assert "Project [codegen id :" in plan
+    assert "CASE WHEN" in plan
+    # no HOF artifacts left in the projection
+    assert "filter(" not in plan and "size(" not in plan
+
+
 def test_invalid_params(spark):
     df = spark.createDataFrame([(1, 2)], "a long, b long")
     with pytest.raises(ValueError, match="bits"):
