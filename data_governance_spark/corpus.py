@@ -136,6 +136,7 @@ def prepare_corpus(
     url_col: str = "url",
     c4_lines: bool = False,
     dedup_lines: bool = False,
+    dedup_substr_width: int | None = None,
     quality_rules: dict | None = None,
     compression_bounds: tuple[float, float] | None = None,
     benchmark: DataFrame | None = None,
@@ -168,7 +169,10 @@ def prepare_corpus(
     ``c4_lines=True`` inserts the C4 line-level cleaning pass
     (operators/lines.py, published defaults) after extraction;
     ``dedup_lines=True`` adds cross-corpus boilerplate-line removal
-    (``dedup_lines_global``) after it.
+    (``dedup_lines_global``) after it. ``dedup_substr_width=N`` adds
+    the ExactSubstr tier (operators/exsubstr.py, Lee et al. 2022):
+    duplicated N-token spans removed from all-but-first occurrence,
+    after line dedup and before the quality cut.
     ``minhash_hashes``/``minhash_bands`` size the sketch
     (rows-per-band = hashes/bands sets the LSH S-curve; the 64/16
     default matches the published web-dedup configs).
@@ -200,6 +204,20 @@ def prepare_corpus(
         # cross-corpus boilerplate removal (2 shuffles — the one
         # non-map-only pre-filter stage, hence opt-in)
         docs = dedup_lines_global(docs, id_col=id_col, text_col=text_col)
+    if dedup_substr_width is not None:
+        # ExactSubstr tier (Lee et al. 2022): remove duplicated
+        # dedup_substr_width-token spans from all-but-first occurrence.
+        # Runs with the other rewrite tiers, BEFORE the quality cut so
+        # the Gopher signals score the deduplicated text (a page that
+        # is 90% boilerplate should be judged on its own 10%).
+        from data_governance_spark.operators.exsubstr import (
+            dedup_substrings,
+        )
+
+        docs = dedup_substrings(
+            docs, id_col=id_col, text_col=text_col,
+            width=dedup_substr_width,
+        )
     filtered = filter_corpus(docs, quality_rules, text_col=text_col)
     if compression_bounds is not None:
         # zlib-ratio cut (operators/quality.compression_ratio): the

@@ -1489,6 +1489,14 @@ _JACCARD_MIN = 0.05
 _DECON_N = 13
 _DECON_PREFIX = 20
 _DECON_MOD = 7
+# ExactSubstr sub-gate width: 15 tokens is small enough that the REAL
+# documents table has genuinely duplicated windows at every SF
+# (sf0.01: 857 shared 15-grams), so the gate runs the operator on real
+# data and the oracle restates the full mark-merge-rebuild pipeline
+# generically — no planting. documents.text is single-spaced and
+# trimmed at every SF (verified), so the oracle's token-join rebuild
+# is byte-identical to the operator's char-exact cut.
+_EXS_W = 15
 
 
 # The rare-shingle Jaccard pair query as standalone SQL — embedded by
@@ -1551,6 +1559,44 @@ _D06_PAIRS_SQL = f"""
                  i -> array_to_string(t[i:i+{_DECON_N - 1}], ' '))) AS gram
         FROM toks WHERE len(t) >= {_DECON_N}
       )
+    ),
+    exw AS (
+      SELECT doc_id, s.pos AS pos, s.gram AS gram FROM (
+        SELECT doc_id, unnest(list_transform(
+                 range(1, len(t) - {_EXS_W - 2}),
+                 i -> struct_pack(pos := i - 1,
+                                  gram := array_to_string(
+                                    t[i:i+{_EXS_W - 1}], ' ')))) AS s
+        FROM toks WHERE len(t) >= {_EXS_W}
+      )
+    ),
+    exr AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY gram) AS n,
+               row_number() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, pos) AS rn
+        FROM exw
+      ) WHERE n >= 2 AND rn > 1
+    ),
+    excov AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + {_EXS_W})) AS p
+      FROM exr
+    ),
+    extok AS (
+      SELECT doc_id, s.p AS p, s.tok AS tok FROM (
+        SELECT doc_id, unnest(list_transform(
+                 range(1, len(t) + 1),
+                 i -> struct_pack(p := i - 1, tok := t[i]))) AS s
+        FROM toks
+      )
+    ),
+    exnew AS (
+      SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.p) AS new_text
+      FROM extok k LEFT JOIN excov c
+        ON k.doc_id = c.doc_id AND k.p = c.p
+      WHERE c.doc_id IS NULL
+      GROUP BY k.doc_id
     )
     SELECT 'pairs' AS gate,
            CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR) AS k,
@@ -1561,12 +1607,18 @@ _D06_PAIRS_SQL = f"""
     SELECT 'decon', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(count(*) AS DOUBLE)
     FROM cg JOIN bg USING (gram) GROUP BY doc_id
+    UNION ALL
+    SELECT 'exs', CAST(d.doc_id AS VARCHAR),
+           coalesce(x.new_text, ''), CAST(NULL AS DOUBLE)
+    FROM documents d LEFT JOIN exnew x ON d.doc_id = x.doc_id
     """,
     doc="merged gate (r6 driver-budget): n-gram Jaccard near-dup pairs "
     f"with rare-shingle candidate pruning (df<={_RARE_DF}, the O(df^2) "
     "pair blow-up killer at scale; ex-d06) + benchmark decontamination "
     f"({_DECON_N}-gram overlap hit counts vs a synthesized eval set, "
-    "operators/decontam.py; new in r6)",
+    "operators/decontam.py; new in r6) + exact substring dedup "
+    f"(Lee et al. 2022 ExactSubstr, {_EXS_W}-token windows over the "
+    "REAL corpus, operators/exsubstr.py; new in r8)",
 )
 def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -1597,7 +1649,21 @@ def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("v_s"),
         F.col("hits").cast("double").alias("v_d"),
     )
-    return pair_rows.unionByName(decon)
+    # exs sub-gate: the REAL ExactSubstr operator over the real corpus
+    # (857 duplicated 15-grams at sf0.01 — genuinely exercised), the
+    # full rewritten text compared byte-for-byte against the oracle's
+    # generic mark-merge-rebuild restatement
+    from data_governance_spark.operators.exsubstr import dedup_substrings
+
+    exs = dedup_substrings(
+        docs.select("doc_id", "text"), width=_EXS_W
+    ).select(
+        F.lit("exs").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("text").alias("v_s"),
+        F.lit(None).cast("double").alias("v_d"),
+    )
+    return pair_rows.unionByName(decon).unionByName(exs)
 
 
 def _d06_pair_df(

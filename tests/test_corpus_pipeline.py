@@ -177,6 +177,34 @@ class TestPrepareCorpusOptions:
         kept = sorted(row["doc_id"] for row in r.kept.collect())
         assert kept == [0, 1, 3, 4, 5]  # doc 2 decontaminated away
 
+    def test_dedup_substr_tier(self, spark):
+        from data_governance_spark.corpus import prepare_corpus
+
+        boiler = " ".join(f"b{j}" for j in range(12))  # shared 12-gram
+
+        def text(i):
+            return boiler + " " + " ".join(
+                ["the", "of"] + [f"s{i}x{j}" for j in range(58)]
+            )
+
+        docs = spark.createDataFrame(
+            [(i, text(i)) for i in range(4)], "doc_id long, text string"
+        )
+        r = prepare_corpus(
+            docs,
+            dedup_substr_width=10,
+            quality_rules={},
+            pii=False,
+            persist_clean=False,
+        )
+        out = {row["doc_id"]: row["text"] for row in r.kept.collect()}
+        assert out[0] == text(0)  # canonical keeps the boilerplate
+        for i in (1, 2, 3):
+            # shared windows are those ending at or before the last
+            # common token ("of", pos 13): starts 0..4, whose coverage
+            # is the boilerplate plus the common "the of" lead-in
+            assert out[i] == " ".join(text(i).split()[14:])
+
     def test_url_tier(self, spark):
         from data_governance_spark.corpus import prepare_corpus
 
