@@ -39,12 +39,23 @@ the union (all three pinned by tests, none silently unstated):
 Scale shape: per-increment work is proportional to the BATCH plus one
 equi-join against the state tables on pre-hashed keys (fp; band key).
 Nothing is recomputed for the existing corpus — that is the point of
-persisting state. Both state tables can be bucketed by their join key
-in storage to make the increment join shuffle-free on the state side.
+persisting state. ``save_dedup_state(..., buckets=N)`` writes every
+state table BUCKETED by its join key (exact by ``fp``, sigs by
+``doc_id``, and a pre-derived band relation by ``(band, key)``), so
+each increment join reads the corpus-sized state side WITHOUT an
+Exchange — only the batch side shuffles (plan-asserted in
+tests/test_incremental.py; timed in scripts/stress_incremental.py).
+Bucketed storage trades the plain layout's parameter portability for
+that shuffle-free scan: the stored band relation is bound to the
+saved (bands, num_hashes), which the params table carries anyway.
+Appends preserve bucketing (Spark adds per-bucket files), so a
+production loop can write only each increment's delta.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,6 +83,12 @@ class DedupState:
     num_hashes: int = 64
     bands: int = 16
     shingle_n: int = 3
+    # optional pre-derived (doc_id, band, key) relation — set by
+    # load_dedup_state for bucketed states, where it scans the stored
+    # bucketed band table instead of re-deriving from sigs (keeping
+    # the bucketed output partitioning the cross join consumes).
+    # Invalidated (None) on state updates; save re-derives from sigs.
+    band_rel: DataFrame | None = None
 
     def __post_init__(self):
         if self.bands < 1 or self.num_hashes % self.bands != 0:
@@ -128,29 +145,147 @@ def build_dedup_state(
     )
 
 
-def save_dedup_state(state: DedupState, path: str) -> None:
-    """Persist both tables AND the sketch parameters as parquet under
-    ``path`` (exact/ sigs/ params/)."""
-    state.exact.write.mode("overwrite").parquet(f"{path}/exact")
-    state.sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+def _state_table_name(path: str, part: str) -> str:
+    """Deterministic catalog name for a bucketed state table — derived
+    from the storage path so two states never collide and reloads find
+    the same registration."""
+    h = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:10]
+    return f"dgs_state_{h}_{part}"
+
+
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
+def _write_bucketed(
+    df: DataFrame, path: str, name: str, keys: list[str], buckets: int
+) -> None:
+    """External bucketed+sorted parquet table at ``path``. Bucketing
+    metadata lives in the catalog, so the table is (re)registered under
+    a path-derived name; the old registration and files are cleared
+    first (DROP TABLE on an external table leaves files behind, which
+    would otherwise mix with the rewrite)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    _delete_dir(spark, path)
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, *keys)
+        .sortBy(*keys)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def _ensure_bucketed_table(
+    spark: SparkSession, name: str, path: str, keys: list[str], buckets: int
+) -> DataFrame:
+    """Register (if this session hasn't yet) an external bucketed table
+    over the files at ``path`` and return its scan. The in-memory
+    catalog does not survive sessions, but the bucketed FILES do — the
+    writer names them by bucket id — so a fresh session only needs the
+    DDL re-issued to get shuffle-free scans back."""
+    if not spark.catalog.tableExists(name):
+        schema = spark.read.parquet(path).schema
+        cols_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        keys_ddl = ", ".join(f"`{k}`" for k in keys)
+        spark.sql(
+            f"CREATE TABLE {name} ({cols_ddl}) USING PARQUET "
+            f"CLUSTERED BY ({keys_ddl}) SORTED BY ({keys_ddl}) "
+            f"INTO {buckets} BUCKETS LOCATION '{path}'"
+        )
+    return spark.table(name)
+
+
+def save_dedup_state(
+    state: DedupState, path: str, buckets: int | None = None
+) -> None:
+    """Persist the state tables AND the sketch parameters under
+    ``path`` (exact/ sigs/ params/, plus bands/ when bucketed).
+
+    ``buckets=None`` writes plain parquet (parameter-portable, every
+    increment join shuffles the state side). ``buckets=N`` writes each
+    table bucketed by its increment-join key — exact by ``fp``, sigs
+    by ``doc_id``, and the derived band relation by ``(band, key)`` —
+    so ``incremental_dedup`` reads the corpus-sized side of every join
+    without an Exchange. Size N so each bucket file lands near the
+    storage block size at the target corpus scale."""
     spark = state.exact.sparkSession
+    if buckets is None:
+        state.exact.write.mode("overwrite").parquet(f"{path}/exact")
+        state.sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+    else:
+        if buckets < 1:
+            raise ValueError(f"buckets must be >= 1, got {buckets}")
+        _write_bucketed(
+            state.exact,
+            f"{path}/exact",
+            _state_table_name(path, "exact"),
+            ["fp"],
+            buckets,
+        )
+        _write_bucketed(
+            state.sigs,
+            f"{path}/sigs",
+            _state_table_name(path, "sigs"),
+            ["doc_id"],
+            buckets,
+        )
+        # band relation re-derived from sigs (map-only explode) so an
+        # updated state (whose band_rel is invalidated) saves correctly
+        _write_bucketed(
+            _band_table(state.sigs, state.bands, state.num_hashes),
+            f"{path}/bands",
+            _state_table_name(path, "bands"),
+            ["band", "key"],
+            buckets,
+        )
     spark.createDataFrame(
-        [(state.num_hashes, state.bands, state.shingle_n)],
-        "num_hashes int, bands int, shingle_n int",
+        [(state.num_hashes, state.bands, state.shingle_n, buckets or 0)],
+        "num_hashes int, bands int, shingle_n int, buckets int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def load_dedup_state(spark: SparkSession, path: str) -> DedupState:
     """Load a saved state; the sketch parameters come from the state
     itself — a caller-supplied mismatch would silently zero the
-    near-dup recall (wrong band arithmetic, wrong shingle width)."""
-    p = spark.read.parquet(f"{path}/params").collect()[0]
+    near-dup recall (wrong band arithmetic, wrong shingle width).
+    Bucketed states (``save_dedup_state(..., buckets=N)``) come back
+    as bucketed-table scans whose increment joins skip the state-side
+    Exchange."""
+    pdf = spark.read.parquet(f"{path}/params")
+    p = pdf.collect()[0]
+    buckets = p["buckets"] if "buckets" in pdf.columns else 0
+    if buckets:
+        exact = _ensure_bucketed_table(
+            spark, _state_table_name(path, "exact"),
+            f"{path}/exact", ["fp"], buckets,
+        )
+        sigs = _ensure_bucketed_table(
+            spark, _state_table_name(path, "sigs"),
+            f"{path}/sigs", ["doc_id"], buckets,
+        )
+        band_rel = _ensure_bucketed_table(
+            spark, _state_table_name(path, "bands"),
+            f"{path}/bands", ["band", "key"], buckets,
+        )
+    else:
+        exact = spark.read.parquet(f"{path}/exact")
+        sigs = spark.read.parquet(f"{path}/sigs")
+        band_rel = None
     return DedupState(
-        exact=spark.read.parquet(f"{path}/exact"),
-        sigs=spark.read.parquet(f"{path}/sigs"),
+        exact=exact,
+        sigs=sigs,
         num_hashes=p["num_hashes"],
         bands=p["bands"],
         shingle_n=p["shingle_n"],
+        band_rel=band_rel,
     )
 
 
@@ -244,6 +379,7 @@ def incremental_dedup(
             sigs=state.sigs,
             num_hashes=nh,
             bands=nb,
+            shingle_n=state.shingle_n,
         )
         return IncrementalResult(
             kept=alive_docs, dropped=dropped_exact, state=new_state
@@ -258,8 +394,15 @@ def incremental_dedup(
     new_bandt = _cap_buckets(
         _band_table(new_sigs, nb, nh), ["band", "key"], max_bucket_size
     )
+    # bucketed states carry a pre-derived band relation whose stored
+    # (band, key) bucketing makes this side of the cross join
+    # shuffle-free; plain states derive it from sigs (map-only)
     state_bandt = _cap_buckets(
-        _band_table(state.sigs, nb, nh), ["band", "key"], max_bucket_size
+        state.band_rel
+        if state.band_rel is not None
+        else _band_table(state.sigs, nb, nh),
+        ["band", "key"],
+        max_bucket_size,
     )
 
     est = (
@@ -368,5 +511,6 @@ def incremental_dedup(
         sigs=state.sigs.unionByName(surv_sigs),
         num_hashes=nh,
         bands=nb,
+        shingle_n=state.shingle_n,
     )
     return IncrementalResult(kept=survivors, dropped=dropped, state=new_state)

@@ -1,29 +1,26 @@
 #!/usr/bin/env python
-"""Batch-size scaling stress for incremental_dedup (DEPLOY.md
-evidence): the whole point of persisted state is that per-increment
-cost tracks the BATCH, not the corpus. This builds state from the full
-documents table, then processes new batches of growing size (each
-batch = the corpus texts re-keyed with fresh ids, so every doc is an
-exact state hit — the worst case for the state join) and reports
-per-batch wall clock. Flat-ish per-row time across batch sizes, with
-full-corpus state, is the pass condition; also verifies every batch
-doc was dropped as 'exact' (correctness under inflation).
+"""Bucketed vs plain dedup-state storage under corpus-scale state
+(DEPLOY.md evidence, r8).
 
-Measured r7 (sf0.1, local[32], full-corpus state of 5 000 docs):
-    state build: 12.7 s (one-time)
-    batch   625: 6.7 s   (10.7 s / 1k rows)
-    batch 5 000: 4.8 s   ( 1.0 s / 1k rows)
-8x the batch costs LESS wall (fixed per-job scheduling dominates tiny
-batches; per-row cost falls 11x) — increment cost tracks the batch,
-and every duplicate dropped as 'exact' at both sizes.
+Builds a state from the sf documents table duplicated x``FACTOR``
+(distinct ids, so the state is genuinely state-sized), saves it plain
+AND bucketed, then runs the same new batch against both and reports:
 
-Usage: python scripts/stress_incremental.py [fracs...]  (default 1/8 1)
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+1. result equality (kept ids, dropped reasons),
+2. wall time per variant,
+3. the plan property that matters at 100 TB: Exchange count over the
+   exact-tier join (plain shuffles the corpus-sized state side every
+   increment; bucketed shuffles only the batch).
+
+Usage: python scripts/stress_incremental.py [factor]   (default 32)
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_STATE_DIR (default /tmp/stress_incremental_state)
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 import time
 
@@ -33,54 +30,95 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from data_governance_spark.operators.incremental import (  # noqa: E402
+    _fingerprints,
     build_dedup_state,
     incremental_dedup,
+    load_dedup_state,
+    save_dedup_state,
 )
 from data_governance_spark.session import get_spark  # noqa: E402
 from data_governance_spark.tables import table  # noqa: E402
 
 
-def main() -> None:
-    fracs = [float(a) for a in sys.argv[1:]] or [0.125, 1.0]
-    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("dg_stress_incremental")
-    spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm-up
-    base = table(spark, sf, "documents").select("doc_id", "text")
-    n_base = base.count()
+def main():
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    root = os.environ.get(
+        "SPARK_GRAFT_STATE_DIR", "/tmp/stress_incremental_state"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    spark = get_spark("stress_incremental")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    # corpus = docs x factor with disjoint ids and per-copy unique text
+    # (suffix token), so the state carries factor * n_docs rows
+    copies = spark.range(factor).select(F.col("id").alias("c"))
+    corpus = docs.crossJoin(copies).select(
+        (F.col("doc_id") + F.col("c") * n_docs * 10).alias("doc_id"),
+        F.concat_ws(
+            " ", "text", F.concat(F.lit("copy"), F.col("c"))
+        ).alias("text"),
+    )
+    state = build_dedup_state(corpus)
     t0 = time.time()
-    state = build_dedup_state(base)
-    # materialize the state once, the way a real deployment would
-    # (parquet on disk); timing the increments must not re-run it
-    state.exact = state.exact.persist()
-    state.sigs = state.sigs.persist()
-    state.exact.count()
-    state.sigs.count()
-    t_state = time.time() - t0
-    print(f"state build over {n_base} docs: {t_state:.1f} s")
+    save_dedup_state(state, f"{root}/plain")
+    t_save_plain = time.time() - t0
+    t0 = time.time()
+    save_dedup_state(state, f"{root}/buck", buckets=n_shuffle)
+    t_save_buck = time.time() - t0
+    print(
+        f"state: {n_docs * factor} docs; save plain {t_save_plain:.1f}s, "
+        f"bucketed {t_save_buck:.1f}s"
+    )
 
-    for frac in fracs:
-        k = max(1, int(n_base * frac))
-        batch = (
-            base.filter(F.col("doc_id") % int(1 / frac + 0.5) == 0
-                        if frac < 1 else F.lit(True))
-            .select(
-                (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
-            )
+    # new batch: half exact dups of copy 0, half fresh
+    base = n_docs * factor * 100
+    batch = docs.limit(n_docs // 2).select(
+        (F.col("doc_id") + base).alias("doc_id"),
+        F.concat_ws(" ", "text", F.lit("copy0")).alias("text"),
+    ).unionByName(
+        docs.limit(n_docs // 2).select(
+            (F.col("doc_id") + base + n_docs).alias("doc_id"),
+            F.concat_ws(" ", "text", F.lit("genuinely new tail")).alias(
+                "text"
+            ),
         )
-        nb = batch.count()
+    ).cache()
+    batch.count()
+
+    results = {}
+    for variant in ("plain", "buck"):
+        st = load_dedup_state(spark, f"{root}/{variant}")
         t0 = time.time()
-        res = incremental_dedup(batch, state)
-        kept = res.kept.count()
-        dropped = res.dropped.filter(F.col("reason") == "exact").count()
-        dt = time.time() - t0
-        # every batch doc exactly matches the state -> all drop
-        status = "OK" if kept == 0 and dropped == nb else "MISMATCH"
-        print(
-            f"batch={nb:7d} rows  wall={dt:6.1f} s  "
-            f"per-1k-rows={1000 * dt / max(nb, 1):6.2f} s  "
-            f"kept={kept} dropped_exact={dropped}  {status}"
+        res = incremental_dedup(batch, st)
+        kept = sorted(r["doc_id"] for r in res.kept.select("doc_id").collect())
+        dropped = sorted(
+            (r["doc_id"], r["reason"]) for r in res.dropped.collect()
         )
+        wall = time.time() - t0
+        results[variant] = (kept, dropped)
+        print(f"{variant}: kept {len(kept)} dropped {len(dropped)} "
+              f"in {wall:.1f}s")
+    assert results["plain"] == results["buck"], "variant results diverged"
+
+    # the plan property: exact-tier join Exchange count per variant
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for variant in ("plain", "buck"):
+        st = load_dedup_state(spark, f"{root}/{variant}")
+        fp = _fingerprints(batch, "doc_id", "text").groupBy("fp").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        plan = (
+            fp.join(st.exact.select("fp", F.col("doc_id").alias("m")), "fp")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        print(
+            f"{variant}: exact-join Exchanges={plan.count('Exchange')} "
+            f"bucketed_scan={'Bucketed: true' in plan}"
+        )
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
 if __name__ == "__main__":

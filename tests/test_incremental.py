@@ -147,3 +147,92 @@ def test_null_text_rows_survive(spark):
     res = incremental_dedup(nulls, state)
     # null text is unknown content, never a duplicate of other nulls
     assert {r["doc_id"] for r in res.kept.collect()} == {41, 42}
+
+
+def test_bucketed_state_round_trip_equals_plain(spark, tmp_path):
+    """buckets=N storage must change ONLY the plan, never the answer:
+    same kept set, same dropped reasons, same behavior after a resave
+    of the UPDATED state (whose band_rel is invalidated)."""
+    kept1 = one_shot_dedup(_docs(spark, BATCH1))
+    state = build_dedup_state(kept1, shingle_n=SHINGLE_N)
+    save_dedup_state(state, str(tmp_path / "plain"))
+    save_dedup_state(state, str(tmp_path / "buck"), buckets=4)
+    sp = load_dedup_state(spark, str(tmp_path / "plain"))
+    sb = load_dedup_state(spark, str(tmp_path / "buck"))
+    assert sp.band_rel is None and sb.band_rel is not None
+    assert sb.shingle_n == SHINGLE_N  # params survive the bucketed path
+    b2 = _docs(spark, BATCH2)
+    rp = incremental_dedup(b2, sp)
+    rb = incremental_dedup(b2, sb)
+    assert {r["doc_id"] for r in rp.kept.collect()} == {
+        r["doc_id"] for r in rb.kept.collect()
+    }
+    assert {(r["doc_id"], r["reason"]) for r in rp.dropped.collect()} == {
+        (r["doc_id"], r["reason"]) for r in rb.dropped.collect()
+    }
+    # updated state resaves bucketed and keeps working
+    save_dedup_state(rb.state, str(tmp_path / "buck2"), buckets=4)
+    s2 = load_dedup_state(spark, str(tmp_path / "buck2"))
+    res3 = incremental_dedup(
+        _docs(spark, [(21, "fresh unseen material for the second batch")]), s2
+    )
+    assert res3.kept.count() == 0
+
+
+def test_bucketed_state_joins_are_state_side_shuffle_free(spark, tmp_path):
+    """The r8 point of buckets=N: the corpus-sized state side of the
+    exact-tier join reads WITHOUT an Exchange (one shuffle total — the
+    batch side), and the stored band relation scans bucketed."""
+    from data_governance_spark.operators.incremental import _fingerprints
+
+    state = build_dedup_state(_docs(spark, BATCH1), shingle_n=SHINGLE_N)
+    # buckets == shuffle partitions: the batch side's aggregation
+    # exchange already co-partitions with the bucketed scan
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    save_dedup_state(state, str(tmp_path / "st"), buckets=n_shuffle)
+    st = load_dedup_state(spark, str(tmp_path / "st"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fp = (
+            _fingerprints(_docs(spark, BATCH2), "doc_id", "text")
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        j = fp.join(
+            st.exact.select("fp", F.col("doc_id").alias("m")), "fp"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange") == 1  # batch side only
+        # the band relation's bucketing is consumed by (band, key)
+        # equi-joins: a self-join co-locates with ZERO exchanges
+        # (a bare scan legitimately drops unused bucketing metadata —
+        # autoBucketedScan — so the join IS the assertion)
+        a = st.band_rel.alias("a")
+        b = st.band_rel.select(
+            F.col("band"), F.col("key"), F.col("doc_id").alias("other")
+        ).alias("b")
+        band_plan = (
+            a.join(b, ["band", "key"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Bucketed: true" in band_plan
+        assert "Exchange" not in band_plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_state_shingle_n_survives_updates(spark):
+    state = build_dedup_state(
+        one_shot_dedup(_docs(spark, BATCH1)), shingle_n=SHINGLE_N
+    )
+    res = incremental_dedup(_docs(spark, BATCH2), state)
+    assert res.state.shingle_n == SHINGLE_N
+    res_exact_only = incremental_dedup(
+        _docs(spark, [(51, "only the exact tier runs here")]),
+        state,
+        threshold=1.01,
+    )
+    assert res_exact_only.state.shingle_n == SHINGLE_N
