@@ -73,7 +73,13 @@ from pyspark.sql import functions as F
 
 from data_governance_spark.functions.text import tokens
 
-_WS = re.compile(r"\S+")
+# re.ASCII: Java/Spark `\s` (the marking tokenizer's split) and
+# DuckDB/RE2's `\s` are ASCII-only, while Python's default `\S` is
+# Unicode-aware — a U+00A0 in HTML-extracted text would make the
+# cutter see MORE tokens than the marker indexed, shifting every
+# removal window (the same Java-parity reason operators/bpe.py
+# compiles its pre-tokenizer with re.ASCII)
+_WS = re.compile(r"\S+", re.ASCII)
 
 
 def _cutter(width: int):
@@ -210,6 +216,8 @@ def dedup_substrings(
     the touched documents; schema and row count are unchanged (a fully
     duplicated document survives with empty text — callers filter).
     ``id_col`` values must be unique."""
+    from data_governance_spark.cache import tracked_persist
+
     removals = duplicated_window_starts(
         docs,
         id_col=id_col,
@@ -219,8 +227,14 @@ def dedup_substrings(
         keep=keep,
         strategy=strategy,
     )
-    starts = removals.groupBy(F.col(id_col).alias("_es_rid")).agg(
-        F.sort_array(F.collect_set("pos")).alias("_es_starts")
+    # starts feeds two join branches (anti for untouched, inner for
+    # touched); it is tiny (one row per touched doc) but its LINEAGE is
+    # the whole corpus-wide marking pipeline — persist so that runs
+    # once instead of relying on exchange reuse
+    starts = tracked_persist(
+        removals.groupBy(F.col(id_col).alias("_es_rid")).agg(
+            F.sort_array(F.collect_set("pos")).alias("_es_starts")
+        )
     )
     on = docs[id_col] == starts["_es_rid"]
     untouched = docs.join(starts, on, "left_anti")

@@ -160,25 +160,60 @@ def _delete_dir(spark: SparkSession, path: str) -> None:
     fs.delete(p, True)
 
 
-def _write_bucketed(
-    df: DataFrame, path: str, name: str, keys: list[str], buckets: int
+def _rename_dir(spark: SparkSession, src: str, dst: str) -> None:
+    jvm = spark._jvm
+    s = jvm.org.apache.hadoop.fs.Path(src)
+    d = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = s.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.rename(s, d):
+        raise IOError(f"rename {src} -> {dst} failed")
+
+
+def _write_bucketed_set(
+    writes: list[tuple[DataFrame, str, list[str]]],
+    root: str,
+    buckets: int,
 ) -> None:
-    """External bucketed+sorted parquet table at ``path``. Bucketing
-    metadata lives in the catalog, so the table is (re)registered under
-    a path-derived name; the old registration and files are cleared
-    first (DROP TABLE on an external table leaves files behind, which
-    would otherwise mix with the rewrite)."""
-    spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    _delete_dir(spark, path)
-    (
-        df.write.mode("overwrite")
-        .option("path", path)
-        .bucketBy(buckets, *keys)
-        .sortBy(*keys)
-        .format("parquet")
-        .saveAsTable(name)
-    )
+    """External bucketed+sorted parquet tables under ``root``, written
+    in TWO PHASES: stage every table under ``<part>__staging__`` first,
+    then swap them all in. Bucketing metadata lives in the catalog, so
+    each table is (re)registered under a path-derived name.
+
+    Two phases because the load-modify-save loop
+    (``save_dedup_state(res.state, same_path)``) READS the files it is
+    replacing — and not just table-by-table: the updated sigs' lineage
+    reads the OLD exact files through the survivor computation, so
+    swapping exact before staging sigs would delete files sigs still
+    needs (measured: FILE_NOT_EXIST mid-save). All stagings complete
+    against the intact old state; only then do the swaps run. A crash
+    between a delete and its rename leaves the complete staging
+    directory next to the missing final one — recoverable by hand."""
+    assert writes, "empty write set"
+    spark = writes[0][0].sparkSession
+    staged = []
+    for df, part, keys in writes:
+        path = f"{root}/{part}"
+        name = _state_table_name(root, part)
+        staging = f"{path}__staging__"
+        tmp_name = f"{name}_staging"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        _delete_dir(spark, staging)
+        (
+            df.write.mode("overwrite")
+            .option("path", staging)
+            .bucketBy(buckets, *keys)
+            .sortBy(*keys)
+            .format("parquet")
+            .saveAsTable(tmp_name)
+        )
+        staged.append((path, name, keys, staging, tmp_name))
+    # every table safely on disk at staging; swap files + registrations
+    for path, name, keys, staging, tmp_name in staged:
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")  # external: files stay
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _delete_dir(spark, path)
+        _rename_dir(spark, staging, path)
+        _ensure_bucketed_table(spark, name, path, keys, buckets)
 
 
 def _ensure_bucketed_table(
@@ -188,7 +223,22 @@ def _ensure_bucketed_table(
     over the files at ``path`` and return its scan. The in-memory
     catalog does not survive sessions, but the bucketed FILES do — the
     writer names them by bucket id — so a fresh session only needs the
-    DDL re-issued to get shuffle-free scans back."""
+    DDL re-issued to get shuffle-free scans back.
+
+    An existing registration is verified against the requested bucket
+    count (the files may have been re-saved with different buckets by
+    another process since this session registered the name); a
+    mismatch drops and re-issues the DDL — a stale bucket spec would
+    make Spark treat the data as hash-distributed by the wrong modulus
+    and silently mis-co-partition the 'shuffle-free' joins."""
+    if spark.catalog.tableExists(name):
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        }
+        if desc.get("Num Buckets") == str(buckets):
+            return spark.table(name)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
     if not spark.catalog.tableExists(name):
         schema = spark.read.parquet(path).schema
         cols_ddl = ", ".join(
@@ -223,27 +273,19 @@ def save_dedup_state(
     else:
         if buckets < 1:
             raise ValueError(f"buckets must be >= 1, got {buckets}")
-        _write_bucketed(
-            state.exact,
-            f"{path}/exact",
-            _state_table_name(path, "exact"),
-            ["fp"],
-            buckets,
-        )
-        _write_bucketed(
-            state.sigs,
-            f"{path}/sigs",
-            _state_table_name(path, "sigs"),
-            ["doc_id"],
-            buckets,
-        )
         # band relation re-derived from sigs (map-only explode) so an
         # updated state (whose band_rel is invalidated) saves correctly
-        _write_bucketed(
-            _band_table(state.sigs, state.bands, state.num_hashes),
-            f"{path}/bands",
-            _state_table_name(path, "bands"),
-            ["band", "key"],
+        _write_bucketed_set(
+            [
+                (state.exact, "exact", ["fp"]),
+                (state.sigs, "sigs", ["doc_id"]),
+                (
+                    _band_table(state.sigs, state.bands, state.num_hashes),
+                    "bands",
+                    ["band", "key"],
+                ),
+            ],
+            path,
             buckets,
         )
     spark.createDataFrame(

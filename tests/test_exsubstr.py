@@ -21,7 +21,8 @@ from data_governance_spark.operators.exsubstr import (
 # pure-Python reference (independent restatement of the semantics)
 # ------------------------------------------------------------------ #
 def ref_dedup(docs: dict, width: int, min_count: int = 2, keep: str = "first"):
-    toks = {i: re.findall(r"\S+", t) for i, t in docs.items()}
+    # re.ASCII mirrors the operator (Java/RE2 \s parity)
+    toks = {i: re.findall(r"\S+", t, re.ASCII) for i, t in docs.items()}
     occ: dict = {}
     for i in sorted(toks):
         ts = toks[i]
@@ -36,7 +37,7 @@ def ref_dedup(docs: dict, width: int, min_count: int = 2, keep: str = "first"):
                     rem.setdefault(o[0], set()).add(o[1])
     out = {}
     for i, t in docs.items():
-        spans = [m.span() for m in re.finditer(r"\S+", t)]
+        spans = [m.span() for m in re.finditer(r"\S+", t, re.ASCII)]
         n = len(spans)
         covered = set()
         for s in rem.get(i, ()):
@@ -162,6 +163,23 @@ def test_reference_differential(spark, width, keep, strategy):
         spark, docs, width=width, keep=keep, strategy=strategy
     )
     assert out == ref_dedup(docs, width, keep=keep)
+
+
+def test_unicode_whitespace_token_parity(spark):
+    # U+00A0 is NOT whitespace to Spark's Java-ASCII \s+ split, so
+    # 'foo bar' is ONE token in both the marker and the cutter
+    # (re.ASCII) — without the ASCII flag the cutter would see two
+    # tokens and shift every removal index (code-review r8 finding)
+    docs = {
+        1: "foo bar " + BOILER + " tail1",
+        2: "foo bar " + BOILER + " tail2",
+    }
+    # tokens: NBSP-joined 'foo bar'(1) + BOILER(5) + tail(1) = 7;
+    # the shared 6-token prefix is exactly one width-6 window at pos 0
+    out = _run(spark, docs, width=6)
+    assert out[1] == docs[1]
+    assert out[2] == "tail2"
+    assert out == ref_dedup(docs, 6)
 
 
 def test_plan_no_cartesian(spark):

@@ -236,3 +236,56 @@ def test_state_shingle_n_survives_updates(spark):
         threshold=1.01,
     )
     assert res_exact_only.state.shingle_n == SHINGLE_N
+
+
+def test_bucketed_resave_to_same_path(spark, tmp_path):
+    """load -> incremental -> save back to the SAME path: the staged
+    write must not destroy the state it is still reading (code-review
+    r8 finding: delete-before-write would lose the only copy)."""
+    path = str(tmp_path / "st")
+    state = build_dedup_state(
+        one_shot_dedup(_docs(spark, BATCH1)), shingle_n=SHINGLE_N
+    )
+    save_dedup_state(state, path, buckets=4)
+    st = load_dedup_state(spark, path)
+    res = incremental_dedup(_docs(spark, BATCH2), st)
+    save_dedup_state(res.state, path, buckets=4)  # reads path while writing
+    st2 = load_dedup_state(spark, path)
+    res3 = incremental_dedup(
+        _docs(spark, [(21, "fresh unseen material for the second batch")]),
+        st2,
+    )
+    assert res3.kept.count() == 0
+    assert {r["reason"] for r in res3.dropped.collect()} == {"exact"}
+
+
+def test_bucketed_registration_refreshes_on_bucket_change(spark, tmp_path):
+    """A stale catalog registration (files re-saved with a different
+    bucket count by another process) must be detected and re-issued —
+    a wrong bucket modulus would silently mis-co-partition the
+    'shuffle-free' joins (code-review r8 finding)."""
+    from data_governance_spark.operators.incremental import (
+        _state_table_name,
+    )
+
+    path = str(tmp_path / "st")
+    state = build_dedup_state(
+        one_shot_dedup(_docs(spark, BATCH1)), shingle_n=SHINGLE_N
+    )
+    save_dedup_state(state, path, buckets=8)
+    # simulate another session's stale registration: 4 buckets over
+    # the 8-bucket files
+    name = _state_table_name(path, "exact")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} (fp STRING, doc_id BIGINT) USING PARQUET "
+        f"CLUSTERED BY (fp) SORTED BY (fp) INTO 4 BUCKETS "
+        f"LOCATION '{path}/exact'"
+    )
+    st = load_dedup_state(spark, path)
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    }
+    assert desc.get("Num Buckets") == "8"
+    assert st.exact.count() == state.exact.count()
