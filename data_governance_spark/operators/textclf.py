@@ -1,0 +1,248 @@
+"""Trainable text-quality classifier: hashed bag-of-ngrams + logistic
+regression — the linear fastText tier (Joulin et al. 2016, "Bag of
+Tricks for Efficient Text Classification") that production LLM
+pipelines use as the learned quality filter (the GPT-3 data work
+trains exactly this shape against a high-quality reference corpus and
+keeps documents the classifier scores well; DSIR — operators/dsir.py —
+is the importance-weighting sibling, this is the discriminative one).
+
+Model: score(doc) = sigmoid(w . x + b) where x is the L1-normalized
+hashed count vector of word unigrams (+bigrams, the fastText default)
+— feature index = xxhash64(gram) mod dim (the hashing trick; no vocab
+to build, collisions are the standard capacity/memory trade).
+
+Training is full-batch logistic regression by gradient descent where
+EVERY iteration is one distributed pass, the textbook data-parallel
+shape:
+
+1. broadcast the (dim+1)-float weight vector (the +1 lane is the bias,
+   carried as a virtual always-on feature, so one gradient path serves
+   both);
+2. map: per-document residual r = sigmoid(w . x) - y via an
+   Arrow-batched pandas UDF (numpy dot against the broadcast vector);
+3. one aggregation: grad[j] = sum_docs r * x_j — an explode + hash
+   aggregate whose partial (map-side) combine bounds every reducer at
+   (#map tasks) rows per feature index regardless of feature skew;
+4. driver update: w -= lr * (grad / n + l2 * w). Driver memory is
+   bounded by dim+1 floats — never by corpus size.
+
+The feature relation is built once and persisted; each iteration costs
+one job over it (map + one shuffle of at most (#map tasks) x dim
+partial rows + a <= dim+1-row collect). At 100 TB the honest cost is
+`iters` passes over the hashed features — fastText's own trade; for a
+quality filter dim=2^18 and iters ~ tens is the published regime.
+
+Determinism: features, residuals and updates are deterministic given
+the input; gradient sums are floating-point and partition-order
+dependent at the last ulp, so exact-value reproducibility is not
+promised — LABEL decisions on margin-separated data are (the d07
+'clf' gate and the tests pin labels, mirroring the d01 'zr' decision
+-gate pattern).
+
+Reference twin: none — training-data extension per SURVEY.md §6
+(Joulin et al. 2016 / Brown et al. 2020 §A are the published methods).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_governance_spark.functions.text import tokens
+from data_governance_spark.operators.dsir import _grams
+
+
+@dataclass
+class TextClassifier:
+    """Fitted model. ``weights`` has ``dim + 1`` entries — the last is
+    the bias lane (virtual always-on feature)."""
+
+    weights: np.ndarray
+    dim: int
+    bigrams: bool
+
+    def __post_init__(self):
+        if len(self.weights) != self.dim + 1:
+            raise ValueError(
+                f"weights must have dim+1={self.dim + 1} entries "
+                f"(bias lane), got {len(self.weights)}"
+            )
+
+
+def hashed_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1 << 18,
+    bigrams: bool = True,
+) -> DataFrame:
+    """(id, idxs array<int>, vals array<double>): L1-normalized hashed
+    n-gram counts plus the trailing bias lane (idx=dim, val=1.0).
+    Index arrays are sorted — deterministic, and the dot product in
+    the scorer streams them in order. NULL/empty text yields just the
+    bias lane (a valid, constant-feature document)."""
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    toksed = docs.select(
+        F.col(id_col).alias("_tc_id"), tokens(text_col).alias("_tc_toks")
+    ).sample(1.0, seed=0)  # fence: HOF consumers below read _tc_toks
+    grams = toksed.select(
+        "_tc_id",
+        (
+            _grams(F.col("_tc_toks"))
+            if bigrams
+            else F.col("_tc_toks")
+        ).alias("_tc_grams"),
+    )
+    ex = grams.select(
+        "_tc_id", F.explode("_tc_grams").alias("_tc_g")
+    ).select(
+        "_tc_id", F.pmod(F.xxhash64("_tc_g"), F.lit(dim)).cast("int").alias("_tc_idx")
+    )
+    counted = ex.groupBy("_tc_id", "_tc_idx").agg(
+        F.count(F.lit(1)).alias("_tc_n")
+    )
+    per_doc = counted.groupBy("_tc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("_tc_idx", "_tc_n"))
+        ).alias("_tc_pairs"),
+        F.sum("_tc_n").alias("_tc_tot"),
+    )
+    # L1-normalize and append the bias lane; docs with no grams at all
+    # (NULL/empty text) are reattached with only the bias lane
+    feats = per_doc.select(
+        "_tc_id",
+        F.concat(
+            F.transform(F.col("_tc_pairs"), lambda p: p["_tc_idx"]),
+            F.array(F.lit(dim).cast("int")),
+        ).alias("idxs"),
+        F.concat(
+            F.transform(
+                F.col("_tc_pairs"),
+                lambda p: p["_tc_n"].cast("double") / F.col("_tc_tot"),
+            ),
+            F.array(F.lit(1.0)),
+        ).alias("vals"),
+    )
+    empty_docs = docs.select(F.col(id_col).alias("_tc_id")).join(
+        feats.select("_tc_id"), "_tc_id", "left_anti"
+    ).select(
+        "_tc_id",
+        F.array(F.lit(dim).cast("int")).alias("idxs"),
+        F.array(F.lit(1.0)).alias("vals"),
+    )
+    return feats.unionByName(empty_docs).withColumnRenamed("_tc_id", id_col)
+
+
+def _residual_udf(w: np.ndarray, with_label: bool):
+    """sigmoid(w . x) [- y] over (idxs, vals[, y]) — Arrow-batched."""
+
+    @F.pandas_udf("double")
+    def resid(idxs: pd.Series, vals: pd.Series, y: pd.Series) -> pd.Series:
+        out = np.empty(len(idxs))
+        for i, (ix, v) in enumerate(zip(idxs, vals)):
+            m = float(np.dot(w[np.asarray(ix)], np.asarray(v)))
+            out[i] = 1.0 / (1.0 + np.exp(-m))
+        if with_label:
+            out -= y.to_numpy(dtype="float64")
+        return pd.Series(out)
+
+    return resid
+
+
+def fit_text_classifier(
+    docs: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1 << 18,
+    bigrams: bool = True,
+    iters: int = 20,
+    lr: float = 2.0,
+    l2: float = 0.0,
+    features: DataFrame | None = None,
+) -> TextClassifier:
+    """Fit the classifier on ``docs`` with binary ``label_col``
+    (0/1). ``features`` reuses a precomputed :func:`hashed_features`
+    relation (must carry ``id_col``, ``idxs``, ``vals`` and have been
+    built with the same ``dim``/``bigrams``) — the same reuse hook
+    pattern as ``semantic_dedup(pairs=)``."""
+    from data_governance_spark.cache import tracked_persist
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if lr <= 0:
+        raise ValueError(f"lr must be > 0, got {lr}")
+    if features is None:
+        features = hashed_features(
+            docs, id_col=id_col, text_col=text_col, dim=dim, bigrams=bigrams
+        )
+    labeled = tracked_persist(
+        features.join(
+            docs.select(
+                F.col(id_col),
+                F.col(label_col).cast("double").alias("_tc_y"),
+            ),
+            id_col,
+        ).select("idxs", "vals", "_tc_y")
+    )
+    n = labeled.count()
+    if n == 0:
+        raise ValueError("no labeled documents to fit on")
+    sc = docs.sparkSession.sparkContext
+    w = np.zeros(dim + 1)
+    for _ in range(iters):
+        resid = _residual_udf(w, with_label=True)
+        grad_rows = (
+            labeled.withColumn(
+                "_tc_r", resid(F.col("idxs"), F.col("vals"), F.col("_tc_y"))
+            )
+            .select(
+                F.explode(F.arrays_zip("idxs", "vals")).alias("p"), "_tc_r"
+            )
+            .groupBy(F.col("p.idxs").alias("j"))
+            .agg(F.sum(F.col("p.vals") * F.col("_tc_r")).alias("g"))
+            .collect()
+        )
+        grad = np.zeros(dim + 1)
+        for r in grad_rows:
+            grad[r["j"]] = r["g"]
+        w -= lr * (grad / n + l2 * w)
+    # keep the broadcast-per-iteration pattern honest: w is closed over
+    # by the UDF (pickled per stage) — at dim=2^18 that is ~2 MB per
+    # executor per iteration, the same order as an explicit broadcast
+    del sc  # (kept for symmetry; closure capture suffices at this dim)
+    return TextClassifier(weights=w, dim=dim, bigrams=bigrams)
+
+
+def predict_text(
+    docs: DataFrame,
+    model: TextClassifier,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "quality_score",
+    label_col: str = "quality_label",
+    features: DataFrame | None = None,
+) -> DataFrame:
+    """``docs`` plus sigmoid score and 0/1 label columns (map-only
+    after the featurization join)."""
+    if features is None:
+        features = hashed_features(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            dim=model.dim,
+            bigrams=model.bigrams,
+        )
+    scorer = _residual_udf(model.weights, with_label=False)
+    scored = features.select(
+        F.col(id_col),
+        scorer(F.col("idxs"), F.col("vals"), F.lit(0.0)).alias(score_col),
+    )
+    return docs.join(scored, id_col).withColumn(
+        label_col, (F.col(score_col) >= 0.5).cast("int")
+    )
