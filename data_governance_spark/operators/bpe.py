@@ -191,8 +191,17 @@ def _learn_merges(
                 heapq.heappush(heap, (-c, p))
                 where.setdefault(p, set()).add(new)
         # every occurrence of `best` lived in a word indexed by
-        # where[best], so its count must have drained to zero
-        assert pairs.get(best, 0) == 0, best
+        # where[best], so its count must have drained to zero. A real
+        # exception, not an assert: this invariant rests on word-tuple
+        # uniqueness (each tuple concatenates back to a distinct word),
+        # and a caller feeding non-unique symbolized words would
+        # otherwise corrupt merge counts SILENTLY under ``python -O``.
+        if pairs.get(best, 0) != 0:
+            raise ValueError(
+                f"pair-count invariant violated for merge {best!r}: "
+                f"{pairs[best]} occurrences unaccounted — the word "
+                "table contains non-unique symbolized words"
+            )
         pairs.pop(best, None)
         where.pop(best, None)
     return merges

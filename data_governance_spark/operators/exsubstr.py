@@ -48,9 +48,10 @@ Scale posture (the reason this shape, not a distributed suffix array):
   keep their bytes verbatim).
 
 Window identity is a 128-bit content hash (two independent xxhash64
-seeds over the \\x01-joined token window); at 10^12 windows the
-collision odds are ~1e-14 — the standard sketch trade, documented
-here because Lee et al.'s suffix array is exact.
+seeds over the sliced token ARRAY — element-boundary-preserving, so
+no joined-string delimiter can alias two different windows); at 10^12
+windows the collision odds are ~1e-14 — the standard sketch trade,
+documented here because Lee et al.'s suffix array is exact.
 
 Rebuild semantics (char-exact, not token-normalized): surviving
 documents keep their original bytes inside each surviving token run;
@@ -165,13 +166,14 @@ def duplicated_window_starts(
         .select(
             "_es_id",
             "_es_pos",
-            F.concat_ws(
-                "\x01",
-                F.slice("_es_toks", F.col("_es_pos") + 1, width),
-            ).alias("_es_w"),
+            # the sliced token ARRAY is the window identity — hashing
+            # the array directly keeps element boundaries (a delimiter-
+            # joined string would alias ['a<d>b','c'] with ['a','b<d>c']
+            # for any delimiter, since tokens only exclude whitespace)
+            F.slice("_es_toks", F.col("_es_pos") + 1, width).alias("_es_w"),
         )
         # second fence: both hashes read _es_w; unfenced, the collapsed
-        # projection would rebuild the window string once per hash
+        # projection would rebuild the window slice once per hash
         .sample(1.0, seed=0)
         .select(
             "_es_id",

@@ -169,6 +169,31 @@ def _rename_dir(spark: SparkSession, src: str, dst: str) -> None:
         raise IOError(f"rename {src} -> {dst} failed")
 
 
+def _write_plain_set(
+    writes: list[tuple[DataFrame, str]], root: str
+) -> None:
+    """Plain-parquet twin of :func:`_write_bucketed_set`, same two
+    phases for the same reason: the load-modify-save loop
+    (``save_dedup_state(res.state, same_path)``) READS the files it is
+    replacing — the updated sigs' lineage reads the OLD exact files
+    through the survivor computation — so a direct ``mode("overwrite")``
+    to the same path would delete the only copy of the old state while
+    a sibling table's write still needs it. All stagings complete
+    against the intact old state; only then do the swaps run."""
+    assert writes, "empty write set"
+    spark = writes[0][0].sparkSession
+    staged = []
+    for df, part in writes:
+        path = f"{root}/{part}"
+        staging = f"{path}__staging__"
+        _delete_dir(spark, staging)
+        df.write.mode("overwrite").parquet(staging)
+        staged.append((path, staging))
+    for path, staging in staged:
+        _delete_dir(spark, path)
+        _rename_dir(spark, staging, path)
+
+
 def _write_bucketed_set(
     writes: list[tuple[DataFrame, str, list[str]]],
     root: str,
@@ -268,8 +293,11 @@ def save_dedup_state(
     storage block size at the target corpus scale."""
     spark = state.exact.sparkSession
     if buckets is None:
-        state.exact.write.mode("overwrite").parquet(f"{path}/exact")
-        state.sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+        # two-phase like the bucketed path: a same-path resave's sigs
+        # lineage reads the old exact files (and vice versa)
+        _write_plain_set(
+            [(state.exact, "exact"), (state.sigs, "sigs")], path
+        )
     else:
         if buckets < 1:
             raise ValueError(f"buckets must be >= 1, got {buckets}")
@@ -422,6 +450,10 @@ def incremental_dedup(
             num_hashes=nh,
             bands=nb,
             shingle_n=state.shingle_n,
+            # sigs are unchanged here, so the stored band relation (its
+            # derivation) stays valid — dropping it would cost the NEXT
+            # near-dedup increment a needless re-derivation from sigs
+            band_rel=state.band_rel,
         )
         return IncrementalResult(
             kept=alive_docs, dropped=dropped_exact, state=new_state

@@ -223,3 +223,15 @@ def test_bpe_counts_feed_sequence_packing(spark):
         for r in group:
             assert r["pack_id"] * 16 + r["pack_offset"] == acc
             acc += r["n_tokens"]
+
+
+def test_learn_merges_rejects_non_unique_words():
+    """Word tuples that alias after a merge violate the tuple-identity
+    invariant the incremental counts rest on; that must raise a real
+    exception, not an assert that vanishes under ``python -O``
+    (ADVICE r8 finding). Here ('a','b','c') rebuilds to ('ab','c')
+    after the first merge, colliding with the existing key."""
+    from data_governance_spark.operators.bpe import _learn_merges
+
+    with pytest.raises(ValueError, match="non-unique"):
+        _learn_merges({("a", "b", "c"): 1, ("ab", "c"): 1}, 2, 1)

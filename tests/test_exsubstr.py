@@ -200,3 +200,20 @@ def test_validation(spark):
         dedup_substrings(df, keep="last")
     with pytest.raises(ValueError):
         dedup_substrings(df, strategy="magic")
+
+
+def test_delimiter_embedded_tokens_do_not_alias(spark):
+    """Tokens may contain any non-whitespace byte. These two DIFFERENT
+    2-token windows — ('a\\x01b','c') vs ('a','b\\x01c') — collide under
+    any single-char joined-string identity, so they pin the window hash
+    covering the token ARRAY itself (ADVICE r8 finding)."""
+    docs = {1: "a\x01b c", 2: "a b\x01c"}
+    marks = duplicated_window_starts(
+        _df(spark, docs), width=2, keep="none"
+    )
+    assert marks.count() == 0
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_substrings(_df(spark, docs), width=2).collect()
+    }
+    assert out == docs

@@ -289,3 +289,42 @@ def test_bucketed_registration_refreshes_on_bucket_change(spark, tmp_path):
     }
     assert desc.get("Num Buckets") == "8"
     assert st.exact.count() == state.exact.count()
+
+
+def test_plain_resave_to_same_path(spark, tmp_path):
+    """Plain (unbucketed) twin of the bucketed same-path resave: the
+    updated state's lineage reads the files it replaces (sigs reads
+    the old exact through the survivor computation), so the plain path
+    must also stage-then-swap (ADVICE r8: a direct overwrite deletes
+    the only copy of the old state mid-write)."""
+    path = str(tmp_path / "st")
+    state = build_dedup_state(
+        one_shot_dedup(_docs(spark, BATCH1)), shingle_n=SHINGLE_N
+    )
+    save_dedup_state(state, path)
+    st = load_dedup_state(spark, path)
+    res = incremental_dedup(_docs(spark, BATCH2), st)
+    save_dedup_state(res.state, path)  # reads path while writing
+    st2 = load_dedup_state(spark, path)
+    res3 = incremental_dedup(
+        _docs(spark, [(21, "fresh unseen material for the second batch")]),
+        st2,
+    )
+    assert res3.kept.count() == 0
+    assert {r["reason"] for r in res3.dropped.collect()} == {"exact"}
+
+
+def test_exact_only_increment_preserves_band_rel(spark, tmp_path):
+    """threshold>1 (exact-tier-only) leaves sigs untouched, so a
+    bucketed state's stored band relation — derived from sigs — stays
+    valid and must survive the increment (ADVICE r8: dropping it cost
+    the next near-dedup increment a needless re-derivation)."""
+    path = str(tmp_path / "st")
+    state = build_dedup_state(
+        one_shot_dedup(_docs(spark, BATCH1)), shingle_n=SHINGLE_N
+    )
+    save_dedup_state(state, path, buckets=4)
+    st = load_dedup_state(spark, path)
+    assert st.band_rel is not None
+    res = incremental_dedup(_docs(spark, BATCH2), st, threshold=1.01)
+    assert res.state.band_rel is st.band_rel
