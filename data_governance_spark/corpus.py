@@ -139,6 +139,8 @@ def prepare_corpus(
     dedup_substr_width: int | None = None,
     quality_rules: dict | None = None,
     compression_bounds: tuple[float, float] | None = None,
+    classifier=None,
+    min_quality_score: float = 0.5,
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
     pii: bool = True,
@@ -179,6 +181,11 @@ def prepare_corpus(
     ``compression_bounds=(lo, hi)`` adds the zlib compression-ratio
     cut (Dolma/RedPajama tier) after the Catalyst quality rules —
     docs whose ratio falls outside [lo, hi] (or is NULL) drop.
+    ``classifier=`` (an ``operators.textclf.TextClassifier``) adds the
+    learned-quality tier after both: documents scoring below
+    ``min_quality_score`` drop (the GPT-3-style discriminative filter;
+    train one with ``fit_text_classifier`` against a high-quality
+    reference corpus).
     """
     from data_governance_spark.cache import tracked_mark, tracked_since
 
@@ -236,6 +243,25 @@ def prepare_corpus(
             compression_ratio(filtered, text_col=text_col, ratio_col="_zr_ratio")
             .filter(F.col("_zr_ratio").between(float(lo), float(hi)))
             .drop("_zr_ratio")
+        )
+    if classifier is not None:
+        # learned-quality tier (operators/textclf.py, the fastText
+        # shape): scored AFTER the cheap rule/ratio cuts so the
+        # featurization join only sees survivors; docs scoring below
+        # min_quality_score drop. Scratch columns are reserved names.
+        from data_governance_spark.operators.textclf import predict_text
+
+        filtered = (
+            predict_text(
+                filtered,
+                classifier,
+                id_col=id_col,
+                text_col=text_col,
+                score_col="_clf_score",
+                label_col="_clf_label",
+            )
+            .filter(F.col("_clf_score") >= float(min_quality_score))
+            .drop("_clf_score", "_clf_label")
         )
     if benchmark is not None:
         # decontaminate AFTER the quality cut (fewer docs to gram) and

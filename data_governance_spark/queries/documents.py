@@ -1402,13 +1402,21 @@ _DSIR_GRAMS_SQL = (
     SELECT 'dsel', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(rk AS DOUBLE)
     FROM dsel
+    UNION ALL
+    SELECT 'clf', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR), 1.0
+    FROM documents WHERE doc_id % 2 = 1
     """,
     doc="merged gate (r7): rolling-hash winnowing fingerprints "
     "(Schleimer et al. 2003; min md5 per window of consecutive k-gram "
     "shingles, per doc) + DSIR importance scores (Xie et al. 2023; "
     "hashed unigram+bigram log-ratio fold, target = 'en' slice, raw = "
     "whole corpus) + the deterministic top-k selection on the rounded "
-    "score (operators/dsir.py)",
+    "score (operators/dsir.py) + the trained text-quality classifier's "
+    "keep decision over a planted margin-separated two-class corpus "
+    "(operators/textclf.py, Joulin et al. 2016; trained on the "
+    "doc_id%3==0 subset, predicted on all — the d01-'zr' decision-gate "
+    "pattern: the kept set is analytic (odd doc_ids), score values are "
+    "intentionally not hashed; new in r9)",
 )
 def d07_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1475,7 +1483,63 @@ def d07_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_s.alias("v_s"),
         F.col("rk").cast("double").alias("v_d"),
     )
-    return fp_rows.unionByName(dsir_rows).unionByName(dsel_rows)
+    # clf sub-gate (new in r9): the REAL fit + predict over a planted
+    # margin-separated two-class corpus (disjoint vocabularies, a
+    # doc-unique trailing token so no two texts are identical). Train
+    # on the doc_id%3==0 subset, predict on ALL docs — the kept set is
+    # analytically the odd doc_ids, so the oracle needs no model
+    # arithmetic (decision gate; scores deliberately not hashed, the
+    # gradient sums are float). One featurization is persisted and
+    # shared by fit (inner-joined to the labeled subset) and predict.
+    from data_governance_spark.operators.textclf import (
+        fit_text_classifier,
+        hashed_features,
+        predict_text,
+    )
+
+    _CLF_DIM = 1 << 13
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.repeat(
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.lit("alpha bravo charlie delta "),
+                ).otherwise(F.lit("omega sigma lambda kappa ")),
+                (F.lit(3) + F.col("doc_id") % 4).cast("int"),
+            ),
+            F.lit("u"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+        (F.col("doc_id") % 2).cast("int").alias("y"),
+    )
+    feats = tracked_persist(
+        hashed_features(planted, dim=_CLF_DIM, bigrams=True)
+    )
+    model = fit_text_classifier(
+        planted.filter(F.col("doc_id") % 3 == 0),
+        "y",
+        dim=_CLF_DIM,
+        bigrams=True,
+        iters=5,
+        lr=2.0,
+        features=feats,
+    )
+    clf_rows = (
+        predict_text(planted, model, features=feats)
+        .filter(F.col("quality_label") == 1)
+        .select(
+            F.lit("clf").alias("gate"),
+            F.col("doc_id").cast("string").alias("k"),
+            nul_s.alias("v_s"),
+            F.lit(1.0).alias("v_d"),
+        )
+    )
+    return (
+        fp_rows.unionByName(dsir_rows)
+        .unionByName(dsel_rows)
+        .unionByName(clf_rows)
+    )
 
 
 # --------------------------------------------------------------------------
