@@ -141,6 +141,8 @@ def prepare_corpus(
     compression_bounds: tuple[float, float] | None = None,
     classifier=None,
     min_quality_score: float = 0.5,
+    perplexity_lm=None,
+    perplexity_bounds: tuple[float, float] | None = None,
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
     pii: bool = True,
@@ -185,7 +187,10 @@ def prepare_corpus(
     learned-quality tier after both: documents scoring below
     ``min_quality_score`` drop (the GPT-3-style discriminative filter;
     train one with ``fit_text_classifier`` against a high-quality
-    reference corpus).
+    reference corpus). ``perplexity_lm=`` (an
+    ``operators.ngram_lm.NGramLM``) with ``perplexity_bounds=(lo, hi)``
+    adds the KenLM-tier generative cut (CCNet): documents whose LM
+    perplexity falls outside the band drop.
     """
     from data_governance_spark.cache import tracked_mark, tracked_since
 
@@ -243,6 +248,27 @@ def prepare_corpus(
             compression_ratio(filtered, text_col=text_col, ratio_col="_zr_ratio")
             .filter(F.col("_zr_ratio").between(float(lo), float(hi)))
             .drop("_zr_ratio")
+        )
+    if perplexity_lm is not None:
+        # KenLM-tier generative quality cut (operators/ngram_lm.py,
+        # the CCNet method): map-only scoring against the broadcast
+        # reference LM; docs outside [lo, hi] (or NULL — empty text)
+        # drop. Bounds are mandatory: an LM without a cut filters
+        # nothing, which is silently keeping everything.
+        if perplexity_bounds is None:
+            raise ValueError(
+                "perplexity_lm requires perplexity_bounds=(lo, hi) — "
+                "pick the band on a scored sample (CCNet keeps the "
+                "head/middle of the distribution)"
+            )
+        from data_governance_spark.operators.ngram_lm import perplexity
+
+        plo, phi = perplexity_bounds
+        filtered = (
+            perplexity(filtered, perplexity_lm, text_col=text_col,
+                       out_col="_ppl_score")
+            .filter(F.col("_ppl_score").between(float(plo), float(phi)))
+            .drop("_ppl_score")
         )
     if classifier is not None:
         # learned-quality tier (operators/textclf.py, the fastText

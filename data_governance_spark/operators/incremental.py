@@ -48,8 +48,10 @@ tests/test_incremental.py; timed in scripts/stress_incremental.py).
 Bucketed storage trades the plain layout's parameter portability for
 that shuffle-free scan: the stored band relation is bound to the
 saved (bands, num_hashes), which the params table carries anyway.
-Appends preserve bucketing (Spark adds per-bucket files), so a
-production loop can write only each increment's delta.
+``append_dedup_state(result, path)`` writes only each increment's
+delta rows to the bucketed tables (Spark adds per-bucket files, so
+the appended state still joins shuffle-free — both plan-asserted and
+equality-tested against a full resave in tests/test_incremental.py).
 """
 
 from __future__ import annotations
@@ -359,13 +361,100 @@ def load_dedup_state(spark: SparkSession, path: str) -> DedupState:
     )
 
 
+def append_dedup_state(result: "IncrementalResult", path: str) -> None:
+    """Append ONLY an increment's delta rows to a BUCKETED state at
+    ``path`` — the production loop's cheap alternative to rewriting
+    the corpus-sized state per increment. Spark adds per-bucket files
+    (the writer names them by bucket id), so the appended tables keep
+    their hash distribution and the next increment's joins stay
+    state-side shuffle-free (plan-asserted in tests); with multiple
+    files per bucket the per-bucket SORT guarantee is gone, which the
+    increment joins never relied on.
+
+    The deltas are materialized (lineage truncated via
+    ``localCheckpoint``) BEFORE any write: their lineage reads the very
+    tables being appended to — ``delta_sigs`` reaches the stored exact
+    table through the survivor computation — and a task re-listing the
+    target directory mid-append must not see its own partial output.
+    Nothing is deleted, so no staging swap is needed.
+
+    Requires a bucketed save (``save_dedup_state(..., buckets=N)``);
+    the sketch parameters stored at ``path`` must match the state the
+    increment ran against (guarded — a mismatch would append
+    signatures the stored band arithmetic cannot read).
+
+    Evaluate anything you need from ``result`` (kept/dropped counts,
+    writes of the kept rows) BEFORE calling this: those DataFrames are
+    lazy and their lineage reads the state tables, so a post-append
+    evaluation would see the survivors' own fingerprints in the state
+    and re-drop them (pinned in tests)."""
+    st = result.state
+    spark = st.exact.sparkSession
+    pdf = spark.read.parquet(f"{path}/params")
+    p = pdf.collect()[0]
+    buckets = p["buckets"] if "buckets" in pdf.columns else 0
+    if not buckets:
+        raise ValueError(
+            "append_dedup_state requires a bucketed state "
+            "(save_dedup_state(..., buckets=N)); this path is plain"
+        )
+    if (p["num_hashes"], p["bands"], p["shingle_n"]) != (
+        st.num_hashes,
+        st.bands,
+        st.shingle_n,
+    ):
+        raise ValueError(
+            f"sketch parameter mismatch: stored "
+            f"(num_hashes={p['num_hashes']}, bands={p['bands']}, "
+            f"shingle_n={p['shingle_n']}) vs increment "
+            f"(num_hashes={st.num_hashes}, bands={st.bands}, "
+            f"shingle_n={st.shingle_n})"
+        )
+    if result.delta_exact is None:
+        raise ValueError(
+            "result carries no deltas — it was not produced by "
+            "incremental_dedup"
+        )
+    de = result.delta_exact.localCheckpoint(eager=True)
+    writes = [(de, "exact", ["fp"])]
+    if result.delta_sigs is not None:
+        ds = result.delta_sigs.localCheckpoint(eager=True)
+        writes.append((ds, "sigs", ["doc_id"]))
+        writes.append(
+            (
+                _band_table(ds, st.bands, st.num_hashes).localCheckpoint(
+                    eager=True
+                ),
+                "bands",
+                ["band", "key"],
+            )
+        )
+    for df, part, keys in writes:
+        name = _state_table_name(path, part)
+        _ensure_bucketed_table(spark, name, f"{path}/{part}", keys, buckets)
+        (
+            df.write.mode("append")
+            .option("path", f"{path}/{part}")
+            .bucketBy(buckets, *keys)
+            .sortBy(*keys)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+
+
 @dataclass
 class IncrementalResult:
-    """Outputs of ``incremental_dedup``."""
+    """Outputs of ``incremental_dedup``. ``delta_exact``/``delta_sigs``
+    are ONLY the rows this increment added to the state (the survivors'
+    fingerprints and signatures) — what :func:`append_dedup_state`
+    writes; ``delta_sigs`` is None when the near tier was skipped
+    (``threshold > 1``), where the state's signatures are unchanged."""
 
     kept: DataFrame  # surviving new-batch rows (full columns)
     dropped: DataFrame  # (doc_id, reason: 'exact'|'near', matched_id)
     state: DedupState  # input state + the survivors' fps/sigs
+    delta_exact: DataFrame | None = None  # (fp, doc_id) added rows
+    delta_sigs: DataFrame | None = None  # (doc_id, sig) added rows
 
 
 def _band_table(sigs: DataFrame, bands: int, num_hashes: int) -> DataFrame:
@@ -456,7 +545,11 @@ def incremental_dedup(
             band_rel=state.band_rel,
         )
         return IncrementalResult(
-            kept=alive_docs, dropped=dropped_exact, state=new_state
+            kept=alive_docs,
+            dropped=dropped_exact,
+            state=new_state,
+            delta_exact=surv_fp.select("fp", "doc_id"),
+            delta_sigs=None,  # near tier skipped: sigs unchanged
         )
     sh = _shingles(alive_docs, id_col, text_col, state.shingle_n)
     # sigs feed the band tables AND two estimate joins AND the updated
@@ -587,4 +680,10 @@ def incremental_dedup(
         bands=nb,
         shingle_n=state.shingle_n,
     )
-    return IncrementalResult(kept=survivors, dropped=dropped, state=new_state)
+    return IncrementalResult(
+        kept=survivors,
+        dropped=dropped,
+        state=new_state,
+        delta_exact=surv_fp.select("fp", "doc_id"),
+        delta_sigs=surv_sigs,
+    )

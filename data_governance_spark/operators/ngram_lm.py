@@ -1,0 +1,254 @@
+"""Kneser-Ney n-gram language-model perplexity scoring — the
+KenLM-tier quality filter of CCNet (Wenzek et al. 2020, "CCNet:
+Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+train a smoothed n-gram LM on a high-quality reference corpus
+(Wikipedia in the paper), score every candidate document by
+perplexity, and cut or bucket on it. DSIR (operators/dsir.py) is the
+importance-weighting tier and textclf the discriminative tier; this is
+the generative one — the third standard published quality signal.
+
+Model: interpolated Kneser-Ney with one fixed discount D per order
+(Kneser & Ney 1995; Chen & Goodman 1999 eq. 16 shape). Order-k
+probabilities use CONTINUATION counts below the top order (KenLM's own
+lower-order entries), with the full recursion
+
+    P(w | h) = max(A(hw) - D, 0) / denom(h)
+             + D * N1+(h.) / denom(h) * P(w | h')
+
+where ``A`` is the raw count at the top order and N1+(.g) (distinct
+left-context count) below, h' drops the leftmost context word, and an
+unseen context h backs off straight to P(w | h'). The unigram level
+interpolates with a uniform 1/(V+1) floor so OOV tokens score finite
+perplexity (the +1 reserves mass for the unseen event). The exact
+arithmetic is pinned by a pure-Python reference differential in
+tests/test_ngram_lm.py.
+
+Spark-first decomposition (every corpus-scale step is one aggregate
+whose measures are algebraic — map-side combine bounds reducers under
+any gram skew):
+
+1. one gram-count aggregation per order 1..n over the REFERENCE corpus
+   (space-joined token windows; tokens are whitespace-split so the
+   join is injective);
+2. continuation tables ``N1+(.g)`` and context tables
+   ``(denom, n-types)`` derived from the order-(k+1) table by prefix/
+   suffix grouping — `substring_index` keeps it JVM-side;
+3. each table collects to the driver CAPPED at ``max_ngrams`` rows,
+   frequency-ranked with the gram string as a deterministic tie-break
+   (the KenLM pruning trade: a pruned gram backs off, exactly like a
+   never-seen one; the capped tail is the rare mass);
+4. scoring is map-only: the tables broadcast once, an Arrow-batched
+   pandas UDF walks each document's tokens with the recursion above
+   (pure dict lookups — no corpus-size driver state anywhere).
+
+At 100 TB the honest training cost is n passes over the reference
+corpus (which is the SMALL side — CCNet's reference is Wikipedia, not
+the crawl) and scoring is one map-only pass over the candidates.
+
+Train/score tokenizer parity: training tokenizes JVM-side with the
+corpus-wide whitespace ``functions.text.tokens``; the scorer compiles
+``\\S+`` with ``re.ASCII`` so Python's Unicode ``\\s`` cannot see
+different token boundaries than Java's ASCII one (the same parity trap
+operators/exsubstr.py and operators/bpe.py document).
+
+Reference twin: none — training-data extension per SURVEY.md §6
+(Kneser & Ney 1995 / Wenzek et al. 2020 are the published methods).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_governance_spark.functions.text import tokens
+
+_WS = re.compile(r"\S+", re.ASCII)
+
+
+@dataclass(frozen=True)
+class NGramLM:
+    """A fitted LM. ``num[k]`` maps an order-k gram (space-joined) to
+    its adjusted count (raw at order n, continuation below); ``ctx[k]``
+    maps an order-k CONTEXT (k-1 tokens) to ``(denom, n_types)``.
+    ``n_types1``/``denom1`` are the unigram level; ``vocab`` is the
+    raw distinct-unigram count feeding the 1/(V+1) floor."""
+
+    order: int
+    discount: float
+    num: tuple[dict, ...]  # index k-1 -> order-k numerator table
+    ctx: tuple[dict, ...]  # index k-2 -> order-k context table (k>=2)
+    denom1: int
+    n_types1: int
+    vocab: int
+
+    def log_prob(self, w: str, context: tuple[str, ...]) -> float:
+        """ln P(w | context) — context is the up-to-(order-1) preceding
+        tokens; shorter contexts enter at the matching lower order."""
+        return math.log(self._p(w, context[-(self.order - 1):]
+                                if self.order > 1 else ()))
+
+    def _p(self, w: str, h: tuple[str, ...]) -> float:
+        d = self.discount
+        if not h:
+            a = self.num[0].get(w, 0)
+            lam = d * self.n_types1 / self.denom1
+            return (
+                max(a - d, 0.0) / self.denom1
+                + lam * (1.0 / (self.vocab + 1))
+            )
+        k = len(h) + 1
+        c = self.ctx[k - 2].get(" ".join(h))
+        if c is None:  # unseen context: straight to the backoff
+            return self._p(w, h[1:])
+        denom, n_types = c
+        a = self.num[k - 1].get(" ".join(h) + " " + w, 0)
+        lam = d * n_types / denom
+        return max(a - d, 0.0) / denom + lam * self._p(w, h[1:])
+
+    def doc_perplexity(self, toks: list[str]) -> float | None:
+        if not toks:
+            return None
+        total = 0.0
+        for i, w in enumerate(toks):
+            total += self.log_prob(w, tuple(toks[max(0, i - self.order + 1): i]))
+        return math.exp(-total / len(toks))
+
+
+def _gram_counts(docs: DataFrame, text_col: str, order: int) -> DataFrame:
+    """(g, c): raw order-k gram counts — generate-only until the ONE
+    algebraic hash aggregate."""
+    base = docs.select(tokens(text_col).alias("_lm_toks")).sample(
+        1.0, seed=0
+    )  # fence: size/sequence/slice all read the token array
+    if order == 1:
+        ex = base.select(F.explode("_lm_toks").alias("g"))
+    else:
+        ex = (
+            base.filter(F.size("_lm_toks") >= order)
+            .select(
+                "_lm_toks",
+                F.explode(
+                    F.sequence(F.lit(0), F.size("_lm_toks") - order)
+                ).alias("_lm_pos"),
+            )
+            .select(
+                F.concat_ws(
+                    " ", F.slice("_lm_toks", F.col("_lm_pos") + 1, order)
+                ).alias("g")
+            )
+        )
+    return ex.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+
+
+def _capped(df: DataFrame, count_col: str, max_rows: int) -> list:
+    """Deterministic frequency-ranked cap (count desc, gram asc) —
+    the BPE max_words pattern."""
+    return (
+        df.orderBy(F.desc(count_col), "g").limit(max_rows).collect()
+    )
+
+
+def train_ngram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    order: int = 3,
+    discount: float = 0.75,
+    max_ngrams: int = 1_000_000,
+) -> NGramLM:
+    """Fit an interpolated Kneser-Ney LM on the reference corpus
+    ``docs`` (see module docstring). One gram aggregation per order;
+    driver memory is bounded by ``max_ngrams`` rows per table, never
+    by corpus size."""
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    if not (0.0 < discount < 1.0):
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    if max_ngrams < 1:
+        raise ValueError(f"max_ngrams must be >= 1, got {max_ngrams}")
+    from data_governance_spark.cache import tracked_persist
+
+    # raw gram tables per order; each order-(k+1) table is read by the
+    # order-k continuation AND its own context derivations — persist
+    raw = [
+        tracked_persist(_gram_counts(docs, text_col, k))
+        for k in range(1, order + 1)
+    ]
+    vocab = raw[0].count()
+    if vocab == 0:
+        raise ValueError("empty reference corpus — no unigrams to fit on")
+
+    num: list[dict] = []
+    ctx: list[dict] = []
+    for k in range(1, order + 1):
+        if k == order:
+            adj = raw[k - 1]  # top order keeps raw counts
+        else:
+            # N1+(.g): each order-(k+1) table row is a DISTINCT gram,
+            # so grouping by its k-token suffix counts distinct left
+            # contexts with a plain count (no countDistinct shuffle)
+            adj = (
+                raw[k]
+                .select(F.substring_index("g", " ", -k).alias("g"))
+                .groupBy("g")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+        rows = _capped(adj, "c", max_ngrams)
+        num.append({r["g"]: r["c"] for r in rows})
+        if k == 1:
+            denom1 = sum(v for v in num[0].values())
+            n_types1 = len(num[0])
+        else:
+            # context table: denom(h) = sum_w A(hw), N1+(h.) = distinct
+            # extensions — both one grouping of the order-k adjusted
+            # table by its (k-1)-token prefix
+            crows = _capped(
+                adj.select(
+                    F.substring_index("g", " ", k - 1).alias("g"),
+                    "c",
+                )
+                .groupBy("g")
+                .agg(F.sum("c").alias("c"), F.count(F.lit(1)).alias("t")),
+                "c",
+                max_ngrams,
+            )
+            ctx.append({r["g"]: (r["c"], r["t"]) for r in crows})
+    return NGramLM(
+        order=order,
+        discount=discount,
+        num=tuple(num),
+        ctx=tuple(ctx),
+        denom1=denom1,
+        n_types1=n_types1,
+        vocab=vocab,
+    )
+
+
+def perplexity(
+    docs: DataFrame,
+    lm: NGramLM,
+    text_col: str = "text",
+    out_col: str = "perplexity",
+) -> DataFrame:
+    """``docs`` plus a per-document perplexity column (map-only; the
+    LM tables broadcast once, fetched per executor). NULL/empty text
+    scores NULL — missing content has no fluency, and every bounded
+    filter treats NULL as a drop."""
+    bc = docs.sparkSession.sparkContext.broadcast(lm)
+
+    @F.pandas_udf("double")
+    def ppl(text: pd.Series) -> pd.Series:
+        model = bc.value
+        out = [
+            None
+            if t is None
+            else model.doc_perplexity(_WS.findall(t))
+            for t in text
+        ]
+        return pd.Series(out, dtype="float64")
+
+    return docs.withColumn(out_col, ppl(F.col(text_col)))

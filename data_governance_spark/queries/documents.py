@@ -1405,6 +1405,9 @@ _DSIR_GRAMS_SQL = (
     UNION ALL
     SELECT 'clf', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR), 1.0
     FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT 'ppl', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR), 1.0
+    FROM documents WHERE doc_id % 2 = 0
     """,
     doc="merged gate (r7): rolling-hash winnowing fingerprints "
     "(Schleimer et al. 2003; min md5 per window of consecutive k-gram "
@@ -1416,7 +1419,12 @@ _DSIR_GRAMS_SQL = (
     "(operators/textclf.py, Joulin et al. 2016; trained on the "
     "doc_id%3==0 subset, predicted on all — the d01-'zr' decision-gate "
     "pattern: the kept set is analytic (odd doc_ids), score values are "
-    "intentionally not hashed; new in r9)",
+    "intentionally not hashed; new in r9) + the Kneser-Ney n-gram LM "
+    "perplexity keep decision (operators/ngram_lm.py, the CCNet/"
+    "Wenzek 2020 KenLM tier; LM trained on a FIXED literal reference "
+    "corpus so the scores are sf-independent: in-distribution docs "
+    "land at ppl 5.8-6.7, all-OOV gibberish at 68.4, cut at 20 — kept "
+    "set analytically the even doc_ids; new in r9)",
 )
 def d07_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1535,10 +1543,73 @@ def d07_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0).alias("v_d"),
         )
     )
+    # ppl sub-gate (new in r9): the KenLM tier. The LM trains on a
+    # FIXED literal reference corpus (sf-independent, so every score
+    # is a constant of the doc's planted shape): even docs draw one of
+    # four in-distribution sentences plus an OOV u-token (ppl 5.8-6.7),
+    # odd docs are four 8-hex-char gibberish tokens — every token OOV,
+    # so they sit exactly at the unigram floor (ppl 68.4). Cut at 20,
+    # mid-margin in log space; the kept set is analytically the evens
+    # (decision gate — perplexity VALUES are float, deliberately not
+    # hashed; exact arithmetic is pinned by the pure-Python reference
+    # differential in tests/test_ngram_lm.py).
+    from data_governance_spark.operators.ngram_lm import (
+        perplexity,
+        train_ngram_lm,
+    )
+
+    _PPL_REF = [
+        "the quick brown fox jumps over the lazy dog",
+        "a stitch in time saves nine busy tailors daily",
+        "every good boy deserves fruit after long practice",
+        "pack my box with five dozen fresh juice jugs",
+        "how vexingly quick daft zebras jump over fences",
+        "bright vixens leap while waltzing nymphs quietly watch",
+    ]
+    lm = train_ngram_lm(
+        spark.createDataFrame([(t,) for t in _PPL_REF], "text string"),
+        order=3,
+    )
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    psyn = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.element_at(
+                    F.array(*[F.lit(s) for s in _PPL_REF[:4]]),
+                    ((F.col("doc_id") % 8) / 2 + 1).cast("int"),
+                ),
+                F.lit(" u"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.substring(md5, 1, 8),
+                F.substring(md5, 9, 8),
+                F.substring(md5, 17, 8),
+                F.substring(md5, 25, 8),
+            )
+        )
+        .alias("text"),
+    )
+    ppl_rows = (
+        perplexity(psyn, lm)
+        .filter(F.col("perplexity") <= 20.0)
+        .select(
+            F.lit("ppl").alias("gate"),
+            F.col("doc_id").cast("string").alias("k"),
+            nul_s.alias("v_s"),
+            F.lit(1.0).alias("v_d"),
+        )
+    )
     return (
         fp_rows.unionByName(dsir_rows)
         .unionByName(dsel_rows)
         .unionByName(clf_rows)
+        .unionByName(ppl_rows)
     )
 
 

@@ -328,3 +328,116 @@ def test_exact_only_increment_preserves_band_rel(spark, tmp_path):
     assert st.band_rel is not None
     res = incremental_dedup(_docs(spark, BATCH2), st, threshold=1.01)
     assert res.state.band_rel is st.band_rel
+
+
+def test_append_dedup_state_equals_full_resave(spark, tmp_path):
+    """append_dedup_state writes only the increment's delta rows, and
+    the appended tables must equal a full resave of the updated state
+    (row-set equality on exact and sigs) while still joining
+    state-side shuffle-free (bucketing survives per-bucket file
+    appends)."""
+    from data_governance_spark.operators.incremental import (
+        append_dedup_state,
+    )
+
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    path = str(tmp_path / "st")
+    state = build_dedup_state(
+        one_shot_dedup(_docs(spark, BATCH1)), shingle_n=SHINGLE_N
+    )
+    save_dedup_state(state, path, buckets=n_shuffle)
+    st = load_dedup_state(spark, path)
+    res = incremental_dedup(_docs(spark, BATCH2), st)
+    append_dedup_state(res, path)
+
+    full = str(tmp_path / "full")
+    save_dedup_state(res.state, full, buckets=n_shuffle)
+    got = load_dedup_state(spark, path)
+    want = load_dedup_state(spark, full)
+    def rowset(df):
+        return {
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.collect()
+        }
+
+    for part in ("exact", "sigs"):
+        assert rowset(getattr(got, part)) == rowset(getattr(want, part)), part
+    assert rowset(got.band_rel) == rowset(want.band_rel)
+
+    # appended exact table still scans bucketed and joins with ONE
+    # Exchange (the batch side only)
+    from data_governance_spark.operators.incremental import _fingerprints
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fp = (
+            _fingerprints(
+                _docs(spark, [(31, "post append probe")]), "doc_id", "text"
+            )
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        j = fp.join(got.exact.select("fp", F.col("doc_id").alias("m")), "fp")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange") == 1
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    # semantics: a third batch duplicating a batch-2 survivor drops
+    res3 = incremental_dedup(
+        _docs(spark, [(21, "fresh unseen material for the second batch")]),
+        got,
+    )
+    assert res3.kept.count() == 0
+
+
+def test_append_dedup_state_exact_only_increment(spark, tmp_path):
+    """threshold>1 increments carry delta_sigs=None — only the exact
+    table grows; sigs and bands stay byte-identical."""
+    from data_governance_spark.operators.incremental import (
+        append_dedup_state,
+    )
+
+    path = str(tmp_path / "st")
+    state = build_dedup_state(
+        one_shot_dedup(_docs(spark, BATCH1)), shingle_n=SHINGLE_N
+    )
+    save_dedup_state(state, path, buckets=4)
+    st = load_dedup_state(spark, path)
+    sigs_before = {(r["doc_id"], tuple(r["sig"])) for r in st.sigs.collect()}
+    res = incremental_dedup(_docs(spark, BATCH2), st, threshold=1.01)
+    # materialize BEFORE appending: res.kept's lazy lineage reads the
+    # state tables, and the appended fps would re-drop the survivors
+    # on a post-append evaluation (documented in append_dedup_state)
+    n_kept = res.kept.count()
+    assert n_kept == 3  # 12, 13, 14 (11 exact-vs-state, 15 in-batch)
+    append_dedup_state(res, path)
+    got = load_dedup_state(spark, path)
+    assert {(r["doc_id"], tuple(r["sig"])) for r in got.sigs.collect()} == sigs_before
+    assert got.exact.count() == state.exact.count() + n_kept
+
+
+def test_append_dedup_state_guards(spark, tmp_path):
+    from data_governance_spark.operators.incremental import (
+        append_dedup_state,
+    )
+
+    state = build_dedup_state(
+        one_shot_dedup(_docs(spark, BATCH1)), shingle_n=SHINGLE_N
+    )
+    res = incremental_dedup(_docs(spark, BATCH2), state)
+    plain = str(tmp_path / "plain")
+    save_dedup_state(state, plain)  # unbucketed
+    with pytest.raises(ValueError, match="bucketed"):
+        append_dedup_state(res, plain)
+    other = str(tmp_path / "other")
+    save_dedup_state(
+        build_dedup_state(
+            one_shot_dedup(_docs(spark, BATCH1)), shingle_n=3
+        ),
+        other,
+        buckets=4,
+    )
+    with pytest.raises(ValueError, match="mismatch"):
+        append_dedup_state(res, other)
