@@ -143,6 +143,8 @@ def prepare_corpus(
     min_quality_score: float = 0.5,
     perplexity_lm=None,
     perplexity_bounds: tuple[float, float] | None = None,
+    perplexity_buckets: tuple[float, float] | None = None,
+    perplexity_keep: tuple[str, ...] = ("head", "middle"),
     benchmark: DataFrame | None = None,
     decontam_n: int = 13,
     pii: bool = True,
@@ -190,7 +192,12 @@ def prepare_corpus(
     reference corpus). ``perplexity_lm=`` (an
     ``operators.ngram_lm.NGramLM``) with ``perplexity_bounds=(lo, hi)``
     adds the KenLM-tier generative cut (CCNet): documents whose LM
-    perplexity falls outside the band drop.
+    perplexity falls outside the band drop. ``perplexity_buckets=
+    (q1, q2)`` instead buckets by COMPUTED perplexity quantile cutoffs
+    into head/middle/tail (the paper's actual tercile method —
+    ``operators.ngram_lm.bucket_by_perplexity``) and keeps the tiers
+    in ``perplexity_keep`` (default head+middle, the published
+    recipe); exactly one of bounds/buckets must accompany the LM.
     """
     from data_governance_spark.cache import tracked_mark, tracked_since
 
@@ -252,24 +259,61 @@ def prepare_corpus(
     if perplexity_lm is not None:
         # KenLM-tier generative quality cut (operators/ngram_lm.py,
         # the CCNet method): map-only scoring against the broadcast
-        # reference LM; docs outside [lo, hi] (or NULL — empty text)
-        # drop. Bounds are mandatory: an LM without a cut filters
-        # nothing, which is silently keeping everything.
-        if perplexity_bounds is None:
+        # reference LM. Two published shapes — a hard band
+        # (perplexity_bounds) or the paper's tercile bucketing on
+        # computed cutoffs (perplexity_buckets + perplexity_keep).
+        # One is mandatory: an LM without a cut filters nothing,
+        # which is silently keeping everything.
+        if perplexity_bounds is not None and perplexity_buckets is not None:
             raise ValueError(
-                "perplexity_lm requires perplexity_bounds=(lo, hi) — "
-                "pick the band on a scored sample (CCNet keeps the "
-                "head/middle of the distribution)"
+                "pass perplexity_bounds OR perplexity_buckets, not "
+                "both — a hard band and computed-quantile tiers are "
+                "alternative cuts over the same score"
             )
-        from data_governance_spark.operators.ngram_lm import perplexity
+        if perplexity_bounds is None and perplexity_buckets is None:
+            raise ValueError(
+                "perplexity_lm requires perplexity_bounds=(lo, hi) or "
+                "perplexity_buckets=(q1, q2) — CCNet keeps the "
+                "head/middle of the distribution"
+            )
+        if perplexity_bounds is not None:
+            from data_governance_spark.operators.ngram_lm import perplexity
 
-        plo, phi = perplexity_bounds
-        filtered = (
-            perplexity(filtered, perplexity_lm, text_col=text_col,
-                       out_col="_ppl_score")
-            .filter(F.col("_ppl_score").between(float(plo), float(phi)))
-            .drop("_ppl_score")
-        )
+            plo, phi = perplexity_bounds
+            filtered = (
+                perplexity(filtered, perplexity_lm, text_col=text_col,
+                           out_col="_ppl_score")
+                .filter(F.col("_ppl_score").between(float(plo), float(phi)))
+                .drop("_ppl_score")
+            )
+        else:
+            # tercile bucketing: cutoffs computed on the corpus itself
+            # (one sketch aggregate — runs Spark jobs AT CALL TIME,
+            # like the other fitted tiers); scratch columns reserved
+            from data_governance_spark.operators.ngram_lm import (
+                bucket_by_perplexity,
+            )
+
+            labels = ("head", "middle", "tail")
+            keep = tuple(perplexity_keep)
+            if not keep or not set(keep) <= set(labels):
+                raise ValueError(
+                    f"perplexity_keep must be a non-empty subset of "
+                    f"{labels}, got {perplexity_keep}"
+                )
+            filtered = (
+                bucket_by_perplexity(
+                    filtered,
+                    perplexity_lm,
+                    text_col=text_col,
+                    ppl_col="_ppl_score",
+                    tier_col="_ppl_tier",
+                    quantiles=perplexity_buckets,
+                    labels=labels,
+                )
+                .filter(F.col("_ppl_tier").isin(*keep))
+                .drop("_ppl_score", "_ppl_tier")
+            )
     if classifier is not None:
         # learned-quality tier (operators/textclf.py, the fastText
         # shape): scored AFTER the cheap rule/ratio cuts so the

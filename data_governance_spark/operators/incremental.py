@@ -51,7 +51,11 @@ saved (bands, num_hashes), which the params table carries anyway.
 ``append_dedup_state(result, path)`` writes only each increment's
 delta rows to the bucketed tables (Spark adds per-bucket files, so
 the appended state still joins shuffle-free — both plan-asserted and
-equality-tested against a full resave in tests/test_incremental.py).
+equality-tested against a full resave in tests/test_incremental.py),
+and ``compact_dedup_state(spark, path)`` periodically rewrites the
+accumulated per-bucket files back to one file per bucket (the append
+loop's small-files maintenance; row-multiset-preserving, same staging
+swap as save).
 """
 
 from __future__ import annotations
@@ -361,7 +365,7 @@ def load_dedup_state(spark: SparkSession, path: str) -> DedupState:
     )
 
 
-def append_dedup_state(result: "IncrementalResult", path: str) -> None:
+def append_dedup_state(result: "IncrementalResult", path: str) -> DedupState:
     """Append ONLY an increment's delta rows to a BUCKETED state at
     ``path`` — the production loop's cheap alternative to rewriting
     the corpus-sized state per increment. Spark adds per-bucket files
@@ -369,7 +373,19 @@ def append_dedup_state(result: "IncrementalResult", path: str) -> None:
     their hash distribution and the next increment's joins stay
     state-side shuffle-free (plan-asserted in tests); with multiple
     files per bucket the per-bucket SORT guarantee is gone, which the
-    increment joins never relied on.
+    increment joins never relied on. Run
+    :func:`compact_dedup_state` periodically — each append adds files,
+    and a state scanned through thousands of appends degrades on file
+    count alone (the classic small-files failure).
+
+    Returns the freshly LOADED post-append state — chain the next
+    increment off the return value. ``result.state`` must NOT be
+    reused or saved after this call: its lazy lineage unions the
+    catalog-table scan with the delta, and whether that scan sees the
+    pre- or post-append file listing is an analysis-time snapshotting
+    internal (a re-resolved scan — fresh session, refreshed table —
+    lists the appended files and double-counts every delta row).
+    Unspecified either way; the return value is the defined handle.
 
     The deltas are materialized (lineage truncated via
     ``localCheckpoint``) BEFORE any write: their lineage reads the very
@@ -377,6 +393,19 @@ def append_dedup_state(result: "IncrementalResult", path: str) -> None:
     table through the survivor computation — and a task re-listing the
     target directory mid-append must not see its own partial output.
     Nothing is deleted, so no staging swap is needed.
+
+    Crash story: the three table appends cannot be made atomic as a
+    group (each ``INSERT`` commits independently), so they run in the
+    conservative order sigs -> bands -> exact. A tear after sigs/bands
+    but before exact leaves the increment's docs invisible to the
+    exact tier but still caught by the near tier (an identical future
+    doc estimates Jaccard 1.0 and drops with reason 'near'), so a torn
+    append fails toward EXTRA drops, never silent duplicate leakage;
+    the reverse order would leak near-dups silently. Recovery from a
+    tear: re-run the increment against the reloaded state and append
+    its (smaller) result — the already-appended rows make the re-run's
+    deltas disjoint from them — or fall back to
+    ``save_dedup_state(state, path, buckets=N)`` for a full rewrite.
 
     Requires a bucketed save (``save_dedup_state(..., buckets=N)``);
     the sketch parameters stored at ``path`` must match the state the
@@ -416,7 +445,7 @@ def append_dedup_state(result: "IncrementalResult", path: str) -> None:
             "incremental_dedup"
         )
     de = result.delta_exact.localCheckpoint(eager=True)
-    writes = [(de, "exact", ["fp"])]
+    writes = []
     if result.delta_sigs is not None:
         ds = result.delta_sigs.localCheckpoint(eager=True)
         writes.append((ds, "sigs", ["doc_id"]))
@@ -429,6 +458,9 @@ def append_dedup_state(result: "IncrementalResult", path: str) -> None:
                 ["band", "key"],
             )
         )
+    # exact LAST (see docstring: a tear before it fails toward extra
+    # near-drops, never silent dup leakage)
+    writes.append((de, "exact", ["fp"]))
     for df, part, keys in writes:
         name = _state_table_name(path, part)
         _ensure_bucketed_table(spark, name, f"{path}/{part}", keys, buckets)
@@ -440,6 +472,123 @@ def append_dedup_state(result: "IncrementalResult", path: str) -> None:
             .format("parquet")
             .saveAsTable(name)
         )
+    return load_dedup_state(spark, path)
+
+
+def _list_data_files(spark: SparkSession, path: str) -> list[str]:
+    """Data-file names under ``path`` (one directory level — bucketed
+    state tables are unpartitioned), skipping _SUCCESS/.crc markers."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isFile()
+        and not st.getPath().getName().startswith(("_", "."))
+    ]
+
+
+_STATE_PARTS: tuple[tuple[str, list[str]], ...] = (
+    ("exact", ["fp"]),
+    ("sigs", ["doc_id"]),
+    ("bands", ["band", "key"]),
+)
+
+
+def state_file_report(spark: SparkSession, path: str) -> dict:
+    """Per-table file counts of a bucketed state — the append loop's
+    small-files health check. ``{part: {"files": n, "buckets": b,
+    "files_per_bucket": n/b}}``; feed it to the
+    :func:`compact_dedup_state` decision (reported by
+    scripts/stress_incremental.py)."""
+    pdf = spark.read.parquet(f"{path}/params")
+    p = pdf.collect()[0]
+    buckets = p["buckets"] if "buckets" in pdf.columns else 0
+    if not buckets:
+        raise ValueError(
+            "state_file_report requires a bucketed state "
+            "(save_dedup_state(..., buckets=N)); this path is plain"
+        )
+    out = {}
+    for part, _keys in _STATE_PARTS:
+        n = len(_list_data_files(spark, f"{path}/{part}"))
+        out[part] = {
+            "files": n,
+            "buckets": buckets,
+            "files_per_bucket": n / buckets,
+        }
+    return out
+
+
+def compact_dedup_state(
+    spark: SparkSession, path: str, max_files_per_bucket: int = 1
+) -> dict:
+    """Rewrite each bucketed state table at ``path`` whose file count
+    exceeds ``buckets * max_files_per_bucket`` down to exactly ONE
+    file per bucket — the maintenance pass the append loop needs:
+    every :func:`append_dedup_state` adds files (at least one per
+    non-empty bucket per table), and after thousands of increments the
+    state scan degrades on file count alone (listing, open/seek
+    overhead, tiny reads — the classic small-files failure at exactly
+    the corpus scale this state targets).
+
+    Row-preserving layout-only rewrite: each flagged table is read as
+    PLAIN parquet (deliberately NOT through its bucketed catalog scan:
+    the bucketed scan advertises ``HashPartitioning(keys, buckets)``,
+    so the planner deletes the repartition below as redundant and then
+    disables bucketed reading anyway — leaving one writer task per
+    file split, which re-emits the small files this pass exists to
+    remove; measured, and pinned by the file-count assert in
+    tests/test_incremental.py), repartitioned BY ITS BUCKET KEYS into
+    ``buckets`` partitions (Spark's repartition hash is the same
+    Murmur3 the bucket writer uses, so every output task holds exactly
+    one bucket's rows and writes exactly one file), and swapped in via
+    the same two-phase staging used by ``save_dedup_state`` — the
+    rewrite reads the files it replaces, so every staging completes
+    against the intact old table before any swap runs. Compaction also
+    restores the per-bucket SORT guarantee that multi-file appends
+    relax. Cost: one shuffle of each flagged table — amortize by
+    compacting every K appends, not every append.
+
+    Returns ``{part: {"files": n_before, "buckets": b,
+    "compacted": bool}}``."""
+    if max_files_per_bucket < 1:
+        raise ValueError(
+            f"max_files_per_bucket must be >= 1, got {max_files_per_bucket}"
+        )
+    pdf = spark.read.parquet(f"{path}/params")
+    p = pdf.collect()[0]
+    buckets = p["buckets"] if "buckets" in pdf.columns else 0
+    if not buckets:
+        raise ValueError(
+            "compact_dedup_state requires a bucketed state "
+            "(save_dedup_state(..., buckets=N)); this path is plain"
+        )
+    report = {}
+    rewrites = []
+    for part, keys in _STATE_PARTS:
+        n_files = len(_list_data_files(spark, f"{path}/{part}"))
+        need = n_files > buckets * max_files_per_bucket
+        report[part] = {
+            "files": n_files,
+            "buckets": buckets,
+            "compacted": need,
+        }
+        if need:
+            rows = spark.read.parquet(f"{path}/{part}")
+            rewrites.append(
+                (
+                    rows.repartition(buckets, *[F.col(k) for k in keys]),
+                    part,
+                    keys,
+                )
+            )
+    if rewrites:
+        _write_bucketed_set(rewrites, path, buckets)
+    return report
 
 
 @dataclass

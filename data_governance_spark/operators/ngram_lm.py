@@ -163,7 +163,15 @@ def train_ngram_lm(
     """Fit an interpolated Kneser-Ney LM on the reference corpus
     ``docs`` (see module docstring). One gram aggregation per order;
     driver memory is bounded by ``max_ngrams`` rows per table, never
-    by corpus size."""
+    by corpus size.
+
+    When the ``max_ngrams`` cap binds, numerator tables are pruned but
+    each context's denominator still comes from the UNCAPPED aggregate,
+    so pruned grams leak a little probability mass (sum over w of
+    P(w|h) < 1 beyond the discount) — the standard
+    prune-without-renormalize trade (KenLM behaves the same way); the
+    reference differentials in tests/test_ngram_lm.py run uncapped so
+    the exact arithmetic stays pinned."""
     if order < 1:
         raise ValueError(f"order must be >= 1, got {order}")
     if not (0.0 < discount < 1.0):
@@ -202,6 +210,19 @@ def train_ngram_lm(
         if k == 1:
             denom1 = sum(v for v in num[0].values())
             n_types1 = len(num[0])
+            if denom1 == 0:
+                # order >= 2 only: the unigram level is the
+                # CONTINUATION table derived from the bigram counts, so
+                # a reference corpus of single-token documents leaves
+                # it empty — scoring would ZeroDivisionError inside the
+                # executor UDF (opaque task failure). Fail at train
+                # time with the actionable message instead.
+                raise ValueError(
+                    "no order-2 grams in the reference corpus (every "
+                    "document is a single token), so the order>=2 "
+                    "continuation counts are undefined — use order=1 "
+                    "or a reference corpus with multi-token documents"
+                )
         else:
             # context table: denom(h) = sum_w A(hw), N1+(h.) = distinct
             # extensions — both one grouping of the order-k adjusted
@@ -252,3 +273,89 @@ def perplexity(
         return pd.Series(out, dtype="float64")
 
     return docs.withColumn(out_col, ppl(F.col(text_col)))
+
+
+def bucket_by_perplexity(
+    docs: DataFrame,
+    lm: NGramLM | None = None,
+    text_col: str = "text",
+    ppl_col: str = "perplexity",
+    tier_col: str = "ppl_tier",
+    quantiles: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): score
+    the corpus with the reference LM, compute the perplexity quantile
+    cutoffs ON THE CORPUS ITSELF, and label each document with its
+    tier — the published alternative to a hard perplexity cut (the
+    paper buckets into terciles per language; downstream recipes keep
+    head+middle or curriculum-order by tier).
+
+    ``docs`` is scored with ``lm`` unless it already carries
+    ``ppl_col`` (pre-scored reuse hook — ``lm`` may then be omitted).
+    Tier assignment is by VALUE against the cutoffs: documents with
+    ``ppl <= cutoff[i]`` get ``labels[i]`` (first match ascending),
+    the rest get ``labels[-1]``; NULL perplexity (missing content)
+    gets a NULL tier, consistent with every bounded quality filter.
+
+    Cutoffs come from one ``percentile_approx`` aggregate — the
+    signal_summary contract: with ``accuracy >= the number of
+    non-null scores`` the Greenwald-Khanna sketch is exact and each
+    cutoff is the order statistic at rank ``ceil(q * n)``; below that
+    it is rank-accurate to ``n / accuracy`` rows at bounded executor
+    memory (the 100 TB setting — cutoff exactness is a statistical
+    knob there, not a correctness one).
+
+    Scale shape: one map-only scoring pass (LM broadcast once), one
+    algebraic sketch aggregate (driver receives len(quantiles)
+    values), one map-only tier projection over the persisted scored
+    frame. No joins, no corpus-sized driver state."""
+    qs = [float(q) for q in quantiles]
+    if not qs:
+        raise ValueError("quantiles must be non-empty")
+    if any(not (0.0 < q < 1.0) for q in qs) or any(
+        a >= b for a, b in zip(qs, qs[1:])
+    ):
+        raise ValueError(
+            f"quantiles must be strictly increasing within (0, 1), "
+            f"got {quantiles}"
+        )
+    if len(labels) != len(qs) + 1:
+        raise ValueError(
+            f"need exactly len(quantiles)+1 labels "
+            f"({len(qs) + 1}), got {len(labels)}: {labels}"
+        )
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"labels must be distinct, got {labels}")
+    if accuracy < 1:
+        raise ValueError(f"accuracy must be >= 1, got {accuracy}")
+    if ppl_col not in docs.columns:
+        if lm is None:
+            raise ValueError(
+                f"docs has no {ppl_col!r} column and no lm= was "
+                "given — pass a trained NGramLM or pre-scored docs"
+            )
+        from data_governance_spark.cache import tracked_persist
+
+        # persisted: the cutoff aggregate AND the output projection
+        # both read the scored frame, and the pandas-UDF scoring pass
+        # is the expensive step
+        docs = tracked_persist(
+            perplexity(docs, lm, text_col=text_col, out_col=ppl_col)
+        )
+    cuts = docs.select(
+        F.percentile_approx(ppl_col, qs, F.lit(accuracy)).alias("c")
+    ).collect()[0]["c"]
+    if cuts is None:
+        # no non-null scores anywhere: every tier is NULL
+        return docs.withColumn(tier_col, F.lit(None).cast("string"))
+    tier = F.when(F.col(ppl_col) <= float(cuts[0]), F.lit(labels[0]))
+    for c, lab in zip(cuts[1:], labels[1:-1]):
+        tier = tier.when(F.col(ppl_col) <= float(c), F.lit(lab))
+    tier = tier.otherwise(F.lit(labels[-1]))
+    # NULL ppl must stay NULL — an unguarded CASE would fall through
+    # to the last label (NULL <= c is NULL, not false)
+    return docs.withColumn(
+        tier_col, F.when(F.col(ppl_col).isNotNull(), tier)
+    )

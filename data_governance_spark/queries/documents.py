@@ -1408,6 +1408,11 @@ _DSIR_GRAMS_SQL = (
     UNION ALL
     SELECT 'ppl', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR), 1.0
     FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'pb', CAST(doc_id AS VARCHAR),
+           CASE WHEN doc_id % 2 = 0 THEN 'head' ELSE 'middle' END,
+           CAST(NULL AS DOUBLE)
+    FROM documents
     """,
     doc="merged gate (r7): rolling-hash winnowing fingerprints "
     "(Schleimer et al. 2003; min md5 per window of consecutive k-gram "
@@ -1424,7 +1429,14 @@ _DSIR_GRAMS_SQL = (
     "Wenzek 2020 KenLM tier; LM trained on a FIXED literal reference "
     "corpus so the scores are sf-independent: in-distribution docs "
     "land at ppl 5.8-6.7, all-OOV gibberish at 68.4, cut at 20 — kept "
-    "set analytically the even doc_ids; new in r9)",
+    "set analytically the even doc_ids; new in r9) + CCNet tercile "
+    "bucketing on COMPUTED quantile cutoffs (bucket_by_perplexity, "
+    "Wenzek 2020 §4.4; both planted classes have CONSTANT ppl — every "
+    "even doc is the same literal sentence, every odd doc all-OOV at "
+    "the unigram floor — so the rank-ceil(n/3) and rank-ceil(2n/3) "
+    "cutoffs land inside the even and odd runs respectively for any "
+    "parity mix in (1/3, 2/3), tying head==evens, middle==odds, tail "
+    "empty; decision gate on the tier STRING; new in r10)",
 )
 def d07_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1605,11 +1617,47 @@ def d07_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0).alias("v_d"),
         )
     )
+    # pb sub-gate (new in r10): the CCNet tercile method — cutoffs
+    # COMPUTED on the corpus (one percentile_approx sketch aggregate),
+    # not planted bounds. Both classes are built to have CONSTANT
+    # perplexity (evens all share one literal reference sentence; odds
+    # are all-OOV so each token scores the same unigram-floor
+    # probability regardless of content), so the rank-ceil(n/3) cutoff
+    # lands inside the even run and rank-ceil(2n/3) inside the odd run
+    # for ANY doc_id parity mix in (1/3, 2/3) — head is analytically
+    # the evens, middle the odds, tail empty. Same broadcast LM as
+    # 'ppl'; scoring+assignment are map-only (see bucket_by_perplexity
+    # docstring for the scale shape).
+    from data_governance_spark.operators.ngram_lm import (
+        bucket_by_perplexity,
+    )
+
+    psyn2 = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(_PPL_REF[0]))
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.substring(md5, 1, 8),
+                F.substring(md5, 9, 8),
+                F.substring(md5, 17, 8),
+                F.substring(md5, 25, 8),
+            )
+        )
+        .alias("text"),
+    )
+    pb_rows = bucket_by_perplexity(psyn2, lm).select(
+        F.lit("pb").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("ppl_tier").alias("v_s"),
+        nul_d.alias("v_d"),
+    )
     return (
         fp_rows.unionByName(dsir_rows)
         .unionByName(dsel_rows)
         .unionByName(clf_rows)
         .unionByName(ppl_rows)
+        .unionByName(pb_rows)
     )
 
 

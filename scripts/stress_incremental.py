@@ -10,11 +10,15 @@ AND bucketed, then runs the same new batch against both and reports:
 2. wall time per variant,
 3. the plan property that matters at 100 TB: Exchange count over the
    exact-tier join (plain shuffles the corpus-sized state side every
-   increment; bucketed shuffles only the batch).
+   increment; bucketed shuffles only the batch),
+4. the append loop (r10): per-increment wall + files-per-bucket after
+   each append_dedup_state, then compact_dedup_state timing and the
+   post-compact file counts + increment wall (small-files evidence).
 
 Usage: python scripts/stress_incremental.py [factor]   (default 32)
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_STATE_DIR (default /tmp/stress_incremental_state)
+     SPARK_GRAFT_STATE_DIR (default /tmp/stress_incremental_state),
+     SPARK_GRAFT_APPENDS (default 5)
 """
 
 from __future__ import annotations
@@ -119,6 +123,59 @@ def main():
             f"bucketed_scan={'Bucketed: true' in plan}"
         )
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    # --- append loop + compaction: the small-files story (r10) -------
+    # Each append adds files per table; the per-increment wall should
+    # stay flat (work ∝ increment) while files/bucket climbs, and
+    # compaction should bring every table back to <=1 file per bucket
+    # with the increment time unchanged after.
+    from data_governance_spark.operators.incremental import (  # noqa: E402
+        append_dedup_state,
+        compact_dedup_state,
+        state_file_report,
+    )
+
+    n_appends = int(os.environ.get("SPARK_GRAFT_APPENDS", "5"))
+    st = load_dedup_state(spark, f"{root}/buck")
+
+    def one_increment(i: int) -> float:
+        nonlocal st
+        inc = docs.limit(n_docs // 10).select(
+            (F.col("doc_id") + base + n_docs * (10 + i)).alias("doc_id"),
+            F.concat_ws(" ", "text", F.lit(f"increment tail {i}")).alias(
+                "text"
+            ),
+        )
+        t0 = time.time()
+        res = incremental_dedup(inc, st)
+        n_kept = res.kept.count()  # evaluate BEFORE append (documented)
+        st = append_dedup_state(res, f"{root}/buck")
+        wall = time.time() - t0
+        fpb = {
+            p: round(v["files_per_bucket"], 2)
+            for p, v in state_file_report(spark, f"{root}/buck").items()
+        }
+        print(f"append {i}: kept {n_kept}, {wall:.1f}s, files/bucket {fpb}")
+        return wall
+
+    for i in range(n_appends):
+        one_increment(i)
+
+    t0 = time.time()
+    report = compact_dedup_state(spark, f"{root}/buck")
+    t_compact = time.time() - t0
+    after = state_file_report(spark, f"{root}/buck")
+    print(
+        f"compact: {t_compact:.1f}s; "
+        f"files {({p: v['files'] for p, v in report.items()})} -> "
+        f"{({p: v['files'] for p, v in after.items()})}"
+    )
+    assert all(
+        v["files"] <= v["buckets"] for v in after.values()
+    ), f"compaction left multi-file buckets: {after}"
+    st = load_dedup_state(spark, f"{root}/buck")
+    w = one_increment(n_appends)
+    print(f"post-compact increment: {w:.1f}s (same shape as pre-compact)")
 
 
 if __name__ == "__main__":

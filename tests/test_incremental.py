@@ -330,12 +330,26 @@ def test_exact_only_increment_preserves_band_rel(spark, tmp_path):
     assert res.state.band_rel is st.band_rel
 
 
+def rowbag(df):
+    """Sorted row MULTISET — a set would collapse accidental duplicate
+    rows and mask a double-append (the exact bug class the stale
+    post-append result.state exhibits, pinned below)."""
+    return sorted(
+        tuple(tuple(v) if isinstance(v, list) else v for v in r)
+        for r in df.collect()
+    )
+
+
 def test_append_dedup_state_equals_full_resave(spark, tmp_path):
     """append_dedup_state writes only the increment's delta rows, and
     the appended tables must equal a full resave of the updated state
-    (row-set equality on exact and sigs) while still joining
+    (row-MULTISET equality on every table) while still joining
     state-side shuffle-free (bucketing survives per-bucket file
-    appends)."""
+    appends). The resave runs BEFORE the append: whether result.state's
+    catalog scans see the pre- or post-append file listing is an
+    analysis-snapshotting internal (documented as unspecified), so the
+    only defined post-append handle is append_dedup_state's return
+    value — which is what the equality below checks."""
     from data_governance_spark.operators.incremental import (
         append_dedup_state,
     )
@@ -348,21 +362,16 @@ def test_append_dedup_state_equals_full_resave(spark, tmp_path):
     save_dedup_state(state, path, buckets=n_shuffle)
     st = load_dedup_state(spark, path)
     res = incremental_dedup(_docs(spark, BATCH2), st)
-    append_dedup_state(res, path)
-
     full = str(tmp_path / "full")
     save_dedup_state(res.state, full, buckets=n_shuffle)
-    got = load_dedup_state(spark, path)
+    n_delta = res.delta_exact.count()
+    got = append_dedup_state(res, path)
     want = load_dedup_state(spark, full)
-    def rowset(df):
-        return {
-            tuple(tuple(v) if isinstance(v, list) else v for v in r)
-            for r in df.collect()
-        }
 
     for part in ("exact", "sigs"):
-        assert rowset(getattr(got, part)) == rowset(getattr(want, part)), part
-    assert rowset(got.band_rel) == rowset(want.band_rel)
+        assert rowbag(getattr(got, part)) == rowbag(getattr(want, part)), part
+    assert rowbag(got.band_rel) == rowbag(want.band_rel)
+    assert n_delta > 0  # the increment genuinely appended rows
 
     # appended exact table still scans bucketed and joins with ONE
     # Exchange (the batch side only)
@@ -441,3 +450,123 @@ def test_append_dedup_state_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="mismatch"):
         append_dedup_state(res, other)
+
+
+BATCH3 = [
+    (21, "entirely novel third batch content here"),
+    (22, "entirely novel third batch content there"),  # near of 21
+    (23, "one more unique document for compaction"),
+]
+
+
+def test_compact_dedup_state(spark, tmp_path):
+    """N appends -> compact -> (a) the state's row multisets are
+    unchanged, (b) every table is down to exactly one file per bucket,
+    (c) the post-compact increment join still runs with exactly ONE
+    Exchange (batch side) — the small-files maintenance pass must not
+    cost the bucketed layout its shuffle-free scan."""
+    from data_governance_spark.operators.incremental import (
+        append_dedup_state,
+        compact_dedup_state,
+        state_file_report,
+    )
+
+    buckets = 4
+    path = str(tmp_path / "st")
+    state = build_dedup_state(
+        one_shot_dedup(_docs(spark, BATCH1)), shingle_n=SHINGLE_N
+    )
+    save_dedup_state(state, path, buckets=buckets)
+    st = load_dedup_state(spark, path)
+    st = append_dedup_state(incremental_dedup(_docs(spark, BATCH2), st), path)
+    st = append_dedup_state(incremental_dedup(_docs(spark, BATCH3), st), path)
+
+    before = state_file_report(spark, path)
+    assert all(v["files"] > buckets for v in before.values()), before
+    pre = load_dedup_state(spark, path)
+    bags = {
+        "exact": rowbag(pre.exact),
+        "sigs": rowbag(pre.sigs),
+        "bands": rowbag(pre.band_rel),
+    }
+
+    report = compact_dedup_state(spark, path)
+    assert all(v["compacted"] for v in report.values()), report
+    assert {p: v["files"] for p, v in report.items()} == {
+        p: v["files"] for p, v in before.items()
+    }
+
+    got = load_dedup_state(spark, path)
+    assert rowbag(got.exact) == bags["exact"]
+    assert rowbag(got.sigs) == bags["sigs"]
+    assert rowbag(got.band_rel) == bags["bands"]
+    # at most one file per NON-EMPTY bucket (an empty bucket writes no
+    # file), and strictly fewer files than before on every table
+    after = state_file_report(spark, path)
+    assert all(v["files"] <= buckets for v in after.values()), after
+    assert all(
+        after[p]["files"] < before[p]["files"] for p in after
+    ), (before, after)
+
+    # a second compact is a no-op: already at one file per bucket
+    report2 = compact_dedup_state(spark, path)
+    assert not any(v["compacted"] for v in report2.values()), report2
+    assert {p: v["files"] for p, v in report2.items()} == {
+        p: v["files"] for p, v in after.items()
+    }
+
+    # post-compact increment join: bucketed scan, ONE Exchange. The
+    # planner only uses the bucketed distribution when the other
+    # side's shuffle lands on the same partition count, so pin
+    # shuffle.partitions to the bucket count for the probe (the
+    # production sizing rule: save with buckets matched to the
+    # cluster's shuffle parallelism).
+    from data_governance_spark.operators.incremental import _fingerprints
+
+    n_shuffle_orig = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", str(buckets))
+    try:
+        fp = (
+            _fingerprints(
+                _docs(spark, [(41, "post compact probe")]), "doc_id", "text"
+            )
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        j = fp.join(got.exact.select("fp", F.col("doc_id").alias("m")), "fp")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange") == 1
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.shuffle.partitions", n_shuffle_orig)
+
+    # semantics survive compaction: a duplicate of a batch-2 survivor
+    # still drops against the compacted state
+    res = incremental_dedup(
+        _docs(spark, [(51, "fresh unseen material for the second batch")]),
+        got,
+    )
+    assert res.kept.count() == 0
+
+
+def test_compact_dedup_state_guards(spark, tmp_path):
+    from data_governance_spark.operators.incremental import (
+        compact_dedup_state,
+        state_file_report,
+    )
+
+    state = build_dedup_state(
+        one_shot_dedup(_docs(spark, BATCH1)), shingle_n=SHINGLE_N
+    )
+    plain = str(tmp_path / "plain")
+    save_dedup_state(state, plain)  # unbucketed
+    with pytest.raises(ValueError, match="bucketed"):
+        compact_dedup_state(spark, plain)
+    with pytest.raises(ValueError, match="bucketed"):
+        state_file_report(spark, plain)
+    bucketed = str(tmp_path / "bk")
+    save_dedup_state(state, bucketed, buckets=4)
+    with pytest.raises(ValueError, match="max_files_per_bucket"):
+        compact_dedup_state(spark, bucketed, max_files_per_bucket=0)

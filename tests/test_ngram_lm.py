@@ -171,6 +171,159 @@ def test_validation(spark):
         train_ngram_lm(ref, max_ngrams=0)
     with pytest.raises(ValueError, match="empty reference"):
         train_ngram_lm(ref.filter(F.lit(False)))
+    # order>=2 with a single-token-only reference: the unigram level
+    # is the CONTINUATION table derived from bigram counts, so it is
+    # empty — must fail at TRAIN time with an actionable message, not
+    # ZeroDivisionError inside the scoring executor UDF
+    singles = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], "text string"
+    )
+    with pytest.raises(ValueError, match="order-2 grams"):
+        train_ngram_lm(singles, order=2)
+    # the same corpus is VALID at order=1 (raw unigram level)
+    lm1 = train_ngram_lm(singles, order=1)
+    assert lm1.denom1 == 3
+
+
+def test_bucket_by_perplexity_differential(spark):
+    """Exact-regime (accuracy >= n) cutoffs must be the order
+    statistics at rank ceil(q*n), and value-based tier assignment must
+    match an independent pure-Python reference over a corpus with
+    genuinely varying perplexities."""
+    from data_governance_spark.operators.ngram_lm import (
+        bucket_by_perplexity,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            ("the cat sat on the mat",),
+            ("a dog ran in the park",),
+            ("the dog sat in a park",),
+        ],
+        "text string",
+    )
+    lm = train_ngram_lm(ref, order=2)
+    words = "the cat sat on a dog ran in park mat".split()
+    rnd = random.Random(7)
+    rows = []
+    for i in range(40):
+        toks = [rnd.choice(words) for _ in range(rnd.randint(1, 6))] + [
+            f"zz{i}x{j}" for j in range(rnd.randint(0, 4))
+        ]
+        rnd.shuffle(toks)
+        rows.append((i, " ".join(toks)))
+    rows += [(98, ""), (99, None)]  # NULL/empty text -> NULL tier
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs, labs = (0.25, 0.5, 0.75), ("a", "b", "c", "d")
+    got = {
+        r["doc_id"]: (r["perplexity"], r["ppl_tier"])
+        for r in bucket_by_perplexity(
+            docs, lm, quantiles=qs, labels=labs, accuracy=100_000
+        ).collect()
+    }
+    assert got[98] == (None, None) and got[99] == (None, None)
+    vals = sorted(p for p, _ in got.values() if p is not None)
+    cuts = [vals[math.ceil(q * len(vals)) - 1] for q in qs]
+    for d, (p, t) in got.items():
+        if p is None:
+            assert t is None
+            continue
+        want = labs[-1]
+        for c, lab in zip(cuts, labs[:-1]):
+            if p <= c:
+                want = lab
+                break
+        assert t == want, (d, p, cuts, t, want)
+
+
+def test_bucket_by_perplexity_prescored_and_validation(spark):
+    from data_governance_spark.operators.ngram_lm import (
+        bucket_by_perplexity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, None)],
+        "doc_id long, perplexity double",
+    )
+    # pre-scored reuse hook: no lm needed; n=3 non-null, q=0.5 cutoff
+    # is the order statistic at rank ceil(1.5)=2 -> 2.0
+    out = {
+        r["doc_id"]: r["ppl_tier"]
+        for r in bucket_by_perplexity(
+            df, quantiles=(0.5,), labels=("head", "tail"), accuracy=100
+        ).collect()
+    }
+    assert out == {1: "head", 2: "head", 3: "tail", 4: None}
+    with pytest.raises(ValueError, match="labels"):
+        bucket_by_perplexity(df, quantiles=(0.5,), labels=("x", "y", "z"))
+    with pytest.raises(ValueError, match="quantiles"):
+        bucket_by_perplexity(df, quantiles=(0.7, 0.2), labels=("x", "y", "z"))
+    with pytest.raises(ValueError, match="quantiles"):
+        bucket_by_perplexity(df, quantiles=(), labels=("x",))
+    with pytest.raises(ValueError, match="distinct"):
+        bucket_by_perplexity(df, quantiles=(0.5,), labels=("x", "x"))
+    with pytest.raises(ValueError, match="accuracy"):
+        bucket_by_perplexity(
+            df, quantiles=(0.5,), labels=("h", "t"), accuracy=0
+        )
+    with pytest.raises(ValueError, match="lm"):
+        bucket_by_perplexity(
+            df.select("doc_id", F.lit("a").alias("text")), None
+        )
+    # all-NULL scores: every tier NULL (no cutoffs exist)
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, perplexity double"
+    )
+    assert [
+        r["ppl_tier"] for r in bucket_by_perplexity(allnull).collect()
+    ] == [None, None]
+
+
+def test_prepare_corpus_perplexity_buckets(spark):
+    from data_governance_spark.corpus import prepare_corpus
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    ref = spark.createDataFrame([(fluent,)] * 8, "text string")
+    lm = train_ngram_lm(ref, order=2)
+    docs = spark.createDataFrame(
+        [
+            (i, fluent + f" u{i}")
+            if i % 2 == 0
+            else (i, f"zxqv{i} wmpt kjhg bnml qwer asdf")
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    # both classes have CONSTANT ppl (same token-probability profile
+    # within each class), so the tercile cutoffs land rank ceil(20/3)=7
+    # inside the 10-doc fluent run and rank ceil(40/3)=14 inside the
+    # gibberish run: head == fluent evens, middle == gibberish odds
+    res = prepare_corpus(
+        docs,
+        perplexity_lm=lm,
+        perplexity_buckets=(1.0 / 3.0, 2.0 / 3.0),
+        perplexity_keep=("head",),
+        quality_rules={},
+        pii=False,
+        minhash_threshold=1.01,
+    )
+    kept = {r["doc_id"] for r in res.kept.collect()}
+    res.release()
+    assert kept == {i for i in range(20) if i % 2 == 0}
+    with pytest.raises(ValueError, match="not both"):
+        prepare_corpus(
+            docs,
+            perplexity_lm=lm,
+            perplexity_bounds=(0.0, 5.0),
+            perplexity_buckets=(1.0 / 3.0, 2.0 / 3.0),
+        )
+    with pytest.raises(ValueError, match="perplexity_keep"):
+        prepare_corpus(
+            docs,
+            perplexity_lm=lm,
+            perplexity_buckets=(1.0 / 3.0, 2.0 / 3.0),
+            perplexity_keep=("bogus",),
+        )
 
 
 def test_prepare_corpus_perplexity_hook(spark):
