@@ -218,11 +218,24 @@ def _write_bucketed_set(
     needs (measured: FILE_NOT_EXIST mid-save). All stagings complete
     against the intact old state; only then do the swaps run. A crash
     between a delete and its rename leaves the complete staging
-    directory next to the missing final one — recoverable by hand."""
+    directory next to the missing final one — recoverable by hand.
+
+    Every table is repartitioned BY ITS BUCKET KEYS into ``buckets``
+    partitions before the write: Spark's bucketed writer emits one
+    file per (task, bucket) pair, so an unaligned input writes up to
+    tasks x buckets files per table (measured: a 32-partition band
+    table saved into 32 buckets wrote 1,024 files) — at production
+    scan widths that is a file explosion at save time. The repartition
+    hash is the same Murmur3 the bucket writer uses, so each output
+    task holds exactly one bucket's rows and writes exactly one file
+    (and the advertised per-bucket SORT is real, not per-file). One
+    shuffle per table is the honest price; the writes here are already
+    corpus-sized operations."""
     assert writes, "empty write set"
     spark = writes[0][0].sparkSession
     staged = []
     for df, part, keys in writes:
+        df = df.repartition(buckets, *[F.col(k) for k in keys])
         path = f"{root}/{part}"
         name = _state_table_name(root, part)
         staging = f"{path}__staging__"
@@ -465,7 +478,13 @@ def append_dedup_state(result: "IncrementalResult", path: str) -> DedupState:
         name = _state_table_name(path, part)
         _ensure_bucketed_table(spark, name, f"{path}/{part}", keys, buckets)
         (
-            df.write.mode("append")
+            # bucket-aligned repartition: without it the writer emits
+            # one file per (task, bucket) pair, multiplying the append's
+            # file growth by its partition count (same reasoning as
+            # _write_bucketed_set); deltas are increment-sized, so this
+            # shuffle is small
+            df.repartition(buckets, *[F.col(k) for k in keys])
+            .write.mode("append")
             .option("path", f"{path}/{part}")
             .bucketBy(buckets, *keys)
             .sortBy(*keys)
@@ -538,20 +557,18 @@ def compact_dedup_state(
     Row-preserving layout-only rewrite: each flagged table is read as
     PLAIN parquet (deliberately NOT through its bucketed catalog scan:
     the bucketed scan advertises ``HashPartitioning(keys, buckets)``,
-    so the planner deletes the repartition below as redundant and then
-    disables bucketed reading anyway — leaving one writer task per
-    file split, which re-emits the small files this pass exists to
-    remove; measured, and pinned by the file-count assert in
-    tests/test_incremental.py), repartitioned BY ITS BUCKET KEYS into
-    ``buckets`` partitions (Spark's repartition hash is the same
-    Murmur3 the bucket writer uses, so every output task holds exactly
-    one bucket's rows and writes exactly one file), and swapped in via
-    the same two-phase staging used by ``save_dedup_state`` — the
-    rewrite reads the files it replaces, so every staging completes
-    against the intact old table before any swap runs. Compaction also
-    restores the per-bucket SORT guarantee that multi-file appends
-    relax. Cost: one shuffle of each flagged table — amortize by
-    compacting every K appends, not every append.
+    so the planner deletes the writer's bucket-aligning repartition as
+    redundant and then disables bucketed reading anyway — leaving one
+    writer task per file split, which re-emits the small files this
+    pass exists to remove; measured, and pinned by the file-count
+    assert in tests/test_incremental.py) and rewritten through the
+    same two-phase staging swap as ``save_dedup_state`` (which
+    bucket-aligns the shuffle so each output task writes exactly one
+    file) — the rewrite reads the files it replaces, so every staging
+    completes against the intact old table before any swap runs.
+    Compaction also restores the per-bucket SORT guarantee that
+    multi-file appends relax. Cost: one shuffle of each flagged table
+    — amortize by compacting every K appends, not every append.
 
     Returns ``{part: {"files": n_before, "buckets": b,
     "compacted": bool}}``."""
@@ -578,13 +595,8 @@ def compact_dedup_state(
             "compacted": need,
         }
         if need:
-            rows = spark.read.parquet(f"{path}/{part}")
             rewrites.append(
-                (
-                    rows.repartition(buckets, *[F.col(k) for k in keys]),
-                    part,
-                    keys,
-                )
+                (spark.read.parquet(f"{path}/{part}"), part, keys)
             )
     if rewrites:
         _write_bucketed_set(rewrites, path, buckets)

@@ -64,7 +64,11 @@ def main():
         salted with the copy id (so bodies never duplicate across
         copies) and the SAME license header is prepended to all."""
         copies = spark.range(fac).select(F.col("id").alias("c"))
-        return docs.crossJoin(copies).select(
+        # repartition: the local one-split parquet crossJoin would
+        # build (and salt) the whole corpus on ONE task before the
+        # write; the measured sections read the written parquet, whose
+        # splits restore parallelism either way
+        return docs.crossJoin(copies).repartition(32).select(
             (F.col("doc_id") + F.col("c") * n_docs * 10).alias("doc_id"),
             F.concat(
                 F.lit(HEADER + " "),
@@ -120,7 +124,9 @@ def main():
             out = dedup_substrings(corpus, width=WIDTH, strategy=strategy)
             row = out.select(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.xxhash64("doc_id", "text")).alias("s"),
+                # bit_xor: order-independent row checksum that cannot
+                # overflow (ANSI mode makes sum(hash) abort on overflow)
+                F.expr("bit_xor(xxhash64(doc_id, text))").alias("s"),
             ).collect()[0]
             wall = time.time() - t0
             sums[strategy] = (row["n"], row["s"])

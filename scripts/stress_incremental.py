@@ -18,7 +18,11 @@ AND bucketed, then runs the same new batch against both and reports:
 Usage: python scripts/stress_incremental.py [factor]   (default 32)
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_STATE_DIR (default /tmp/stress_incremental_state),
-     SPARK_GRAFT_APPENDS (default 5)
+     SPARK_GRAFT_APPENDS (default 5),
+     SPARK_GRAFT_PHASES (default "base,append" — run "base" for the
+     plain-vs-bucketed comparison only, "append" for the append-loop +
+     compaction evidence only; each phase fits a ~10 min budget alone
+     at x32, together they may not)
 """
 
 from __future__ import annotations
@@ -54,31 +58,46 @@ def main():
     spark = get_spark("stress_incremental")
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    phases = set(
+        os.environ.get("SPARK_GRAFT_PHASES", "base,append").split(",")
+    )
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.count()
     # corpus = docs x factor with disjoint ids and per-copy unique text
     # (suffix token), so the state carries factor * n_docs rows
     copies = spark.range(factor).select(F.col("id").alias("c"))
+    # repartition: the local one-split parquet crossJoin would land the
+    # whole x-factor corpus on ONE task and serialize the interpreted
+    # shingle/sig HOFs onto one core (clusters get this spread from
+    # their input splits; the gates' repartition(32) lesson)
     corpus = docs.crossJoin(copies).select(
         (F.col("doc_id") + F.col("c") * n_docs * 10).alias("doc_id"),
         F.concat_ws(
             " ", "text", F.concat(F.lit("copy"), F.col("c"))
         ).alias("text"),
-    )
+    ).repartition(n_shuffle)
     state = build_dedup_state(corpus)
-    t0 = time.time()
-    save_dedup_state(state, f"{root}/plain")
-    t_save_plain = time.time() - t0
-    t0 = time.time()
-    save_dedup_state(state, f"{root}/buck", buckets=n_shuffle)
-    t_save_buck = time.time() - t0
-    print(
-        f"state: {n_docs * factor} docs; save plain {t_save_plain:.1f}s, "
-        f"bucketed {t_save_buck:.1f}s"
-    )
+    base = n_docs * factor * 100
+    if "base" in phases:
+        t0 = time.time()
+        save_dedup_state(state, f"{root}/plain")
+        t_save_plain = time.time() - t0
+        t0 = time.time()
+        save_dedup_state(state, f"{root}/buck", buckets=n_shuffle)
+        t_save_buck = time.time() - t0
+        print(
+            f"state: {n_docs * factor} docs; save plain "
+            f"{t_save_plain:.1f}s, bucketed {t_save_buck:.1f}s"
+        )
+    else:
+        t0 = time.time()
+        save_dedup_state(state, f"{root}/buck", buckets=n_shuffle)
+        print(
+            f"state: {n_docs * factor} docs; bucketed save "
+            f"{time.time() - t0:.1f}s (append-only run)"
+        )
 
     # new batch: half exact dups of copy 0, half fresh
-    base = n_docs * factor * 100
     batch = docs.limit(n_docs // 2).select(
         (F.col("doc_id") + base).alias("doc_id"),
         F.concat_ws(" ", "text", F.lit("copy0")).alias("text"),
@@ -92,37 +111,45 @@ def main():
     ).cache()
     batch.count()
 
-    results = {}
-    for variant in ("plain", "buck"):
-        st = load_dedup_state(spark, f"{root}/{variant}")
-        t0 = time.time()
-        res = incremental_dedup(batch, st)
-        kept = sorted(r["doc_id"] for r in res.kept.select("doc_id").collect())
-        dropped = sorted(
-            (r["doc_id"], r["reason"]) for r in res.dropped.collect()
-        )
-        wall = time.time() - t0
-        results[variant] = (kept, dropped)
-        print(f"{variant}: kept {len(kept)} dropped {len(dropped)} "
-              f"in {wall:.1f}s")
-    assert results["plain"] == results["buck"], "variant results diverged"
+    if "base" in phases:
+        results = {}
+        for variant in ("plain", "buck"):
+            st = load_dedup_state(spark, f"{root}/{variant}")
+            t0 = time.time()
+            res = incremental_dedup(batch, st)
+            kept = sorted(
+                r["doc_id"] for r in res.kept.select("doc_id").collect()
+            )
+            dropped = sorted(
+                (r["doc_id"], r["reason"]) for r in res.dropped.collect()
+            )
+            wall = time.time() - t0
+            results[variant] = (kept, dropped)
+            print(f"{variant}: kept {len(kept)} dropped {len(dropped)} "
+                  f"in {wall:.1f}s")
+        assert results["plain"] == results["buck"], "variant results diverged"
 
-    # the plan property: exact-tier join Exchange count per variant
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    for variant in ("plain", "buck"):
-        st = load_dedup_state(spark, f"{root}/{variant}")
-        fp = _fingerprints(batch, "doc_id", "text").groupBy("fp").agg(
-            F.min("doc_id").alias("doc_id")
-        )
-        plan = (
-            fp.join(st.exact.select("fp", F.col("doc_id").alias("m")), "fp")
-            ._jdf.queryExecution().executedPlan().toString()
-        )
-        print(
-            f"{variant}: exact-join Exchanges={plan.count('Exchange')} "
-            f"bucketed_scan={'Bucketed: true' in plan}"
-        )
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # the plan property: exact-tier join Exchange count per variant
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for variant in ("plain", "buck"):
+            st = load_dedup_state(spark, f"{root}/{variant}")
+            fp = _fingerprints(batch, "doc_id", "text").groupBy("fp").agg(
+                F.min("doc_id").alias("doc_id")
+            )
+            plan = (
+                fp.join(
+                    st.exact.select("fp", F.col("doc_id").alias("m")), "fp"
+                )
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            print(
+                f"{variant}: exact-join Exchanges={plan.count('Exchange')} "
+                f"bucketed_scan={'Bucketed: true' in plan}"
+            )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    if "append" not in phases:
+        return
 
     # --- append loop + compaction: the small-files story (r10) -------
     # Each append adds files per table; the per-increment wall should
@@ -138,13 +165,24 @@ def main():
     n_appends = int(os.environ.get("SPARK_GRAFT_APPENDS", "5"))
     st = load_dedup_state(spark, f"{root}/buck")
 
+    from data_governance_spark.functions.text import tokens  # noqa: E402
+
     def one_increment(i: int) -> float:
+        """Increment i: n_docs/10 docs of realistic length whose every
+        token is salted with the increment id — genuinely fresh vs the
+        state and vs prior increments (a mere suffix tail would
+        near-dup the state at Jaccard ~1 and keep nothing), so each
+        append writes real deltas."""
         nonlocal st
         inc = docs.limit(n_docs // 10).select(
             (F.col("doc_id") + base + n_docs * (10 + i)).alias("doc_id"),
-            F.concat_ws(" ", "text", F.lit(f"increment tail {i}")).alias(
-                "text"
-            ),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    tokens("text"),
+                    lambda t: F.concat(t, F.lit(f"i{i}")),
+                ),
+            ).alias("text"),
         )
         t0 = time.time()
         res = incremental_dedup(inc, st)

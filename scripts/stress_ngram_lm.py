@@ -63,12 +63,15 @@ def main():
         walls = {}
         for fac in (1, factor):
             copies = spark.range(fac).select(F.col("id").alias("c"))
+            # repartition: the local one-split parquet crossJoin would
+            # score the whole corpus in ONE Arrow task (clusters get
+            # the spread from their input splits)
             corpus = docs.crossJoin(copies).select(
                 (F.col("doc_id") + F.col("c") * n_docs * 10).alias(
                     "doc_id"
                 ),
                 "text",
-            )
+            ).repartition(32)
             t0 = time.time()
             row = (
                 perplexity(corpus, lm)
