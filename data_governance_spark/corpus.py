@@ -295,6 +295,15 @@ def prepare_corpus(
             )
 
             labels = ("head", "middle", "tail")
+            if len(perplexity_buckets) != 2:
+                # validate HERE, in this function's own vocabulary —
+                # letting it reach bucket_by_perplexity raises about a
+                # 'labels' argument prepare_corpus does not expose
+                raise ValueError(
+                    f"perplexity_buckets must be exactly two quantiles "
+                    f"(q1, q2) for the head/middle/tail tercile split, "
+                    f"got {perplexity_buckets}"
+                )
             keep = tuple(perplexity_keep)
             if not keep or not set(keep) <= set(labels):
                 raise ValueError(

@@ -297,6 +297,24 @@ def _ensure_bucketed_table(
     return spark.table(name)
 
 
+def _read_state_params(spark: SparkSession, path: str):
+    """The stored params row + bucket count (0 = plain layout)."""
+    pdf = spark.read.parquet(f"{path}/params")
+    p = pdf.collect()[0]
+    buckets = p["buckets"] if "buckets" in pdf.columns else 0
+    return p, buckets
+
+
+def _require_bucketed(spark: SparkSession, path: str, caller: str):
+    p, buckets = _read_state_params(spark, path)
+    if not buckets:
+        raise ValueError(
+            f"{caller} requires a bucketed state "
+            "(save_dedup_state(..., buckets=N)); this path is plain"
+        )
+    return p, buckets
+
+
 def save_dedup_state(
     state: DedupState, path: str, buckets: int | None = None
 ) -> None:
@@ -348,9 +366,7 @@ def load_dedup_state(spark: SparkSession, path: str) -> DedupState:
     Bucketed states (``save_dedup_state(..., buckets=N)``) come back
     as bucketed-table scans whose increment joins skip the state-side
     Exchange."""
-    pdf = spark.read.parquet(f"{path}/params")
-    p = pdf.collect()[0]
-    buckets = p["buckets"] if "buckets" in pdf.columns else 0
+    p, buckets = _read_state_params(spark, path)
     if buckets:
         exact = _ensure_bucketed_table(
             spark, _state_table_name(path, "exact"),
@@ -378,7 +394,9 @@ def load_dedup_state(spark: SparkSession, path: str) -> DedupState:
     )
 
 
-def append_dedup_state(result: "IncrementalResult", path: str) -> DedupState:
+def append_dedup_state(
+    result: "IncrementalResult", path: str, heal: bool = False
+) -> DedupState:
     """Append ONLY an increment's delta rows to a BUCKETED state at
     ``path`` — the production loop's cheap alternative to rewriting
     the corpus-sized state per increment. Spark adds per-bucket files
@@ -408,17 +426,33 @@ def append_dedup_state(result: "IncrementalResult", path: str) -> DedupState:
     Nothing is deleted, so no staging swap is needed.
 
     Crash story: the three table appends cannot be made atomic as a
-    group (each ``INSERT`` commits independently), so they run in the
-    conservative order sigs -> bands -> exact. A tear after sigs/bands
-    but before exact leaves the increment's docs invisible to the
-    exact tier but still caught by the near tier (an identical future
-    doc estimates Jaccard 1.0 and drops with reason 'near'), so a torn
-    append fails toward EXTRA drops, never silent duplicate leakage;
-    the reverse order would leak near-dups silently. Recovery from a
-    tear: re-run the increment against the reloaded state and append
-    its (smaller) result — the already-appended rows make the re-run's
-    deltas disjoint from them — or fall back to
-    ``save_dedup_state(state, path, buckets=N)`` for a full rewrite.
+    group (each ``INSERT`` commits independently); they run
+    sigs -> bands -> exact, exact LAST so that no tear can ever cause
+    a WRONG drop — every state row a tear leaves behind describes a
+    real shipped document, so anything it drops later really is a
+    duplicate. What a tear CAN do is lose part of the increment's
+    protection: docs whose sigs AND bands landed but exact did not are
+    still fully caught (an identical future doc estimates Jaccard 1.0
+    and drops as 'near'); docs whose bands (or both near tables) did
+    not land are unprotected, exactly as if the append had never run
+    for those tables — a near match needs bands for candidate
+    generation AND sigs for verification. Torn-append semantics are
+    therefore at-least-once-lost-tail, never corruption.
+
+    Recovery from a tear: re-run the SAME append with ``heal=True`` —
+    each delta is first anti-joined against its stored table (exact on
+    fp, sigs on doc_id, bands on the full row key), so rows a previous
+    partial append already landed are not written twice (idempotent
+    re-append, pinned in tests). If the original ``result`` did not
+    survive the crash, re-run ``incremental_dedup`` on the SAME batch
+    against the reloaded state and heal-append that: against a
+    sigs-only tear it reproduces the full deltas; against a
+    sigs+bands tear the re-run drops the batch as near-dups of itself
+    and the exact rows stay missing — harmless, since the near tier
+    permanently covers exact identity for those docs. ``heal`` costs
+    one scan of each state table, so it is the recovery path, not the
+    steady-state loop; ``save_dedup_state(state, path, buckets=N)``
+    remains the full-rewrite fallback.
 
     Requires a bucketed save (``save_dedup_state(..., buckets=N)``);
     the sketch parameters stored at ``path`` must match the state the
@@ -432,14 +466,7 @@ def append_dedup_state(result: "IncrementalResult", path: str) -> DedupState:
     and re-drop them (pinned in tests)."""
     st = result.state
     spark = st.exact.sparkSession
-    pdf = spark.read.parquet(f"{path}/params")
-    p = pdf.collect()[0]
-    buckets = p["buckets"] if "buckets" in pdf.columns else 0
-    if not buckets:
-        raise ValueError(
-            "append_dedup_state requires a bucketed state "
-            "(save_dedup_state(..., buckets=N)); this path is plain"
-        )
+    p, buckets = _require_bucketed(spark, path, "append_dedup_state")
     if (p["num_hashes"], p["bands"], p["shingle_n"]) != (
         st.num_hashes,
         st.bands,
@@ -461,7 +488,10 @@ def append_dedup_state(result: "IncrementalResult", path: str) -> DedupState:
     writes = []
     if result.delta_sigs is not None:
         ds = result.delta_sigs.localCheckpoint(eager=True)
-        writes.append((ds, "sigs", ["doc_id"]))
+        # heal anti-join keys: the natural unique row key of each
+        # table — bands uses the full row so the (band, key) bucketing
+        # keeps the stored side Exchange-free under the anti-join
+        writes.append((ds, "sigs", ["doc_id"], ["doc_id"]))
         writes.append(
             (
                 _band_table(ds, st.bands, st.num_hashes).localCheckpoint(
@@ -469,14 +499,24 @@ def append_dedup_state(result: "IncrementalResult", path: str) -> DedupState:
                 ),
                 "bands",
                 ["band", "key"],
+                ["doc_id", "band", "key"],
             )
         )
-    # exact LAST (see docstring: a tear before it fails toward extra
-    # near-drops, never silent dup leakage)
-    writes.append((de, "exact", ["fp"]))
-    for df, part, keys in writes:
+    # exact LAST (see docstring: a tear can only lose protection,
+    # never cause a wrong drop)
+    writes.append((de, "exact", ["fp"], ["fp"]))
+    for df, part, keys, row_key in writes:
         name = _state_table_name(path, part)
-        _ensure_bucketed_table(spark, name, f"{path}/{part}", keys, buckets)
+        stored = _ensure_bucketed_table(
+            spark, name, f"{path}/{part}", keys, buckets
+        )
+        if heal:
+            # drop delta rows a previous (torn) append already landed,
+            # then re-truncate lineage: the healed delta now READS the
+            # table it is about to append to
+            df = df.join(stored, row_key, "left_anti").localCheckpoint(
+                eager=True
+            )
         (
             # bucket-aligned repartition: without it the writer emits
             # one file per (task, bucket) pair, multiplying the append's
@@ -523,14 +563,7 @@ def state_file_report(spark: SparkSession, path: str) -> dict:
     "files_per_bucket": n/b}}``; feed it to the
     :func:`compact_dedup_state` decision (reported by
     scripts/stress_incremental.py)."""
-    pdf = spark.read.parquet(f"{path}/params")
-    p = pdf.collect()[0]
-    buckets = p["buckets"] if "buckets" in pdf.columns else 0
-    if not buckets:
-        raise ValueError(
-            "state_file_report requires a bucketed state "
-            "(save_dedup_state(..., buckets=N)); this path is plain"
-        )
+    _, buckets = _require_bucketed(spark, path, "state_file_report")
     out = {}
     for part, _keys in _STATE_PARTS:
         n = len(_list_data_files(spark, f"{path}/{part}"))
@@ -576,27 +609,20 @@ def compact_dedup_state(
         raise ValueError(
             f"max_files_per_bucket must be >= 1, got {max_files_per_bucket}"
         )
-    pdf = spark.read.parquet(f"{path}/params")
-    p = pdf.collect()[0]
-    buckets = p["buckets"] if "buckets" in pdf.columns else 0
-    if not buckets:
-        raise ValueError(
-            "compact_dedup_state requires a bucketed state "
-            "(save_dedup_state(..., buckets=N)); this path is plain"
-        )
+    _, buckets = _require_bucketed(spark, path, "compact_dedup_state")
+    keys_by_part = dict(_STATE_PARTS)
     report = {}
     rewrites = []
-    for part, keys in _STATE_PARTS:
-        n_files = len(_list_data_files(spark, f"{path}/{part}"))
-        need = n_files > buckets * max_files_per_bucket
+    for part, counts in state_file_report(spark, path).items():
+        need = counts["files"] > buckets * max_files_per_bucket
         report[part] = {
-            "files": n_files,
+            "files": counts["files"],
             "buckets": buckets,
             "compacted": need,
         }
         if need:
             rewrites.append(
-                (spark.read.parquet(f"{path}/{part}"), part, keys)
+                (spark.read.parquet(f"{path}/{part}"), part, keys_by_part[part])
             )
     if rewrites:
         _write_bucketed_set(rewrites, path, buckets)

@@ -69,6 +69,11 @@ from data_governance_spark.functions.text import tokens
 
 _WS = re.compile(r"\S+", re.ASCII)
 
+# Scoring-memo ceiling (entries), checked at doc boundaries: ~500k
+# (h, w) tuples is tens of MB — a real cap well above any single
+# document's gram count, well below executor-memory trouble.
+_MEMO_MAX_ENTRIES = 500_000
+
 
 @dataclass(frozen=True)
 class NGramLM:
@@ -283,13 +288,23 @@ def perplexity(
     @F.pandas_udf("double")
     def ppl(text: pd.Series) -> pd.Series:
         model = bc.value
-        cache: dict = {}  # per-batch (h, w) -> ln P memo (see doc_perplexity)
-        out = [
-            None
-            if t is None
-            else model.doc_perplexity(_WS.findall(t), cache)
-            for t in text
-        ]
+        # per-batch (h, w) -> ln P memo (see doc_perplexity). BOUNDED:
+        # on low-repetition text distinct grams approach the batch's
+        # token count, and an unbounded dict over a long-document
+        # batch (plus its pinned token strings) is executor-OOM
+        # territory — cleared at the doc boundary once it exceeds the
+        # cap, keeping the win on repetitive text and a fixed ceiling
+        # on adversarial text.
+        cache: dict = {}
+        out = []
+        for t in text:
+            if len(cache) > _MEMO_MAX_ENTRIES:
+                cache.clear()
+            out.append(
+                None
+                if t is None
+                else model.doc_perplexity(_WS.findall(t), cache)
+            )
         return pd.Series(out, dtype="float64")
 
     return docs.withColumn(out_col, ppl(F.col(text_col)))

@@ -58,9 +58,17 @@ def main():
     spark = get_spark("stress_incremental")
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    phases = set(
-        os.environ.get("SPARK_GRAFT_PHASES", "base,append").split(",")
-    )
+    phases = {
+        t.strip()
+        for t in os.environ.get("SPARK_GRAFT_PHASES", "base,append").split(",")
+        if t.strip()
+    }
+    if not phases or not phases <= {"base", "append"}:
+        raise SystemExit(
+            f"SPARK_GRAFT_PHASES must name phases from {{base, append}}, "
+            f"got {sorted(phases)!r} — a typo here would silently save "
+            "state and measure nothing"
+        )
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.count()
     # corpus = docs x factor with disjoint ids and per-copy unique text
@@ -97,21 +105,23 @@ def main():
             f"{time.time() - t0:.1f}s (append-only run)"
         )
 
-    # new batch: half exact dups of copy 0, half fresh
-    batch = docs.limit(n_docs // 2).select(
-        (F.col("doc_id") + base).alias("doc_id"),
-        F.concat_ws(" ", "text", F.lit("copy0")).alias("text"),
-    ).unionByName(
-        docs.limit(n_docs // 2).select(
-            (F.col("doc_id") + base + n_docs).alias("doc_id"),
-            F.concat_ws(" ", "text", F.lit("genuinely new tail")).alias(
-                "text"
-            ),
-        )
-    ).cache()
-    batch.count()
-
     if "base" in phases:
+        # new batch: half exact dups of copy 0, half fresh — built and
+        # materialized only for this phase (the append phase salts its
+        # own increments)
+        batch = docs.limit(n_docs // 2).select(
+            (F.col("doc_id") + base).alias("doc_id"),
+            F.concat_ws(" ", "text", F.lit("copy0")).alias("text"),
+        ).unionByName(
+            docs.limit(n_docs // 2).select(
+                (F.col("doc_id") + base + n_docs).alias("doc_id"),
+                F.concat_ws(
+                    " ", "text", F.lit("genuinely new tail")
+                ).alias("text"),
+            )
+        ).cache()
+        batch.count()
+
         results = {}
         for variant in ("plain", "buck"):
             st = load_dedup_state(spark, f"{root}/{variant}")

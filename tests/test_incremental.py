@@ -452,6 +452,87 @@ def test_append_dedup_state_guards(spark, tmp_path):
         append_dedup_state(res, other)
 
 
+def test_append_dedup_state_heal_repairs_torn_append(spark, tmp_path):
+    """The documented recovery: after a tear (only the sigs INSERT
+    landed), re-running the same append with heal=True anti-joins the
+    deltas against the stored tables, so the healed state equals a
+    clean one-shot append — and a second heal-append writes nothing
+    (idempotent). A plain re-append, by contrast, duplicates rows —
+    pinned last, because it is the reason heal exists."""
+    from data_governance_spark.operators.incremental import (
+        IncrementalResult,
+        _ensure_bucketed_table,
+        _state_table_name,
+        append_dedup_state,
+    )
+
+    buckets = 4
+
+    def fresh_state(sub):
+        p = str(tmp_path / sub)
+        save_dedup_state(
+            build_dedup_state(
+                one_shot_dedup(_docs(spark, BATCH1)), shingle_n=SHINGLE_N
+            ),
+            p,
+            buckets=buckets,
+        )
+        return p
+
+    torn_path, clean_path = fresh_state("torn"), fresh_state("clean")
+    res = incremental_dedup(
+        _docs(spark, BATCH2), load_dedup_state(spark, torn_path)
+    )
+    # literal (collected) deltas: this test deliberately appends the
+    # same rows twice, so the deltas must not be lazy reads of the
+    # tables being appended to
+    de = spark.createDataFrame(
+        res.delta_exact.collect(), res.delta_exact.schema
+    )
+    ds = spark.createDataFrame(res.delta_sigs.collect(), res.delta_sigs.schema)
+    assert ds.count() > 0
+
+    def lit_result(path):
+        return IncrementalResult(
+            kept=res.kept,
+            dropped=res.dropped,
+            state=load_dedup_state(spark, path),
+            delta_exact=de,
+            delta_sigs=ds,
+        )
+
+    # simulate the tear: ONLY the sigs append landed
+    name = _state_table_name(torn_path, "sigs")
+    _ensure_bucketed_table(
+        spark, name, f"{torn_path}/sigs", ["doc_id"], buckets
+    )
+    (
+        ds.repartition(buckets, F.col("doc_id"))
+        .write.mode("append")
+        .option("path", f"{torn_path}/sigs")
+        .bucketBy(buckets, "doc_id")
+        .sortBy("doc_id")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+    healed = append_dedup_state(lit_result(torn_path), torn_path, heal=True)
+    want = append_dedup_state(lit_result(clean_path), clean_path)
+    assert rowbag(healed.exact) == rowbag(want.exact)
+    assert rowbag(healed.sigs) == rowbag(want.sigs)
+    assert rowbag(healed.band_rel) == rowbag(want.band_rel)
+
+    # heal is idempotent outright: a second heal-append writes nothing
+    again = append_dedup_state(lit_result(torn_path), torn_path, heal=True)
+    assert rowbag(again.exact) == rowbag(want.exact)
+    assert rowbag(again.sigs) == rowbag(want.sigs)
+    assert rowbag(again.band_rel) == rowbag(want.band_rel)
+
+    # a PLAIN re-append duplicates every delta row (why heal exists)
+    dup = append_dedup_state(lit_result(clean_path), clean_path)
+    assert len(rowbag(dup.sigs)) == len(rowbag(want.sigs)) + ds.count()
+
+
 BATCH3 = [
     (21, "entirely novel third batch content here"),
     (22, "entirely novel third batch content there"),  # near of 21

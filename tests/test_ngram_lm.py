@@ -324,6 +324,11 @@ def test_prepare_corpus_perplexity_buckets(spark):
             perplexity_buckets=(1.0 / 3.0, 2.0 / 3.0),
             perplexity_keep=("bogus",),
         )
+    # validated at THIS boundary, in this function's own vocabulary —
+    # not deep inside bucket_by_perplexity about a labels= parameter
+    # prepare_corpus doesn't expose
+    with pytest.raises(ValueError, match="exactly two quantiles"):
+        prepare_corpus(docs, perplexity_lm=lm, perplexity_buckets=(0.5,))
 
 
 def test_prepare_corpus_perplexity_hook(spark):
