@@ -9,11 +9,14 @@ Codec status (honest tiering):
   full variable-width LZW implementation (``decode_gif``), and PNG —
   whose only compression is DEFLATE, i.e. the stdlib ``zlib`` module —
   including all 5 scanline filters, Adam7 interlace, palettes, and
-  sub-8-bit depths (``decode_png``); and JPEG — baseline AND
+  sub-8-bit depths (``decode_png``); JPEG — baseline AND
   progressive, full Huffman + batched-IDCT pipeline
-  (``operators/jpeg.py``). These are complete decoders, not stubs.
-- STUBBED: the remaining transform codecs (MP3/H.264/WEBP) require
-  ffmpeg-class libraries, absent from this environment.
+  (``operators/jpeg.py``); and WEBP-lossless — VP8L prefix codes,
+  color cache, LZ77, palettes (``operators/vp8l.py``, r10; two spec
+  corners raise documented typed errors — see its module doc). These
+  are complete decoders, not stubs.
+- STUBBED: the remaining transform codecs (MP3/H.264/lossy-WEBP)
+  require ffmpeg-class libraries, absent from this environment.
   ``decode_image`` dispatches: supported magic bytes decode for real,
   the remaining compressed magics raise the clearly-marked
   NotImplementedError, and ``fake_image_features`` remains the
@@ -801,20 +804,14 @@ def decode_png(content: bytes):
     return out  # (H, W, 2) gray+alpha or (H, W, 4) RGBA
 
 
-# magic bytes of formats that NEED an external codec library
-# (AVI/WAV RIFF payloads are dispatched above, before this table)
-_COMPRESSED_MAGICS = (
-    (b"RIFF", "RIFF-container (WEBP)"),
-)
-
-
 def decode_image(content: bytes):
     """Dispatch by magic bytes: PPM/PGM, uncompressed BMP, GIF (real
     LZW decode), PNG (real DEFLATE decode via stdlib zlib), JPEG (real
-    Huffman+IDCT decode, baseline AND progressive — operators/jpeg.py)
-    and MJPEG-in-AVI (first frame, the thumbnail contract) decode for
-    REAL; the remaining compressed formats raise the documented
-    environment-constraint error (Pillow/opencv absent)."""
+    Huffman+IDCT decode, baseline AND progressive — operators/jpeg.py),
+    MJPEG-in-AVI (first frame, the thumbnail contract) and
+    WEBP-lossless (real VP8L decode — operators/vp8l.py; lossy VP8 and
+    the 2D-distance/predictor spec corners raise their documented
+    typed errors) all decode for REAL."""
     if content[:2] in (b"P6", b"P5"):
         return decode_ppm(content)
     if content[:2] == b"BM":
@@ -830,18 +827,15 @@ def decode_image(content: bytes):
     if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
         frames, _fps = decode_avi_mjpeg(content, max_frames=1)
         return frames[0]
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from data_governance_spark.operators.vp8l import decode_vp8l
+
+        return decode_vp8l(content)
     if is_audio_payload(content):
         raise ValueError(
             "payload is audio, not an image — use decode_audio / "
             "audio_features (extract_features routes it automatically)"
         )
-    for magic, name in _COMPRESSED_MAGICS:
-        if content.startswith(magic):
-            raise NotImplementedError(
-                f"{name} decode requires Pillow/opencv — not installed "
-                "in this environment; the numpy/stdlib path covers "
-                "PPM/PGM/uncompressed-BMP/GIF"
-            )
     raise ValueError("unrecognized image payload")
 
 

@@ -123,6 +123,26 @@ _WAV_HEX = (
 _WAV_CONSTS = (64.0, 2.0, 16000.0, 36.125, 36.125, 36.125)
 _WAV_SD = 7708.3828
 
+# 'webp' sub-gate (new in r10): a fixed 182-byte WEBP-LOSSLESS (VP8L)
+# payload — 8x4 pixels through the COLOR_INDEXING transform: a 4-entry
+# delta-coded palette subimage, 2-bit pixel bundling (4 px/byte), and
+# canonical prefix codes — decoded by the pure-numpy decode_vp8l
+# (operators/vp8l.py). Pixel pattern (r+c)%4 over palette
+# (128,0,64)/(32,96,160)/(0,255,17)/(80,80,80): each color appears
+# exactly 8 times, so the means are k/4 — exact in float32. Bytes
+# produced by the spec encoder in tests/test_vp8l.py (same recipe as
+# gif/png/jpg).
+_WEBP_HEX = (
+    "52494646ae000000574542505650384ca10000002f07c000001f208020020000"
+    "0000000000000004000200000000000000010000000000000000000000000000"
+    "0410040000000000000000004000000000004000000040000000000000004000"
+    "000080008200000000000000000c0000000800100000000000000000000000000"
+    "00000000098ff40577e02082008000000000000000100200000000000000000"
+    "04000000000000000000080000000000808888072d00"
+)
+_WEBP_CONSTS = (8.0, 4.0, 3.0, 60.0, 107.75, 80.25)
+_WEBP_SD = 70.0171
+
 # 'vid' sub-gate (new in r7): a fixed 404-byte MJPEG-in-AVI video —
 # two 12x8 solid-gray JPEG frames whose DC values sit on the
 # quantization grid, so each frame reconstructs EXACTLY (mean = the
@@ -287,6 +307,12 @@ def _s(c: Column) -> Column:
     UNION ALL
     SELECT 'flc', 'f:sd', CAST(NULL AS VARCHAR), {_FLC_SD}
     {"".join(
+      f" UNION ALL SELECT 'webp', 'x:{n}', CAST(NULL AS VARCHAR), {v}"
+      for n, v in zip(("w", "h", "c", "mr", "mg", "mb"), _WEBP_CONSTS)
+    )}
+    UNION ALL
+    SELECT 'webp', 'x:sd', CAST(NULL AS VARCHAR), {_WEBP_SD}
+    {"".join(
       f" UNION ALL SELECT 'vid', 'v:{fi}:{n}', CAST(NULL AS VARCHAR), {v}"
       for fi, mean in _VID_FRAMES
       for n, v in (("w", 12.0), ("h", 8.0), ("c", 1.0), ("m", mean),
@@ -311,7 +337,10 @@ def _s(c: Column) -> Column:
     "mu-law audio (WAV and Sun-AU containers), lossless FLAC and "
     "MJPEG-in-AVI video-frame decodes of fixed compressed payloads "
     "via the pure-stdlib/numpy decoders (sub-gates "
-    "'gif'/'png'/'jpg'/'wav'/'au'/'flc'/'vid', new in r7) + exact media "
+    "'gif'/'png'/'jpg'/'wav'/'au'/'flc'/'vid', new in r7) + REAL "
+    "WEBP-lossless: a VP8L payload through the delta-coded-palette "
+    "COLOR_INDEXING transform with 2-bit pixel bundling "
+    "(operators/vp8l.py; sub-gate 'webp', new in r10) + exact media "
     "dedup over planted duplicate classes (sha2 grouping, sub-gate "
     "'mdd', new in r7)",
 )
@@ -410,6 +439,7 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (3, "wav", "a", _WAV_HEX),
         (4, "au", "u", _AU_HEX),
         (5, "flc", "f", _FLC_HEX),
+        (6, "webp", "x", _WEBP_HEX),
     ]
     media_c = spark.createDataFrame(
         [

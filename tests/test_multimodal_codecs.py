@@ -111,8 +111,19 @@ def test_dispatch_and_compressed_magic():
     # payload surfaces its typed corruption error
     with pytest.raises(ValueError, match="JPEG"):
         decode_image(b"\xff\xd8\xff\xe0rest")
-    with pytest.raises(NotImplementedError, match="RIFF"):
+    # WEBP now dispatches to the REAL VP8L decoder (r10): a container
+    # with no VP8L chunk is a typed corruption error, and a LOSSY VP8
+    # chunk still raises the documented environment-constraint error
+    with pytest.raises(ValueError, match="VP8L"):
         decode_image(b"RIFFxxxxWEBP")
+    import struct as _struct
+
+    lossy = (
+        b"RIFF" + _struct.pack("<I", 12) + b"WEBP"
+        + b"VP8 " + _struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_image(lossy)
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"???")
 
