@@ -564,6 +564,10 @@ def state_file_report(spark: SparkSession, path: str) -> dict:
     :func:`compact_dedup_state` decision (reported by
     scripts/stress_incremental.py)."""
     _, buckets = _require_bucketed(spark, path, "state_file_report")
+    return _file_counts(spark, path, buckets)
+
+
+def _file_counts(spark: SparkSession, path: str, buckets: int) -> dict:
     out = {}
     for part, _keys in _STATE_PARTS:
         n = len(_list_data_files(spark, f"{path}/{part}"))
@@ -613,7 +617,7 @@ def compact_dedup_state(
     keys_by_part = dict(_STATE_PARTS)
     report = {}
     rewrites = []
-    for part, counts in state_file_report(spark, path).items():
+    for part, counts in _file_counts(spark, path, buckets).items():
         need = counts["files"] > buckets * max_files_per_bucket
         report[part] = {
             "files": counts["files"],

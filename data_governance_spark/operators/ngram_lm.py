@@ -138,6 +138,11 @@ class NGramLM:
             lp = cache.get(key)
             if lp is None:
                 lp = self.log_prob(w, h)
+                if len(cache) >= _MEMO_MAX_ENTRIES:
+                    # enforced PER INSERT, not per document: one
+                    # adversarial mostly-unique-token mega-document
+                    # must not blow past the ceiling mid-call
+                    cache.clear()
                 cache[key] = lp
             total += lp
         return math.exp(-total / len(toks))
@@ -288,23 +293,19 @@ def perplexity(
     @F.pandas_udf("double")
     def ppl(text: pd.Series) -> pd.Series:
         model = bc.value
-        # per-batch (h, w) -> ln P memo (see doc_perplexity). BOUNDED:
-        # on low-repetition text distinct grams approach the batch's
-        # token count, and an unbounded dict over a long-document
-        # batch (plus its pinned token strings) is executor-OOM
-        # territory — cleared at the doc boundary once it exceeds the
-        # cap, keeping the win on repetitive text and a fixed ceiling
-        # on adversarial text.
+        # per-batch (h, w) -> ln P memo. BOUNDED inside doc_perplexity
+        # itself (cleared per-insert at _MEMO_MAX_ENTRIES): on
+        # low-repetition text distinct grams approach the token count,
+        # and an unbounded dict (plus its pinned token strings) is
+        # executor-OOM territory — a single adversarial mega-document
+        # must not exceed the ceiling either.
         cache: dict = {}
-        out = []
-        for t in text:
-            if len(cache) > _MEMO_MAX_ENTRIES:
-                cache.clear()
-            out.append(
-                None
-                if t is None
-                else model.doc_perplexity(_WS.findall(t), cache)
-            )
+        out = [
+            None
+            if t is None
+            else model.doc_perplexity(_WS.findall(t), cache)
+            for t in text
+        ]
         return pd.Series(out, dtype="float64")
 
     return docs.withColumn(out_col, ppl(F.col(text_col)))
