@@ -131,6 +131,7 @@ def prepare_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     html: bool = False,
+    html_tier: str = "regex",
     url_blocklist: list[str] | DataFrame | None = None,
     url_patterns: list[str] | None = None,
     url_col: str = "url",
@@ -160,8 +161,13 @@ def prepare_corpus(
 ) -> CorpusResult:
     """Run the full preparation chain; see module docstring.
 
-    ``html=True`` inserts html_to_text first (WARC ``response``
-    records); ``quality_rules=None`` means the Gopher defaults
+    ``html=True`` inserts HTML extraction first (WARC ``response``
+    records): ``html_tier="regex"`` (default) is the scan-speed
+    Catalyst tier (functions/html.html_to_text); ``"dom"`` is the
+    Boilerpipe/jusText-shape main-content extractor
+    (operators/htmldom.extract_main_text — Arrow-batched Python, drops
+    nav/footer/link-dense boilerplate blocks, not just their tags).
+    ``quality_rules=None`` means the Gopher defaults
     (operators/quality.DEFAULT_RULES). Splits are always packed with
     ``partition_cols=[split]`` so no pack mixes holdout splits.
     ``pii_passes`` defaults to 2 — the second pass catches adjacent
@@ -214,7 +220,18 @@ def prepare_corpus(
     if url_patterns:
         docs = filter_url_patterns(docs, url_patterns, url_col=url_col)
     if html:
-        docs = docs.withColumn(text_col, html_to_text(text_col))
+        if html_tier == "regex":
+            docs = docs.withColumn(text_col, html_to_text(text_col))
+        elif html_tier == "dom":
+            from data_governance_spark.operators.htmldom import (
+                extract_main_text,
+            )
+
+            docs = extract_main_text(docs, text_col=text_col)
+        else:
+            raise ValueError(
+                f"html_tier must be 'regex' or 'dom', got {html_tier!r}"
+            )
     if c4_lines:
         # C4's order: line cleaning right after extraction, so the
         # doc-level Gopher signals see the rebuilt text

@@ -10,8 +10,11 @@ Scope (stated): this is the regex tier of HTML cleaning — the same
 trade the published pipelines make when they bulk-clean petabytes
 before a heavier DOM-based extractor touches the survivors. It does
 not execute scripts, resolve CSS visibility, or handle pathologically
-malformed markup; a DOM parser (trafilatura/resiliparse-class) is a
-Python-library stage outside this engine's no-extra-deps envelope.
+malformed markup. The DOM tier EXISTS as of r10 —
+``operators/htmldom.extract_main_text`` (stdlib html.parser,
+Boilerpipe/jusText shallow-feature block classification, Arrow-batched
+— the opt-in ``prepare_corpus(html_tier="dom")`` stage); this module
+stays the zero-Python scan-speed default.
 
 Everything here is regexp_replace inside codegen — no UDFs, no
 shuffle; at 100 TB it runs at scan speed like the PII scrub.

@@ -241,6 +241,54 @@ def q41_url_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sub-gate 'dom' (new in r10): DOM-tier main-content extraction
+# (operators/htmldom.py — Boilerpipe length+link-density rule with the
+# jusText neighbor glue, stdlib html.parser). Planted page shape per
+# customer: nav + footer (structural chrome, dropped wholesale), two
+# long content paragraphs (kept), and between them EITHER a short
+# plain aside (ck % 3 == 0 — kept only via the glue rule) or a short
+# all-link "Read more" row (dropped by link density even though both
+# neighbors are content). The oracle restates the extraction string
+# analytically.
+def q41_dom_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.operators.htmldom import extract_main_text
+
+    cust = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cs = _s(k)
+    p1 = F.concat(
+        F.lit("Main article content paragraph number "), cs,
+        F.lit(" has plenty of characters to pass the length rule easily."),
+    )
+    p2 = F.concat(
+        F.lit("Second substantial paragraph for document "), cs,
+        F.lit(" also comfortably exceeds the minimum block length."),
+    )
+    mid = (
+        F.when(k % 3 == 0, F.concat(F.lit("<p>Aside "), cs, F.lit(".</p>")))
+        .otherwise(F.lit("<p><a href='/more'>Read more</a></p>"))
+    )
+    html = F.concat(
+        F.lit(
+            "<nav><a href='/'>Home</a><a href='/about'>About us</a></nav><p>"
+        ),
+        p1,
+        F.lit("</p>"),
+        mid,
+        F.lit("<p>"),
+        p2,
+        F.lit(
+            "</p><footer>Copyright 2026 Example Corp all rights "
+            "reserved.</footer>"
+        ),
+    )
+    docs = cust.select(k.alias("doc_id"), html.alias("text"))
+    return extract_main_text(docs).select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string")).alias("k"),
+        F.col("text").alias("v_s"),
+    )
+
+
 def q41_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.functions.html import html_to_text
     from data_governance_spark.sources.warc import warc_documents
@@ -285,6 +333,20 @@ def q41_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR (c_custkey % 11 <> 0 AND c_custkey % 7 <> 0
            AND c_custkey % 13 <> 0)
     UNION ALL
+    SELECT 'dom', 'h' || CAST(c_custkey AS VARCHAR),
+           'Main article content paragraph number '
+           || CAST(c_custkey AS VARCHAR)
+           || ' has plenty of characters to pass the length rule easily.'
+           || CASE WHEN c_custkey % 3 = 0
+                   THEN chr(10) || 'Aside ' || CAST(c_custkey AS VARCHAR)
+                        || '.'
+                   ELSE '' END
+           || chr(10) || 'Second substantial paragraph for document '
+           || CAST(c_custkey AS VARCHAR)
+           || ' also comfortably exceeds the minimum block length.',
+           CAST(NULL AS DOUBLE)
+    FROM customer
+    UNION ALL
     SELECT 'ser', 'D' || cs,
       '<doc boost="' || CAST(ck % 7 AS VARCHAR) || '">' || chr(10)
       || '  <field name="aa_arr">v1-' || cs || '</field>' || chr(10)
@@ -313,7 +375,11 @@ def q41_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with html_to_text (record split, type filter, http_body envelope "
     "strip incl. the 204 empty-body case, tag/entity/whitespace "
     "extraction; new in r6) + URL/domain filtering (suffix-aware "
-    "blocklist, pattern tier, NULL-url semantics; new in r6)",
+    "blocklist, pattern tier, NULL-url semantics; new in r6) + "
+    "DOM-tier main-content extraction (operators/htmldom.py, "
+    "Kohlschuetter 2010 length+link-density with the jusText glue "
+    "rule: chrome subtrees dropped, link rows dropped, sandwiched "
+    "short asides glued; new in r10)",
 )
 def q41_xml_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     nul_d = F.lit(None).cast("double")
@@ -335,7 +401,15 @@ def q41_xml_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ufil = q41_url_filtering(spark, sf_dir).select(
         F.lit("ufil").alias("gate"), "k", "v_s", nul_d.alias("v_d")
     )
-    return src.unionByName(ser).unionByName(warc).unionByName(ufil)
+    dom = q41_dom_extract(spark, sf_dir).select(
+        F.lit("dom").alias("gate"), "k", "v_s", nul_d.alias("v_d")
+    )
+    return (
+        src.unionByName(ser)
+        .unionByName(warc)
+        .unionByName(ufil)
+        .unionByName(dom)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,152 @@
+"""DOM-tier main-content extraction (operators/htmldom.py): block
+segmentation, the Boilerpipe length+link-density rule, jusText's
+neighbor glue, structural-chrome subtree drops, malformed-markup
+degradation, and the prepare_corpus html_tier='dom' hook."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_governance_spark.operators.htmldom import (
+    extract_blocks,
+    extract_main_text,
+    main_text,
+)
+
+LONG_A = (
+    "This is a long enough paragraph of real article content that "
+    "clearly exceeds the minimum block length threshold."
+)
+LONG_B = (
+    "A second substantial paragraph with plenty of characters to "
+    "count as genuine content under the default parameters."
+)
+
+
+def test_block_segmentation_and_features():
+    html = (
+        f"<html><body><p>{LONG_A}</p>"
+        f"<div>short bit</div>"
+        f'<p>Read <a href="/x">the full story here</a> online.</p>'
+        "</body></html>"
+    )
+    blocks = extract_blocks(html)
+    assert [t for t, _n, _lc in blocks] == [
+        LONG_A,
+        "short bit",
+        "Read the full story here online.",
+    ]
+    t, n, lc = blocks[2]
+    assert n == len(t)
+    assert lc == len("the full story here")
+
+
+def test_chrome_subtrees_dropped_wholesale():
+    html = (
+        "<head><title>SEO Title</title></head>"
+        "<nav><a href='/'>Home</a><a href='/a'>About</a></nav>"
+        f"<article><p>{LONG_A}</p></article>"
+        "<script>var x = 'not text';</script>"
+        f"<p>{LONG_B}</p>"
+        "<footer>Copyright 2026 Example Corp. All rights reserved "
+        "worldwide, including this long footer sentence.</footer>"
+        "<aside>Related: <a href='/b'>other story</a></aside>"
+    )
+    out = main_text(html)
+    assert out == f"{LONG_A}\n{LONG_B}"
+    # the footer was LONG enough to pass the length rule — it was
+    # dropped because <footer> is structural chrome, not by length
+    assert "Copyright" not in out
+
+
+def test_link_density_drops_long_link_blocks():
+    links = " ".join(
+        f'<a href="/{i}">very long navigation label {i}</a>'
+        for i in range(8)
+    )
+    html = f"<div>{links}</div><p>{LONG_A}</p>"
+    assert main_text(html) == LONG_A
+
+
+def test_justext_glue_keeps_sandwiched_short_block():
+    html = (
+        f"<p>{LONG_A}</p><p>A short aside.</p><p>{LONG_B}</p>"
+        "<p>Lonely short line.</p>"
+    )
+    out = main_text(html)
+    assert out == f"{LONG_A}\nA short aside.\n{LONG_B}"
+    # the trailing short block has only ONE content neighbor — dropped
+    assert "Lonely" not in out
+    # but a short LINK row between content blocks stays dropped
+    html2 = (
+        f"<p>{LONG_A}</p><p><a href='/m'>Read more</a></p><p>{LONG_B}</p>"
+    )
+    assert main_text(html2) == f"{LONG_A}\n{LONG_B}"
+
+
+def test_malformed_markup_degrades_gracefully():
+    # unclosed <script>: fail-closed, the rest of the doc is chrome
+    assert main_text(f"<script>boom <p>{LONG_A}</p>") == ""
+    # stray end tags and bad nesting are ignored, entities decode
+    html = f"</div><p>{LONG_A} &amp; more &#8212; dashes</p></section>"
+    assert main_text(html) == f"{LONG_A} & more — dashes"
+    # plain text with no markup at all is one block
+    assert main_text(LONG_A) == LONG_A
+    assert main_text("") == ""
+
+
+def test_parameters_move_the_cut():
+    html = f"<p>tiny</p><p>{LONG_A}</p>"
+    assert main_text(html, min_block_chars=4) == f"tiny\n{LONG_A}"
+    assert main_text(html) == LONG_A
+
+
+def test_extract_main_text_spark(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, f"<nav><a href='/'>Home</a></nav><p>{LONG_A}</p>"),
+            (2, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in extract_main_text(docs).collect()
+    }
+    assert out == {1: LONG_A, 2: None}
+    with pytest.raises(ValueError, match="min_block_chars"):
+        extract_main_text(docs, min_block_chars=0)
+    with pytest.raises(ValueError, match="max_link_density"):
+        extract_main_text(docs, max_link_density=1.5)
+
+
+def test_prepare_corpus_dom_tier(spark):
+    from data_governance_spark.corpus import prepare_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"<nav><a href='/'>Home</a><a href='/a'>About</a></nav>"
+                f"<p>{LONG_A} Document number {i} marker.</p>"
+                "<footer>Copyright footer boilerplate line here.</footer>",
+            )
+            for i in range(6)
+        ],
+        "doc_id long, text string",
+    )
+    res = prepare_corpus(
+        docs,
+        html=True,
+        html_tier="dom",
+        quality_rules={},
+        pii=False,
+        minhash_threshold=1.01,
+    )
+    kept = {r["doc_id"]: r["text"] for r in res.kept.collect()}
+    res.release()
+    assert set(kept) == set(range(6))
+    for i, t in kept.items():
+        assert t == f"{LONG_A} Document number {i} marker."
+    with pytest.raises(ValueError, match="html_tier"):
+        prepare_corpus(docs, html=True, html_tier="bogus")

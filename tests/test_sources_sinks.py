@@ -307,10 +307,11 @@ def test_multimodal_stub_and_plumbing(spark):
     frames = sample_frames(media).collect()
     assert [f["frame_ts_ms"] for f in frames] == [0, 1000, 2000, 3000]
     assert media_repartition(media).rdd.getNumPartitions() == 1
-    # dispatch semantics (r7: JPEG decodes for REAL now): the still-
-    # stubbed compressed magics raise the documented environment-
-    # constraint error, arbitrary bytes are a ValueError
-    with pytest.raises(NotImplementedError, match="RIFF"):
+    # dispatch semantics (r10: WEBP-lossless decodes for REAL now): a
+    # WEBP container with no VP8L chunk is typed corruption, arbitrary
+    # bytes are a ValueError (the lossy-VP8 environment-constraint
+    # raise is pinned in tests/test_multimodal_codecs.py)
+    with pytest.raises(ValueError, match="VP8L"):
         decode_image(b"RIFFxxxxWEBPdata")
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"abc")
