@@ -219,19 +219,27 @@ def prepare_corpus(
         docs = filter_domains(docs, url_blocklist, url_col=url_col, id_col=id_col)
     if url_patterns:
         docs = filter_url_patterns(docs, url_patterns, url_col=url_col)
+    # validated UNCONDITIONALLY: a caller opting into the dom tier but
+    # forgetting html=True must fail loud, not silently feed raw HTML
+    # into the quality signals
+    if html_tier not in ("regex", "dom"):
+        raise ValueError(
+            f"html_tier must be 'regex' or 'dom', got {html_tier!r}"
+        )
+    if html_tier != "regex" and not html:
+        raise ValueError(
+            "html_tier='dom' has no effect without html=True — pass "
+            "html=True (or drop html_tier)"
+        )
     if html:
         if html_tier == "regex":
             docs = docs.withColumn(text_col, html_to_text(text_col))
-        elif html_tier == "dom":
+        else:
             from data_governance_spark.operators.htmldom import (
                 extract_main_text,
             )
 
             docs = extract_main_text(docs, text_col=text_col)
-        else:
-            raise ValueError(
-                f"html_tier must be 'regex' or 'dom', got {html_tier!r}"
-            )
     if c4_lines:
         # C4's order: line cleaning right after extraction, so the
         # doc-level Gopher signals see the rebuilt text

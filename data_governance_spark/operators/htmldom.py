@@ -67,17 +67,34 @@ _BLOCK_TAGS = frozenset(
 
 class _BlockParser(HTMLParser):
     """Streams a document into [(text, n_chars, n_link_chars)] blocks.
-    Malformed markup degrades gracefully: an unclosed drop-subtree tag
-    drops to end-of-document (fail-closed for chrome), stray end tags
-    are ignored — HTMLParser itself never raises on bad nesting."""
+    Malformed markup degrades gracefully (HTMLParser itself never
+    raises on bad nesting), with three deliberate rules for the broken
+    markup crawl HTML actually contains:
+
+    - <a> is a BINARY flag reset at every block boundary, not a depth
+      counter: nested anchors (illegal, ubiquitous; browsers
+      force-close the open one) would otherwise leave a counter
+      permanently positive and mark the rest of the DOCUMENT as link
+      text — density 1.0 everywhere, whole pages extracted to "".
+      The trade: an <a> legitimately wrapping several blocks counts
+      link chars only in its first block.
+    - chrome subtrees are a TAG STACK, not a shared counter: a stray
+      </nav> inside an open <footer> must not end the footer drop
+      (a shared counter leaked the rest of the footer as content).
+      An end tag pops up to its most recent matching open; end tags
+      with no open match are ignored. An unclosed chrome tag drops to
+      end-of-document — fail-closed.
+    - entering a chrome subtree FLUSHES the current block: otherwise
+      the short boilerplate fragments on either side of a <nav> merge
+      into one block long enough to pass the length rule."""
 
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.blocks: list[tuple[str, int, int]] = []
         self._buf: list[str] = []
         self._link_chars = 0
-        self._drop_depth = 0
-        self._link_depth = 0
+        self._drop_stack: list[str] = []
+        self._in_link = False
 
     def _flush(self):
         text = " ".join("".join(self._buf).split())
@@ -85,37 +102,40 @@ class _BlockParser(HTMLParser):
             self.blocks.append((text, len(text), self._link_chars))
         self._buf = []
         self._link_chars = 0
+        self._in_link = False
 
     def handle_starttag(self, tag, attrs):
         if tag in _DROP_SUBTREES:
-            self._drop_depth += 1
+            if not self._drop_stack:
+                self._flush()  # pre-chrome text is its own block
+            self._drop_stack.append(tag)
             return
-        if self._drop_depth:
+        if self._drop_stack:
             return
         if tag == "a":
-            self._link_depth += 1
+            self._in_link = True
         if tag in _BLOCK_TAGS:
             self._flush()
 
     def handle_endtag(self, tag):
         if tag in _DROP_SUBTREES:
-            if self._drop_depth:
-                self._drop_depth -= 1
+            if tag in self._drop_stack:
+                while self._drop_stack.pop() != tag:
+                    pass
             return
-        if self._drop_depth:
+        if self._drop_stack:
             return
-        if tag == "a" and self._link_depth:
-            self._link_depth -= 1
+        if tag == "a":
+            self._in_link = False
         if tag in _BLOCK_TAGS:
             self._flush()
 
     def handle_data(self, data):
-        if self._drop_depth or not data:
+        if self._drop_stack or not data:
             return
         self._buf.append(data)
-        n = len(" ".join(data.split()))
-        if self._link_depth:
-            self._link_chars += n
+        if self._in_link:
+            self._link_chars += len(" ".join(data.split()))
 
     def close(self):
         super().close()
@@ -155,16 +175,14 @@ def main_text(
     return "\n".join(t for (t, _n, _lc), g in zip(blocks, glued) if g)
 
 
-def extract_main_text(
-    docs: DataFrame,
-    text_col: str = "text",
-    out_col: str | None = None,
+def dom_text(
+    col: Column | str,
     min_block_chars: int = 40,
     max_link_density: float = 0.35,
-) -> DataFrame:
-    """``docs`` with ``text_col`` (raw HTML) rewritten (or copied to
-    ``out_col``) as extracted main content. NULL stays NULL. Map-only;
-    the parameters ride the closure, no broadcast needed."""
+) -> Column:
+    """Column form of the extractor (mirrors
+    functions/html.html_to_text's shape) — the single validated UDF
+    builder :func:`extract_main_text` wraps."""
     if min_block_chars < 1:
         raise ValueError(
             f"min_block_chars must be >= 1, got {min_block_chars}"
@@ -173,30 +191,6 @@ def extract_main_text(
         raise ValueError(
             f"max_link_density must be in [0, 1], got {max_link_density}"
         )
-
-    @F.pandas_udf("string")
-    def dom(col: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                None
-                if t is None
-                else main_text(t, min_block_chars, max_link_density)
-                for t in col
-            ],
-            dtype="object",
-        )
-
-    target = out_col or text_col
-    return docs.withColumn(target, dom(F.col(text_col)))
-
-
-def dom_text(
-    col: Column | str,
-    min_block_chars: int = 40,
-    max_link_density: float = 0.35,
-) -> Column:
-    """Column form of :func:`extract_main_text` for expression-style
-    call sites (mirrors functions/html.html_to_text's shape)."""
 
     @F.pandas_udf("string")
     def dom(c: pd.Series) -> pd.Series:
@@ -211,3 +205,19 @@ def dom_text(
         )
 
     return dom(F.col(col) if isinstance(col, str) else col)
+
+
+def extract_main_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    min_block_chars: int = 40,
+    max_link_density: float = 0.35,
+) -> DataFrame:
+    """``docs`` with ``text_col`` (raw HTML) rewritten (or copied to
+    ``out_col``) as extracted main content. NULL stays NULL. Map-only;
+    the parameters ride the closure, no broadcast needed."""
+    return docs.withColumn(
+        out_col or text_col,
+        dom_text(F.col(text_col), min_block_chars, max_link_density),
+    )

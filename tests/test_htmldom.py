@@ -95,6 +95,44 @@ def test_malformed_markup_degrades_gracefully():
     assert main_text("") == ""
 
 
+def test_nested_anchor_does_not_poison_link_accounting():
+    """Nested <a> (illegal, ubiquitous — browsers force-close the open
+    one) must not leave the parser counting the rest of the DOCUMENT
+    as link text; the review repro deleted whole pages this way."""
+    html = (
+        "<p><a href='/x'>Home<a href='/y'>About</a></p>"
+        f"<p>{LONG_A}</p><p>{LONG_B}</p>"
+    )
+    assert main_text(html) == f"{LONG_A}\n{LONG_B}"
+    # an <a> left unclosed at a block boundary resets with the block
+    html2 = f"<p><a href='/x'>Home</p><p>{LONG_A}</p>"
+    assert main_text(html2) == LONG_A
+
+
+def test_stray_chrome_end_tag_does_not_end_other_chrome():
+    """A stray </nav> inside an open <footer> must not leak the rest
+    of the footer as content (the shared-counter bug)."""
+    promo = (
+        "Buy our premium subscription today for a very long promoted "
+        "offer sentence that would pass the length rule."
+    )
+    html = f"<footer>Copyright</nav> {promo}</footer><p>{LONG_A}</p>"
+    assert main_text(html) == LONG_A
+    # properly nested chrome still closes correctly
+    html2 = f"<footer><nav>x</nav>tail</footer><p>{LONG_A}</p>"
+    assert main_text(html2) == LONG_A
+
+
+def test_chrome_boundary_flushes_blocks():
+    """Boilerplate fragments on either side of a <nav> must not merge
+    into one block long enough to pass the length rule."""
+    html = (
+        "Sign up for our newsletter <nav><a href='/'>x</a></nav> "
+        f"follow us on social media<p>{LONG_A}</p>"
+    )
+    assert main_text(html) == LONG_A
+
+
 def test_parameters_move_the_cut():
     html = f"<p>tiny</p><p>{LONG_A}</p>"
     assert main_text(html, min_block_chars=4) == f"tiny\n{LONG_A}"
@@ -150,3 +188,9 @@ def test_prepare_corpus_dom_tier(spark):
         assert t == f"{LONG_A} Document number {i} marker."
     with pytest.raises(ValueError, match="html_tier"):
         prepare_corpus(docs, html=True, html_tier="bogus")
+    # validated even when html=False: a forgotten html=True must not
+    # silently skip extraction
+    with pytest.raises(ValueError, match="html=True"):
+        prepare_corpus(docs, html_tier="dom")
+    with pytest.raises(ValueError, match="html_tier"):
+        prepare_corpus(docs, html_tier="bogus")
