@@ -811,7 +811,13 @@ def decode_image(content: bytes):
     MJPEG-in-AVI (first frame, the thumbnail contract) and
     WEBP-lossless (real VP8L decode — operators/vp8l.py; lossy VP8 and
     the 2D-distance/predictor spec corners raise their documented
-    typed errors) all decode for REAL."""
+    typed errors) all decode for REAL.
+
+    WEBP caveat: libwebp's DEFAULT lossless output uses the predictor
+    transform and 2D distance codes — both deliberately unimplemented
+    here — so a typical real-world ``.webp`` raises the typed
+    NotImplementedError rather than decoding; only streams encoded
+    without spatial prediction (palette/cache/LZ77-1D) decode."""
     if content[:2] in (b"P6", b"P5"):
         return decode_ppm(content)
     if content[:2] == b"BM":
