@@ -1,0 +1,1181 @@
+"""PDF text extraction — the largest document-source format after HTML
+in a training-data pipeline, implemented on the stdlib only (``zlib``,
+``base64``, ``re``; no pdfminer/PyMuPDF — this container has neither,
+and the machine-generated-PDF tier they all share is what bulk corpus
+ingest actually runs).
+
+What decodes for REAL:
+
+- **Object layer**: a LINEAR scan for ``N G obj`` bodies (robust where
+  an xref walk is not — truncated or lying xref tables are the single
+  most common corruption in crawled PDFs; the xref is never consulted),
+  full object grammar (dicts, arrays, names with ``#hh`` escapes,
+  literal strings with octal/escape/nested-paren rules, hex strings,
+  refs, booleans/null), later duplicate definitions win (incremental
+  updates), ``/Type /ObjStm`` compressed object streams expanded (PDF
+  1.5+ — most modern writers put the catalog/page/font dicts there).
+- **Stream filters**: FlateDecode (zlib, with raw-deflate and
+  truncated-tail fallbacks), ASCIIHexDecode, ASCII85Decode,
+  RunLengthDecode, filter chains, PNG/TIFF predictors
+  (``/DecodeParms``). A declared ``/Length`` is VALIDATED against the
+  following ``endstream`` and ignored when it lies (the second most
+  common corruption) — the extent then comes from the ``endstream``
+  marker itself.
+- **Page layer**: catalog → page-tree walk (``/Kids`` recursion, cycle
+  + depth guarded, ``/Resources`` inherited), degraded direct
+  ``/Type /Page`` scan when the catalog is missing/broken.
+- **Text layer**: content-stream tokenizer (same object grammar plus
+  operators and ``BI``…``ID``…``EI`` inline-image skip) driving a small
+  text state machine — ``Tj``/``'``/``"``/``TJ`` show ops (TJ gaps
+  below ``-TJ_SPACE_GAP`` thousandths of an em become spaces — the
+  standard kerning-vs-word-break heuristic), ``Td``/``TD``/``Tm``/
+  ``T*`` line-matrix tracking (a vertical move is a line break),
+  ``Do`` form-XObject recursion, per-font decoders: ``/ToUnicode``
+  CMaps (bfchar + both bfrange forms, codespace-derived code width),
+  WinAnsi/MacRoman/Standard base encodings with ``/Differences``
+  glyph-name mapping (AGL subset + ``uniXXXX``).
+
+Loud typed boundaries (the VP8L rule — raise, never silently fake):
+
+- ``PdfEncryptedError`` — ``/Encrypt`` present; stream bytes are
+  RC4/AES ciphertext and any "text" pulled from them would be noise.
+- ``PdfUnsupportedFilterError`` — LZWDecode / DCTDecode / JPXDecode /
+  JBIG2Decode / CCITTFaxDecode / Crypt on a stream we must read.
+- ``PdfImageOnlyError`` — pages carry raster images but zero text
+  operators: a scanned PDF has no text layer; it needs OCR, not an
+  extractor, and returning ``""`` would silently drop the document's
+  content.
+- ``PdfParseError`` — no parseable objects / no pages.
+
+Scale shape: map-only — one Arrow-batched pandas UDF over a binary
+column, no shuffle, no driver state; same opt-in Python-tier story as
+the DOM extractor (``operators/htmldom.py``). ``errors="null"``
+(default for the frame op) quarantines bad files as NULL text with the
+typed error name in an optional side column, so one scanned PDF cannot
+kill a 100 TB ingest.
+
+Reference twin: none — training-data extension per SURVEY.md §6 (the
+PDF grammar is ISO 32000-1, public).
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+import zlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "PdfError",
+    "PdfParseError",
+    "PdfEncryptedError",
+    "PdfUnsupportedFilterError",
+    "PdfImageOnlyError",
+    "pdf_text",
+    "extract_pdf_text",
+    "pdf_text_column",
+]
+
+# TJ gap (in thousandths of an em, i.e. text-space units) at or beyond
+# which a negative kerning adjustment is a word break, not a kern. A
+# space glyph is ~250-333/1000 em in the standard fonts; kerns are tens.
+TJ_SPACE_GAP = 180.0
+
+_MAX_RESOLVE_DEPTH = 32
+_MAX_TREE_DEPTH = 64
+_MAX_XOBJECT_DEPTH = 16
+
+
+class PdfError(ValueError):
+    """Base for all typed PDF extraction failures."""
+
+
+class PdfParseError(PdfError):
+    """Not a parseable PDF (no objects, no pages, truncated beyond use)."""
+
+
+class PdfEncryptedError(PdfError):
+    """/Encrypt present — stream bytes are ciphertext."""
+
+
+class PdfUnsupportedFilterError(PdfError):
+    """A stream we must read uses LZW/DCT/JPX/JBIG2/CCITT/Crypt."""
+
+
+class PdfImageOnlyError(PdfError):
+    """Raster images but zero text operators — scanned PDF, needs OCR."""
+
+
+# --------------------------------------------------------------------------
+# object grammar
+# --------------------------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Name(str):
+    """A PDF name (/X) — distinct from a text string in dict values."""
+
+    __slots__ = ()
+
+
+class _Ref(tuple):
+    __slots__ = ()
+
+    def __new__(cls, num: int, gen: int):
+        return super().__new__(cls, (num, gen))
+
+
+class _Stream:
+    """A stream object: its dict plus the raw (still-encoded) bytes."""
+
+    __slots__ = ("d", "raw")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.d = d
+        self.raw = raw
+
+
+def _skip_ws(buf: bytes, pos: int) -> int:
+    n = len(buf)
+    while pos < n:
+        c = buf[pos]
+        if c in _WS:
+            pos += 1
+        elif c == 0x25:  # '%' comment to EOL
+            while pos < n and buf[pos] not in b"\r\n":
+                pos += 1
+        else:
+            break
+    return pos
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_INT_RE = re.compile(rb"\d+")
+_KW_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
+
+
+def _parse_name(buf: bytes, pos: int) -> tuple[_Name, int]:
+    # at '/'; #hh escapes decoded
+    pos += 1
+    out = bytearray()
+    n = len(buf)
+    while pos < n:
+        c = buf[pos]
+        if c in _WS or c in _DELIM:
+            break
+        if c == 0x23 and pos + 2 < n:  # '#'
+            try:
+                out.append(int(buf[pos + 1 : pos + 3], 16))
+                pos += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        pos += 1
+    return _Name(out.decode("latin-1")), pos
+
+
+_LIT_ESC = {
+    0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b", 0x66: b"\f",
+    0x28: b"(", 0x29: b")", 0x5C: b"\\",
+}
+
+
+def _parse_lit_string(buf: bytes, pos: int) -> tuple[bytes, int]:
+    # at '('; balanced parens, escapes, octal, line continuations
+    pos += 1
+    out = bytearray()
+    depth = 1
+    n = len(buf)
+    while pos < n:
+        c = buf[pos]
+        if c == 0x5C:  # backslash
+            pos += 1
+            if pos >= n:
+                break
+            e = buf[pos]
+            if e in _LIT_ESC:
+                out += _LIT_ESC[e]
+                pos += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                val = 0
+                k = 0
+                while pos < n and k < 3 and 0x30 <= buf[pos] <= 0x37:
+                    val = val * 8 + (buf[pos] - 0x30)
+                    pos += 1
+                    k += 1
+                out.append(val & 0xFF)
+            elif e in b"\r\n":  # line continuation
+                pos += 1
+                if e == 0x0D and pos < n and buf[pos] == 0x0A:
+                    pos += 1
+            else:  # unknown escape: the char itself
+                out.append(e)
+                pos += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            pos += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                pos += 1
+                break
+            out.append(c)
+            pos += 1
+        else:
+            out.append(c)
+            pos += 1
+    return bytes(out), pos
+
+
+def _parse_hex_string(buf: bytes, pos: int) -> tuple[bytes, int]:
+    # at '<' (not '<<'); odd final digit padded with 0
+    pos += 1
+    digits = bytearray()
+    n = len(buf)
+    while pos < n and buf[pos] != 0x3E:  # '>'
+        c = buf[pos]
+        if (
+            0x30 <= c <= 0x39
+            or 0x41 <= c <= 0x46
+            or 0x61 <= c <= 0x66
+        ):
+            digits.append(c)
+        pos += 1
+    pos = min(pos + 1, n)
+    if len(digits) % 2:
+        digits.append(0x30)
+    return bytes.fromhex(digits.decode("ascii")), pos
+
+
+def _parse_object(buf: bytes, pos: int):
+    """Parse one object at pos → (value, new_pos). Raises PdfParseError
+    on impossible input (caller decides how loud to be)."""
+    pos = _skip_ws(buf, pos)
+    n = len(buf)
+    if pos >= n:
+        raise PdfParseError("unexpected end of data")
+    c = buf[pos]
+    if c == 0x2F:  # '/'
+        return _parse_name(buf, pos)
+    if c == 0x28:  # '('
+        return _parse_lit_string(buf, pos)
+    if c == 0x3C:  # '<'
+        if buf[pos : pos + 2] == b"<<":
+            pos += 2
+            d: dict = {}
+            while True:
+                pos = _skip_ws(buf, pos)
+                if buf[pos : pos + 2] == b">>":
+                    return d, pos + 2
+                if pos >= n:
+                    return d, pos  # truncated dict: keep what we have
+                if buf[pos] != 0x2F:
+                    # stray token inside dict — skip one object, stay lenient
+                    _, pos = _parse_object(buf, pos)
+                    continue
+                key, pos = _parse_name(buf, pos)
+                val, pos = _parse_object(buf, pos)
+                d[str(key)] = val
+        return _parse_hex_string(buf, pos)
+    if c == 0x5B:  # '['
+        pos += 1
+        arr = []
+        while True:
+            pos = _skip_ws(buf, pos)
+            if pos >= n:
+                return arr, pos
+            if buf[pos] == 0x5D:
+                return arr, pos + 1
+            val, pos = _parse_object(buf, pos)
+            arr.append(val)
+    m = _NUM_RE.match(buf, pos)
+    if m:
+        tok = m.group()
+        end = m.end()
+        if b"." not in tok:
+            num = int(tok)
+            # ref lookahead: INT INT 'R'
+            p2 = _skip_ws(buf, end)
+            m2 = _INT_RE.match(buf, p2)
+            if m2 and num >= 0 and tok[:1] != b"+":
+                p3 = _skip_ws(buf, m2.end())
+                if buf[p3 : p3 + 1] == b"R" and (
+                    p3 + 1 >= n or buf[p3 + 1] in _WS or buf[p3 + 1] in _DELIM
+                ):
+                    return _Ref(num, int(m2.group())), p3 + 1
+            return num, end
+        return float(tok), end
+    m = _KW_RE.match(buf, pos)
+    if m:
+        kw = m.group()
+        if kw == b"true":
+            return True, m.end()
+        if kw == b"false":
+            return False, m.end()
+        if kw == b"null":
+            return None, m.end()
+        raise PdfParseError(f"unexpected keyword {kw[:20]!r} at {pos}")
+    raise PdfParseError(f"unparseable byte {c:#x} at {pos}")
+
+
+# --------------------------------------------------------------------------
+# filters
+# --------------------------------------------------------------------------
+
+_UNSUPPORTED_FILTERS = {
+    "LZWDecode", "LZW", "DCTDecode", "DCT", "JPXDecode", "JBIG2Decode",
+    "CCITTFaxDecode", "CCF", "Crypt",
+}
+
+
+def _inflate(data: bytes) -> bytes:
+    try:
+        return zlib.decompress(data)
+    except zlib.error:
+        pass
+    try:  # raw deflate (some writers omit the zlib wrapper)
+        return zlib.decompress(data, -15)
+    except zlib.error:
+        pass
+    # truncated tail: decompress what is there, skip the checksum
+    try:
+        d = zlib.decompressobj()
+        out = d.decompress(data)
+        return out + d.flush()
+    except zlib.error as e:
+        raise PdfParseError(f"FlateDecode failed: {e}") from None
+
+
+def _rle_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        l = data[i]
+        i += 1
+        if l == 128:
+            break
+        if l < 128:
+            out += data[i : i + l + 1]
+            i += l + 1
+        else:
+            if i < n:
+                out += bytes([data[i]]) * (257 - l)
+                i += 1
+    return bytes(out)
+
+
+def _unpredict(data: bytes, parms: dict) -> bytes:
+    pred = parms.get("Predictor", 1)
+    if not isinstance(pred, int) or pred <= 1:
+        return data
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    columns = parms.get("Columns", 1)
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (colors * bpc * columns + 7) // 8
+    if pred == 2:  # TIFF horizontal (byte-aligned case only)
+        if bpc != 8:
+            raise PdfUnsupportedFilterError(
+                "TIFF predictor with sub-byte components"
+            )
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(r + bpp, r + rowlen):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors (10..15): per-row filter byte
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i, n = 0, len(data)
+    while i + 1 + rowlen <= n:
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        i += 1 + rowlen
+        if ft == 1:  # Sub
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((a + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                cc = prev[j - bpp] if j >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[j] = (row[j] + pr) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_stream(doc: "_Doc", s: _Stream) -> bytes:
+    filt = doc.resolve(s.d.get("Filter"))
+    parms = doc.resolve(s.d.get("DecodeParms", s.d.get("DP")))
+    if filt is None:
+        return s.raw
+    if not isinstance(filt, list):
+        filt = [filt]
+    if not isinstance(parms, list):
+        parms = [parms] * len(filt)
+    data = s.raw
+    for f, p in zip(filt, parms):
+        f = str(doc.resolve(f))
+        p = doc.resolve(p) or {}
+        if f in ("FlateDecode", "Fl"):
+            data = _inflate(data)
+            data = _unpredict(data, {k: doc.resolve(v) for k, v in p.items()})
+        elif f in ("ASCIIHexDecode", "AHx"):
+            digits = re.sub(rb"[^0-9A-Fa-f>]", b"", data)
+            digits = digits.split(b">", 1)[0]
+            if len(digits) % 2:
+                digits += b"0"
+            data = bytes.fromhex(digits.decode("ascii"))
+        elif f in ("ASCII85Decode", "A85"):
+            body = data.split(b"~>", 1)[0]
+            body = re.sub(rb"\s", b"", body)
+            if body.startswith(b"<~"):
+                body = body[2:]
+            try:
+                data = base64.a85decode(body)
+            except ValueError as e:
+                raise PdfParseError(f"ASCII85Decode failed: {e}") from None
+        elif f in ("RunLengthDecode", "RL"):
+            data = _rle_decode(data)
+        elif f in _UNSUPPORTED_FILTERS:
+            raise PdfUnsupportedFilterError(
+                f"stream filter {f} not supported (no codec libs in "
+                "this environment — re-encode with Flate to extract)"
+            )
+        else:
+            raise PdfUnsupportedFilterError(f"unknown stream filter {f}")
+    return data
+
+
+# --------------------------------------------------------------------------
+# document: linear object scan + trailer + page tree
+# --------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d{1,10})[\x00\t\n\x0c\r ]+(\d{1,5})[\x00\t\n\x0c\r ]+obj\b")
+_TRAILER_RE = re.compile(rb"trailer\b")
+_STREAM_RE = re.compile(rb"stream(\r\n|\n|\r)")
+_ENDSTREAM_RE = re.compile(rb"endstream")
+
+
+class _Doc:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.objects: dict[int, object] = {}
+        self.root = None
+        self._font_cache: dict[int, "_FontDecoder"] = {}
+        self._parse()
+
+    # -- parsing ------------------------------------------------------
+    def _parse(self) -> None:
+        buf = self.buf
+        found = 0
+        for m in _OBJ_RE.finditer(buf):
+            num = int(m.group(1))
+            try:
+                val, pos = _parse_object(buf, m.end())
+            except PdfParseError:
+                continue
+            found += 1
+            pos2 = _skip_ws(buf, pos)
+            sm = _STREAM_RE.match(buf, pos2)
+            if sm and isinstance(val, dict):
+                raw = self._stream_extent(val, sm.end())
+                val = _Stream(val, raw)
+            # later definition wins (incremental updates append)
+            self.objects[num] = val
+        if not found:
+            raise PdfParseError("no PDF objects found")
+        self._check_encryption()
+        self._expand_objstms()
+        self.root = self._find_root()
+
+    def _stream_extent(self, d: dict, start: int) -> bytes:
+        """Raw stream bytes. /Length is validated against the following
+        endstream and ignored when it lies (fallback: the marker)."""
+        buf = self.buf
+        length = d.get("Length")
+        if isinstance(length, _Ref):
+            length = self._raw_lookup(length)
+        if isinstance(length, int) and 0 <= length <= len(buf) - start:
+            after = _skip_ws(buf, start + length)
+            if buf[after : after + 9] == b"endstream":
+                return buf[start : start + length]
+        em = _ENDSTREAM_RE.search(buf, start)
+        if em is None:
+            return buf[start:]  # truncated: best effort to EOF
+        raw = buf[start : em.start()]
+        # strip the spec's single EOL before endstream
+        if raw.endswith(b"\r\n"):
+            return raw[:-2]
+        if raw.endswith(b"\n") or raw.endswith(b"\r"):
+            return raw[:-1]
+        return raw
+
+    def _raw_lookup(self, ref: _Ref):
+        """Length-ref lookup usable mid-parse: scan for the object."""
+        v = self.objects.get(ref[0])
+        if v is not None:
+            return v
+        pat = re.compile(
+            rb"(?<![0-9])"
+            + str(ref[0]).encode()
+            + rb"[\x00\t\n\x0c\r ]+\d{1,5}[\x00\t\n\x0c\r ]+obj\b"
+        )
+        m = pat.search(self.buf)
+        if not m:
+            return None
+        try:
+            val, _ = _parse_object(self.buf, m.end())
+        except PdfParseError:
+            return None
+        return val
+
+    def _check_encryption(self) -> None:
+        for m in _TRAILER_RE.finditer(self.buf):
+            try:
+                d, _ = _parse_object(self.buf, m.end())
+            except PdfParseError:
+                continue
+            if isinstance(d, dict):
+                if d.get("Encrypt") is not None:
+                    raise PdfEncryptedError(
+                        "PDF is encrypted (/Encrypt in trailer) — "
+                        "decrypt upstream before text extraction"
+                    )
+                if self.root is None and "Root" in d:
+                    self.root = d["Root"]
+        # xref-stream trailers (PDF 1.5+: no 'trailer' keyword)
+        for v in self.objects.values():
+            if isinstance(v, _Stream) and v.d.get("Type") == "XRef":
+                if v.d.get("Encrypt") is not None:
+                    raise PdfEncryptedError(
+                        "PDF is encrypted (/Encrypt in xref stream)"
+                    )
+                if self.root is None and "Root" in v.d:
+                    self.root = v.d["Root"]
+
+    def _expand_objstms(self) -> None:
+        top = set(self.objects)
+        for v in list(self.objects.values()):
+            if not (isinstance(v, _Stream) and v.d.get("Type") == "ObjStm"):
+                continue
+            try:
+                data = _decode_stream(self, v)
+            except PdfError:
+                continue  # a broken ObjStm loses its objects, not the doc
+            n = self.resolve(v.d.get("N", 0))
+            first = self.resolve(v.d.get("First", 0))
+            if not isinstance(n, int) or not isinstance(first, int):
+                continue
+            ints = [int(x) for x in _INT_RE.findall(data[:first])]
+            for i in range(min(n, len(ints) // 2)):
+                onum, off = ints[2 * i], ints[2 * i + 1]
+                if onum in top:  # top-level (newer) definition wins
+                    continue
+                try:
+                    val, _ = _parse_object(data, first + off)
+                except PdfParseError:
+                    continue
+                self.objects[onum] = val
+
+    def _find_root(self):
+        if self.root is not None:
+            return self.root
+        for num, v in self.objects.items():
+            if isinstance(v, dict) and v.get("Type") == "Catalog":
+                return _Ref(num, 0)
+        return None
+
+    # -- access -------------------------------------------------------
+    def resolve(self, val, depth: int = 0):
+        while isinstance(val, _Ref):
+            if depth > _MAX_RESOLVE_DEPTH:
+                raise PdfParseError("reference cycle")
+            val = self.objects.get(val[0])
+            depth += 1
+        return val
+
+    def pages(self) -> list[dict]:
+        """Page dicts in tree order, /Resources inherited. Degrades to
+        a direct /Type /Page scan when the catalog/tree is broken."""
+        out: list[dict] = []
+        root = self.resolve(self.root)
+        if isinstance(root, dict):
+            tree = self.resolve(root.get("Pages"))
+            if isinstance(tree, dict):
+                self._walk(tree, None, out, set(), 0)
+        if not out:  # degraded: object order
+            for num in sorted(self.objects):
+                v = self.objects[num]
+                if isinstance(v, dict) and v.get("Type") == "Page":
+                    out.append(v)
+        if not out:
+            raise PdfParseError("no page objects found")
+        return out
+
+    def _walk(self, node: dict, res, out: list, seen: set, depth: int) -> None:
+        if depth > _MAX_TREE_DEPTH or id(node) in seen:
+            return
+        seen.add(id(node))
+        res = node.get("Resources", res)
+        if node.get("Type") == "Page":
+            if "Resources" not in node and res is not None:
+                node = dict(node)
+                node["Resources"] = res
+            out.append(node)
+            return
+        kids = self.resolve(node.get("Kids"))
+        if isinstance(kids, list):
+            for k in kids:
+                kid = self.resolve(k)
+                if isinstance(kid, dict):
+                    self._walk(kid, res, out, seen, depth + 1)
+
+
+# --------------------------------------------------------------------------
+# font decoding
+# --------------------------------------------------------------------------
+
+# Adobe Glyph List subset: everything the standard encodings name for
+# the Latin repertoire, plus the common typographic glyphs.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteright": "’", "quoteleft": "‘",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "fi": "ﬁ", "fl": "ﬂ", "florin": "ƒ",
+    "copyright": "©", "registered": "®", "trademark": "™",
+    "section": "§", "paragraph": "¶", "degree": "°",
+    "plusminus": "±", "multiply": "×", "divide": "÷",
+    "cent": "¢", "sterling": "£", "yen": "¥",
+    "Euro": "€", "currency": "¤", "exclamdown": "¡",
+    "questiondown": "¿", "guillemotleft": "«",
+    "guillemotright": "»", "guilsinglleft": "‹",
+    "guilsinglright": "›", "perthousand": "‰",
+    "middot": "·", "periodcentered": "·", "nbspace": " ",
+    "softhyphen": "­", "minus": "−", "fraction": "⁄",
+    "circumflex": "ˆ", "tilde": "˜", "macron": "¯",
+    "breve": "˘", "dotaccent": "˙", "dieresis": "¨",
+    "ring": "˚", "cedilla": "¸", "caron": "ˇ",
+    "hungarumlaut": "˝", "ogonek": "˛", "acute": "´",
+    "brokenbar": "¦", "logicalnot": "¬", "mu": "µ",
+    "onesuperior": "¹", "twosuperior": "²",
+    "threesuperior": "³", "onequarter": "¼",
+    "onehalf": "½", "threequarters": "¾", "ordfeminine": "ª",
+    "ordmasculine": "º", "eth": "ð", "thorn": "þ",
+    "Eth": "Ð", "Thorn": "Þ", "germandbls": "ß",
+    "dotlessi": "ı", "OE": "Œ", "oe": "œ",
+    "Scaron": "Š", "scaron": "š", "Zcaron": "Ž",
+    "zcaron": "ž", "Ydieresis": "Ÿ", "Lslash": "Ł",
+    "lslash": "ł", "AE": "Æ", "ae": "æ",
+    "Oslash": "Ø", "oslash": "ø", "Aring": "Å",
+    "aring": "å",
+}
+# letters map to themselves; accented latin-1 names: Xacute/Xgrave/...
+for _ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _AGL[_ch] = _ch
+for _base, _accents in (
+    ("aeiouyAEIOUY", "acute"),
+    ("aeiouAEIOU", "grave"),
+    ("aeiouyAEIOUY", "dieresis"),
+    ("aeiouAEIOU", "circumflex"),
+    ("anoANO", "tilde"),
+    ("cC", "cedilla"),
+):
+    for _c in _base:
+        _name = _c + _accents
+        try:
+            import unicodedata as _ud
+
+            _AGL.setdefault(
+                _name,
+                _ud.lookup(
+                    f"LATIN {'CAPITAL' if _c.isupper() else 'SMALL'} LETTER "
+                    f"{_c.upper()} WITH {_accents.upper()}"
+                ),
+            )
+        except KeyError:
+            pass
+
+
+def _glyph_to_char(name: str) -> str:
+    if name in _AGL:
+        return _AGL[name]
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = re.fullmatch(r"u([0-9A-Fa-f]{4,6})", name)
+    if m:
+        cp = int(m.group(1), 16)
+        if cp <= 0x10FFFF:
+            return chr(cp)
+    return ""
+
+
+# WinAnsiEncoding == cp1252 for all defined points; the five cp1252
+# holes (0x81 8D 8F 90 9D) render as bullets per the WinAnsi table.
+def _winansi_table() -> list[str]:
+    table = []
+    for b in range(256):
+        try:
+            table.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            table.append("•")
+    return table
+
+
+_WINANSI = _winansi_table()
+_MACROMAN = [bytes([b]).decode("mac_roman") for b in range(256)]
+# StandardEncoding: ASCII except quoteright at 0x27 / quoteleft at 0x60;
+# upper range sparse — latin-1 is the pragmatic fallback there.
+_STANDARD = [chr(b) if b < 128 else bytes([b]).decode("latin-1") for b in range(256)]
+_STANDARD[0x27] = "’"
+_STANDARD[0x60] = "‘"
+
+_BASE_ENCODINGS = {
+    "WinAnsiEncoding": _WINANSI,
+    "MacRomanEncoding": _MACROMAN,
+    "StandardEncoding": _STANDARD,
+    "PDFDocEncoding": _WINANSI,
+}
+
+_CMAP_CODESPACE_RE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.S
+)
+_CMAP_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_CMAP_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_TOK_RE = re.compile(rb"<([0-9A-Fa-f]*)>")
+
+
+def _utf16be(hexs: bytes) -> str:
+    raw = bytes.fromhex(hexs.decode("ascii"))
+    if len(raw) % 2:
+        raw += b"\x00"
+    return raw.decode("utf-16-be", errors="replace")
+
+
+class _FontDecoder:
+    """Maps show-string bytes → text for one font."""
+
+    def __init__(self, doc: _Doc, font: dict | None):
+        self.code_len = 1
+        self.cmap: dict[int, str] | None = None
+        self.table: list[str] = _WINANSI
+        self.skip_unmapped = False
+        if font is None:
+            return
+        subtype = font.get("Subtype")
+        if subtype == "Type0":
+            self.code_len = 2
+            self.skip_unmapped = True  # CIDs are not unicode
+        tu = doc.resolve(font.get("ToUnicode"))
+        if isinstance(tu, _Stream):
+            try:
+                self._parse_cmap(_decode_stream(doc, tu))
+            except PdfError:
+                self.cmap = None
+        if self.cmap is None and subtype != "Type0":
+            enc = doc.resolve(font.get("Encoding"))
+            if isinstance(enc, _Name) or isinstance(enc, str):
+                self.table = _BASE_ENCODINGS.get(str(enc), _WINANSI)
+            elif isinstance(enc, dict):
+                base = _BASE_ENCODINGS.get(
+                    str(doc.resolve(enc.get("BaseEncoding")) or ""), _STANDARD
+                )
+                table = list(base)
+                diffs = doc.resolve(enc.get("Differences"))
+                if isinstance(diffs, list):
+                    code = 0
+                    for item in diffs:
+                        item = doc.resolve(item)
+                        if isinstance(item, (int, float)):
+                            code = int(item)
+                        elif isinstance(item, _Name) and 0 <= code < 256:
+                            table[code] = _glyph_to_char(str(item))
+                            code += 1
+                self.table = table
+
+    def _parse_cmap(self, data: bytes) -> None:
+        cmap: dict[int, str] = {}
+        for m in _CMAP_CODESPACE_RE.finditer(data):
+            toks = _HEX_TOK_RE.findall(m.group(1))
+            if toks:
+                self.code_len = max(1, len(toks[0]) // 2)
+        for m in _CMAP_BFCHAR_RE.finditer(data):
+            toks = _HEX_TOK_RE.findall(m.group(1))
+            for i in range(0, len(toks) - 1, 2):
+                cmap[int(toks[i], 16)] = _utf16be(toks[i + 1])
+        for m in _CMAP_BFRANGE_RE.finditer(data):
+            body = m.group(1)
+            pos = 0
+            while True:
+                lm = _HEX_TOK_RE.search(body, pos)
+                if not lm:
+                    break
+                hm = _HEX_TOK_RE.search(body, lm.end())
+                if not hm:
+                    break
+                pos = hm.end()
+                lo, hi = int(lm.group(1), 16), int(hm.group(1), 16)
+                nxt = _skip_ws(body, pos)
+                if body[nxt : nxt + 1] == b"[":
+                    end = body.find(b"]", nxt)
+                    arr = _HEX_TOK_RE.findall(body[nxt : end if end >= 0 else len(body)])
+                    for i, code in enumerate(range(lo, hi + 1)):
+                        if i < len(arr):
+                            cmap[code] = _utf16be(arr[i])
+                    pos = (end + 1) if end >= 0 else len(body)
+                else:
+                    dm = _HEX_TOK_RE.search(body, pos)
+                    if not dm:
+                        break
+                    pos = dm.end()
+                    dst = dm.group(1)
+                    base_raw = bytes.fromhex(dst.decode("ascii"))
+                    if len(base_raw) % 2:
+                        base_raw += b"\x00"
+                    base_last = int.from_bytes(base_raw[-2:], "big") if base_raw else 0
+                    prefix = base_raw[:-2]
+                    for i, code in enumerate(range(lo, hi + 1)):
+                        unit = base_last + i
+                        if unit <= 0xFFFF:
+                            cmap[code] = (prefix + unit.to_bytes(2, "big")).decode(
+                                "utf-16-be", errors="replace"
+                            )
+        self.cmap = cmap if cmap else None
+
+    def decode(self, raw: bytes) -> str:
+        if self.cmap is not None:
+            out = []
+            cl = self.code_len
+            for i in range(0, len(raw) - cl + 1, cl):
+                code = int.from_bytes(raw[i : i + cl], "big")
+                ch = self.cmap.get(code)
+                if ch is not None:
+                    out.append(ch)
+                elif not self.skip_unmapped and cl == 1:
+                    out.append(self.table[code])
+            return "".join(out)
+        if self.skip_unmapped:  # Type0 without ToUnicode: CIDs, unmappable
+            return ""
+        return "".join(self.table[b] for b in raw)
+
+
+_DEFAULT_DECODER = _FontDecoder.__new__(_FontDecoder)
+_DEFAULT_DECODER.code_len = 1
+_DEFAULT_DECODER.cmap = None
+_DEFAULT_DECODER.table = _WINANSI
+_DEFAULT_DECODER.skip_unmapped = False
+
+
+# --------------------------------------------------------------------------
+# content-stream interpretation
+# --------------------------------------------------------------------------
+
+_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)")
+
+
+class _TextState:
+    """Per-document extraction state shared across pages/XObjects."""
+
+    __slots__ = ("lines", "_line", "image_seen", "shows")
+
+    def __init__(self):
+        self.lines: list[str] = []
+        self._line: list[str] = []
+        self.image_seen = False
+        self.shows = 0  # show operators encountered (mapped or not)
+
+    def show(self, text: str) -> None:
+        self.shows += 1
+        if text:
+            self._line.append(text)
+
+    def space(self) -> None:
+        if self._line and not self._line[-1].endswith(" "):
+            self._line.append(" ")
+
+    def newline(self) -> None:
+        line = "".join(self._line).rstrip()
+        if line:
+            self.lines.append(line)
+        self._line = []
+
+    def page_break(self) -> None:
+        self.newline()
+
+
+def _interpret(
+    doc: _Doc,
+    content: bytes,
+    resources,
+    state: _TextState,
+    depth: int = 0,
+) -> None:
+    res = doc.resolve(resources)
+    fonts = doc.resolve(res.get("Font")) if isinstance(res, dict) else None
+    xobjects = doc.resolve(res.get("XObject")) if isinstance(res, dict) else None
+
+    stack: list = []
+    decoder = _DEFAULT_DECODER
+    # text line matrix (a b c d e f); track f (y) for line breaks
+    tlm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    leading = 0.0
+    pos, n = 0, len(content)
+    while pos < n:
+        pos = _skip_ws(content, pos)
+        if pos >= n:
+            break
+        c = content[pos]
+        if c in b"/<([+-.0123456789":
+            try:
+                val, pos = _parse_object(content, pos)
+            except PdfParseError:
+                pos += 1
+                continue
+            stack.append(val)
+            continue
+        m = _KW_RE.match(content, pos)
+        if not m:
+            pos += 1
+            continue
+        op = m.group().decode("latin-1")
+        pos = m.end()
+
+        if op == "Tj" or op == "'":
+            if op == "'":
+                state.newline()
+                tlm = _td(tlm, 0.0, -leading)
+            if stack and isinstance(stack[-1], bytes):
+                state.show(decoder.decode(stack[-1]))
+        elif op == '"':
+            state.newline()
+            tlm = _td(tlm, 0.0, -leading)
+            if stack and isinstance(stack[-1], bytes):
+                state.show(decoder.decode(stack[-1]))
+        elif op == "TJ":
+            if stack and isinstance(stack[-1], list):
+                for el in stack[-1]:
+                    if isinstance(el, bytes):
+                        state.show(decoder.decode(el))
+                    elif isinstance(el, (int, float)) and el <= -TJ_SPACE_GAP:
+                        state.space()
+        elif op == "Td" or op == "TD":
+            if len(stack) >= 2 and all(
+                isinstance(v, (int, float)) for v in stack[-2:]
+            ):
+                tx, ty = float(stack[-2]), float(stack[-1])
+                if op == "TD":
+                    leading = -ty
+                new = _td(tlm, tx, ty)
+                if abs(new[5] - tlm[5]) > 1e-6:
+                    state.newline()
+                tlm = new
+        elif op == "Tm":
+            if len(stack) >= 6 and all(
+                isinstance(v, (int, float)) for v in stack[-6:]
+            ):
+                new = tuple(float(v) for v in stack[-6:])
+                if abs(new[5] - tlm[5]) > 1e-6 and (state._line or state.lines):
+                    state.newline()
+                tlm = new
+        elif op == "T*":
+            state.newline()
+            tlm = _td(tlm, 0.0, -leading)
+        elif op == "TL":
+            if stack and isinstance(stack[-1], (int, float)):
+                leading = float(stack[-1])
+        elif op == "Tf":
+            if len(stack) >= 2 and isinstance(stack[-2], _Name):
+                decoder = _font_decoder(doc, fonts, str(stack[-2]))
+        elif op == "BT":
+            tlm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        elif op == "ET":
+            pass
+        elif op == "Do":
+            if stack and isinstance(stack[-1], _Name) and isinstance(xobjects, dict):
+                xo = doc.resolve(xobjects.get(str(stack[-1])))
+                if isinstance(xo, _Stream):
+                    sub = xo.d.get("Subtype")
+                    if sub == "Image":
+                        state.image_seen = True
+                    elif sub == "Form" and depth < _MAX_XOBJECT_DEPTH:
+                        try:
+                            data = _decode_stream(doc, xo)
+                        except PdfUnsupportedFilterError:
+                            raise
+                        except PdfError:
+                            data = b""
+                        _interpret(
+                            doc,
+                            data,
+                            xo.d.get("Resources", resources),
+                            state,
+                            depth + 1,
+                        )
+        elif op == "BI":
+            # inline image: skip dict then binary to EI
+            state.image_seen = True
+            em = _EI_RE.search(content, pos)
+            pos = em.end() if em else n
+        stack.clear()
+
+
+def _td(tlm: tuple, tx: float, ty: float) -> tuple:
+    a, b, c, d, e, f = tlm
+    return (a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f)
+
+
+def _font_decoder(doc: _Doc, fonts, name: str) -> _FontDecoder:
+    if not isinstance(fonts, dict):
+        return _DEFAULT_DECODER
+    ref = fonts.get(name)
+    font = doc.resolve(ref)
+    if not isinstance(font, dict):
+        return _DEFAULT_DECODER
+    key = id(font)
+    dec = doc._font_cache.get(key)
+    if dec is None:
+        dec = _FontDecoder(doc, font)
+        doc._font_cache[key] = dec
+    return dec
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+
+def pdf_text(data: bytes) -> str:
+    """Extract the text layer of a PDF. Pure function (the UDF below
+    maps it); raises the typed :class:`PdfError` subclasses documented
+    in the module docstring. Pages join with newlines; a page's lines
+    follow the content stream's own line-matrix moves."""
+    if not isinstance(data, (bytes, bytearray)):
+        raise PdfParseError("expected bytes")
+    if b"%PDF" not in data[:1024] and b" obj" not in data[:4096]:
+        raise PdfParseError("not a PDF (no %PDF header, no objects)")
+    doc = _Doc(bytes(data))
+    state = _TextState()
+    for page in doc.pages():
+        contents = doc.resolve(page.get("Contents"))
+        streams = contents if isinstance(contents, list) else [contents]
+        data_parts = []
+        for s in streams:
+            s = doc.resolve(s)
+            if isinstance(s, _Stream):
+                data_parts.append(_decode_stream(doc, s))
+        if data_parts:
+            _interpret(
+                doc, b"\n".join(data_parts), page.get("Resources"), state
+            )
+        state.page_break()
+    text = "\n".join(state.lines)
+    if not text and state.shows == 0 and state.image_seen:
+        raise PdfImageOnlyError(
+            "pages contain raster images but no text operators — "
+            "scanned PDF with no text layer; needs OCR, not extraction"
+        )
+    return text
+
+
+def pdf_text_column(
+    col: Column | str,
+    errors: str = "null",
+) -> Column:
+    """Column form over a ``binary`` column. ``errors="null"`` maps any
+    :class:`PdfError` to NULL (one scanned/broken file must not kill a
+    corpus job); ``errors="raise"`` propagates (gates/tests)."""
+    if errors not in ("null", "raise"):
+        raise ValueError(f"errors must be 'null' or 'raise', got {errors!r}")
+
+    @F.pandas_udf("string")
+    def extract(c: pd.Series) -> pd.Series:
+        out = []
+        for v in c:
+            if v is None:
+                out.append(None)
+            elif errors == "raise":
+                out.append(pdf_text(bytes(v)))
+            else:
+                try:
+                    out.append(pdf_text(bytes(v)))
+                except PdfError:
+                    out.append(None)
+        return pd.Series(out, dtype="object")
+
+    return extract(F.col(col) if isinstance(col, str) else col)
+
+
+def extract_pdf_text(
+    docs: DataFrame,
+    content_col: str = "content",
+    out_col: str = "text",
+    errors: str = "null",
+    error_col: str | None = None,
+) -> DataFrame:
+    """``docs`` with ``out_col`` added: the extracted text layer of the
+    PDF bytes in ``content_col`` (NULL in → NULL out). With the default
+    ``errors="null"``, undecodable files land as NULL text; pass
+    ``error_col`` to also capture the typed error class name per row —
+    the quarantine pattern (filter ``error_col IS NOT NULL`` into a
+    side table, like the JSONL/CSV sources' ``bad`` frames). Map-only,
+    Arrow-batched; no shuffle, no driver state."""
+    if error_col is None:
+        return docs.withColumn(out_col, pdf_text_column(content_col, errors))
+    if errors != "null":
+        raise ValueError("error_col requires errors='null'")
+
+    @F.pandas_udf("text string, err string")
+    def extract(c: pd.Series) -> pd.DataFrame:
+        texts, errs = [], []
+        for v in c:
+            if v is None:
+                texts.append(None)
+                errs.append(None)
+                continue
+            try:
+                texts.append(pdf_text(bytes(v)))
+                errs.append(None)
+            except PdfError as e:
+                texts.append(None)
+                errs.append(type(e).__name__)
+        return pd.DataFrame({"text": texts, "err": errs})
+
+    tmp = "_pdf_extract"
+    return (
+        docs.withColumn(tmp, extract(F.col(content_col)))
+        .withColumn(out_col, F.col(tmp)["text"])
+        .withColumn(error_col, F.col(tmp)["err"])
+        .drop(tmp)
+    )

@@ -289,6 +289,110 @@ def q41_dom_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sub-gate 'pdf' (new in r11): PDF text extraction (operators/pdf.py).
+# Two tiers in one gate:
+#  - per-customer rows ('f'||ck): a complete uncompressed PDF is
+#    ASSEMBLED IN SPARK SQL per customer (PDF's object syntax is ASCII,
+#    so F.concat builds a real file; /Length is computed with F.length
+#    — all-ASCII, chars == bytes) and extracted through the real
+#    parser: object scan, page tree, Tj, the Td line break, and the
+#    TJ kerning-vs-word-gap rule (-250 → space, -10 → nothing) are all
+#    analytic in the oracle.
+#  - one planted row ('flate'): a 1,318-byte spec-writer payload
+#    (regenerated + pinned by tests/test_pdf.py::test_gate_payload_pin)
+#    covering what SQL concat cannot: FlateDecode streams, a WinAnsi
+#    curly-quote/eacute page, and an Identity-H page decoded through a
+#    ToUnicode CMap (bfchar + bfrange) from hex show-strings.
+_PDF_FLATE_TEXT = "Planted “café” payload\nkerned-pair gap\nCMaptu"
+_PDF_FLATE_HEX = (
+    "255044462d312e350a25e2e3cfd30a312030206f626a0a3c3c202f54797065202f43"
+    "6174616c6f67202f5061676573203220302052203e3e0a656e646f626a0a32203020"
+    "6f626a0a3c3c202f54797065202f5061676573202f4b696473205b33203020522036"
+    "203020525d202f436f756e742032203e3e0a656e646f626a0a332030206f626a0a3c"
+    "3c202f54797065202f50616765202f506172656e74203220302052202f5265736f75"
+    "72636573203c3c202f466f6e74203c3c202f4631203520302052203e3e203e3e202f"
+    "436f6e74656e7473203420302052203e3e0a656e646f626a0a342030206f626a0a3c"
+    "3c202f46696c746572202f466c6174654465636f6465202f4c656e67746820313031"
+    "203e3e0a73747265616d0a789c730a51d07733543034520849533037022203859014"
+    "058d809cc4bc92d41485c9c989692fa728142456e6e427a6682a8464291828e81a9a"
+    "8014456b64a716e5a50245758d4c1434740b12338b806c630303058df4c402cd5885"
+    "102f05d7100073571bc80a656e6473747265616d0a656e646f626a0a352030206f62"
+    "6a0a3c3c202f54797065202f466f6e74202f53756274797065202f5479706531202f"
+    "42617365466f6e74202f48656c766574696361202f456e636f64696e67202f57696e"
+    "416e7369456e636f64696e67203e3e0a656e646f626a0a362030206f626a0a3c3c20"
+    "2f54797065202f50616765202f506172656e74203220302052202f5265736f757263"
+    "6573203c3c202f466f6e74203c3c202f4632203820302052203e3e203e3e202f436f"
+    "6e74656e7473203720302052203e3e0a656e646f626a0a372030206f626a0a3c3c20"
+    "2f46696c746572202f466c6174654465636f6465202f4c656e677468203533203e3e"
+    "0a73747265616d0a789c730a51d07733523034540849533037022203859014051b03"
+    "03034320360262633b85902c900848c0d010cc730d01005dc60c460a656e64737472"
+    "65616d0a656e646f626a0a382030206f626a0a3c3c202f54797065202f466f6e7420"
+    "2f53756274797065202f5479706530202f42617365466f6e74202f58202f456e636f"
+    "64696e67202f4964656e746974792d48202f546f556e69636f646520392030205220"
+    "3e3e0a656e646f626a0a392030206f626a0a3c3c202f46696c746572202f466c6174"
+    "654465636f6465202f4c656e67746820313534203e3e0a73747265616d0a789c554e"
+    "3b0ec3200cdd39856f109c44ed12b134aa94ad524f40c049190a11a1f72f603ad412"
+    "c8cfefa3d7dd9679f12e41f788c13c29c1e6bc8d74864f34042bedce0becc13a9318"
+    "f16fdefa10d8f660e93cb4a1a8fd4e30c93c0aa67b1e05e4ed3f2f0676ad9b79e928"
+    "8a1a55318d83aaa867344b7941be0cf572954ae4b4e6c35f0a87661e659561538f4d"
+    "cd7ca9912b973ae57d0101564b570a656e6473747265616d0a656e646f626a0a7872"
+    "65660a302031300a303030303030303030302036353533352066200a303030303030"
+    "30303135203030303030206e200a30303030303030303634203030303030206e200a"
+    "30303030303030313237203030303030206e200a3030303030303032323920303030"
+    "3030206e200a30303030303030343032203030303030206e200a3030303030303034"
+    "3939203030303030206e200a30303030303030363031203030303030206e200a3030"
+    "3030303030373235203030303030206e200a30303030303030383236203030303030"
+    "206e200a747261696c65720a3c3c202f53697a65203130202f526f6f742031203020"
+    "52203e3e0a7374617274787265660a313035320a2525454f460a"
+)
+
+
+def q41_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.operators.pdf import extract_pdf_text
+
+    cust = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cs = _s(k)
+    content = F.concat(
+        F.lit("BT /F1 12 Tf 72 720 Td (Report for customer "),
+        cs,
+        F.lit(") Tj 0 -14 Td [(Second) -250 (line) -10 ( for ) ("),
+        cs,
+        F.lit(")] TJ ET"),
+    )
+    pdf_str = F.concat(
+        F.lit(
+            "%PDF-1.4\n"
+            "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            "3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+            "<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+            "4 0 obj\n<< /Length "
+        ),
+        F.length(content).cast("string"),  # all-ASCII: chars == bytes
+        F.lit(" >>\nstream\n"),
+        content,
+        F.lit(
+            "\nendstream\nendobj\n"
+            "5 0 obj\n<< /Type /Font /Subtype /Type1 "
+            "/BaseFont /Helvetica >>\nendobj\n"
+            "trailer\n<< /Root 1 0 R >>\n"
+        ),
+    )
+    per_cust = cust.select(
+        F.concat(F.lit("f"), cs).alias("k"),
+        F.encode(pdf_str, "UTF-8").alias("content"),
+    )
+    planted = spark.range(1).select(
+        F.lit("flate").alias("k"),
+        F.unhex(F.lit(_PDF_FLATE_HEX)).alias("content"),
+    )
+    docs = per_cust.unionByName(planted)
+    return extract_pdf_text(docs, errors="raise").select(
+        "k", F.col("text").alias("v_s")
+    )
+
+
 def q41_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.functions.html import html_to_text
     from data_governance_spark.sources.warc import warc_documents
@@ -347,6 +451,17 @@ def q41_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE)
     FROM customer
     UNION ALL
+    SELECT 'pdf', 'f' || CAST(c_custkey AS VARCHAR),
+           'Report for customer ' || CAST(c_custkey AS VARCHAR)
+           || chr(10) || 'Second line for ' || CAST(c_custkey AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM customer
+    UNION ALL
+    SELECT 'pdf', 'flate',
+           'Planted “café” payload' || chr(10) || 'kerned-pair gap'
+           || chr(10) || 'CMaptu',
+           CAST(NULL AS DOUBLE)
+    UNION ALL
     SELECT 'ser', 'D' || cs,
       '<doc boost="' || CAST(ck % 7 AS VARCHAR) || '">' || chr(10)
       || '  <field name="aa_arr">v1-' || cs || '</field>' || chr(10)
@@ -379,7 +494,11 @@ def q41_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DOM-tier main-content extraction (operators/htmldom.py, "
     "Kohlschuetter 2010 length+link-density with the jusText glue "
     "rule: chrome subtrees dropped, link rows dropped, sandwiched "
-    "short asides glued; new in r10)",
+    "short asides glued; new in r10) + PDF text extraction "
+    "(operators/pdf.py: per-customer PDFs assembled in SQL through "
+    "the real object-scan/page-tree/Tj/TJ path, plus a planted "
+    "Flate + WinAnsi + ToUnicode-CMap payload pinned by "
+    "tests/test_pdf.py; new in r11)",
 )
 def q41_xml_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     nul_d = F.lit(None).cast("double")
@@ -404,11 +523,15 @@ def q41_xml_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     dom = q41_dom_extract(spark, sf_dir).select(
         F.lit("dom").alias("gate"), "k", "v_s", nul_d.alias("v_d")
     )
+    pdf = q41_pdf_extract(spark, sf_dir).select(
+        F.lit("pdf").alias("gate"), "k", "v_s", nul_d.alias("v_d")
+    )
     return (
         src.unionByName(ser)
         .unionByName(warc)
         .unionByName(ufil)
         .unionByName(dom)
+        .unionByName(pdf)
     )
 
 

@@ -1,0 +1,528 @@
+"""PDF text-extraction tests (operators/pdf.py).
+
+Strategy mirrors the codec suites (test_vp8l/test_jpeg): a minimal SPEC
+WRITER builds real PDFs from scratch — correct offsets, xref, trailer —
+so every feature round-trips against an independently-constructed file,
+and the malformed cases (truncated xref, lying /Length, encryption,
+unsupported filters, image-only pages) are produced by deliberately
+corrupting writer output, not by hand-typed blobs.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_governance_spark.operators.pdf import (
+    PdfEncryptedError,
+    PdfError,
+    PdfImageOnlyError,
+    PdfParseError,
+    PdfUnsupportedFilterError,
+    extract_pdf_text,
+    pdf_text,
+)
+
+# --------------------------------------------------------------------------
+# spec writer
+# --------------------------------------------------------------------------
+
+
+def build_pdf(objs: dict[int, bytes], trailer: bytes) -> bytes:
+    """Assemble numbered object bodies into a complete PDF: header,
+    bodies, a CORRECT xref table, and the trailer dict."""
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_pos = len(out)
+    maxn = max(objs) if objs else 0
+    out += f"xref\n0 {maxn + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, maxn + 1):
+        if num in objs:
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+        else:
+            out += b"0000000000 65535 f \n"
+    out += b"trailer\n" + trailer
+    out += f"\nstartxref\n{xref_pos}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def stream_body(d: bytes, data: bytes) -> bytes:
+    """A stream object body: dict (with /Length injected) + data."""
+    return (
+        b"<< " + d + f" /Length {len(data)} >>".encode()
+        + b"\nstream\n" + data + b"\nendstream"
+    )
+
+
+def simple_pdf(
+    content: bytes,
+    font_body: bytes = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    compress: bool = False,
+    extra: dict[int, bytes] | None = None,
+    page_extra: bytes = b"",
+    trailer_extra: bytes = b"",
+) -> bytes:
+    """One-page skeleton: 1=catalog 2=pages 3=page 4=content 5=font."""
+    if compress:
+        cbody = stream_body(b"/Filter /FlateDecode", zlib.compress(content))
+    else:
+        cbody = stream_body(b"", content)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R "
+            + page_extra + b" >>"
+        ),
+        4: cbody,
+        5: font_body,
+    }
+    if extra:
+        objs.update(extra)
+    return build_pdf(objs, b"<< /Size 6 /Root 1 0 R " + trailer_extra + b">>")
+
+
+HELLO = b"BT /F1 12 Tf 72 720 Td (Hello World) Tj ET"
+
+
+# --------------------------------------------------------------------------
+# happy paths
+# --------------------------------------------------------------------------
+
+
+def test_simple_tj():
+    assert pdf_text(simple_pdf(HELLO)) == "Hello World"
+
+
+def test_flate_content():
+    assert pdf_text(simple_pdf(HELLO, compress=True)) == "Hello World"
+
+
+def test_td_newlines_and_same_line():
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (Line one) Tj "
+        b"0 -14 Td (Line two) Tj "
+        b"200 0 Td ( cont) Tj "  # ty=0: same line
+        b"0 -14 Td (Line three) Tj ET"
+    )
+    assert pdf_text(simple_pdf(content)) == "Line one\nLine two cont\nLine three"
+
+
+def test_tstar_quote_dquote():
+    content = (
+        b"BT /F1 12 Tf 14 TL 72 720 Td (A) Tj T* (B) Tj "
+        b"(C) ' 1 2 (D) \" ET"
+    )
+    assert pdf_text(simple_pdf(content)) == "A\nB\nC\nD"
+
+
+def test_tm_vertical_move_breaks_line():
+    content = (
+        b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (X) Tj "
+        b"1 0 0 1 300 720 Tm (Y) Tj "  # same y: same line
+        b"1 0 0 1 72 700 Tm (Z) Tj ET"
+    )
+    assert pdf_text(simple_pdf(content)) == "XY\nZ"
+
+
+def test_tj_kerning_vs_word_gap():
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"[(Hel) -20 (lo) -250 (World) 50 (!)] TJ ET"
+    )
+    assert pdf_text(simple_pdf(content)) == "Hello World!"
+
+
+def test_contents_array():
+    pdf = simple_pdf(b"", extra={
+        6: stream_body(b"", b"BT /F1 10 Tf 72 720 Td (part one) Tj"),
+        7: stream_body(b"", b"0 -12 Td (part two) Tj ET"),
+    })
+    # rewire page contents to the array
+    pdf = pdf.replace(b"/Contents 4 0 R", b"/Contents [6 0 R 7 0 R]")
+    assert pdf_text(pdf) == "part one\npart two"
+
+
+def test_multipage_and_inherited_resources():
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (
+            b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"
+        ),
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: stream_body(b"", b"BT /F1 12 Tf 72 720 Td (page one) Tj ET"),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        6: b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>",
+        7: stream_body(b"", b"BT /F1 12 Tf 72 720 Td (page two) Tj ET"),
+    }
+    pdf = build_pdf(objs, b"<< /Size 8 /Root 1 0 R >>")
+    assert pdf_text(pdf) == "page one\npage two"
+
+
+def test_literal_string_escapes():
+    content = (
+        rb"BT /F1 12 Tf 72 720 Td"
+        b" (a\\(b\\)c (nested) \\\\ \\101\\66 d\\\ne) Tj ET"
+    )
+    assert pdf_text(simple_pdf(content)) == "a(b)c (nested) \\ A6 de"
+
+
+def test_hex_string_and_odd_padding():
+    # <48656C6C6F> = Hello ; <7> pads to 0x70 = p
+    content = b"BT /F1 12 Tf 72 720 Td <48656C6C6F> Tj <7> Tj ET"
+    assert pdf_text(simple_pdf(content)) == "Hellop"
+
+
+def test_winansi_bytes():
+    # 0x93/0x94 curly quotes, 0xE9 eacute in WinAnsi
+    content = b"BT /F1 12 Tf 72 720 Td (\x93caf\xe9\x94) Tj ET"
+    pdf = simple_pdf(
+        content,
+        font_body=(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>"
+        ),
+    )
+    assert pdf_text(pdf) == "“café”"
+
+
+def test_differences_encoding():
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom /Encoding "
+        b"<< /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [65 /bullet /emdash 97 /Euro] >> >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (A B a z) Tj ET"
+    assert pdf_text(simple_pdf(content, font_body=font)) == "• — € z"
+
+
+TOUNI_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin begincmap
+1 begincodespacerange <0000> <FFFF> endcodespacerange
+2 beginbfchar
+<0001> <0048>
+<0002> <0065006C>
+endbfchar
+2 beginbfrange
+<0010> <0012> <006F>
+<0020> <0021> [<0057> <0064>]
+endbfrange
+endcmap end end"""
+
+
+def test_tounicode_cmap_2byte():
+    # codes: 0001=H 0002=el 0010..0012=o,p,q 0020=W 0021=d
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /X "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td <000100020010> Tj <00200021> Tj ET"
+    pdf = simple_pdf(
+        content, font_body=font, extra={6: stream_body(b"", TOUNI_CMAP)}
+    )
+    assert pdf_text(pdf) == "HeloWd"
+
+
+def test_type0_without_tounicode_yields_nothing():
+    font = b"<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /Identity-H >>"
+    content = b"BT /F1 12 Tf 72 720 Td <00410042> Tj ET"
+    assert pdf_text(simple_pdf(content, font_body=font)) == ""
+
+
+def test_form_xobject_recursion():
+    inner = b"BT /F1 10 Tf 10 10 Td (from form) Tj ET"
+    pdf = simple_pdf(
+        b"BT /F1 12 Tf 72 720 Td (before) Tj ET /X1 Do",
+        page_extra=(
+            b"/Resources << /Font << /F1 5 0 R >> "
+            b"/XObject << /X1 6 0 R >> >>"
+        ),
+        extra={
+            6: stream_body(
+                b"/Type /XObject /Subtype /Form "
+                b"/Resources << /Font << /F1 5 0 R >> >>",
+                inner,
+            )
+        },
+    )
+    # page_extra duplicates /Resources — parser keeps the later key
+    assert pdf_text(pdf) == "before\nfrom form"
+
+
+def test_objstm_expansion():
+    """Catalog/pages/page/font live inside a compressed object stream —
+    the modern-writer layout; only streams stay top-level."""
+    inner_objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (
+            3,
+            b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        ),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    parts, offsets, off = [], [], 0
+    for num, body in inner_objs:
+        offsets.append((num, off))
+        parts.append(body)
+        off += len(body) + 1
+    header = " ".join(f"{n} {o}" for n, o in offsets).encode()
+    payload = header + b"\n" + b"\n".join(parts)
+    first = len(header) + 1
+    objstm = stream_body(
+        f"/Type /ObjStm /N {len(inner_objs)} /First {first} "
+        "/Filter /FlateDecode".encode(),
+        zlib.compress(payload),
+    )
+    objs = {
+        4: stream_body(b"", b"BT /F1 12 Tf 72 720 Td (in objstm) Tj ET"),
+        6: objstm,
+    }
+    pdf = build_pdf(objs, b"<< /Size 7 /Root 1 0 R >>")
+    assert pdf_text(pdf) == "in objstm"
+
+
+def test_filter_chain_a85_flate():
+    import base64
+
+    data = base64.a85encode(zlib.compress(HELLO)) + b"~>"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+        ),
+        4: stream_body(b"/Filter [/ASCII85Decode /FlateDecode]", data),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    assert pdf_text(build_pdf(objs, b"<< /Root 1 0 R >>")) == "Hello World"
+
+
+def test_asciihex_and_runlength():
+    hex_data = HELLO.hex().encode() + b">"
+    pdf = simple_pdf(b"")
+    pdf = pdf.replace(
+        stream_body(b"", b""), stream_body(b"/Filter /ASCIIHexDecode", hex_data)
+    )
+    assert pdf_text(pdf) == "Hello World"
+    # RunLength: encode HELLO as literal runs of <=128
+    rle = bytearray()
+    for i in range(0, len(HELLO), 100):
+        chunk = HELLO[i : i + 100]
+        rle.append(len(chunk) - 1)
+        rle += chunk
+    rle.append(128)
+    pdf2 = simple_pdf(b"").replace(
+        stream_body(b"", b""),
+        stream_body(b"/Filter /RunLengthDecode", bytes(rle)),
+    )
+    assert pdf_text(pdf2) == "Hello World"
+
+
+def test_incremental_update_later_wins():
+    pdf = simple_pdf(HELLO)
+    # append an updated content object 4 (incremental update section)
+    newc = stream_body(b"", b"BT /F1 12 Tf 72 720 Td (updated) Tj ET")
+    pdf2 = pdf + b"\n4 0 obj\n" + newc + b"\nendobj\n"
+    assert pdf_text(pdf2) == "updated"
+
+
+def test_inline_image_skipped():
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (before) Tj ET "
+        b"BI /W 2 /H 2 /CS /G /BPC 8 ID \x00\xffTj(\x80 EI "
+        b"BT /F1 12 Tf 72 700 Td (after) Tj ET"
+    )
+    assert pdf_text(simple_pdf(content)) == "before\nafter"
+
+
+def test_empty_page_returns_empty():
+    assert pdf_text(simple_pdf(b"")) == ""
+
+
+# --------------------------------------------------------------------------
+# malformed + boundaries
+# --------------------------------------------------------------------------
+
+
+def test_truncated_xref_still_extracts():
+    pdf = simple_pdf(HELLO)
+    cut = pdf[: pdf.rindex(b"xref") + 10]  # xref table chopped mid-way
+    assert pdf_text(cut) == "Hello World"
+
+
+def test_lying_length_falls_back_to_endstream():
+    pdf = simple_pdf(HELLO)
+    good = f"/Length {len(HELLO)}".encode()
+    assert good in pdf
+    for bad in (b"/Length 7", b"/Length 99999", b"/Length 9 0 R"):
+        assert pdf_text(pdf.replace(good, bad)) == "Hello World"
+
+
+def test_encrypted_raises():
+    pdf = simple_pdf(HELLO, trailer_extra=b"/Encrypt 9 0 R ")
+    with pytest.raises(PdfEncryptedError):
+        pdf_text(pdf)
+
+
+def test_lzw_filter_raises():
+    pdf = simple_pdf(b"").replace(
+        stream_body(b"", b""), stream_body(b"/Filter /LZWDecode", b"\x80\x0b")
+    )
+    with pytest.raises(PdfUnsupportedFilterError):
+        pdf_text(pdf)
+
+
+def test_image_only_page_raises():
+    pdf = simple_pdf(
+        b"q 100 0 0 100 0 0 cm /Im1 Do Q",
+        page_extra=(
+            b"/Resources << /XObject << /Im1 6 0 R >> >>"
+        ),
+        extra={
+            6: stream_body(
+                b"/Type /XObject /Subtype /Image /Width 1 /Height 1 "
+                b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                b"/Filter /DCTDecode",
+                b"\xff\xd8\xff\xd9",
+            )
+        },
+    )
+    with pytest.raises(PdfImageOnlyError):
+        pdf_text(pdf)
+
+
+def test_text_plus_image_is_fine():
+    pdf = simple_pdf(
+        b"BT /F1 12 Tf 72 720 Td (caption) Tj ET /Im1 Do",
+        page_extra=(
+            b"/Resources << /Font << /F1 5 0 R >> "
+            b"/XObject << /Im1 6 0 R >> >>"
+        ),
+        extra={
+            6: stream_body(
+                b"/Type /XObject /Subtype /Image /Width 1 /Height 1 "
+                b"/Filter /DCTDecode",
+                b"\xff\xd8\xff\xd9",
+            )
+        },
+    )
+    assert pdf_text(pdf) == "caption"
+
+
+def test_garbage_raises_parse_error():
+    with pytest.raises(PdfParseError):
+        pdf_text(b"this is not a pdf at all, just words")
+    with pytest.raises(PdfParseError):
+        pdf_text(b"%PDF-1.4\nnothing else of substance here")
+
+
+def test_broken_catalog_degrades_to_page_scan():
+    pdf = simple_pdf(HELLO)
+    pdf = pdf.replace(b"/Type /Catalog /Pages 2 0 R", b"/Type /Catalog")
+    assert pdf_text(pdf) == "Hello World"
+
+
+def test_page_tree_cycle_guard():
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 2 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+        ),
+        4: stream_body(b"", HELLO),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    assert pdf_text(build_pdf(objs, b"<< /Root 1 0 R >>")) == "Hello World"
+
+
+def test_reference_cycle_in_length():
+    pdf = simple_pdf(HELLO)
+    # /Length pointing at an object that is a ref back to itself-ish
+    pdf = pdf.replace(
+        f"/Length {len(HELLO)}".encode(), b"/Length 6 0 R"
+    ) + b"\n6 0 obj\n6 0 R\nendobj\n"
+    assert pdf_text(pdf) == "Hello World"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2048))
+def test_fuzz_never_raises_untyped(data):
+    """Any byte soup either extracts to a str or raises a typed
+    PdfError — never an IndexError/RecursionError/etc."""
+    try:
+        out = pdf_text(data)
+    except PdfError:
+        return
+    assert isinstance(out, str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=600))
+def test_fuzz_corrupted_valid_pdf(data):
+    """Splice random bytes into a valid PDF at a random offset — typed
+    errors or str, never an untyped crash."""
+    base = simple_pdf(HELLO)
+    pos = (sum(data) * 7919) % max(1, len(base))
+    mutated = base[:pos] + data + base[pos + len(data):]
+    try:
+        out = pdf_text(mutated)
+    except PdfError:
+        return
+    assert isinstance(out, str)
+
+
+# --------------------------------------------------------------------------
+# Spark frame op
+# --------------------------------------------------------------------------
+
+
+def test_extract_pdf_text_frame(spark):
+    good = simple_pdf(HELLO)
+    updated = simple_pdf(b"BT /F1 9 Tf 5 5 Td (doc two) Tj ET")
+    enc = simple_pdf(HELLO, trailer_extra=b"/Encrypt 9 0 R ")
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(updated)),
+        (3, bytearray(enc)),
+        (4, bytearray(b"not a pdf")),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = extract_pdf_text(df, error_col="pdf_err").orderBy("doc_id").collect()
+    assert [r["text"] for r in out] == [
+        "Hello World", "doc two", None, None, None,
+    ]
+    assert [r["pdf_err"] for r in out] == [
+        None, None, "PdfEncryptedError", "PdfParseError", None,
+    ]
+    # errors='raise' propagates the typed error through the UDF
+    bad = spark.createDataFrame(rows[2:3], "doc_id long, content binary")
+    with pytest.raises(Exception, match="Encrypt"):
+        extract_pdf_text(bad, errors="raise").collect()
+
+
+def test_gate_payload_pin():
+    """The q41 'pdf' planted Flate payload: regenerate it from the spec
+    writer and pin both the bytes and the extracted text the oracle
+    states. If this test needs updating, the gate constant in
+    queries/sink_source_gates.py must move in lockstep."""
+    from data_governance_spark.queries.sink_source_gates import (
+        _PDF_FLATE_HEX,
+        _PDF_FLATE_TEXT,
+    )
+
+    pdf = bytes.fromhex(_PDF_FLATE_HEX)
+    assert pdf_text(pdf) == _PDF_FLATE_TEXT
