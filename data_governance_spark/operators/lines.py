@@ -31,12 +31,39 @@ is inherently global, so this one DOES shuffle — once on the line key
 minimum for the semantics; run it after the map-only tiers have cut
 the volume.
 
+``dedup_lines_incremental`` + the ``LineState`` save/load/append/
+compact family — the batch-vs-state tier (r11): the daily-increment
+loop must NOT re-scan the shipped corpus to dedup a day's crawl
+against it. State is one table, ``(key, n, batch_id)`` — the trimmed
+line key, how many times it has been SEEN corpus-wide (counts include
+occurrences that were themselves deduped: one-shot semantics count
+before dropping, so equality with the one-shot run needs seen-counts,
+not kept-counts), and which append wrote the row. Persisted BUCKETED
+by ``key`` through the same machinery as the document-tier state
+(``operators/incremental.py``): the increment's count join reads the
+corpus-sized side with NO Exchange (rows per key accumulate one per
+append — LSM-style — and the pre-join ``groupBy(key).sum(n)`` is
+itself Exchange-free on the bucketed distribution), appends write
+only the increment's per-key counts (cost ∝ increment), and
+compaction rewrites the accumulated per-bucket files back to one.
+
+Corpus-immutable semantics (the document tier's rule): for BATCH rows
+the result equals one-shot ``dedup_lines_global`` over the union
+(append-only ids; differentially tested, incl. ``min_dup > 2`` where
+the stored counts matter) — shipped corpus rows are never rewritten,
+so a line that crosses ``min_dup`` only after shipping keeps its
+already-shipped occurrences (with ``keep="first"`` that IS the
+one-shot answer; with ``keep="none"`` it is the documented
+divergence).
+
 Reference twin: none — training-data extension per SURVEY.md §6.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_governance_spark.operators.repetition import doc_lines
@@ -164,10 +191,7 @@ def dedup_lines_global(
         )
     from pyspark.sql import Window
 
-    lines = docs.select(
-        F.col(id_col).alias("_dl_id"),
-        F.posexplode(doc_lines(text_col)).alias("_dl_pos", "_dl_line"),
-    ).withColumn("_dl_key", F.trim(F.col("_dl_line")))
+    lines = _line_rows(docs, id_col, text_col)
     # duplicate identity is the TRIMMED line (a banner with a trailing
     # space on some pages is the same boilerplate); the rebuild keeps
     # each surviving occurrence's raw bytes
@@ -209,6 +233,15 @@ def dedup_lines_global(
                 )
             )
         )
+    return _rebuild_docs(docs, survivors, id_col, text_col)
+
+
+def _rebuild_docs(
+    docs: DataFrame, survivors: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Rebuild each document's text from its surviving
+    (_dl_id, _dl_pos, _dl_line) rows in original order; docs with no
+    surviving line are dropped (inner join)."""
     rebuilt = (
         survivors.groupBy("_dl_id")
         .agg(
@@ -232,3 +265,300 @@ def dedup_lines_global(
             for c in docs.columns
         ]
     )
+
+
+def _line_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_dl_id, _dl_pos, _dl_line, _dl_key) — one row per non-empty
+    line; the TRIMMED line is the duplicate identity (module doc)."""
+    return docs.select(
+        F.col(id_col).alias("_dl_id"),
+        F.posexplode(doc_lines(text_col)).alias("_dl_pos", "_dl_line"),
+    ).withColumn("_dl_key", F.trim(F.col("_dl_line")))
+
+
+# --------------------------------------------------------------------------
+# state-backed incremental line dedup (r11) — see module doc
+# --------------------------------------------------------------------------
+
+_LINES_PART = "lines"
+_LINES_KEYS = ["key"]
+
+
+@dataclass
+class LineState:
+    """Seen-occurrence counts of an existing corpus's lines. ``lines``
+    is ``(key, n, batch_id)`` and may carry MULTIPLE rows per key after
+    appends (LSM-style) — every reader aggregates ``sum(n)`` per key,
+    which stays Exchange-free on the bucketed storage distribution."""
+
+    lines: DataFrame
+
+
+@dataclass
+class LineIncrementalResult:
+    """``kept``: surviving batch docs, text rebuilt (full columns).
+    ``delta``: this batch's per-key SEEN counts ``(key, n)`` — what
+    :func:`append_line_state` writes; counts include occurrences the
+    batch itself dropped (one-shot parity needs seen, not kept)."""
+
+    kept: DataFrame
+    delta: DataFrame
+
+
+def build_line_state(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> LineState:
+    """State from the corpus the one-shot dedup ran OVER (pre-drop
+    text): seen-occurrence counts per trimmed line. Building from the
+    already-deduped output instead under-counts boilerplate by the
+    occurrences the one-shot pass removed — future increments would
+    then re-admit a line until it re-crosses ``min_dup``."""
+    return LineState(
+        lines=_line_rows(docs, id_col, text_col)
+        .groupBy(F.col("_dl_key").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("batch_id", F.lit("base"))
+    )
+
+
+def dedup_lines_incremental(
+    new_docs: DataFrame,
+    state: LineState,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_dup: int = 2,
+    keep: str = "first",
+) -> LineIncrementalResult:
+    """Dedup ``new_docs``'s lines within the batch AND against the
+    corpus counts in ``state`` — for batch rows, equal to one-shot
+    :func:`dedup_lines_global` over corpus ∪ batch under append-only
+    ids (differentially tested). A batch line survives when its total
+    seen count (state + batch) stays below ``min_dup``; otherwise
+    ``keep="first"`` retains only the globally-first occurrence —
+    which is in the batch exactly when the state has never seen the
+    key — and ``keep="none"`` retains none. Docs with no surviving
+    line are dropped.
+
+    Scale shape: one shuffle of the BATCH's per-key counts to the
+    state's bucket partitioning; the corpus-sized state side scans its
+    buckets with no Exchange (plan-asserted), and the
+    ``groupBy(key).sum(n)`` that folds append rows rides the same
+    distribution. The boilerplate side of the occurrence join is
+    repeated-lines-only (small by construction), so AQE broadcasts it
+    back against the batch's line relation."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if min_dup < 2:
+        raise ValueError(f"min_dup must be >= 2, got {min_dup}")
+    lines = _line_rows(new_docs, id_col, text_col)
+    batch_agg = lines.groupBy(F.col("_dl_key").alias("key")).agg(
+        F.count(F.lit(1)).alias("_li_nb"),
+        F.min(F.struct("_dl_id", "_dl_pos")).alias("_li_first"),
+    )
+    state_counts = state.lines.groupBy("key").agg(
+        F.sum("n").alias("_li_ns")
+    )
+    joined = batch_agg.join(state_counts, "key", "left")
+    boiler = joined.filter(
+        F.col("_li_nb") + F.coalesce(F.col("_li_ns"), F.lit(0))
+        >= min_dup
+    ).select(
+        F.col("key").alias("_dl_key"),
+        "_li_first",
+        F.col("_li_ns").isNotNull().alias("_li_in_state"),
+    )
+    tagged = lines.join(boiler, "_dl_key", "left")
+    survivors = tagged.filter(
+        F.col("_li_first").isNull()  # never crossed min_dup: keep
+        | (
+            F.lit(keep == "first")
+            & ~F.col("_li_in_state")  # global first is in the batch
+            & (F.struct("_dl_id", "_dl_pos") == F.col("_li_first"))
+        )
+    )
+    return LineIncrementalResult(
+        kept=_rebuild_docs(new_docs, survivors, id_col, text_col),
+        delta=batch_agg.select("key", F.col("_li_nb").alias("n")),
+    )
+
+
+def _line_state_table(spark: SparkSession, path: str, buckets: int):
+    from data_governance_spark.operators.incremental import (
+        _ensure_bucketed_table,
+        _state_table_name,
+    )
+
+    return _ensure_bucketed_table(
+        spark,
+        _state_table_name(path, _LINES_PART),
+        f"{path}/{_LINES_PART}",
+        _LINES_KEYS,
+        buckets,
+    )
+
+
+def _require_line_state(spark: SparkSession, path: str, caller: str) -> int:
+    from data_governance_spark.operators.incremental import (
+        _read_state_params,
+    )
+
+    p, buckets = _read_state_params(spark, path)
+    if "kind" not in p.__fields__ or p["kind"] != "lines":
+        raise ValueError(
+            f"{caller}: state at {path} is not a line-dedup state "
+            "(document-tier states live behind load_dedup_state)"
+        )
+    if not buckets:
+        raise ValueError(
+            f"{caller} requires a bucketed line state "
+            "(save_line_state(..., buckets=N))"
+        )
+    return buckets
+
+
+def save_line_state(state: LineState, path: str, buckets: int) -> None:
+    """Persist the counts table BUCKETED by ``key`` under ``path``
+    (``lines/`` + ``params/``) through the same two-phase staging swap
+    as the document-tier state — a same-path resave reads the files it
+    replaces. Bucketed-only by design: the whole point of the state is
+    the Exchange-free corpus side; a plain layout would just be
+    :func:`dedup_lines_global` with extra steps."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    from data_governance_spark.operators.incremental import (
+        _write_bucketed_set,
+    )
+
+    spark = state.lines.sparkSession
+    df = state.lines
+    if "batch_id" not in df.columns:
+        df = df.withColumn("batch_id", F.lit("base"))
+    _write_bucketed_set(
+        [(df.select("key", "n", "batch_id"), _LINES_PART, _LINES_KEYS)],
+        path,
+        buckets,
+    )
+    spark.createDataFrame(
+        [("lines", buckets)], "kind string, buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def load_line_state(spark: SparkSession, path: str) -> LineState:
+    """Load a saved line state as a bucketed-table scan (increment
+    joins read it with no Exchange)."""
+    buckets = _require_line_state(spark, path, "load_line_state")
+    return LineState(lines=_line_state_table(spark, path, buckets))
+
+
+def append_line_state(
+    result: LineIncrementalResult,
+    path: str,
+    batch_id: str,
+    heal: bool = False,
+) -> LineState:
+    """Append an increment's per-key seen counts to the bucketed state
+    at ``path`` — cost ∝ increment, not corpus. Rows land as
+    ``(key, n, batch_id)`` WITHOUT merging into existing keys (the
+    LSM write path: readers fold with ``sum(n)``, which the bucketed
+    distribution keeps Exchange-free), so each append adds at most one
+    file per non-empty bucket — watch :func:`line_state_file_report`
+    and run :func:`compact_line_state` every K appends.
+
+    ``batch_id`` must be unique per increment: it is the idempotency
+    key. Re-running an append whose outcome is unknown (crash) with
+    ``heal=True`` anti-joins the delta on ``(key, batch_id)`` against
+    the stored table first, so already-landed rows are not
+    double-counted (a duplicate count row would inflate ``sum(n)`` and
+    prematurely cross ``min_dup``). Single-table state, so there is no
+    cross-table tear ordering to reason about.
+
+    Returns the freshly loaded post-append state — chain the next
+    increment off the return value (same contract as the document
+    tier's ``append_dedup_state``)."""
+    spark = result.delta.sparkSession
+    buckets = _require_line_state(spark, path, "append_line_state")
+    if not batch_id or batch_id == "base":
+        raise ValueError(
+            "batch_id must be a unique non-'base' increment id "
+            "(it is the heal idempotency key)"
+        )
+    delta = (
+        result.delta.select("key", "n")
+        .withColumn("batch_id", F.lit(batch_id))
+        .localCheckpoint(eager=True)
+    )
+    stored = _line_state_table(spark, path, buckets)
+    if heal:
+        delta = delta.join(
+            stored, ["key", "batch_id"], "left_anti"
+        ).localCheckpoint(eager=True)
+    from data_governance_spark.operators.incremental import (
+        _state_table_name,
+    )
+
+    (
+        delta.repartition(buckets, F.col("key"))
+        .write.mode("append")
+        .option("path", f"{path}/{_LINES_PART}")
+        .bucketBy(buckets, *_LINES_KEYS)
+        .sortBy(*_LINES_KEYS)
+        .format("parquet")
+        .saveAsTable(_state_table_name(path, _LINES_PART))
+    )
+    return load_line_state(spark, path)
+
+
+def line_state_file_report(spark: SparkSession, path: str) -> dict:
+    """File-count health of the append loop (the document tier's
+    ``state_file_report`` for the single lines table)."""
+    from data_governance_spark.operators.incremental import (
+        _list_data_files,
+    )
+
+    buckets = _require_line_state(spark, path, "line_state_file_report")
+    n = len(_list_data_files(spark, f"{path}/{_LINES_PART}"))
+    return {
+        _LINES_PART: {
+            "files": n,
+            "buckets": buckets,
+            "files_per_bucket": n / buckets,
+        }
+    }
+
+
+def compact_line_state(
+    spark: SparkSession, path: str, max_files_per_bucket: int = 1
+) -> dict:
+    """Rewrite the lines table back to one file per bucket when the
+    append loop has grown it past ``buckets * max_files_per_bucket``
+    files. Row-merging folds to one row per ``(key, batch_id)`` with
+    ``sum(n)`` — sum-preserving, so every reader's ``sum(n)`` per key
+    is unchanged, and ``batch_id`` survives so heal idempotency still
+    works across a compaction. Reads PLAIN parquet, not the bucketed
+    catalog scan (the planner would delete the bucket-aligning
+    repartition and disable bucketed reading — the measured trap
+    documented at the document tier's ``compact_dedup_state``), and
+    swaps via the same two-phase staging."""
+    if max_files_per_bucket < 1:
+        raise ValueError(
+            f"max_files_per_bucket must be >= 1, got {max_files_per_bucket}"
+        )
+    from data_governance_spark.operators.incremental import (
+        _list_data_files,
+        _write_bucketed_set,
+    )
+
+    buckets = _require_line_state(spark, path, "compact_line_state")
+    n = len(_list_data_files(spark, f"{path}/{_LINES_PART}"))
+    need = n > buckets * max_files_per_bucket
+    if need:
+        merged = (
+            spark.read.parquet(f"{path}/{_LINES_PART}")
+            .groupBy("key", "batch_id")
+            .agg(F.sum("n").alias("n"))
+            .select("key", "n", "batch_id")
+        )
+        _write_bucketed_set([(merged, _LINES_PART, _LINES_KEYS)], path, buckets)
+    return {
+        _LINES_PART: {"files": n, "buckets": buckets, "compacted": need}
+    }

@@ -579,6 +579,10 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ib2s AS (
       SELECT ib2c.doc_id, ib2c.canon, ib1fp.sid
       FROM ib2c LEFT JOIN ib1fp USING (fp)
+    ),
+    lev AS (
+      SELECT count(*) AS ne, min(doc_id) AS firste
+      FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 = 0
     )
     SELECT 'stats' AS gate, source AS k,
            CAST(count(*) AS VARCHAR) || '|'
@@ -611,6 +615,24 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'inc', 'd:' || CAST(doc_id AS VARCHAR), 'exact',
            CAST(COALESCE(sid, canon) AS DOUBLE)
     FROM ib2s WHERE doc_id <> canon OR sid IS NOT NULL
+    UNION ALL
+    SELECT 'linc', 'l:' || CAST(b.doc_id + 1000000000 AS VARCHAR),
+           CASE WHEN COALESCE(c.ns, 0) + g.nb >= 2
+                     AND NOT (COALESCE(c.ns, 0) = 0 AND b.doc_id = g.firstb)
+                THEN '' ELSE 'banner ' || CAST(b.g AS VARCHAR) || chr(10)
+           END
+           || 'body ' || CAST(b.doc_id + 1000000000 AS VARCHAR)
+           || CASE WHEN b.doc_id % 2 = 0
+                        AND ((SELECT ne FROM lev) < 2
+                             OR b.doc_id = (SELECT firste FROM lev))
+                   THEN chr(10) || 'shared even line' ELSE '' END,
+           CAST(NULL AS DOUBLE)
+    FROM (SELECT doc_id, doc_id % 7 AS g FROM documents
+          WHERE doc_id % 3 = 0) b
+    JOIN (SELECT doc_id % 7 AS g, count(*) AS nb, min(doc_id) AS firstb
+          FROM documents WHERE doc_id % 3 = 0 GROUP BY 1) g USING (g)
+    LEFT JOIN (SELECT doc_id % 7 AS g, count(*) AS ns
+               FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1) c USING (g)
     """,
     doc="merged gate (r5/r6 driver-budget): exact dedup accounting per "
     "source (hash-groupBy, ex-d03) + normalized-text md5 fingerprint "
@@ -620,7 +642,10 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(quality -> precluster -> sketch -> closure -> canonical -> split "
     "-> pack through corpus.prepare_corpus; new in r6) + incremental "
     "batch-vs-state dedup in exact-tier mode "
-    "(operators/incremental.py; new in r7)",
+    "(operators/incremental.py; new in r7) + state-backed incremental "
+    "LINE dedup with the exact keep-first/min_dup seen-count "
+    "semantics restated analytically (operators/lines.py "
+    "dedup_lines_incremental; new in r11)",
 )
 def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.dedup import exact_precluster
@@ -746,12 +771,55 @@ def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("reason").alias("v_s"),
         F.col("matched_id").cast("double").alias("v_d"),
     )
+    # linc sub-gate (new in r11): state-backed incremental LINE dedup
+    # (operators/lines.py). Corpus = docs %3!=0, batch = %3==0 with
+    # offset ids (append-only): each doc carries a mod-7 banner line
+    # (boilerplate across both), a unique body line, and evens add a
+    # batch-only shared line. The oracle restates the exact keep-first
+    # min_dup=2 semantics — including the tiny-corpus corners where a
+    # banner residue is state-unseen and its first batch occurrence
+    # survives — so the gate never assumes residue coverage.
+    from data_governance_spark.operators.lines import (
+        build_line_state,
+        dedup_lines_incremental,
+    )
+
+    _B = 1_000_000_000
+    did = F.col("doc_id")
+    banner = F.concat(F.lit("banner "), (did % 7).cast("string"))
+    corpus_docs = docs.filter(did % 3 != 0).select(
+        "doc_id",
+        F.concat(
+            banner, F.lit("\ncorpus body "), did.cast("string")
+        ).alias("text"),
+    )
+    batch_docs = docs.filter(did % 3 == 0).select(
+        (did + _B).alias("doc_id"),
+        F.concat(
+            banner,
+            F.lit("\nbody "),
+            (did + _B).cast("string"),
+            F.when(did % 2 == 0, F.lit("\nshared even line")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    linc_res = dedup_lines_incremental(
+        batch_docs, build_line_state(corpus_docs)
+    )
+    linc = linc_res.kept.select(
+        F.lit("linc").alias("gate"),
+        F.concat(F.lit("l:"), F.col("doc_id").cast("string")).alias("k"),
+        F.col("text").alias("v_s"),
+        nul_d.alias("v_d"),
+    )
     return (
         stats.unionByName(fp)
         .unionByName(pre)
         .unionByName(pipe)
         .unionByName(inc_kept)
         .unionByName(inc_drop)
+        .unionByName(linc)
     )
 
 
