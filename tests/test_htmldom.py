@@ -194,3 +194,80 @@ def test_prepare_corpus_dom_tier(spark):
         prepare_corpus(docs, html_tier="dom")
     with pytest.raises(ValueError, match="html_tier"):
         prepare_corpus(docs, html_tier="bogus")
+
+
+# --------------------------------------------------------------------------
+# generative tag-soup fuzz (r11 — the r10 lesson made permanent:
+# malformed markup needs adversarial coverage, not just pinned bugs)
+# --------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TAGS = [
+    "p", "div", "li", "a", "nav", "footer", "span", "b", "table",
+    "tr", "td", "header", "aside", "form", "script", "style", "h1",
+    "br", "hr", "custom-x",
+]
+_soup_piece = st.one_of(
+    st.sampled_from([f"<{t}>" for t in _TAGS]),
+    st.sampled_from([f"</{t}>" for t in _TAGS]),
+    st.sampled_from(
+        ["<a href='/x'>", "<p class='y'", "<!-- c -->", "<![CDATA[z]]>",
+         "<?pi?>", "<!DOCTYPE html>", "< notatag", "&amp;", "&#65;",
+         "&#x1F600;", "&bogus;", "&", "\x00", "<", ">", "</>"]
+    ),
+    st.text(
+        alphabet=st.characters(
+            blacklist_characters="<>&", blacklist_categories=("Cs",)
+        ),
+        max_size=30,
+    ),
+)
+_soup = st.lists(_soup_piece, max_size=60).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_soup)
+def test_fuzz_soup_never_raises_and_invariants(html):
+    """Any tag soup: extract_blocks returns well-formed (text, n, lc)
+    triples (n == len(text), 0 <= lc <= n, text non-empty and
+    whitespace-normalized) and main_text returns a str whose lines are
+    a subset of the block texts. Never raises."""
+    blocks = extract_blocks(html)
+    for text, n, lc in blocks:
+        assert text and n == len(text)
+        assert 0 <= lc <= n
+        assert text == " ".join(text.split())  # normalized
+    out = main_text(html)
+    assert isinstance(out, str)
+    block_texts = {t for t, _n, _lc in blocks}
+    for line in out.split("\n"):
+        if line:
+            assert line in block_texts
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.sampled_from(
+                [f"<{t}>" for t in _TAGS] + [f"</{t}>" for t in _TAGS]
+            ),
+            st.text(alphabet="abcdefgh XY.", min_size=1, max_size=25),
+        ),
+        max_size=50,
+    )
+)
+def test_fuzz_output_text_comes_from_input(pieces):
+    """With entity-free text chunks and well-formed tags, every token
+    of every extracted block occurs verbatim in the input's TEXT
+    CONTENT (tags stripped — inline tags legitimately join adjacent
+    chunks: 'X<a>X' renders 'XX') — the parser may only segment and
+    drop, never invent or transform content."""
+    import re
+
+    html = "".join(pieces)
+    stripped = re.sub(r"<[^>]*>", "", html)
+    for text, _n, _lc in extract_blocks(html):
+        for tok in text.split():
+            assert tok in stripped
