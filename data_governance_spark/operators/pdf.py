@@ -254,9 +254,17 @@ def _parse_hex_string(buf: bytes, pos: int) -> tuple[bytes, int]:
     return bytes.fromhex(digits.decode("ascii")), pos
 
 
-def _parse_object(buf: bytes, pos: int):
+# nesting cap for dicts/arrays: recursion per level, and RecursionError
+# is not a PdfError — an adversarial '['*5000 must raise TYPED, not
+# blow the interpreter stack past the errors='null' quarantine
+_MAX_NEST_DEPTH = 100
+
+
+def _parse_object(buf: bytes, pos: int, depth: int = 0):
     """Parse one object at pos → (value, new_pos). Raises PdfParseError
     on impossible input (caller decides how loud to be)."""
+    if depth > _MAX_NEST_DEPTH:
+        raise PdfParseError(f"object nesting deeper than {_MAX_NEST_DEPTH}")
     pos = _skip_ws(buf, pos)
     n = len(buf)
     if pos >= n:
@@ -278,10 +286,10 @@ def _parse_object(buf: bytes, pos: int):
                     return d, pos  # truncated dict: keep what we have
                 if buf[pos] != 0x2F:
                     # stray token inside dict — skip one object, stay lenient
-                    _, pos = _parse_object(buf, pos)
+                    _, pos = _parse_object(buf, pos, depth + 1)
                     continue
                 key, pos = _parse_name(buf, pos)
-                val, pos = _parse_object(buf, pos)
+                val, pos = _parse_object(buf, pos, depth + 1)
                 d[str(key)] = val
         return _parse_hex_string(buf, pos)
     if c == 0x5B:  # '['
@@ -293,7 +301,7 @@ def _parse_object(buf: bytes, pos: int):
                 return arr, pos
             if buf[pos] == 0x5D:
                 return arr, pos + 1
-            val, pos = _parse_object(buf, pos)
+            val, pos = _parse_object(buf, pos, depth + 1)
             arr.append(val)
     m = _NUM_RE.match(buf, pos)
     if m:
@@ -390,36 +398,18 @@ def _unpredict(data: bytes, parms: dict) -> bytes:
             for i in range(r + bpp, r + rowlen):
                 out[i] = (out[i] + out[i - bpp]) & 0xFF
         return bytes(out)
-    # PNG predictors (10..15): per-row filter byte
-    out = bytearray()
-    prev = bytearray(rowlen)
-    i, n = 0, len(data)
-    while i + 1 + rowlen <= n:
-        ft = data[i]
-        row = bytearray(data[i + 1 : i + 1 + rowlen])
-        i += 1 + rowlen
-        if ft == 1:  # Sub
-            for j in range(bpp, rowlen):
-                row[j] = (row[j] + row[j - bpp]) & 0xFF
-        elif ft == 2:  # Up
-            for j in range(rowlen):
-                row[j] = (row[j] + prev[j]) & 0xFF
-        elif ft == 3:  # Average
-            for j in range(rowlen):
-                a = row[j - bpp] if j >= bpp else 0
-                row[j] = (row[j] + ((a + prev[j]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for j in range(rowlen):
-                a = row[j - bpp] if j >= bpp else 0
-                b = prev[j]
-                cc = prev[j - bpp] if j >= bpp else 0
-                p = a + b - cc
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                row[j] = (row[j] + pr) & 0xFF
-        out += row
-        prev = row
-    return bytes(out)
+    # PNG predictors (10..15): per-row filter byte — the SAME row
+    # reconstruction the PNG decoder runs; reuse its vectorized
+    # implementation rather than keeping a second Paeth to maintain
+    from data_governance_spark.operators.multimodal import _png_unfilter
+
+    ph = len(data) // (1 + rowlen)
+    if ph == 0:
+        return b""
+    try:
+        return _png_unfilter(data, 0, ph, rowlen, bpp).tobytes()
+    except ValueError as e:  # unknown filter byte: typed, not a crash
+        raise PdfParseError(f"predictor row failed: {e}") from None
 
 
 def _decode_stream(doc: "_Doc", s: _Stream) -> bytes:
@@ -431,6 +421,10 @@ def _decode_stream(doc: "_Doc", s: _Stream) -> bytes:
         filt = [filt]
     if not isinstance(parms, list):
         parms = [parms] * len(filt)
+    elif len(parms) < len(filt):
+        # a short /DecodeParms array must not TRUNCATE the filter chain
+        # through zip() — that would return still-encoded bytes as text
+        parms = parms + [None] * (len(filt) - len(parms))
     data = s.raw
     for f, p in zip(filt, parms):
         f = str(doc.resolve(f))
@@ -481,13 +475,28 @@ class _Doc:
         self.objects: dict[int, object] = {}
         self.root = None
         self._font_cache: dict[int, "_FontDecoder"] = {}
+        # (start, end) extents of raw stream DATA, in file order — the
+        # scan must not parse 'N G obj' / 'trailer' byte patterns that
+        # merely occur INSIDE stream bytes (embedded PDFs, binary Flate
+        # data): a shadow match would overwrite a real object
+        # (later-definition-wins) and silently destroy the extraction
+        self._stream_spans: list[tuple[int, int]] = []
         self._parse()
+
+    def _in_stream(self, pos: int) -> bool:
+        import bisect
+
+        spans = self._stream_spans
+        i = bisect.bisect_right(spans, (pos, len(self.buf) + 1)) - 1
+        return i >= 0 and spans[i][0] <= pos < spans[i][1]
 
     # -- parsing ------------------------------------------------------
     def _parse(self) -> None:
         buf = self.buf
         found = 0
         for m in _OBJ_RE.finditer(buf):
+            if self._in_stream(m.start()):
+                continue
             num = int(m.group(1))
             try:
                 val, pos = _parse_object(buf, m.end())
@@ -497,7 +506,8 @@ class _Doc:
             pos2 = _skip_ws(buf, pos)
             sm = _STREAM_RE.match(buf, pos2)
             if sm and isinstance(val, dict):
-                raw = self._stream_extent(val, sm.end())
+                raw, end = self._stream_extent(val, sm.end())
+                self._stream_spans.append((sm.end(), end))
                 val = _Stream(val, raw)
             # later definition wins (incremental updates append)
             self.objects[num] = val
@@ -507,9 +517,10 @@ class _Doc:
         self._expand_objstms()
         self.root = self._find_root()
 
-    def _stream_extent(self, d: dict, start: int) -> bytes:
-        """Raw stream bytes. /Length is validated against the following
-        endstream and ignored when it lies (fallback: the marker)."""
+    def _stream_extent(self, d: dict, start: int) -> tuple[bytes, int]:
+        """(raw stream bytes, end offset). /Length is validated against
+        the following endstream and ignored when it lies (fallback: the
+        marker)."""
         buf = self.buf
         length = d.get("Length")
         if isinstance(length, _Ref):
@@ -517,17 +528,17 @@ class _Doc:
         if isinstance(length, int) and 0 <= length <= len(buf) - start:
             after = _skip_ws(buf, start + length)
             if buf[after : after + 9] == b"endstream":
-                return buf[start : start + length]
+                return buf[start : start + length], start + length
         em = _ENDSTREAM_RE.search(buf, start)
         if em is None:
-            return buf[start:]  # truncated: best effort to EOF
+            return buf[start:], len(buf)  # truncated: best effort to EOF
         raw = buf[start : em.start()]
         # strip the spec's single EOL before endstream
         if raw.endswith(b"\r\n"):
-            return raw[:-2]
-        if raw.endswith(b"\n") or raw.endswith(b"\r"):
-            return raw[:-1]
-        return raw
+            raw = raw[:-2]
+        elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+            raw = raw[:-1]
+        return raw, em.start()
 
     def _raw_lookup(self, ref: _Ref):
         """Length-ref lookup usable mid-parse: scan for the object."""
@@ -539,17 +550,20 @@ class _Doc:
             + str(ref[0]).encode()
             + rb"[\x00\t\n\x0c\r ]+\d{1,5}[\x00\t\n\x0c\r ]+obj\b"
         )
-        m = pat.search(self.buf)
-        if not m:
-            return None
-        try:
-            val, _ = _parse_object(self.buf, m.end())
-        except PdfParseError:
-            return None
-        return val
+        for m in pat.finditer(self.buf):
+            if self._in_stream(m.start()):
+                continue
+            try:
+                val, _ = _parse_object(self.buf, m.end())
+            except PdfParseError:
+                return None
+            return val
+        return None
 
     def _check_encryption(self) -> None:
         for m in _TRAILER_RE.finditer(self.buf):
+            if self._in_stream(m.start()):
+                continue  # 'trailer' bytes inside stream data
             try:
                 d, _ = _parse_object(self.buf, m.end())
             except PdfParseError:
@@ -560,17 +574,33 @@ class _Doc:
                         "PDF is encrypted (/Encrypt in trailer) — "
                         "decrypt upstream before text extraction"
                     )
-                if self.root is None and "Root" in d:
+                if "Root" in d:
+                    # the LAST trailer wins: an incremental update that
+                    # introduces a new catalog appends a new trailer,
+                    # consistent with the scan's later-definition rule
                     self.root = d["Root"]
-        # xref-stream trailers (PDF 1.5+: no 'trailer' keyword)
-        for v in self.objects.values():
-            if isinstance(v, _Stream) and v.d.get("Type") == "XRef":
-                if v.d.get("Encrypt") is not None:
+        # xref-stream trailers (PDF 1.5+: no 'trailer' keyword) fill in
+        # only when no trailer keyword named a Root at all; among them,
+        # later in the file (insertion order) wins
+        if self.root is None:
+            for v in self.objects.values():
+                if isinstance(v, _Stream) and v.d.get("Type") == "XRef":
+                    if v.d.get("Encrypt") is not None:
+                        raise PdfEncryptedError(
+                            "PDF is encrypted (/Encrypt in xref stream)"
+                        )
+                    if "Root" in v.d:
+                        self.root = v.d["Root"]
+        else:
+            for v in self.objects.values():
+                if (
+                    isinstance(v, _Stream)
+                    and v.d.get("Type") == "XRef"
+                    and v.d.get("Encrypt") is not None
+                ):
                     raise PdfEncryptedError(
                         "PDF is encrypted (/Encrypt in xref stream)"
                     )
-                if self.root is None and "Root" in v.d:
-                    self.root = v.d["Root"]
 
     def _expand_objstms(self) -> None:
         top = set(self.objects)
@@ -777,11 +807,27 @@ _CMAP_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
 _HEX_TOK_RE = re.compile(rb"<([0-9A-Fa-f]*)>")
 
 
+# corrupt-CMap cap: a bfrange like <0000> <FFFFFFFF> is linear in the
+# range size — unbounded iteration is a CPU DoS from one crawled file.
+# 0xFFFF spans any real CMap's code plane.
+_MAX_BFRANGE = 0x10000
+
+
 def _utf16be(hexs: bytes) -> str:
-    raw = bytes.fromhex(hexs.decode("ascii"))
+    h = hexs.decode("ascii")
+    if len(h) % 2:  # odd digit count: fromhex would raise
+        h += "0"
+    raw = bytes.fromhex(h)
     if len(raw) % 2:
         raw += b"\x00"
     return raw.decode("utf-16-be", errors="replace")
+
+
+def _hex_int(tok: bytes) -> int | None:
+    """int of a CMap hex token; None for the empty '<>' token a corrupt
+    CMap can produce (int(b'', 16) raises plain ValueError, which would
+    escape the typed-PdfError quarantine)."""
+    return int(tok, 16) if tok else None
 
 
 class _FontDecoder:
@@ -802,7 +848,8 @@ class _FontDecoder:
         if isinstance(tu, _Stream):
             try:
                 self._parse_cmap(_decode_stream(doc, tu))
-            except PdfError:
+            except (PdfError, ValueError):
+                # a broken ToUnicode loses its mapping, not the doc
                 self.cmap = None
         if self.cmap is None and subtype != "Type0":
             enc = doc.resolve(font.get("Encoding"))
@@ -829,12 +876,14 @@ class _FontDecoder:
         cmap: dict[int, str] = {}
         for m in _CMAP_CODESPACE_RE.finditer(data):
             toks = _HEX_TOK_RE.findall(m.group(1))
-            if toks:
+            if toks and toks[0]:
                 self.code_len = max(1, len(toks[0]) // 2)
         for m in _CMAP_BFCHAR_RE.finditer(data):
             toks = _HEX_TOK_RE.findall(m.group(1))
             for i in range(0, len(toks) - 1, 2):
-                cmap[int(toks[i], 16)] = _utf16be(toks[i + 1])
+                src = _hex_int(toks[i])
+                if src is not None:
+                    cmap[src] = _utf16be(toks[i + 1])
         for m in _CMAP_BFRANGE_RE.finditer(data):
             body = m.group(1)
             pos = 0
@@ -846,22 +895,30 @@ class _FontDecoder:
                 if not hm:
                     break
                 pos = hm.end()
-                lo, hi = int(lm.group(1), 16), int(hm.group(1), 16)
+                lo, hi = _hex_int(lm.group(1)), _hex_int(hm.group(1))
+                if lo is None or hi is None:
+                    continue  # corrupt '<>' bound: skip this entry
+                # cap the iteration, not just the insert — a lying hi
+                # is otherwise a per-file CPU DoS
+                hi = min(hi, lo + _MAX_BFRANGE - 1)
                 nxt = _skip_ws(body, pos)
                 if body[nxt : nxt + 1] == b"[":
                     end = body.find(b"]", nxt)
                     arr = _HEX_TOK_RE.findall(body[nxt : end if end >= 0 else len(body)])
-                    for i, code in enumerate(range(lo, hi + 1)):
-                        if i < len(arr):
-                            cmap[code] = _utf16be(arr[i])
+                    for i, code in enumerate(
+                        range(lo, min(hi, lo + len(arr) - 1) + 1)
+                    ):
+                        cmap[code] = _utf16be(arr[i])
                     pos = (end + 1) if end >= 0 else len(body)
                 else:
                     dm = _HEX_TOK_RE.search(body, pos)
                     if not dm:
                         break
                     pos = dm.end()
-                    dst = dm.group(1)
-                    base_raw = bytes.fromhex(dst.decode("ascii"))
+                    base_raw = bytes.fromhex(
+                        dm.group(1).decode("ascii")
+                        + ("0" if len(dm.group(1)) % 2 else "")
+                    )
                     if len(base_raw) % 2:
                         base_raw += b"\x00"
                     base_last = int.from_bytes(base_raw[-2:], "big") if base_raw else 0

@@ -1663,9 +1663,16 @@ def d07_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         order=3,
     )
     md5 = F.md5(F.col("doc_id").cast("string"))
+    # evens carry a FIXED trailing OOV token: same constant ppl for the
+    # whole class (tercile analyticity intact) while the distributed
+    # scoring path still exercises unigram backoff inside
+    # in-distribution context — the review-pass point that a
+    # two-constant-strings corpus stops covering interpolation
     psyn = docs.select(
         "doc_id",
-        F.when(F.col("doc_id") % 2 == 0, F.lit(_PPL_REF[0]))
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit(_PPL_REF[0] + " uqzk")
+        )
         .otherwise(
             F.concat_ws(
                 " ",

@@ -14,15 +14,24 @@ AND bucketed, then runs the same new batch against both and reports:
 4. the append loop (r10): per-increment wall + files-per-bucket after
    each append_dedup_state, then compact_dedup_state timing and the
    post-compact file counts + increment wall (small-files evidence).
+   r11: SPARK_GRAFT_COMPACT_EVERY=K interleaves a compaction every K
+   appends — the long-run evidence (APPENDS=40, K=10) that the
+   per-increment wall stays flat while files/bucket sawtooths,
+5. the LINE-dedup state tier (r11, "lines" phase): save/increment/
+   append/compact over operators/lines.py's LineState — per-increment
+   wall, Exchange count of the count join (state side bucketed), file
+   curve, sum-preserving compaction.
 
 Usage: python scripts/stress_incremental.py [factor]   (default 32)
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_STATE_DIR (default /tmp/stress_incremental_state),
      SPARK_GRAFT_APPENDS (default 5),
+     SPARK_GRAFT_COMPACT_EVERY (default 0 = final compact only),
      SPARK_GRAFT_PHASES (default "base,append" — run "base" for the
      plain-vs-bucketed comparison only, "append" for the append-loop +
-     compaction evidence only; each phase fits a ~10 min budget alone
-     at x32, together they may not)
+     compaction evidence only, "lines" for the line-tier state loop;
+     each phase fits a ~10 min budget alone at x32, together they may
+     not)
 """
 
 from __future__ import annotations
@@ -63,11 +72,11 @@ def main():
         for t in os.environ.get("SPARK_GRAFT_PHASES", "base,append").split(",")
         if t.strip()
     }
-    if not phases or not phases <= {"base", "append"}:
+    if not phases or not phases <= {"base", "append", "lines"}:
         raise SystemExit(
-            f"SPARK_GRAFT_PHASES must name phases from {{base, append}}, "
-            f"got {sorted(phases)!r} — a typo here would silently save "
-            "state and measure nothing"
+            f"SPARK_GRAFT_PHASES must name phases from "
+            f"{{base, append, lines}}, got {sorted(phases)!r} — a typo "
+            "here would silently save state and measure nothing"
         )
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.count()
@@ -84,8 +93,9 @@ def main():
             " ", "text", F.concat(F.lit("copy"), F.col("c"))
         ).alias("text"),
     ).repartition(n_shuffle)
-    state = build_dedup_state(corpus)
     base = n_docs * factor * 100
+    if "base" in phases or "append" in phases:
+        state = build_dedup_state(corpus)
     if "base" in phases:
         t0 = time.time()
         save_dedup_state(state, f"{root}/plain")
@@ -97,7 +107,7 @@ def main():
             f"state: {n_docs * factor} docs; save plain "
             f"{t_save_plain:.1f}s, bucketed {t_save_buck:.1f}s"
         )
-    else:
+    elif "append" in phases:
         t0 = time.time()
         save_dedup_state(state, f"{root}/buck", buckets=n_shuffle)
         print(
@@ -158,6 +168,8 @@ def main():
             )
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
+    if "lines" in phases:
+        _lines_phase(spark, docs, corpus, root, n_docs, base, n_shuffle)
     if "append" not in phases:
         return
 
@@ -206,8 +218,28 @@ def main():
         print(f"append {i}: kept {n_kept}, {wall:.1f}s, files/bucket {fpb}")
         return wall
 
+    compact_every = int(os.environ.get("SPARK_GRAFT_COMPACT_EVERY", "0"))
+    walls = []
     for i in range(n_appends):
-        one_increment(i)
+        walls.append(one_increment(i))
+        if compact_every and (i + 1) % compact_every == 0:
+            t0 = time.time()
+            compact_dedup_state(spark, f"{root}/buck")
+            print(
+                f"  periodic compact after append {i}: "
+                f"{time.time() - t0:.1f}s"
+            )
+            st = load_dedup_state(spark, f"{root}/buck")
+    if len(walls) >= 10:
+        # the long-run claim: flat wall ∝ increment (first increments
+        # pay session warmup — compare the middle third to the last)
+        third = len(walls) // 3
+        mid = sum(walls[third : 2 * third]) / third
+        last = sum(walls[-third:]) / third
+        print(
+            f"append walls: mid-third avg {mid:.1f}s, "
+            f"last-third avg {last:.1f}s (flat ⇔ ratio ~1)"
+        )
 
     t0 = time.time()
     report = compact_dedup_state(spark, f"{root}/buck")
@@ -224,6 +256,100 @@ def main():
     st = load_dedup_state(spark, f"{root}/buck")
     w = one_increment(n_appends)
     print(f"post-compact increment: {w:.1f}s (same shape as pre-compact)")
+
+
+def _lines_phase(spark, docs, corpus, root, n_docs, base, n_shuffle):
+    """Line-tier state loop (r11): save the x-factor corpus's line
+    counts bucketed, then per increment — dedup against the state,
+    append the delta counts, report wall + files/bucket; finally the
+    count-join plan property, compaction, and a post-compact
+    increment."""
+    from data_governance_spark.operators.lines import (  # noqa: E402
+        _line_rows,
+        append_line_state,
+        build_line_state,
+        compact_line_state,
+        dedup_lines_incremental,
+        line_state_file_report,
+        load_line_state,
+        save_line_state,
+    )
+
+    path = f"{root}/lines"
+    t0 = time.time()
+    save_line_state(build_line_state(corpus), path, buckets=n_shuffle)
+    print(f"lines: state saved (bucketed) in {time.time() - t0:.1f}s")
+    lst = load_line_state(spark, path)
+
+    n_appends = int(os.environ.get("SPARK_GRAFT_APPENDS", "5"))
+
+    def one_increment(i: int) -> float:
+        """Increment i: every doc carries increment-(i-1)'s banner
+        (a state hit after the first append — dropped everywhere),
+        its own banner (first batch doc keeps it), and a unique salted
+        body line (kept)."""
+        nonlocal lst
+        inc = docs.limit(n_docs // 10).select(
+            (F.col("doc_id") + base + n_docs * (10 + i)).alias("doc_id"),
+            F.concat(
+                F.lit(f"shared banner of increment {i - 1}\n"),
+                F.lit(f"shared banner of increment {i}\n"),
+                F.col("text"),
+                F.lit(f" inc{i} salt "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        t0 = time.time()
+        res = dedup_lines_incremental(inc, lst)
+        n_kept = res.kept.count()  # evaluate BEFORE append
+        lst = append_line_state(res, path, batch_id=f"i{i}")
+        wall = time.time() - t0
+        fpb = round(
+            line_state_file_report(spark, path)["lines"]["files_per_bucket"],
+            2,
+        )
+        print(f"lines append {i}: kept {n_kept}, {wall:.1f}s, "
+              f"files/bucket {fpb}")
+        return wall
+
+    for i in range(n_appends):
+        one_increment(i)
+
+    # plan property: the count join reads the state side bucketed with
+    # exactly one Exchange (the batch side's own aggregation shuffle;
+    # no .limit() here — GlobalLimit would add a SinglePartition
+    # exchange on the batch side and muddy the count)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    batch_agg = (
+        _line_rows(docs, "doc_id", "text")
+        .groupBy(F.col("_dl_key").alias("key"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    state_counts = lst.lines.groupBy("key").agg(F.sum("n").alias("ns"))
+    plan = (
+        batch_agg.join(state_counts, "key", "left")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_ex = plan.count("Exchange")
+    print(
+        f"lines: count-join Exchanges={n_ex} "
+        f"bucketed_scan={'Bucketed: true' in plan}"
+    )
+    assert n_ex == 1 and "Bucketed: true" in plan, plan
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    t0 = time.time()
+    report = compact_line_state(spark, path)
+    t_compact = time.time() - t0
+    after = line_state_file_report(spark, path)
+    print(
+        f"lines compact: {t_compact:.1f}s; files "
+        f"{report['lines']['files']} -> {after['lines']['files']}"
+    )
+    assert after["lines"]["files"] <= n_shuffle
+    lst = load_line_state(spark, path)
+    w = one_increment(n_appends)
+    print(f"lines post-compact increment: {w:.1f}s")
 
 
 if __name__ == "__main__":

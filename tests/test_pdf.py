@@ -526,3 +526,159 @@ def test_gate_payload_pin():
 
     pdf = bytes.fromhex(_PDF_FLATE_HEX)
     assert pdf_text(pdf) == _PDF_FLATE_TEXT
+
+
+# --------------------------------------------------------------------------
+# review-pass regressions (r11): each of these crashed, hung, or
+# silently corrupted before the fix
+# --------------------------------------------------------------------------
+
+
+def test_corrupt_cmap_tokens_degrade_not_crash():
+    """Empty '<>' and odd-digit CMap tokens must not raise untyped
+    ValueError past the errors='null' quarantine — the mapping is lost,
+    the doc is not."""
+    bad_cmap = (
+        b"1 begincodespacerange <> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar <> <0041> <004> <0042> endbfchar\n"
+        b"2 beginbfrange <> <0002> <0041> <0001> <0002> <00412> endbfrange"
+    )
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /X "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td <0001> Tj ET"
+    pdf = simple_pdf(
+        content, font_body=font, extra={6: stream_body(b"", bad_cmap)}
+    )
+    out = pdf_text(pdf)  # must not raise
+    assert isinstance(out, str)
+
+
+def test_adversarial_bfrange_is_time_bounded():
+    """A lying bfrange hi bound (<FFFFFFFFFFFF>) must be capped, not
+    iterated — one crawled file must not pin an executor core."""
+    import time
+
+    bad_cmap = (
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfrange <0000> <FFFFFFFFFFFF> <0041> endbfrange"
+    )
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /X "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >>"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td <0000> Tj ET"
+    pdf = simple_pdf(
+        content, font_body=font, extra={6: stream_body(b"", bad_cmap)}
+    )
+    t0 = time.time()
+    assert pdf_text(pdf) == "A"  # range base maps code 0 -> U+0041
+    assert time.time() - t0 < 5.0
+
+
+def test_deep_nesting_never_recursionerror():
+    """5000 nested brackets must never escape as RecursionError (an
+    untyped crash past the quarantine): the object parser raises the
+    typed PdfParseError at _MAX_NEST_DEPTH, and the document layer
+    degrades by DROPPING the unparseable object (lenient scan) — here
+    the poisoned catalog is lost and the direct page scan still
+    extracts the page."""
+    from data_governance_spark.operators.pdf import _parse_object
+
+    deep = b"[" * 5000
+    with pytest.raises(PdfParseError, match="nesting"):
+        _parse_object(deep, 0)
+    pdf = simple_pdf(HELLO)
+    pdf = pdf.replace(
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>",
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R /Junk " + deep + b" >>",
+    )
+    assert pdf_text(pdf) == "Hello World"  # degraded page scan
+    # deep nesting inside a CONTENT stream degrades without raising
+    # (content operands are parsed leniently, one token at a time)
+    pdf2 = simple_pdf(deep + b" BT /F1 12 Tf 72 720 Td (ok) Tj ET")
+    assert pdf_text(pdf2) == "ok"
+
+
+def test_obj_pattern_inside_stream_does_not_shadow():
+    """'N G obj' bytes inside stream DATA must not overwrite a real
+    object (embedded PDFs / binary Flate bytes); 'trailer /Encrypt'
+    bytes inside a stream must not raise a spurious encryption error."""
+    evil = b"4 0 obj (overwritten) endobj trailer << /Encrypt 9 0 R >>"
+    pdf = simple_pdf(
+        HELLO,
+        extra={6: stream_body(b"/Subtype /Junk", evil)},
+    )
+    assert pdf_text(pdf) == "Hello World"
+
+
+def test_short_decodeparms_array_still_decodes_all_filters():
+    """/DecodeParms shorter than /Filter must not truncate the chain
+    through zip() — that returned still-encoded bytes as 'text'."""
+    import base64
+
+    data = base64.a85encode(zlib.compress(HELLO)) + b"~>"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+        ),
+        4: stream_body(
+            b"/Filter [/ASCII85Decode /FlateDecode] /DecodeParms [null]",
+            data,
+        ),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    assert pdf_text(build_pdf(objs, b"<< /Root 1 0 R >>")) == "Hello World"
+
+
+def test_incremental_update_new_catalog_wins():
+    """An incremental update appending a NEW catalog + trailer must be
+    honored (last trailer wins), consistent with later-object-wins."""
+    pdf = simple_pdf(HELLO)
+    extra = (
+        b"\n10 0 obj\n<< /Type /Catalog /Pages 11 0 R >>\nendobj\n"
+        b"11 0 obj\n<< /Type /Pages /Kids [12 0 R] /Count 1 >>\nendobj\n"
+        b"12 0 obj\n<< /Type /Page /Parent 11 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> /Contents 13 0 R >>\nendobj\n"
+        b"13 0 obj\n"
+        + stream_body(b"", b"BT /F1 12 Tf 72 720 Td (updated tree) Tj ET")
+        + b"\nendobj\ntrailer\n<< /Size 14 /Root 10 0 R >>\n"
+    )
+    assert pdf_text(pdf + extra) == "updated tree"
+
+
+def test_flate_with_png_predictor():
+    """A Flate stream with /Predictor 12 (PNG Up) round-trips through
+    the shared _png_unfilter path."""
+    content = HELLO
+    rowlen = 10
+    # pad to whole rows, apply Up filtering (delta rows)
+    padded = content + b" " * ((-len(content)) % rowlen)
+    rows = [padded[i : i + rowlen] for i in range(0, len(padded), rowlen)]
+    filtered = bytearray()
+    prev = bytes(rowlen)
+    for row in rows:
+        filtered.append(2)  # Up
+        filtered += bytes((b - p) & 0xFF for b, p in zip(row, prev))
+        prev = row
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+        ),
+        4: stream_body(
+            b"/Filter /FlateDecode /DecodeParms << /Predictor 12 "
+            b"/Columns 10 >>",
+            zlib.compress(bytes(filtered)),
+        ),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    assert pdf_text(build_pdf(objs, b"<< /Root 1 0 R >>")).startswith(
+        "Hello World"
+    )
