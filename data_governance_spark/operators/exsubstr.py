@@ -67,6 +67,7 @@ Reference twin: none — training-data extension per SURVEY.md §6
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -123,30 +124,11 @@ def _cutter(width: int):
     return cut
 
 
-def duplicated_window_starts(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    width: int = 50,
-    min_count: int = 2,
-    keep: str = "first",
-    strategy: str = "shuffle",
+def _window_relation(
+    docs: DataFrame, id_col: str, text_col: str, width: int
 ) -> DataFrame:
-    """The marking half of :func:`dedup_substrings`: one row
-    (``id_col``, ``pos``) per duplicated ``width``-token window
-    occurrence slated for removal. Exposed separately so audits can
-    inspect what WOULD be cut (and tests can assert on it) without
-    paying the rebuild."""
-    if width < 1:
-        raise ValueError(f"width must be >= 1, got {width}")
-    if min_count < 2:
-        raise ValueError(f"min_count must be >= 2, got {min_count}")
-    if keep not in ("first", "none"):
-        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
-    if strategy not in ("shuffle", "broadcast"):
-        raise ValueError(
-            f"strategy must be 'shuffle' or 'broadcast', got {strategy!r}"
-        )
+    """(_es_id, _es_pos, _es_h1, _es_h2) — one row per width-token
+    window occurrence. Docs shorter than ``width`` tokens carry none."""
     # tokens as a REAL column behind a Sample fence — size/sequence/
     # slice all read it, and without the fence projection collapse
     # re-inlines the tokenizer per reference (the operators/quality.py
@@ -154,7 +136,7 @@ def duplicated_window_starts(
     base = docs.select(
         F.col(id_col).alias("_es_id"), tokens(text_col).alias("_es_toks")
     ).sample(1.0, seed=0)
-    wins = (
+    return (
         base.filter(F.size("_es_toks") >= width)
         .select(
             "_es_id",
@@ -182,6 +164,33 @@ def duplicated_window_starts(
             F.xxhash64(F.lit("exs2"), F.col("_es_w")).alias("_es_h2"),
         )
     )
+
+
+def duplicated_window_starts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 50,
+    min_count: int = 2,
+    keep: str = "first",
+    strategy: str = "shuffle",
+) -> DataFrame:
+    """The marking half of :func:`dedup_substrings`: one row
+    (``id_col``, ``pos``) per duplicated ``width``-token window
+    occurrence slated for removal. Exposed separately so audits can
+    inspect what WOULD be cut (and tests can assert on it) without
+    paying the rebuild."""
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if strategy not in ("shuffle", "broadcast"):
+        raise ValueError(
+            f"strategy must be 'shuffle' or 'broadcast', got {strategy!r}"
+        )
+    wins = _window_relation(docs, id_col, text_col, width)
     dup = (
         wins.groupBy("_es_h1", "_es_h2")
         .agg(
@@ -218,8 +227,6 @@ def dedup_substrings(
     the touched documents; schema and row count are unchanged (a fully
     duplicated document survives with empty text — callers filter).
     ``id_col`` values must be unique."""
-    from data_governance_spark.cache import tracked_persist
-
     removals = duplicated_window_starts(
         docs,
         id_col=id_col,
@@ -229,6 +236,21 @@ def dedup_substrings(
         keep=keep,
         strategy=strategy,
     )
+    return _apply_removals(docs, removals, id_col, text_col, width)
+
+
+def _apply_removals(
+    docs: DataFrame,
+    removals: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int,
+) -> DataFrame:
+    """Rebuild ``docs`` with the (``id_col``, pos) removal windows cut
+    out (see module doc: char-exact runs, untouched docs bypass
+    Python)."""
+    from data_governance_spark.cache import tracked_persist
+
     # starts feeds two join branches (anti for untouched, inner for
     # touched); it is tiny (one row per touched doc) but its LINEAGE is
     # the whole corpus-wide marking pipeline — persist so that runs
@@ -250,3 +272,206 @@ def dedup_substrings(
         ]
     )
     return untouched.unionByName(touched)
+
+
+# --------------------------------------------------------------------------
+# state-backed incremental tier (r11) — the batch-vs-state loop for the
+# substring tier, completing the incremental story across all three
+# dedup granularities (document: operators/incremental.py; line:
+# operators/lines.py; substring: here). State is the generic bucketed
+# seen-count table of operators/countstate.py keyed by the 128-bit
+# window hash — counts include occurrences the one-shot pass itself
+# removed (it counts windows BEFORE cutting), which is what makes batch
+# rows equal the one-shot run over corpus ∪ batch under append-only ids
+# (differentially tested, incl. min_count > 2). The window WIDTH is
+# part of the state (hashes at one width are meaningless at another),
+# so save persists it and load reads it back — same rule as the
+# document tier's sketch params.
+# --------------------------------------------------------------------------
+
+_SUBSTR_KIND = "substr"
+_SUBSTR_DESC = (
+    "an exact-substring window state (line/document states are not "
+    "interchangeable)"
+)
+_SUBSTR_PART = "windows"
+_SUBSTR_KEYS = ["h1", "h2"]
+
+
+@dataclass
+class SubstrState:
+    """Seen-occurrence counts of width-token windows. ``windows`` is
+    ``(h1, h2, n, batch_id)`` and may carry multiple rows per key after
+    appends; readers fold ``sum(n)`` (Exchange-free on the bucketed
+    storage)."""
+
+    windows: DataFrame
+    width: int
+
+
+@dataclass
+class SubstrIncrementalResult:
+    """``kept``: the batch docs with duplicated spans cut (full
+    columns, row count unchanged — a fully-duplicated doc survives
+    with empty text, same contract as ``dedup_substrings``).
+    ``delta``: the batch's per-window seen counts ``(h1, h2, n)`` —
+    what :func:`append_substr_state` writes."""
+
+    kept: DataFrame
+    delta: DataFrame
+
+
+def build_substr_state(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 50,
+) -> SubstrState:
+    """State from the corpus the one-shot pass ran OVER (pre-cut
+    text) — seen counts per window hash. Building from the already-cut
+    output would under-count exactly the spans the pass removed."""
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    rows = (
+        _window_relation(docs, id_col, text_col, width)
+        .groupBy(
+            F.col("_es_h1").alias("h1"), F.col("_es_h2").alias("h2")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return SubstrState(windows=rows, width=width)
+
+
+def dedup_substrings_incremental(
+    new_docs: DataFrame,
+    state: SubstrState,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    keep: str = "first",
+) -> SubstrIncrementalResult:
+    """Cut duplicated spans from ``new_docs`` counting occurrences
+    within the batch AND against the corpus state — for batch rows,
+    equal to one-shot :func:`dedup_substrings` over corpus ∪ batch
+    under append-only ids. A batch window is duplicated when its total
+    seen count (state + batch) reaches ``min_count``; ``keep="first"``
+    spares the globally-first occurrence — in the batch exactly when
+    the state has never seen the hash — and ``keep="none"`` spares
+    none. The width comes from the STATE (stored with it; a mismatch
+    would compare hashes of different spans).
+
+    Scale shape: the batch's window aggregation shuffles batch-sized;
+    the corpus-sized state side scans its buckets with no Exchange
+    (plan-asserted) and folds append rows on the same distribution;
+    the duplicated-key set joins back against the batch's window
+    relation (repeated windows only — AQE broadcasts it when small);
+    the rebuild is the shared Arrow-batched cutter over touched docs
+    only."""
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    wins = _window_relation(new_docs, id_col, text_col, state.width)
+    batch_agg = wins.groupBy(
+        F.col("_es_h1").alias("h1"), F.col("_es_h2").alias("h2")
+    ).agg(
+        F.count(F.lit(1)).alias("_es_nb"),
+        F.min(F.struct("_es_id", "_es_pos")).alias("_es_first"),
+    )
+    state_counts = state.windows.groupBy("h1", "h2").agg(
+        F.sum("n").alias("_es_ns")
+    )
+    joined = batch_agg.join(state_counts, ["h1", "h2"], "left")
+    dup = joined.filter(
+        F.col("_es_nb") + F.coalesce(F.col("_es_ns"), F.lit(0))
+        >= min_count
+    ).select(
+        F.col("h1").alias("_es_h1"),
+        F.col("h2").alias("_es_h2"),
+        "_es_first",
+        F.col("_es_ns").isNotNull().alias("_es_in_state"),
+    )
+    marked = wins.join(dup, ["_es_h1", "_es_h2"])
+    if keep == "first":
+        # spare the global first only when it is IN the batch (state
+        # unseen) — a state hit means the first occurrence shipped
+        marked = marked.filter(
+            F.col("_es_in_state")
+            | (F.struct("_es_id", "_es_pos") != F.col("_es_first"))
+        )
+    removals = marked.select(
+        F.col("_es_id").alias(id_col), F.col("_es_pos").alias("pos")
+    )
+    return SubstrIncrementalResult(
+        kept=_apply_removals(
+            new_docs, removals, id_col, text_col, state.width
+        ),
+        delta=batch_agg.select("h1", "h2", F.col("_es_nb").alias("n")),
+    )
+
+
+def save_substr_state(state: SubstrState, path: str, buckets: int) -> None:
+    """Persist the window counts BUCKETED by (h1, h2) plus the width
+    (``operators/countstate.py`` is the storage contract)."""
+    from data_governance_spark.operators.countstate import save_count_state
+
+    save_count_state(
+        state.windows,
+        path,
+        buckets,
+        _SUBSTR_KIND,
+        _SUBSTR_KEYS,
+        _SUBSTR_PART,
+        extra_params={"width": state.width},
+    )
+
+
+def load_substr_state(spark, path: str) -> SubstrState:
+    """Load a saved window state; the width comes from the state."""
+    from data_governance_spark.operators.countstate import load_count_state
+
+    rows, params = load_count_state(spark, path, _SUBSTR_KIND, _SUBSTR_DESC)
+    return SubstrState(windows=rows, width=int(params["width"]))
+
+
+def append_substr_state(
+    result: SubstrIncrementalResult,
+    path: str,
+    batch_id: str,
+    heal: bool = False,
+) -> SubstrState:
+    """Append an increment's window counts (cost ∝ increment; unique
+    ``batch_id`` is the heal idempotency key; run
+    :func:`compact_substr_state` every K appends). Returns the freshly
+    loaded post-append state."""
+    from data_governance_spark.operators.countstate import (
+        append_count_state,
+    )
+
+    rows, params = append_count_state(
+        result.delta, path, _SUBSTR_KIND, _SUBSTR_DESC, batch_id, heal=heal
+    )
+    return SubstrState(windows=rows, width=int(params["width"]))
+
+
+def substr_state_file_report(spark, path: str) -> dict:
+    """Append-loop file health (``{part: {files, buckets, ...}}``)."""
+    from data_governance_spark.operators.countstate import (
+        count_state_report,
+    )
+
+    return count_state_report(spark, path, _SUBSTR_KIND, _SUBSTR_DESC)
+
+
+def compact_substr_state(
+    spark, path: str, max_files_per_bucket: int = 1
+) -> dict:
+    """Sum-preserving fold + one-file-per-bucket rewrite (see
+    ``countstate.compact_count_state``)."""
+    from data_governance_spark.operators.countstate import (
+        compact_count_state,
+    )
+
+    return compact_count_state(
+        spark, path, _SUBSTR_KIND, _SUBSTR_DESC, max_files_per_bucket
+    )

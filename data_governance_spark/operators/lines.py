@@ -382,72 +382,32 @@ def dedup_lines_incremental(
     )
 
 
-def _line_state_table(spark: SparkSession, path: str, buckets: int):
-    from data_governance_spark.operators.incremental import (
-        _ensure_bucketed_table,
-        _state_table_name,
-    )
-
-    return _ensure_bucketed_table(
-        spark,
-        _state_table_name(path, _LINES_PART),
-        f"{path}/{_LINES_PART}",
-        _LINES_KEYS,
-        buckets,
-    )
-
-
-def _require_line_state(spark: SparkSession, path: str, caller: str) -> int:
-    from data_governance_spark.operators.incremental import (
-        _read_state_params,
-    )
-
-    p, buckets = _read_state_params(spark, path)
-    if "kind" not in p.__fields__ or p["kind"] != "lines":
-        raise ValueError(
-            f"{caller}: state at {path} is not a line-dedup state "
-            "(document-tier states live behind load_dedup_state)"
-        )
-    if not buckets:
-        raise ValueError(
-            f"{caller} requires a bucketed line state "
-            "(save_line_state(..., buckets=N))"
-        )
-    return buckets
+_LINES_KIND = "lines"
+_LINES_DESC = "a line-dedup state (document-tier states live behind load_dedup_state)"
 
 
 def save_line_state(state: LineState, path: str, buckets: int) -> None:
     """Persist the counts table BUCKETED by ``key`` under ``path``
-    (``lines/`` + ``params/``) through the same two-phase staging swap
-    as the document-tier state — a same-path resave reads the files it
-    replaces. Bucketed-only by design: the whole point of the state is
-    the Exchange-free corpus side; a plain layout would just be
-    :func:`dedup_lines_global` with extra steps."""
-    if buckets < 1:
-        raise ValueError(f"buckets must be >= 1, got {buckets}")
-    from data_governance_spark.operators.incremental import (
-        _write_bucketed_set,
-    )
+    (``lines/`` + ``params/``) through the generic count-state store
+    (``operators/countstate.py`` — two-phase staging swap; the module
+    doc there is the storage contract). Bucketed-only by design: the
+    whole point of the state is the Exchange-free corpus side; a plain
+    layout would just be :func:`dedup_lines_global` with extra
+    steps."""
+    from data_governance_spark.operators.countstate import save_count_state
 
-    spark = state.lines.sparkSession
-    df = state.lines
-    if "batch_id" not in df.columns:
-        df = df.withColumn("batch_id", F.lit("base"))
-    _write_bucketed_set(
-        [(df.select("key", "n", "batch_id"), _LINES_PART, _LINES_KEYS)],
-        path,
-        buckets,
+    save_count_state(
+        state.lines, path, buckets, _LINES_KIND, _LINES_KEYS, _LINES_PART
     )
-    spark.createDataFrame(
-        [("lines", buckets)], "kind string, buckets int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def load_line_state(spark: SparkSession, path: str) -> LineState:
     """Load a saved line state as a bucketed-table scan (increment
     joins read it with no Exchange)."""
-    buckets = _require_line_state(spark, path, "load_line_state")
-    return LineState(lines=_line_state_table(spark, path, buckets))
+    from data_governance_spark.operators.countstate import load_count_state
+
+    rows, _ = load_count_state(spark, path, _LINES_KIND, _LINES_DESC)
+    return LineState(lines=rows)
 
 
 def append_line_state(
@@ -457,73 +417,34 @@ def append_line_state(
     heal: bool = False,
 ) -> LineState:
     """Append an increment's per-key seen counts to the bucketed state
-    at ``path`` — cost ∝ increment, not corpus. Rows land as
-    ``(key, n, batch_id)`` WITHOUT merging into existing keys (the
-    LSM write path: readers fold with ``sum(n)``, which the bucketed
-    distribution keeps Exchange-free), so each append adds at most one
-    file per non-empty bucket — watch :func:`line_state_file_report`
-    and run :func:`compact_line_state` every K appends.
-
-    ``batch_id`` must be unique per increment: it is the idempotency
-    key. Re-running an append whose outcome is unknown (crash) with
-    ``heal=True`` anti-joins the delta on ``(key, batch_id)`` against
-    the stored table first, so already-landed rows are not
-    double-counted (a duplicate count row would inflate ``sum(n)`` and
-    prematurely cross ``min_dup``). Single-table state, so there is no
-    cross-table tear ordering to reason about.
-
-    Returns the freshly loaded post-append state — chain the next
-    increment off the return value (same contract as the document
-    tier's ``append_dedup_state``)."""
-    spark = result.delta.sparkSession
-    buckets = _require_line_state(spark, path, "append_line_state")
-    if not batch_id or batch_id == "base":
-        raise ValueError(
-            "batch_id must be a unique non-'base' increment id "
-            "(it is the heal idempotency key)"
-        )
-    delta = (
-        result.delta.select("key", "n")
-        .withColumn("batch_id", F.lit(batch_id))
-        .localCheckpoint(eager=True)
-    )
-    stored = _line_state_table(spark, path, buckets)
-    if heal:
-        delta = delta.join(
-            stored, ["key", "batch_id"], "left_anti"
-        ).localCheckpoint(eager=True)
-    from data_governance_spark.operators.incremental import (
-        _state_table_name,
+    at ``path`` — cost ∝ increment, not corpus (the generic LSM write
+    path: rows land as ``(key, n, batch_id)`` without merging; readers
+    fold ``sum(n)`` Exchange-free; each append adds at most one file
+    per non-empty bucket — watch :func:`line_state_file_report`, run
+    :func:`compact_line_state` every K appends). ``batch_id`` must be
+    unique per increment: it is the idempotency key — re-running an
+    append whose outcome is unknown (crash) with ``heal=True``
+    anti-joins the delta on ``(key, batch_id)`` first, so
+    already-landed rows are not double-counted. Returns the freshly
+    loaded post-append state — chain the next increment off it."""
+    from data_governance_spark.operators.countstate import (
+        append_count_state,
     )
 
-    (
-        delta.repartition(buckets, F.col("key"))
-        .write.mode("append")
-        .option("path", f"{path}/{_LINES_PART}")
-        .bucketBy(buckets, *_LINES_KEYS)
-        .sortBy(*_LINES_KEYS)
-        .format("parquet")
-        .saveAsTable(_state_table_name(path, _LINES_PART))
+    rows, _ = append_count_state(
+        result.delta, path, _LINES_KIND, _LINES_DESC, batch_id, heal=heal
     )
-    return load_line_state(spark, path)
+    return LineState(lines=rows)
 
 
 def line_state_file_report(spark: SparkSession, path: str) -> dict:
     """File-count health of the append loop (the document tier's
     ``state_file_report`` for the single lines table)."""
-    from data_governance_spark.operators.incremental import (
-        _list_data_files,
+    from data_governance_spark.operators.countstate import (
+        count_state_report,
     )
 
-    buckets = _require_line_state(spark, path, "line_state_file_report")
-    n = len(_list_data_files(spark, f"{path}/{_LINES_PART}"))
-    return {
-        _LINES_PART: {
-            "files": n,
-            "buckets": buckets,
-            "files_per_bucket": n / buckets,
-        }
-    }
+    return count_state_report(spark, path, _LINES_KIND, _LINES_DESC)
 
 
 def compact_line_state(
@@ -531,34 +452,13 @@ def compact_line_state(
 ) -> dict:
     """Rewrite the lines table back to one file per bucket when the
     append loop has grown it past ``buckets * max_files_per_bucket``
-    files. Row-merging folds to one row per ``(key, batch_id)`` with
-    ``sum(n)`` — sum-preserving, so every reader's ``sum(n)`` per key
-    is unchanged, and ``batch_id`` survives so heal idempotency still
-    works across a compaction. Reads PLAIN parquet, not the bucketed
-    catalog scan (the planner would delete the bucket-aligning
-    repartition and disable bucketed reading — the measured trap
-    documented at the document tier's ``compact_dedup_state``), and
-    swaps via the same two-phase staging."""
-    if max_files_per_bucket < 1:
-        raise ValueError(
-            f"max_files_per_bucket must be >= 1, got {max_files_per_bucket}"
-        )
-    from data_governance_spark.operators.incremental import (
-        _list_data_files,
-        _write_bucketed_set,
+    files. Sum-preserving row merge per ``(key, batch_id)`` — every
+    reader's per-key ``sum(n)`` is unchanged and heal idempotency
+    survives the compaction (see ``countstate.compact_count_state``)."""
+    from data_governance_spark.operators.countstate import (
+        compact_count_state,
     )
 
-    buckets = _require_line_state(spark, path, "compact_line_state")
-    n = len(_list_data_files(spark, f"{path}/{_LINES_PART}"))
-    need = n > buckets * max_files_per_bucket
-    if need:
-        merged = (
-            spark.read.parquet(f"{path}/{_LINES_PART}")
-            .groupBy("key", "batch_id")
-            .agg(F.sum("n").alias("n"))
-            .select("key", "n", "batch_id")
-        )
-        _write_bucketed_set([(merged, _LINES_PART, _LINES_KEYS)], path, buckets)
-    return {
-        _LINES_PART: {"files": n, "buckets": buckets, "compacted": need}
-    }
+    return compact_count_state(
+        spark, path, _LINES_KIND, _LINES_DESC, max_files_per_bucket
+    )

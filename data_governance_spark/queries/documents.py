@@ -1825,6 +1825,50 @@ _D06_PAIRS_SQL = f"""
         ON k.doc_id = c.doc_id AND k.p = c.p
       WHERE c.doc_id IS NULL
       GROUP BY k.doc_id
+    ),
+    itoks AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN doc_id + 1000000000
+                  ELSE doc_id END AS doc_id,
+             {_SQL_TOKS} AS t
+      FROM documents
+    ),
+    iexw AS (
+      SELECT doc_id, s.pos AS pos, s.gram AS gram FROM (
+        SELECT doc_id, unnest(list_transform(
+                 range(1, len(t) - {_EXS_W - 2}),
+                 i -> struct_pack(pos := i - 1,
+                                  gram := array_to_string(
+                                    t[i:i+{_EXS_W - 1}], ' ')))) AS s
+        FROM itoks WHERE len(t) >= {_EXS_W}
+      )
+    ),
+    iexr AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY gram) AS n,
+               row_number() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, pos) AS rn
+        FROM iexw
+      ) WHERE n >= 2 AND rn > 1 AND doc_id >= 1000000000
+    ),
+    iexcov AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + {_EXS_W})) AS p
+      FROM iexr
+    ),
+    iextok AS (
+      SELECT doc_id, s.p AS p, s.tok AS tok FROM (
+        SELECT doc_id, unnest(list_transform(
+                 range(1, len(t) + 1),
+                 i -> struct_pack(p := i - 1, tok := t[i]))) AS s
+        FROM itoks WHERE doc_id >= 1000000000
+      )
+    ),
+    iexnew AS (
+      SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.p) AS new_text
+      FROM iextok k LEFT JOIN iexcov c
+        ON k.doc_id = c.doc_id AND k.p = c.p
+      WHERE c.doc_id IS NULL
+      GROUP BY k.doc_id
     )
     SELECT 'pairs' AS gate,
            CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR) AS k,
@@ -1839,6 +1883,12 @@ _D06_PAIRS_SQL = f"""
     SELECT 'exs', CAST(d.doc_id AS VARCHAR),
            coalesce(x.new_text, ''), CAST(NULL AS DOUBLE)
     FROM documents d LEFT JOIN exnew x ON d.doc_id = x.doc_id
+    UNION ALL
+    SELECT 'exsi', CAST(d.doc_id + 1000000000 AS VARCHAR),
+           coalesce(x.new_text, ''), CAST(NULL AS DOUBLE)
+    FROM documents d LEFT JOIN iexnew x
+      ON d.doc_id + 1000000000 = x.doc_id
+    WHERE d.doc_id % 3 = 0
     """,
     doc="merged gate (r6 driver-budget): n-gram Jaccard near-dup pairs "
     f"with rare-shingle candidate pruning (df<={_RARE_DF}, the O(df^2) "
@@ -1846,7 +1896,11 @@ _D06_PAIRS_SQL = f"""
     f"({_DECON_N}-gram overlap hit counts vs a synthesized eval set, "
     "operators/decontam.py; new in r6) + exact substring dedup "
     f"(Lee et al. 2022 ExactSubstr, {_EXS_W}-token windows over the "
-    "REAL corpus, operators/exsubstr.py; new in r8)",
+    "REAL corpus, operators/exsubstr.py; new in r8) + its state-backed "
+    "incremental tier over a %3 corpus/batch split with append-only "
+    "ids — the oracle restates the one-shot pipeline over the re-idd "
+    "union, gating the batch-rows==one-shot differential on real data "
+    "(dedup_substrings_incremental; new in r11)",
 )
 def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -1891,7 +1945,38 @@ def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("v_s"),
         F.lit(None).cast("double").alias("v_d"),
     )
-    return pair_rows.unionByName(decon).unionByName(exs)
+    # exsi sub-gate (r11): the state-backed incremental tier — corpus
+    # = %3!=0 docs, batch = %3==0 docs re-idd +1e9 (append-only ids).
+    # Because batch rows equal one-shot dedup_substrings over the union
+    # under append-only ids (the differential pinned in
+    # tests/test_exsubstr.py), the oracle is the SAME generic
+    # mark-merge-rebuild restatement as 'exs', run over the re-idd
+    # union and filtered to batch rows — the gate drives the
+    # differential property itself on the REAL corpus.
+    from data_governance_spark.operators.exsubstr import (
+        build_substr_state,
+        dedup_substrings_incremental,
+    )
+
+    _IB = 1_000_000_000
+    corpus_docs = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "text"
+    )
+    batch_docs = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + _IB).alias("doc_id"), "text"
+    )
+    exsi_res = dedup_substrings_incremental(
+        batch_docs, build_substr_state(corpus_docs, width=_EXS_W)
+    )
+    exsi = exsi_res.kept.select(
+        F.lit("exsi").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("text").alias("v_s"),
+        F.lit(None).cast("double").alias("v_d"),
+    )
+    return (
+        pair_rows.unionByName(decon).unionByName(exs).unionByName(exsi)
+    )
 
 
 def _d06_pair_df(

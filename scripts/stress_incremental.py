@@ -20,7 +20,9 @@ AND bucketed, then runs the same new batch against both and reports:
 5. the LINE-dedup state tier (r11, "lines" phase): save/increment/
    append/compact over operators/lines.py's LineState — per-increment
    wall, Exchange count of the count join (state side bucketed), file
-   curve, sum-preserving compaction.
+   curve, sum-preserving compaction,
+6. the SUBSTRING state tier (r11, "substr" phase): the same loop over
+   operators/exsubstr.py's window-hash SubstrState.
 
 Usage: python scripts/stress_incremental.py [factor]   (default 32)
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
@@ -72,11 +74,11 @@ def main():
         for t in os.environ.get("SPARK_GRAFT_PHASES", "base,append").split(",")
         if t.strip()
     }
-    if not phases or not phases <= {"base", "append", "lines"}:
+    if not phases or not phases <= {"base", "append", "lines", "substr"}:
         raise SystemExit(
             f"SPARK_GRAFT_PHASES must name phases from "
-            f"{{base, append, lines}}, got {sorted(phases)!r} — a typo "
-            "here would silently save state and measure nothing"
+            f"{{base, append, lines, substr}}, got {sorted(phases)!r} — "
+            "a typo here would silently save state and measure nothing"
         )
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.count()
@@ -170,6 +172,8 @@ def main():
 
     if "lines" in phases:
         _lines_phase(spark, docs, corpus, root, n_docs, base, n_shuffle)
+    if "substr" in phases:
+        _substr_phase(spark, docs, corpus, root, n_docs, base, n_shuffle)
     if "append" not in phases:
         return
 
@@ -350,6 +354,104 @@ def _lines_phase(spark, docs, corpus, root, n_docs, base, n_shuffle):
     lst = load_line_state(spark, path)
     w = one_increment(n_appends)
     print(f"lines post-compact increment: {w:.1f}s")
+
+
+
+
+def _substr_phase(spark, docs, corpus, root, n_docs, base, n_shuffle):
+    """Substring-tier state loop (r11): bucketed window-hash counts of
+    the x-factor corpus, then per increment — cut vs state, append the
+    delta counts — with the plan property, file curve, and compaction."""
+    from data_governance_spark.operators.exsubstr import (  # noqa: E402
+        _window_relation,
+        append_substr_state,
+        build_substr_state,
+        compact_substr_state,
+        dedup_substrings_incremental,
+        load_substr_state,
+        save_substr_state,
+        substr_state_file_report,
+    )
+
+    width = 15
+    path = f"{root}/substr"
+    t0 = time.time()
+    save_substr_state(
+        build_substr_state(corpus, width=width), path, buckets=n_shuffle
+    )
+    print(f"substr: state saved (bucketed, w={width}) in "
+          f"{time.time() - t0:.1f}s")
+    st = load_substr_state(spark, path)
+
+    n_appends = int(os.environ.get("SPARK_GRAFT_APPENDS", "5"))
+    header = " ".join(f"licensetok{j}" for j in range(width))
+
+    def one_increment(i: int) -> float:
+        """Increment i: every doc opens with increment (i-1)'s header
+        (a state hit after the first append) plus its own, then a
+        salted unique body — each append writes real deltas."""
+        nonlocal st
+        inc = docs.limit(n_docs // 10).select(
+            (F.col("doc_id") + base + n_docs * (10 + i)).alias("doc_id"),
+            F.concat(
+                F.lit(header + f" endhdr{i - 1} "),
+                F.lit(header + f" endhdr{i} "),
+                F.col("text"),
+                F.lit(f" inc{i} salt "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        t0 = time.time()
+        res = dedup_substrings_incremental(inc, st)
+        n_kept = res.kept.count()  # evaluate BEFORE append
+        st = append_substr_state(res, path, batch_id=f"i{i}")
+        wall = time.time() - t0
+        fpb = round(
+            substr_state_file_report(spark, path)["windows"][
+                "files_per_bucket"
+            ],
+            2,
+        )
+        print(f"substr append {i}: kept {n_kept}, {wall:.1f}s, "
+              f"files/bucket {fpb}")
+        return wall
+
+    for i in range(n_appends):
+        one_increment(i)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    batch_agg = (
+        _window_relation(docs, "doc_id", "text", width)
+        .groupBy(F.col("_es_h1").alias("h1"), F.col("_es_h2").alias("h2"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    state_counts = st.windows.groupBy("h1", "h2").agg(
+        F.sum("n").alias("ns")
+    )
+    plan = (
+        batch_agg.join(state_counts, ["h1", "h2"], "left")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_ex = plan.count("Exchange")
+    print(
+        f"substr: count-join Exchanges={n_ex} "
+        f"bucketed_scan={'Bucketed: true' in plan}"
+    )
+    assert n_ex == 1 and "Bucketed: true" in plan, plan
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    t0 = time.time()
+    report = compact_substr_state(spark, path)
+    t_compact = time.time() - t0
+    after = substr_state_file_report(spark, path)
+    print(
+        f"substr compact: {t_compact:.1f}s; files "
+        f"{report['windows']['files']} -> {after['windows']['files']}"
+    )
+    assert after["windows"]["files"] <= n_shuffle
+    st = load_substr_state(spark, path)
+    w = one_increment(n_appends)
+    print(f"substr post-compact increment: {w:.1f}s")
 
 
 if __name__ == "__main__":
