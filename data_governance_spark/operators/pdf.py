@@ -15,7 +15,9 @@ What decodes for REAL:
   updates), ``/Type /ObjStm`` compressed object streams expanded (PDF
   1.5+ — most modern writers put the catalog/page/font dicts there).
 - **Stream filters**: FlateDecode (zlib, with raw-deflate and
-  truncated-tail fallbacks), ASCIIHexDecode, ASCII85Decode,
+  truncated-tail fallbacks), LZWDecode (MSB-first 9→12-bit codes with
+  /EarlyChange, validated against ISO 32000-1's own worked example —
+  the legacy-PDF compressor), ASCIIHexDecode, ASCII85Decode,
   RunLengthDecode, filter chains, PNG/TIFF predictors
   (``/DecodeParms``). A declared ``/Length`` is VALIDATED against the
   following ``endstream`` and ignored when it lies (the second most
@@ -39,8 +41,9 @@ Loud typed boundaries (the VP8L rule — raise, never silently fake):
 
 - ``PdfEncryptedError`` — ``/Encrypt`` present; stream bytes are
   RC4/AES ciphertext and any "text" pulled from them would be noise.
-- ``PdfUnsupportedFilterError`` — LZWDecode / DCTDecode / JPXDecode /
-  JBIG2Decode / CCITTFaxDecode / Crypt on a stream we must read.
+- ``PdfUnsupportedFilterError`` — DCTDecode / JPXDecode / JBIG2Decode /
+  CCITTFaxDecode / Crypt on a stream we must read (all raster/crypto
+  codecs — never text-layer carriers).
 - ``PdfImageOnlyError`` — pages carry raster images but zero text
   operators: a scanned PDF has no text layer; it needs OCR, not an
   extractor, and returning ``""`` would silently drop the document's
@@ -102,7 +105,7 @@ class PdfEncryptedError(PdfError):
 
 
 class PdfUnsupportedFilterError(PdfError):
-    """A stream we must read uses LZW/DCT/JPX/JBIG2/CCITT/Crypt."""
+    """A stream we must read uses DCT/JPX/JBIG2/CCITT/Crypt."""
 
 
 class PdfImageOnlyError(PdfError):
@@ -338,9 +341,61 @@ def _parse_object(buf: bytes, pos: int, depth: int = 0):
 # --------------------------------------------------------------------------
 
 _UNSUPPORTED_FILTERS = {
-    "LZWDecode", "LZW", "DCTDecode", "DCT", "JPXDecode", "JBIG2Decode",
+    "DCTDecode", "DCT", "JPXDecode", "JBIG2Decode",
     "CCITTFaxDecode", "CCF", "Crypt",
 }
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF/TIFF LZW (ISO 32000-1 §7.4.4): MSB-first bit packing, 9-bit
+    start, 256=ClearTable, 257=EOD, table entries from 258, 12-bit max;
+    ``early`` is /EarlyChange (default 1 — the code width bumps one
+    entry before the table size strictly requires it, the published
+    off-by-one both sides of the format agreed on). Validated against
+    the spec's own worked example plus encoder round-trips crossing
+    every width boundary (tests/test_pdf.py). Truncated data yields
+    what was decodable (implicit EOD), matching the Flate fallback's
+    lenient posture; impossible codes raise typed."""
+    out = bytearray()
+    acc = accbits = i = 0
+    width = 9
+    base = [bytes([b]) for b in range(256)] + [b"", b""]
+    table = list(base)
+    prev = None
+    n = len(data)
+    while True:
+        while accbits < width:
+            if i >= n:
+                return bytes(out)  # truncated: implicit EOD
+            acc = (acc << 8) | data[i]
+            i += 1
+            accbits += 8
+        accbits -= width
+        code = (acc >> accbits) & ((1 << width) - 1)
+        if code == 257:
+            return bytes(out)
+        if code == 256:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise PdfParseError(f"LZW: bad first code {code}")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise PdfParseError(f"LZW: code {code} out of range")
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        if len(table) + early >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
 
 
 def _inflate(data: bytes) -> bytes:
@@ -432,6 +487,12 @@ def _decode_stream(doc: "_Doc", s: _Stream) -> bytes:
         if f in ("FlateDecode", "Fl"):
             data = _inflate(data)
             data = _unpredict(data, {k: doc.resolve(v) for k, v in p.items()})
+        elif f in ("LZWDecode", "LZW"):
+            early = doc.resolve(p.get("EarlyChange", 1))
+            data = _lzw_decode(
+                data, 1 if not isinstance(early, int) else early
+            )
+            data = _unpredict(data, {k: doc.resolve(v) for k, v in p.items()})
         elif f in ("ASCIIHexDecode", "AHx"):
             digits = re.sub(rb"[^0-9A-Fa-f>]", b"", data)
             digits = digits.split(b">", 1)[0]
@@ -451,8 +512,8 @@ def _decode_stream(doc: "_Doc", s: _Stream) -> bytes:
             data = _rle_decode(data)
         elif f in _UNSUPPORTED_FILTERS:
             raise PdfUnsupportedFilterError(
-                f"stream filter {f} not supported (no codec libs in "
-                "this environment — re-encode with Flate to extract)"
+                f"stream filter {f} not supported (raster/crypto codec "
+                "— no text layer behind it to extract)"
             )
         else:
             raise PdfUnsupportedFilterError(f"unknown stream filter {f}")

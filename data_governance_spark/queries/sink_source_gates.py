@@ -303,6 +303,28 @@ def q41_dom_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    covering what SQL concat cannot: FlateDecode streams, a WinAnsi
 #    curly-quote/eacute page, and an Identity-H page decoded through a
 #    ToUnicode CMap (bfchar + bfrange) from hex show-strings.
+_PDF_LZW_TEXT = "Legacy LZW stream decoded\nkerned gap"
+_PDF_LZW_HEX = (
+    "255044462d312e350a25e2e3cfd30a312030206f626a0a3c3c202f54797065202f43"
+    "6174616c6f67202f5061676573203220302052203e3e0a656e646f626a0a32203020"
+    "6f626a0a3c3c202f54797065202f5061676573202f4b696473205b33203020525d20"
+    "2f436f756e742031203e3e0a656e646f626a0a332030206f626a0a3c3c202f547970"
+    "65202f50616765202f506172656e74203220302052202f5265736f7572636573203c"
+    "3c202f466f6e74203c3c202f4631203520302052203e3e203e3e202f436f6e74656e"
+    "7473203420302052203e3e0a656e646f626a0a342030206f626a0a3c3c202f46696c"
+    "746572202f4c5a574465636f6465202f4c656e677468203935203e3e0a7374726561"
+    "6d0a80108a820179186220188c84054330806f0a878c21664100a0986533984c6791"
+    "0130b457101cce87232984da2032194c66f94990530b35082242d188d226202d8a0d"
+    "665391ba5f34850a0cb2e100b46438890a2327014976164a10114a90100a656e6473"
+    "747265616d0a656e646f626a0a352030206f626a0a3c3c202f54797065202f466f6e"
+    "74202f53756274797065202f5479706531202f42617365466f6e74202f48656c7665"
+    "74696361203e3e0a656e646f626a0a787265660a3020360a30303030303030303030"
+    "2036353533352066200a30303030303030303135203030303030206e200a30303030"
+    "303030303634203030303030206e200a30303030303030313231203030303030206e"
+    "200a30303030303030323233203030303030206e200a303030303030303338372030"
+    "30303030206e200a747261696c65720a3c3c202f53697a652036202f526f6f742031"
+    "20302052203e3e0a7374617274787265660a3435370a2525454f460a"
+)
 _PDF_FLATE_TEXT = "Planted “café” payload\nkerned-pair gap\nCMaptu"
 _PDF_FLATE_HEX = (
     "255044462d312e350a25e2e3cfd30a312030206f626a0a3c3c202f54797065202f43"
@@ -387,7 +409,14 @@ def q41_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("flate").alias("k"),
         F.unhex(F.lit(_PDF_FLATE_HEX)).alias("content"),
     )
-    docs = per_cust.unionByName(planted)
+    # second planted payload (r11): an LZWDecode content stream — the
+    # legacy-PDF compressor, generated by the test suite's spec encoder
+    # and pinned alongside the Flate one
+    planted_lzw = spark.range(1).select(
+        F.lit("lzw").alias("k"),
+        F.unhex(F.lit(_PDF_LZW_HEX)).alias("content"),
+    )
+    docs = per_cust.unionByName(planted).unionByName(planted_lzw)
     return extract_pdf_text(docs, errors="raise").select(
         "k", F.col("text").alias("v_s")
     )
@@ -460,6 +489,10 @@ def q41_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'pdf', 'flate',
            'Planted “café” payload' || chr(10) || 'kerned-pair gap'
            || chr(10) || 'CMaptu',
+           CAST(NULL AS DOUBLE)
+    UNION ALL
+    SELECT 'pdf', 'lzw',
+           'Legacy LZW stream decoded' || chr(10) || 'kerned gap',
            CAST(NULL AS DOUBLE)
     UNION ALL
     SELECT 'ser', 'D' || cs,

@@ -376,12 +376,119 @@ def test_encrypted_raises():
         pdf_text(pdf)
 
 
-def test_lzw_filter_raises():
+def test_dct_only_stream_raises():
     pdf = simple_pdf(b"").replace(
-        stream_body(b"", b""), stream_body(b"/Filter /LZWDecode", b"\x80\x0b")
+        stream_body(b"", b""),
+        stream_body(b"/Filter /DCTDecode", b"\xff\xd8\xff\xd9"),
     )
     with pytest.raises(PdfUnsupportedFilterError):
         pdf_text(pdf)
+
+
+# --------------------------------------------------------------------------
+# LZWDecode (r11): spec vector + encoder round-trips
+# --------------------------------------------------------------------------
+
+
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Spec encoder (test-only): MSB-first, 9-bit start, ClearTable
+    first, table reset before overflow, EarlyChange width bumps."""
+    out = bytearray()
+    acc = accbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+
+    def reset():
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = reset()
+    emit(256, width)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        # the encoder's table is one entry AHEAD of the decoder's at
+        # emission time, so its bump threshold is the decoder's
+        # (len + early >= 1<<width) shifted by one
+        if next_code + early >= (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4095:  # reset before the table overflows
+            emit(256, width)
+            table, next_code, width = reset()
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_spec_vector():
+    """ISO 32000-1 §7.4.4's worked example: encoded 80 0B 60 50 22 0C
+    0C 85 01 decodes to bytes (decimal) 45×5 65 45×3 66."""
+    from data_governance_spark.operators.pdf import _lzw_decode
+
+    enc = bytes.fromhex("800B6050220C0C8501")
+    assert _lzw_decode(enc) == bytes([45] * 5 + [65] + [45] * 3 + [66])
+
+
+@pytest.mark.parametrize("early", [0, 1])
+def test_lzw_roundtrip_across_width_boundaries(early):
+    """Data with enough distinct pairs to push the table past the
+    511/1023/2047 width boundaries AND past 4095 (mid-stream clear),
+    plus a KwKwK run, round-trips bit-exactly."""
+    from data_governance_spark.operators.pdf import _lzw_decode
+
+    import random
+
+    rng = random.Random(11)
+    data = bytes(rng.randrange(256) for _ in range(60_000))
+    assert _lzw_decode(lzw_encode(data, early), early) == data
+    runs = b"".join(bytes([i % 251]) * (i % 7 + 1) for i in range(9000))
+    assert _lzw_decode(lzw_encode(runs, early), early) == runs
+    kwk = b"aaaaaaaaaaaaaaaaaaaaaaaaab" * 3
+    assert _lzw_decode(lzw_encode(kwk, early), early) == kwk
+
+
+def test_lzw_truncation_and_bad_codes():
+    from data_governance_spark.operators.pdf import _lzw_decode
+
+    enc = lzw_encode(b"hello hello hello world")
+    full = _lzw_decode(enc)
+    cut = _lzw_decode(enc[: len(enc) // 2])
+    assert full.startswith(cut)  # implicit EOD, prefix decoded
+    # a first code beyond the table is typed, not an IndexError
+    with pytest.raises(PdfError):
+        _lzw_decode(bytes([0xFF, 0xFF]))
+
+
+def test_lzw_content_stream_extracts():
+    pdf = simple_pdf(b"").replace(
+        stream_body(b"", b""),
+        stream_body(b"/Filter /LZWDecode", lzw_encode(HELLO)),
+    )
+    assert pdf_text(pdf) == "Hello World"
+    # EarlyChange=0 honored via DecodeParms
+    pdf0 = simple_pdf(b"").replace(
+        stream_body(b"", b""),
+        stream_body(
+            b"/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>",
+            lzw_encode(HELLO, early=0),
+        ),
+    )
+    assert pdf_text(pdf0) == "Hello World"
 
 
 def test_image_only_page_raises():
@@ -522,10 +629,29 @@ def test_gate_payload_pin():
     from data_governance_spark.queries.sink_source_gates import (
         _PDF_FLATE_HEX,
         _PDF_FLATE_TEXT,
+        _PDF_LZW_HEX,
+        _PDF_LZW_TEXT,
     )
 
     pdf = bytes.fromhex(_PDF_FLATE_HEX)
     assert pdf_text(pdf) == _PDF_FLATE_TEXT
+    assert pdf_text(bytes.fromhex(_PDF_LZW_HEX)) == _PDF_LZW_TEXT
+    # the LZW payload regenerates from this file's spec encoder
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (Legacy LZW stream decoded) Tj "
+        b"0 -14 Td [(kern) -12 (ed) -280 (gap)] TJ ET"
+    )
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+        ),
+        4: stream_body(b"/Filter /LZWDecode", lzw_encode(content)),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    assert build_pdf(objs, b"<< /Size 6 /Root 1 0 R >>").hex() == _PDF_LZW_HEX
 
 
 # --------------------------------------------------------------------------
