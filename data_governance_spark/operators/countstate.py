@@ -48,11 +48,22 @@ from data_governance_spark.operators.incremental import (
 
 
 def _require_count_state(
-    spark: SparkSession, path: str, kind: str, desc: str, caller: str
+    spark: SparkSession,
+    path: str,
+    kind: str,
+    desc: str,
+    caller: str,
+    key_cols: list[str] | None = None,
+    part: str | None = None,
 ) -> tuple[int, dict]:
     """Validate the params row at ``path`` (kind tag + bucketed) and
-    return (buckets, params dict). ``desc`` names the expected tier in
-    the error (e.g. 'a line-dedup state')."""
+    return (buckets, params dict with ``keys``/``part`` resolved).
+    ``desc`` names the expected tier in the error (e.g. 'a line-dedup
+    state'). ``key_cols``/``part`` are the CALLER's tier constants:
+    they fill in params rows written before the layout fields existed
+    (the r11 pre-refactor line-state format recorded only
+    kind+buckets), and a stored value that CONTRADICTS them raises —
+    that is a real key-definition mismatch, not a migration."""
     p, buckets = _read_state_params(spark, path)
     fields = list(p.__fields__) if hasattr(p, "__fields__") else []
     if "kind" not in fields or p["kind"] != kind:
@@ -67,7 +78,23 @@ def _require_count_state(
             f"{caller} requires a bucketed count state (save with "
             "buckets=N)"
         )
-    return buckets, {f: p[f] for f in fields}
+    params = {f: p[f] for f in fields}
+    for name, given in (("keys", ",".join(key_cols or []) or None),
+                        ("part", part)):
+        stored = params.get(name)
+        if stored is not None and given is not None and stored != given:
+            raise ValueError(
+                f"{caller}: stored {name}={stored!r} at {path} does "
+                f"not match this tier's {name}={given!r}"
+            )
+        if stored is None:
+            if given is None:
+                raise ValueError(
+                    f"{caller}: state at {path} predates the layout "
+                    f"params and the caller supplied no {name}"
+                )
+            params[name] = given
+    return buckets, params
 
 
 def save_count_state(
@@ -104,12 +131,19 @@ def save_count_state(
 
 
 def load_count_state(
-    spark: SparkSession, path: str, kind: str, desc: str
+    spark: SparkSession,
+    path: str,
+    kind: str,
+    desc: str,
+    key_cols: list[str] | None = None,
+    part: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """(bucketed-table scan, params dict). The scan's increment joins
-    read the corpus-sized side with no Exchange."""
+    read the corpus-sized side with no Exchange. ``key_cols``/``part``
+    are the caller tier's constants (used for pre-layout-params states
+    — see ``_require_count_state``)."""
     buckets, params = _require_count_state(
-        spark, path, kind, desc, "load_count_state"
+        spark, path, kind, desc, "load_count_state", key_cols, part
     )
     rows = _ensure_bucketed_table(
         spark,
@@ -128,13 +162,15 @@ def append_count_state(
     desc: str,
     batch_id: str,
     heal: bool = False,
+    key_cols: list[str] | None = None,
+    part: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Append an increment's per-key counts (see module doc). Returns
     the freshly loaded (rows, params) — chain the next increment off
     the return value."""
     spark = delta.sparkSession
     buckets, params = _require_count_state(
-        spark, path, kind, desc, "append_count_state"
+        spark, path, kind, desc, "append_count_state", key_cols, part
     )
     if not batch_id or batch_id == "base":
         raise ValueError(
@@ -164,16 +200,21 @@ def append_count_state(
         .format("parquet")
         .saveAsTable(_state_table_name(path, part))
     )
-    return load_count_state(spark, path, kind, desc)
+    return load_count_state(spark, path, kind, desc, key_cols, part)
 
 
 def count_state_report(
-    spark: SparkSession, path: str, kind: str, desc: str
+    spark: SparkSession,
+    path: str,
+    kind: str,
+    desc: str,
+    key_cols: list[str] | None = None,
+    part: str | None = None,
 ) -> dict:
     """File-count health of the append loop: ``{part: {files, buckets,
     files_per_bucket}}``."""
     buckets, params = _require_count_state(
-        spark, path, kind, desc, "count_state_report"
+        spark, path, kind, desc, "count_state_report", key_cols, part
     )
     part = params["part"]
     n = len(_list_data_files(spark, f"{path}/{part}"))
@@ -192,6 +233,8 @@ def compact_count_state(
     kind: str,
     desc: str,
     max_files_per_bucket: int = 1,
+    key_cols: list[str] | None = None,
+    part: str | None = None,
 ) -> dict:
     """Fold rows to one per (keys, batch_id) and rewrite to one file
     per bucket when the append loop has grown the table past
@@ -205,7 +248,7 @@ def compact_count_state(
             f"max_files_per_bucket must be >= 1, got {max_files_per_bucket}"
         )
     buckets, params = _require_count_state(
-        spark, path, kind, desc, "compact_count_state"
+        spark, path, kind, desc, "compact_count_state", key_cols, part
     )
     keys = params["keys"].split(",")
     part = params["part"]

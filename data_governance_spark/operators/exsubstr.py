@@ -430,7 +430,9 @@ def load_substr_state(spark, path: str) -> SubstrState:
     """Load a saved window state; the width comes from the state."""
     from data_governance_spark.operators.countstate import load_count_state
 
-    rows, params = load_count_state(spark, path, _SUBSTR_KIND, _SUBSTR_DESC)
+    rows, params = load_count_state(
+        spark, path, _SUBSTR_KIND, _SUBSTR_DESC, _SUBSTR_KEYS, _SUBSTR_PART
+    )
     return SubstrState(windows=rows, width=int(params["width"]))
 
 
@@ -449,7 +451,8 @@ def append_substr_state(
     )
 
     rows, params = append_count_state(
-        result.delta, path, _SUBSTR_KIND, _SUBSTR_DESC, batch_id, heal=heal
+        result.delta, path, _SUBSTR_KIND, _SUBSTR_DESC, batch_id,
+        heal=heal, key_cols=_SUBSTR_KEYS, part=_SUBSTR_PART,
     )
     return SubstrState(windows=rows, width=int(params["width"]))
 
@@ -460,7 +463,9 @@ def substr_state_file_report(spark, path: str) -> dict:
         count_state_report,
     )
 
-    return count_state_report(spark, path, _SUBSTR_KIND, _SUBSTR_DESC)
+    return count_state_report(
+        spark, path, _SUBSTR_KIND, _SUBSTR_DESC, _SUBSTR_KEYS, _SUBSTR_PART
+    )
 
 
 def compact_substr_state(
@@ -473,5 +478,6 @@ def compact_substr_state(
     )
 
     return compact_count_state(
-        spark, path, _SUBSTR_KIND, _SUBSTR_DESC, max_files_per_bucket
+        spark, path, _SUBSTR_KIND, _SUBSTR_DESC, max_files_per_bucket,
+        key_cols=_SUBSTR_KEYS, part=_SUBSTR_PART,
     )

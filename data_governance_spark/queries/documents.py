@@ -1829,8 +1829,8 @@ _D06_PAIRS_SQL = f"""
     itoks AS (
       SELECT CASE WHEN doc_id % 3 = 0 THEN doc_id + 1000000000
                   ELSE doc_id END AS doc_id,
-             {_SQL_TOKS} AS t
-      FROM documents
+             t
+      FROM toks
     ),
     iexw AS (
       SELECT doc_id, s.pos AS pos, s.gram AS gram FROM (

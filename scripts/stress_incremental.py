@@ -262,12 +262,81 @@ def main():
     print(f"post-compact increment: {w:.1f}s (same shape as pre-compact)")
 
 
+def _count_state_phase(
+    spark, docs, corpus, root, n_docs, base, n_shuffle, tier: dict
+):
+    """Shared count-state tier loop (r11): save the x-factor corpus's
+    state bucketed, run N increments (dedup vs state + delta append,
+    reporting wall + files/bucket), assert the count join's plan
+    property (state side bucketed, exactly ONE Exchange — the batch
+    side), compact, and run a post-compact increment. ``tier`` supplies
+    the per-tier callables: build/save/load/dedup/append/report/compact
+    plus the increment text builder and the plan-check frames."""
+    name = tier["name"]
+    path = f"{root}/{name}"
+    t0 = time.time()
+    tier["save"](tier["build"](corpus), path, buckets=n_shuffle)
+    print(f"{name}: state saved (bucketed) in {time.time() - t0:.1f}s")
+    st = tier["load"](spark, path)
+
+    n_appends = int(os.environ.get("SPARK_GRAFT_APPENDS", "5"))
+
+    def one_increment(i: int) -> float:
+        nonlocal st
+        inc = docs.limit(n_docs // 10).select(
+            (F.col("doc_id") + base + n_docs * (10 + i)).alias("doc_id"),
+            tier["inc_text"](i).alias("text"),
+        )
+        t0 = time.time()
+        res = tier["dedup"](inc, st)
+        n_kept = res.kept.count()  # evaluate BEFORE append
+        st = tier["append"](res, path, batch_id=f"i{i}")
+        wall = time.time() - t0
+        rep = tier["report"](spark, path)
+        fpb = round(next(iter(rep.values()))["files_per_bucket"], 2)
+        print(f"{name} append {i}: kept {n_kept}, {wall:.1f}s, "
+              f"files/bucket {fpb}")
+        return wall
+
+    for i in range(n_appends):
+        one_increment(i)
+
+    # plan property: ONE Exchange (the batch side's own aggregation; no
+    # .limit() in the check — GlobalLimit would add a SinglePartition
+    # exchange and muddy the count)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            tier["plan_join"](docs, st)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        n_ex = plan.count("Exchange")
+        print(
+            f"{name}: count-join Exchanges={n_ex} "
+            f"bucketed_scan={'Bucketed: true' in plan}"
+        )
+        assert n_ex == 1 and "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    t0 = time.time()
+    report = tier["compact"](spark, path)
+    t_compact = time.time() - t0
+    after = tier["report"](spark, path)
+    before_n = next(iter(report.values()))["files"]
+    after_n = next(iter(after.values()))["files"]
+    print(f"{name} compact: {t_compact:.1f}s; files {before_n} -> {after_n}")
+    assert after_n <= n_shuffle
+    st = tier["load"](spark, path)
+    w = one_increment(n_appends)
+    print(f"{name} post-compact increment: {w:.1f}s")
+
+
 def _lines_phase(spark, docs, corpus, root, n_docs, base, n_shuffle):
-    """Line-tier state loop (r11): save the x-factor corpus's line
-    counts bucketed, then per increment — dedup against the state,
-    append the delta counts, report wall + files/bucket; finally the
-    count-join plan property, compaction, and a post-compact
-    increment."""
+    """Line-tier state loop: each increment doc carries the PREVIOUS
+    increment's banner (a state hit after the first append — dropped
+    everywhere), its own banner (first batch doc keeps it), and a
+    unique salted body line (kept)."""
     from data_governance_spark.operators.lines import (  # noqa: E402
         _line_rows,
         append_line_state,
@@ -279,89 +348,45 @@ def _lines_phase(spark, docs, corpus, root, n_docs, base, n_shuffle):
         save_line_state,
     )
 
-    path = f"{root}/lines"
-    t0 = time.time()
-    save_line_state(build_line_state(corpus), path, buckets=n_shuffle)
-    print(f"lines: state saved (bucketed) in {time.time() - t0:.1f}s")
-    lst = load_line_state(spark, path)
-
-    n_appends = int(os.environ.get("SPARK_GRAFT_APPENDS", "5"))
-
-    def one_increment(i: int) -> float:
-        """Increment i: every doc carries increment-(i-1)'s banner
-        (a state hit after the first append — dropped everywhere),
-        its own banner (first batch doc keeps it), and a unique salted
-        body line (kept)."""
-        nonlocal lst
-        inc = docs.limit(n_docs // 10).select(
-            (F.col("doc_id") + base + n_docs * (10 + i)).alias("doc_id"),
-            F.concat(
-                F.lit(f"shared banner of increment {i - 1}\n"),
-                F.lit(f"shared banner of increment {i}\n"),
-                F.col("text"),
-                F.lit(f" inc{i} salt "),
-                F.col("doc_id").cast("string"),
-            ).alias("text"),
+    def inc_text(i):
+        return F.concat(
+            F.lit(f"shared banner of increment {i - 1}\n"),
+            F.lit(f"shared banner of increment {i}\n"),
+            F.col("text"),
+            F.lit(f" inc{i} salt "),
+            F.col("doc_id").cast("string"),
         )
-        t0 = time.time()
-        res = dedup_lines_incremental(inc, lst)
-        n_kept = res.kept.count()  # evaluate BEFORE append
-        lst = append_line_state(res, path, batch_id=f"i{i}")
-        wall = time.time() - t0
-        fpb = round(
-            line_state_file_report(spark, path)["lines"]["files_per_bucket"],
-            2,
+
+    def plan_join(docs, st):
+        batch_agg = (
+            _line_rows(docs, "doc_id", "text")
+            .groupBy(F.col("_dl_key").alias("key"))
+            .agg(F.count(F.lit(1)).alias("nb"))
         )
-        print(f"lines append {i}: kept {n_kept}, {wall:.1f}s, "
-              f"files/bucket {fpb}")
-        return wall
+        sc = st.lines.groupBy("key").agg(F.sum("n").alias("ns"))
+        return batch_agg.join(sc, "key", "left")
 
-    for i in range(n_appends):
-        one_increment(i)
-
-    # plan property: the count join reads the state side bucketed with
-    # exactly one Exchange (the batch side's own aggregation shuffle;
-    # no .limit() here — GlobalLimit would add a SinglePartition
-    # exchange on the batch side and muddy the count)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    batch_agg = (
-        _line_rows(docs, "doc_id", "text")
-        .groupBy(F.col("_dl_key").alias("key"))
-        .agg(F.count(F.lit(1)).alias("nb"))
+    _count_state_phase(
+        spark, docs, corpus, root, n_docs, base, n_shuffle,
+        {
+            "name": "lines",
+            "build": build_line_state,
+            "save": save_line_state,
+            "load": load_line_state,
+            "dedup": dedup_lines_incremental,
+            "append": append_line_state,
+            "report": line_state_file_report,
+            "compact": compact_line_state,
+            "inc_text": inc_text,
+            "plan_join": plan_join,
+        },
     )
-    state_counts = lst.lines.groupBy("key").agg(F.sum("n").alias("ns"))
-    plan = (
-        batch_agg.join(state_counts, "key", "left")
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    n_ex = plan.count("Exchange")
-    print(
-        f"lines: count-join Exchanges={n_ex} "
-        f"bucketed_scan={'Bucketed: true' in plan}"
-    )
-    assert n_ex == 1 and "Bucketed: true" in plan, plan
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-
-    t0 = time.time()
-    report = compact_line_state(spark, path)
-    t_compact = time.time() - t0
-    after = line_state_file_report(spark, path)
-    print(
-        f"lines compact: {t_compact:.1f}s; files "
-        f"{report['lines']['files']} -> {after['lines']['files']}"
-    )
-    assert after["lines"]["files"] <= n_shuffle
-    lst = load_line_state(spark, path)
-    w = one_increment(n_appends)
-    print(f"lines post-compact increment: {w:.1f}s")
-
-
 
 
 def _substr_phase(spark, docs, corpus, root, n_docs, base, n_shuffle):
-    """Substring-tier state loop (r11): bucketed window-hash counts of
-    the x-factor corpus, then per increment — cut vs state, append the
-    delta counts — with the plan property, file curve, and compaction."""
+    """Substring-tier state loop: each increment doc opens with the
+    previous increment's width-token license header (a state hit after
+    the first append) plus its own, then a salted unique body."""
     from data_governance_spark.operators.exsubstr import (  # noqa: E402
         _window_relation,
         append_substr_state,
@@ -374,84 +399,43 @@ def _substr_phase(spark, docs, corpus, root, n_docs, base, n_shuffle):
     )
 
     width = 15
-    path = f"{root}/substr"
-    t0 = time.time()
-    save_substr_state(
-        build_substr_state(corpus, width=width), path, buckets=n_shuffle
-    )
-    print(f"substr: state saved (bucketed, w={width}) in "
-          f"{time.time() - t0:.1f}s")
-    st = load_substr_state(spark, path)
-
-    n_appends = int(os.environ.get("SPARK_GRAFT_APPENDS", "5"))
     header = " ".join(f"licensetok{j}" for j in range(width))
 
-    def one_increment(i: int) -> float:
-        """Increment i: every doc opens with increment (i-1)'s header
-        (a state hit after the first append) plus its own, then a
-        salted unique body — each append writes real deltas."""
-        nonlocal st
-        inc = docs.limit(n_docs // 10).select(
-            (F.col("doc_id") + base + n_docs * (10 + i)).alias("doc_id"),
-            F.concat(
-                F.lit(header + f" endhdr{i - 1} "),
-                F.lit(header + f" endhdr{i} "),
-                F.col("text"),
-                F.lit(f" inc{i} salt "),
-                F.col("doc_id").cast("string"),
-            ).alias("text"),
+    def inc_text(i):
+        return F.concat(
+            F.lit(header + f" endhdr{i - 1} "),
+            F.lit(header + f" endhdr{i} "),
+            F.col("text"),
+            F.lit(f" inc{i} salt "),
+            F.col("doc_id").cast("string"),
         )
-        t0 = time.time()
-        res = dedup_substrings_incremental(inc, st)
-        n_kept = res.kept.count()  # evaluate BEFORE append
-        st = append_substr_state(res, path, batch_id=f"i{i}")
-        wall = time.time() - t0
-        fpb = round(
-            substr_state_file_report(spark, path)["windows"][
-                "files_per_bucket"
-            ],
-            2,
+
+    def plan_join(docs, st):
+        batch_agg = (
+            _window_relation(docs, "doc_id", "text", width)
+            .groupBy(
+                F.col("_es_h1").alias("h1"), F.col("_es_h2").alias("h2")
+            )
+            .agg(F.count(F.lit(1)).alias("nb"))
         )
-        print(f"substr append {i}: kept {n_kept}, {wall:.1f}s, "
-              f"files/bucket {fpb}")
-        return wall
+        sc = st.windows.groupBy("h1", "h2").agg(F.sum("n").alias("ns"))
+        return batch_agg.join(sc, ["h1", "h2"], "left")
 
-    for i in range(n_appends):
-        one_increment(i)
-
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    batch_agg = (
-        _window_relation(docs, "doc_id", "text", width)
-        .groupBy(F.col("_es_h1").alias("h1"), F.col("_es_h2").alias("h2"))
-        .agg(F.count(F.lit(1)).alias("nb"))
+    _count_state_phase(
+        spark, docs, corpus, root, n_docs, base, n_shuffle,
+        {
+            "name": "substr",
+            "build": lambda c: build_substr_state(c, width=width),
+            "save": save_substr_state,
+            "load": load_substr_state,
+            "dedup": dedup_substrings_incremental,
+            "append": append_substr_state,
+            "report": substr_state_file_report,
+            "compact": compact_substr_state,
+            "inc_text": inc_text,
+            "plan_join": plan_join,
+        },
     )
-    state_counts = st.windows.groupBy("h1", "h2").agg(
-        F.sum("n").alias("ns")
-    )
-    plan = (
-        batch_agg.join(state_counts, ["h1", "h2"], "left")
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    n_ex = plan.count("Exchange")
-    print(
-        f"substr: count-join Exchanges={n_ex} "
-        f"bucketed_scan={'Bucketed: true' in plan}"
-    )
-    assert n_ex == 1 and "Bucketed: true" in plan, plan
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-
-    t0 = time.time()
-    report = compact_substr_state(spark, path)
-    t_compact = time.time() - t0
-    after = substr_state_file_report(spark, path)
-    print(
-        f"substr compact: {t_compact:.1f}s; files "
-        f"{report['windows']['files']} -> {after['windows']['files']}"
-    )
-    assert after["windows"]["files"] <= n_shuffle
-    st = load_substr_state(spark, path)
-    w = one_increment(n_appends)
-    print(f"substr post-compact increment: {w:.1f}s")
 
 
 if __name__ == "__main__":

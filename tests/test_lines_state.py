@@ -299,3 +299,29 @@ def test_null_and_whitespace_text(spark):
         _df(spark, [(11, None), (12, "fresh body line")]), state
     )
     assert _texts(res.kept) == {12: "fresh body line"}
+
+
+def test_pre_layout_params_state_still_loads(spark, tmp_path):
+    """r11 pre-refactor line states recorded only (kind, buckets) in
+    params — the caller tier's constants must fill in keys/part so an
+    on-disk production state survives the upgrade; a contradicting
+    stored layout raises."""
+    path = str(tmp_path / "lst")
+    save_line_state(build_line_state(_df(spark, CORPUS)), path, buckets=4)
+    # rewrite params to the OLD schema
+    spark.createDataFrame(
+        [("lines", 4)], "kind string, buckets int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    st = load_line_state(spark, path)
+    res = dedup_lines_incremental(_df(spark, BATCH), st)
+    assert _texts(res.kept) == _batch_rows_of_oneshot(spark, CORPUS, BATCH)
+    st = append_line_state(res, path, batch_id="mig1")
+    assert line_state_file_report(spark, path)["lines"]["files"] > 4
+    assert compact_line_state(spark, path)["lines"]["compacted"]
+    # a stored layout contradicting the tier constants is a hard error
+    spark.createDataFrame(
+        [("lines", 4, "wrongkey", "lines")],
+        "kind string, buckets int, keys string, part string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    with pytest.raises(ValueError, match="does not match"):
+        load_line_state(spark, path)
