@@ -174,12 +174,18 @@ def duplicated_window_starts(
     min_count: int = 2,
     keep: str = "first",
     strategy: str = "shuffle",
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """The marking half of :func:`dedup_substrings`: one row
     (``id_col``, ``pos``) per duplicated ``width``-token window
     occurrence slated for removal. Exposed separately so audits can
     inspect what WOULD be cut (and tests can assert on it) without
-    paying the rebuild."""
+    paying the rebuild. ``windows`` is the precomputed-window reuse
+    hook (the d05 shared-tokenize pattern): a
+    (_es_id, _es_pos, _es_h1, _es_h2) relation from
+    :func:`_window_relation` at the SAME width — callers running
+    several window consumers over one corpus (e.g. one-shot marking
+    plus state building) compute and persist it once."""
     if width < 1:
         raise ValueError(f"width must be >= 1, got {width}")
     if min_count < 2:
@@ -190,7 +196,11 @@ def duplicated_window_starts(
         raise ValueError(
             f"strategy must be 'shuffle' or 'broadcast', got {strategy!r}"
         )
-    wins = _window_relation(docs, id_col, text_col, width)
+    wins = (
+        windows
+        if windows is not None
+        else _window_relation(docs, id_col, text_col, width)
+    )
     dup = (
         wins.groupBy("_es_h1", "_es_h2")
         .agg(
@@ -221,12 +231,14 @@ def dedup_substrings(
     min_count: int = 2,
     keep: str = "first",
     strategy: str = "shuffle",
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Remove duplicated ``width``-token spans from the corpus (see
     module docstring). Returns ``docs`` with ``text_col`` rewritten on
     the touched documents; schema and row count are unchanged (a fully
     duplicated document survives with empty text — callers filter).
-    ``id_col`` values must be unique."""
+    ``id_col`` values must be unique. ``windows`` — see
+    :func:`duplicated_window_starts`."""
     removals = duplicated_window_starts(
         docs,
         id_col=id_col,
@@ -235,6 +247,7 @@ def dedup_substrings(
         min_count=min_count,
         keep=keep,
         strategy=strategy,
+        windows=windows,
     )
     return _apply_removals(docs, removals, id_col, text_col, width)
 
@@ -326,14 +339,17 @@ def build_substr_state(
     id_col: str = "doc_id",
     text_col: str = "text",
     width: int = 50,
+    windows: DataFrame | None = None,
 ) -> SubstrState:
     """State from the corpus the one-shot pass ran OVER (pre-cut
     text) — seen counts per window hash. Building from the already-cut
-    output would under-count exactly the spans the pass removed."""
+    output would under-count exactly the spans the pass removed.
+    ``windows`` — see :func:`duplicated_window_starts`."""
     if width < 1:
         raise ValueError(f"width must be >= 1, got {width}")
     rows = (
-        _window_relation(docs, id_col, text_col, width)
+        (windows if windows is not None
+         else _window_relation(docs, id_col, text_col, width))
         .groupBy(
             F.col("_es_h1").alias("h1"), F.col("_es_h2").alias("h2")
         )
@@ -349,6 +365,7 @@ def dedup_substrings_incremental(
     text_col: str = "text",
     min_count: int = 2,
     keep: str = "first",
+    windows: DataFrame | None = None,
 ) -> SubstrIncrementalResult:
     """Cut duplicated spans from ``new_docs`` counting occurrences
     within the batch AND against the corpus state — for batch rows,
@@ -371,7 +388,11 @@ def dedup_substrings_incremental(
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
-    wins = _window_relation(new_docs, id_col, text_col, state.width)
+    wins = (
+        windows
+        if windows is not None
+        else _window_relation(new_docs, id_col, text_col, state.width)
+    )
     batch_agg = wins.groupBy(
         F.col("_es_h1").alias("h1"), F.col("_es_h2").alias("h2")
     ).agg(

@@ -1935,10 +1935,26 @@ def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (857 duplicated 15-grams at sf0.01 — genuinely exercised), the
     # full rewritten text compared byte-for-byte against the oracle's
     # generic mark-merge-rebuild restatement
-    from data_governance_spark.operators.exsubstr import dedup_substrings
+    from data_governance_spark.operators.exsubstr import (
+        _window_relation,
+        build_substr_state,
+        dedup_substrings,
+        dedup_substrings_incremental,
+    )
 
+    # ONE window relation (tokenize + slice + 2x hash — the expensive
+    # scan) persisted and shared by all three consumers: the one-shot
+    # marking, the corpus state build, and the batch marking. Window
+    # hashes are pure functions of the text, so the exsi split derives
+    # by filtering/re-idding the same rows (the d05 shared-tokenize
+    # lesson, via the operators' windows= reuse hook).
+    wins_all = tracked_persist(
+        _window_relation(
+            docs.select("doc_id", "text"), "doc_id", "text", _EXS_W
+        )
+    )
     exs = dedup_substrings(
-        docs.select("doc_id", "text"), width=_EXS_W
+        docs.select("doc_id", "text"), width=_EXS_W, windows=wins_all
     ).select(
         F.lit("exs").alias("gate"),
         F.col("doc_id").cast("string").alias("k"),
@@ -1953,11 +1969,6 @@ def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mark-merge-rebuild restatement as 'exs', run over the re-idd
     # union and filtered to batch rows — the gate drives the
     # differential property itself on the REAL corpus.
-    from data_governance_spark.operators.exsubstr import (
-        build_substr_state,
-        dedup_substrings_incremental,
-    )
-
     _IB = 1_000_000_000
     corpus_docs = docs.filter(F.col("doc_id") % 3 != 0).select(
         "doc_id", "text"
@@ -1965,8 +1976,14 @@ def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_docs = docs.filter(F.col("doc_id") % 3 == 0).select(
         (F.col("doc_id") + _IB).alias("doc_id"), "text"
     )
+    corpus_wins = wins_all.filter(F.col("_es_id") % 3 != 0)
+    batch_wins = wins_all.filter(F.col("_es_id") % 3 == 0).withColumn(
+        "_es_id", F.col("_es_id") + _IB
+    )
     exsi_res = dedup_substrings_incremental(
-        batch_docs, build_substr_state(corpus_docs, width=_EXS_W)
+        batch_docs,
+        build_substr_state(corpus_docs, width=_EXS_W, windows=corpus_wins),
+        windows=batch_wins,
     )
     exsi = exsi_res.kept.select(
         F.lit("exsi").alias("gate"),

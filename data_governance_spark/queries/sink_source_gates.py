@@ -372,7 +372,13 @@ _PDF_FLATE_HEX = (
 def q41_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.pdf import extract_pdf_text
 
-    cust = table(spark, sf_dir, "customer")
+    # ck <= 3000: the gate scales with sf up to the cap (sf0.001: 150
+    # rows, sf0.01 — the driver's correctness scale — 1500, all below
+    # it); beyond that each row is a full Python PDF parse and the
+    # bench would pay linearly for no added coverage
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 3000
+    )
     k = F.col("c_custkey")
     cs = _s(k)
     content = F.concat(
@@ -484,7 +490,7 @@ def q41_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            'Report for customer ' || CAST(c_custkey AS VARCHAR)
            || chr(10) || 'Second line for ' || CAST(c_custkey AS VARCHAR),
            CAST(NULL AS DOUBLE)
-    FROM customer
+    FROM customer WHERE c_custkey <= 3000
     UNION ALL
     SELECT 'pdf', 'flate',
            'Planted “café” payload' || chr(10) || 'kerned-pair gap'
