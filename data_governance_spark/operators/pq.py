@@ -1,0 +1,333 @@
+"""Product quantization for embedding similarity search (Jégou,
+Douze & Schmid 2011, "Product Quantization for Nearest Neighbor
+Search") — the memory tier of ANN: a D-dim float vector becomes M
+one-byte-ish codes (one per subspace), a 32-512× compression that is
+what actually lets a 100 TB embedding corpus live in scan-able storage.
+The IVF operator (``operators/similarity.ivf_knn``) is the *pruning*
+dial (scan fewer vectors); PQ is the *per-vector cost* dial (each
+scanned vector costs M table lookups instead of D multiplies, and 1/Nth
+the bytes) — production systems compose them (IVFADC); here each is a
+first-class operator and the composition is a filter + join away.
+
+Pieces:
+
+- ``train_pq_codebooks`` — per-subspace Lloyd's k-means on a BOUNDED
+  deterministic hash-sample collected to the driver (the published
+  recipe: codebooks train on ~10^4-10^5 vectors regardless of corpus
+  size; numpy-vectorized, empty clusters re-seeded from the farthest
+  points). Only ``M × ks × D/M`` floats ever exist — the codebook
+  broadcasts as a closure constant.
+- ``codebooks_from_vectors`` — the lossless/degenerate construction
+  (every distinct subvector is a codeword): exact by construction, so
+  the driver gate and tests can pin the FULL machinery (encode → LUT →
+  ADC → merge) against brute force bit-for-bit, the e05 'ivf'
+  all-cells-probed pattern.
+- ``pq_encode`` — map-only Arrow pass: per subspace, argmin Euclidean
+  distance to the codewords (one ``(batch × ks)`` matrix op per
+  subspace); emits the code array plus the RECONSTRUCTED norm (the
+  norm of the quantized vector — ADC cosine needs the corpus norm, and
+  storing the true norm would hide quantization error from the
+  estimate, making scores look exact when they are not).
+- ``pq_knn`` — asymmetric distance computation (ADC, the paper's §IV):
+  queries stay UNQUANTIZED; per query one ``M × ks`` lookup table of
+  subspace dots is built once (driver-side — the query set is the
+  small, broadcast side, same contract as ``brute_force_knn``), then
+  every corpus code scores with M gathers + a sum: map-only over the
+  code table, partition-local top-k, then one tiny global merge —
+  no shuffle of the corpus, no Python per-row.
+
+Reference twin: none — training-data extension per SURVEY.md §6
+(Jégou 2011 is the published method).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+__all__ = [
+    "PQCodebooks",
+    "train_pq_codebooks",
+    "codebooks_from_vectors",
+    "pq_encode",
+    "pq_knn",
+]
+
+
+@dataclass
+class PQCodebooks:
+    """``books[m]`` is the (ks_m, dsub) codeword matrix of subspace m.
+    Subspaces are contiguous equal slices of the vector (the paper's
+    natural splitting); ragged ks per subspace is allowed — the
+    lossless construction yields one codeword per DISTINCT subvector."""
+
+    books: list[np.ndarray]
+
+    def __post_init__(self):
+        if not self.books:
+            raise ValueError("empty codebooks")
+        dsub = self.books[0].shape[1]
+        if any(b.ndim != 2 or b.shape[1] != dsub for b in self.books):
+            raise ValueError("all subspace codebooks must be (ks, D/M)")
+        if any(b.shape[0] < 1 for b in self.books):
+            raise ValueError("every subspace needs >= 1 codeword")
+
+    @property
+    def m(self) -> int:
+        return len(self.books)
+
+    @property
+    def dsub(self) -> int:
+        return self.books[0].shape[1]
+
+    @property
+    def dim(self) -> int:
+        return self.m * self.dsub
+
+
+def _check_dim(dim: int, m: int) -> int:
+    if m < 1 or dim % m != 0:
+        raise ValueError(
+            f"m ({m}) must divide the vector dim ({dim}) — PQ subspaces "
+            "are equal contiguous slices"
+        )
+    return dim // m
+
+
+def _collect_sample(
+    df: DataFrame, id_col: str, vec_col: str, sample_n: int, seed: int
+) -> np.ndarray:
+    """Deterministic bounded training sample: the sample_n vectors with
+    the smallest xxhash64(id, seed) — stable under repartition/growth
+    (the operators/sampling.py rule: never partition-order sampling)."""
+    rows = (
+        df.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(sample_n)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_pq_codebooks: input has no vectors")
+    return np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+
+
+def _kmeans(
+    x: np.ndarray, ks: int, n_iter: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Vectorized Lloyd's on the driver (x is the bounded sample's
+    subspace slice). Deterministic given the rng; empty clusters
+    re-seed from the points farthest from their centroids (the
+    standard fix — a dead codeword wastes 1/ks of the code space)."""
+    n = x.shape[0]
+    ks = min(ks, n)
+    centers = x[rng.permutation(n)[:ks]].copy()
+    for _ in range(n_iter):
+        # (n, ks) squared distances via the expansion trick
+        d2 = (
+            (x * x).sum(1)[:, None]
+            - 2.0 * (x @ centers.T)
+            + (centers * centers).sum(1)[None, :]
+        )
+        assign = d2.argmin(1)
+        counts = np.bincount(assign, minlength=ks)
+        sums = np.zeros_like(centers)
+        np.add.at(sums, assign, x)
+        nonempty = counts > 0
+        centers[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if not nonempty.all():
+            worst = d2[np.arange(n), assign].argsort()[::-1]
+            refill = worst[: (~nonempty).sum()]
+            centers[~nonempty] = x[refill]
+    return centers
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    sample_n: int = 20_000,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> PQCodebooks:
+    """Per-subspace k-means codebooks from a bounded hash-sample (see
+    module doc). ``ks`` caps at the sample size per subspace."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("train_pq_codebooks: input has no vectors")
+    dsub = _check_dim(first["d"], m)
+    sample = _collect_sample(df, id_col, vec_col, sample_n, seed)
+    rng = np.random.default_rng(seed)
+    books = [
+        _kmeans(
+            np.ascontiguousarray(sample[:, i * dsub : (i + 1) * dsub]),
+            ks,
+            n_iter,
+            rng,
+        )
+        for i in range(m)
+    ]
+    return PQCodebooks(books)
+
+
+def codebooks_from_vectors(vectors, m: int) -> PQCodebooks:
+    """Lossless codebooks: one codeword per DISTINCT subvector of the
+    given vectors (an iterable of equal-length float sequences). With
+    these, ``pq_encode`` is exact (every subvector quantizes to itself
+    at distance 0) and ``pq_knn`` must reproduce brute-force top-k —
+    the exactness construction the driver gate and tests pin the
+    machinery with. Only for corpora whose distinct-subvector count is
+    codebook-sized; real corpora train with :func:`train_pq_codebooks`."""
+    arr = np.asarray(list(vectors), dtype=np.float64)
+    if arr.ndim != 2 or arr.shape[0] == 0:
+        raise ValueError("need a non-empty (n, dim) vector collection")
+    dsub = _check_dim(arr.shape[1], m)
+    books = [
+        np.unique(arr[:, i * dsub : (i + 1) * dsub], axis=0)
+        for i in range(m)
+    ]
+    return PQCodebooks(books)
+
+
+def pq_encode(
+    df: DataFrame,
+    books: PQCodebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    code_col: str = "pq_code",
+    nrm_col: str = "pq_nrm",
+) -> DataFrame:
+    """``(id_col, code_col array<int>, nrm_col double)`` — each
+    vector's per-subspace nearest-codeword ids plus the RECONSTRUCTED
+    (quantized) norm. Map-only Arrow pass; the codebooks ride the
+    closure (M × ks × dsub floats). Ties break toward the lower
+    codeword id (np.argmin)."""
+    bks = [b.copy() for b in books.books]
+    dsub = books.dsub
+    dim = books.dim
+
+    @F.pandas_udf(f"{code_col} array<int>, {nrm_col} double")
+    def enc(v: pd.Series) -> pd.DataFrame:
+        x = np.asarray([list(e) for e in v], dtype=np.float64)
+        if x.size == 0:
+            return pd.DataFrame({code_col: [], nrm_col: []})
+        if x.shape[1] != dim:
+            raise ValueError(
+                f"vector dim {x.shape[1]} != codebook dim {dim}"
+            )
+        codes = np.empty((x.shape[0], len(bks)), dtype=np.int64)
+        rec_sq = np.zeros(x.shape[0], dtype=np.float64)
+        for i, b in enumerate(bks):
+            xs = x[:, i * dsub : (i + 1) * dsub]
+            d2 = (
+                (xs * xs).sum(1)[:, None]
+                - 2.0 * (xs @ b.T)
+                + (b * b).sum(1)[None, :]
+            )
+            codes[:, i] = d2.argmin(1)
+            chosen = b[codes[:, i]]
+            rec_sq += (chosen * chosen).sum(1)
+        return pd.DataFrame(
+            {
+                code_col: [row.tolist() for row in codes],
+                nrm_col: np.sqrt(rec_sq),
+            }
+        )
+
+    tmp = "_pq_enc"
+    return (
+        df.withColumn(tmp, enc(F.col(vec_col)))
+        .select(id_col, f"{tmp}.{code_col}", f"{tmp}.{nrm_col}")
+    )
+
+
+def pq_knn(
+    queries: DataFrame,
+    codes: DataFrame,
+    books: PQCodebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    code_col: str = "pq_code",
+    nrm_col: str = "pq_nrm",
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, cosine, rk) with the cosine
+    ESTIMATED from codes (exact when the codebooks are lossless).
+    ``queries`` is the small side (collected to the driver to build the
+    per-query M × ks lookup tables — the brute_force_knn contract);
+    ``codes`` is the corpus-sized ``pq_encode`` output and never
+    shuffles: each partition scores all queries with M gathers + a sum
+    per row, keeps its local top-k per query, and only those
+    candidates (partitions × queries × k rows) reach the global merge."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    if not qrows:
+        spark = codes.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rk int"
+        )
+    qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
+    qm = np.asarray([list(r["qv"]) for r in qrows], dtype=np.float64)
+    if qm.shape[1] != books.dim:
+        raise ValueError(
+            f"query dim {qm.shape[1]} != codebook dim {books.dim}"
+        )
+    dsub = books.dsub
+    # LUT[q][m][j] = dot(query_q's m-th subvector, codeword j) — ragged
+    # ks per subspace, so a list of (nq, ks_m) arrays
+    luts = [
+        qm[:, i * dsub : (i + 1) * dsub] @ b.T
+        for i, b in enumerate(books.books)
+    ]
+    q_nrm = np.sqrt((qm * qm).sum(1))
+    topk = k
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf["_pq_id"].to_numpy()
+            nrms = pdf["_pq_nrm"].to_numpy(dtype=np.float64)
+            cm = np.stack(pdf["_pq_code"].to_numpy())  # (nc, M)
+            # dots[q, c] = sum over m of LUT[q][m][code[c, m]]
+            dots = np.zeros((len(qids), cm.shape[0]), dtype=np.float64)
+            for i, lut in enumerate(luts):
+                dots += lut[:, cm[:, i]]
+            denom = q_nrm[:, None] * np.where(nrms == 0.0, np.inf, nrms)
+            sims = dots / denom
+            n_cand = min(topk, sims.shape[1])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                idx = np.argpartition(-row, n_cand - 1)[:n_cand]
+                idx = idx[np.lexsort((cids[idx], -row[idx]))]
+                out_q.extend([int(qids[qi])] * len(idx))
+                out_n.extend(int(cids[j]) for j in idx)
+                out_s.extend(float(row[j]) for j in idx)
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
+            )
+
+    cand = codes.select(
+        F.col(id_col).alias("_pq_id"),
+        F.col(code_col).alias("_pq_code"),
+        F.col(nrm_col).alias("_pq_nrm"),
+    ).mapInPandas(score, "query_id long, neighbor_id long, cosine double")
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return cand.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )

@@ -335,11 +335,35 @@ def e07_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'lsh', CAST(vec_id AS VARCHAR), CAST(NULL AS VARCHAR), 1.0
     FROM embeddings WHERE vec_id % 7 = 0
+    UNION ALL
+    SELECT 'pq',
+           CAST(query_id AS VARCHAR) || ':' || CAST(rk AS VARCHAR) || ':'
+             || CAST(neighbor_id AS VARCHAR),
+           CAST(NULL AS VARCHAR),
+           round(cosine, 4) + 0.0
+    FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(n.embedding AS DOUBLE[])) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(n.embedding AS DOUBLE[])) DESC,
+                        n.vec_id ASC
+             ) AS rk
+      FROM embeddings q, embeddings n
+      WHERE q.vec_id % 5 = 0
+    ) WHERE rk <= {_K}
     """,
     doc="merged gate (r5): IVF ANN with all cells probed == exact "
     "brute-force top-k (ex-e06 machinery under an exact oracle) + LSH "
     "ANN must retrieve a planted identical vector from its own bucket "
-    "at cosine 1.0 (ex-e05 machinery, guaranteed self-bucket recall)",
+    "at cosine 1.0 (ex-e05 machinery, guaranteed self-bucket recall) + "
+    "product quantization with LOSSLESS codebooks (one codeword per "
+    "distinct subvector) == exact brute-force top-k — the full PQ "
+    "machinery (per-subspace argmin encode, reconstructed norms, ADC "
+    "lookup-table scoring, partition-local top-k + global merge) under "
+    "an exact oracle (operators/pq.py, Jégou 2011; new in r11)",
 )
 def e05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scanned by the cell trainer, the n_cells count, the query subset,
@@ -401,4 +425,31 @@ def e05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_s.alias("v_s"),
         (F.round("cosine", 4) + F.lit(0.0)).alias("v_d"),
     )
-    return ivf_rows.unionByName(lsh_rows)
+    # pq sub-gate (r11): LOSSLESS codebooks (one codeword per distinct
+    # subvector of the corpus — the codebooks_from_vectors exactness
+    # construction) make encoding exact and ADC == true cosine, so the
+    # whole PQ path must reproduce DuckDB's brute-force top-k. The
+    # corpus collect is bounded: embeddings is the chart-sized table
+    # (<= 2k rows), and the lossless construction is documented as
+    # bounded-corpus-only (real corpora train sampled codebooks).
+    from data_governance_spark.operators.pq import (
+        codebooks_from_vectors,
+        pq_encode,
+        pq_knn,
+    )
+
+    vectors = [list(r["emb"]) for r in emb.select("emb").collect()]
+    books = codebooks_from_vectors(vectors, m=8)
+    codes = pq_encode(emb.select("vec_id", "emb"), books)
+    pq = pq_knn(queries, codes, books, k=_K)
+    pq_rows = pq.select(
+        F.lit("pq").alias("gate"),
+        F.concat(
+            F.col("query_id").cast("string"), F.lit(":"),
+            F.col("rk").cast("string"), F.lit(":"),
+            F.col("neighbor_id").cast("string"),
+        ).alias("k"),
+        nul_s.alias("v_s"),
+        (F.round("cosine", 4) + F.lit(0.0)).alias("v_d"),
+    )
+    return ivf_rows.unionByName(lsh_rows).unionByName(pq_rows)

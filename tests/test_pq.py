@@ -1,0 +1,181 @@
+"""Product quantization (operators/pq.py, Jégou 2011): lossless-
+codebook exactness vs brute force (the machinery pin), trained-codebook
+recall on clustered data, encode/ADC mechanics, and guards."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_governance_spark.operators.pq import (
+    PQCodebooks,
+    codebooks_from_vectors,
+    pq_encode,
+    pq_knn,
+    train_pq_codebooks,
+)
+from data_governance_spark.operators.similarity import brute_force_knn
+
+DIM = 16
+M = 4
+
+
+def _vecs(spark, vectors):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        "vec_id long, emb array<double>",
+    )
+
+
+def _rand_vectors(n, dim=DIM, seed=3):
+    rng = random.Random(seed)
+    return [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n)]
+
+
+def _knn_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], []).append(
+            (r["rk"], r["neighbor_id"])
+        )
+    return {q: [n for _rk, n in sorted(v)] for q, v in out.items()}
+
+
+def test_lossless_codebooks_reproduce_brute_force(spark):
+    """With one codeword per distinct subvector, encoding is exact and
+    ADC top-k must equal brute-force top-k (ranks and neighbors), with
+    cosines equal to 1e-9 — the e05-'ivf' style machinery pin."""
+    vectors = _rand_vectors(60)
+    df = _vecs(spark, vectors)
+    books = codebooks_from_vectors(vectors, m=M)
+    codes = pq_encode(df, books)
+    q = df.filter(F.col("vec_id") < 7)
+    got = pq_knn(q, codes, books, k=5)
+    want = brute_force_knn(q, df, k=5, drop_self=False)
+    assert _knn_sets(got) == _knn_sets(want)
+    by_pair = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in want.collect()
+    }
+    for r in got.collect():
+        assert abs(r["cosine"] - by_pair[(r["query_id"], r["neighbor_id"])]) < 1e-9
+
+
+def test_encode_is_lossless_with_full_codebooks(spark):
+    vectors = _rand_vectors(20)
+    df = _vecs(spark, vectors)
+    books = codebooks_from_vectors(vectors, m=M)
+    rows = pq_encode(df, books).collect()
+    for r in rows:
+        # reconstructed norm equals the true norm when codes are exact
+        vid = r["vec_id"]
+        true_nrm = float(np.linalg.norm(vectors[vid]))
+        assert abs(r["pq_nrm"] - true_nrm) < 1e-9
+        assert len(r["pq_code"]) == M
+
+
+def test_trained_codebooks_preserve_cluster_structure(spark):
+    """10 well-separated clusters, ks=16 codewords/subspace. Within a
+    tight cluster PQ codes COLLIDE by design (members quantize to the
+    same codewords), so ADC cannot reproduce within-cluster rank order
+    — the paper's resolution limit. What training + quantization must
+    preserve: (a) every ADC top-5 neighbor comes from the query's own
+    cluster (between-cluster separation survives), and (b) the true
+    brute-force top-5 sits inside a modest ADC candidate set
+    (recall@30 >= 90% — the rerank-after-ADC production shape)."""
+    rng = random.Random(7)
+    centers = [
+        [rng.uniform(-5, 5) for _ in range(DIM)] for _ in range(10)
+    ]
+    vectors = [
+        [c + rng.gauss(0, 0.15) for c in centers[i % 10]]
+        for i in range(300)
+    ]
+    df = _vecs(spark, vectors)
+    books = train_pq_codebooks(
+        df, m=M, ks=16, sample_n=300, n_iter=8, seed=1
+    )
+    codes = pq_encode(df, books)
+    q = df.filter(F.col("vec_id") < 20)
+    got5 = _knn_sets(pq_knn(q, codes, books, k=5))
+    for qid, nbrs in got5.items():
+        assert all(n % 10 == qid % 10 for n in nbrs), (qid, nbrs)
+    got30 = _knn_sets(pq_knn(q, codes, books, k=30))
+    want = _knn_sets(brute_force_knn(q, df, k=5, drop_self=False))
+    hits = total = 0
+    for qid, nbrs in want.items():
+        total += len(nbrs)
+        hits += len(set(nbrs) & set(got30[qid]))
+    assert hits / total >= 0.9, f"recall@30 {hits}/{total}"
+
+
+def test_compression_shape_and_determinism(spark):
+    vectors = _rand_vectors(100)
+    df = _vecs(spark, vectors)
+    books = train_pq_codebooks(df, m=M, ks=8, sample_n=100, seed=5)
+    assert books.m == M and books.dsub == DIM // M
+    assert all(b.shape == (8, DIM // M) for b in books.books)
+    c1 = sorted(map(tuple, (r["pq_code"] for r in pq_encode(df, books).collect())))
+    books2 = train_pq_codebooks(df, m=M, ks=8, sample_n=100, seed=5)
+    c2 = sorted(map(tuple, (r["pq_code"] for r in pq_encode(df, books2).collect())))
+    assert c1 == c2  # same seed -> same codebooks -> same codes
+    assert all(0 <= c < 8 for row in c1 for c in row)
+
+
+def test_quantization_error_shrinks_with_ks(spark):
+    vectors = _rand_vectors(200, seed=11)
+    df = _vecs(spark, vectors)
+    x = np.asarray(vectors)
+
+    def mean_err(ks):
+        books = train_pq_codebooks(df, m=M, ks=ks, sample_n=200, seed=2)
+        errs = []
+        for r in pq_encode(df, books).collect():
+            rec = np.concatenate(
+                [books.books[i][r["pq_code"][i]] for i in range(M)]
+            )
+            errs.append(float(np.linalg.norm(x[r["vec_id"]] - rec)))
+        return sum(errs) / len(errs)
+
+    assert mean_err(32) < mean_err(4)
+
+
+def test_guards(spark):
+    vectors = _rand_vectors(10)
+    df = _vecs(spark, vectors)
+    with pytest.raises(ValueError, match="must divide"):
+        train_pq_codebooks(df, m=5)  # 5 does not divide 16
+    with pytest.raises(ValueError, match="must divide"):
+        codebooks_from_vectors(vectors, m=3)
+    with pytest.raises(ValueError, match="non-empty"):
+        codebooks_from_vectors([], m=2)
+    books = codebooks_from_vectors(vectors, m=M)
+    with pytest.raises(ValueError, match="k must be"):
+        pq_knn(df, pq_encode(df, books), books, k=0)
+    # dim mismatch raises at encode time (executor-side, wrapped)
+    bad = _vecs(spark, [[1.0] * 8])
+    with pytest.raises(Exception, match="dim"):
+        pq_encode(bad, books).collect()
+    # empty query set returns an empty, correctly-typed frame
+    empty_q = df.filter(F.col("vec_id") < 0)
+    out = pq_knn(empty_q, pq_encode(df, books), books, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cosine", "rk",
+    ]
+
+
+def test_zero_vector_never_tops(spark):
+    """A zero corpus vector has reconstructed norm 0 — its cosine must
+    be 0/∞ = 0, not NaN/inf, and it must not displace real neighbors."""
+    vectors = _rand_vectors(12)
+    vectors.append([0.0] * DIM)
+    df = _vecs(spark, vectors)
+    books = codebooks_from_vectors(vectors, m=M)
+    codes = pq_encode(df, books)
+    got = pq_knn(df.filter(F.col("vec_id") < 3), codes, books, k=4)
+    for r in got.collect():
+        assert np.isfinite(r["cosine"])
