@@ -89,6 +89,14 @@ class PQCodebooks:
     def dim(self) -> int:
         return self.m * self.dsub
 
+    @property
+    def byte_packable(self) -> bool:
+        """True when every subspace has <= 256 codewords — codes then
+        store as ONE byte each (a binary column), the compression PQ
+        exists for. The lossless construction can exceed 256 (one
+        codeword per distinct subvector) and falls back to array<int>."""
+        return all(b.shape[0] <= 256 for b in self.books)
+
 
 def _check_dim(dim: int, m: int) -> int:
     if m < 1 or dim % m != 0:
@@ -109,14 +117,27 @@ def _collect_sample(
         df.select(
             F.col(vec_col).alias("v"),
             F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
+            F.col(id_col).alias("_i"),
         )
-        .orderBy("_h")
+        # id tie-break: duplicate ids (or a hash collision) at the
+        # sample_n boundary must not be resolved by partition order
+        .orderBy("_h", "_i")
         .limit(sample_n)
         .collect()
     )
     if not rows:
         raise ValueError("train_pq_codebooks: input has no vectors")
     return np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+
+
+def _sqdist(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(n, k) squared Euclidean distances via the expansion trick —
+    shared by the trainer's assignment step and the encoder."""
+    return (
+        (x * x).sum(1)[:, None]
+        - 2.0 * (x @ c.T)
+        + (c * c).sum(1)[None, :]
+    )
 
 
 def _kmeans(
@@ -130,12 +151,7 @@ def _kmeans(
     ks = min(ks, n)
     centers = x[rng.permutation(n)[:ks]].copy()
     for _ in range(n_iter):
-        # (n, ks) squared distances via the expansion trick
-        d2 = (
-            (x * x).sum(1)[:, None]
-            - 2.0 * (x @ centers.T)
-            + (centers * centers).sum(1)[None, :]
-        )
+        d2 = _sqdist(x, centers)
         assign = d2.argmin(1)
         counts = np.bincount(assign, minlength=ks)
         sums = np.zeros_like(centers)
@@ -206,41 +222,44 @@ def pq_encode(
     code_col: str = "pq_code",
     nrm_col: str = "pq_nrm",
 ) -> DataFrame:
-    """``(id_col, code_col array<int>, nrm_col double)`` — each
-    vector's per-subspace nearest-codeword ids plus the RECONSTRUCTED
-    (quantized) norm. Map-only Arrow pass; the codebooks ride the
-    closure (M × ks × dsub floats). Ties break toward the lower
-    codeword id (np.argmin)."""
+    """``(id_col, code_col, nrm_col double)`` — each vector's
+    per-subspace nearest-codeword ids plus the RECONSTRUCTED
+    (quantized) norm. When the codebooks are ``byte_packable``
+    (ks <= 256 everywhere — the trained default) the codes store as a
+    BINARY column of M bytes: that one-byte-per-code layout IS the
+    compression PQ exists for (the array<int> fallback, used by the
+    oversized lossless construction, costs 4 bytes per code). Map-only
+    Arrow pass; the codebooks ride the closure (M × ks × dsub floats).
+    Ties break toward the lower codeword id (np.argmin)."""
     bks = [b.copy() for b in books.books]
     dsub = books.dsub
     dim = books.dim
+    packed = books.byte_packable
+    code_type = "binary" if packed else "array<int>"
 
-    @F.pandas_udf(f"{code_col} array<int>, {nrm_col} double")
+    @F.pandas_udf(f"{code_col} {code_type}, {nrm_col} double")
     def enc(v: pd.Series) -> pd.DataFrame:
         x = np.asarray([list(e) for e in v], dtype=np.float64)
-        if x.size == 0:
-            return pd.DataFrame({code_col: [], nrm_col: []})
-        if x.shape[1] != dim:
+        if x.shape[0] == 0:  # no rows (x.size==0 would also swallow
+            return pd.DataFrame({code_col: [], nrm_col: []})  # dim-0 rows)
+        if x.ndim != 2 or x.shape[1] != dim:
             raise ValueError(
-                f"vector dim {x.shape[1]} != codebook dim {dim}"
+                f"vector dim {x.shape[1] if x.ndim == 2 else 0} != "
+                f"codebook dim {dim}"
             )
         codes = np.empty((x.shape[0], len(bks)), dtype=np.int64)
         rec_sq = np.zeros(x.shape[0], dtype=np.float64)
         for i, b in enumerate(bks):
             xs = x[:, i * dsub : (i + 1) * dsub]
-            d2 = (
-                (xs * xs).sum(1)[:, None]
-                - 2.0 * (xs @ b.T)
-                + (b * b).sum(1)[None, :]
-            )
-            codes[:, i] = d2.argmin(1)
+            codes[:, i] = _sqdist(xs, b).argmin(1)
             chosen = b[codes[:, i]]
             rec_sq += (chosen * chosen).sum(1)
+        if packed:
+            out_codes = [row.astype(np.uint8).tobytes() for row in codes]
+        else:
+            out_codes = [row.tolist() for row in codes]
         return pd.DataFrame(
-            {
-                code_col: [row.tolist() for row in codes],
-                nrm_col: np.sqrt(rec_sq),
-            }
+            {code_col: out_codes, nrm_col: np.sqrt(rec_sq)}
         )
 
     tmp = "_pq_enc"
@@ -292,6 +311,11 @@ def pq_knn(
         for i, b in enumerate(books.books)
     ]
     q_nrm = np.sqrt((qm * qm).sum(1))
+    # zero-norm QUERY guard, mirroring the corpus-side one: 0/0 would
+    # be NaN, and F.desc ranks NaN above every real cosine
+    q_nrm = np.where(q_nrm == 0.0, np.inf, q_nrm)
+    packed = books.byte_packable
+    n_books = books.m
     topk = k
 
     def score(batches):
@@ -300,19 +324,30 @@ def pq_knn(
                 continue
             cids = pdf["_pq_id"].to_numpy()
             nrms = pdf["_pq_nrm"].to_numpy(dtype=np.float64)
-            cm = np.stack(pdf["_pq_code"].to_numpy())  # (nc, M)
+            raw = pdf["_pq_code"].to_numpy()
+            if packed:  # binary column: M uint8 codes per row
+                cm = np.frombuffer(
+                    b"".join(raw), dtype=np.uint8
+                ).reshape(len(raw), n_books).astype(np.int64)
+            else:
+                cm = np.stack(raw)  # (nc, M) object->int
             # dots[q, c] = sum over m of LUT[q][m][code[c, m]]
             dots = np.zeros((len(qids), cm.shape[0]), dtype=np.float64)
             for i, lut in enumerate(luts):
                 dots += lut[:, cm[:, i]]
             denom = q_nrm[:, None] * np.where(nrms == 0.0, np.inf, nrms)
             sims = dots / denom
-            n_cand = min(topk, sims.shape[1])
+            from data_governance_spark.operators.similarity import (
+                local_topk_idx,
+            )
+
             out_q, out_n, out_s = [], [], []
             for qi in range(sims.shape[0]):
                 row = sims[qi]
-                idx = np.argpartition(-row, n_cand - 1)[:n_cand]
-                idx = idx[np.lexsort((cids[idx], -row[idx]))]
+                # deterministic SELECTION under score ties (PQ code
+                # collisions tie routinely) — argpartition alone keeps
+                # an arbitrary, batch-layout-dependent tie subset
+                idx = local_topk_idx(row, cids, topk)
                 out_q.extend([int(qids[qi])] * len(idx))
                 out_n.extend(int(cids[j]) for j in idx)
                 out_s.extend(float(row[j]) for j in idx)

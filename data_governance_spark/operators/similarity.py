@@ -35,6 +35,20 @@ def with_norm(df: DataFrame, vec: str = "emb", out: str = "nrm") -> DataFrame:
     return df.withColumn(out, norm(F.col(vec)))
 
 
+def local_topk_idx(row, cids, n: int):
+    """Indices of the top-``n`` candidates of one score row under the
+    engine-wide deterministic order (score desc, neighbor id asc) —
+    ties INCLUDED in the selection, not just the final ordering: a bare
+    argpartition keeps an arbitrary subset of boundary ties, making
+    results batch-layout-dependent (PQ code collisions and duplicated
+    corpora tie routinely). Full lexsort is O(c log c) per row — the
+    candidate sets here are cell- or batch-sized, never corpus-sized."""
+    import numpy as np
+
+    order = np.lexsort((cids, -row))
+    return order[: min(n, len(order))]
+
+
 def brute_force_knn(
     queries: DataFrame,
     corpus: DataFrame,
@@ -192,9 +206,8 @@ def ivf_knn(
         n_cand = min(topn + 1, sims.shape[1])  # +1 to survive self-drop
         for i in range(sims.shape[0]):
             row = sims[i]
-            idx = np.argpartition(-row, n_cand - 1)[:n_cand]
-            # deterministic order: cosine desc, neighbor id asc
-            idx = idx[np.lexsort((cids[idx], -row[idx]))]
+            # deterministic SELECTION, not just ordering (boundary ties)
+            idx = local_topk_idx(row, cids, n_cand)
             for j in idx:
                 if not drop_self or cids[j] != qids[i]:
                     out_q.append(qids[i])
@@ -238,8 +251,12 @@ def train_ivf_cells(
         df.select(
             F.col(vec_col).alias("v"),
             F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
+            F.col(id_col).alias("_i"),
         )
-        .orderBy("_h")
+        # the id tie-break makes the cut deterministic even under
+        # duplicate ids / hash collisions (partition order decided
+        # boundary ties before)
+        .orderBy("_h", "_i")
         .limit(k)
         .collect()
     )

@@ -314,7 +314,10 @@ def e07_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUERIES,
     "e05_ann_recall",
     oracle=f"""
-    SELECT 'ivf' AS gate,
+    -- 'ivf' (all cells probed) and 'pq' (lossless codebooks) are BOTH
+    -- exact-by-construction, so one brute-force subquery serves both
+    -- gate labels — a single definition cannot silently diverge
+    SELECT g.gate,
            CAST(query_id AS VARCHAR) || ':' || CAST(rk AS VARCHAR) || ':'
              || CAST(neighbor_id AS VARCHAR) AS k,
            CAST(NULL AS VARCHAR) AS v_s,
@@ -331,29 +334,11 @@ def e07_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS rk
       FROM embeddings q, embeddings n
       WHERE q.vec_id % 5 = 0
-    ) WHERE rk <= {_K}
+    ), (SELECT unnest(['ivf', 'pq']) AS gate) g
+    WHERE rk <= {_K}
     UNION ALL
     SELECT 'lsh', CAST(vec_id AS VARCHAR), CAST(NULL AS VARCHAR), 1.0
     FROM embeddings WHERE vec_id % 7 = 0
-    UNION ALL
-    SELECT 'pq',
-           CAST(query_id AS VARCHAR) || ':' || CAST(rk AS VARCHAR) || ':'
-             || CAST(neighbor_id AS VARCHAR),
-           CAST(NULL AS VARCHAR),
-           round(cosine, 4) + 0.0
-    FROM (
-      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                    CAST(n.embedding AS DOUBLE[])) AS cosine,
-             row_number() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                               CAST(n.embedding AS DOUBLE[])) DESC,
-                        n.vec_id ASC
-             ) AS rk
-      FROM embeddings q, embeddings n
-      WHERE q.vec_id % 5 = 0
-    ) WHERE rk <= {_K}
     """,
     doc="merged gate (r5): IVF ANN with all cells probed == exact "
     "brute-force top-k (ex-e06 machinery under an exact oracle) + LSH "

@@ -92,11 +92,13 @@ def main():
     n_codes = codes.count()
     t_enc = time.time() - t0
     raw_bytes = n * 64 * 8
-    code_bytes = n * M  # int codes, 1 byte of information each at ks=256
+    assert books.byte_packable  # ks=256: codes materialize as M BYTES
+    code_bytes = n * (M + 8)  # binary codes + the 8-byte recon norm
     print(
         f"encode: {n_codes} vectors in {t_enc:.1f}s = "
-        f"{n_codes / t_enc:,.0f} vec/s; compression {raw_bytes} -> "
-        f"~{code_bytes} payload bytes ({raw_bytes / code_bytes:.0f}x)"
+        f"{n_codes / t_enc:,.0f} vec/s; materialized payload "
+        f"{raw_bytes} -> {code_bytes} bytes ({raw_bytes / code_bytes:.0f}x"
+        f"; {64 * 8 // M}x on the codes alone)"
     )
 
     queries = emb.filter(F.col("vec_id") < NQ).select("vec_id", "emb")

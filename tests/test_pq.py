@@ -179,3 +179,63 @@ def test_zero_vector_never_tops(spark):
     got = pq_knn(df.filter(F.col("vec_id") < 3), codes, books, k=4)
     for r in got.collect():
         assert np.isfinite(r["cosine"])
+
+
+def test_byte_packing_and_layout_parity(spark):
+    """Trained ks<=256 codebooks pack codes as an M-byte binary column
+    (the compression PQ exists for); an oversized lossless codebook
+    falls back to array<int>. Both layouts must give identical
+    neighbors through pq_knn."""
+    vectors = _rand_vectors(80, seed=21)
+    df = _vecs(spark, vectors)
+    trained = train_pq_codebooks(df, m=M, ks=16, sample_n=80, seed=9)
+    assert trained.byte_packable
+    codes_t = pq_encode(df, trained)
+    assert dict(codes_t.dtypes)["pq_code"] == "binary"
+    row = codes_t.first()
+    assert len(row["pq_code"]) == M  # M bytes, not 4M
+    # a fat lossless codebook (>256 codewords in some subspace)
+    import numpy as np
+
+    fat = PQCodebooks(
+        [np.random.default_rng(0).normal(size=(300, DIM // M))
+         for _ in range(M)]
+    )
+    assert not fat.byte_packable
+    codes_f = pq_encode(df, fat)
+    assert dict(codes_f.dtypes)["pq_code"] == "array<int>"
+    q = df.filter(F.col("vec_id") < 4)
+    got_t = _knn_sets(pq_knn(q, codes_t, trained, k=3))
+    # same books, re-encoded: identical output regardless of layout
+    got_t2 = _knn_sets(pq_knn(q, pq_encode(df, trained), trained, k=3))
+    assert got_t == got_t2
+    assert set(_knn_sets(pq_knn(q, codes_f, fat, k=3))) == set(got_t)
+
+
+def test_zero_norm_query_never_nan(spark):
+    """An all-zero QUERY vector must yield finite (0.0) cosines, not
+    NaN rows ranked first by F.desc (the one-sided-guard regression)."""
+    vectors = _rand_vectors(10, seed=5)
+    df = _vecs(spark, vectors)
+    books = codebooks_from_vectors(vectors + [[0.0] * DIM], m=M)
+    codes = pq_encode(df, books)
+    zq = _vecs(spark, [[0.0] * DIM])  # query id 0, zero vector
+    import numpy as np
+
+    rows = pq_knn(zq, codes, books, k=3).collect()
+    assert rows, "zero query should still return rows"
+    for r in rows:
+        assert np.isfinite(r["cosine"]) and r["cosine"] == 0.0
+
+
+def test_tied_scores_select_lowest_ids(spark):
+    """Boundary TIES must be selected deterministically (lowest
+    neighbor ids), not by argpartition's arbitrary subset — many
+    identical vectors share one code and tie exactly."""
+    base = _rand_vectors(1, seed=13)[0]
+    vectors = [list(base) for _ in range(30)]  # 30 exact ties
+    df = _vecs(spark, vectors)
+    books = codebooks_from_vectors(vectors, m=M)
+    codes = pq_encode(df, books)
+    got = _knn_sets(pq_knn(df.filter(F.col("vec_id") == 0), codes, books, k=5))
+    assert got == {0: [0, 1, 2, 3, 4]}
