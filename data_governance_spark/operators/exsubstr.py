@@ -383,7 +383,8 @@ def dedup_substrings_incremental(
     the duplicated-key set joins back against the batch's window
     relation (repeated windows only — AQE broadcasts it when small);
     the rebuild is the shared Arrow-batched cutter over touched docs
-    only."""
+    only. ``windows`` — see :func:`duplicated_window_starts` (must be
+    built at the STATE's width)."""
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     if keep not in ("first", "none"):
