@@ -366,3 +366,263 @@ def pq_knn(
     return cand.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= k
     )
+
+
+# --------------------------------------------------------------------------
+# IVFADC — the published composition (Jégou 2011 §V): IVF prunes WHICH
+# vectors a query scores (probe the n_probe nearest cells), PQ
+# compresses WHAT each scored vector costs — and the codes quantize the
+# RESIDUAL x − centroid(cell), not x itself: residuals concentrate near
+# zero, so the same ks buys far finer quantization than coding raw
+# vectors. dot(q, x) = dot(q, c) + dot(q, r) — the first term is one
+# number per (query, probed cell), the second is the ADC gather over
+# the residual codebooks.
+# --------------------------------------------------------------------------
+
+
+def ivfadc_residuals(
+    df: DataFrame,
+    cells: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    cell_id_col: str = "cell_id",
+    cell_vec_col: str = "centroid",
+) -> DataFrame:
+    """(id_col, cell_id, ``res`` array<double>) — each vector's nearest
+    cell (max cosine, ``ivf_knn``'s assignment rule) and its residual
+    ``x − centroid``. Train the residual codebooks on THIS relation
+    (``train_pq_codebooks(residuals, vec_col="res")``) — codebooks
+    trained on raw vectors mis-model the residual distribution, the
+    point of the composition. Broadcast cells + one window; map-only
+    otherwise."""
+    from data_governance_spark.operators.similarity import dot, norm
+
+    c = cells.select(
+        F.col(cell_id_col).alias("cell_id"),
+        F.col(cell_vec_col).alias("_ctr"),
+        norm(F.col(cell_vec_col)).alias("_cnrm"),
+    )
+    scored = df.select(
+        id_col, vec_col, norm(F.col(vec_col)).alias("_vnrm")
+    ).crossJoin(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        "cell_id",
+        "_ctr",
+        (
+            dot(F.col(vec_col), F.col("_ctr"))
+            / (F.col("_vnrm") * F.col("_cnrm"))
+        ).alias("_csim"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            id_col,
+            "cell_id",
+            F.zip_with(
+                F.col(vec_col), F.col("_ctr"), lambda x, y: x - y
+            ).alias("res"),
+        )
+    )
+
+
+def ivfadc_encode(
+    residuals: DataFrame,
+    cells: DataFrame,
+    books: PQCodebooks,
+    id_col: str = "vec_id",
+    cell_id_col: str = "cell_id",
+    cell_vec_col: str = "centroid",
+    res_col: str = "res",
+) -> DataFrame:
+    """The IVFADC index: ``(id_col, cell_id, pq_code, pq_nrm)`` where
+    the code quantizes the RESIDUAL and ``pq_nrm`` is the norm of the
+    RECONSTRUCTED vector ``centroid + recon(residual)`` (the cosine
+    denominator must carry quantization error, same rule as
+    ``pq_encode``). Map-only Arrow pass; centroids ride the closure."""
+    rows = cells.select(
+        F.col(cell_id_col).alias("c"), F.col(cell_vec_col).alias("v")
+    ).collect()
+    ctr = {int(r["c"]): np.asarray(list(r["v"]), dtype=np.float64) for r in rows}
+    if not ctr:
+        raise ValueError("ivfadc_encode: empty cells table")
+    bks = [b.copy() for b in books.books]
+    dsub = books.dsub
+    dim = books.dim
+    packed = books.byte_packable
+    code_type = "binary" if packed else "array<int>"
+
+    @F.pandas_udf(f"pq_code {code_type}, pq_nrm double")
+    def enc(res: pd.Series, cell: pd.Series) -> pd.DataFrame:
+        x = np.asarray([list(e) for e in res], dtype=np.float64)
+        if x.shape[0] == 0:
+            return pd.DataFrame({"pq_code": [], "pq_nrm": []})
+        if x.ndim != 2 or x.shape[1] != dim:
+            raise ValueError(
+                f"residual dim {x.shape[1] if x.ndim == 2 else 0} != "
+                f"codebook dim {dim}"
+            )
+        codes = np.empty((x.shape[0], len(bks)), dtype=np.int64)
+        recon = np.zeros_like(x)
+        for i, b in enumerate(bks):
+            xs = x[:, i * dsub : (i + 1) * dsub]
+            codes[:, i] = _sqdist(xs, b).argmin(1)
+            recon[:, i * dsub : (i + 1) * dsub] = b[codes[:, i]]
+        cent = np.stack([ctr[int(cc)] for cc in cell])
+        nrm = np.sqrt(((cent + recon) ** 2).sum(1))
+        if packed:
+            out = [row.astype(np.uint8).tobytes() for row in codes]
+        else:
+            out = [row.tolist() for row in codes]
+        return pd.DataFrame({"pq_code": out, "pq_nrm": nrm})
+
+    tmp = "_ivfadc"
+    return (
+        residuals.withColumn(
+            tmp, enc(F.col(res_col), F.col(cell_id_col))
+        )
+        .select(
+            id_col,
+            cell_id_col,
+            f"{tmp}.pq_code",
+            f"{tmp}.pq_nrm",
+        )
+    )
+
+
+def ivfadc_knn(
+    queries: DataFrame,
+    index: DataFrame,
+    cells: DataFrame,
+    books: PQCodebooks,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    cell_id_col: str = "cell_id",
+    cell_vec_col: str = "centroid",
+) -> DataFrame:
+    """Top-k over the IVFADC index: each query probes its ``n_probe``
+    highest-cosine cells and ADC-scores only those cells' codes —
+    ``dot(q, x) ≈ dot(q, centroid) + Σ_m LUT[m][code_m]`` over the
+    residual codebooks, divided by ``q_nrm × pq_nrm``. With
+    ``n_probe = n_cells`` and lossless residual codebooks the result
+    equals brute force (the driver gate's exactness construction).
+
+    Scale shape: queries AND cells are the small driver-side tables
+    (probe lists + per-(query, cell) centroid dots + LUTs are numpy on
+    the driver, shipped in the closure); the corpus-sized index never
+    shuffles — map-only scoring with partition-local top-k, then the
+    tiny global merge. Probing skips (query, cell) pairs map-side: a
+    batch's rows only score against the queries that probe their cell."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    if not qrows:
+        spark = index.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rk int"
+        )
+    crows = cells.select(
+        F.col(cell_id_col).alias("c"), F.col(cell_vec_col).alias("v")
+    ).collect()
+    if not crows:
+        raise ValueError("ivfadc_knn: empty cells table")
+    qids = np.asarray([r["qid"] for r in qrows], dtype=np.int64)
+    qm = np.asarray([list(r["qv"]) for r in qrows], dtype=np.float64)
+    if qm.shape[1] != books.dim:
+        raise ValueError(
+            f"query dim {qm.shape[1]} != codebook dim {books.dim}"
+        )
+    cell_ids = np.asarray([int(r["c"]) for r in crows], dtype=np.int64)
+    cm = np.asarray([list(r["v"]) for r in crows], dtype=np.float64)
+    q_nrm = np.sqrt((qm * qm).sum(1))
+    q_nrm = np.where(q_nrm == 0.0, np.inf, q_nrm)
+    c_nrm = np.sqrt((cm * cm).sum(1))
+    c_nrm = np.where(c_nrm == 0.0, np.inf, c_nrm)
+    qc_dot = qm @ cm.T  # (nq, ncells): dot(q, centroid) — term 1
+    # probe selection per query: cosine desc, cell id asc (ivf rule)
+    csim = qc_dot / (q_nrm[:, None] * c_nrm[None, :])
+    from data_governance_spark.operators.similarity import local_topk_idx
+
+    np_probe = min(n_probe, len(cell_ids))
+    probing: dict[int, list[int]] = {}  # cell_id -> query indices
+    for qi in range(len(qids)):
+        for j in local_topk_idx(csim[qi], cell_ids, np_probe):
+            probing.setdefault(int(cell_ids[j]), []).append(qi)
+    qc_by_cell = {int(cell_ids[j]): qc_dot[:, j] for j in range(len(cell_ids))}
+    dsub = books.dsub
+    luts = [
+        qm[:, i * dsub : (i + 1) * dsub] @ b.T
+        for i, b in enumerate(books.books)
+    ]
+    packed = books.byte_packable
+    n_books = books.m
+    topk = k
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cells_arr = pdf["_iv_cell"].to_numpy()
+            ids_arr = pdf["_iv_id"].to_numpy()
+            nrms = pdf["_iv_nrm"].to_numpy(dtype=np.float64)
+            raw = pdf["_iv_code"].to_numpy()
+            if packed:
+                codes = np.frombuffer(
+                    b"".join(raw), dtype=np.uint8
+                ).reshape(len(raw), n_books).astype(np.int64)
+            else:
+                codes = np.stack(raw)
+            out_q, out_n, out_s = [], [], []
+            # per-query row accumulators across the batch's cells
+            acc: dict[int, tuple[list, list]] = {}
+            for cell in np.unique(cells_arr):
+                qis = probing.get(int(cell))
+                if not qis:
+                    continue
+                mask = cells_arr == cell
+                sub_codes = codes[mask]
+                sub_ids = ids_arr[mask]
+                sub_nrm = np.where(nrms[mask] == 0.0, np.inf, nrms[mask])
+                res_dot = np.zeros(
+                    (len(qis), sub_codes.shape[0]), dtype=np.float64
+                )
+                for i, lut in enumerate(luts):
+                    res_dot += lut[np.ix_(qis, sub_codes[:, i])]
+                dots = res_dot + qc_by_cell[int(cell)][qis][:, None]
+                sims = dots / (q_nrm[qis][:, None] * sub_nrm[None, :])
+                for row_i, qi in enumerate(qis):
+                    sc, ni = acc.setdefault(qi, ([], []))
+                    sc.append(sims[row_i])
+                    ni.append(sub_ids)
+            for qi, (sc, ni) in acc.items():
+                row = np.concatenate(sc)
+                nbr = np.concatenate(ni)
+                idx = local_topk_idx(row, nbr, topk)
+                out_q.extend([int(qids[qi])] * len(idx))
+                out_n.extend(int(nbr[j]) for j in idx)
+                out_s.extend(float(row[j]) for j in idx)
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
+                )
+
+    cand = index.select(
+        F.col(id_col).alias("_iv_id"),
+        F.col(cell_id_col).alias("_iv_cell"),
+        F.col("pq_code").alias("_iv_code"),
+        F.col("pq_nrm").alias("_iv_nrm"),
+    ).mapInPandas(score, "query_id long, neighbor_id long, cosine double")
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return cand.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )

@@ -334,7 +334,7 @@ def e07_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS rk
       FROM embeddings q, embeddings n
       WHERE q.vec_id % 5 = 0
-    ), (SELECT unnest(['ivf', 'pq']) AS gate) g
+    ), (SELECT unnest(['ivf', 'pq', 'ivfadc']) AS gate) g
     WHERE rk <= {_K}
     UNION ALL
     SELECT 'lsh', CAST(vec_id AS VARCHAR), CAST(NULL AS VARCHAR), 1.0
@@ -348,7 +348,11 @@ def e07_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct subvector) == exact brute-force top-k — the full PQ "
     "machinery (per-subspace argmin encode, reconstructed norms, ADC "
     "lookup-table scoring, partition-local top-k + global merge) under "
-    "an exact oracle (operators/pq.py, Jégou 2011; new in r11)",
+    "an exact oracle (operators/pq.py, Jégou 2011; new in r11) + the "
+    "IVFADC composition (Jégou 2011 §V: residual-encode per cell, "
+    "centroid-dot + residual-ADC) probing ALL cells with lossless "
+    "residual codebooks == brute force — the same exactness "
+    "construction through the full probe/filter path (new in r11)",
 )
 def e05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scanned by the cell trainer, the n_cells count, the query subset,
@@ -427,14 +431,41 @@ def e05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = codebooks_from_vectors(vectors, m=8)
     codes = pq_encode(emb.select("vec_id", "emb"), books)
     pq = pq_knn(queries, codes, books, k=_K)
-    pq_rows = pq.select(
-        F.lit("pq").alias("gate"),
-        F.concat(
-            F.col("query_id").cast("string"), F.lit(":"),
-            F.col("rk").cast("string"), F.lit(":"),
-            F.col("neighbor_id").cast("string"),
-        ).alias("k"),
-        nul_s.alias("v_s"),
-        (F.round("cosine", 4) + F.lit(0.0)).alias("v_d"),
+
+    def _topk_rows(df, gate):
+        return df.select(
+            F.lit(gate).alias("gate"),
+            F.concat(
+                F.col("query_id").cast("string"), F.lit(":"),
+                F.col("rk").cast("string"), F.lit(":"),
+                F.col("neighbor_id").cast("string"),
+            ).alias("k"),
+            nul_s.alias("v_s"),
+            (F.round("cosine", 4) + F.lit(0.0)).alias("v_d"),
+        )
+
+    # ivfadc sub-gate (r11): the composition — residuals against the
+    # per-label cells, LOSSLESS residual codebooks, ALL cells probed:
+    # centroid-dot + residual-ADC must reproduce brute force through
+    # the probe/filter machinery (same shared oracle subquery)
+    from data_governance_spark.operators.pq import (
+        ivfadc_encode,
+        ivfadc_knn,
+        ivfadc_residuals,
     )
-    return ivf_rows.unionByName(lsh_rows).unionByName(pq_rows)
+
+    res = tracked_persist(
+        ivfadc_residuals(emb.select("vec_id", "emb"), cells)
+    )
+    res_books = codebooks_from_vectors(
+        [list(r["res"]) for r in res.select("res").collect()], m=8
+    )
+    index = ivfadc_encode(res, cells, res_books)
+    ivfadc = ivfadc_knn(
+        queries, index, cells, res_books, k=_K, n_probe=n_cells
+    )
+    return (
+        ivf_rows.unionByName(lsh_rows)
+        .unionByName(_topk_rows(pq, "pq"))
+        .unionByName(_topk_rows(ivfadc, "ivfadc"))
+    )

@@ -239,3 +239,105 @@ def test_tied_scores_select_lowest_ids(spark):
     codes = pq_encode(df, books)
     got = _knn_sets(pq_knn(df.filter(F.col("vec_id") == 0), codes, books, k=5))
     assert got == {0: [0, 1, 2, 3, 4]}
+
+
+# --------------------------------------------------------------------------
+# IVFADC (Jégou 2011 §V — the IVF × PQ-on-residuals composition)
+# --------------------------------------------------------------------------
+from data_governance_spark.operators.pq import (  # noqa: E402
+    ivfadc_encode,
+    ivfadc_knn,
+    ivfadc_residuals,
+)
+from data_governance_spark.operators.similarity import (  # noqa: E402
+    train_ivf_cells,
+)
+
+
+def _ivfadc_setup(spark, vectors, n_cells=4, lossless=True, ks=16):
+    df = _vecs(spark, vectors)
+    cells = train_ivf_cells(df, k=n_cells, n_iter=4, seed=3)
+    res = ivfadc_residuals(df, cells)
+    if lossless:
+        res_vecs = [list(r["res"]) for r in res.collect()]
+        books = codebooks_from_vectors(res_vecs, m=M)
+    else:
+        books = train_pq_codebooks(
+            res, m=M, ks=ks, vec_col="res", sample_n=10_000, seed=4
+        )
+    index = ivfadc_encode(res, cells, books)
+    return df, cells, books, index
+
+
+def test_ivfadc_all_probes_lossless_equals_brute_force(spark):
+    """n_probe = n_cells + lossless RESIDUAL codebooks: the full
+    composition (assign → residual-encode → probe → centroid-dot +
+    residual-ADC → merge) must reproduce brute-force top-k."""
+    vectors = _rand_vectors(60, seed=17)
+    df, cells, books, index = _ivfadc_setup(spark, vectors, n_cells=4)
+    q = df.filter(F.col("vec_id") < 6)
+    got = ivfadc_knn(q, index, cells, books, k=5, n_probe=4)
+    want = brute_force_knn(q, df, k=5, drop_self=False)
+    assert _knn_sets(got) == _knn_sets(want)
+    by_pair = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in want.collect()
+    }
+    for r in got.collect():
+        assert abs(r["cosine"] - by_pair[(r["query_id"], r["neighbor_id"])]) < 1e-9
+
+
+def test_ivfadc_residual_reconstruction_is_exact_when_lossless(spark):
+    vectors = _rand_vectors(30, seed=19)
+    df, cells, books, index = _ivfadc_setup(spark, vectors, n_cells=3)
+    for r in index.collect():
+        true_nrm = float(np.linalg.norm(vectors[r["vec_id"]]))
+        assert abs(r["pq_nrm"] - true_nrm) < 1e-9
+
+
+def test_ivfadc_pruning_skips_cells(spark):
+    """n_probe=1 on well-separated clusters: every query still finds
+    its own-cluster neighbors (the nearest cell IS the right cell),
+    and results restricted to the probed cell only."""
+    rng = random.Random(23)
+    centers = [[rng.uniform(-8, 8) for _ in range(DIM)] for _ in range(4)]
+    vectors = [
+        [c + rng.gauss(0, 0.05) for c in centers[i % 4]] for i in range(80)
+    ]
+    df, cells, books, index = _ivfadc_setup(spark, vectors, n_cells=4)
+    q = df.filter(F.col("vec_id") < 8)
+    got = _knn_sets(ivfadc_knn(q, index, cells, books, k=4, n_probe=1))
+    for qid, nbrs in got.items():
+        assert all(n % 4 == qid % 4 for n in nbrs), (qid, nbrs)
+        assert nbrs[0] == qid  # self at rank 1 (cosine 1.0)
+
+
+def test_ivfadc_trained_books_recall(spark):
+    """Trained residual codebooks at n_probe=2: true top-5 inside the
+    ADC top-20 for >= 90% (the rerank shape, as for flat PQ)."""
+    rng = random.Random(29)
+    centers = [[rng.uniform(-5, 5) for _ in range(DIM)] for _ in range(5)]
+    vectors = [
+        [c + rng.gauss(0, 0.3) for c in centers[i % 5]] for i in range(250)
+    ]
+    df, cells, books, index = _ivfadc_setup(
+        spark, vectors, n_cells=5, lossless=False, ks=32
+    )
+    q = df.filter(F.col("vec_id") < 15)
+    got = _knn_sets(ivfadc_knn(q, index, cells, books, k=20, n_probe=2))
+    want = _knn_sets(brute_force_knn(q, df, k=5, drop_self=False))
+    hits = total = 0
+    for qid, nbrs in want.items():
+        total += len(nbrs)
+        hits += len(set(nbrs) & set(got[qid]))
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_ivfadc_guards(spark):
+    vectors = _rand_vectors(12, seed=31)
+    df, cells, books, index = _ivfadc_setup(spark, vectors, n_cells=2)
+    with pytest.raises(ValueError, match="n_probe"):
+        ivfadc_knn(df, index, cells, books, k=2, n_probe=0)
+    empty_q = df.filter(F.col("vec_id") < 0)
+    out = ivfadc_knn(empty_q, index, cells, books, k=2, n_probe=1)
+    assert out.count() == 0
