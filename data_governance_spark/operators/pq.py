@@ -56,6 +56,9 @@ __all__ = [
     "codebooks_from_vectors",
     "pq_encode",
     "pq_knn",
+    "ivfadc_residuals",
+    "ivfadc_encode",
+    "ivfadc_knn",
 ]
 
 
@@ -138,6 +141,32 @@ def _sqdist(x: np.ndarray, c: np.ndarray) -> np.ndarray:
         - 2.0 * (x @ c.T)
         + (c * c).sum(1)[None, :]
     )
+
+
+def _encode_subspaces(
+    x: np.ndarray, bks: list[np.ndarray], dsub: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(codes (n, M), reconstruction (n, D)) — per-subspace argmin to
+    the codewords; shared by the flat and residual encoders."""
+    codes = np.empty((x.shape[0], len(bks)), dtype=np.int64)
+    recon = np.empty_like(x)
+    for i, b in enumerate(bks):
+        xs = x[:, i * dsub : (i + 1) * dsub]
+        codes[:, i] = _sqdist(xs, b).argmin(1)
+        recon[:, i * dsub : (i + 1) * dsub] = b[codes[:, i]]
+    return codes, recon
+
+
+def _unpack_codes(raw, packed: bool, m: int) -> np.ndarray:
+    """(n, M) int codes from a pandas column of binary (packed) or
+    list (unpacked) values; shared by both ADC scorers."""
+    if packed:
+        return (
+            np.frombuffer(b"".join(raw), dtype=np.uint8)
+            .reshape(len(raw), m)
+            .astype(np.int64)
+        )
+    return np.stack(raw)
 
 
 def _kmeans(
@@ -247,19 +276,13 @@ def pq_encode(
                 f"vector dim {x.shape[1] if x.ndim == 2 else 0} != "
                 f"codebook dim {dim}"
             )
-        codes = np.empty((x.shape[0], len(bks)), dtype=np.int64)
-        rec_sq = np.zeros(x.shape[0], dtype=np.float64)
-        for i, b in enumerate(bks):
-            xs = x[:, i * dsub : (i + 1) * dsub]
-            codes[:, i] = _sqdist(xs, b).argmin(1)
-            chosen = b[codes[:, i]]
-            rec_sq += (chosen * chosen).sum(1)
+        codes, recon = _encode_subspaces(x, bks, dsub)
         if packed:
             out_codes = [row.astype(np.uint8).tobytes() for row in codes]
         else:
             out_codes = [row.tolist() for row in codes]
         return pd.DataFrame(
-            {code_col: out_codes, nrm_col: np.sqrt(rec_sq)}
+            {code_col: out_codes, nrm_col: np.sqrt((recon**2).sum(1))}
         )
 
     tmp = "_pq_enc"
@@ -324,13 +347,7 @@ def pq_knn(
                 continue
             cids = pdf["_pq_id"].to_numpy()
             nrms = pdf["_pq_nrm"].to_numpy(dtype=np.float64)
-            raw = pdf["_pq_code"].to_numpy()
-            if packed:  # binary column: M uint8 codes per row
-                cm = np.frombuffer(
-                    b"".join(raw), dtype=np.uint8
-                ).reshape(len(raw), n_books).astype(np.int64)
-            else:
-                cm = np.stack(raw)  # (nc, M) object->int
+            cm = _unpack_codes(pdf["_pq_code"].to_numpy(), packed, n_books)
             # dots[q, c] = sum over m of LUT[q][m][code[c, m]]
             dots = np.zeros((len(qids), cm.shape[0]), dtype=np.float64)
             for i, lut in enumerate(luts):
@@ -464,13 +481,15 @@ def ivfadc_encode(
                 f"residual dim {x.shape[1] if x.ndim == 2 else 0} != "
                 f"codebook dim {dim}"
             )
-        codes = np.empty((x.shape[0], len(bks)), dtype=np.int64)
-        recon = np.zeros_like(x)
-        for i, b in enumerate(bks):
-            xs = x[:, i * dsub : (i + 1) * dsub]
-            codes[:, i] = _sqdist(xs, b).argmin(1)
-            recon[:, i * dsub : (i + 1) * dsub] = b[codes[:, i]]
-        cent = np.stack([ctr[int(cc)] for cc in cell])
+        codes, recon = _encode_subspaces(x, bks, dsub)
+        try:
+            cent = np.stack([ctr[int(cc)] for cc in cell])
+        except KeyError as e:
+            raise ValueError(
+                f"ivfadc_encode: residual row references cell_id {e} "
+                "absent from the cells table — the residuals must have "
+                "been built against THIS cells table (ivfadc_residuals)"
+            ) from None
         nrm = np.sqrt(((cent + recon) ** 2).sum(1))
         if packed:
             out = [row.astype(np.uint8).tobytes() for row in codes]
@@ -541,6 +560,12 @@ def ivfadc_knn(
             f"query dim {qm.shape[1]} != codebook dim {books.dim}"
         )
     cell_ids = np.asarray([int(r["c"]) for r in crows], dtype=np.int64)
+    if len(set(cell_ids.tolist())) != len(cell_ids):
+        raise ValueError(
+            "ivfadc_knn: duplicate cell_id rows in the cells table — "
+            "a duplicate would double-probe its cell and emit duplicate "
+            "candidates that push real neighbors out of the top-k"
+        )
     cm = np.asarray([list(r["v"]) for r in crows], dtype=np.float64)
     q_nrm = np.sqrt((qm * qm).sum(1))
     q_nrm = np.where(q_nrm == 0.0, np.inf, q_nrm)
@@ -573,13 +598,7 @@ def ivfadc_knn(
             cells_arr = pdf["_iv_cell"].to_numpy()
             ids_arr = pdf["_iv_id"].to_numpy()
             nrms = pdf["_iv_nrm"].to_numpy(dtype=np.float64)
-            raw = pdf["_iv_code"].to_numpy()
-            if packed:
-                codes = np.frombuffer(
-                    b"".join(raw), dtype=np.uint8
-                ).reshape(len(raw), n_books).astype(np.int64)
-            else:
-                codes = np.stack(raw)
+            codes = _unpack_codes(pdf["_iv_code"].to_numpy(), packed, n_books)
             out_q, out_n, out_s = [], [], []
             # per-query row accumulators across the batch's cells
             acc: dict[int, tuple[list, list]] = {}

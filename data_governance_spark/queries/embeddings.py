@@ -383,22 +383,33 @@ def e05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("cell_id"), "centroid")
     )
+    # persisted: the float avg aggregate is merge-order nondeterministic
+    # at the last bits, and FOUR consumers read cells (ivf_knn, the
+    # residual assignment, the residual encode's collect, the ivfadc
+    # probe collect) — an unpersisted plan could hand each a bitwise-
+    # different centroid and break the lossless-exactness premise at a
+    # rounding/rank boundary (review catch)
+    cells = tracked_persist(cells)
     n_cells = emb.select("label").distinct().count()
     queries = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "emb")
     ivf = ivf_knn(
         emb.select("vec_id", "emb"), cells, k=_K, n_probe=n_cells, queries=queries
     )
     nul_s = F.lit(None).cast("string")
-    ivf_rows = ivf.select(
-        F.lit("ivf").alias("gate"),
-        F.concat(
-            F.col("query_id").cast("string"), F.lit(":"),
-            F.col("rk").cast("string"), F.lit(":"),
-            F.col("neighbor_id").cast("string"),
-        ).alias("k"),
-        nul_s.alias("v_s"),
-        (F.round("cosine", 4) + F.lit(0.0)).alias("v_d"),
-    )
+
+    def _topk_rows(df, gate):
+        return df.select(
+            F.lit(gate).alias("gate"),
+            F.concat(
+                F.col("query_id").cast("string"), F.lit(":"),
+                F.col("rk").cast("string"), F.lit(":"),
+                F.col("neighbor_id").cast("string"),
+            ).alias("k"),
+            nul_s.alias("v_s"),
+            (F.round("cosine", 4) + F.lit(0.0)).alias("v_d"),
+        )
+
+    ivf_rows = _topk_rows(ivf, "ivf")
     planted = emb.filter(F.col("vec_id") % 7 == 0)
     aug = emb.select("vec_id", "emb").unionByName(
         planted.select((F.col("vec_id") + _DUP_OFFSET).alias("vec_id"), "emb")
@@ -431,18 +442,6 @@ def e05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = codebooks_from_vectors(vectors, m=8)
     codes = pq_encode(emb.select("vec_id", "emb"), books)
     pq = pq_knn(queries, codes, books, k=_K)
-
-    def _topk_rows(df, gate):
-        return df.select(
-            F.lit(gate).alias("gate"),
-            F.concat(
-                F.col("query_id").cast("string"), F.lit(":"),
-                F.col("rk").cast("string"), F.lit(":"),
-                F.col("neighbor_id").cast("string"),
-            ).alias("k"),
-            nul_s.alias("v_s"),
-            (F.round("cosine", 4) + F.lit(0.0)).alias("v_d"),
-        )
 
     # ivfadc sub-gate (r11): the composition — residuals against the
     # per-label cells, LOSSLESS residual codebooks, ALL cells probed:
