@@ -394,7 +394,14 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
                 entry = prev + prev[:1]
             else:
                 raise PdfParseError(f"LZW: code {code} out of range")
-            table.append(prev + entry[:1])
+            # 4096-entry cap (the spec's 12-bit ceiling): a conforming
+            # encoder clears before the table fills, but an ADVERSARIAL
+            # clear-free stream would otherwise grow entries by one
+            # byte per code forever — quadratic memory in stream size,
+            # an executor OOM from one crawled file. At the cap the
+            # width is already 12, so every readable code stays < 4096.
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
         out += entry
         prev = entry
         if len(table) + early >= (1 << width) and width < 12:

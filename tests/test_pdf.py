@@ -808,3 +808,62 @@ def test_flate_with_png_predictor():
     assert pdf_text(build_pdf(objs, b"<< /Root 1 0 R >>")).startswith(
         "Hello World"
     )
+
+
+def test_lzw_table_cap_bounds_adversarial_memory():
+    """A clear-free stream must not grow table entries past the 12-bit
+    spec ceiling (4096) — uncapped, an adversarial stream grows one
+    byte per code FOREVER (quadratic memory, executor OOM). A long
+    KwKwK-style run decodes in bounded time/memory and round-trips."""
+    import time
+
+    from data_governance_spark.operators.pdf import _lzw_decode
+
+    # legit long input whose encoding crosses the cap region via resets
+    data = bytes((i * 7 + (i >> 3)) & 0xFF for i in range(200_000))
+    t0 = time.time()
+    assert _lzw_decode(lzw_encode(data)) == data
+    assert time.time() - t0 < 10.0
+    # adversarial: max-width codes climbing without a clear — decode
+    # must stay bounded (entries stop growing at 4096) and return/raise
+    # typed quickly rather than ballooning
+    evil = bytearray()
+    acc = accbits = 0
+    def emit(code, width):
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            accbits -= 8
+            evil.append((acc >> accbits) & 0xFF)
+    emit(65, 9)  # first literal
+    # then repeat the KwKwK code (== next table index) as it climbs
+    width = 9
+    nxt = 258
+    for _ in range(30_000):
+        emit(min(nxt, 4095), width)
+        if nxt < 4096:
+            nxt += 1
+        if nxt + 1 >= (1 << width) and width < 12:
+            width += 1
+    if accbits:
+        evil.append((acc << (8 - accbits)) & 0xFF)
+    t0 = time.time()
+    try:
+        out = _lzw_decode(bytes(evil))
+        assert len(out) < 200_000_000  # bounded, not quadratic blow-up
+    except PdfError:
+        pass
+    assert time.time() - t0 < 10.0
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=4096))
+def test_lzw_fuzz_never_untyped(data):
+    from data_governance_spark.operators.pdf import _lzw_decode
+
+    try:
+        out = _lzw_decode(data)
+    except PdfError:
+        return
+    assert isinstance(out, bytes)
