@@ -24,6 +24,38 @@ from data_governance_spark.queries.registry import QUERIES  # noqa: E402
 from data_governance_spark.session import get_spark  # noqa: E402
 
 
+def _canary(spark) -> float:
+    """Fixed-cost host-drift calibration: a constant synthetic workload
+    (no input tables, no registry queries — pinned as of r12, never
+    change it) timed the same way as the scored queries. Cross-round
+    bench comparisons divide by this to separate host load from real
+    plan changes (the r11 driver run read 1.39× on totals while 44
+    unchanged gates moved 1.36× — pure drift, only decomposable by
+    hand back then). Shape mirrors the suite: a wide scan with hashing
+    + string work, a shuffle agg, and a broadcast join."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    base = spark.range(0, 16_000_000, 1, 32).select(
+        (F.col("id") % 9973).alias("k"),
+        F.xxhash64("id").alias("h"),
+        F.sha2(F.conv(F.col("id"), 10, 16), 256).alias("s"),
+    )
+    dim = spark.range(0, 9973).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    agg = (
+        base.join(F.broadcast(dim), "k")
+        .groupBy("grp")
+        .agg(
+            F.bit_xor("h").alias("x"),
+            F.sum(F.length("s")).alias("n"),
+        )
+    )
+    agg.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -40,6 +72,13 @@ def main() -> None:
     # JVM/codegen warmup on a tiny query so q1 isn't charged for startup
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # host-drift canary, sampled before AND after the suite (load can
+    # arrive mid-run); canary_sec is the mean — divide totals by it.
+    # One untimed run first: the codegen compile must not be charged to
+    # the pre sample only (it would skew pre vs post asymmetrically)
+    _canary(spark)
+    canary_pre = _canary(spark)
+
     timings: dict[str, object] = {}
     for name, q in sorted(QUERIES.items()):
         # Failure-isolated: one bad query records an error entry instead of
@@ -54,6 +93,8 @@ def main() -> None:
         # cost is not charged to any query).
         release_caches()
 
+    canary_post = _canary(spark)
+
     total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
     payload = json.dumps(
         {
@@ -66,6 +107,11 @@ def main() -> None:
             "n_queries": len(timings),
             "queries": timings,
             "sf": sf,
+            # fixed-cost calibration (see _canary): cross-round deltas
+            # should be read as (total/canary_sec) ratios, not raw totals
+            "canary_sec": round((canary_pre + canary_post) / 2, 3),
+            "canary_pre_sec": canary_pre,
+            "canary_post_sec": canary_post,
         }
     )
     # stdout for the driver, plus a file copy: the driver's tail-capture

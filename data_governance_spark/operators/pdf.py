@@ -37,10 +37,19 @@ What decodes for REAL:
   WinAnsi/MacRoman/Standard base encodings with ``/Differences``
   glyph-name mapping (AGL subset + ``uniXXXX``).
 
+- **Encryption**: the standard security handler's rev 2/3 RC4 tier
+  with the EMPTY user password decrypts for real (``hashlib.md5`` key
+  derivation per ISO 32000-1 Algorithms 1/2, /U authentication per
+  Algorithms 4/5/6, strings + streams decrypted in place before the
+  filter chain) — the overwhelmingly common case in crawled corpora,
+  where ``/Encrypt`` exists only to carry permission bits.
+
 Loud typed boundaries (the VP8L rule — raise, never silently fake):
 
-- ``PdfEncryptedError`` — ``/Encrypt`` present; stream bytes are
-  RC4/AES ciphertext and any "text" pulled from them would be noise.
+- ``PdfEncryptedError`` — a REAL password (empty-user-password
+  authentication fails), rev >= 4 / AESV2 / crypt filters, or a
+  non-Standard security handler; the remaining ciphertext cases where
+  any "text" pulled from the stream bytes would be noise.
 - ``PdfUnsupportedFilterError`` — DCTDecode / JPXDecode / JBIG2Decode /
   CCITTFaxDecode / Crypt on a stream we must read (all raster/crypto
   codecs — never text-layer carriers).
@@ -64,7 +73,10 @@ PDF grammar is ISO 32000-1, public).
 from __future__ import annotations
 
 import base64
+import bisect
+import hashlib
 import re
+import struct
 import zlib
 
 import pandas as pd
@@ -531,6 +543,97 @@ def _decode_stream(doc: "_Doc", s: _Stream) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# standard security handler (ISO 32000-1 §7.6.3): rev 2/3 RC4, empty
+# user password — the overwhelmingly common case in crawled corpora,
+# where /Encrypt exists only to carry permission bits. A real password,
+# rev >= 4 (AESV2/crypt filters), or a non-Standard handler still raise
+# PdfEncryptedError: any "text" pulled from ciphertext would be noise.
+# --------------------------------------------------------------------------
+
+# the spec's 32-byte password pad (ISO 32000-1 Table 2, Algorithm 2 step a)
+_ENC_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (ARC4) — the rev 2/3 stream cipher. Symmetric, so the
+    test suite's independent spec writer encrypts with its own copy and
+    round-trips validate both sides."""
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for t, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[t] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(
+    password: bytes, o: bytes, p: int, id0: bytes, r: int, nbytes: int
+) -> bytes:
+    """Algorithm 2: the file encryption key from a (padded) password."""
+    padded = (password + _ENC_PAD)[:32]
+    h = hashlib.md5(
+        padded + o[:32] + struct.pack("<I", p & 0xFFFFFFFF) + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:nbytes]).digest()
+    return h[:nbytes]
+
+
+def _std_user_check(key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithm 4 (r=2) / 5 (r=3): the /U value implied by ``key``.
+    For r >= 3 only the first 16 bytes are significant."""
+    if r == 2:
+        return _rc4(key, _ENC_PAD)
+    h = hashlib.md5(_ENC_PAD + id0).digest()
+    u = _rc4(key, h)
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return u
+
+
+def _std_object_key(key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: the per-object RC4 key."""
+    h = hashlib.md5(
+        key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+    ).digest()
+    return h[: min(len(key) + 5, 16)]
+
+
+def _decrypt_val(v, okey: bytes):
+    """Decrypt every string (bytes) and stream body reachable from a
+    parsed object value, in place for streams. Names/numbers/refs pass
+    through — only strings and stream data are encrypted (ISO 32000-1
+    §7.6.2). Depth is bounded by the parser's own nesting cap."""
+    if isinstance(v, bytes):
+        return _rc4(okey, v)
+    if isinstance(v, list):
+        return [_decrypt_val(x, okey) for x in v]
+    if isinstance(v, dict):
+        return {k: _decrypt_val(x, okey) for k, x in v.items()}
+    if isinstance(v, _Stream):
+        v.d = _decrypt_val(v.d, okey)
+        v.raw = _rc4(okey, v.raw)
+        return v
+    return v
+
+
+# --------------------------------------------------------------------------
 # document: linear object scan + trailer + page tree
 # --------------------------------------------------------------------------
 
@@ -544,6 +647,7 @@ class _Doc:
     def __init__(self, buf: bytes):
         self.buf = buf
         self.objects: dict[int, object] = {}
+        self._gens: dict[int, int] = {}  # per-object key derivation
         self.root = None
         self._font_cache: dict[int, "_FontDecoder"] = {}
         # (start, end) extents of raw stream DATA, in file order — the
@@ -555,8 +659,6 @@ class _Doc:
         self._parse()
 
     def _in_stream(self, pos: int) -> bool:
-        import bisect
-
         spans = self._stream_spans
         i = bisect.bisect_right(spans, (pos, len(self.buf) + 1)) - 1
         return i >= 0 and spans[i][0] <= pos < spans[i][1]
@@ -582,6 +684,7 @@ class _Doc:
                 val = _Stream(val, raw)
             # later definition wins (incremental updates append)
             self.objects[num] = val
+            self._gens[num] = int(m.group(2))
         if not found:
             raise PdfParseError("no PDF objects found")
         self._check_encryption()
@@ -632,6 +735,9 @@ class _Doc:
         return None
 
     def _check_encryption(self) -> None:
+        enc = None  # LAST /Encrypt seen (trailer or xref stream)
+        enc_id = None  # /ID from the SAME source as enc
+        last_id = None  # last /ID seen anywhere (fallback)
         for m in _TRAILER_RE.finditer(self.buf):
             if self._in_stream(m.start()):
                 continue  # 'trailer' bytes inside stream data
@@ -640,38 +746,94 @@ class _Doc:
             except PdfParseError:
                 continue
             if isinstance(d, dict):
+                if isinstance(d.get("ID"), list):
+                    last_id = d["ID"]
                 if d.get("Encrypt") is not None:
-                    raise PdfEncryptedError(
-                        "PDF is encrypted (/Encrypt in trailer) — "
-                        "decrypt upstream before text extraction"
-                    )
+                    enc = d["Encrypt"]
+                    enc_id = d["ID"] if isinstance(d.get("ID"), list) else None
                 if "Root" in d:
                     # the LAST trailer wins: an incremental update that
                     # introduces a new catalog appends a new trailer,
                     # consistent with the scan's later-definition rule
                     self.root = d["Root"]
         # xref-stream trailers (PDF 1.5+: no 'trailer' keyword) fill in
-        # only when no trailer keyword named a Root at all; among them,
-        # later in the file (insertion order) wins
-        if self.root is None:
-            for v in self.objects.values():
-                if isinstance(v, _Stream) and v.d.get("Type") == "XRef":
-                    if v.d.get("Encrypt") is not None:
-                        raise PdfEncryptedError(
-                            "PDF is encrypted (/Encrypt in xref stream)"
-                        )
-                    if "Root" in v.d:
-                        self.root = v.d["Root"]
-        else:
-            for v in self.objects.values():
-                if (
-                    isinstance(v, _Stream)
-                    and v.d.get("Type") == "XRef"
-                    and v.d.get("Encrypt") is not None
-                ):
-                    raise PdfEncryptedError(
-                        "PDF is encrypted (/Encrypt in xref stream)"
+        # the Root only when no trailer keyword named one; /Encrypt is
+        # honored from either source (later in file wins)
+        for v in self.objects.values():
+            if isinstance(v, _Stream) and v.d.get("Type") == "XRef":
+                if isinstance(v.d.get("ID"), list):
+                    last_id = v.d["ID"]
+                if v.d.get("Encrypt") is not None:
+                    enc = v.d["Encrypt"]
+                    enc_id = (
+                        v.d["ID"] if isinstance(v.d.get("ID"), list) else None
                     )
+                if self.root is None and "Root" in v.d:
+                    self.root = v.d["Root"]
+        if enc is not None:
+            self._decrypt_document(enc, enc_id if enc_id else last_id)
+
+    def _decrypt_document(self, enc, ids) -> None:
+        """Attempt the standard handler with the EMPTY user password
+        (rev 2/3 RC4); decrypt every string and stream in place on
+        success, raise :class:`PdfEncryptedError` otherwise."""
+        skip = enc[0] if isinstance(enc, _Ref) else None
+        try:
+            d = self.resolve(enc)
+        except PdfParseError:
+            d = None
+        if not isinstance(d, dict):
+            raise PdfEncryptedError(
+                "PDF is encrypted and the /Encrypt dict is unresolvable"
+            )
+        filt = self.resolve(d.get("Filter"))
+        if filt != "Standard":
+            raise PdfEncryptedError(
+                f"unsupported security handler {str(filt)!r} (only the "
+                "standard handler's rev 2/3 RC4 tier decrypts)"
+            )
+        v = self.resolve(d.get("V", 0))
+        r = self.resolve(d.get("R", 0))
+        if v not in (1, 2) or r not in (2, 3):
+            raise PdfEncryptedError(
+                f"unsupported encryption V={v!r} R={r!r} — only rev 2/3 "
+                "RC4 decrypts (rev >= 4 means AES/crypt filters)"
+            )
+        o = self.resolve(d.get("O"))
+        u = self.resolve(d.get("U"))
+        p = self.resolve(d.get("P"))
+        if (
+            not isinstance(o, bytes)
+            or not isinstance(u, bytes)
+            or isinstance(p, bool)
+            or not isinstance(p, int)
+        ):
+            raise PdfEncryptedError("malformed /Encrypt dict (O/U/P)")
+        nbits = self.resolve(d.get("Length", 40)) if v == 2 else 40
+        if not isinstance(nbits, int) or not (40 <= nbits <= 128) or nbits % 8:
+            raise PdfEncryptedError(f"invalid RC4 key length {nbits!r}")
+        id0 = b""
+        if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+            id0 = ids[0]
+        key = _std_file_key(b"", o, p, id0, r, nbits // 8)
+        expect = _std_user_check(key, id0, r)
+        ok = expect[:16] == u[:16] if r >= 3 else expect == u[:32]
+        if not ok:
+            raise PdfEncryptedError(
+                "password-protected (the empty user password does not "
+                "authenticate) — cannot decrypt without the password"
+            )
+        self._decrypt_all(key, skip)
+
+    def _decrypt_all(self, key: bytes, skip_num) -> None:
+        for num in list(self.objects):
+            if num == skip_num:
+                continue  # the /Encrypt dict itself is never encrypted
+            v = self.objects[num]
+            if isinstance(v, _Stream) and v.d.get("Type") == "XRef":
+                continue  # xref streams are never encrypted (spec)
+            okey = _std_object_key(key, num, self._gens.get(num, 0))
+            self.objects[num] = _decrypt_val(v, okey)
 
     def _expand_objstms(self) -> None:
         top = set(self.objects)
@@ -1031,6 +1193,56 @@ _DEFAULT_DECODER.skip_unmapped = False
 # --------------------------------------------------------------------------
 
 _EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)")
+_ID_RE = re.compile(rb"ID(?=[\x00\t\n\x0c\r ])")
+
+
+def _skip_inline_image(content: bytes, pos: int) -> int:
+    """Advance past a ``BI`` … ``ID`` <data> ``EI`` inline image, given
+    ``pos`` just after the ``BI`` keyword. Parses the image dict and
+    honors the ``/L`` (ISO 32000-2) / ``/Length`` length hint when
+    present, so binary image data that happens to contain a
+    whitespace+``EI`` byte pattern does not end the skip early (which
+    would parse the image tail as garbage operators). Falls back to the
+    ``EI`` regex when no usable hint exists."""
+    n = len(content)
+    # parse dict entries up to the ID keyword
+    params: dict = {}
+    key = None
+    p = pos
+    while p < n:
+        p = _skip_ws(content, p)
+        if p >= n:
+            return n
+        m = _ID_RE.match(content, p)
+        if m:
+            p = m.end()
+            break
+        try:
+            val, p2 = _parse_object(content, p)
+        except PdfParseError:
+            # unparseable dict — fall back to the EI scan from here
+            em = _EI_RE.search(content, p)
+            return em.end() if em else n
+        p = p2
+        if key is None:
+            key = str(val) if isinstance(val, _Name) else None
+        else:
+            params[key] = val
+            key = None
+    else:
+        return n
+    # one whitespace byte separates ID from the data
+    if p < n and content[p] in b"\x00\t\n\x0c\r ":
+        p += 1
+    length = params.get("L", params.get("Length"))
+    if isinstance(length, int) and 0 <= length <= n - p:
+        after = p + length
+        em = _EI_RE.search(content, max(after - 1, p))
+        if em and em.start() <= after + 2:
+            return em.end()
+        # hint contradicted by the bytes — rescan from the data start
+    em = _EI_RE.search(content, p)
+    return em.end() if em else n
 
 
 class _TextState:
@@ -1172,10 +1384,9 @@ def _interpret(
                             depth + 1,
                         )
         elif op == "BI":
-            # inline image: skip dict then binary to EI
+            # inline image: parse the dict (honoring /L), skip the data
             state.image_seen = True
-            em = _EI_RE.search(content, pos)
-            pos = em.end() if em else n
+            pos = _skip_inline_image(content, pos)
         stack.clear()
 
 

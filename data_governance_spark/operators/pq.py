@@ -354,6 +354,12 @@ def pq_knn(
                 dots += lut[:, cm[:, i]]
             denom = q_nrm[:, None] * np.where(nrms == 0.0, np.inf, nrms)
             sims = dots / denom
+            # zero-norm corpus rows: brute_force_knn yields NULL cosine
+            # (sorts LAST under desc); 0/inf = 0.0 would sort above
+            # negative cosines and diverge the SELECTION — pin to -inf
+            # so they are picked only when k exceeds the real candidates
+            # (the cosine VALUE then reads -inf vs brute force's NULL)
+            sims[:, nrms == 0.0] = -np.inf
             from data_governance_spark.operators.similarity import (
                 local_topk_idx,
             )
@@ -617,6 +623,9 @@ def ivfadc_knn(
                     res_dot += lut[np.ix_(qis, sub_codes[:, i])]
                 dots = res_dot + qc_by_cell[int(cell)][qis][:, None]
                 sims = dots / (q_nrm[qis][:, None] * sub_nrm[None, :])
+                # match brute force's NULL-sorts-last for zero-norm rows
+                # (see pq_knn): selection parity, value reads -inf
+                sims[:, nrms[mask] == 0.0] = -np.inf
                 for row_i, qi in enumerate(qis):
                     sc, ni = acc.setdefault(qi, ([], []))
                     sc.append(sims[row_i])

@@ -41,12 +41,23 @@ def local_topk_idx(row, cids, n: int):
     ties INCLUDED in the selection, not just the final ordering: a bare
     argpartition keeps an arbitrary subset of boundary ties, making
     results batch-layout-dependent (PQ code collisions and duplicated
-    corpora tie routinely). Full lexsort is O(c log c) per row — the
-    candidate sets here are cell- or batch-sized, never corpus-sized."""
+    corpora tie routinely). Tie-safety without a full-row sort: an
+    argpartition cut at ``n`` is widened to include every row tying the
+    boundary score, and only that slice is lexsorted — O(c + t log t)
+    for t = n + ties, vs O(c log c) for the previous full lexsort
+    (measurable on 10k+-row Arrow batches in pq_knn's score loop)."""
     import numpy as np
 
-    order = np.lexsort((cids, -row))
-    return order[: min(n, len(order))]
+    c = len(row)
+    if n >= c:
+        order = np.lexsort((cids, -row))
+        return order[: min(n, c)]
+    part = np.argpartition(-row, n - 1)
+    boundary = row[part[n - 1]]
+    # every index scoring >= the boundary participates in the ordered cut
+    cand = np.flatnonzero(row >= boundary)
+    sub = np.lexsort((cids[cand], -row[cand]))
+    return cand[sub[:n]]
 
 
 def brute_force_knn(
@@ -80,7 +91,13 @@ def brute_force_knn(
         F.col(vec_col).alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    cos = dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
+    # try_divide: a zero-norm vector yields NULL cosine (sorts LAST
+    # under desc) on every ANSI setting — plain `/` RAISES under Spark
+    # 4's default ANSI mode. pq_knn/ivfadc_knn mirror the ordering by
+    # pinning zero-norm rows to -inf (selection parity; value differs)
+    cos = F.try_divide(
+        dot(F.col("q_emb"), F.col("c_emb")), F.col("q_nrm") * F.col("c_nrm")
+    )
     scored = c.crossJoin(F.broadcast(q))
     if drop_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))

@@ -347,6 +347,31 @@ def test_inline_image_skipped():
     assert pdf_text(simple_pdf(content)) == "before\nafter"
 
 
+def test_inline_image_length_hint_guards_embedded_ei():
+    # the image DATA contains a whitespace+EI byte pattern; without the
+    # /L hint the skip would end early and parse the tail (`(junk) Tj`)
+    # as real operators — with /L it must jump straight past it
+    data = b"\x01\x02 EI (junk) Tj \x03\x04"
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (before) Tj ET "
+        b"BI /W 2 /H 2 /CS /G /BPC 8 /L " + str(len(data)).encode()
+        + b" ID " + data + b" EI "
+        b"BT /F1 12 Tf 72 700 Td (after) Tj ET"
+    )
+    assert pdf_text(simple_pdf(content)) == "before\nafter"
+
+
+def test_inline_image_lying_length_hint_falls_back():
+    # /L points past the real EI into absent bytes — the rescan from the
+    # data start must still find the terminator, not discard the page tail
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (before) Tj ET "
+        b"BI /W 1 /H 1 /CS /G /BPC 8 /L 999999 ID \x7f EI "
+        b"BT /F1 12 Tf 72 700 Td (after) Tj ET"
+    )
+    assert pdf_text(simple_pdf(content)) == "before\nafter"
+
+
 def test_empty_page_returns_empty():
     assert pdf_text(simple_pdf(b"")) == ""
 

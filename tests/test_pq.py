@@ -169,16 +169,32 @@ def test_guards(spark):
 
 
 def test_zero_vector_never_tops(spark):
-    """A zero corpus vector has reconstructed norm 0 — its cosine must
-    be 0/∞ = 0, not NaN/inf, and it must not displace real neighbors."""
+    """A zero corpus vector has reconstructed norm 0 — it must sort
+    LAST like brute_force_knn's NULL cosine (desc puts NULL last), not
+    at 0.0 above negative cosines: selection parity with brute force
+    on corpora mixing zero vectors and negative cosines."""
     vectors = _rand_vectors(12)
-    vectors.append([0.0] * DIM)
+    vectors.append([0.0] * DIM)  # vec_id 12
     df = _vecs(spark, vectors)
     books = codebooks_from_vectors(vectors, m=M)
     codes = pq_encode(df, books)
-    got = pq_knn(df.filter(F.col("vec_id") < 3), codes, books, k=4)
-    for r in got.collect():
+    q = df.filter(F.col("vec_id") < 3)
+    got = pq_knn(q, codes, books, k=4).collect()
+    for r in got:
         assert np.isfinite(r["cosine"])
+        assert r["neighbor_id"] != 12  # 12 real candidates > k=4
+    # selection parity with brute force even when k forces the zero
+    # row in: it arrives LAST (rk — brute force ranks its NULL last)
+    full = pq_knn(q, codes, books, k=13).collect()
+    assert any(
+        r["cosine"] < 0.0 for r in full if np.isfinite(r["cosine"])
+    ), "fixture must exercise negative cosines"
+    bf = brute_force_knn(q, df, k=13, drop_self=False).collect()
+    key = lambda rows: sorted((r["query_id"], r["rk"], r["neighbor_id"]) for r in rows)
+    assert key(full) == key(bf)
+    for r in full:
+        if r["neighbor_id"] == 12:
+            assert r["rk"] == 13 and r["cosine"] == -np.inf
 
 
 def test_byte_packing_and_layout_parity(spark):

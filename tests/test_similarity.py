@@ -46,6 +46,26 @@ def _pairs(df):
     return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
 
 
+def test_local_topk_idx_matches_full_lexsort():
+    """The argpartition-widened cut must select EXACTLY what the full
+    lexsort reference selects, under heavy score ties (quantized grids
+    force boundary ties) and for every n including n >= len(row)."""
+    import numpy as np
+
+    from data_governance_spark.operators.similarity import local_topk_idx
+
+    rng = np.random.default_rng(42)
+    for trial in range(200):
+        c = int(rng.integers(1, 40))
+        # coarse quantization => lots of exact ties at the boundary
+        row = np.round(rng.random(c) * 4) / 4.0
+        cids = rng.permutation(c).astype(np.int64)
+        for n in (1, 2, c // 2 or 1, c - 1 or 1, c, c + 3):
+            ref = np.lexsort((cids, -row))[: min(n, c)]
+            got = local_topk_idx(row, cids, n)
+            assert list(got) == list(ref), (trial, n, row.tolist())
+
+
 def test_brute_force_exact_same_cluster(vectors):
     df, _ = vectors
     out = brute_force_knn(df.select("vec_id", "emb"), df.select("vec_id", "emb"), k=3)
