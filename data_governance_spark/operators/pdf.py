@@ -113,7 +113,9 @@ class PdfParseError(PdfError):
 
 
 class PdfEncryptedError(PdfError):
-    """/Encrypt present — stream bytes are ciphertext."""
+    """Undecryptable encryption: a real (non-empty) user password,
+    rev >= 4 / AES / crypt filters, or a non-Standard handler. The
+    rev 2/3 RC4 empty-user-password tier decrypts instead of raising."""
 
 
 class PdfUnsupportedFilterError(PdfError):

@@ -109,6 +109,61 @@ def brute_force_knn(
     )
 
 
+def exact_rerank(
+    queries: DataFrame,
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """The production ANN composition's second stage: approximate
+    candidates at k′ = r·k (from ``pq_knn`` / ``ivfadc_knn`` /
+    ``lsh_knn`` — anything emitting (query_id, neighbor_id) pairs) are
+    re-scored EXACTLY against the raw vectors and cut to the true
+    top-k of the pool. Compressed-domain scores order the pool but
+    never surface: the output cosine is the exact one.
+
+    Scale shape: ``candidates`` is tiny (queries × k′ rows) and is
+    BROADCAST into a hash join against the corpus, so the corpus
+    streams map-side and only candidate rows are ever scored — the raw
+    vectors are touched for |pool| rows, not |corpus|. The final
+    window shuffles only the scored pool. Output matches
+    ``brute_force_knn``: (query_id, neighbor_id, cosine, rk).
+
+    When the candidate pool provably contains the true top-k (e.g.
+    lossless codebooks at k′ >= k, or r sized per the measured recall
+    curve — scripts/stress_pq.py), the result EQUALS brute force at
+    a fraction of its cost."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # duplicate (query, neighbor) pairs (candidate tiers can overlap)
+    # would inflate row_number ranks — dedup the tiny relation
+    cand = candidates.select("query_id", "neighbor_id").distinct()
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pool = c.join(F.broadcast(cand), "neighbor_id").join(
+        F.broadcast(q), "query_id"
+    )
+    cos = F.try_divide(
+        dot(F.col("q_emb"), F.col("c_emb")), F.col("q_nrm") * F.col("c_nrm")
+    )
+    scored = pool.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def ivf_knn(
     df: DataFrame,
     cells: DataFrame,

@@ -334,7 +334,7 @@ def e07_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS rk
       FROM embeddings q, embeddings n
       WHERE q.vec_id % 5 = 0
-    ), (SELECT unnest(['ivf', 'pq', 'ivfadc']) AS gate) g
+    ), (SELECT unnest(['ivf', 'pq', 'ivfadc', 'rr']) AS gate) g
     WHERE rk <= {_K}
     UNION ALL
     SELECT 'lsh', CAST(vec_id AS VARCHAR), CAST(NULL AS VARCHAR), 1.0
@@ -352,7 +352,11 @@ def e07_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "IVFADC composition (Jégou 2011 §V: residual-encode per cell, "
     "centroid-dot + residual-ADC) probing ALL cells with lossless "
     "residual codebooks == brute force — the same exactness "
-    "construction through the full probe/filter path (new in r11)",
+    "construction through the full probe/filter path (new in r11) + "
+    "the candidates->exact-rerank production composition: ONE shared "
+    "ADC pass at k'=2k feeds both the 'pq' cut and the 'rr' candidate "
+    "pool, which exact_rerank re-scores against raw vectors through "
+    "broadcast joins to reproduce brute force (new in r12)",
 )
 def e05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scanned by the cell trainer, the n_cells count, the query subset,
@@ -441,7 +445,20 @@ def e05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = [list(r["emb"]) for r in emb.select("emb").collect()]
     books = codebooks_from_vectors(vectors, m=8)
     codes = pq_encode(emb.select("vec_id", "emb"), books)
-    pq = pq_knn(queries, codes, books, k=_K)
+    # ONE ADC pass at k' = 2k serves BOTH sub-gates (the e05 growth
+    # rule: new sub-gates share relations, never add a scoring pass):
+    # rows rk <= k are the 'pq' result; all 2k rows are the 'rr'
+    # candidate pool. Lossless codes make the pool provably contain
+    # the true top-k, so the rerank must equal brute force exactly.
+    pq_wide = tracked_persist(pq_knn(queries, codes, books, k=2 * _K))
+    pq = pq_wide.filter(F.col("rk") <= _K)
+
+    # rr sub-gate (r12): the production composition — approximate
+    # candidates re-scored EXACTLY against raw vectors via a broadcast
+    # semi-join (operators/similarity.py exact_rerank), cut to top-k
+    from data_governance_spark.operators.similarity import exact_rerank
+
+    rr = exact_rerank(queries, pq_wide, emb.select("vec_id", "emb"), k=_K)
 
     # ivfadc sub-gate (r11): the composition — residuals against the
     # per-label cells, LOSSLESS residual codebooks, ALL cells probed:
@@ -467,4 +484,5 @@ def e05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_rows.unionByName(lsh_rows)
         .unionByName(_topk_rows(pq, "pq"))
         .unionByName(_topk_rows(ivfadc, "ivfadc"))
+        .unionByName(_topk_rows(rr, "rr"))
     )

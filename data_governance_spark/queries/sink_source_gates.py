@@ -325,6 +325,42 @@ _PDF_LZW_HEX = (
     "30303030206e200a747261696c65720a3c3c202f53697a652036202f526f6f742031"
     "20302052203e3e0a7374617274787265660a3435370a2525454f460a"
 )
+# third planted payload (r12): rev-3 RC4 ENCRYPTED with the empty user
+# password (Flate inside the encryption — decrypt must run before
+# inflate), generated by the test suite's independent spec encryptor
+# and pinned by tests/test_pdf.py::test_gate_payload_pin
+_PDF_ENC_TEXT = "RC4 empty-password decrypt\npermission bits only"
+_PDF_ENC_HEX = (
+    "255044462d312e350a25e2e3cfd30a312030206f626a0a3c3c202f54797065202f43"
+    "6174616c6f67202f5061676573203220302052203e3e0a656e646f626a0a32203020"
+    "6f626a0a3c3c202f54797065202f5061676573202f4b696473205b33203020525d20"
+    "2f436f756e742031203e3e0a656e646f626a0a332030206f626a0a3c3c202f547970"
+    "65202f50616765202f506172656e74203220302052202f5265736f7572636573203c"
+    "3c202f466f6e74203c3c202f4631203520302052203e3e203e3e202f436f6e74656e"
+    "7473203420302052203e3e0a656e646f626a0a342030206f626a0a3c3c202f46696c"
+    "746572202f466c6174654465636f6465202f4c656e67746820313039203e3e0a7374"
+    "7265616d0a898a8ab252bca3f471d11ee7e478ae32e653482f712a3aba6d7c3602d4"
+    "4afd53f9308a5dbcff472a418c91151d423833b214660a99808aea34f6f94e47c518"
+    "78960ef3f535d215571290d9ce201b1409d14660c4c9fe80f01b7ed38bbed259d5ab"
+    "6453de84037affd5e108d2f80a656e6473747265616d0a656e646f626a0a35203020"
+    "6f626a0a3c3c202f54797065202f466f6e74202f53756274797065202f5479706531"
+    "202f42617365466f6e74202f48656c766574696361203e3e0a656e646f626a0a3620"
+    "30206f626a0a3c3c202f46696c746572202f5374616e64617264202f562032202f52"
+    "2033202f4c656e67746820313238202f50202d3434202f4f203c3931336230373366"
+    "35623635393534633862366461323231363939373161313737623765366439346131"
+    "303666663735633063313632393662633135343132653e202f55203c343134343436"
+    "33656161343763646266366566623932646135363730383431613030303030303030"
+    "3030303030303030303030303030303030303030303030303e203e3e0a656e646f62"
+    "6a0a787265660a3020370a303030303030303030302036353533352066200a303030"
+    "30303030303135203030303030206e200a3030303030303030363420303030303020"
+    "6e200a30303030303030313231203030303030206e200a3030303030303032323320"
+    "3030303030206e200a30303030303030343034203030303030206e200a3030303030"
+    "3030343734203030303030206e200a747261696c65720a3c3c202f53697a65203920"
+    "2f526f6f74203120302052202f456e6372797074203620302052202f4944205b3c61"
+    "626364313233346162636431323334616263643132333461626364313233343e203c"
+    "61626364313233346162636431323334616263643132333461626364313233343e5d"
+    "203e3e0a7374617274787265660a3638320a2525454f460a"
+)
 _PDF_FLATE_TEXT = "Planted “café” payload\nkerned-pair gap\nCMaptu"
 _PDF_FLATE_HEX = (
     "255044462d312e350a25e2e3cfd30a312030206f626a0a3c3c202f54797065202f43"
@@ -422,7 +458,17 @@ def q41_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("lzw").alias("k"),
         F.unhex(F.lit(_PDF_LZW_HEX)).alias("content"),
     )
-    docs = per_cust.unionByName(planted).unionByName(planted_lzw)
+    # third planted payload (r12): rev-3 RC4 + Flate — exercises the
+    # standard security handler's empty-user-password decrypt in-gate
+    planted_enc = spark.range(1).select(
+        F.lit("enc").alias("k"),
+        F.unhex(F.lit(_PDF_ENC_HEX)).alias("content"),
+    )
+    docs = (
+        per_cust.unionByName(planted)
+        .unionByName(planted_lzw)
+        .unionByName(planted_enc)
+    )
     return extract_pdf_text(docs, errors="raise").select(
         "k", F.col("text").alias("v_s")
     )
@@ -501,6 +547,10 @@ def q41_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            'Legacy LZW stream decoded' || chr(10) || 'kerned gap',
            CAST(NULL AS DOUBLE)
     UNION ALL
+    SELECT 'pdf', 'enc',
+           'RC4 empty-password decrypt' || chr(10) || 'permission bits only',
+           CAST(NULL AS DOUBLE)
+    UNION ALL
     SELECT 'ser', 'D' || cs,
       '<doc boost="' || CAST(ck % 7 AS VARCHAR) || '">' || chr(10)
       || '  <field name="aa_arr">v1-' || cs || '</field>' || chr(10)
@@ -537,7 +587,9 @@ def q41_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/pdf.py: per-customer PDFs assembled in SQL through "
     "the real object-scan/page-tree/Tj/TJ path, plus a planted "
     "Flate + WinAnsi + ToUnicode-CMap payload pinned by "
-    "tests/test_pdf.py; new in r11)",
+    "tests/test_pdf.py; new in r11; plus a planted rev-3 RC4 "
+    "ENCRYPTED payload decrypted with the empty user password "
+    "through the standard security handler; new in r12)",
 )
 def q41_xml_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     nul_d = F.lit(None).cast("double")

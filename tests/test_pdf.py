@@ -679,6 +679,23 @@ def test_gate_payload_pin():
     assert build_pdf(objs, b"<< /Size 6 /Root 1 0 R >>").hex() == _PDF_LZW_HEX
 
 
+def test_gate_encrypted_payload_pin():
+    """The q41 'pdf' planted ENCRYPTED payload (r12): regenerate from
+    this suite's independent spec encryptor (defined below in the
+    encryption section) and pin bytes + extracted text."""
+    from data_governance_spark.queries.sink_source_gates import (
+        _PDF_ENC_HEX,
+        _PDF_ENC_TEXT,
+    )
+
+    assert pdf_text(bytes.fromhex(_PDF_ENC_HEX)) == _PDF_ENC_TEXT
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (RC4 empty-password decrypt) Tj "
+        b"0 -14 Td [(per) -8 (mission) -260 (bits only)] TJ ET"
+    )
+    assert encrypted_pdf(content=content, compress=True).hex() == _PDF_ENC_HEX
+
+
 # --------------------------------------------------------------------------
 # review-pass regressions (r11): each of these crashed, hung, or
 # silently corrupted before the fix
@@ -892,3 +909,271 @@ def test_lzw_fuzz_never_untyped(data):
     except PdfError:
         return
     assert isinstance(out, bytes)
+
+
+# --------------------------------------------------------------------------
+# standard security handler (r12): independent spec encryptor + round-trips
+# --------------------------------------------------------------------------
+# The encryptor below is transcribed DIRECTLY from ISO 32000-1 §7.6.3
+# (Algorithms 1-5) — it shares no code with operators/pdf.py, so a
+# decrypt of its output is a genuine two-implementation differential
+# (same pattern as the LZW/PNG/FLAC spec encoders in this suite).
+
+import hashlib
+import struct
+
+ENC_PAD_T = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA0108"
+    "2E2E00B6D0683E802F0CA9FE6453697A"
+)
+
+
+def rc4_t(key: bytes, data: bytes) -> bytes:
+    s = bytearray(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) % 256
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) % 256
+        j = (j + s[i]) % 256
+        s[i], s[j] = s[j], s[i]
+        out.append(c ^ s[(s[i] + s[j]) % 256])
+    return bytes(out)
+
+
+def std_keys_t(
+    user_pwd: bytes,
+    owner_pwd: bytes,
+    perms: int,
+    id0: bytes,
+    r: int,
+    nbits: int,
+) -> tuple[bytes, bytes, bytes]:
+    """(file_key, /O, /U) per Algorithms 3, 2, 4/5."""
+    n = nbits // 8
+    # Algorithm 3: /O
+    opad = ((owner_pwd or user_pwd) + ENC_PAD_T)[:32]
+    h = hashlib.md5(opad).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    okey = h[:n]
+    upad = (user_pwd + ENC_PAD_T)[:32]
+    o = rc4_t(okey, upad)
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4_t(bytes(b ^ i for b in okey), o)
+    # Algorithm 2: file key
+    key = hashlib.md5(upad + o + struct.pack("<i", perms) + id0).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    key = key[:n]
+    # Algorithm 4 (r=2) / 5 (r=3): /U
+    if r == 2:
+        u = rc4_t(key, ENC_PAD_T)
+    else:
+        u = rc4_t(key, hashlib.md5(ENC_PAD_T + id0).digest())
+        for i in range(1, 20):
+            u = rc4_t(bytes(b ^ i for b in key), u)
+        u = u + bytes(16)  # 16 arbitrary padding bytes
+    return key, o, u
+
+
+def obj_key_t(key: bytes, num: int, gen: int = 0) -> bytes:
+    h = hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(key) + 5, 16)]
+
+
+def encrypted_pdf(
+    content: bytes = HELLO,
+    r: int = 3,
+    nbits: int = 128,
+    user_pwd: bytes = b"",
+    owner_pwd: bytes = b"owner-secret",
+    perms: int = -44,
+    id0: bytes = b"\xab\xcd\x12\x34" * 4,
+    compress: bool = False,
+    extra: dict[int, bytes] | None = None,
+    gen4: int = 0,
+) -> bytes:
+    """One-page encrypted PDF: objects 1-5 as simple_pdf, 6 = the
+    /Encrypt dict (never encrypted), content stream 4 RC4'd with its
+    object key. ``extra`` bodies are used VERBATIM (pre-encrypt them
+    with obj_key_t yourself). ``gen4`` writes the content stream as
+    generation ``gen4`` to pin the per-object-key gen path."""
+    key, o, u = std_keys_t(user_pwd, owner_pwd, perms, id0, r, nbits)
+    data = zlib.compress(content) if compress else content
+    edata = rc4_t(obj_key_t(key, 4, gen4), data)
+    v = 1 if r == 2 else 2
+    length = f" /Length {nbits}" if v == 2 else ""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"
+        ),
+        4: stream_body(
+            b"/Filter /FlateDecode" if compress else b"", edata
+        ),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        6: (
+            f"<< /Filter /Standard /V {v} /R {r}{length} /P {perms} "
+            f"/O <{o.hex()}> /U <{u.hex()}> >>"
+        ).encode(),
+    }
+    if extra:
+        objs.update(extra)
+    idhex = id0.hex().encode()
+    pdf = build_pdf(
+        objs,
+        b"<< /Size 9 /Root 1 0 R /Encrypt 6 0 R /ID [<"
+        + idhex + b"> <" + idhex + b">] >>",
+    )
+    if gen4:
+        pdf = pdf.replace(b"4 0 obj", f"4 {gen4} obj".encode())
+    return pdf
+
+
+def test_rc4_known_vectors_and_parity():
+    """Classic RC4 vectors pin BOTH implementations to the cipher, not
+    just to each other."""
+    from data_governance_spark.operators.pdf import _rc4
+
+    vectors = [
+        (b"Key", b"Plaintext", "bbf316e8d940af0ad3"),
+        (b"Wiki", b"pedia", "1021bf0420"),
+        (b"Secret", b"Attack at dawn", "45a01f645fc35b383552544b9bf5"),
+    ]
+    for k, pt, ct in vectors:
+        assert _rc4(k, pt).hex() == ct
+        assert rc4_t(k, pt).hex() == ct
+        assert _rc4(k, bytes.fromhex(ct)) == pt  # symmetric
+
+
+def test_encrypted_r3_empty_user_password_extracts():
+    assert pdf_text(encrypted_pdf(r=3, nbits=128)) == "Hello World"
+
+
+def test_encrypted_r2_40bit_extracts():
+    assert pdf_text(encrypted_pdf(r=2, nbits=40)) == "Hello World"
+
+
+def test_encrypted_r3_40bit_and_56bit():
+    # /Length varies in the wild; any multiple of 8 in [40, 128]
+    assert pdf_text(encrypted_pdf(r=3, nbits=40)) == "Hello World"
+    assert pdf_text(encrypted_pdf(r=3, nbits=56)) == "Hello World"
+
+
+def test_encrypted_flate_chain():
+    """Encryption wraps OUTSIDE the filter chain: stored bytes are
+    RC4(deflate(content)) — decrypt must happen before inflate."""
+    assert pdf_text(encrypted_pdf(compress=True)) == "Hello World"
+
+
+def test_encrypted_nonzero_generation_object():
+    """Per-object keys mix in the GENERATION number (Algorithm 1) — a
+    '4 1 obj' stream encrypted with gen=1 only decrypts if the reader
+    tracked the gen from the object header."""
+    assert pdf_text(encrypted_pdf(gen4=1)) == "Hello World"
+
+
+def test_encrypted_string_objects_decrypt():
+    """Strings in dicts are encrypted per-object too (§7.6.2)."""
+    from data_governance_spark.operators.pdf import _Doc
+
+    key, _, _ = std_keys_t(
+        b"", b"owner-secret", -44, b"\xab\xcd\x12\x34" * 4, 3, 128
+    )
+    secret = rc4_t(obj_key_t(key, 8), b"Top Secret Title")
+    pdf = encrypted_pdf(
+        extra={8: b"<< /Title <" + secret.hex().encode() + b"> >>"}
+    )
+    doc = _Doc(pdf)
+    assert doc.objects[8]["Title"] == b"Top Secret Title"
+
+
+def test_encrypted_objstm_contents_not_double_decrypted():
+    """Objects inside an ObjStm are NOT individually encrypted — only
+    the ObjStm's own stream is (§7.6.2 note). The font dict lives in an
+    encrypted ObjStm; extraction must still work."""
+    key, _, _ = std_keys_t(
+        b"", b"owner-secret", -44, b"\xab\xcd\x12\x34" * 4, 3, 128
+    )
+    inner = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    payload = b"5 0 " + inner
+    raw = rc4_t(obj_key_t(key, 8), payload)
+    objstm = stream_body(
+        b"/Type /ObjStm /N 1 /First 4", raw
+    )
+    pdf = encrypted_pdf(extra={8: objstm})
+    # remove the top-level font object so the ObjStm copy is the one used
+    pdf = pdf.replace(
+        b"5 0 obj\n" + inner + b"\nendobj\n", b"", 1
+    )
+    assert pdf_text(pdf) == "Hello World"
+
+
+def test_encrypted_wrong_password_still_raises():
+    pdf = encrypted_pdf(user_pwd=b"real-user-password")
+    with pytest.raises(PdfEncryptedError):
+        pdf_text(pdf)
+
+
+def test_encrypted_aes_v4_raises():
+    pdf = encrypted_pdf()
+    # rewrite the encrypt dict to claim V4/R4 (AESV2 territory)
+    pdf = pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    with pytest.raises(PdfEncryptedError):
+        pdf_text(pdf)
+
+
+def test_encrypted_nonstandard_handler_raises():
+    pdf = encrypted_pdf()
+    pdf = pdf.replace(b"/Filter /Standard", b"/Filter /MyCustomSec")
+    with pytest.raises(PdfEncryptedError):
+        pdf_text(pdf)
+
+
+def test_encrypted_no_id_entry():
+    """Some writers omit /ID; both sides then derive with id0 = b''."""
+    pdf = encrypted_pdf(id0=b"")
+    assert pdf_text(pdf) == "Hello World"
+
+
+def test_encrypted_tampered_u_raises():
+    """A corrupted /U must fail authentication (typed), not decrypt to
+    garbage text."""
+    pdf = encrypted_pdf()
+    _, _, u = std_keys_t(
+        b"", b"owner-secret", -44, b"\xab\xcd\x12\x34" * 4, 3, 128
+    )
+    bad = bytes([u[0] ^ 0xFF]) + u[1:]
+    pdf = pdf.replace(u.hex().encode(), bad.hex().encode())
+    with pytest.raises(PdfEncryptedError):
+        pdf_text(pdf)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 10_000), st.integers(1, 3))
+def test_encrypted_fuzz_corruption_never_untyped(seed, nflips):
+    """Byte-flipping an ENCRYPTED pdf (keys, dict, ciphertext) must
+    extract or raise a typed PdfError — never an untyped exception."""
+    import random as _random
+
+    base = bytearray(encrypted_pdf())
+    rng = _random.Random(seed)
+    for _ in range(nflips):
+        i = rng.randrange(len(base))
+        base[i] ^= 1 << rng.randrange(8)
+    try:
+        out = pdf_text(bytes(base))
+        assert isinstance(out, str)
+    except PdfError:
+        pass

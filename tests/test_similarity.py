@@ -230,3 +230,129 @@ def test_semantic_dedup_composition(spark):
     pre = cosine_neardup_pairs(df, "cell", threshold=0.99)
     _, kept2 = semantic_dedup(df, "cell", pairs=pre)
     assert sorted(r["vec_id"] for r in kept2.collect()) == [1, 3, 4, 5]
+
+
+# --------------------------------------------------------------------------
+# exact_rerank (r12): the candidates -> exact-rerank production shape
+# --------------------------------------------------------------------------
+
+
+def _rk_map(df):
+    return {
+        (r["query_id"], r["rk"]): (r["neighbor_id"], round(r["cosine"], 9))
+        for r in df.collect()
+    }
+
+
+def test_rerank_equals_brute_force_with_lossless_candidates(vectors, spark):
+    """Lossless PQ candidates at k' = 2k provably contain the true
+    top-k, so rerank must reproduce brute force bit-for-bit — ids,
+    ranks, AND exact cosines."""
+    from data_governance_spark.operators.pq import (
+        codebooks_from_vectors,
+        pq_encode,
+        pq_knn,
+    )
+    from data_governance_spark.operators.similarity import exact_rerank
+
+    df, _ = vectors
+    corpus = df.select("vec_id", "emb")
+    queries = df.filter(F.col("vec_id") % 10 == 0).select("vec_id", "emb")
+    vecs = [list(r["emb"]) for r in corpus.collect()]
+    books = codebooks_from_vectors(vecs, m=4)
+    codes = pq_encode(corpus, books)
+    cand = pq_knn(queries, codes, books, k=6)
+    got = exact_rerank(queries, cand, corpus, k=3)
+    ref = brute_force_knn(queries, corpus, k=3, drop_self=False)
+    assert _rk_map(got) == _rk_map(ref)
+
+
+def test_rerank_recovers_ranking_from_lossy_candidates(vectors, spark):
+    """With LOSSY trained codebooks the ADC order is approximate; the
+    rerank must (a) emit EXACT cosines for whatever pool it got and
+    (b) never do worse than the raw ADC cut at the same k."""
+    from data_governance_spark.operators.pq import (
+        pq_encode,
+        pq_knn,
+        train_pq_codebooks,
+    )
+    from data_governance_spark.operators.similarity import exact_rerank
+
+    df, _ = vectors
+    corpus = df.select("vec_id", "emb")
+    queries = df.filter(F.col("vec_id") % 10 == 0).select("vec_id", "emb")
+    books = train_pq_codebooks(corpus, m=4, ks=8, sample_n=60, seed=11)
+    codes = pq_encode(corpus, books)
+    k = 3
+    cand = pq_knn(queries, codes, books, k=4 * k)
+    got = exact_rerank(queries, cand, corpus, k=k)
+    ref = brute_force_knn(queries, corpus, k=k, drop_self=False)
+    truth = {}
+    exact_cos = {}
+    for r in ref.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        exact_cos[(r["query_id"], r["neighbor_id"])] = r["cosine"]
+    pool = {}
+    for r in cand.collect():
+        pool.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    adc_top = {}
+    for r in cand.filter(F.col("rk") <= k).collect():
+        adc_top.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rerank_top = {}
+    for r in got.collect():
+        rerank_top.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        # (a) exact cosines: match brute force where the pair is shared
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(r["cosine"] - exact_cos[key]) < 1e-12
+    for qid, t in truth.items():
+        # (b) within the pool, rerank picks the exact best — recall can
+        # only improve over the ADC cut
+        hits_rr = len(rerank_top.get(qid, set()) & t)
+        hits_adc = len(adc_top.get(qid, set()) & t)
+        assert hits_rr >= hits_adc
+        # everything the pool contains of the truth must surface
+        assert rerank_top.get(qid, set()) & t == pool.get(qid, set()) & t
+
+
+def test_rerank_dedups_overlapping_candidate_tiers(vectors, spark):
+    """Two candidate tiers naming the same (query, neighbor) pair must
+    not inflate ranks — ranks stay 1..k, each neighbor once."""
+    from data_governance_spark.operators.similarity import exact_rerank
+
+    df, _ = vectors
+    corpus = df.select("vec_id", "emb")
+    queries = df.filter(F.col("vec_id") % 15 == 0).select("vec_id", "emb")
+    cand = brute_force_knn(queries, corpus, k=5, drop_self=False)
+    doubled = cand.unionByName(cand)
+    got = exact_rerank(queries, doubled, corpus, k=5).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append((r["rk"], r["neighbor_id"]))
+    for qid, rows in per_q.items():
+        rks = sorted(rk for rk, _ in rows)
+        assert rks == list(range(1, len(rows) + 1))
+        nbrs = [n for _, n in rows]
+        assert len(nbrs) == len(set(nbrs))
+
+
+def test_rerank_plan_broadcasts_candidates(vectors, spark):
+    """The corpus side must stream through broadcast hash joins — a
+    sort-merge join (corpus shuffle) would defeat the composition's
+    whole point at scale."""
+    from data_governance_spark.operators.similarity import exact_rerank
+
+    df, _ = vectors
+    corpus = df.select("vec_id", "emb")
+    queries = df.filter(F.col("vec_id") % 15 == 0).select("vec_id", "emb")
+    cand = brute_force_knn(queries, corpus, k=5, drop_self=False)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = (
+        exact_rerank(queries, cand, corpus, k=3)
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
