@@ -89,9 +89,12 @@ __all__ = [
     "PdfEncryptedError",
     "PdfUnsupportedFilterError",
     "PdfImageOnlyError",
+    "PdfImageDecodeError",
     "pdf_text",
     "extract_pdf_text",
     "pdf_text_column",
+    "pdf_images",
+    "extract_pdf_images",
 ]
 
 # TJ gap (in thousandths of an em, i.e. text-space units) at or beyond
@@ -124,6 +127,12 @@ class PdfUnsupportedFilterError(PdfError):
 
 class PdfImageOnlyError(PdfError):
     """Raster images but zero text operators — scanned PDF, needs OCR."""
+
+
+class PdfImageDecodeError(PdfError):
+    """One embedded image is undecodable (unsupported colorspace /
+    bits / size mismatch). Per-image only: ``pdf_images`` records it in
+    that image's ``err`` field and keeps the document."""
 
 
 # --------------------------------------------------------------------------
@@ -1448,6 +1457,256 @@ def pdf_text(data: bytes) -> str:
             "scanned PDF with no text layer; needs OCR, not extraction"
         )
     return text
+
+
+# --------------------------------------------------------------------------
+# embedded images (r12): image XObjects -> standalone decodable payloads
+# --------------------------------------------------------------------------
+
+_DCT_NAMES = ("DCTDecode", "DCT")
+
+
+def _collect_images(doc: _Doc, resources, out: list, seen: set, depth: int):
+    """Append (name, xo) for every /Subtype /Image XObject reachable
+    from ``resources``, recursing through Form XObjects; name-sorted
+    per level for deterministic image indexes."""
+    res = doc.resolve(resources)
+    if not isinstance(res, dict) or depth > _MAX_XOBJECT_DEPTH:
+        return
+    xobjects = doc.resolve(res.get("XObject"))
+    if not isinstance(xobjects, dict):
+        return
+    for name in sorted(xobjects):
+        try:
+            xo = doc.resolve(xobjects[name])
+        except PdfParseError:
+            continue
+        if not isinstance(xo, _Stream) or id(xo) in seen:
+            continue
+        sub = xo.d.get("Subtype")
+        if sub == "Image":
+            seen.add(id(xo))
+            out.append((str(name), xo))
+        elif sub == "Form":
+            seen.add(id(xo))
+            _collect_images(doc, xo.d.get("Resources"), out, seen, depth + 1)
+
+
+def _raster_array(data: bytes, w: int, h: int, bits: int, channels: int):
+    """Packed PDF image samples -> uint8 numpy array (H, W) or
+    (H, W, 3). Rows pad to byte boundaries (ISO 32000-1 §8.9.3); sub-
+    byte gray depths scale to 0..255 like the PNG path."""
+    import numpy as np
+
+    stride = (w * channels * bits + 7) // 8
+    need = stride * h
+    if len(data) < need:
+        raise PdfImageDecodeError(
+            f"image data short: {len(data)} < {need} ({w}x{h}x{channels}"
+            f"@{bits})"
+        )
+    rows = np.frombuffer(data[:need], dtype=np.uint8).reshape(h, stride)
+    if bits == 8:
+        flat = rows[:, : w * channels]
+        return (
+            flat.reshape(h, w)
+            if channels == 1
+            else flat.reshape(h, w, channels)
+        )
+    # sub-byte depths are gray-only (guarded by the caller)
+    b = np.unpackbits(rows, axis=1)
+    if bits == 1:
+        vals = b[:, :w] * 255
+    else:
+        weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint16)
+        grouped = b[:, : (w * bits)].reshape(h, w, bits)
+        vals = (grouped * weights).sum(axis=2) * (255 // ((1 << bits) - 1))
+    return vals.astype(np.uint8)
+
+
+def _to_netpbm(arr) -> bytes:
+    """uint8 (H, W) -> P5 / (H, W, 3) -> P6 — a standalone payload the
+    multimodal tier (decode_image / extract_features / media dedup)
+    consumes directly."""
+    h, w = arr.shape[0], arr.shape[1]
+    magic = b"P5" if arr.ndim == 2 else b"P6"
+    return magic + f" {w} {h} 255\n".encode() + arr.tobytes()
+
+
+def _image_record(doc: _Doc, xo: _Stream, page: int, idx: int) -> dict:
+    from data_governance_spark.operators.multimodal import _img_stats
+
+    d = xo.d
+    rec = {
+        "page": page,
+        "img_idx": idx,
+        "width": None,
+        "height": None,
+        "format": None,
+        "image": None,
+        "feature": None,
+        "err": None,
+    }
+    try:
+        w = doc.resolve(d.get("Width"))
+        h = doc.resolve(d.get("Height"))
+        if not isinstance(w, int) or not isinstance(h, int) or w < 1 or h < 1:
+            raise PdfImageDecodeError(f"bad image dims {w!r}x{h!r}")
+        rec["width"], rec["height"] = w, h
+        if w * h > 64_000_000:
+            raise PdfImageDecodeError(f"image too large: {w}x{h}")
+        filt = doc.resolve(d.get("Filter"))
+        names = [
+            str(doc.resolve(f))
+            for f in (filt if isinstance(filt, list) else [filt])
+            if f is not None
+        ]
+        if names and names[-1] in _DCT_NAMES:
+            # the stream IS a JPEG once the preceding filters unwrap —
+            # route to the repo's real decoder (operators/jpeg.py)
+            if len(names) == 1:
+                jpeg = xo.raw
+            else:
+                parms = doc.resolve(d.get("DecodeParms", d.get("DP")))
+                if not isinstance(parms, list):
+                    parms = [parms] * len(names)
+                d2 = dict(d)
+                d2["Filter"] = [_Name(n) for n in names[:-1]]
+                d2["DecodeParms"] = parms[: len(names) - 1]
+                jpeg = _decode_stream(doc, _Stream(d2, xo.raw))
+            from data_governance_spark.operators.jpeg import decode_jpeg
+
+            try:
+                arr = decode_jpeg(jpeg)
+            except ValueError as e:
+                raise PdfImageDecodeError(f"embedded JPEG: {e}") from None
+            rec["format"] = "jpeg"
+            rec["image"] = bytes(jpeg)
+            rec["feature"] = _img_stats(arr)
+            return rec
+        # raster path: the existing filter chain (incl. predictors)
+        # yields packed samples
+        data = _decode_stream(doc, xo)
+        mask = doc.resolve(d.get("ImageMask")) is True
+        bits = 1 if mask else doc.resolve(d.get("BitsPerComponent", 8))
+        cs = doc.resolve(d.get("ColorSpace"))
+        if isinstance(cs, list) and cs:
+            cs = doc.resolve(cs[0])
+        cs_name = str(cs) if isinstance(cs, _Name) else None
+        if mask or cs_name in ("DeviceGray", "CalGray", "G"):
+            channels = 1
+        elif cs_name in ("DeviceRGB", "CalRGB", "RGB"):
+            channels = 3
+        else:
+            raise PdfImageDecodeError(
+                f"unsupported colorspace {cs_name or cs!r} (gray/RGB "
+                "rasters and DCT-embedded JPEGs decode)"
+            )
+        if bits not in (1, 2, 4, 8) or (channels == 3 and bits != 8):
+            raise PdfImageDecodeError(
+                f"unsupported bits/channels: {bits}@{channels}"
+            )
+        arr = _raster_array(data, w, h, bits, channels)
+        rec["format"] = "ppm"
+        rec["image"] = _to_netpbm(arr)
+        rec["feature"] = _img_stats(arr)
+        return rec
+    except PdfError as e:
+        rec["err"] = type(e).__name__
+        return rec
+
+
+def pdf_images(data: bytes) -> list[dict]:
+    """Embedded raster images of a PDF, one dict per image per page:
+    ``(page, img_idx, width, height, format, image, feature, err)``.
+
+    - ``DCTDecode`` XObjects route to the repo's real JPEG decoder
+      (``operators/jpeg.py``); ``image`` is the standalone JPEG bytes.
+    - Flate/LZW/... rasters (gray 1/2/4/8-bit incl. /ImageMask
+      stencils, RGB 8-bit, PNG/TIFF predictors) decode through the
+      standard filter chain; ``image`` is a netpbm (P5/P6) payload.
+    - Either way ``image`` is magic-sniffable and feeds the multimodal
+      tier directly (``decode_image`` / ``extract_features(decoder=
+      'real')`` / media dedup), and ``feature`` is the same 7-wide
+      stats vector ``image_features`` yields.
+    - Unsupported images (JPX/JBIG2/CCITT, exotic colorspaces, 16-bit)
+      record a typed ``err`` PER IMAGE — the document and its other
+      images survive.
+
+    Document-level failures (not a PDF, undecryptable encryption)
+    raise the usual typed errors; encrypted rev 2/3 documents decrypt
+    first, so their images extract too."""
+    if not isinstance(data, (bytes, bytearray)):
+        raise PdfParseError("expected bytes")
+    if b"%PDF" not in data[:1024] and b" obj" not in data[:4096]:
+        raise PdfParseError("not a PDF (no %PDF header, no objects)")
+    doc = _Doc(bytes(data))
+    out: list[dict] = []
+    for pno, page in enumerate(doc.pages(), 1):
+        imgs: list = []
+        _collect_images(doc, page.get("Resources"), imgs, set(), 0)
+        for idx, (_name, xo) in enumerate(imgs):
+            out.append(_image_record(doc, xo, pno, idx))
+    return out
+
+
+def extract_pdf_images(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per embedded image per document:
+    ``(id_col, page, img_idx, width, height, format, image, feature,
+    err)`` — the PDF counterpart of ``frame_features`` (one row per
+    video frame). Map-only ``mapInPandas``; a document whose bytes are
+    NULL or fail doc-level (quarantine semantics) keeps ONE row with
+    NULL page and the error name in ``err``, so documents never vanish
+    silently. Feed ``image`` into the multimodal tier for
+    feature-extraction or media dedup."""
+    import pyspark.sql.types as T
+
+    id_field = docs.schema[id_col]
+    schema = T.StructType(
+        [
+            id_field,
+            T.StructField("page", T.IntegerType()),
+            T.StructField("img_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("image", T.BinaryType()),
+            T.StructField("feature", T.ArrayType(T.DoubleType())),
+            T.StructField("err", T.StringType()),
+        ]
+    )
+    cols = [
+        "page", "img_idx", "width", "height", "format", "image",
+        "feature", "err",
+    ]
+
+    def run(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for did, c in zip(pdf[id_col], pdf[content_col]):
+                base = {id_col: did, **{k: None for k in cols}}
+                if c is None:
+                    base["err"] = "null-content"
+                    rows.append(base)
+                    continue
+                try:
+                    recs = pdf_images(bytes(c))
+                except PdfError as e:
+                    base["err"] = type(e).__name__
+                    rows.append(base)
+                    continue
+                if not recs:
+                    rows.append(base)  # no images: one all-NULL row
+                    continue
+                for r in recs:
+                    rows.append({id_col: did, **r})
+            yield pd.DataFrame(rows, columns=[id_col, *cols])
+
+    return docs.select(id_col, content_col).mapInPandas(run, schema)
 
 
 def pdf_text_column(

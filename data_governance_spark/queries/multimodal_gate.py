@@ -198,6 +198,60 @@ _FLC_HEX = (
 _FLC_CONSTS = (96.0, 2.0, 22050.0, 0.0, 0.0, 0.0)
 _FLC_SD = 3000.0
 
+# 'pdfi' sub-gate (new in r12): PDF embedded-image extraction
+# (operators/pdf.py pdf_images/extract_pdf_images) — one fixed 1,298-
+# byte PDF carrying TWO image XObjects: the SAME 310-byte baseline
+# JPEG as the 'jpg' sub-gate embedded via /Filter /DCTDecode (routes
+# to operators/jpeg.py; features must equal the bare-JPEG constants),
+# and a 3x2 constant-77 DeviceGray Flate raster (mean exactly 77,
+# std exactly 0). Bytes regenerated + pinned by
+# tests/test_pdf.py::test_gate_pdf_images_payload_pin.
+_PDFI_HEX = (
+    "255044462d312e350a25e2e3cfd30a312030206f626a0a3c3c202f54797065202f43"
+    "6174616c6f67202f5061676573203220302052203e3e0a656e646f626a0a32203020"
+    "6f626a0a3c3c202f54797065202f5061676573202f4b696473205b33203020525d20"
+    "2f436f756e742031203e3e0a656e646f626a0a332030206f626a0a3c3c202f547970"
+    "65202f50616765202f506172656e74203220302052202f5265736f7572636573203c"
+    "3c202f466f6e74203c3c202f4631203520302052203e3e202f584f626a656374203c"
+    "3c202f496d41203620302052202f496d42203720302052203e3e203e3e202f436f6e"
+    "74656e7473203420302052203e3e0a656e646f626a0a342030206f626a0a3c3c2020"
+    "2f4c656e677468203432203e3e0a73747265616d0a4254202f463120313220546620"
+    "373220373230205464202848656c6c6f20576f726c642920546a2045540a656e6473"
+    "747265616d0a656e646f626a0a352030206f626a0a3c3c202f54797065202f466f6e"
+    "74202f53756274797065202f5479706531202f42617365466f6e74202f48656c7665"
+    "74696361203e3e0a656e646f626a0a362030206f626a0a3c3c202f54797065202f58"
+    "4f626a656374202f53756274797065202f496d616765202f5769647468203136202f"
+    "486569676874203136202f436f6c6f725370616365202f446576696365524742202f"
+    "42697473506572436f6d706f6e656e742038202f46696c746572202f444354446563"
+    "6f6465202f4c656e67746820333130203e3e0a73747265616d0affd8ffdb00430003"
+    "03030303030404040404040404040404040404040404040404040405050505050505"
+    "0505050505050505050505050505060606060606060606060606070707ffdb004301"
+    "04040404040406060606060606060606060606060606060606060606070707070707"
+    "0707070707070707070707070707070909090909090909090909090a0a0affc00011"
+    "080010001003012200021101031101ffc40015000002000000000000000000000000"
+    "00000405ffc4001501000200000000000000000000000000000506ffc40018100000"
+    "05000000000000000000000000000001020311ffc4001d110000000a000000000000"
+    "00000000000000010203040512132131ffdd00040001ffda000c0301000211031100"
+    "3f005097c1ad3e11254720d69460aa4a210c8e00eab3539976380a41ffd90a656e64"
+    "73747265616d0a656e646f626a0a372030206f626a0a3c3c202f54797065202f584f"
+    "626a656374202f53756274797065202f496d616765202f57696474682033202f4865"
+    "696768742032202f436f6c6f725370616365202f44657669636547726179202f4269"
+    "7473506572436f6d706f6e656e742038202f46696c746572202f466c617465446563"
+    "6f6465202f4c656e677468203131203e3e0a73747265616d0a789cf3f50501000657"
+    "01cf0a656e6473747265616d0a656e646f626a0a787265660a3020380a3030303030"
+    "30303030302036353533352066200a30303030303030303135203030303030206e20"
+    "0a30303030303030303634203030303030206e200a30303030303030313231203030"
+    "303030206e200a30303030303030323630203030303030206e200a30303030303030"
+    "333533203030303030206e200a30303030303030343233203030303030206e200a30"
+    "303030303030383938203030303030206e200a747261696c65720a3c3c202f53697a"
+    "652038202f526f6f74203120302052203e3e0a7374617274787265660a313037340a"
+    "2525454f460a"
+)
+_PDFI_IMGS = (
+    (0, _JPG_CONSTS, _JPG_SD),  # the DCT XObject == the bare 'jpg' payload
+    (1, (3.0, 2.0, 1.0, 77.0, 77.0, 77.0), 0.0),  # constant gray raster
+)
+
 # 'mdd' sub-gate (new in r7): exact media dedup over payloads
 # synthesized with PLANTED DUPLICATES — content 'blob<ck % _MDD_CLASSES>'
 # makes the duplicate classes analytic, so the oracle restates the
@@ -318,6 +372,12 @@ def _s(c: Column) -> Column:
       for n, v in (("w", 12.0), ("h", 8.0), ("c", 1.0), ("m", mean),
                    ("sd", 0.0), ("fps", _VID_FPS))
     )}
+    {"".join(
+      f" UNION ALL SELECT 'pdfi', 'i:{idx}:{n}', CAST(NULL AS VARCHAR), {v}"
+      for idx, consts, sd in _PDFI_IMGS
+      for n, v in (*zip(("w", "h", "c", "mr", "mg", "mb"), consts),
+                   ("sd", sd))
+    )}
     UNION ALL
     SELECT 'mdd', CAST(ck AS VARCHAR) || ':c', CAST(NULL AS VARCHAR),
            CAST(canon AS DOUBLE)
@@ -342,7 +402,11 @@ def _s(c: Column) -> Column:
     "COLOR_INDEXING transform with 2-bit pixel bundling "
     "(operators/vp8l.py; sub-gate 'webp', new in r10) + exact media "
     "dedup over planted duplicate classes (sha2 grouping, sub-gate "
-    "'mdd', new in r7)",
+    "'mdd', new in r7) + PDF embedded-image extraction: a planted PDF "
+    "whose DCT XObject must reproduce the bare-JPEG constants and "
+    "whose Flate gray raster its planted constants, through "
+    "extract_pdf_images' per-image explode (operators/pdf.py; "
+    "sub-gate 'pdfi', new in r12)",
 )
 def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.multimodal import (
@@ -519,9 +583,34 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("group_size").cast("double").alias("n"),
     )
     mdd_rows = melt_metrics(mdd, F.col("mk"), ("c", "n"), "mdd")
+    # 'pdfi' sub-gate (r12): embedded images pulled OUT of a PDF — the
+    # DCT XObject must reproduce the bare-JPEG constants through
+    # extract_pdf_images' mapInPandas explode, the Flate gray raster
+    # its planted constants
+    from data_governance_spark.operators.pdf import extract_pdf_images
+
+    pdf_doc = spark.createDataFrame(
+        [(1, bytearray(bytes.fromhex(_PDFI_HEX)))],
+        "doc_id long, content binary",
+    )
+    pf = extract_pdf_images(pdf_doc).select(
+        F.concat(F.lit("i:"), F.col("img_idx").cast("string")).alias("ik"),
+        *[
+            F.get(F.col("feature"), i).cast("double").alias(n)
+            for i, n in enumerate(("w", "h", "c", "mr", "mg", "mb"))
+        ],
+        (
+            F.round(F.get(F.col("feature"), 6).cast("double"), 4)
+            + F.lit(0.0)
+        ).alias("sd"),
+    )
+    pdfi_rows = melt_metrics(
+        pf, F.col("ik"), ("w", "h", "c", "mr", "mg", "mb", "sd"), "pdfi"
+    )
     return (
         hist.unionByName(real)
         .unionByName(codec_rows)
         .unionByName(vid_rows)
         .unionByName(mdd_rows)
+        .unionByName(pdfi_rows)
     )

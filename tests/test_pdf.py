@@ -1177,3 +1177,279 @@ def test_encrypted_fuzz_corruption_never_untyped(seed, nflips):
         assert isinstance(out, str)
     except PdfError:
         pass
+
+
+# --------------------------------------------------------------------------
+# embedded images (r12): pdf_images / extract_pdf_images
+# --------------------------------------------------------------------------
+
+
+def _image_pdf(extra_objs: dict[int, bytes], xobject_entries: bytes,
+               content: bytes = HELLO) -> bytes:
+    """One-page PDF whose page resources carry image XObjects."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> /XObject << " + xobject_entries
+            + b" >> >> /Contents 4 0 R >>"
+        ),
+        4: stream_body(b"", content),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    objs.update(extra_objs)
+    return build_pdf(objs, b"<< /Size 20 /Root 1 0 R >>")
+
+
+def test_pdf_images_dct_matches_bare_jpeg():
+    """The judge differential: a known spec-writer JPEG embedded as a
+    DCTDecode XObject must yield the SAME bytes and the SAME features
+    as decoding the bare JPEG directly."""
+    import numpy as np
+
+    from data_governance_spark.operators.jpeg import decode_jpeg
+    from data_governance_spark.operators.multimodal import _img_stats
+    from data_governance_spark.operators.pdf import pdf_images
+    from tests.test_jpeg_codec import _smooth, jpeg_bytes
+
+    img = _smooth(24, 16, rgb=True)
+    jpg = jpeg_bytes(img, quality=90)
+    body = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 16 /Height 24 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode",
+        jpg,
+    )
+    pdf = _image_pdf({6: body}, b"/Im1 6 0 R")
+    recs = pdf_images(pdf)
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["err"] is None and r["format"] == "jpeg"
+    assert (r["page"], r["img_idx"], r["width"], r["height"]) == (1, 0, 16, 24)
+    assert r["image"] == jpg
+    want = _img_stats(decode_jpeg(jpg))
+    assert np.allclose(r["feature"], want)
+
+
+def test_pdf_images_flate_raster_gray_and_rgb():
+    """Flate rasters decode through the standard filter chain into
+    netpbm payloads the multimodal tier consumes directly."""
+    import numpy as np
+
+    from data_governance_spark.operators.multimodal import decode_image
+    from data_governance_spark.operators.pdf import pdf_images
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (4, 3, 3), dtype=np.uint8)
+    g_body = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 7 /Height 5 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode",
+        zlib.compress(gray.tobytes()),
+    )
+    c_body = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 3 /Height 4 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode",
+        zlib.compress(rgb.tobytes()),
+    )
+    pdf = _image_pdf({6: g_body, 7: c_body}, b"/ImA 6 0 R /ImB 7 0 R")
+    recs = pdf_images(pdf)
+    assert [r["err"] for r in recs] == [None, None]
+    assert [r["img_idx"] for r in recs] == [0, 1]  # name-sorted ImA, ImB
+    assert np.array_equal(decode_image(recs[0]["image"]), gray)
+    assert np.array_equal(decode_image(recs[1]["image"]), rgb)
+
+
+def test_pdf_images_subbyte_gray_and_imagemask():
+    """1/2/4-bit gray scale to 0..255 with byte-padded rows; /ImageMask
+    stencils decode as 1-bit gray."""
+    import numpy as np
+
+    from data_governance_spark.operators.multimodal import decode_image
+    from data_governance_spark.operators.pdf import pdf_images
+
+    # 1-bit 10x2: rows pad to 2 bytes; pattern 1010101010
+    row = 0b10101010_10000000
+    packed = row.to_bytes(2, "big") * 2
+    mask_body = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 10 /Height 2 "
+        b"/ImageMask true /Filter /FlateDecode",
+        zlib.compress(packed),
+    )
+    # 4-bit 3x1 gray: samples 0x0, 0xF, 0x8 -> 0, 255, 136
+    four_body = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 3 /Height 1 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 4",
+        bytes([0x0F, 0x80]),
+    )
+    pdf = _image_pdf(
+        {6: mask_body, 7: four_body}, b"/ImA 6 0 R /ImB 7 0 R"
+    )
+    recs = pdf_images(pdf)
+    assert [r["err"] for r in recs] == [None, None]
+    m = decode_image(recs[0]["image"])
+    assert m.shape == (2, 10)
+    assert list(m[0]) == [255, 0] * 5
+    f = decode_image(recs[1]["image"])
+    assert list(f[0]) == [0, 255, 136]
+
+
+def test_pdf_images_unsupported_typed_per_image():
+    """A JPX image records a typed err; the OTHER image on the same
+    page still decodes, and pdf_text is unaffected."""
+    import numpy as np
+
+    from data_governance_spark.operators.pdf import pdf_images
+
+    gray = np.full((2, 2), 9, dtype=np.uint8)
+    good = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8",
+        gray.tobytes(),
+    )
+    jpx = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /JPXDecode",
+        b"\x00\x00\x00\x0cjP  ",
+    )
+    cmyk = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/ColorSpace /DeviceCMYK /BitsPerComponent 8",
+        bytes(16),
+    )
+    pdf = _image_pdf(
+        {6: good, 7: jpx, 8: cmyk},
+        b"/ImA 6 0 R /ImB 7 0 R /ImC 8 0 R",
+    )
+    recs = pdf_images(pdf)
+    errs = {r["img_idx"]: r["err"] for r in recs}
+    assert errs[0] is None
+    assert errs[1] == "PdfUnsupportedFilterError"
+    assert errs[2] == "PdfImageDecodeError"
+    assert pdf_text(pdf) == "Hello World"
+
+
+def test_pdf_images_inside_form_xobject_and_encrypted():
+    """Images reached through a Form XObject's resources are found;
+    an ENCRYPTED (rev 3 RC4) document's images decrypt and decode."""
+    import numpy as np
+
+    from data_governance_spark.operators.multimodal import decode_image
+    from data_governance_spark.operators.pdf import pdf_images
+
+    gray = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    img_body = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 3 /Height 2 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8",
+        gray.tobytes(),
+    )
+    form_body = stream_body(
+        b"/Type /XObject /Subtype /Form "
+        b"/Resources << /XObject << /ImZ 6 0 R >> >>",
+        b"",
+    )
+    pdf = _image_pdf({6: img_body, 7: form_body}, b"/Fm 7 0 R")
+    recs = pdf_images(pdf)
+    assert len(recs) == 1 and recs[0]["err"] is None
+    assert np.array_equal(decode_image(recs[0]["image"]), gray)
+
+    # encrypted: image stream RC4'd with its object key
+    key, _, _ = std_keys_t(
+        b"", b"owner-secret", -44, b"\xab\xcd\x12\x34" * 4, 3, 128
+    )
+    enc_img = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 3 /Height 2 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8",
+        rc4_t(obj_key_t(key, 8), gray.tobytes()),
+    )
+    epdf = encrypted_pdf(extra={8: enc_img})
+    # reference the image from the page (object 3 in encrypted_pdf)
+    epdf = epdf.replace(
+        b"/Resources << /Font << /F1 5 0 R >> >>",
+        b"/Resources << /Font << /F1 5 0 R >> "
+        b"/XObject << /Im1 8 0 R >> >>",
+    )
+    recs = pdf_images(epdf)
+    assert len(recs) == 1 and recs[0]["err"] is None
+    assert np.array_equal(decode_image(recs[0]["image"]), gray)
+
+
+def test_extract_pdf_images_frame(spark):
+    """The frame op: one row per image, doc-level failures and no-image
+    docs keep one row each (rows never vanish), features flow into the
+    multimodal tier."""
+    import numpy as np
+
+    from data_governance_spark.operators.pdf import extract_pdf_images
+
+    gray = np.full((2, 2), 40, dtype=np.uint8)
+    body = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8",
+        gray.tobytes(),
+    )
+    with_img = _image_pdf({6: body}, b"/Im1 6 0 R")
+    no_img = simple_pdf(HELLO)
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray(with_img)),
+            (2, bytearray(no_img)),
+            (3, bytearray(b"not a pdf at all")),
+            (4, None),
+        ],
+        "doc_id long, content binary",
+    )
+    got = {r["doc_id"]: r for r in extract_pdf_images(rows).collect()}
+    assert len(got) == 4
+    assert got[1]["err"] is None and got[1]["format"] == "ppm"
+    assert got[1]["feature"][0] == 2.0 and got[1]["feature"][3] == 40.0
+    assert got[2]["page"] is None and got[2]["err"] is None
+    assert got[3]["err"] == "PdfParseError"
+    assert got[4]["err"] == "null-content"
+
+
+def test_gate_pdf_images_payload_pin():
+    """The q45 'pdfi' planted payload: regenerate from this suite's
+    spec writer (embedding the 'jpg' sub-gate's pinned JPEG) and pin
+    bytes + per-image features the oracle states as constants."""
+    import numpy as np
+
+    from data_governance_spark.operators.pdf import pdf_images
+    from data_governance_spark.queries.multimodal_gate import (
+        _JPG_HEX,
+        _PDFI_HEX,
+        _PDFI_IMGS,
+    )
+
+    jpg = bytes.fromhex(_JPG_HEX)
+    gray = bytes([77]) * 6
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> /XObject "
+            b"<< /ImA 6 0 R /ImB 7 0 R >> >> /Contents 4 0 R >>"
+        ),
+        4: stream_body(b"", HELLO),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        6: stream_body(
+            b"/Type /XObject /Subtype /Image /Width 16 /Height 16 "
+            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+            b"/Filter /DCTDecode",
+            jpg,
+        ),
+        7: stream_body(
+            b"/Type /XObject /Subtype /Image /Width 3 /Height 2 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            b"/Filter /FlateDecode",
+            zlib.compress(gray),
+        ),
+    }
+    assert build_pdf(objs, b"<< /Size 8 /Root 1 0 R >>").hex() == _PDFI_HEX
+    recs = pdf_images(bytes.fromhex(_PDFI_HEX))
+    assert len(recs) == len(_PDFI_IMGS)
+    for r, (idx, consts, sd) in zip(recs, _PDFI_IMGS):
+        assert r["img_idx"] == idx and r["err"] is None
+        assert np.allclose(r["feature"][:6], consts)
+        assert round(r["feature"][6], 4) == round(sd, 4)
