@@ -157,13 +157,26 @@ class _Ref(tuple):
 
 
 class _Stream:
-    """A stream object: its dict plus the raw (still-encoded) bytes."""
+    """A stream object: its dict plus the raw (still-encoded) bytes.
+    ``enc_key`` carries a pending per-object RC4 key for LAZY body
+    decryption — most streams in an encrypted file (e.g. embedded
+    images during pdf_text) are never read, and the pure-Python RC4
+    pass is the expensive part; access raw through
+    :func:`_stream_raw`."""
 
-    __slots__ = ("d", "raw")
+    __slots__ = ("d", "raw", "enc_key")
 
     def __init__(self, d: dict, raw: bytes):
         self.d = d
         self.raw = raw
+        self.enc_key = None
+
+
+def _stream_raw(s: "_Stream") -> bytes:
+    if s.enc_key is not None:
+        s.raw = _rc4(s.enc_key, s.raw)
+        s.enc_key = None
+    return s.raw
 
 
 def _skip_ws(buf: bytes, pos: int) -> int:
@@ -504,7 +517,7 @@ def _decode_stream(doc: "_Doc", s: _Stream) -> bytes:
     filt = doc.resolve(s.d.get("Filter"))
     parms = doc.resolve(s.d.get("DecodeParms", s.d.get("DP")))
     if filt is None:
-        return s.raw
+        return _stream_raw(s)
     if not isinstance(filt, list):
         filt = [filt]
     if not isinstance(parms, list):
@@ -513,7 +526,7 @@ def _decode_stream(doc: "_Doc", s: _Stream) -> bytes:
         # a short /DecodeParms array must not TRUNCATE the filter chain
         # through zip() — that would return still-encoded bytes as text
         parms = parms + [None] * (len(filt) - len(parms))
-    data = s.raw
+    data = _stream_raw(s)
     for f, p in zip(filt, parms):
         f = str(doc.resolve(f))
         p = doc.resolve(p) or {}
@@ -619,9 +632,14 @@ def _std_user_check(key: bytes, id0: bytes, r: int) -> bytes:
 
 
 def _std_object_key(key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: the per-object RC4 key."""
+    """Algorithm 1: the per-object RC4 key. Only the low 3/2 bytes of
+    num/gen enter the hash (spec), so oversized scanned object numbers
+    (the _OBJ_RE pattern allows 10 digits) mask instead of raising an
+    untyped struct.error."""
     h = hashlib.md5(
-        key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+        key
+        + struct.pack("<I", num & 0xFFFFFFFF)[:3]
+        + struct.pack("<I", gen & 0xFFFFFFFF)[:2]
     ).digest()
     return h[: min(len(key) + 5, 16)]
 
@@ -639,7 +657,7 @@ def _decrypt_val(v, okey: bytes):
         return {k: _decrypt_val(x, okey) for k, x in v.items()}
     if isinstance(v, _Stream):
         v.d = _decrypt_val(v.d, okey)
-        v.raw = _rc4(okey, v.raw)
+        v.enc_key = okey  # body decrypts lazily on first _stream_raw
         return v
     return v
 
@@ -1426,16 +1444,23 @@ def _font_decoder(doc: _Doc, fonts, name: str) -> _FontDecoder:
 # --------------------------------------------------------------------------
 
 
+def _require_pdf(data) -> bytes:
+    """Shared input guard for pdf_text/pdf_images — ONE definition of
+    what bytes are worth parsing, so the two extractors cannot diverge
+    in their accepted-input contract."""
+    if not isinstance(data, (bytes, bytearray)):
+        raise PdfParseError("expected bytes")
+    if b"%PDF" not in data[:1024] and b" obj" not in data[:4096]:
+        raise PdfParseError("not a PDF (no %PDF header, no objects)")
+    return bytes(data)
+
+
 def pdf_text(data: bytes) -> str:
     """Extract the text layer of a PDF. Pure function (the UDF below
     maps it); raises the typed :class:`PdfError` subclasses documented
     in the module docstring. Pages join with newlines; a page's lines
     follow the content stream's own line-matrix moves."""
-    if not isinstance(data, (bytes, bytearray)):
-        raise PdfParseError("expected bytes")
-    if b"%PDF" not in data[:1024] and b" obj" not in data[:4096]:
-        raise PdfParseError("not a PDF (no %PDF header, no objects)")
-    doc = _Doc(bytes(data))
+    doc = _Doc(_require_pdf(data))
     state = _TextState()
     for page in doc.pages():
         contents = doc.resolve(page.get("Contents"))
@@ -1565,7 +1590,7 @@ def _image_record(doc: _Doc, xo: _Stream, page: int, idx: int) -> dict:
             # the stream IS a JPEG once the preceding filters unwrap —
             # route to the repo's real decoder (operators/jpeg.py)
             if len(names) == 1:
-                jpeg = xo.raw
+                jpeg = _stream_raw(xo)
             else:
                 parms = doc.resolve(d.get("DecodeParms", d.get("DP")))
                 if not isinstance(parms, list):
@@ -1573,16 +1598,25 @@ def _image_record(doc: _Doc, xo: _Stream, page: int, idx: int) -> dict:
                 d2 = dict(d)
                 d2["Filter"] = [_Name(n) for n in names[:-1]]
                 d2["DecodeParms"] = parms[: len(names) - 1]
-                jpeg = _decode_stream(doc, _Stream(d2, xo.raw))
+                jpeg = _decode_stream(doc, _Stream(d2, _stream_raw(xo)))
             from data_governance_spark.operators.jpeg import decode_jpeg
 
             try:
                 arr = decode_jpeg(jpeg)
-            except ValueError as e:
+            except (ValueError, NotImplementedError) as e:
+                # decode_jpeg raises NotImplementedError for in-spec
+                # corners it doesn't do (12-bit precision, exotic
+                # sampling) — both must stay per-image, never kill the
+                # document (let alone the Spark task)
                 raise PdfImageDecodeError(f"embedded JPEG: {e}") from None
             rec["format"] = "jpeg"
             rec["image"] = bytes(jpeg)
             rec["feature"] = _img_stats(arr)
+            # the dict's /Width //Height are untrusted; the decoded
+            # JPEG's own geometry is what downstream consumers get in
+            # feature[0:2] — report the same truth in the columns
+            rec["width"] = int(arr.shape[1])
+            rec["height"] = int(arr.shape[0])
             return rec
         # raster path: the existing filter chain (incl. predictors)
         # yields packed samples
@@ -1607,6 +1641,24 @@ def _image_record(doc: _Doc, xo: _Stream, page: int, idx: int) -> dict:
                 f"unsupported bits/channels: {bits}@{channels}"
             )
         arr = _raster_array(data, w, h, bits, channels)
+        # /Decode sample mapping (§8.9.5.2): identity passes through,
+        # full inversion ([1 0] per component — the common ImageMask
+        # stencil form) is applied, anything else raises typed rather
+        # than silently emitting wrong pixel values
+        decode = doc.resolve(d.get("Decode"))
+        if decode is not None:
+            vals = [doc.resolve(x) for x in decode] if isinstance(
+                decode, list
+            ) else None
+            if vals == [0, 1] * channels:
+                pass
+            elif vals == [1, 0] * channels:
+                arr = 255 - arr
+            else:
+                raise PdfImageDecodeError(
+                    f"unsupported /Decode array {vals!r} (identity and "
+                    "full inversion decode; partial-range maps raise)"
+                )
         rec["format"] = "ppm"
         rec["image"] = _to_netpbm(arr)
         rec["feature"] = _img_stats(arr)
@@ -1636,11 +1688,7 @@ def pdf_images(data: bytes) -> list[dict]:
     Document-level failures (not a PDF, undecryptable encryption)
     raise the usual typed errors; encrypted rev 2/3 documents decrypt
     first, so their images extract too."""
-    if not isinstance(data, (bytes, bytearray)):
-        raise PdfParseError("expected bytes")
-    if b"%PDF" not in data[:1024] and b" obj" not in data[:4096]:
-        raise PdfParseError("not a PDF (no %PDF header, no objects)")
-    doc = _Doc(bytes(data))
+    doc = _Doc(_require_pdf(data))
     out: list[dict] = []
     for pno, page in enumerate(doc.pages(), 1):
         imgs: list = []

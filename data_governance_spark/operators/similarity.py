@@ -54,6 +54,12 @@ def local_topk_idx(row, cids, n: int):
         return order[: min(n, c)]
     part = np.argpartition(-row, n - 1)
     boundary = row[part[n - 1]]
+    if np.isnan(boundary):
+        # fewer than n finite scores: `row >= NaN` would select NOTHING
+        # and silently drop the real candidates — take the full-sort
+        # path (NaN sorts last there, matching the n >= c branch)
+        order = np.lexsort((cids, -row))
+        return order[:n]
     # every index scoring >= the boundary participates in the ordered cut
     cand = np.flatnonzero(row >= boundary)
     sub = np.lexsort((cids[cand], -row[cand]))

@@ -1453,3 +1453,107 @@ def test_gate_pdf_images_payload_pin():
         assert r["img_idx"] == idx and r["err"] is None
         assert np.allclose(r["feature"][:6], consts)
         assert round(r["feature"][6], 4) == round(sd, 4)
+
+
+# --------------------------------------------------------------------------
+# review-pass regressions (r12)
+# --------------------------------------------------------------------------
+
+
+def test_pdf_images_12bit_jpeg_stays_per_image():
+    """decode_jpeg raises NotImplementedError for 12-bit precision —
+    it must land in the image's err field, never escape untyped."""
+    from data_governance_spark.operators.pdf import pdf_images
+    from data_governance_spark.queries.multimodal_gate import _JPG_HEX
+
+    jpg = bytearray(bytes.fromhex(_JPG_HEX))
+    sof = jpg.index(b"\xff\xc0")
+    assert jpg[sof + 4] == 8  # precision byte
+    jpg[sof + 4] = 12
+    body = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 16 /Height 16 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode",
+        bytes(jpg),
+    )
+    pdf = _image_pdf({6: body}, b"/Im1 6 0 R")
+    recs = pdf_images(pdf)
+    assert len(recs) == 1
+    assert recs[0]["err"] == "PdfImageDecodeError"
+    assert pdf_text(pdf) == "Hello World"
+
+
+def test_encrypted_oversized_object_number_stays_typed():
+    """An object number >= 2**32 in an encrypted file must not raise
+    an untyped struct.error from key derivation."""
+    pdf = encrypted_pdf()
+    evil = pdf + b"\n4294967296 0 obj (x) endobj\n"
+    assert pdf_text(evil) == "Hello World"  # shrugs off the junk object
+
+
+def test_local_topk_idx_nan_boundary_keeps_finite_candidates():
+    """Fewer than n finite scores: the fast path's boundary is NaN and
+    `row >= NaN` selects nothing — must fall back to the full sort and
+    keep the real candidates (matching the lexsort reference)."""
+    import numpy as np
+
+    from data_governance_spark.operators.similarity import local_topk_idx
+
+    row = np.array([0.9, np.nan, np.nan, np.nan, 0.5])
+    cids = np.arange(5, dtype=np.int64)
+    got = list(local_topk_idx(row, cids, 4))
+    ref = list(np.lexsort((cids, -row))[:4])
+    assert got == ref
+    assert got[:2] == [0, 4]  # the finite candidates lead
+
+
+def test_pdf_images_decode_inversion_and_partial_raises():
+    """/Decode [1 0] inverts (the stencil form); a partial-range map
+    records a typed err instead of silently wrong pixels."""
+    import numpy as np
+
+    from data_governance_spark.operators.multimodal import decode_image
+    from data_governance_spark.operators.pdf import pdf_images
+
+    gray = np.array([[0, 100, 255]], dtype=np.uint8)
+    inv = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 3 /Height 1 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Decode [1 0]",
+        gray.tobytes(),
+    )
+    part = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 3 /Height 1 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Decode [0 0.5]",
+        gray.tobytes(),
+    )
+    ident = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 3 /Height 1 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Decode [0 1]",
+        gray.tobytes(),
+    )
+    pdf = _image_pdf(
+        {6: inv, 7: part, 8: ident},
+        b"/ImA 6 0 R /ImB 7 0 R /ImC 8 0 R",
+    )
+    recs = {r["img_idx"]: r for r in pdf_images(pdf)}
+    assert list(decode_image(recs[0]["image"])[0]) == [255, 155, 0]
+    assert recs[1]["err"] == "PdfImageDecodeError"
+    assert list(decode_image(recs[2]["image"])[0]) == [0, 100, 255]
+
+
+def test_pdf_images_lying_dict_dims_report_decoded_geometry():
+    """The DCT path's width/height columns must match the DECODED
+    JPEG (feature[0:2]), not the untrusted XObject dict."""
+    from data_governance_spark.operators.pdf import pdf_images
+    from data_governance_spark.queries.multimodal_gate import _JPG_HEX
+
+    jpg = bytes.fromhex(_JPG_HEX)  # really 16x16
+    body = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 8 /Height 4 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode",
+        jpg,
+    )
+    recs = pdf_images(_image_pdf({6: body}, b"/Im1 6 0 R"))
+    r = recs[0]
+    assert r["err"] is None
+    assert (r["width"], r["height"]) == (16, 16)
+    assert (r["feature"][0], r["feature"][1]) == (16.0, 16.0)
