@@ -808,7 +808,10 @@ def decode_image(content: bytes):
     """Dispatch by magic bytes: PPM/PGM, uncompressed BMP, GIF (real
     LZW decode), PNG (real DEFLATE decode via stdlib zlib), JPEG (real
     Huffman+IDCT decode, baseline AND progressive — operators/jpeg.py),
-    MJPEG-in-AVI (first frame, the thumbnail contract) and
+    MJPEG-in-AVI (first frame, the thumbnail contract), TIFF (real
+    strip decode, none/LZW/PackBits/Deflate + predictor, gray/RGB/
+    RGBA/palette, both endians — operators/tiff.py; tiles/CCITT/
+    JPEG-in-TIFF raise their documented typed errors) and
     WEBP-lossless (real VP8L decode — operators/vp8l.py; lossy VP8 and
     the 2D-distance/predictor spec corners raise their documented
     typed errors) all decode for REAL.
@@ -837,6 +840,10 @@ def decode_image(content: bytes):
         from data_governance_spark.operators.vp8l import decode_vp8l
 
         return decode_vp8l(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        from data_governance_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(content)
     if is_audio_payload(content):
         raise ValueError(
             "payload is audio, not an image — use decode_audio / "

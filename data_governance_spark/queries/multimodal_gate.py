@@ -143,6 +143,27 @@ _WEBP_HEX = (
 _WEBP_CONSTS = (8.0, 4.0, 3.0, 60.0, 107.75, 80.25)
 _WEBP_SD = 70.0171
 
+# 'tif' sub-gate (new in r12): a fixed 235-byte BIG-ENDIAN TIFF — the
+# (r+c)%4 pattern over palette (128,0,64)/(32,96,160)/(0,255,17)/
+# (80,80,80) (same recipe as 'webp': each color appears 8 times so the
+# means are k/4, exact in float32), stored as LZW-compressed RGB under
+# the horizontal-differencing predictor in TWO strips — one payload
+# exercising the MM byte order, IFD walk, strip table, TIFF-LZW (the
+# shared PDF coder at EarlyChange=1) and the predictor cumsum
+# (operators/tiff.py). Bytes from the spec writer in
+# tests/test_tiff_codec.py.
+_TIF_HEX = (
+    "4d4d002a0000006d80200004050180c0e04f9c4a0511f8c160f082c1e130b1f880c0"
+    "a08442a190e8841a33148e404080001fe11281447e30583c14060303813e7182c1e1"
+    "30b301422d08854321d1083462291b80800008000800080000000000080000002f00"
+    "00002700000026000a01000004000000010000000801010004000000010000000401"
+    "02000300000003000000550103000300000001000500000106000300000001000200"
+    "0001110004000000020000005d011500030000000100030000011600040000000100"
+    "000002011700040000000200000065013d0003000000010002000000000000"
+)
+_TIF_CONSTS = (8.0, 4.0, 3.0, 60.0, 107.75, 80.25)
+_TIF_SD = 70.0171
+
 # 'vid' sub-gate (new in r7): a fixed 404-byte MJPEG-in-AVI video —
 # two 12x8 solid-gray JPEG frames whose DC values sit on the
 # quantization grid, so each frame reconstructs EXACTLY (mean = the
@@ -367,6 +388,12 @@ def _s(c: Column) -> Column:
     UNION ALL
     SELECT 'webp', 'x:sd', CAST(NULL AS VARCHAR), {_WEBP_SD}
     {"".join(
+      f" UNION ALL SELECT 'tif', 't:{n}', CAST(NULL AS VARCHAR), {v}"
+      for n, v in zip(("w", "h", "c", "mr", "mg", "mb"), _TIF_CONSTS)
+    )}
+    UNION ALL
+    SELECT 'tif', 't:sd', CAST(NULL AS VARCHAR), {_TIF_SD}
+    {"".join(
       f" UNION ALL SELECT 'vid', 'v:{fi}:{n}', CAST(NULL AS VARCHAR), {v}"
       for fi, mean in _VID_FRAMES
       for n, v in (("w", 12.0), ("h", 8.0), ("c", 1.0), ("m", mean),
@@ -400,7 +427,9 @@ def _s(c: Column) -> Column:
     "'gif'/'png'/'jpg'/'wav'/'au'/'flc'/'vid', new in r7) + REAL "
     "WEBP-lossless: a VP8L payload through the delta-coded-palette "
     "COLOR_INDEXING transform with 2-bit pixel bundling "
-    "(operators/vp8l.py; sub-gate 'webp', new in r10) + exact media "
+    "(operators/vp8l.py; sub-gate 'webp', new in r10) + REAL TIFF: a "
+    "big-endian LZW+predictor-2 two-strip RGB payload through the IFD "
+    "walk (operators/tiff.py; sub-gate 'tif', new in r12) + exact media "
     "dedup over planted duplicate classes (sha2 grouping, sub-gate "
     "'mdd', new in r7) + PDF embedded-image extraction: a planted PDF "
     "whose DCT XObject must reproduce the bare-JPEG constants and "
@@ -504,6 +533,7 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (4, "au", "u", _AU_HEX),
         (5, "flc", "f", _FLC_HEX),
         (6, "webp", "x", _WEBP_HEX),
+        (7, "tif", "t", _TIF_HEX),
     ]
     media_c = spark.createDataFrame(
         [
