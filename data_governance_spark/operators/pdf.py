@@ -1618,29 +1618,71 @@ def _image_record(doc: _Doc, xo: _Stream, page: int, idx: int) -> dict:
             rec["width"] = int(arr.shape[1])
             rec["height"] = int(arr.shape[0])
             return rec
-        # raster path: the existing filter chain (incl. predictors)
-        # yields packed samples
-        data = _decode_stream(doc, xo)
-        mask = doc.resolve(d.get("ImageMask")) is True
-        bits = 1 if mask else doc.resolve(d.get("BitsPerComponent", 8))
-        cs = doc.resolve(d.get("ColorSpace"))
-        if isinstance(cs, list) and cs:
-            cs = doc.resolve(cs[0])
-        cs_name = str(cs) if isinstance(cs, _Name) else None
-        if mask or cs_name in ("DeviceGray", "CalGray", "G"):
+        if names and names[-1] in ("CCITTFaxDecode", "CCF"):
+            # scanned-document tier (operators/ccitt.py): G4/MMR
+            # decodes to gray pixels directly; /K >= 0 (G3 EOL
+            # framing) stays typed-unsupported
+            from data_governance_spark.operators.ccitt import decode_g4
+
+            parms = doc.resolve(d.get("DecodeParms", d.get("DP")))
+            if not isinstance(parms, list):
+                parms = [parms] * len(names)
+            p = doc.resolve(parms[len(names) - 1]) if parms else None
+            p = p if isinstance(p, dict) else {}
+            kk = doc.resolve(p.get("K", 0))
+            if not isinstance(kk, int) or kk >= 0:
+                raise PdfImageDecodeError(
+                    f"CCITT /K {kk!r}: only G4 (/K < 0) decodes"
+                )
+            cols = doc.resolve(p.get("Columns", 1728))
+            if not isinstance(cols, int) or cols < 1:
+                raise PdfImageDecodeError(f"CCITT bad /Columns {cols!r}")
+            if len(names) == 1:
+                payload = _stream_raw(xo)
+            else:
+                d2 = dict(d)
+                d2["Filter"] = [_Name(n) for n in names[:-1]]
+                d2["DecodeParms"] = parms[: len(names) - 1]
+                payload = _decode_stream(doc, _Stream(d2, _stream_raw(xo)))
+            try:
+                arr = decode_g4(
+                    payload,
+                    cols,
+                    rows=h,
+                    byte_align=doc.resolve(p.get("EncodedByteAlign"))
+                    is True,
+                )
+            except ValueError as e:
+                raise PdfImageDecodeError(f"CCITT G4: {e}") from None
+            if doc.resolve(p.get("BlackIs1")) is True:
+                arr = 255 - arr
             channels = 1
-        elif cs_name in ("DeviceRGB", "CalRGB", "RGB"):
-            channels = 3
+            rec["width"] = int(arr.shape[1])
+            rec["height"] = int(arr.shape[0])
         else:
-            raise PdfImageDecodeError(
-                f"unsupported colorspace {cs_name or cs!r} (gray/RGB "
-                "rasters and DCT-embedded JPEGs decode)"
-            )
-        if bits not in (1, 2, 4, 8) or (channels == 3 and bits != 8):
-            raise PdfImageDecodeError(
-                f"unsupported bits/channels: {bits}@{channels}"
-            )
-        arr = _raster_array(data, w, h, bits, channels)
+            # raster path: the existing filter chain (incl. predictors)
+            # yields packed samples
+            data = _decode_stream(doc, xo)
+            mask = doc.resolve(d.get("ImageMask")) is True
+            bits = 1 if mask else doc.resolve(d.get("BitsPerComponent", 8))
+            cs = doc.resolve(d.get("ColorSpace"))
+            if isinstance(cs, list) and cs:
+                cs = doc.resolve(cs[0])
+            cs_name = str(cs) if isinstance(cs, _Name) else None
+            if mask or cs_name in ("DeviceGray", "CalGray", "G"):
+                channels = 1
+            elif cs_name in ("DeviceRGB", "CalRGB", "RGB"):
+                channels = 3
+            else:
+                raise PdfImageDecodeError(
+                    f"unsupported colorspace {cs_name or cs!r} (gray/RGB "
+                    "rasters and DCT-embedded JPEGs decode)"
+                )
+            if bits not in (1, 2, 4, 8) or (channels == 3 and bits != 8):
+                raise PdfImageDecodeError(
+                    f"unsupported bits/channels: {bits}@{channels}"
+                )
+            arr = _raster_array(data, w, h, bits, channels)
         # /Decode sample mapping (§8.9.5.2): identity passes through,
         # full inversion ([1 0] per component — the common ImageMask
         # stencil form) is applied, anything else raises typed rather
@@ -1681,9 +1723,12 @@ def pdf_images(data: bytes) -> list[dict]:
       tier directly (``decode_image`` / ``extract_features(decoder=
       'real')`` / media dedup), and ``feature`` is the same 7-wide
       stats vector ``image_features`` yields.
-    - Unsupported images (JPX/JBIG2/CCITT, exotic colorspaces, 16-bit)
-      record a typed ``err`` PER IMAGE — the document and its other
-      images survive.
+    - ``CCITTFaxDecode`` G4 (/K < 0 — the scanned-document default)
+      decodes through ``operators/ccitt.py`` into the same netpbm
+      shape, honoring /Columns, /Rows, /BlackIs1, /EncodedByteAlign.
+    - Unsupported images (JPX/JBIG2, CCITT /K >= 0, exotic
+      colorspaces, 16-bit) record a typed ``err`` PER IMAGE — the
+      document and its other images survive.
 
     Document-level failures (not a PDF, undecryptable encryption)
     raise the usual typed errors; encrypted rev 2/3 documents decrypt

@@ -21,12 +21,16 @@ What decodes for REAL:
   is validated against ISO 32000-1's own worked example; TIFF always
   uses EarlyChange=1), PackBits (32773), Deflate (8 and the old 32946
   code, stdlib zlib), each optionally under the horizontal-differencing
-  predictor (tag 317 = 2, per-sample cumulative sum).
+  predictor (tag 317 = 2, per-sample cumulative sum), and the fax tier
+  — CCITT G4/MMR (4) and 1-D Modified Huffman (2) via
+  ``operators/ccitt.py`` (bilevel, per-strip streams, both
+  photometric polarities).
 
 Loud typed boundaries (``ValueError``, matching decode_image's
-contract): tiled layouts (322/324), CCITT G3/G4 (2/3/4), old-style and
-new-style JPEG-in-TIFF (6/7), 16-bit samples, planar configuration 2,
-float samples. Each names the exact unsupported feature.
+contract): tiled layouts (322/324), CCITT G3 with EOL framing (3),
+old-style and new-style JPEG-in-TIFF (6/7), 16-bit samples, planar
+configuration 2, float samples. Each names the exact unsupported
+feature.
 
 Reference twin: none — training-data extension per SURVEY.md §6 (TIFF
 6.0 is a public spec; scanned-document corpora are full of it).
@@ -145,11 +149,14 @@ def _decode_page(buf: bytes, d: dict, fmt: str):
     if d.get(_PLANAR, 1) != 1:
         raise ValueError("TIFF: planar configuration 2 not supported")
     comp = d.get(_COMP, 1)
-    if comp in (2, 3, 4):
-        raise ValueError(f"TIFF: CCITT compression {comp} not supported")
+    if comp == 3:
+        raise ValueError(
+            "TIFF: CCITT G3 (compression 3, EOL framing) not supported "
+            "— G4 (4) and MH (2) decode"
+        )
     if comp in (6, 7):
         raise ValueError("TIFF: JPEG-in-TIFF not supported")
-    if comp not in (1, 5, 8, 32773, 32946):
+    if comp not in (1, 2, 4, 5, 8, 32773, 32946):
         raise ValueError(f"TIFF: unknown compression {comp}")
     photo = d.get(_PHOTO, 1)
     spp = d.get(_SPP, 1)
@@ -179,6 +186,41 @@ def _decode_page(buf: bytes, d: dict, fmt: str):
     rps = d.get(_ROWS_PER_STRIP, h)
     if not isinstance(rps, int) or rps < 1:
         rps = h
+
+    if comp in (2, 4):
+        # fax tier (operators/ccitt.py): bilevel only; each strip is an
+        # independent G4/MH stream of its rows. Decoded pixels are
+        # ink-black=0 / paper-white=255 — photometric 0 (WhiteIsZero,
+        # the fax default) is that orientation already; 1 inverts.
+        if spp != 1 or bits != 1:
+            raise ValueError(
+                f"TIFF: CCITT requires 1-bit single-sample, got "
+                f"{bits}@{spp}"
+            )
+        from data_governance_spark.operators.ccitt import (
+            decode_g4,
+            decode_mh,
+        )
+
+        parts = []
+        for i, off in enumerate(offs):
+            if off + cnts[i] > len(buf):
+                raise ValueError("TIFF: strip out of range")
+            nrows = min(rps, h - i * rps)
+            if nrows <= 0:
+                break
+            raw = buf[off : off + cnts[i]]
+            if comp == 4:
+                parts.append(decode_g4(raw, w, rows=nrows))
+            else:
+                parts.append(decode_mh(raw, w, nrows))
+        img = np.concatenate(parts, axis=0)
+        if img.shape[0] < h:
+            raise ValueError(
+                f"TIFF: fax strips cover {img.shape[0]} of {h} rows"
+            )
+        return img if photo != 1 else 255 - img
+
     stride = (w * spp * bits + 7) // 8
 
     rows = []
