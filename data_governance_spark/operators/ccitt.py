@@ -118,6 +118,11 @@ _MODES = {
 }
 _MAX_MODE_BITS = 7
 _EOL = (12, 0b000000000001)
+# decode bounds: a lying /Columns or unbounded line count must not
+# size executor memory (the LZW 4096-entry-cap lesson) — ITU fax
+# widths top out at 2432; 2^20 leaves huge headroom for exotic scans
+_MAX_COLUMNS = 1 << 20
+_MAX_PIXELS = 1 << 27  # 134M px = 128 MB of uint8 rows, worst case
 
 
 def _invert(codes: dict) -> dict:
@@ -144,16 +149,16 @@ class _Bits:
         self.n = len(data) * 8
 
     def peek(self, k: int) -> int:
-        """Next k bits MSB-first, zero-padded past EOF."""
-        v = 0
+        """Next k bits MSB-first, zero-padded past EOF. Extracted from
+        up to three whole bytes in one shot (k <= 14), not bit-by-bit
+        — the per-symbol hot path calls this once per decode attempt."""
         p = self.pos
-        for i in range(k):
-            j = p + i
-            if j < self.n:
-                v = (v << 1) | ((self.data[j >> 3] >> (7 - (j & 7))) & 1)
-            else:
-                v <<= 1
-        return v
+        byte0 = p >> 3
+        # 5 bytes cover a 7-bit offset + up to 32 peeked bits (the
+        # EOFB check peeks 24)
+        chunk = self.data[byte0 : byte0 + 5]
+        v = int.from_bytes(chunk + b"\x00" * (5 - len(chunk)), "big")
+        return (v >> (40 - (p & 7) - k)) & ((1 << k) - 1)
 
     def skip(self, k: int) -> None:
         self.pos += k
@@ -167,11 +172,14 @@ class _Bits:
 
 def _read_run(bits: _Bits, table: dict) -> int:
     """One complete run: makeup codes accumulate until a terminating
-    code (< 64) closes the run."""
+    code (< 64) closes the run. One 14-bit peek per symbol; candidate
+    codes come from right-shifting the window (prefix-free tables make
+    the first match the only match)."""
     total = 0
     while True:
+        window = bits.peek(_MAX_RUN_BITS)
         for k in range(2, _MAX_RUN_BITS + 1):
-            run = table.get((k, bits.peek(k)))
+            run = table.get((k, window >> (_MAX_RUN_BITS - k)))
             if run is not None:
                 bits.skip(k)
                 total += run
@@ -185,8 +193,9 @@ def _read_run(bits: _Bits, table: dict) -> int:
 
 
 def _read_mode(bits: _Bits):
+    window = bits.peek(_MAX_MODE_BITS)
     for k in range(1, _MAX_MODE_BITS + 1):
-        m = _MODES.get((k, bits.peek(k)))
+        m = _MODES.get((k, window >> (_MAX_MODE_BITS - k)))
         if m is not None:
             bits.skip(k)
             return m
@@ -194,8 +203,6 @@ def _read_mode(bits: _Bits):
 
 
 def _line_to_pixels(trans: list[int], columns: int, out_row) -> None:
-    import numpy as np  # noqa: F401
-
     out_row[:] = 255  # white
     for i in range(0, len(trans) - 1, 2):
         out_row[trans[i] : trans[i + 1]] = 0
@@ -218,12 +225,23 @@ def decode_g4(
     turns table/stream corruption into a typed error)."""
     import numpy as np
 
-    if columns < 1:
-        raise ValueError(f"CCITT: bad columns {columns}")
+    if columns < 1 or columns > _MAX_COLUMNS:
+        raise ValueError(
+            f"CCITT: columns {columns} outside [1, {_MAX_COLUMNS}] — a "
+            "lying /Columns must not size the allocation (a 4-byte "
+            "stream can otherwise emit huge all-white lines)"
+        )
     bits = _Bits(data)
     out_rows: list = []
     ref: list[int] = []  # changing elements of the reference line
-    limit = rows if rows is not None else max_rows
+    if rows is not None and rows * columns > _MAX_PIXELS:
+        raise ValueError(
+            f"CCITT: {rows}x{columns} exceeds the {_MAX_PIXELS}-pixel "
+            "decode bound"
+        )
+    limit = rows if rows is not None else min(
+        max_rows, _MAX_PIXELS // columns  # rows unknown: clamp, not raise
+    )
     while len(out_rows) < limit:
         if byte_align:
             bits.align()
@@ -301,10 +319,20 @@ def decode_g4(
         if stalled and not cur:
             break  # EOL-ish tail with no line content: stop, don't
             # spin out max_rows of phantom white lines
+        # cancel zero-width runs (equal transition pairs): they don't
+        # change THIS line's pixels, but left in the reference they
+        # shift the next line's b1/b2 parity and silently mis-decode
+        # it — the reference must be the line's CHANGING ELEMENTS
+        clean: list[int] = []
+        for t in trans:
+            if clean and clean[-1] == t:
+                clean.pop()
+            else:
+                clean.append(t)
         row = np.empty(columns, dtype=np.uint8)
-        _line_to_pixels(trans, columns, row)
+        _line_to_pixels(clean, columns, row)
         out_rows.append(row)
-        ref = trans
+        ref = clean
         if rows is None and (stalled or bits.exhausted()):
             break
     if rows is not None and len(out_rows) < rows:
@@ -327,8 +355,13 @@ def decode_mh(
     sequence summing exactly to ``columns``; rows are byte-aligned."""
     import numpy as np
 
-    if columns < 1 or rows < 1:
+    if columns < 1 or rows < 1 or columns > _MAX_COLUMNS:
         raise ValueError(f"CCITT: bad geometry {columns}x{rows}")
+    if rows * columns > _MAX_PIXELS:
+        raise ValueError(
+            f"CCITT: {rows}x{columns} exceeds the {_MAX_PIXELS}-pixel "
+            "decode bound"
+        )
     bits = _Bits(data)
     out = np.empty((rows, columns), dtype=np.uint8)
     for r in range(rows):

@@ -809,9 +809,10 @@ def decode_image(content: bytes):
     LZW decode), PNG (real DEFLATE decode via stdlib zlib), JPEG (real
     Huffman+IDCT decode, baseline AND progressive — operators/jpeg.py),
     MJPEG-in-AVI (first frame, the thumbnail contract), TIFF (real
-    strip decode, none/LZW/PackBits/Deflate + predictor, gray/RGB/
-    RGBA/palette, both endians — operators/tiff.py; tiles/CCITT/
-    JPEG-in-TIFF raise their documented typed errors) and
+    strip decode, none/LZW/PackBits/Deflate + predictor and the CCITT
+    G4/MH fax tier, gray/RGB/RGBA/palette, both endians, both fill
+    orders — operators/tiff.py; tiles/G3-with-EOL/JPEG-in-TIFF raise
+    their documented typed errors) and
     WEBP-lossless (real VP8L decode — operators/vp8l.py; lossy VP8 and
     the 2D-distance/predictor spec corners raise their documented
     typed errors) all decode for REAL.

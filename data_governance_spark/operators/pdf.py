@@ -1627,7 +1627,11 @@ def _image_record(doc: _Doc, xo: _Stream, page: int, idx: int) -> dict:
             parms = doc.resolve(d.get("DecodeParms", d.get("DP")))
             if not isinstance(parms, list):
                 parms = [parms] * len(names)
-            p = doc.resolve(parms[len(names) - 1]) if parms else None
+            elif len(parms) < len(names):
+                # short /DecodeParms array: same pad rule as
+                # _decode_stream — indexing would IndexError untyped
+                parms = parms + [None] * (len(names) - len(parms))
+            p = doc.resolve(parms[len(names) - 1])
             p = p if isinstance(p, dict) else {}
             kk = doc.resolve(p.get("K", 0))
             if not isinstance(kk, int) or kk >= 0:
@@ -1635,7 +1639,13 @@ def _image_record(doc: _Doc, xo: _Stream, page: int, idx: int) -> dict:
                     f"CCITT /K {kk!r}: only G4 (/K < 0) decodes"
                 )
             cols = doc.resolve(p.get("Columns", 1728))
-            if not isinstance(cols, int) or cols < 1:
+            # the w*h guard above used the DICT dims; the allocation is
+            # sized by /Columns x h — bound THAT (adversarial parms)
+            if (
+                not isinstance(cols, int)
+                or cols < 1
+                or cols * h > 64_000_000
+            ):
                 raise PdfImageDecodeError(f"CCITT bad /Columns {cols!r}")
             if len(names) == 1:
                 payload = _stream_raw(xo)

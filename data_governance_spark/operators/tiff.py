@@ -57,9 +57,12 @@ _COLORMAP = 320
 _TILE_W = 322
 _TILE_OFF = 324
 _PLANAR = 284
+_FILL_ORDER = 266
 
 # field type byte widths (TIFF 6.0 §2)
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+# per-byte bit reversal for FillOrder 2 (LSB-first bytes)
+_BITREV = bytes(int(f"{i:08b}"[::-1], 2) for i in range(256))
 _MAX_IFD_ENTRIES = 4096
 _MAX_PAGES = 64
 
@@ -187,6 +190,20 @@ def _decode_page(buf: bytes, d: dict, fmt: str):
     if not isinstance(rps, int) or rps < 1:
         rps = h
 
+    fill = d.get(_FILL_ORDER, 1)
+    if fill not in (1, 2):
+        raise ValueError(f"TIFF: bad FillOrder {fill!r}")
+
+    def _fix_fill(raw: bytes) -> bytes:
+        # FillOrder 2 (LSB-first bytes — common in fax-originated
+        # TIFFs): bit-reverse every byte so all downstream bit readers
+        # stay MSB-first. Silently ignoring the tag would bit-reverse
+        # every sub-byte image with NO error.
+        if fill == 1:
+            return raw
+        a = np.frombuffer(raw, dtype=np.uint8)
+        return np.frombuffer(_BITREV, dtype=np.uint8)[a].tobytes()
+
     if comp in (2, 4):
         # fax tier (operators/ccitt.py): bilevel only; each strip is an
         # independent G4/MH stream of its rows. Decoded pixels are
@@ -196,6 +213,11 @@ def _decode_page(buf: bytes, d: dict, fmt: str):
             raise ValueError(
                 f"TIFF: CCITT requires 1-bit single-sample, got "
                 f"{bits}@{spp}"
+            )
+        if photo == 3:
+            raise ValueError(
+                "TIFF: palette-over-fax not supported (the ColorMap "
+                "would be silently ignored)"
             )
         from data_governance_spark.operators.ccitt import (
             decode_g4,
@@ -209,7 +231,7 @@ def _decode_page(buf: bytes, d: dict, fmt: str):
             nrows = min(rps, h - i * rps)
             if nrows <= 0:
                 break
-            raw = buf[off : off + cnts[i]]
+            raw = _fix_fill(buf[off : off + cnts[i]])
             if comp == 4:
                 parts.append(decode_g4(raw, w, rows=nrows))
             else:
@@ -228,6 +250,14 @@ def _decode_page(buf: bytes, d: dict, fmt: str):
         if off + cnts[i] > len(buf):
             raise ValueError("TIFF: strip out of range")
         raw = buf[off : off + cnts[i]]
+        if fill == 2:
+            if comp == 1 and bits < 8:
+                raw = _fix_fill(raw)  # uncompressed bilevel fax scans
+            else:
+                raise ValueError(
+                    "TIFF: FillOrder 2 only supported for fax "
+                    "compressions or uncompressed sub-byte data"
+                )
         nrows = min(rps, h - i * rps)
         if nrows <= 0:
             break

@@ -442,3 +442,135 @@ def test_pdf_ccitt_blackis1_and_g3_raise_path():
     assert recs[0]["err"] is None
     assert np.array_equal(decode_image(recs[0]["image"]), 255 - img)
     assert recs[1]["err"] == "PdfImageDecodeError"  # K >= 0
+
+
+# --------------------------------------------------------------------------
+# review-pass regressions (r12)
+# --------------------------------------------------------------------------
+
+
+def test_pdf_ccitt_short_decodeparms_array_stays_typed():
+    """DecodeParms shorter than the Filter chain must not IndexError
+    past the per-image quarantine."""
+    import zlib
+
+    from tests.test_pdf import _image_pdf, stream_body
+
+    from data_governance_spark.operators.pdf import pdf_images
+
+    img = _rand_bw(3, 8, 2)
+    enc = zlib.compress(g4_encode(img))
+    body = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 8 /Height 3 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+        b"/Filter [/FlateDecode /CCITTFaxDecode] "
+        b"/DecodeParms [<< /K -1 /Columns 8 >>]",  # 1 entry, 2 filters
+        enc,
+    )
+    recs = pdf_images(_image_pdf({6: body}, b"/Im1 6 0 R"))
+    assert len(recs) == 1
+    # padded parms: the LAST filter's parms slot is None -> defaults
+    # (K=0) -> typed per-image err, never an escaped IndexError
+    assert recs[0]["err"] == "PdfImageDecodeError"
+
+
+def test_pdf_ccitt_lying_columns_bounded():
+    """/Columns must not size executor memory past the pixel guard."""
+    from tests.test_pdf import _image_pdf, stream_body
+
+    from data_governance_spark.operators.pdf import pdf_images
+
+    body = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 16 /Height 1000 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+        b"/Filter /CCITTFaxDecode "
+        b"/DecodeParms << /K -1 /Columns 2000000000 >>",
+        b"\xff\xff\xff\xff",
+    )
+    recs = pdf_images(_image_pdf({6: body}, b"/Im1 6 0 R"))
+    assert recs[0]["err"] == "PdfImageDecodeError"
+
+
+def test_decode_g4_columns_bound_direct():
+    with pytest.raises(ValueError, match="outside|exceeds"):
+        decode_g4(b"\xff" * 4, 50_000_000)
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_g4(b"\xff" * 4, 1 << 20, rows=1 << 12)
+
+
+def test_zero_width_runs_do_not_poison_reference():
+    """A line coded with zero-width runs decodes the same pixels, and
+    the NEXT line (coded against changing elements) must too — the
+    silent-wrong-pixels repro from the review."""
+    w = _BitWriter()
+    # line 1: H(white 5, black 0) then V0 closes at columns against
+    # ref=[] (b1=10): all-white pixels but coded transitions [5,5,10]
+    w.put(0b001, 3)
+    put_run(w, 5, 0)
+    put_run(w, 0, 1)
+    w.put(0b1, 1)  # V0 -> a1 = b1 = 10
+    # line 2: V0 against line 1's CHANGING ELEMENTS (none) -> all white
+    w.put(0b1, 1)
+    w.put(0b000000000001, 12)
+    w.put(0b000000000001, 12)
+    got = decode_g4(w.bytes(), 10, rows=2)
+    assert (got == 255).all()
+
+
+def test_tiff_fillorder2_fax_and_uncompressed():
+    from tests.test_tiff_codec import write_tiff
+
+    from data_governance_spark.operators.tiff import _BITREV, decode_tiff
+
+    img = _rand_bw(5, 19, 31)
+    enc = g4_encode(img)
+    rev = bytes(_BITREV[b] for b in enc)
+    t = write_tiff(
+        [
+            dict(
+                data_raw_strips=[rev], data=b"", w=19, h=5, bits=1,
+                comp=4, photo=0, extra_tags=[(266, 3, 1, 2)],
+            )
+        ]
+    )
+    assert np.array_equal(decode_tiff(t), img)
+    # uncompressed 1-bit with FillOrder 2
+    packed = np.packbits((img == 0).astype(np.uint8), axis=1)
+    revraw = bytes(_BITREV[b] for b in packed.tobytes())
+    t2 = write_tiff(
+        [
+            dict(
+                data_raw_strips=[revraw], data=b"", w=19, h=5, bits=1,
+                comp=1, photo=0, extra_tags=[(266, 3, 1, 2)],
+            )
+        ]
+    )
+    # photo 0 (WhiteIsZero): bit 1 = black; our packed bits set 1 where
+    # img is black
+    assert np.array_equal(decode_tiff(t2), img)
+    # FillOrder 2 with 8-bit LZW: typed, not silent
+    t3 = write_tiff(
+        [dict(data=img.tobytes(), w=19, h=5, comp=5,
+              extra_tags=[(266, 3, 1, 2)])]
+    )
+    with pytest.raises(ValueError, match="FillOrder"):
+        decode_tiff(t3)
+
+
+def test_tiff_palette_fax_raises():
+    from tests.test_tiff_codec import write_tiff
+
+    from data_governance_spark.operators.tiff import decode_tiff
+
+    img = _rand_bw(3, 8, 13)
+    t = write_tiff(
+        [
+            dict(
+                data_raw_strips=[g4_encode(img)], data=b"", w=8, h=3,
+                bits=1, comp=4, photo=3,
+                colormap=[0] * (3 * 2),
+            )
+        ]
+    )
+    with pytest.raises(ValueError, match="palette-over-fax"):
+        decode_tiff(t)
