@@ -20,9 +20,10 @@ length 0..2560 in both colors plus randomized images.
 
 Supported: T.6 (G4/MMR — PDF /K < 0, TIFF compression 4) with
 optional ``EncodedByteAlign``; T.4 one-dimensional Modified Huffman
-WITHOUT EOLs (TIFF compression 2, byte-aligned rows). PDF /K >= 0
-(G3 with EOL framing) raises — it is rare in PDF image XObjects,
-where writers overwhelmingly use G4.
+WITHOUT EOLs (TIFF compression 2, byte-aligned rows); T.4 Group 3
+with EOL framing in both 1D (PDF /K = 0) and mixed 2D (/K > 0, tag
+bit per line) modes — TIFF compression 3 with or without T4Options
+bit 0.
 
 Output convention: a uint8 gray image, 0 = black ink, 255 = white
 paper (CCITT lines start white). PDF's ``BlackIs1`` only matters when
@@ -36,7 +37,13 @@ from __future__ import annotations
 
 import bisect
 
-__all__ = ["decode_g4", "decode_mh", "WHITE_CODES", "BLACK_CODES"]
+__all__ = [
+    "decode_g4",
+    "decode_g3",
+    "decode_mh",
+    "WHITE_CODES",
+    "BLACK_CODES",
+]
 
 # ITU-T T.4 §2.4.2: terminating (0..63) + makeup (64..1728) codes,
 # (run: (bit_length, code_value)). Extended makeups (1792..2560,
@@ -210,6 +217,120 @@ def _line_to_pixels(trans: list[int], columns: int, out_row) -> None:
         out_row[trans[-1] :] = 0
 
 
+def _decode_2d_line(
+    bits: _Bits, ref: list[int], columns: int, line_no: int
+) -> tuple[list[int], bool]:
+    """One 2D-coded (MMR) line against reference transitions ``ref``
+    -> (changing elements, stalled). Shared by G4 and G3-2D. Strict
+    width accounting: transitions outside [0, columns] or non-monotone
+    raise (the self-check that turns table/stream corruption into a
+    typed error); zero-width coded runs are cancelled so the result is
+    genuine CHANGING ELEMENTS (safe as the next reference)."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0  # 0 white, 1 black
+    stalled = False
+    while True:
+        # adversarial-progress bound: V/H with crafted d / zero runs
+        # can fail to advance a0 — a real line never needs more than
+        # one transition per pixel
+        if len(cur) > 2 * columns + 8:
+            raise ValueError(
+                f"CCITT: line {line_no} never completes "
+                "(non-advancing mode stream)"
+            )
+        mode = _read_mode(bits)
+        if mode is None:
+            if bits.peek(12) == _EOL[1] or bits.exhausted():
+                stalled = True
+                break  # tolerated premature end: partial image
+            raise ValueError(f"CCITT: bad mode code at bit {bits.pos}")
+        kind, d = mode
+        i = bisect.bisect_right(ref, a0)
+        if (i & 1) != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else columns
+        b2 = ref[i + 1] if i + 1 < len(ref) else columns
+        if kind == "P":
+            a0 = b2
+        elif kind == "V":
+            a1 = b1 + d
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+        else:  # H: two runs from max(a0, 0)
+            start = a0 if a0 > 0 else 0
+            r1 = _read_run(bits, _WHITE_DEC if color == 0 else _BLACK_DEC)
+            r2 = _read_run(bits, _BLACK_DEC if color == 0 else _WHITE_DEC)
+            a1 = start + r1
+            a2 = a1 + r2
+            cur.extend([a1, a2])
+            a0 = a2
+        if a0 >= columns:
+            break
+    # strict per-line validation: the width self-check
+    trans = [t for t in cur if t < columns]
+    last = 0
+    for t in trans:
+        if t < last or t < 0:
+            raise ValueError(
+                f"CCITT: non-monotone transitions in line {line_no}: {cur}"
+            )
+        last = t
+    for t in cur:
+        if t < 0 or t > columns:
+            raise ValueError(
+                f"CCITT: transition {t} outside [0, {columns}] in line "
+                f"{line_no}"
+            )
+    # cancel zero-width runs (equal transition pairs): they don't
+    # change THIS line's pixels, but left in the reference they shift
+    # the next line's b1/b2 parity and silently mis-decode it
+    clean: list[int] = []
+    for t in trans:
+        if clean and clean[-1] == t:
+            clean.pop()
+        else:
+            clean.append(t)
+    return clean, stalled
+
+
+def _decode_1d_line(bits: _Bits, columns: int, line_no: int) -> list[int]:
+    """One MH-coded line -> CHANGING ELEMENTS (zero-width runs
+    cancelled — a zero-length first white run is how black-led lines
+    are coded, and the result may become a 2D reference)."""
+    pos = 0
+    color = 0
+    trans: list[int] = []
+    while pos < columns:
+        run = _read_run(bits, _WHITE_DEC if color == 0 else _BLACK_DEC)
+        pos += run
+        if pos > columns:
+            raise ValueError(
+                f"CCITT MH: line {line_no} overruns {pos} > {columns}"
+            )
+        if run == 0 and trans and trans[-1] == pos:
+            trans.pop()
+        else:
+            trans.append(pos)
+        color ^= 1
+    return trans[:-1] if trans and trans[-1] == columns else trans
+
+
+def _check_geometry(columns: int, rows: int | None) -> None:
+    if columns < 1 or columns > _MAX_COLUMNS:
+        raise ValueError(
+            f"CCITT: columns {columns} outside [1, {_MAX_COLUMNS}] — a "
+            "lying /Columns must not size the allocation (a 4-byte "
+            "stream can otherwise emit huge all-white lines)"
+        )
+    if rows is not None and rows * columns > _MAX_PIXELS:
+        raise ValueError(
+            f"CCITT: {rows}x{columns} exceeds the {_MAX_PIXELS}-pixel "
+            "decode bound"
+        )
+
+
 def decode_g4(
     data: bytes,
     columns: int,
@@ -220,25 +341,13 @@ def decode_g4(
     """T.6 (G4/MMR) -> uint8 (rows, columns), 0=black 255=white.
     With ``rows`` given, decodes exactly that many lines (the PDF
     /Rows // TIFF ImageLength contract); otherwise decodes until EOFB
-    or data end. Strict width accounting: any line whose transitions
-    leave [0, columns] or go non-monotone raises (the self-check that
-    turns table/stream corruption into a typed error)."""
+    or data end."""
     import numpy as np
 
-    if columns < 1 or columns > _MAX_COLUMNS:
-        raise ValueError(
-            f"CCITT: columns {columns} outside [1, {_MAX_COLUMNS}] — a "
-            "lying /Columns must not size the allocation (a 4-byte "
-            "stream can otherwise emit huge all-white lines)"
-        )
+    _check_geometry(columns, rows)
     bits = _Bits(data)
     out_rows: list = []
     ref: list[int] = []  # changing elements of the reference line
-    if rows is not None and rows * columns > _MAX_PIXELS:
-        raise ValueError(
-            f"CCITT: {rows}x{columns} exceeds the {_MAX_PIXELS}-pixel "
-            "decode bound"
-        )
     limit = rows if rows is not None else min(
         max_rows, _MAX_PIXELS // columns  # rows unknown: clamp, not raise
     )
@@ -252,83 +361,10 @@ def decode_g4(
         ):
             bits.skip(24)  # EOFB
             break
-        cur: list[int] = []
-        a0 = -1
-        color = 0  # 0 white, 1 black
-        stalled = False
-        while True:
-            # adversarial-progress bound: V/H with crafted d / zero
-            # runs can fail to advance a0 — a real line never needs
-            # more than one transition per pixel
-            if len(cur) > 2 * columns + 8:
-                raise ValueError(
-                    f"CCITT: line {len(out_rows)} never completes "
-                    "(non-advancing mode stream)"
-                )
-            mode = _read_mode(bits)
-            if mode is None:
-                if bits.peek(12) == _EOL[1] or bits.exhausted():
-                    stalled = True
-                    break  # tolerated premature end: partial image
-                raise ValueError(
-                    f"CCITT: bad mode code at bit {bits.pos}"
-                )
-            kind, d = mode
-            i = bisect.bisect_right(ref, a0)
-            if (i & 1) != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else columns
-            b2 = ref[i + 1] if i + 1 < len(ref) else columns
-            if kind == "P":
-                a0 = b2
-            elif kind == "V":
-                a1 = b1 + d
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
-            else:  # H: two runs from max(a0, 0)
-                start = a0 if a0 > 0 else 0
-                r1 = _read_run(
-                    bits, _WHITE_DEC if color == 0 else _BLACK_DEC
-                )
-                r2 = _read_run(
-                    bits, _BLACK_DEC if color == 0 else _WHITE_DEC
-                )
-                a1 = start + r1
-                a2 = a1 + r2
-                cur.extend([a1, a2])
-                a0 = a2
-            if a0 >= columns:
-                break
-        # strict per-line validation: the width self-check
-        trans = [t for t in cur if t < columns]
-        last = 0
-        for t in trans:
-            if t < last or t < 0:
-                raise ValueError(
-                    f"CCITT: non-monotone transitions in line "
-                    f"{len(out_rows)}: {cur}"
-                )
-            last = t
-        for t in cur:
-            if t < 0 or t > columns:
-                raise ValueError(
-                    f"CCITT: transition {t} outside [0, {columns}] in "
-                    f"line {len(out_rows)}"
-                )
-        if stalled and not cur:
+        clean, stalled = _decode_2d_line(bits, ref, columns, len(out_rows))
+        if stalled and not clean:
             break  # EOL-ish tail with no line content: stop, don't
             # spin out max_rows of phantom white lines
-        # cancel zero-width runs (equal transition pairs): they don't
-        # change THIS line's pixels, but left in the reference they
-        # shift the next line's b1/b2 parity and silently mis-decode
-        # it — the reference must be the line's CHANGING ELEMENTS
-        clean: list[int] = []
-        for t in trans:
-            if clean and clean[-1] == t:
-                clean.pop()
-            else:
-                clean.append(t)
         row = np.empty(columns, dtype=np.uint8)
         _line_to_pixels(clean, columns, row)
         out_rows.append(row)
@@ -341,6 +377,78 @@ def decode_g4(
         )
     if not out_rows:
         raise ValueError("CCITT: no lines decoded")
+    return np.stack(out_rows)
+
+
+def _seek_eol(bits: _Bits, limit_bits: int = 4096) -> bool:
+    """Advance past fill zeros + the next EOL. False at stream end or
+    when no EOL appears within ``limit_bits`` (corrupt framing)."""
+    seen = 0
+    while not bits.exhausted() and seen < limit_bits:
+        if bits.peek(12) == _EOL[1]:
+            bits.skip(12)
+            return True
+        if bits.peek(1) != 0:
+            return False  # a 1 that doesn't complete an EOL: bad fill
+        bits.skip(1)
+        seen += 1
+    return False
+
+
+def decode_g3(
+    data: bytes,
+    columns: int,
+    rows: int | None = None,
+    two_d: bool = False,
+    max_rows: int = 65536,
+) -> "object":
+    """T.4 Group 3 with EOL framing -> uint8 (rows, columns). Each
+    line is preceded by an EOL (with optional zero fill); in 2D mode
+    (PDF /K > 0, TIFF T4Options bit 0) a tag bit after each EOL says
+    whether the next line is 1D (MH) or 2D (coded like G4 against the
+    previous line). Six consecutive EOLs (RTC) or data end stop."""
+    import numpy as np
+
+    _check_geometry(columns, rows)
+    bits = _Bits(data)
+    out_rows: list = []
+    ref: list[int] = []
+    limit = rows if rows is not None else min(
+        max_rows, _MAX_PIXELS // columns
+    )
+    while len(out_rows) < limit:
+        if not _seek_eol(bits):
+            break
+        if two_d:
+            if bits.exhausted():
+                break
+            is_1d = bits.peek(1) == 1
+            bits.skip(1)  # the tag bit precedes everything — incl. RTC
+        else:
+            is_1d = True
+        # RTC: another EOL immediately follows (post-tag in 2D mode).
+        # No legit line starts with 11 zero bits (the longest zero
+        # prefix in any run/mode code is 7), so this cannot misfire.
+        if bits.peek(12) == _EOL[1]:
+            break
+        if bits.exhausted():
+            break
+        if is_1d:
+            trans = _decode_1d_line(bits, columns, len(out_rows))
+        else:
+            trans, _stalled = _decode_2d_line(
+                bits, ref, columns, len(out_rows)
+            )
+        row = np.empty(columns, dtype=np.uint8)
+        _line_to_pixels(trans, columns, row)
+        out_rows.append(row)
+        ref = trans
+    if rows is not None and len(out_rows) < rows:
+        raise ValueError(
+            f"CCITT G3: stream ended after {len(out_rows)} of {rows} lines"
+        )
+    if not out_rows:
+        raise ValueError("CCITT G3: no lines decoded")
     return np.stack(out_rows)
 
 
@@ -367,18 +475,5 @@ def decode_mh(
     for r in range(rows):
         if byte_align:
             bits.align()
-        pos = 0
-        color = 0
-        trans = []
-        while pos < columns:
-            run = _read_run(bits, _WHITE_DEC if color == 0 else _BLACK_DEC)
-            pos += run
-            if pos > columns:
-                raise ValueError(
-                    f"CCITT MH: line {r} overruns {pos} > {columns}"
-                )
-            trans.append(pos)
-            color ^= 1
-        _line_to_pixels(trans[:-1] if trans and trans[-1] == columns
-                        else trans, columns, out[r])
+        _line_to_pixels(_decode_1d_line(bits, columns, r), columns, out[r])
     return out

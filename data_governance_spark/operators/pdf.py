@@ -1622,7 +1622,10 @@ def _image_record(doc: _Doc, xo: _Stream, page: int, idx: int) -> dict:
             # scanned-document tier (operators/ccitt.py): G4/MMR
             # decodes to gray pixels directly; /K >= 0 (G3 EOL
             # framing) stays typed-unsupported
-            from data_governance_spark.operators.ccitt import decode_g4
+            from data_governance_spark.operators.ccitt import (
+                decode_g3,
+                decode_g4,
+            )
 
             parms = doc.resolve(d.get("DecodeParms", d.get("DP")))
             if not isinstance(parms, list):
@@ -1634,10 +1637,8 @@ def _image_record(doc: _Doc, xo: _Stream, page: int, idx: int) -> dict:
             p = doc.resolve(parms[len(names) - 1])
             p = p if isinstance(p, dict) else {}
             kk = doc.resolve(p.get("K", 0))
-            if not isinstance(kk, int) or kk >= 0:
-                raise PdfImageDecodeError(
-                    f"CCITT /K {kk!r}: only G4 (/K < 0) decodes"
-                )
+            if not isinstance(kk, int):
+                raise PdfImageDecodeError(f"CCITT bad /K {kk!r}")
             cols = doc.resolve(p.get("Columns", 1728))
             # the w*h guard above used the DICT dims; the allocation is
             # sized by /Columns x h — bound THAT (adversarial parms)
@@ -1655,15 +1656,20 @@ def _image_record(doc: _Doc, xo: _Stream, page: int, idx: int) -> dict:
                 d2["DecodeParms"] = parms[: len(names) - 1]
                 payload = _decode_stream(doc, _Stream(d2, _stream_raw(xo)))
             try:
-                arr = decode_g4(
-                    payload,
-                    cols,
-                    rows=h,
-                    byte_align=doc.resolve(p.get("EncodedByteAlign"))
-                    is True,
-                )
+                if kk < 0:  # G4/MMR — the scanned-document default
+                    arr = decode_g4(
+                        payload,
+                        cols,
+                        rows=h,
+                        byte_align=doc.resolve(
+                            p.get("EncodedByteAlign")
+                        )
+                        is True,
+                    )
+                else:  # G3: /K = 0 pure 1D, /K > 0 mixed 2D
+                    arr = decode_g3(payload, cols, rows=h, two_d=kk > 0)
             except ValueError as e:
-                raise PdfImageDecodeError(f"CCITT G4: {e}") from None
+                raise PdfImageDecodeError(f"CCITT: {e}") from None
             if doc.resolve(p.get("BlackIs1")) is True:
                 arr = 255 - arr
             channels = 1

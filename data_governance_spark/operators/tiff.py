@@ -22,15 +22,15 @@ What decodes for REAL:
   uses EarlyChange=1), PackBits (32773), Deflate (8 and the old 32946
   code, stdlib zlib), each optionally under the horizontal-differencing
   predictor (tag 317 = 2, per-sample cumulative sum), and the fax tier
-  — CCITT G4/MMR (4) and 1-D Modified Huffman (2) via
-  ``operators/ccitt.py`` (bilevel, per-strip streams, both
-  photometric polarities).
+  — CCITT G4/MMR (4), G3 with EOL framing (3, 1D and T4Options-bit-0
+  mixed 2D) and 1-D Modified Huffman (2) via ``operators/ccitt.py``
+  (bilevel, per-strip streams, both photometric polarities, both fill
+  orders).
 
 Loud typed boundaries (``ValueError``, matching decode_image's
-contract): tiled layouts (322/324), CCITT G3 with EOL framing (3),
-old-style and new-style JPEG-in-TIFF (6/7), 16-bit samples, planar
-configuration 2, float samples. Each names the exact unsupported
-feature.
+contract): tiled layouts (322/324), old-style and new-style
+JPEG-in-TIFF (6/7), 16-bit samples, planar configuration 2, float
+samples. Each names the exact unsupported feature.
 
 Reference twin: none — training-data extension per SURVEY.md §6 (TIFF
 6.0 is a public spec; scanned-document corpora are full of it).
@@ -58,6 +58,7 @@ _TILE_W = 322
 _TILE_OFF = 324
 _PLANAR = 284
 _FILL_ORDER = 266
+_T4_OPTIONS = 292
 
 # field type byte widths (TIFF 6.0 §2)
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -152,14 +153,9 @@ def _decode_page(buf: bytes, d: dict, fmt: str):
     if d.get(_PLANAR, 1) != 1:
         raise ValueError("TIFF: planar configuration 2 not supported")
     comp = d.get(_COMP, 1)
-    if comp == 3:
-        raise ValueError(
-            "TIFF: CCITT G3 (compression 3, EOL framing) not supported "
-            "— G4 (4) and MH (2) decode"
-        )
     if comp in (6, 7):
         raise ValueError("TIFF: JPEG-in-TIFF not supported")
-    if comp not in (1, 2, 4, 5, 8, 32773, 32946):
+    if comp not in (1, 2, 3, 4, 5, 8, 32773, 32946):
         raise ValueError(f"TIFF: unknown compression {comp}")
     photo = d.get(_PHOTO, 1)
     spp = d.get(_SPP, 1)
@@ -204,9 +200,9 @@ def _decode_page(buf: bytes, d: dict, fmt: str):
         a = np.frombuffer(raw, dtype=np.uint8)
         return np.frombuffer(_BITREV, dtype=np.uint8)[a].tobytes()
 
-    if comp in (2, 4):
+    if comp in (2, 3, 4):
         # fax tier (operators/ccitt.py): bilevel only; each strip is an
-        # independent G4/MH stream of its rows. Decoded pixels are
+        # independent G4/MH/G3 stream of its rows. Decoded pixels are
         # ink-black=0 / paper-white=255 — photometric 0 (WhiteIsZero,
         # the fax default) is that orientation already; 1 inverts.
         if spp != 1 or bits != 1:
@@ -220,10 +216,13 @@ def _decode_page(buf: bytes, d: dict, fmt: str):
                 "would be silently ignored)"
             )
         from data_governance_spark.operators.ccitt import (
+            decode_g3,
             decode_g4,
             decode_mh,
         )
 
+        t4opts = d.get(_T4_OPTIONS, 0)
+        g3_2d = isinstance(t4opts, int) and bool(t4opts & 1)
         parts = []
         for i, off in enumerate(offs):
             if off + cnts[i] > len(buf):
@@ -234,6 +233,8 @@ def _decode_page(buf: bytes, d: dict, fmt: str):
             raw = _fix_fill(buf[off : off + cnts[i]])
             if comp == 4:
                 parts.append(decode_g4(raw, w, rows=nrows))
+            elif comp == 3:
+                parts.append(decode_g3(raw, w, rows=nrows, two_d=g3_2d))
             else:
                 parts.append(decode_mh(raw, w, nrows))
         img = np.concatenate(parts, axis=0)

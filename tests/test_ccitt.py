@@ -151,6 +151,84 @@ def _rand_bw(h, w, seed, p=0.4):
     return np.where(rng.random((h, w)) < p, 0, 255).astype(np.uint8)
 
 
+def _encode_2d_line(w: _BitWriter, cur: list[int], ref: list[int],
+                    wpx: int) -> None:
+    """One 2D-coded line (shared by g4_encode-style logic and G3-2D)."""
+    import bisect
+
+    a0, color = -1, 0
+    while True:
+        i = bisect.bisect_right(ref, a0)
+        if (i & 1) != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else wpx
+        b2 = ref[i + 1] if i + 1 < len(ref) else wpx
+        j = bisect.bisect_right(cur, a0)
+        if (j & 1) != color:
+            j += 1
+        a1 = cur[j] if j < len(cur) else wpx
+        if b2 < a1:
+            w.put(0b0001, 4)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            d = a1 - b1
+            code = {
+                0: (1, 0b1), 1: (3, 0b011), -1: (3, 0b010),
+                2: (6, 0b000011), -2: (6, 0b000010),
+                3: (7, 0b0000011), -3: (7, 0b0000010),
+            }[d]
+            w.put(code[1], code[0])
+            a0 = a1
+            color ^= 1
+        else:
+            a2 = cur[j + 1] if j + 1 < len(cur) else wpx
+            start = a0 if a0 > 0 else 0
+            w.put(0b001, 3)
+            put_run(w, a1 - start, color)
+            put_run(w, a2 - a1, color ^ 1)
+            a0 = a2
+        if a0 >= wpx:
+            break
+
+
+def _put_1d_line(w: _BitWriter, row, wpx: int) -> None:
+    trans = _transitions(row) + [wpx]
+    pos, color = 0, 0
+    for t in trans:
+        put_run(w, t - pos, color)
+        pos = t
+        color ^= 1
+
+
+def g3_encode(img: np.ndarray, two_d: bool = False,
+              alternate: bool = True) -> bytes:
+    """T.4 G3 spec encoder: EOL before every line; in 2D mode a tag
+    bit follows the EOL (1 = 1D line, 0 = 2D against the previous
+    line). ``alternate`` follows the standard K-factor shape: a 1D
+    line first, then 2D lines (re-syncing to 1D never hurts)."""
+    h, wpx = img.shape
+    w = _BitWriter()
+    ref: list[int] = []
+    for r in range(h):
+        w.put(0b000000000001, 12)
+        if not two_d:
+            _put_1d_line(w, img[r], wpx)
+            continue
+        is_1d = r == 0 or not alternate
+        w.put(1 if is_1d else 0, 1)
+        if is_1d:
+            _put_1d_line(w, img[r], wpx)
+        else:
+            _encode_2d_line(w, _transitions(img[r]), ref, wpx)
+        ref = _transitions(img[r])
+    # RTC: six EOLs
+    for _ in range(6):
+        w.put(0b000000000001, 12)
+        if two_d:
+            w.put(1, 1)
+    return w.bytes()
+
+
 # --------------------------------------------------------------------------
 # structural table validation
 # --------------------------------------------------------------------------
@@ -381,16 +459,31 @@ def test_tiff_g4_multi_strip_and_photometric_1():
     assert np.array_equal(decode_tiff(t1), 255 - img)
 
 
-def test_tiff_g3_still_raises():
+def test_tiff_g3_roundtrip_1d_and_2d():
     from tests.test_tiff_codec import write_tiff
 
     from data_governance_spark.operators.tiff import decode_tiff
 
-    t = write_tiff(
-        [dict(data=bytes(4), w=8, h=2, bits=1, comp=3)]
+    img = _rand_bw(6, 28, 17)
+    t1 = write_tiff(
+        [
+            dict(
+                data_raw_strips=[g3_encode(img, two_d=False)], data=b"",
+                w=28, h=6, bits=1, comp=3, photo=0,
+            )
+        ]
     )
-    with pytest.raises(ValueError, match="G3"):
-        decode_tiff(t)
+    assert np.array_equal(decode_tiff(t1), img)
+    t2 = write_tiff(
+        [
+            dict(
+                data_raw_strips=[g3_encode(img, two_d=True)], data=b"",
+                w=28, h=6, bits=1, comp=3, photo=0,
+                extra_tags=[(292, 4, 1, 1)],  # T4Options bit 0 = 2D
+            )
+        ]
+    )
+    assert np.array_equal(decode_tiff(t2), img)
 
 
 def test_pdf_ccitt_image_xobject_decodes():
@@ -574,3 +667,87 @@ def test_tiff_palette_fax_raises():
     )
     with pytest.raises(ValueError, match="palette-over-fax"):
         decode_tiff(t)
+
+
+# --------------------------------------------------------------------------
+# G3 (T.4 with EOL framing)
+# --------------------------------------------------------------------------
+
+
+def test_g3_1d_round_trip():
+    from data_governance_spark.operators.ccitt import decode_g3
+
+    img = _rand_bw(9, 31, 41)
+    got = decode_g3(g3_encode(img, two_d=False), 31, rows=9)
+    assert np.array_equal(got, img)
+    # rows=None: RTC stops it
+    got2 = decode_g3(g3_encode(img, two_d=False), 31)
+    assert np.array_equal(got2, img)
+
+
+def test_g3_2d_round_trip():
+    from data_governance_spark.operators.ccitt import decode_g3
+
+    img = _rand_bw(12, 40, 43)
+    got = decode_g3(g3_encode(img, two_d=True), 40, rows=12, two_d=True)
+    assert np.array_equal(got, img)
+    # all-1D lines under 2D framing (alternate=False)
+    got2 = decode_g3(
+        g3_encode(img, two_d=True, alternate=False), 40, rows=12,
+        two_d=True,
+    )
+    assert np.array_equal(got2, img)
+    # rows=None must stop at RTC, not mis-read the RTC tag bits
+    got3 = decode_g3(g3_encode(img, two_d=True), 40, two_d=True)
+    assert np.array_equal(got3, img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 48), st.integers(0, 2**32 - 1),
+       st.booleans())
+def test_g3_fuzz_round_trip(h, w, seed, two_d):
+    from data_governance_spark.operators.ccitt import decode_g3
+
+    img = _rand_bw(h, w, seed)
+    got = decode_g3(g3_encode(img, two_d=two_d), w, rows=h, two_d=two_d)
+    assert np.array_equal(got, img)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=384), st.integers(1, 64), st.booleans())
+def test_g3_fuzz_never_untyped(data, cols, two_d):
+    from data_governance_spark.operators.ccitt import decode_g3
+
+    try:
+        out = decode_g3(data, cols, two_d=two_d)
+        assert out.dtype == np.uint8
+    except ValueError:
+        pass
+
+
+def test_pdf_ccitt_g3_k0_and_k_positive_decode():
+    """PDF /K = 0 (pure 1D) and /K > 0 (mixed 2D) now decode; the old
+    typed raise is gone."""
+    from tests.test_pdf import _image_pdf, stream_body
+
+    from data_governance_spark.operators.multimodal import decode_image
+    from data_governance_spark.operators.pdf import pdf_images
+
+    img = _rand_bw(5, 16, 47)
+    k0 = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 16 /Height 5 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+        b"/Filter /CCITTFaxDecode /DecodeParms << /K 0 /Columns 16 >>",
+        g3_encode(img, two_d=False),
+    )
+    kp = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 16 /Height 5 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+        b"/Filter /CCITTFaxDecode /DecodeParms << /K 4 /Columns 16 >>",
+        g3_encode(img, two_d=True),
+    )
+    pdf = _image_pdf({6: k0, 7: kp}, b"/ImA 6 0 R /ImB 7 0 R")
+    recs = {r["img_idx"]: r for r in pdf_images(pdf)}
+    assert recs[0]["err"] is None and recs[1]["err"] is None
+    assert np.array_equal(decode_image(recs[0]["image"]), img)
+    assert np.array_equal(decode_image(recs[1]["image"]), img)
