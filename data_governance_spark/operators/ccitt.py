@@ -406,7 +406,12 @@ def decode_g3(
     line is preceded by an EOL (with optional zero fill); in 2D mode
     (PDF /K > 0, TIFF T4Options bit 0) a tag bit after each EOL says
     whether the next line is 1D (MH) or 2D (coded like G4 against the
-    previous line). Six consecutive EOLs (RTC) or data end stop."""
+    previous line). Decoding stops at TWO consecutive EOLs or data end
+    — the spec's RTC is six EOLs, but the second back-to-back EOL
+    already proves no line data follows at this position, and real
+    writers never emit empty mid-image EOL pairs. EOL-LESS G3
+    (PDF /EndOfLine false, the default) is plain MH — use
+    :func:`decode_mh`."""
     import numpy as np
 
     _check_geometry(columns, rows)

@@ -1619,12 +1619,14 @@ def _image_record(doc: _Doc, xo: _Stream, page: int, idx: int) -> dict:
             rec["height"] = int(arr.shape[0])
             return rec
         if names and names[-1] in ("CCITTFaxDecode", "CCF"):
-            # scanned-document tier (operators/ccitt.py): G4/MMR
-            # decodes to gray pixels directly; /K >= 0 (G3 EOL
-            # framing) stays typed-unsupported
+            # scanned-document tier (operators/ccitt.py): the whole /K
+            # space decodes to gray pixels directly — G4 (/K < 0), G3
+            # mixed 2D (/K > 0), and /K = 0 in both framings (EOL
+            # sniffed; /EndOfLine defaults to false, i.e. bare MH)
             from data_governance_spark.operators.ccitt import (
                 decode_g3,
                 decode_g4,
+                decode_mh,
             )
 
             parms = doc.resolve(d.get("DecodeParms", d.get("DP")))
@@ -1655,19 +1657,28 @@ def _image_record(doc: _Doc, xo: _Stream, page: int, idx: int) -> dict:
                 d2["Filter"] = [_Name(n) for n in names[:-1]]
                 d2["DecodeParms"] = parms[: len(names) - 1]
                 payload = _decode_stream(doc, _Stream(d2, _stream_raw(xo)))
+            aligned = doc.resolve(p.get("EncodedByteAlign")) is True
             try:
                 if kk < 0:  # G4/MMR — the scanned-document default
-                    arr = decode_g4(
-                        payload,
-                        cols,
-                        rows=h,
-                        byte_align=doc.resolve(
-                            p.get("EncodedByteAlign")
-                        )
-                        is True,
-                    )
-                else:  # G3: /K = 0 pure 1D, /K > 0 mixed 2D
-                    arr = decode_g3(payload, cols, rows=h, two_d=kk > 0)
+                    arr = decode_g4(payload, cols, rows=h,
+                                    byte_align=aligned)
+                elif kk > 0:  # G3 mixed 2D: EOL+tag framing (spec-
+                    # required for 2D; byte-align fill is zeros, which
+                    # the EOL seek already skips)
+                    arr = decode_g3(payload, cols, rows=h, two_d=True)
+                elif (
+                    len(payload) >= 2
+                    and int.from_bytes(payload[:2], "big") >> 4 == 1
+                ):
+                    # /K = 0 WITH EOL framing: PDF's /EndOfLine
+                    # defaults to FALSE, so sniff — a stream whose
+                    # first 12 bits are 000000000001 is EOL-framed (no
+                    # legit run code has more than 7 leading zeros)
+                    arr = decode_g3(payload, cols, rows=h, two_d=False)
+                else:
+                    # /K = 0 EOL-less (the default): back-to-back MH
+                    # lines, byte-aligned iff /EncodedByteAlign
+                    arr = decode_mh(payload, cols, h, byte_align=aligned)
             except ValueError as e:
                 raise PdfImageDecodeError(f"CCITT: {e}") from None
             if doc.resolve(p.get("BlackIs1")) is True:

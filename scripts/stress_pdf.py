@@ -52,7 +52,28 @@ def _variants():
         b"( follow)] TJ ET"
     )
     plain = simple_pdf(text)
-    flate = simple_pdf(text * 6, compress=True)
+    # genuinely MULTI-PAGE flate: three pages, three content streams —
+    # exercises the page-tree walk per doc, not just one page repeated
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    kids = []
+    for i in range(3):
+        pnum, cnum = 10 + 2 * i, 11 + 2 * i
+        kids.append(f"{pnum} 0 R".encode())
+        objs[pnum] = (
+            b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> /Contents "
+            + f"{cnum} 0 R >>".encode()
+        )
+        objs[cnum] = stream_body(
+            b"/Filter /FlateDecode", zlib.compress(text * 2)
+        )
+    objs[2] = (
+        b"<< /Type /Pages /Kids [" + b" ".join(kids) + b"] /Count 3 >>"
+    )
+    flate = build_pdf(objs, b"<< /Size 20 /Root 1 0 R >>")
     enc = encrypted_pdf(content=text * 6, compress=True)
     jpg = jpeg_bytes(_smooth(32, 32, rgb=True), quality=85)
     fax = _rand_bw(64, 96, 3, p=0.15)

@@ -83,48 +83,14 @@ def _transitions(row) -> list[int]:
 
 
 def g4_encode(img: np.ndarray) -> bytes:
-    """Standard T.6 coder: vertical mode when |a1-b1| <= 3, else
-    pass/horizontal."""
+    """Standard T.6 coder — per-line 2D coding shared with the G3-2D
+    encoder via _encode_2d_line (one copy, like the decoder side)."""
     h, wpx = img.shape
     w = _BitWriter()
     ref: list[int] = []
     for r in range(h):
         cur = _transitions(img[r])
-        a0, color = -1, 0
-        while True:
-            import bisect
-
-            i = bisect.bisect_right(ref, a0)
-            if (i & 1) != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else wpx
-            b2 = ref[i + 1] if i + 1 < len(ref) else wpx
-            j = bisect.bisect_right(cur, a0)
-            if (j & 1) != color:
-                j += 1
-            a1 = cur[j] if j < len(cur) else wpx
-            if b2 < a1:
-                w.put(0b0001, 4)  # pass
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                d = a1 - b1
-                code = {
-                    0: (1, 0b1), 1: (3, 0b011), -1: (3, 0b010),
-                    2: (6, 0b000011), -2: (6, 0b000010),
-                    3: (7, 0b0000011), -3: (7, 0b0000010),
-                }[d]
-                w.put(code[1], code[0])
-                a0 = a1
-                color ^= 1
-            else:  # horizontal
-                a2 = cur[j + 1] if j + 1 < len(cur) else wpx
-                start = a0 if a0 > 0 else 0
-                w.put(0b001, 3)
-                put_run(w, a1 - start, color)
-                put_run(w, a2 - a1, color ^ 1)
-                a0 = a2
-            if a0 >= wpx:
-                break
+        _encode_2d_line(w, cur, ref, wpx)
         ref = cur
     w.put(0b000000000001, 12)
     w.put(0b000000000001, 12)  # EOFB
@@ -136,13 +102,7 @@ def mh_encode(img: np.ndarray) -> bytes:
     w = _BitWriter()
     for r in range(h):
         w.align()
-        trans = _transitions(img[r]) + [wpx]
-        pos, color = 0, 0
-        for t in trans:
-            put_run(w, t - pos, color)
-            pos = t
-            color ^= 1
-        # trailing: if last transition == wpx the loop already emitted
+        _put_1d_line(w, img[r], wpx)
     return w.bytes()
 
 
@@ -747,6 +707,42 @@ def test_pdf_ccitt_g3_k0_and_k_positive_decode():
         g3_encode(img, two_d=True),
     )
     pdf = _image_pdf({6: k0, 7: kp}, b"/ImA 6 0 R /ImB 7 0 R")
+    recs = {r["img_idx"]: r for r in pdf_images(pdf)}
+    assert recs[0]["err"] is None and recs[1]["err"] is None
+    assert np.array_equal(decode_image(recs[0]["image"]), img)
+    assert np.array_equal(decode_image(recs[1]["image"]), img)
+
+
+def test_pdf_ccitt_k0_eol_less_default_decodes():
+    """PDF /EndOfLine defaults to FALSE: a /K 0 stream with NO EOLs is
+    back-to-back MH — the review-found gap where spec-default G3 data
+    failed entirely. Both byte-aligned and bit-contiguous forms."""
+    from tests.test_pdf import _image_pdf, stream_body
+
+    from data_governance_spark.operators.multimodal import decode_image
+    from data_governance_spark.operators.pdf import pdf_images
+
+    img = _rand_bw(4, 12, 53)
+    aligned = mh_encode(img)  # byte-aligned rows
+    # bit-contiguous rows (no per-line align)
+    w = _BitWriter()
+    for r in range(4):
+        _put_1d_line(w, img[r], 12)
+    contiguous = w.bytes()
+    a_body = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 12 /Height 4 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+        b"/Filter /CCITTFaxDecode "
+        b"/DecodeParms << /K 0 /Columns 12 /EncodedByteAlign true >>",
+        aligned,
+    )
+    c_body = stream_body(
+        b"/Type /XObject /Subtype /Image /Width 12 /Height 4 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+        b"/Filter /CCITTFaxDecode /DecodeParms << /K 0 /Columns 12 >>",
+        contiguous,
+    )
+    pdf = _image_pdf({6: a_body, 7: c_body}, b"/ImA 6 0 R /ImB 7 0 R")
     recs = {r["img_idx"]: r for r in pdf_images(pdf)}
     assert recs[0]["err"] is None and recs[1]["err"] is None
     assert np.array_equal(decode_image(recs[0]["image"]), img)
