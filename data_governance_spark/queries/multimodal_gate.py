@@ -164,6 +164,22 @@ _TIF_HEX = (
 _TIF_CONSTS = (8.0, 4.0, 3.0, 60.0, 107.75, 80.25)
 _TIF_SD = 70.0171
 
+# 'fax' sub-gate (new in r12): a fixed 140-byte big-endian TIFF whose
+# single strip is CCITT GROUP 4 (T.6 MMR) — an 8x4 checkerboard, so
+# mean and std are both exactly 127.5 (dyadic, float32-exact). Drives
+# operators/ccitt.py (mode codes, run tables, reference-line tracking)
+# through the driver gate; bytes from the G4 spec encoder in
+# tests/test_ccitt.py via the TIFF writer in tests/test_tiff_codec.py.
+_FAX_HEX = (
+    "4d4d002a0000001a26a88e88e82569249524924ad249280080080009010000040000"
+    "00010000000801010004000000010000000401020003000000010001000001030003"
+    "00000001000400000106000300000001000000000111000400000001000000080115"
+    "00030000000100010000011600040000000100000004011700040000000100000012"
+    "00000000"
+)
+_FAX_CONSTS = (8.0, 4.0, 1.0, 127.5, 127.5, 127.5)
+_FAX_SD = 127.5
+
 # 'vid' sub-gate (new in r7): a fixed 404-byte MJPEG-in-AVI video —
 # two 12x8 solid-gray JPEG frames whose DC values sit on the
 # quantization grid, so each frame reconstructs EXACTLY (mean = the
@@ -394,6 +410,12 @@ def _s(c: Column) -> Column:
     UNION ALL
     SELECT 'tif', 't:sd', CAST(NULL AS VARCHAR), {_TIF_SD}
     {"".join(
+      f" UNION ALL SELECT 'fax', 'y:{n}', CAST(NULL AS VARCHAR), {v}"
+      for n, v in zip(("w", "h", "c", "mr", "mg", "mb"), _FAX_CONSTS)
+    )}
+    UNION ALL
+    SELECT 'fax', 'y:sd', CAST(NULL AS VARCHAR), {_FAX_SD}
+    {"".join(
       f" UNION ALL SELECT 'vid', 'v:{fi}:{n}', CAST(NULL AS VARCHAR), {v}"
       for fi, mean in _VID_FRAMES
       for n, v in (("w", 12.0), ("h", 8.0), ("c", 1.0), ("m", mean),
@@ -429,7 +451,9 @@ def _s(c: Column) -> Column:
     "COLOR_INDEXING transform with 2-bit pixel bundling "
     "(operators/vp8l.py; sub-gate 'webp', new in r10) + REAL TIFF: a "
     "big-endian LZW+predictor-2 two-strip RGB payload through the IFD "
-    "walk (operators/tiff.py; sub-gate 'tif', new in r12) + exact media "
+    "walk (operators/tiff.py; sub-gate 'tif', new in r12) + REAL CCITT "
+    "G4 fax: a checkerboard MMR strip in a TIFF container "
+    "(operators/ccitt.py; sub-gate 'fax', new in r12) + exact media "
     "dedup over planted duplicate classes (sha2 grouping, sub-gate "
     "'mdd', new in r7) + PDF embedded-image extraction: a planted PDF "
     "whose DCT XObject must reproduce the bare-JPEG constants and "
@@ -534,6 +558,7 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (5, "flc", "f", _FLC_HEX),
         (6, "webp", "x", _WEBP_HEX),
         (7, "tif", "t", _TIF_HEX),
+        (8, "fax", "y", _FAX_HEX),
     ]
     media_c = spark.createDataFrame(
         [

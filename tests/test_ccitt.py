@@ -747,3 +747,34 @@ def test_pdf_ccitt_k0_eol_less_default_decodes():
     assert recs[0]["err"] is None and recs[1]["err"] is None
     assert np.array_equal(decode_image(recs[0]["image"]), img)
     assert np.array_equal(decode_image(recs[1]["image"]), img)
+
+
+def test_gate_fax_payload_pin():
+    """The q45 'fax' planted payload: regenerate from this suite's G4
+    encoder + the TIFF writer and pin bytes + the analytic constants
+    the oracle states (checkerboard: mean and std both exactly 127.5)."""
+    from tests.test_tiff_codec import write_tiff
+
+    from data_governance_spark.operators.multimodal import image_features
+    from data_governance_spark.queries.multimodal_gate import (
+        _FAX_CONSTS,
+        _FAX_HEX,
+        _FAX_SD,
+    )
+
+    img = np.where(
+        np.indices((4, 8)).sum(0) % 2 == 0, 0, 255
+    ).astype(np.uint8)
+    t = write_tiff(
+        [
+            dict(
+                data_raw_strips=[g4_encode(img)], data=b"", w=8, h=4,
+                bits=1, comp=4, photo=0,
+            )
+        ],
+        little=False,
+    )
+    assert t.hex() == _FAX_HEX
+    f = image_features(t)
+    assert tuple(f[:6]) == _FAX_CONSTS
+    assert f[6] == _FAX_SD
