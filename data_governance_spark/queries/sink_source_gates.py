@@ -405,6 +405,233 @@ _PDF_FLATE_HEX = (
 )
 
 
+# Sub-gate 'office' (new in r12): office-document text extraction
+# (operators/office.py). Same two-tier shape as 'pdf':
+#  - per-customer rows ('r'||ck): a complete RTF file is ASSEMBLED IN
+#    SPARK SQL per customer (RTF is an ASCII control-word format, so
+#    F.concat builds a real file) and extracted through the real
+#    tokenizer: groups, \par/\tab, the \u233 unicode escape with
+#    \uc fallback skipping, formatting words dropped, and an
+#    ignorable destination ({\*\hidden …}) skipped — all analytic in
+#    the oracle.
+#  - five planted payloads (docx/xlsx/pptx/odt/epub): STORED-zip
+#    containers the test suite's writers regenerate byte-for-byte
+#    (tests/test_office.py::test_gate_payload_pin), covering what SQL
+#    concat cannot: zip structure, workbook/presentation/spine
+#    ordering through rels, shared strings, ODF run-length spaces,
+#    and the XHTML chapter tier.
+_OFFICE_DOCX_TEXT = "Planted docx body\ncell\taligned"
+_OFFICE_DOCX_HEX = (
+    "504b0304140000000000000021007d8fc3394d0000004d000000130000005b436f6e"
+    "74656e745f54797065735d2e786d6c3c547970657320786d6c6e733d22687474703a"
+    "2f2f736368656d61732e6f70656e786d6c666f726d6174732e6f72672f7061636b61"
+    "67652f323030362f636f6e74656e742d7479706573222f3e504b0304140000000000"
+    "000021003cf2cb48e2000000e200000011000000776f72642f646f63756d656e742e"
+    "786d6c3c773a646f63756d656e7420786d6c6e733a773d22687474703a2f2f736368"
+    "656d61732e6f70656e786d6c666f726d6174732e6f72672f776f726470726f636573"
+    "73696e676d6c2f323030362f6d61696e223e3c773a626f64793e3c773a703e3c773a"
+    "723e3c773a743e506c616e74656420646f637820626f64793c2f773a743e3c2f773a"
+    "723e3c2f773a703e3c773a703e3c773a723e3c773a743e63656c6c3c2f773a743e3c"
+    "773a7461622f3e3c773a743e616c69676e65643c2f773a743e3c2f773a723e3c2f77"
+    "3a703e3c2f773a626f64793e3c2f773a646f63756d656e743e504b01021403140000"
+    "000000000021007d8fc3394d0000004d000000130000000000000000000000800100"
+    "0000005b436f6e74656e745f54797065735d2e786d6c504b01021403140000000000"
+    "000021003cf2cb48e2000000e200000011000000000000000000000080017e000000"
+    "776f72642f646f63756d656e742e786d6c504b05060000000002000200800000008f"
+    "0100000000"
+)
+_OFFICE_XLSX_TEXT = "planted sheet\t314"
+_OFFICE_XLSX_HEX = (
+    "504b03041400000000000000210061a5bca51200000012000000130000005b436f6e"
+    "74656e745f54797065735d2e786d6c3c547970657320786d6c6e733d2278222f3e50"
+    "4b0304140000000000000021003e00b0eee0000000e00000000f000000786c2f776f"
+    "726b626f6f6b2e786d6c3c776f726b626f6f6b20786d6c6e733d22687474703a2f2f"
+    "736368656d61732e6f70656e786d6c666f726d6174732e6f72672f73707265616473"
+    "686565746d6c2f323030362f6d61696e2220786d6c6e733a723d22687474703a2f2f"
+    "736368656d61732e6f70656e786d6c666f726d6174732e6f72672f6f666669636544"
+    "6f63756d656e742f323030362f72656c6174696f6e7368697073223e3c7368656574"
+    "733e3c7368656574206e616d653d2273312220736865657449643d22312220723a69"
+    "643d2272496431222f3e3c2f7368656574733e3c2f776f726b626f6f6b3e504b0304"
+    "14000000000000002100e47fae90a5000000a50000001a000000786c2f5f72656c73"
+    "2f776f726b626f6f6b2e786d6c2e72656c733c52656c6174696f6e73686970732078"
+    "6d6c6e733d22687474703a2f2f736368656d61732e6f70656e786d6c666f726d6174"
+    "732e6f72672f7061636b6167652f323030362f72656c6174696f6e7368697073223e"
+    "3c52656c6174696f6e736869702049643d22724964312220547970653d2274222054"
+    "61726765743d22776f726b7368656574732f7368656574312e786d6c222f3e3c2f52"
+    "656c6174696f6e73686970733e504b03041400000000000000210019191b996a0000"
+    "006a00000014000000786c2f736861726564537472696e67732e786d6c3c73737420"
+    "786d6c6e733d22687474703a2f2f736368656d61732e6f70656e786d6c666f726d61"
+    "74732e6f72672f73707265616473686565746d6c2f323030362f6d61696e223e3c73"
+    "693e3c743e706c616e7465642073686565743c2f743e3c2f73693e3c2f7373743e50"
+    "4b03041400000000000000210035a7e6e5a1000000a100000018000000786c2f776f"
+    "726b7368656574732f7368656574312e786d6c3c776f726b736865657420786d6c6e"
+    "733d22687474703a2f2f736368656d61732e6f70656e786d6c666f726d6174732e6f"
+    "72672f73707265616473686565746d6c2f323030362f6d61696e223e3c7368656574"
+    "446174613e3c726f773e3c6320743d2273223e3c763e303c2f763e3c2f633e3c633e"
+    "3c763e3331343c2f763e3c2f633e3c2f726f773e3c2f7368656574446174613e3c2f"
+    "776f726b73686565743e504b010214031400000000000000210061a5bca512000000"
+    "120000001300000000000000000000008001000000005b436f6e74656e745f547970"
+    "65735d2e786d6c504b01021403140000000000000021003e00b0eee0000000e00000"
+    "000f0000000000000000000000800143000000786c2f776f726b626f6f6b2e786d6c"
+    "504b0102140314000000000000002100e47fae90a5000000a50000001a0000000000"
+    "000000000000800150010000786c2f5f72656c732f776f726b626f6f6b2e786d6c2e"
+    "72656c73504b010214031400000000000000210019191b996a0000006a0000001400"
+    "0000000000000000000080012d020000786c2f736861726564537472696e67732e78"
+    "6d6c504b010214031400000000000000210035a7e6e5a1000000a100000018000000"
+    "00000000000000008001c9020000786c2f776f726b7368656574732f736865657431"
+    "2e786d6c504b050600000000050005004e010000a00300000000"
+)
+_OFFICE_PPTX_TEXT = "slide one\nslide two"
+_OFFICE_PPTX_HEX = (
+    "504b03041400000000000000210061a5bca51200000012000000130000005b436f6e"
+    "74656e745f54797065735d2e786d6c3c547970657320786d6c6e733d2278222f3e50"
+    "4b030414000000000000002100895df6620b0100000b010000140000007070742f70"
+    "726573656e746174696f6e2e786d6c3c703a70726573656e746174696f6e20786d6c"
+    "6e733a703d22687474703a2f2f736368656d61732e6f70656e786d6c666f726d6174"
+    "732e6f72672f70726573656e746174696f6e6d6c2f323030362f6d61696e2220786d"
+    "6c6e733a723d22687474703a2f2f736368656d61732e6f70656e786d6c666f726d61"
+    "74732e6f72672f6f6666696365446f63756d656e742f323030362f72656c6174696f"
+    "6e7368697073223e3c703a736c6449644c73743e3c703a736c6449642069643d2232"
+    "35372220723a69643d2272496432222f3e3c703a736c6449642069643d2232353622"
+    "20723a69643d2272496431222f3e3c2f703a736c6449644c73743e3c2f703a707265"
+    "73656e746174696f6e3e504b030414000000000000002100917a3014de000000de00"
+    "00001f0000007070742f5f72656c732f70726573656e746174696f6e2e786d6c2e72"
+    "656c733c52656c6174696f6e736869707320786d6c6e733d22687474703a2f2f7363"
+    "68656d61732e6f70656e786d6c666f726d6174732e6f72672f7061636b6167652f32"
+    "3030362f72656c6174696f6e7368697073223e3c52656c6174696f6e736869702049"
+    "643d22724964312220547970653d227422205461726765743d22736c696465732f73"
+    "6c696465312e786d6c222f3e3c52656c6174696f6e736869702049643d2272496432"
+    "2220547970653d227422205461726765743d22736c696465732f736c696465322e78"
+    "6d6c222f3e3c2f52656c6174696f6e73686970733e504b0304140000000000000021"
+    "00c20a9eaebe000000be000000150000007070742f736c696465732f736c69646531"
+    "2e786d6c3c703a736c6420786d6c6e733a703d22687474703a2f2f736368656d6173"
+    "2e6f70656e786d6c666f726d6174732e6f72672f70726573656e746174696f6e6d6c"
+    "2f323030362f6d61696e2220786d6c6e733a613d22687474703a2f2f736368656d61"
+    "732e6f70656e786d6c666f726d6174732e6f72672f64726177696e676d6c2f323030"
+    "362f6d61696e223e3c613a703e3c613a723e3c613a743e736c6964652074776f3c2f"
+    "613a743e3c2f613a723e3c2f613a703e3c2f703a736c643e504b0304140000000000"
+    "00002100240d5d2bbe000000be000000150000007070742f736c696465732f736c69"
+    "6465322e786d6c3c703a736c6420786d6c6e733a703d22687474703a2f2f73636865"
+    "6d61732e6f70656e786d6c666f726d6174732e6f72672f70726573656e746174696f"
+    "6e6d6c2f323030362f6d61696e2220786d6c6e733a613d22687474703a2f2f736368"
+    "656d61732e6f70656e786d6c666f726d6174732e6f72672f64726177696e676d6c2f"
+    "323030362f6d61696e223e3c613a703e3c613a723e3c613a743e736c696465206f6e"
+    "653c2f613a743e3c2f613a723e3c2f613a703e3c2f703a736c643e504b0102140314"
+    "00000000000000210061a5bca5120000001200000013000000000000000000000080"
+    "01000000005b436f6e74656e745f54797065735d2e786d6c504b0102140314000000"
+    "000000002100895df6620b0100000b01000014000000000000000000000080014300"
+    "00007070742f70726573656e746174696f6e2e786d6c504b01021403140000000000"
+    "00002100917a3014de000000de0000001f0000000000000000000000800180010000"
+    "7070742f5f72656c732f70726573656e746174696f6e2e786d6c2e72656c73504b01"
+    "02140314000000000000002100c20a9eaebe000000be000000150000000000000000"
+    "00000080019b0200007070742f736c696465732f736c696465312e786d6c504b0102"
+    "140314000000000000002100240d5d2bbe000000be00000015000000000000000000"
+    "000080018c0300007070742f736c696465732f736c696465322e786d6c504b050600"
+    "00000005000500560100007d0400000000"
+)
+_OFFICE_ODT_TEXT = "Planted ODT\nalpha  beta"
+_OFFICE_ODT_HEX = (
+    "504b0304140000000000000021005ec6320c2700000027000000080000006d696d65"
+    "747970656170706c69636174696f6e2f766e642e6f617369732e6f70656e646f6375"
+    "6d656e742e74657874504b030414000000000000002100f496c4902f0100002f0100"
+    "000b000000636f6e74656e742e786d6c3c6f66666963653a646f63756d656e742d63"
+    "6f6e74656e7420786d6c6e733a6f66666963653d2275726e3a6f617369733a6e616d"
+    "65733a74633a6f70656e646f63756d656e743a786d6c6e733a6f66666963653a312e"
+    "302220786d6c6e733a746578743d2275726e3a6f617369733a6e616d65733a74633a"
+    "6f70656e646f63756d656e743a786d6c6e733a746578743a312e30223e3c6f666669"
+    "63653a626f64793e3c6f66666963653a746578743e3c746578743a683e506c616e74"
+    "6564204f44543c2f746578743a683e3c746578743a703e616c7068613c746578743a"
+    "7320746578743a633d2232222f3e626574613c2f746578743a703e3c2f6f66666963"
+    "653a746578743e3c2f6f66666963653a626f64793e3c2f6f66666963653a646f6375"
+    "6d656e742d636f6e74656e743e504b01021403140000000000000021005ec6320c27"
+    "000000270000000800000000000000000000008001000000006d696d657479706550"
+    "4b0102140314000000000000002100f496c4902f0100002f0100000b000000000000"
+    "000000000080014d000000636f6e74656e742e786d6c504b05060000000002000200"
+    "6f000000a50100000000"
+)
+_OFFICE_EPUB_TEXT = "Spine first.\n\nSpine second."
+_OFFICE_EPUB_HEX = (
+    "504b0304140000000000000021006f61ab2c1400000014000000080000006d696d65"
+    "747970656170706c69636174696f6e2f657075622b7a6970504b0304140000000000"
+    "0000210017950c69ba000000ba000000160000004d4554412d494e462f636f6e7461"
+    "696e65722e786d6c3c636f6e7461696e657220786d6c6e733d2275726e3a6f617369"
+    "733a6e616d65733a74633a6f70656e646f63756d656e743a786d6c6e733a636f6e74"
+    "61696e6572223e3c726f6f7466696c65733e3c726f6f7466696c652066756c6c2d70"
+    "6174683d224f454250532f636f6e74656e742e6f706622206d656469612d74797065"
+    "3d226170706c69636174696f6e2f6f656270732d7061636b6167652b786d6c222f3e"
+    "3c2f726f6f7466696c65733e3c2f636f6e7461696e65723e504b0304140000000000"
+    "000021004b54d6ac0c0100000c010000110000004f454250532f636f6e74656e742e"
+    "6f70663c7061636b61676520786d6c6e733d22687474703a2f2f7777772e69647066"
+    "2e6f72672f323030372f6f7066223e3c6d616e69666573743e3c6974656d2069643d"
+    "2263302220687265663d226f6e652e7868746d6c22206d656469612d747970653d22"
+    "6170706c69636174696f6e2f7868746d6c2b786d6c222f3e3c6974656d2069643d22"
+    "63312220687265663d2274776f2e7868746d6c22206d656469612d747970653d2261"
+    "70706c69636174696f6e2f7868746d6c2b786d6c222f3e3c2f6d616e69666573743e"
+    "3c7370696e653e3c6974656d7265662069647265663d226330222f3e3c6974656d72"
+    "65662069647265663d226331222f3e3c2f7370696e653e3c2f7061636b6167653e50"
+    "4b0304140000000000000021007c94faf252000000520000000f0000004f45425053"
+    "2f6f6e652e7868746d6c3c68746d6c20786d6c6e733d22687474703a2f2f7777772e"
+    "77332e6f72672f313939392f7868746d6c223e3c626f64793e3c703e5370696e6520"
+    "66697273742e3c2f703e3c2f626f64793e3c2f68746d6c3e504b0304140000000000"
+    "0000210007a7407253000000530000000f0000004f454250532f74776f2e7868746d"
+    "6c3c68746d6c20786d6c6e733d22687474703a2f2f7777772e77332e6f72672f3139"
+    "39392f7868746d6c223e3c626f64793e3c703e5370696e65207365636f6e642e3c2f"
+    "703e3c2f626f64793e3c2f68746d6c3e504b01021403140000000000000021006f61"
+    "ab2c14000000140000000800000000000000000000008001000000006d696d657479"
+    "7065504b010214031400000000000000210017950c69ba000000ba00000016000000"
+    "000000000000000080013a0000004d4554412d494e462f636f6e7461696e65722e78"
+    "6d6c504b01021403140000000000000021004b54d6ac0c0100000c01000011000000"
+    "00000000000000008001280100004f454250532f636f6e74656e742e6f7066504b01"
+    "021403140000000000000021007c94faf252000000520000000f0000000000000000"
+    "0000008001630200004f454250532f6f6e652e7868746d6c504b0102140314000000"
+    "00000000210007a7407253000000530000000f00000000000000000000008001e202"
+    "00004f454250532f74776f2e7868746d6c504b050600000000050005003301000062"
+    "0300000000"
+)
+
+
+def q41_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.operators.office import extract_office_text
+
+    # ck <= 3000: same scaling cap as the 'pdf' sub-gate — each row is
+    # a full Python RTF tokenization and sf0.1 would otherwise pay 5x
+    # the bench cost for zero added coverage
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 3000
+    )
+    cs = _s(F.col("c_custkey"))
+    rtf_str = F.concat(
+        F.lit("{\\rtf1\\ansi Office report for customer "),
+        cs,
+        F.lit("\\par Caf\\u233 ?-line{\\b  two} "),
+        cs,
+        F.lit("\\tab end{\\*\\hidden secret "),
+        cs,
+        F.lit("}}"),
+    )
+    per_cust = cust.select(
+        F.concat(F.lit("r"), cs).alias("k"),
+        F.encode(rtf_str, "UTF-8").alias("content"),
+    )
+    planted = None
+    for key, hexs in (
+        ("docx", _OFFICE_DOCX_HEX),
+        ("xlsx", _OFFICE_XLSX_HEX),
+        ("pptx", _OFFICE_PPTX_HEX),
+        ("odt", _OFFICE_ODT_HEX),
+        ("epub", _OFFICE_EPUB_HEX),
+    ):
+        row = spark.range(1).select(
+            F.lit(key).alias("k"),
+            F.unhex(F.lit(hexs)).alias("content"),
+        )
+        planted = row if planted is None else planted.unionByName(row)
+    docs = per_cust.unionByName(planted)
+    return extract_office_text(docs, errors="raise").select(
+        "k", F.col("text").alias("v_s")
+    )
+
+
 def q41_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.pdf import extract_pdf_text
 
@@ -551,6 +778,30 @@ def q41_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            'RC4 empty-password decrypt' || chr(10) || 'permission bits only',
            CAST(NULL AS DOUBLE)
     UNION ALL
+    SELECT 'office', 'r' || CAST(c_custkey AS VARCHAR),
+           'Office report for customer ' || CAST(c_custkey AS VARCHAR)
+           || chr(10) || 'Café-line two ' || CAST(c_custkey AS VARCHAR)
+           || chr(9) || 'end',
+           CAST(NULL AS DOUBLE)
+    FROM customer WHERE c_custkey <= 3000
+    UNION ALL
+    SELECT 'office', 'docx',
+           'Planted docx body' || chr(10) || 'cell' || chr(9) || 'aligned',
+           CAST(NULL AS DOUBLE)
+    UNION ALL
+    SELECT 'office', 'xlsx', 'planted sheet' || chr(9) || '314',
+           CAST(NULL AS DOUBLE)
+    UNION ALL
+    SELECT 'office', 'pptx', 'slide one' || chr(10) || 'slide two',
+           CAST(NULL AS DOUBLE)
+    UNION ALL
+    SELECT 'office', 'odt', 'Planted ODT' || chr(10) || 'alpha  beta',
+           CAST(NULL AS DOUBLE)
+    UNION ALL
+    SELECT 'office', 'epub',
+           'Spine first.' || chr(10) || chr(10) || 'Spine second.',
+           CAST(NULL AS DOUBLE)
+    UNION ALL
     SELECT 'ser', 'D' || cs,
       '<doc boost="' || CAST(ck % 7 AS VARCHAR) || '">' || chr(10)
       || '  <field name="aa_arr">v1-' || cs || '</field>' || chr(10)
@@ -589,7 +840,16 @@ def q41_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Flate + WinAnsi + ToUnicode-CMap payload pinned by "
     "tests/test_pdf.py; new in r11; plus a planted rev-3 RC4 "
     "ENCRYPTED payload decrypted with the empty user password "
-    "through the standard security handler; new in r12)",
+    "through the standard security handler; new in r12) + "
+    "office-document extraction (operators/office.py: per-customer "
+    "RTF files assembled in SQL through the real control-word "
+    "tokenizer — groups, unicode escapes with fallback skipping, "
+    "ignorable destinations — plus five planted zip-container "
+    "payloads, docx/xlsx/pptx/odt/epub, covering workbook/"
+    "presentation/spine ordering through rels, shared strings, ODF "
+    "run-length spaces and the XHTML chapter tier; payload bytes "
+    "pinned by tests/test_office.py::test_gate_payload_pin; new in "
+    "r12)",
 )
 def q41_xml_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     nul_d = F.lit(None).cast("double")
@@ -617,12 +877,16 @@ def q41_xml_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdf = q41_pdf_extract(spark, sf_dir).select(
         F.lit("pdf").alias("gate"), "k", "v_s", nul_d.alias("v_d")
     )
+    office = q41_office_extract(spark, sf_dir).select(
+        F.lit("office").alias("gate"), "k", "v_s", nul_d.alias("v_d")
+    )
     return (
         src.unionByName(ser)
         .unionByName(warc)
         .unionByName(ufil)
         .unionByName(dom)
         .unionByName(pdf)
+        .unionByName(office)
     )
 
 
