@@ -138,18 +138,26 @@ def _open_zip(data: bytes) -> zipfile.ZipFile:
         zf = zipfile.ZipFile(io.BytesIO(data))
     except (zipfile.BadZipFile, OSError, EOFError, ValueError) as e:
         raise OfficeParseError(f"bad zip container: {e}") from None
-    infos = zf.infolist()
-    if len(infos) > _MAX_MEMBERS:
-        raise OfficeBombError(f"{len(infos)} zip members (cap {_MAX_MEMBERS})")
-    total = 0
-    for zi in infos:
-        if zi.file_size > _MAX_MEMBER_UNCOMPRESSED:
+    try:
+        infos = zf.infolist()
+        if len(infos) > _MAX_MEMBERS:
             raise OfficeBombError(
-                f"member {zi.filename!r} declares {zi.file_size} bytes"
+                f"{len(infos)} zip members (cap {_MAX_MEMBERS})"
             )
-        total += zi.file_size
-        if total > _MAX_TOTAL_UNCOMPRESSED:
-            raise OfficeBombError(f"archive declares > {total} bytes total")
+        total = 0
+        for zi in infos:
+            if zi.file_size > _MAX_MEMBER_UNCOMPRESSED:
+                raise OfficeBombError(
+                    f"member {zi.filename!r} declares {zi.file_size} bytes"
+                )
+            total += zi.file_size
+            if total > _MAX_TOTAL_UNCOMPRESSED:
+                raise OfficeBombError(
+                    f"archive declares > {total} bytes total"
+                )
+    except OfficeError:
+        zf.close()
+        raise
     return zf
 
 
@@ -172,8 +180,12 @@ def _zread(zf: zipfile.ZipFile, name: str) -> bytes:
 
 def _xml(data: bytes, what: str) -> ET.Element:
     # expat expands internal entities (billion-laughs); no office
-    # format needs a DTD, so the presence of one is hostile
-    if b"<!DOCTYPE" in data[:4096] or b"<!ENTITY" in data[:4096]:
+    # format needs a DTD, so the presence of one is hostile.  The
+    # WHOLE buffer is scanned — a prefix-only check is defeated by
+    # comment padding before the DOCTYPE.  (A literal "<!ENTITY"
+    # could only legitimately appear inside CDATA, which no office
+    # format emits — acceptable false-positive surface.)
+    if b"<!DOCTYPE" in data or b"<!ENTITY" in data:
         raise OfficeParseError(f"{what}: DTD/entity declarations rejected")
     try:
         return ET.fromstring(data)
@@ -257,25 +269,26 @@ _WML_SKIP = frozenset(
 
 
 def _wml_para(p) -> str:
+    # iterative DFS: a hostile document can nest elements thousands
+    # deep, and a RecursionError is NOT a typed OfficeError — it
+    # would escape the quarantine and kill the Spark task
     parts: list[str] = []
-
-    def rec(e):
+    stack = [p]
+    while stack:
+        e = stack.pop()
         tag = e.tag
         if tag in _WML_SKIP:
-            return
+            continue
         if tag == _W + "t":
             parts.append(e.text or "")
-            return
+            continue
         if tag == _W + "tab":
             parts.append("\t")
         elif tag in (_W + "br", _W + "cr"):
             parts.append("\n")
         elif tag == _W + "noBreakHyphen":
             parts.append("-")
-        for c in e:
-            rec(c)
-
-    rec(p)
+        stack.extend(reversed(list(e)))
     return "".join(parts)
 
 
@@ -354,7 +367,10 @@ def xlsx_text(data: bytes) -> str:
                     if t == "s":
                         v = c.find(_S + "v")
                         try:
-                            cells.append(shared[int((v.text or "").strip())])
+                            idx = int((v.text or "").strip())
+                            if idx < 0:  # negative would wrap silently
+                                raise IndexError(idx)
+                            cells.append(shared[idx])
                         except (AttributeError, ValueError, IndexError):
                             raise OfficeParseError(
                                 "bad shared-string reference in "
@@ -381,17 +397,15 @@ _A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 
 def _dml_para(p) -> str:
     parts: list[str] = []
-
-    def rec(e):
+    stack = [p]
+    while stack:  # iterative: see _wml_para
+        e = stack.pop()
         if e.tag == _A + "t":
             parts.append(e.text or "")
-            return
+            continue
         if e.tag == _A + "br":
             parts.append("\n")
-        for c in e:
-            rec(c)
-
-    rec(p)
+        stack.extend(reversed(list(e)))
     return "".join(parts)
 
 
@@ -430,8 +444,15 @@ _OFF = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
 
 def _odf_para(p) -> str:
     parts: list[str] = []
-
-    def rec(e, top: bool):
+    # iterative DFS (see _wml_para); literal strings on the stack are
+    # pending tail text / marker output in document order
+    stack: list = [(p, True)]
+    while stack:
+        item = stack.pop()
+        if isinstance(item, str):
+            parts.append(item)
+            continue
+        e, top = item
         if not top:
             tag = e.tag
             if tag == _T + "s":
@@ -445,15 +466,15 @@ def _odf_para(p) -> str:
             elif tag == _T + "line-break":
                 parts.append("\n")
             elif tag == _T + "note":  # foot/endnote bodies stay out
-                return
+                continue
         if e.text:
             parts.append(e.text)
+        kids: list = []
         for c in e:
-            rec(c, False)
+            kids.append((c, False))
             if c.tail:
-                parts.append(c.tail)
-
-    rec(p, True)
+                kids.append(c.tail)
+        stack.extend(reversed(kids))
     return "".join(parts)
 
 
@@ -511,20 +532,30 @@ def _local(tag) -> str:
     return tag.rsplit("}", 1)[-1].lower()
 
 
-def _xhtml_walk(e, parts: list) -> None:
-    name = _local(e.tag)
-    if name in _HTML_DROP:
-        return
-    if name == "br":
-        parts.append("\n")
-    if e.text:
-        parts.append(e.text)
-    for c in e:
-        _xhtml_walk(c, parts)
-        if c.tail:
-            parts.append(c.tail)
-    if name in _HTML_BLOCK:
-        parts.append("\n")
+def _xhtml_walk(root, parts: list) -> None:
+    # iterative DFS (see _wml_para); literal strings on the stack are
+    # pending tail text / post-order block newlines
+    stack: list = [root]
+    while stack:
+        item = stack.pop()
+        if isinstance(item, str):
+            parts.append(item)
+            continue
+        name = _local(item.tag)
+        if name in _HTML_DROP:
+            continue
+        if name == "br":
+            parts.append("\n")
+        if item.text:
+            parts.append(item.text)
+        kids: list = []
+        for c in item:
+            kids.append(c)
+            if c.tail:
+                kids.append(c.tail)
+        if name in _HTML_BLOCK:
+            kids.append("\n")
+        stack.extend(reversed(kids))
 
 
 def _tidy_lines(s: str) -> str:

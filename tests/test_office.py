@@ -257,6 +257,32 @@ class TestDocx:
         with pytest.raises(OfficeParseError, match="DTD"):
             docx_text(z)
 
+    def test_doctype_after_comment_padding_rejected(self):
+        # a prefix-only DTD scan is defeated by >4KB of comments
+        pad = "<!-- " + "x" * 8192 + " -->"
+        z = make_zip(
+            [
+                ("[Content_Types].xml", "<T/>"),
+                (
+                    "word/document.xml",
+                    f'{pad}<!DOCTYPE d [<!ENTITY a "boom">]>'
+                    f'<w:document xmlns:w="{W}"><w:body/></w:document>',
+                ),
+            ]
+        )
+        with pytest.raises(OfficeParseError, match="DTD"):
+            docx_text(z)
+
+    def test_deep_nesting_no_recursion_error(self):
+        # hostile nesting must not escape as an untyped RecursionError
+        depth = 6000
+        body = (
+            "<w:p>" + "<w:smartTag>" * depth
+            + "<w:r><w:t>deep</w:t></w:r>"
+            + "</w:smartTag>" * depth + "</w:p>"
+        )
+        assert docx_text(make_docx(body)) == "deep"
+
 
 # ===================================================================
 # XLSX
@@ -289,6 +315,12 @@ class TestXlsx:
                       shared_xml="<si><t>only</t></si>")
         with pytest.raises(OfficeParseError, match="shared-string"):
             xlsx_text(x)
+        # negative indexes would WRAP via Python indexing — must raise,
+        # not silently return the last shared string
+        neg = make_xlsx(['<row><c t="s"><v>-1</v></c></row>'],
+                        shared_xml="<si><t>only</t></si>")
+        with pytest.raises(OfficeParseError, match="shared-string"):
+            xlsx_text(neg)
 
     def test_unresolvable_sheet_raises_typed(self):
         members = [
@@ -400,6 +432,13 @@ class TestEpub:
         )
         assert office_format(e) == "epub"
         assert epub_text(e) == "Three.\n\nOne.\nTwo bold."
+
+    def test_deep_nesting_chapter_no_recursion_error(self):
+        depth = 6000
+        chap = ("<html><body>" + "<span>" * depth + "deep"
+                + "</span>" * depth + "</body></html>")
+        e = make_epub([("c.xhtml", chap)], spine=["c.xhtml"])
+        assert epub_text(e) == "deep"
 
     def test_fallback_tier_for_tag_soup_chapter(self):
         e = make_epub(
