@@ -632,6 +632,46 @@ def q41_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sub-gate 'chs' (new in r12): charset detection + transcoding
+# (operators/charset.py). Entirely SQL-assembled — Spark's encode()
+# emits real ISO-8859-1 / UTF-16LE / UTF-16BE byte streams per
+# customer, plus a BOM spliced on with unhex||concat — so every rung
+# of the detection ladder (strict-UTF-8 probe, 8-bit fallback,
+# NUL-pattern UTF-16 sniff, BOM override) runs against bytes whose
+# expected decode is analytic in the oracle.
+def q41_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.operators.charset import decode_text
+
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 3000
+    )
+    cs = _s(F.col("c_custkey"))
+    s = F.concat(F.lit("Résumé Nº "), cs)
+
+    def enc(prefix: str, content):
+        return cust.select(
+            F.concat(F.lit(prefix), cs).alias("k"),
+            content.alias("content"),
+        )
+
+    docs = (
+        enc("c8", F.encode(s, "UTF-8"))
+        .unionByName(enc("cl", F.encode(s, "ISO-8859-1")))
+        .unionByName(enc("cw", F.encode(s, "UTF-16LE")))  # BOM-less
+        .unionByName(
+            enc(
+                "cb",
+                F.concat(
+                    F.unhex(F.lit("FEFF")), F.encode(s, "UTF-16BE")
+                ),
+            )
+        )
+    )
+    return decode_text(docs).select(
+        "k", F.concat_ws("|", "text", "encoding").alias("v_s")
+    )
+
+
 def q41_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.pdf import extract_pdf_text
 
@@ -802,6 +842,15 @@ def q41_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            'Spine first.' || chr(10) || chr(10) || 'Spine second.',
            CAST(NULL AS DOUBLE)
     UNION ALL
+    SELECT 'chs', pre || CAST(c_custkey AS VARCHAR),
+           'Résumé Nº ' || CAST(c_custkey AS VARCHAR) || '|' || enc,
+           CAST(NULL AS DOUBLE)
+    FROM customer,
+         (SELECT * FROM (VALUES ('c8', 'utf-8'), ('cl', 'cp1252'),
+                                ('cw', 'utf-16-le'), ('cb', 'utf-16-be'))
+          AS t(pre, enc))
+    WHERE c_custkey <= 3000
+    UNION ALL
     SELECT 'ser', 'D' || cs,
       '<doc boost="' || CAST(ck % 7 AS VARCHAR) || '">' || chr(10)
       || '  <field name="aa_arr">v1-' || cs || '</field>' || chr(10)
@@ -849,7 +898,11 @@ def q41_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "presentation/spine ordering through rels, shared strings, ODF "
     "run-length spaces and the XHTML chapter tier; payload bytes "
     "pinned by tests/test_office.py::test_gate_payload_pin; new in "
-    "r12)",
+    "r12) + charset detection (operators/charset.py: the "
+    "BOM > NUL-pattern-UTF-16 > strict-UTF-8 > 8-bit detection "
+    "ladder over per-customer byte streams ASSEMBLED IN SQL with "
+    "encode()/unhex — all four encoding classes analytic in the "
+    "oracle; new in r12)",
 )
 def q41_xml_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     nul_d = F.lit(None).cast("double")
@@ -880,6 +933,9 @@ def q41_xml_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     office = q41_office_extract(spark, sf_dir).select(
         F.lit("office").alias("gate"), "k", "v_s", nul_d.alias("v_d")
     )
+    chs = q41_charset_detect(spark, sf_dir).select(
+        F.lit("chs").alias("gate"), "k", "v_s", nul_d.alias("v_d")
+    )
     return (
         src.unionByName(ser)
         .unionByName(warc)
@@ -887,6 +943,7 @@ def q41_xml_source_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dom)
         .unionByName(pdf)
         .unionByName(office)
+        .unionByName(chs)
     )
 
 
