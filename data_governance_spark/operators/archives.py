@@ -1,0 +1,340 @@
+"""Archive explosion: one row per member of zip / tar / gzip / bzip2
+/ xz bytes — the container step a crawl or corpus-distribution
+pipeline runs before the per-document tiers (PDF, office, charset,
+codecs) can see anything.
+
+Same contracts as the sibling byte-level tiers:
+
+- **Typed errors** (:class:`ArchiveError` subclasses) — hostile bytes
+  quarantine, never raise untyped (fuzz-pinned).
+- **Bomb caps** enforced on DECLARED sizes up front and RE-CHECKED
+  during decompression (zip headers and gzip ISIZE are
+  attacker-controlled): total ≤ 256 MB, member ≤ 128 MB, members
+  ≤ 10k per archive.
+- **Map-only Spark surface** (:func:`explode_archives`): Arrow-batched
+  ``mapInPandas``, no shuffle, no driver state.  A 100 TB dump of
+  tarballs fans out to (archive × member) rows at scan speed, and the
+  per-document operators compose downstream.
+
+Format ladder (magic-sniffed, extensions are never trusted):
+
+- outer stream compression: gzip (``1F 8B``), bzip2 (``BZh``), xz
+  (``FD 37 7A 58 5A 00``) — decompressed incrementally under the cap,
+  then re-sniffed: a tar inside explodes as members, anything else is
+  a single member (named by the gzip FNAME header when present).
+- zip (``PK``): members enumerated via the central directory;
+  per-member failures (traditional PKZIP encryption flag, bad CRC,
+  unsupported method) are typed PER MEMBER — the archive and its
+  other members survive.
+- tar (ustar magic at offset 257, or a valid all-octal V7 header):
+  regular-file members only (dirs/symlinks/devices are structure, not
+  corpus content — skipped, counted in no row).
+
+Nesting is intentionally NOT recursed: an archive member that is
+itself an archive comes out as bytes, and the Spark-idiomatic way to
+go deeper is to run :func:`explode_archives` again over that output —
+one more map stage, no hidden recursion bombs.
+
+Extended training-data scope (the reference ingests database records,
+not crawled containers); formats are the public ZIP APPNOTE, POSIX
+ustar, and RFC 1952 surfaces via the stdlib.
+"""
+
+from __future__ import annotations
+
+import bz2
+import io
+import lzma
+import struct
+import tarfile
+import zipfile
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "ArchiveError",
+    "ArchiveParseError",
+    "ArchiveBombError",
+    "ArchiveEncryptedError",
+    "archive_format",
+    "archive_members",
+    "explode_archives",
+]
+
+
+class ArchiveError(ValueError):
+    """Base for every typed archive failure."""
+
+
+class ArchiveParseError(ArchiveError):
+    """Not an archive / truncated / structurally broken."""
+
+
+class ArchiveBombError(ArchiveError):
+    """Decompression bomb: declared or actual expansion over a cap."""
+
+
+class ArchiveEncryptedError(ArchiveError):
+    """Encrypted member (traditional PKZIP flag or AES extra)."""
+
+
+_MAX_TOTAL = 256 * 1024 * 1024
+_MAX_MEMBER = 128 * 1024 * 1024
+_MAX_MEMBERS = 10_000
+
+_GZIP_MAGIC = b"\x1f\x8b"
+_BZ2_MAGIC = b"BZh"
+_XZ_MAGIC = b"\xfd7zXZ\x00"
+
+
+def archive_format(data: bytes) -> str:
+    """``zip tar gzip bzip2 xz`` or :class:`ArchiveParseError`."""
+    if not isinstance(data, (bytes, bytearray)):
+        raise ArchiveParseError(f"expected bytes, got {type(data).__name__}")
+    data = bytes(data)
+    if data[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+        return "zip"
+    if data[:2] == _GZIP_MAGIC:
+        return "gzip"
+    if data[:3] == _BZ2_MAGIC and len(data) > 4 and data[3:4].isdigit():
+        return "bzip2"
+    if data[:6] == _XZ_MAGIC:
+        return "xz"
+    if _is_tar(data):
+        return "tar"
+    raise ArchiveParseError("not a recognized archive")
+
+
+def _is_tar(data: bytes) -> bool:
+    if len(data) < 512:
+        return False
+    if data[257:262] == b"ustar":  # POSIX / GNU
+        return True
+    # V7 fallback: checksum field must verify (same rule tarfile uses)
+    try:
+        chksum = int(data[148:156].split(b"\0")[0].strip() or b"-1", 8)
+    except ValueError:
+        return False
+    unsigned = sum(data[:148]) + sum(data[156:512]) + 8 * 0x20
+    return chksum == unsigned and chksum > 0
+
+
+def _bounded_decompress(data: bytes, kind: str) -> bytes:
+    """Incremental decompression with the cap enforced mid-stream —
+    never materializes more than the cap + one chunk."""
+    if kind == "gzip":
+        d = zlib.decompressobj(wbits=31)
+    elif kind == "bzip2":
+        d = bz2.BZ2Decompressor()
+    else:
+        d = lzma.LZMADecompressor()
+    out = []
+    total = 0
+    try:
+        chunk = d.decompress(data, _MAX_MEMBER + 1)
+        while True:
+            total += len(chunk)
+            if total > _MAX_MEMBER:
+                raise ArchiveBombError(
+                    f"{kind} stream inflates past the member cap"
+                )
+            out.append(chunk)
+            if getattr(d, "eof", False) or (
+                not d.unconsumed_tail
+                if hasattr(d, "unconsumed_tail")
+                else d.needs_input
+            ):
+                break
+            src = d.unconsumed_tail if hasattr(d, "unconsumed_tail") else b""
+            chunk = d.decompress(src, _MAX_MEMBER + 1)
+    except (zlib.error, OSError, EOFError, lzma.LZMAError, ValueError) as e:
+        if isinstance(e, ArchiveError):
+            raise
+        raise ArchiveParseError(f"bad {kind} stream: {e}") from None
+    if not getattr(d, "eof", True):
+        # stream ran out of input before its end marker — a truncated
+        # download must not masquerade as a complete (smaller) member
+        raise ArchiveParseError(f"truncated {kind} stream")
+    return b"".join(out)
+
+
+def _gzip_name(data: bytes) -> str | None:
+    """FNAME from the gzip header (RFC 1952), if present."""
+    if len(data) < 10 or data[:2] != _GZIP_MAGIC:
+        return None
+    flg = data[3]
+    pos = 10
+    if flg & 0x04:  # FEXTRA
+        if len(data) < pos + 2:
+            return None
+        xlen = struct.unpack_from("<H", data, pos)[0]
+        pos += 2 + xlen
+    if flg & 0x08:  # FNAME
+        end = data.find(b"\0", pos)
+        if end == -1:
+            return None
+        return data[pos:end].decode("latin-1", errors="replace")
+    return None
+
+
+def _zip_members(data: bytes) -> list[dict]:
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+    except (zipfile.BadZipFile, OSError, EOFError, ValueError,
+            NotImplementedError) as e:
+        # NotImplementedError: zipfile rejects hostile version-needed
+        # fields at CONSTRUCTION time, not just per-member
+        raise ArchiveParseError(f"bad zip: {e}") from None
+    with zf:
+        infos = [zi for zi in zf.infolist() if not zi.is_dir()]
+        if len(infos) > _MAX_MEMBERS:
+            raise ArchiveBombError(f"{len(infos)} members")
+        declared = sum(zi.file_size for zi in infos)
+        if declared > _MAX_TOTAL or any(
+            zi.file_size > _MAX_MEMBER for zi in infos
+        ):
+            raise ArchiveBombError(f"declares {declared} bytes")
+        out = []
+        for zi in infos:
+            rec = {"member": zi.filename, "size": None, "content": None,
+                   "err": None}
+            if zi.flag_bits & 0x1:
+                rec["err"] = "ArchiveEncryptedError"
+                out.append(rec)
+                continue
+            try:
+                with zf.open(zi) as fh:
+                    body = fh.read(_MAX_MEMBER + 1)
+                if len(body) > _MAX_MEMBER:
+                    rec["err"] = "ArchiveBombError"
+                else:
+                    rec["size"] = len(body)
+                    rec["content"] = body
+            except (zipfile.BadZipFile, OSError, EOFError, ValueError,
+                    NotImplementedError, RuntimeError) as e:
+                # RuntimeError: zipfile's own encrypted-member signal;
+                # NotImplementedError: unsupported compression method
+                rec["err"] = (
+                    "ArchiveEncryptedError"
+                    if "password" in str(e).lower()
+                    or isinstance(e, RuntimeError)
+                    else "ArchiveParseError"
+                )
+            out.append(rec)
+        return out
+
+
+def _tar_members(data: bytes) -> list[dict]:
+    try:
+        tf = tarfile.open(fileobj=io.BytesIO(data), mode="r:")
+    except (tarfile.TarError, OSError, EOFError, ValueError) as e:
+        raise ArchiveParseError(f"bad tar: {e}") from None
+    out: list[dict] = []
+    with tf:
+        total = 0
+        while True:
+            try:
+                ti = tf.next()
+            except (tarfile.TarError, OSError, EOFError, ValueError):
+                break  # truncated tail: keep what parsed
+            if ti is None:
+                break
+            if len(out) >= _MAX_MEMBERS:
+                raise ArchiveBombError(f"> {_MAX_MEMBERS} members")
+            if not ti.isreg():
+                continue  # dirs/links/devices: structure, not content
+            rec = {"member": ti.name, "size": None, "content": None,
+                   "err": None}
+            if ti.size > _MAX_MEMBER:
+                rec["err"] = "ArchiveBombError"
+                out.append(rec)
+                continue
+            total += ti.size
+            if total > _MAX_TOTAL:
+                raise ArchiveBombError(f"archive exceeds {_MAX_TOTAL}")
+            try:
+                fh = tf.extractfile(ti)
+                body = fh.read(_MAX_MEMBER + 1) if fh else b""
+                if len(body) > _MAX_MEMBER:
+                    rec["err"] = "ArchiveBombError"
+                else:
+                    rec["size"] = len(body)
+                    rec["content"] = body
+            except (tarfile.TarError, OSError, EOFError, ValueError):
+                rec["err"] = "ArchiveParseError"
+            out.append(rec)
+    return out
+
+
+def archive_members(data: bytes) -> list[dict]:
+    """All regular-file members of the archive bytes, one dict per
+    member: ``(member, size, content, err)``.  Stream-compressed tars
+    (.tar.gz/.tbz2/.txz) explode as members; a stream wrapping
+    anything else is a single member named by the gzip FNAME header
+    (or ``"-"``).  Archive-level failures raise typed; member-level
+    failures are typed PER ROW."""
+    kind = archive_format(data)
+    if kind == "zip":
+        return _zip_members(data)
+    if kind == "tar":
+        return _tar_members(data)
+    inner = _bounded_decompress(bytes(data), kind)
+    if _is_tar(inner):
+        return _tar_members(inner)
+    name = _gzip_name(bytes(data)) if kind == "gzip" else None
+    return [
+        {"member": name or "-", "size": len(inner), "content": inner,
+         "err": None}
+    ]
+
+
+def explode_archives(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per archive member per document:
+    ``(id_col, member, size, content, err)``.  A document whose bytes
+    are NULL or fail archive-level keeps ONE row with NULL member and
+    the typed error name in ``err`` (quarantine semantics — documents
+    never vanish silently), mirroring
+    :func:`operators.pdf.extract_pdf_images`."""
+    import pyspark.sql.types as T
+
+    id_field = docs.schema[id_col]
+    schema = T.StructType(
+        [
+            id_field,
+            T.StructField("member", T.StringType()),
+            T.StructField("size", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("err", T.StringType()),
+        ]
+    )
+    cols = ["member", "size", "content", "err"]
+
+    def run(batches):
+        for pdf_b in batches:
+            rows: list[dict] = []
+            for did, c in zip(pdf_b[id_col], pdf_b[content_col]):
+                base = {id_col: did, **{k: None for k in cols}}
+                if c is None:
+                    base["err"] = "null-content"
+                    rows.append(base)
+                    continue
+                try:
+                    recs = archive_members(bytes(c))
+                except ArchiveError as e:
+                    base["err"] = type(e).__name__
+                    rows.append(base)
+                    continue
+                if not recs:
+                    rows.append(base)  # empty archive: one NULL row
+                    continue
+                for r in recs:
+                    rows.append({id_col: did, **r})
+            yield pd.DataFrame(rows, columns=[id_col, *cols])
+
+    return docs.select(id_col, content_col).mapInPandas(run, schema)

@@ -1240,6 +1240,104 @@ def _zo_key_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# Sub-gate 'arc' (new in r12): archive explosion
+# (operators/archives.py). The per-customer tier is the showpiece: a
+# complete STORED ZIP is ASSEMBLED IN SPARK SQL — zip's only
+# non-analytic header fields are CRC-32 and byte lengths, and Spark
+# has crc32()/length(), so the little-endian fields are built by
+# hex-pair reversal and the REAL zipfile-backed reader must accept
+# every archive (CRC verified by construction). Two planted payloads
+# cover what SQL cannot: a deterministic tar.gz (two regular files
+# plus a dir and a symlink that must NOT emit rows) and a
+# traditional-PKZIP-encrypted member whose row must be the typed
+# PER-MEMBER error while its sibling member extracts fine. Pinned by
+# tests/test_archives.py::test_gate_payload_pin.
+_ARC_TGZ_HEX = (
+    "1f8b0800000000000203edd6c10ac2300c80e13eca9e606b67379fc7b90a43d7415b"
+    "b18f6fd94598074fadcafeef92100a398490c666b1a60e31887c64d26bbdc6641ba5"
+    "54fa95aff5637750a292a280bb0f27975a8a7dba4cce876a36f3609cc0eec4267f8f"
+    "8ffbff96f7ad4afbdfb1ffd9dd267bfdb9f92ba9a516551b0b1ca79dcf3f3c967a98"
+    "ec77e7afbaedfd6fd373ee7f01de9c173bf20100000000000000000000807ff70431"
+    "febb8a00280000"
+)
+_ARC_ENCZIP_HEX = (
+    "504b030414000000000000002100cda328a40a0000000a00000009000000706c6169"
+    "6e2e747874706c61696e20626f6479504b0304140001000000000021007747df8e0a"
+    "0000000a0000000a0000007365637265742e74787478787878787878787878504b01"
+    "02140314000000000000002100cda328a40a0000000a000000090000000000000000"
+    "000000800100000000706c61696e2e747874504b0102140314000100000000002100"
+    "7747df8e0a0000000a0000000a000000000000000000000080013100000073656372"
+    "65742e747874504b050600000000020002006f000000630000000000"
+)
+
+
+def _le_hex(col, n: int):
+    """n-byte little-endian hex of an integer column (zip headers)."""
+    h = F.lpad(F.lower(F.hex(col)), 2 * n, "0")
+    return F.concat(
+        *[F.substring(h, 2 * i + 1, 2) for i in reversed(range(n))]
+    )
+
+
+def q43_archive_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_governance_spark.operators.archives import explode_archives
+
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 3000
+    )
+    cs = _s(F.col("c_custkey"))
+    data_bin = F.encode(
+        F.concat(F.lit("member for customer "), cs), "UTF-8"
+    )
+    size = F.length(data_bin)
+    crc = F.crc32(data_bin)
+    name_hex = "6d2e747874"  # "m.txt"
+    # STORED zip: local header + data + central directory + EOCD.
+    # Fixed fields: version 20, no flags, method 0, zeroed date/time;
+    # name length 5; central-directory size is the constant 46+5=51.
+    zip_hex = F.concat(
+        F.lit("504b0304" + "1400" + "0000" + "0000" + "0000" + "0000"),
+        _le_hex(crc, 4), _le_hex(size, 4), _le_hex(size, 4),
+        F.lit("0500" + "0000" + name_hex),
+        F.lower(F.hex(data_bin)),
+        F.lit(
+            "504b0102" + "1403" + "1400" + "0000" + "0000" + "0000"
+            + "0000"
+        ),
+        _le_hex(crc, 4), _le_hex(size, 4), _le_hex(size, 4),
+        F.lit(
+            "0500" + "0000" + "0000" + "0000" + "0000" + "00000000"
+            + "00000000" + name_hex
+        ),
+        F.lit("504b0506" + "0000" + "0000" + "0100" + "0100"),
+        _le_hex(F.lit(51), 4),
+        _le_hex(size + 35, 4),  # LFH(30) + name(5) + data
+        F.lit("0000"),
+    )
+    per_cust = cust.select(
+        F.concat(F.lit("a"), cs).alias("doc_id"),
+        F.unhex(zip_hex).alias("content"),
+    )
+    tgz = spark.range(1).select(
+        F.lit("tgz").alias("doc_id"),
+        F.unhex(F.lit(_ARC_TGZ_HEX)).alias("content"),
+    )
+    encz = spark.range(1).select(
+        F.lit("enc").alias("doc_id"),
+        F.unhex(F.lit(_ARC_ENCZIP_HEX)).alias("content"),
+    )
+    ex = explode_archives(per_cust.unionByName(tgz).unionByName(encz))
+    return ex.select(
+        F.concat_ws(":", "doc_id", "member").alias("k"),
+        F.concat_ws(
+            "|",
+            "member",
+            F.coalesce(F.col("size").cast("string"), F.lit("ERR")),
+            F.coalesce(F.decode(F.col("content"), "UTF-8"), F.col("err")),
+        ).alias("v_s"),
+    )
+
+
 @qdef(
     QUERIES,
     "q43_harvest_serving",
@@ -1305,6 +1403,20 @@ def _zo_key_sql() -> str:
     SELECT 'zo', 'z' || CAST(o_orderkey AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST({_zo_key_sql()} AS DOUBLE)
     FROM orders WHERE o_orderkey <= 1000
+    UNION ALL
+    SELECT 'arc', 'a' || CAST(c_custkey AS VARCHAR) || ':m.txt',
+           'm.txt|'
+           || CAST(20 + length(CAST(c_custkey AS VARCHAR)) AS VARCHAR)
+           || '|member for customer ' || CAST(c_custkey AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM customer WHERE c_custkey <= 3000
+    UNION ALL
+    SELECT 'arc', k, v, CAST(NULL AS DOUBLE)
+    FROM (VALUES ('tgz:x/one.txt', 'x/one.txt|12|first member'),
+                 ('tgz:two.bin', 'two.bin|13|second member'),
+                 ('enc:plain.txt', 'plain.txt|10|plain body'),
+                 ('enc:secret.txt', 'secret.txt|ERR|ArchiveEncryptedError'))
+         AS t(k, v)
     """,
     doc="merged gate (r5 driver-budget): S1-S5 paginated REST harvest "
     "(error pages captured, watermark params) + S6 upsert merge "
@@ -1316,7 +1428,12 @@ def _zo_key_sql() -> str:
     "(sources/csvq.py; new in r7) + ORC columnar round-trip via "
     "Spark's native writer/reader (new in r7) + the Z-order (Morton) "
     "layout key with fixed bucket boundaries, bit-for-bit vs the "
-    "oracle (operators/zorder.py; new in r7)",
+    "oracle (operators/zorder.py; new in r7) + archive explosion "
+    "(operators/archives.py: per-customer STORED ZIPs assembled IN "
+    "SQL via crc32()/length() and read back through the real "
+    "zipfile-backed member enumerator, plus a planted tar.gz whose "
+    "dir/symlink entries must not emit rows and an encrypted-member "
+    "zip whose failure must be typed per member; new in r12)",
 )
 def q43_harvest_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     nul_d = F.lit(None).cast("double")
@@ -1372,6 +1489,10 @@ def q43_harvest_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             zorder_key(_ZO_BOUNDS, _ZO_BITS).cast("double").alias("v_d"),
         )
     )
+    nul_d2 = F.lit(None).cast("double")
+    arc = q43_archive_explode(spark, sf_dir).select(
+        F.lit("arc").alias("gate"), "k", "v_s", nul_d2.alias("v_d")
+    )
     return (
         h.unionByName(piv_rows)
         .unionByName(params)
@@ -1379,4 +1500,5 @@ def q43_harvest_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(csvr)
         .unionByName(orc)
         .unionByName(zo)
+        .unionByName(arc)
     )

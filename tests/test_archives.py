@@ -1,0 +1,254 @@
+"""Archive explosion (operators/archives.py): format sniffing,
+member round-trips for zip/tar/tar.gz/tbz2/txz/gzip/bz2/xz,
+non-regular-member skipping, per-member typed errors, bomb caps
+(declared AND lying-header read-time), totality fuzz, the Spark
+operator, and the q43 'arc' planted-payload pins."""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+import lzma
+import tarfile
+import zipfile
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_governance_spark.operators import archives as arc
+from data_governance_spark.operators.archives import (
+    ArchiveBombError,
+    ArchiveEncryptedError,
+    ArchiveError,
+    ArchiveParseError,
+    archive_format,
+    archive_members,
+    explode_archives,
+)
+
+
+def make_tar(members: list[tuple[str, bytes]], extras: bool = False) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as t:
+        for i, (name, data) in enumerate(members):
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            t.addfile(ti, io.BytesIO(data))
+            if extras and i == 0:
+                d = tarfile.TarInfo("x")
+                d.type = tarfile.DIRTYPE
+                t.addfile(d)
+                ln = tarfile.TarInfo("link")
+                ln.type = tarfile.SYMTYPE
+                ln.linkname = name
+                t.addfile(ln)
+    return buf.getvalue()
+
+
+def make_zip(members: list[tuple[str, bytes]]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, data in members:
+            zi = zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0))
+            z.writestr(zi, data)
+    return buf.getvalue()
+
+
+def as_rows(data: bytes) -> list[tuple]:
+    return [
+        (r["member"], r["size"], r["content"], r["err"])
+        for r in archive_members(data)
+    ]
+
+
+class TestFormats:
+    def test_zip_members_and_dirs_skipped(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("a/b.txt", "hello")
+            z.writestr("dir/", "")
+            z.writestr("c.bin", b"\x00\x01")
+        assert as_rows(buf.getvalue()) == [
+            ("a/b.txt", 5, b"hello", None),
+            ("c.bin", 2, b"\x00\x01", None),
+        ]
+
+    def test_tar_and_compressed_tars(self):
+        raw = make_tar([("x/one.txt", b"first"), ("two", b"second")],
+                       extras=True)
+        want = [("x/one.txt", 5, b"first", None),
+                ("two", 6, b"second", None)]
+        assert as_rows(raw) == want  # dir + symlink emit NO rows
+        assert as_rows(gzip.compress(raw, mtime=0)) == want
+        assert as_rows(bz2.compress(raw)) == want
+        assert as_rows(lzma.compress(raw)) == want
+        assert archive_format(raw) == "tar"
+
+    def test_bare_stream_single_member(self):
+        g = io.BytesIO()
+        with gzip.GzipFile(filename="orig.txt", fileobj=g, mode="wb") as fh:
+            fh.write(b"single")
+        assert as_rows(g.getvalue()) == [("orig.txt", 6, b"single", None)]
+        assert as_rows(gzip.compress(b"anon", mtime=0)) == [
+            ("-", 4, b"anon", None)
+        ]
+        assert as_rows(bz2.compress(b"bz")) == [("-", 2, b"bz", None)]
+        assert as_rows(lzma.compress(b"xz")) == [("-", 2, b"xz", None)]
+
+    def test_encrypted_member_is_per_member_typed(self):
+        data = bytearray(make_zip([("plain", b"ok"), ("sec", b"xx")]))
+        # set the traditional-encryption flag on the SECOND entry in
+        # both the local and central headers
+        lfh = data.find(b"PK\x03\x04", data.find(b"PK\x03\x04") + 4)
+        cdh = data.find(b"PK\x01\x02", data.find(b"PK\x01\x02") + 4)
+        data[lfh + 6] |= 1
+        data[cdh + 8] |= 1
+        rows = as_rows(bytes(data))
+        assert rows[0] == ("plain", 2, b"ok", None)
+        assert rows[1][0] == "sec"
+        assert rows[1][3] == "ArchiveEncryptedError"
+
+    def test_garbage_and_truncation_typed(self):
+        for payload in (b"", b"garbage", b"\x1f\x8btrunc", b"BZh9junk",
+                        b"\xfd7zXZ\x00junk", b"PK\x03\x04trunc"):
+            with pytest.raises(ArchiveError):
+                archive_members(payload)
+        with pytest.raises(ArchiveParseError):
+            archive_format("not bytes")  # type: ignore[arg-type]
+
+    def test_truncated_tar_keeps_parsed_prefix(self):
+        raw = make_tar([("a", b"first"), ("b", b"second")])
+        rows = as_rows(raw[: 512 + 512 + 100])  # cut inside member 2
+        assert rows[0] == ("a", 5, b"first", None)
+
+
+class TestBombs:
+    def test_zip_declared_caps(self, monkeypatch):
+        monkeypatch.setattr(arc, "_MAX_MEMBERS", 2)
+        z = make_zip([(f"f{i}", b"x") for i in range(4)])
+        with pytest.raises(ArchiveBombError):
+            archive_members(z)
+        monkeypatch.setattr(arc, "_MAX_MEMBERS", 10_000)
+        monkeypatch.setattr(arc, "_MAX_MEMBER", 4)
+        z2 = make_zip([("big", b"0123456789")])
+        with pytest.raises(ArchiveBombError):
+            archive_members(z2)
+
+    def test_stream_inflation_cap(self, monkeypatch):
+        monkeypatch.setattr(arc, "_MAX_MEMBER", 100)
+        bomb = gzip.compress(b"\x00" * 10_000, mtime=0)
+        with pytest.raises(ArchiveBombError, match="inflates"):
+            archive_members(bomb)
+        with pytest.raises(ArchiveBombError, match="inflates"):
+            archive_members(bz2.compress(b"\x00" * 10_000))
+        with pytest.raises(ArchiveBombError, match="inflates"):
+            archive_members(lzma.compress(b"\x00" * 10_000))
+
+    def test_tar_member_cap_is_per_row(self, monkeypatch):
+        monkeypatch.setattr(arc, "_MAX_MEMBER", 4)
+        raw = make_tar([("big", b"0123456789"), ("ok", b"tiny")])
+        rows = as_rows(raw)
+        assert rows[0] == ("big", None, None, "ArchiveBombError")
+        assert rows[1] == ("ok", 4, b"tiny", None)
+
+
+class TestFuzz:
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=2048))
+    def test_random_binary_only_typed(self, data):
+        try:
+            rows = archive_members(data)
+            assert isinstance(rows, list)
+        except ArchiveError:
+            pass
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(max_size=512),
+           st.sampled_from([b"\x1f\x8b", b"BZh9", b"\xfd7zXZ\x00",
+                            b"PK\x03\x04"]))
+    def test_magic_plus_junk_only_typed(self, tail, magic):
+        try:
+            archive_members(magic + tail)
+        except ArchiveError:
+            pass
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(0, 10**9), st.integers(0, 255))
+    def test_corrupted_valid_zip_only_typed(self, pos, val):
+        d = bytearray(make_zip([("m", b"stable body"), ("n", b"more")]))
+        d[pos % len(d)] = val
+        try:
+            archive_members(bytes(d))
+        except ArchiveError:
+            pass
+
+
+class TestSparkOperator:
+    def test_explode_with_quarantine(self, spark):
+        rows = [
+            ("z", make_zip([("a.txt", b"za"), ("b.txt", b"zb")])),
+            ("t", gzip.compress(make_tar([("m", b"tm")]), mtime=0)),
+            ("bad", b"not an archive"),
+            ("nul", None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, content binary")
+        got = {
+            (r["doc_id"], r["member"]): (r["size"], r["content"], r["err"])
+            for r in explode_archives(df).collect()
+        }
+        assert got[("z", "a.txt")] == (2, bytearray(b"za"), None)
+        assert got[("z", "b.txt")] == (2, bytearray(b"zb"), None)
+        assert got[("t", "m")] == (2, bytearray(b"tm"), None)
+        assert got[("bad", None)] == (None, None, "ArchiveParseError")
+        assert got[("nul", None)] == (None, None, "null-content")
+
+
+# ===================================================================
+# gate payload pins (q43 'arc')
+# ===================================================================
+def gate_payloads() -> dict[str, bytes]:
+    tgz = gzip.compress(
+        make_tar(
+            [("x/one.txt", b"first member"), ("two.bin", b"second member")],
+            extras=True,
+        ),
+        mtime=0,
+    )
+    data = bytearray(make_zip([]))  # rebuilt below with STORED members
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        zi = zipfile.ZipInfo("plain.txt", (1980, 1, 1, 0, 0, 0))
+        z.writestr(zi, b"plain body")
+        zi2 = zipfile.ZipInfo("secret.txt", (1980, 1, 1, 0, 0, 0))
+        z.writestr(zi2, b"xxxxxxxxxx")
+    data = bytearray(buf.getvalue())
+    lfh = data.find(b"PK\x03\x04", data.find(b"PK\x03\x04") + 4)
+    cdh = data.find(b"PK\x01\x02", data.find(b"PK\x01\x02") + 4)
+    data[lfh + 6] |= 1
+    data[cdh + 8] |= 1
+    return {"TGZ": tgz, "ENCZIP": bytes(data)}
+
+
+def test_gate_payload_pin():
+    from data_governance_spark.queries import sink_source_gates as g
+
+    for key, data in gate_payloads().items():
+        pinned = getattr(g, f"_ARC_{key}_HEX")
+        assert bytes.fromhex(pinned) == data, (
+            f"q43 'arc' payload {key} drifted from the writer"
+        )
+
+
+def test_gate_payloads_extract():
+    p = gate_payloads()
+    assert as_rows(p["TGZ"]) == [
+        ("x/one.txt", 12, b"first member", None),
+        ("two.bin", 13, b"second member", None),
+    ]
+    rows = as_rows(p["ENCZIP"])
+    assert rows[0] == ("plain.txt", 10, b"plain body", None)
+    assert rows[1][0] == "secret.txt"
+    assert rows[1][3] == "ArchiveEncryptedError"
