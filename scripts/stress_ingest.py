@@ -1,0 +1,237 @@
+#!/usr/bin/env python
+"""Ingest-tier throughput (DEPLOY.md evidence, r12): the office
+extraction, charset detection, and archive explosion operators are
+Arrow-batched Python passes, so they owe docs/sec numbers — including
+the quarantine path under a hostile mix.
+
+Builds realistic variants with the TEST SUITES' spec writers, scales
+them to ``5000 × FACTOR`` rows, and times each operator over the mix.
+
+Usage: python scripts/stress_ingest.py [factor]   (default 8)
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import sys
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_governance_spark.operators.archives import (  # noqa: E402
+    explode_archives,
+)
+from data_governance_spark.operators.charset import decode_text  # noqa: E402
+from data_governance_spark.operators.office import (  # noqa: E402
+    extract_office_text,
+)
+from data_governance_spark.session import get_spark  # noqa: E402
+
+BASE_DOCS = 5000
+PARA = (
+    "A realistic paragraph of report prose with enough words to look "
+    "like something a crawler would actually fetch from the web. "
+)
+
+
+def office_variants():
+    from test_archives import make_tar
+    from test_office import make_docx, make_epub, make_pptx, make_xlsx
+
+    docx = make_docx(
+        "".join(
+            f"<w:p><w:r><w:t>{PARA}paragraph {i}</w:t></w:r></w:p>"
+            for i in range(20)
+        )
+    )
+    xlsx = make_xlsx(
+        [
+            "".join(
+                f'<row><c t="s"><v>{i % 3}</v></c><c><v>{i * 7}</v></c>'
+                f'<c t="inlineStr"><is><t>cell {i}</t></is></c></row>'
+                for i in range(50)
+            )
+        ],
+        shared_xml="<si><t>alpha</t></si><si><t>beta</t></si>"
+        "<si><t>gamma</t></si>",
+    )
+    pptx = make_pptx(
+        [
+            f"<a:p><a:r><a:t>{PARA}slide {i}</a:t></a:r></a:p>"
+            for i in range(8)
+        ]
+    )
+    xh = "http://www.w3.org/1999/xhtml"
+    epub = make_epub(
+        [
+            (
+                f"c{i}.xhtml",
+                f'<html xmlns="{xh}"><body>'
+                + "".join(f"<p>{PARA}chapter {i} para {j}</p>"
+                          for j in range(10))
+                + "</body></html>",
+            )
+            for i in range(4)
+        ],
+        spine=[f"c{i}.xhtml" for i in range(4)],
+    )
+    rtf = (
+        "{\\rtf1\\ansi "
+        + "\\par ".join(f"{PARA}rtf paragraph {i}" for i in range(20))
+        + "\\par}"
+    ).encode()
+    garbage = b"PK\x03\x04 not really a zip " + bytes(range(256)) * 8
+    return [
+        ("docx", docx),
+        ("xlsx", xlsx),
+        ("pptx", pptx),
+        ("epub", epub),
+        ("rtf", rtf),
+        ("garbage", garbage),
+    ]
+
+
+def charset_variants():
+    page = (PARA * 40 + "curly “quotes” and café – naïve。").strip()
+    return [
+        ("utf8", page.encode("utf-8")),
+        ("latin1", page.replace("“", '"').replace("”", '"')
+         .replace("。", ".").replace("–", "-").encode("latin-1")),
+        ("utf16le", page.encode("utf-16-le")),
+        ("utf16bom", b"\xff\xfe" + page.encode("utf-16-le")),
+    ]
+
+
+def archive_variants():
+    from test_archives import make_tar
+
+    members = [
+        (f"docs/file{i}.txt", (PARA * 4 + f"member {i}").encode())
+        for i in range(10)
+    ]
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, data in members:
+            z.writestr(name, data)
+    tgz = gzip.compress(make_tar(members), mtime=0)
+    return [("zip10", buf.getvalue()), ("tgz10", tgz)]
+
+
+def corpus(spark, variants, factor):
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = BASE_DOCS * factor
+    base = spark.createDataFrame(
+        [(i, k, bytearray(v)) for i, (k, v) in enumerate(variants)],
+        "vid long, kind string, content binary",
+    )
+    copies = spark.range(n // len(variants)).select(F.col("id").alias("c"))
+    docs = (
+        base.crossJoin(copies)
+        .select(
+            (F.col("c") * len(variants) + F.col("vid")).alias("doc_id"),
+            "kind",
+            "content",
+        )
+        .repartition(n_shuffle)
+        .cache()
+    )
+    total = docs.count()
+    mb = sum(len(v) for _, v in variants) / len(variants) * total / 1e6
+    return docs, total, mb
+
+
+def main():
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = get_spark("stress_ingest")
+
+    # ---- office tier ------------------------------------------------
+    variants = office_variants()
+    print("office variant sizes:", {k: len(v) for k, v in variants})
+    docs, n, mb = corpus(spark, variants, factor)
+    t0 = time.time()
+    out = extract_office_text(docs, error_col="err", format_col="fmt")
+    got = (
+        out.groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("err").isNull(), 0).otherwise(1)).alias(
+                "quarantined"
+            ),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .collect()
+    )
+    wall = time.time() - t0
+    print(
+        f"extract_office_text: {n} docs in {wall:.1f}s = "
+        f"{n / wall:,.0f} docs/s ({mb / wall:.1f} MB/s)"
+    )
+    for r in sorted(got, key=lambda r: r["kind"]):
+        print(
+            f"  {r['kind']}: {r['n']} docs, quarantined "
+            f"{r['quarantined']}, {r['chars'] or 0} chars"
+        )
+    for kind in ("docx", "rtf", "epub"):
+        sub = docs.filter(F.col("kind") == kind)
+        n_sub = sub.count()
+        t0 = time.time()
+        extract_office_text(sub).agg(F.sum(F.length("text"))).collect()
+        w = time.time() - t0
+        print(f"  {kind}-only: {n_sub} docs in {w:.1f}s = "
+              f"{n_sub / w:,.0f} docs/s")
+    docs.unpersist()
+
+    # ---- charset tier -----------------------------------------------
+    variants = charset_variants()
+    print("charset variant sizes:", {k: len(v) for k, v in variants})
+    docs, n, mb = corpus(spark, variants, factor)
+    t0 = time.time()
+    got = (
+        decode_text(docs)
+        .groupBy("encoding")
+        .agg(F.count("*").alias("n"), F.sum(F.length("text")).alias("chars"))
+        .collect()
+    )
+    wall = time.time() - t0
+    print(
+        f"decode_text: {n} docs in {wall:.1f}s = {n / wall:,.0f} docs/s "
+        f"({mb / wall:.1f} MB/s) "
+        f"{sorted((r['encoding'], r['n']) for r in got)}"
+    )
+    docs.unpersist()
+
+    # ---- archive tier -----------------------------------------------
+    variants = archive_variants()
+    print("archive variant sizes:", {k: len(v) for k, v in variants})
+    docs, n, mb = corpus(spark, variants, factor // 2 or 1)
+    t0 = time.time()
+    got = (
+        explode_archives(docs)
+        .agg(
+            F.count("*").alias("members"),
+            F.sum("size").alias("bytes"),
+            F.sum(F.when(F.col("err").isNull(), 0).otherwise(1)).alias(
+                "errs"
+            ),
+        )
+        .collect()[0]
+    )
+    wall = time.time() - t0
+    print(
+        f"explode_archives: {n} archives -> {got['members']} members in "
+        f"{wall:.1f}s = {n / wall:,.0f} archives/s, "
+        f"{got['members'] / wall:,.0f} members/s "
+        f"({(got['bytes'] or 0) / 1e6 / wall:.1f} MB/s out, "
+        f"errs {got['errs']})"
+    )
+
+
+if __name__ == "__main__":
+    main()
