@@ -53,12 +53,15 @@ rtf       Word2007 RTF 1.9.1 control-word tokenizer: groups,
           ignorable/skip destinations, ``\\uN`` Unicode with ``\\uc``
           fallback skipping, ``\\'xx`` bytes via ``\\ansicpgN``,
           ``\\binN`` raw-binary skip, escaped braces.
-doc/…     legacy OLE/CFB containers: typed
-          :class:`OfficeEncryptedError` for ECMA-376 encrypted OOXML
-          (CFB wrapper with an ``EncryptionInfo`` stream) and typed
-          :class:`OfficeUnsupportedError` for Word/Excel/PowerPoint
-          97 binaries (no stdlib-feasible validated decoder — same
-          honesty rule as the MP3/H.264 codec boundaries).
+doc       legacy Word binary over a real [MS-CFB] reader
+          (``operators/cfb.py``): FIB → 0Table/1Table per
+          ``fWhichTblStm`` → Clx/Pcdt piece table → cp1252-compressed
+          and UTF-16LE pieces, cut at ``ccpText`` (main body only);
+          ``fEncrypted`` raises typed.  Legacy .xls/.ppt and ECMA-376
+          encrypted OOXML (CFB with ``EncryptionInfo``) stay typed
+          :class:`OfficeUnsupportedError`/:class:`OfficeEncryptedError`
+          (no stdlib-feasible validated decoder — same honesty rule
+          as the MP3/H.264 codec boundaries).
 ========  ==========================================================
 
 Reference parity note: the reference system (bireme/data-governance)
@@ -94,6 +97,7 @@ __all__ = [
     "odf_text",
     "epub_text",
     "rtf_text",
+    "doc_text",
     "office_text_column",
     "extract_office_text",
 ]
@@ -129,14 +133,15 @@ _MAX_MEMBER_UNCOMPRESSED = 128 * 1024 * 1024
 _MAX_MEMBERS = 10_000
 
 _CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
-# 'EncryptionInfo' in the CFB directory is stored UTF-16LE
-_CFB_ENCRYPTION_INFO = "EncryptionInfo".encode("utf-16-le")
 
 
 def _open_zip(data: bytes) -> zipfile.ZipFile:
     try:
         zf = zipfile.ZipFile(io.BytesIO(data))
-    except (zipfile.BadZipFile, OSError, EOFError, ValueError) as e:
+    except (zipfile.BadZipFile, OSError, EOFError, ValueError,
+            NotImplementedError) as e:
+        # NotImplementedError: zipfile rejects hostile version-needed
+        # fields at CONSTRUCTION time (fuzz-caught)
         raise OfficeParseError(f"bad zip container: {e}") from None
     try:
         infos = zf.infolist()
@@ -211,15 +216,30 @@ def office_format(data: bytes) -> str:
     if data[:5] == b"{\\rtf":
         return "rtf"
     if data[:8] == _CFB_MAGIC:
-        if _CFB_ENCRYPTION_INFO in data:
+        from data_governance_spark.operators.cfb import CfbError, CfbFile
+
+        try:
+            cf = CfbFile(data)
+        except CfbError as e:
+            raise OfficeParseError(f"broken OLE container: {e}") from None
+        if cf.has("EncryptionInfo"):
             raise OfficeEncryptedError(
                 "ECMA-376 encrypted OOXML (OLE wrapper with "
                 "EncryptionInfo) — password-protected documents are "
                 "quarantined"
             )
+        if cf.has("WordDocument"):
+            return "doc"
+        if cf.has("Workbook") or cf.has("Book"):
+            raise OfficeUnsupportedError(
+                "legacy .xls (BIFF) — binary Excel is out of scope"
+            )
+        if cf.has("PowerPoint Document"):
+            raise OfficeUnsupportedError(
+                "legacy .ppt — binary PowerPoint is out of scope"
+            )
         raise OfficeUnsupportedError(
-            "legacy OLE compound document (.doc/.xls/.ppt) — binary "
-            "Office 97 formats are out of scope"
+            "OLE compound document without a recognized document stream"
         )
     if data[:4] not in (b"PK\x03\x04", b"PK\x05\x06", b"PK\x07\x08"):
         raise OfficeParseError("not a recognized office document")
@@ -813,6 +833,134 @@ def rtf_text(data: bytes) -> str:
 
 
 # ===================================================================
+# DOC — legacy Word binary ([MS-DOC] FIB + piece table over [MS-CFB])
+# ===================================================================
+# main-body control characters -> text ([MS-DOC] §2.3; everything not
+# listed passes through)
+_DOC_SCRUB = {
+    0x0D: "\n",   # paragraph mark
+    0x0B: "\n",   # hard line break
+    0x0C: "\n",   # page/section break
+    0x07: "\t",   # cell/row mark
+    0x1E: "-",    # non-breaking hyphen
+    0x1F: "",     # optional hyphen
+    0x01: "",     # embedded-object anchor
+    0x02: "",     # footnote-reference auto-number
+    0x05: "",     # annotation reference
+    0x08: "",     # drawn-object anchor
+    0x13: "",     # field begin
+    0x14: "",     # field separator (the instruction before it is
+                  # carried by its own pieces; see note in doc_text)
+    0x15: "",     # field end
+}
+
+
+def _u16(b: bytes, o: int) -> int:
+    if o + 2 > len(b):
+        raise OfficeParseError("FIB truncated")
+    return int.from_bytes(b[o : o + 2], "little")
+
+
+def _u32(b: bytes, o: int) -> int:
+    if o + 4 > len(b):
+        raise OfficeParseError("FIB truncated")
+    return int.from_bytes(b[o : o + 4], "little")
+
+
+def doc_text(data: bytes) -> str:
+    """Main-document text of a legacy Word binary (.doc), via the
+    [MS-DOC] retrieval chain: WordDocument stream FIB → table stream
+    (0Table/1Table per ``fWhichTblStm``) → Clx at ``fcClx`` → Pcdt →
+    piece table (PlcPcd) → per-piece 8-bit-compressed (cp1252) or
+    UTF-16LE text runs, cut at ``ccpText`` so headers/footnotes/
+    annotation regions past the main body stay out.
+
+    Scope (stated): piece TEXT only — field instructions between the
+    begin/separator marks come through as their literal instruction
+    text (dropping them needs grpprl parsing, out of scope), and
+    tracked deletions are not filtered (same reason).  Encrypted
+    documents (``fEncrypted``) raise :class:`OfficeEncryptedError`.
+    """
+    from data_governance_spark.operators.cfb import CfbError, CfbFile
+
+    try:
+        cf = CfbFile(data)
+        word = cf.read("WordDocument")
+    except CfbError as e:
+        raise OfficeParseError(f"broken OLE container: {e}") from None
+    if _u16(word, 0) != 0xA5EC:
+        raise OfficeParseError(
+            f"WordDocument wIdent {_u16(word, 0):#x} != 0xa5ec"
+        )
+    flags = _u16(word, 0x0A)
+    if flags & 0x0100:  # fEncrypted
+        raise OfficeEncryptedError(
+            "encrypted .doc (fEncrypted) — XOR/RC4 Office binary "
+            "crypto is quarantined"
+        )
+    table_name = "1Table" if flags & 0x0200 else "0Table"
+    try:
+        tbl = cf.read(table_name)
+    except CfbError as e:
+        raise OfficeParseError(f"missing {table_name}: {e}") from None
+    ccp_text = _u32(word, 0x004C)
+    fc_clx = _u32(word, 0x01A2)
+    lcb_clx = _u32(word, 0x01A6)
+    if lcb_clx == 0 or fc_clx + lcb_clx > len(tbl):
+        raise OfficeParseError("Clx out of table-stream bounds")
+    clx = tbl[fc_clx : fc_clx + lcb_clx]
+    pos = 0
+    while pos < len(clx) and clx[pos] == 0x01:  # Prc property blocks
+        if pos + 3 > len(clx):
+            raise OfficeParseError("truncated Prc")
+        pos += 3 + int.from_bytes(clx[pos + 1 : pos + 3], "little")
+    if pos >= len(clx) or clx[pos] != 0x02:
+        raise OfficeParseError("Clx has no Pcdt")
+    if pos + 5 > len(clx):
+        raise OfficeParseError("truncated Pcdt")
+    lcb = int.from_bytes(clx[pos + 1 : pos + 5], "little")
+    plc = clx[pos + 5 : pos + 5 + lcb]
+    if len(plc) != lcb or lcb < 16 or (lcb - 4) % 12:
+        raise OfficeParseError(f"bad PlcPcd size {lcb}")
+    n = (lcb - 4) // 12
+    cps = [int.from_bytes(plc[4 * i : 4 * i + 4], "little")
+           for i in range(n + 1)]
+    if any(cps[i] >= cps[i + 1] for i in range(n)):
+        raise OfficeParseError("piece CPs not strictly increasing")
+    parts: list[str] = []
+    remaining = ccp_text  # the MAIN document; later cp regions are
+    # headers/footnotes/etc. and stay out
+    base = 4 * (n + 1)
+    for i in range(n):
+        if remaining <= 0:
+            break
+        take = min(cps[i + 1] - cps[i], remaining)
+        fc_field = int.from_bytes(
+            plc[base + 8 * i + 2 : base + 8 * i + 6], "little"
+        )
+        off = fc_field & 0x3FFFFFFF
+        if fc_field & 0x40000000:  # fCompressed: 8-bit text at fc/2
+            off //= 2
+            end = off + take
+            if end > len(word):
+                raise OfficeParseError("piece runs past WordDocument")
+            # replace, not strict: a cp1252 hole byte in a corrupted
+            # piece is content damage, not structure — and a strict
+            # UnicodeDecodeError would escape the typed taxonomy
+            parts.append(word[off:end].decode("cp1252", errors="replace"))
+        else:
+            end = off + 2 * take
+            if end > len(word):
+                raise OfficeParseError("piece runs past WordDocument")
+            parts.append(
+                word[off:end].decode("utf-16-le", errors="replace")
+            )
+        remaining -= take
+    text = "".join(parts)
+    return text.translate(_DOC_SCRUB)
+
+
+# ===================================================================
 # dispatcher + Spark surface
 # ===================================================================
 _EXTRACTORS = {
@@ -822,6 +970,7 @@ _EXTRACTORS = {
     "odf": odf_text,
     "epub": epub_text,
     "rtf": rtf_text,
+    "doc": doc_text,
 }
 
 

@@ -532,11 +532,20 @@ class TestRtf:
 # ===================================================================
 class TestContainer:
     def test_cfb_legacy_and_encrypted(self):
-        with pytest.raises(OfficeUnsupportedError, match="legacy OLE"):
-            office_text(CFB + b"\x00" * 64)
-        enc = CFB + b"\x00" * 16 + "EncryptionInfo".encode("utf-16-le")
+        # real containers via the test_doc CFB writer: .doc now
+        # EXTRACTS (see test_doc.py); xls/ppt/ECMA-376-encrypted stay
+        # typed; structurally-broken CFB is a parse error
+        from tests.test_doc import build_cfb
+
+        with pytest.raises(OfficeUnsupportedError, match="xls"):
+            office_text(build_cfb([("Workbook", b"\x09\x08\x10\x00")]))
+        enc = build_cfb(
+            [("EncryptionInfo", b"\x04\x00\x02\x00" + b"\0" * 40)]
+        )
         with pytest.raises(OfficeEncryptedError):
             office_text(enc)
+        with pytest.raises(OfficeParseError):
+            office_text(CFB + b"\x00" * 64)
 
     def test_unknown_zip_and_garbage(self):
         with pytest.raises(OfficeUnsupportedError, match="recognized"):
@@ -663,7 +672,7 @@ class TestSparkOperator:
             ("b", rb"{\rtf1 rtf text}"),
             ("c", b"garbage bytes"),
             ("d", None),
-            ("e", CFB + b"\x00" * 32),
+            ("e", CFB + b"\x00" * 32),  # broken OLE: typed parse error
         ]
         df = spark.createDataFrame(rows, "doc_id string, content binary")
         out = extract_office_text(
@@ -675,7 +684,7 @@ class TestSparkOperator:
         assert got["b"] == ("rtf text", None, "rtf")
         assert got["c"] == (None, "OfficeParseError", None)
         assert got["d"] == (None, None, None)
-        assert got["e"] == (None, "OfficeUnsupportedError", None)
+        assert got["e"] == (None, "OfficeParseError", None)
 
     def test_column_form_null_vs_raise(self, spark):
         df = spark.createDataFrame(
