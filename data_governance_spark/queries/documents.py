@@ -1889,6 +1889,16 @@ _D06_PAIRS_SQL = f"""
     FROM documents d LEFT JOIN iexnew x
       ON d.doc_id + 1000000000 = x.doc_id
     WHERE d.doc_id % 3 = 0
+    UNION ALL
+    SELECT 'blsj', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM documents
+    WHERE text IN (SELECT text FROM documents WHERE doc_id % 5 = 0)
+    UNION ALL
+    SELECT 'blaj', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM documents
+    WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 5 = 0)
     """,
     doc="merged gate (r6 driver-budget): n-gram Jaccard near-dup pairs "
     f"with rare-shingle candidate pruning (df<={_RARE_DF}, the O(df^2) "
@@ -1900,7 +1910,12 @@ _D06_PAIRS_SQL = f"""
     "incremental tier over a %3 corpus/batch split with append-only "
     "ids — the oracle restates the one-shot pipeline over the re-idd "
     "union, gating the batch-rows==one-shot differential on real data "
-    "(dedup_substrings_incremental; new in r11)",
+    "(dedup_substrings_incremental; new in r11) + the Bloom "
+    "runtime-filter composition (operators/bloom.py: JVM xxhash64 "
+    "double hashing on both sides, treeReduce'd partition bit-arrays, "
+    "map-only broadcast probe, then the exact join — semi AND anti "
+    "over the real corpus, exact by the no-false-negatives property; "
+    "new in r12)",
 )
 def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -1991,8 +2006,40 @@ def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("v_s"),
         F.lit(None).cast("double").alias("v_d"),
     )
+    # blsj/blaj sub-gates (r12): the Bloom runtime-filter composition
+    # (operators/bloom.py) — corpus rows whose TEXT appears in a
+    # reference set (docs %5==0), prefiltered MAP-SIDE by a filter
+    # built with treeReduce'd partition bit-arrays, then exact-joined.
+    # No false negatives makes both compositions EXACTLY the plain
+    # semi/anti join the oracle states; together they partition the
+    # corpus, so a row lost to a false negative would break BOTH rows.
+    from data_governance_spark.operators.bloom import (
+        bloom_build,
+        bloom_semi_join,
+    )
+
+    ref = docs.filter(F.col("doc_id") % 5 == 0).select("text")
+    bf = bloom_build(ref, "text", fpr=0.01)
+    corpus_kv = docs.select("doc_id", "text")
+
+    def _bl_rows(how: str, gate: str):
+        return bloom_semi_join(
+            corpus_kv, ref, on="text", how=how, bf=bf
+        ).select(
+            F.lit(gate).alias("gate"),
+            F.col("doc_id").cast("string").alias("k"),
+            F.lit(None).cast("string").alias("v_s"),
+            F.lit(None).cast("double").alias("v_d"),
+        )
+
+    blsj = _bl_rows("semi", "blsj")
+    blaj = _bl_rows("anti", "blaj")
     return (
-        pair_rows.unionByName(decon).unionByName(exs).unionByName(exsi)
+        pair_rows.unionByName(decon)
+        .unionByName(exs)
+        .unionByName(exsi)
+        .unionByName(blsj)
+        .unionByName(blaj)
     )
 
 
