@@ -266,3 +266,26 @@ def decode_text(
         .withColumn(encoding_col, F.col(tmp)["encoding"])
         .drop(tmp)
     )
+
+
+def unicode_normalize(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode-normalize a string column (NULL passes through).
+
+    Dedup-prep: the same visible text arrives from the web in composed
+    and decomposed spellings (``é`` vs ``e``+U+0301) and exact/hash
+    dedup treats them as different documents — NFC is the standard
+    canonical form (NFKC additionally folds compatibility characters:
+    ligatures, full-width forms; more aggressive, lossy).  Python-side
+    by necessity (Spark has no normalization expression), but
+    Arrow-batched and map-only like the rest of the ingest tiers."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None else unicodedata.normalize(form, v)
+        )
+
+    return norm(F.col(col) if isinstance(col, str) else col)

@@ -126,3 +126,66 @@ def filter_url_patterns(
     alternation = "(?:" + ")|(?:".join(patterns) + ")"
     c = F.col(url_col)
     return docs.filter(c.isNull() | ~c.rlike(alternation))
+
+
+# -- URL canonicalization (r12) ---------------------------------------
+# the dedup-prep normalizer: two URLs that differ only in case of the
+# scheme/host, a default port, a fragment, tracking parameters, or
+# query-parameter ORDER are the same resource, and URL-level exact
+# dedup wants one canonical spelling. Entirely Catalyst (try_parse_url
+# + array ops inside codegen) — zero UDF, zero shuffle, scan speed.
+#
+# Rules (stated; each is analytic in the q41 'ucn' oracle):
+#   1. scheme and host lowercased (path/query case is SIGNIFICANT)
+#   2. fragment dropped
+#   3. default port dropped (http:80, https:443); other ports kept
+#   4. empty path -> "/"
+#   5. tracking params dropped (utm_* prefix family + the ad-click ids)
+#   6. remaining query params SORTED bytewise; empty query dropped
+#   7. not-a-URL (try_parse_url NULL) passes through unchanged —
+#      canonicalization must never destroy keys it cannot parse
+# NOT done (stated): percent-encoding case normalization and path
+# dot-segment resolution — both need char-level rewriting that is
+# regex-hostile; documents differing only there stay distinct.
+_TRACKING_RX = (
+    r"^(utm_[^=]*|gclid|fbclid|msclkid|yclid|igshid|mc_cid|mc_eid|"
+    r"_hsenc|_hsmi|s_kwcid|vero_id|wickedid|ref_src)(=|$)"
+)
+
+
+def canonical_url(url_col, tracking_rx: str = _TRACKING_RX) -> Column:
+    """Canonical spelling of a URL column per the rules above."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+
+    def part(p):
+        return F.try_parse_url(u, F.lit(p))
+
+    proto = F.lower(part("PROTOCOL"))
+    host = F.lower(part("HOST"))
+    auth = F.lower(part("AUTHORITY"))
+    path = part("PATH")
+    q = part("QUERY")
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    default_port = (
+        F.when(proto == "http", F.lit("80"))
+        .when(proto == "https", F.lit("443"))
+        .otherwise(F.lit(""))
+    )
+    port_part = F.when(
+        (port == "") | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path_part = F.when(
+        path.isNull() | (path == ""), F.lit("/")
+    ).otherwise(path)
+    params = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(q, F.lit("")), "&"),
+            lambda x: (x != "") & ~x.rlike(tracking_rx),
+        )
+    )
+    q_part = F.when(
+        F.size(params) == 0, F.lit("")
+    ).otherwise(F.concat(F.lit("?"), F.array_join(params, "&")))
+    rebuilt = F.concat(proto, F.lit("://"), host, port_part, path_part,
+                       q_part)
+    return F.when(proto.isNull() | host.isNull(), u).otherwise(rebuilt)

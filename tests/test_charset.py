@@ -202,3 +202,36 @@ class TestSparkOperator:
         )
         r = decode_text(df).collect()[0]
         assert (r["text"], r["encoding"]) == ("plain", "utf-8")
+
+
+class TestUnicodeNormalize:
+    def test_nfc_composes(self, spark):
+        from data_governance_spark.operators.charset import (
+            unicode_normalize,
+        )
+
+        rows = [
+            ("a", "Café niño Å"),
+            ("b", "already café"),
+            ("c", None),
+            ("d", "ﬁne"),  # fi ligature: NFC keeps, NFKC folds
+        ]
+        df = spark.createDataFrame(rows, "k string, s string")
+        nfc = {
+            r["k"]: r["n"]
+            for r in df.select(
+                "k", unicode_normalize("s").alias("n")
+            ).collect()
+        }
+        assert nfc["a"] == "Café niño Å"
+        assert nfc["b"] == "already café"
+        assert nfc["c"] is None
+        assert nfc["d"] == "ﬁne"
+        nfkc = df.select(
+            "k", unicode_normalize("s", "NFKC").alias("n")
+        ).collect()
+        assert {r["k"]: r["n"] for r in nfkc}["d"] == "fine"
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="form"):
+            unicode_normalize("s", "NFX")

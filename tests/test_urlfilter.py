@@ -148,3 +148,67 @@ def test_patterns_property_combined_equals_sequential(spark):
             seq = filter_url_patterns(seq, [p])
         sequential = sorted(r["doc_id"] for r in seq.collect())
         assert combined == sequential, pats
+
+
+class TestCanonicalUrl:
+    def test_rules(self, spark):
+        from data_governance_spark.operators.urlfilter import canonical_url
+
+        cases = {
+            # scheme/host case + default port + fragment + tracking +
+            # param sort
+            "HTTPS://Example.COM:443/p/x?utm_source=a&b=2&a=1#f":
+                "https://example.com/p/x?a=1&b=2",
+            # empty path -> "/"
+            "http://EX.com": "http://ex.com/",
+            # non-default port kept; whole-query tracking -> dropped
+            "http://ex.com:8080/a?gclid=xyz": "http://ex.com:8080/a",
+            # path case SIGNIFICANT; fbclid dropped; sort is bytewise
+            "https://ex.com/P?z=2&y=1&fbclid=1": "https://ex.com/P?y=1&z=2",
+            # bare '?' drops; :80 default for http drops
+            "http://ex.com:80/?": "http://ex.com/",
+            # unparseable passes through unchanged
+            "not a url": "not a url",
+            # utm_ is a PREFIX family
+            "http://e.com/?utm_x_y=1&keep=2": "http://e.com/?keep=2",
+            # a param NAMED like a tracking value but not matching stays
+            "http://e.com/?gclid2=1": "http://e.com/?gclid2=1",
+        }
+        df = spark.createDataFrame(
+            [(k,) for k in cases], "u string"
+        )
+        got = {
+            r["u"]: r["c"]
+            for r in df.select(
+                "u", canonical_url("u").alias("c")
+            ).collect()
+        }
+        for inp, want in cases.items():
+            assert got[inp] == want, inp
+
+    def test_null_and_idempotent(self, spark):
+        from data_governance_spark.operators.urlfilter import canonical_url
+
+        urls = [
+            "HTTPS://A.COM:443/x?utm_a=1&b=2#z",
+            "http://b.org:81/p?q=1",
+            None,
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "u string")
+        once = df.select(canonical_url("u").alias("u"))
+        twice = once.select(canonical_url("u").alias("u"))
+        assert [r["u"] for r in once.collect()] == [
+            r["u"] for r in twice.collect()
+        ]
+        assert once.collect()[2]["u"] is None
+
+    def test_plan_is_codegen_no_shuffle(self, spark):
+        from data_governance_spark.operators.urlfilter import canonical_url
+
+        df = spark.range(10).selectExpr(
+            "concat('http://h', id, '.com/p?b=2&a=', id) AS u"
+        )
+        plan = df.select(canonical_url("u"))._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan  # zero Python in the plan
