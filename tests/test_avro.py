@@ -1,0 +1,182 @@
+"""Avro container source (sources/avro.py): encode/decode round trips
+across every stdlib codec and type, multi-block and multi-file reads,
+the Spark schema mapping, hostile-input fuzz (typed-only), and the
+q43 'avro' gate fixture."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_governance_spark.sources.avro import (
+    AvroError,
+    avro_rows,
+    avro_schema,
+    avro_to_spark_type,
+    read_avro,
+    write_avro,
+)
+
+SCHEMA = {
+    "type": "record",
+    "name": "R",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "int"}},
+        {"name": "kind",
+         "type": {"type": "enum", "name": "K", "symbols": ["A", "B"]}},
+        {"name": "raw", "type": "bytes"},
+        {"name": "fx",
+         "type": {"type": "fixed", "name": "F8", "size": 4}},
+        {"name": "nested",
+         "type": {"type": "record", "name": "N", "fields": [
+             {"name": "x", "type": "int"},
+             {"name": "y", "type": "float"},
+         ]}},
+    ],
+}
+ROWS = [
+    {"id": 1, "name": "alpha", "score": 1.5, "flag": True,
+     "tags": ["x", "y"], "attrs": {"a": 1, "b": -2}, "kind": "A",
+     "raw": b"\x00\x01", "fx": b"abcd",
+     "nested": {"x": 7, "y": 0.5}},
+    {"id": -9, "name": None, "score": -2.25, "flag": False,
+     "tags": [], "attrs": {}, "kind": "B", "raw": b"", "fx": b"\0\0\0\0",
+     "nested": {"x": -1, "y": -0.25}},
+]
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("codec", ["null", "deflate", "bzip2", "xz"])
+    def test_codecs(self, codec):
+        data = write_avro(SCHEMA, ROWS * 5, codec=codec, block_rows=3)
+        assert avro_rows(data) == ROWS * 5
+        assert avro_schema(data) == SCHEMA
+
+    def test_zigzag_extremes(self):
+        sch = {"type": "record", "name": "R",
+               "fields": [{"name": "v", "type": "long"}]}
+        vals = [0, -1, 1, 2**62, -(2**62), 63, -64]
+        rows = [{"v": v} for v in vals]
+        assert [r["v"] for r in avro_rows(write_avro(sch, rows))] == vals
+
+    def test_unsupported_codec_and_union(self):
+        with pytest.raises(AvroError, match="codec"):
+            write_avro(SCHEMA, ROWS, codec="snappy")
+        data = bytearray(write_avro(SCHEMA, ROWS))
+        i = data.index(b"null")  # avro.codec value
+        data[i : i + 4] = b"snap"
+        # metadata value lengths: replace like-for-like is fine
+        with pytest.raises(AvroError, match="codec"):
+            avro_rows(bytes(data))
+        with pytest.raises(AvroError, match="union"):
+            avro_to_spark_type(["int", "string"])
+
+    def test_sync_mismatch_and_truncation(self):
+        good = write_avro(SCHEMA, ROWS)
+        bad = bytearray(good)
+        bad[-1] ^= 0xFF  # final sync marker byte
+        with pytest.raises(AvroError, match="sync"):
+            avro_rows(bytes(bad))
+        with pytest.raises(AvroError, match="truncated"):
+            avro_rows(good[: len(good) - 20])
+
+    def test_spark_type_mapping(self):
+        t = avro_to_spark_type(SCHEMA)
+        assert t["name"].dataType.typeName() == "string"
+        assert t["tags"].dataType.typeName() == "array"
+        assert t["attrs"].dataType.typeName() == "map"
+        assert t["fx"].dataType.typeName() == "binary"
+        assert t["nested"].dataType["y"].dataType.typeName() == "float"
+
+
+class TestFuzz:
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=1024))
+    def test_random_binary_typed_only(self, data):
+        try:
+            avro_rows(data)
+        except AvroError:
+            pass
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.integers(0, 10**9), st.integers(0, 255))
+    def test_corrupted_valid_typed_only(self, pos, val):
+        d = bytearray(write_avro(SCHEMA, ROWS, codec="deflate"))
+        d[pos % len(d)] = val
+        try:
+            out = avro_rows(bytes(d))
+            assert isinstance(out, list)
+        except AvroError:
+            pass
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(-(2**40), 2**40),
+                      st.one_of(st.none(), st.text(max_size=20))),
+            max_size=30,
+        )
+    )
+    def test_value_round_trip_property(self, pairs):
+        sch = {"type": "record", "name": "R", "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+        ]}
+        rows = [{"a": a, "b": b} for a, b in pairs]
+        assert avro_rows(write_avro(sch, rows, codec="deflate")) == rows
+
+
+class TestSparkSource:
+    def test_read_avro_multi_file(self, spark, tmp_path):
+        d = tmp_path / "av"
+        d.mkdir()
+        (d / "a.avro").write_bytes(
+            write_avro(SCHEMA, ROWS, codec="deflate")
+        )
+        more = [dict(ROWS[0], id=100, name="third")]
+        (d / "b.avro").write_bytes(write_avro(SCHEMA, more))
+        df = read_avro(spark, str(d / "*.avro"))
+        got = {r["id"]: r for r in df.collect()}
+        assert set(got) == {1, -9, 100}
+        assert got[1]["tags"] == ["x", "y"]
+        assert got[1]["attrs"] == {"a": 1, "b": -2}
+        assert got[-9]["name"] is None
+        assert bytes(got[100]["raw"]) == b"\x00\x01"
+        assert got[1]["nested"]["x"] == 7
+
+    def test_read_avro_empty_glob_and_non_record(self, spark, tmp_path):
+        with pytest.raises(Exception):  # no files -> typed inside py4j
+            read_avro(spark, str(tmp_path / "none" / "*.avro"))
+        f = tmp_path / "scalar.avro"
+        sch = "long"
+        # write a scalar-schema container by hand via write_avro on a
+        # record then patching is overkill: use the writer directly
+        from data_governance_spark.sources.avro import _MAGIC, _zigzag
+
+        f.write_bytes(
+            write_avro({"type": "record", "name": "R", "fields": []}, [{}])
+        )
+        import json
+
+        data = bytearray(f.read_bytes())
+        # swap the schema JSON for a bare "long" of equal length? not
+        # needed — just check the record requirement with a crafted one
+        f2 = tmp_path / "s2.avro"
+        out = bytearray(_MAGIC)
+        meta = [("avro.codec", b"null"), ("avro.schema", b'"long"')]
+        out += _zigzag(len(meta))
+        for k, v in meta:
+            out += _zigzag(len(k.encode())) + k.encode()
+            out += _zigzag(len(v)) + v
+        out += _zigzag(0) + b"\x07" * 16
+        f2.write_bytes(bytes(out))
+        with pytest.raises(AvroError, match="record"):
+            read_avro(spark, str(f2))
