@@ -9,8 +9,11 @@ format (public Apache Avro 1.11 spec) is implemented directly:
 - container framing: ``Obj\\x01`` magic, file-metadata map
   (``avro.schema`` JSON + ``avro.codec``), 16-byte sync marker,
   then blocks of ``(row count, byte size, payload, sync)``;
-- codecs: ``null``, ``deflate`` (raw zlib), ``bzip2``, ``xz`` —
-  the stdlib set; ``snappy`` raises typed (no library here);
+- codecs: ``null``, ``deflate`` (raw zlib), ``bzip2``, ``xz`` (the
+  stdlib set) AND ``snappy`` — the wild's default, implemented from
+  the public raw-block format spec (see :func:`snappy_decompress`)
+  with avro's per-block big-endian CRC32 of the uncompressed bytes;
+  ``zstd`` raises typed (no library, no stdlib-feasible decoder);
 - binary decoding: zigzag varints, IEEE float/double LE,
   length-prefixed bytes/strings, records, enums, fixed, arrays and
   maps (incl. negative block counts with byte sizes), unions;
@@ -179,6 +182,15 @@ def _decompress(payload: bytes, codec: str) -> bytes:
             out = lzma.LZMADecompressor().decompress(
                 payload, _MAX_BLOCK_BYTES + 1
             )
+        elif codec == "snappy":
+            # avro frames snappy blocks as snappy(raw) + 4-byte
+            # BIG-endian CRC32 of the UNCOMPRESSED bytes
+            if len(payload) < 4:
+                raise AvroError("snappy block too short for its CRC")
+            out = snappy_decompress(payload[:-4])
+            want = int.from_bytes(payload[-4:], "big")
+            if zlib.crc32(out) != want:
+                raise AvroError("snappy block CRC mismatch")
         else:
             raise AvroError(f"unsupported avro codec {codec!r}")
     except (zlib.error, OSError, EOFError, lzma.LZMAError) as e:
@@ -447,8 +459,129 @@ def write_avro(
             payload = bz2.compress(payload)
         elif codec == "xz":
             payload = lzma.compress(payload)
+        elif codec == "snappy":
+            payload = snappy_compress(payload) + zlib.crc32(
+                payload
+            ).to_bytes(4, "big")
         elif codec != "null":
             raise AvroError(f"unsupported avro codec {codec!r}")
         out += _zigzag(len(chunk)) + _zigzag(len(payload))
         out += payload + sync
+    return bytes(out)
+
+
+# -------------------------------------------------------------------
+# snappy — the DEFAULT avro codec in the wild (Kafka Connect emits
+# it), no library in this environment, so the raw-block format
+# (public spec: google/snappy format_description.txt) is implemented
+# directly. Avro frames each block as snappy(raw) + 4-byte BIG-endian
+# CRC32 of the UNCOMPRESSED bytes.
+# -------------------------------------------------------------------
+def snappy_decompress(data: bytes, max_out: int = _MAX_BLOCK_BYTES) -> bytes:
+    """Raw snappy block decoding: varint preamble, literal tags and
+    the three copy forms (1/2/4-byte offsets), overlapping copies
+    repeat the pattern per spec.  Typed :class:`AvroError` on any
+    malformation; output bounded by ``max_out``."""
+    data = bytes(data)
+    n = len(data)
+    i = 0
+    # preamble: PLAIN varint (not zigzag) = uncompressed length
+    shift = 0
+    out_len = 0
+    while True:
+        if i >= n:
+            raise AvroError("snappy: truncated preamble")
+        b = data[i]
+        i += 1
+        out_len |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 35:
+            raise AvroError("snappy: preamble varint overflow")
+    if out_len > max_out:
+        raise AvroError(f"snappy: declares {out_len} bytes (cap)")
+    out = bytearray()
+    while i < n:
+        tag = data[i]
+        i += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = (tag >> 2) + 1
+            if ln > 60:
+                extra = ln - 60
+                if i + extra > n:
+                    raise AvroError("snappy: truncated literal length")
+                ln = int.from_bytes(data[i : i + extra], "little") + 1
+                i += extra
+            if i + ln > n:
+                raise AvroError("snappy: literal runs past input")
+            out += data[i : i + ln]
+            i += ln
+        else:
+            if kind == 1:  # copy, 1-byte offset
+                ln = ((tag >> 2) & 0x7) + 4
+                if i >= n:
+                    raise AvroError("snappy: truncated copy-1")
+                off = ((tag >> 5) << 8) | data[i]
+                i += 1
+            elif kind == 2:  # copy, 2-byte offset
+                ln = (tag >> 2) + 1
+                if i + 2 > n:
+                    raise AvroError("snappy: truncated copy-2")
+                off = int.from_bytes(data[i : i + 2], "little")
+                i += 2
+            else:  # copy, 4-byte offset
+                ln = (tag >> 2) + 1
+                if i + 4 > n:
+                    raise AvroError("snappy: truncated copy-4")
+                off = int.from_bytes(data[i : i + 4], "little")
+                i += 4
+            if off == 0 or off > len(out):
+                raise AvroError(f"snappy: copy offset {off} invalid")
+            if len(out) + ln > out_len:
+                raise AvroError("snappy: output exceeds preamble")
+            if off >= ln:
+                start = len(out) - off
+                out += out[start : start + ln]
+            else:  # overlapping: the pattern repeats
+                start = len(out) - off
+                pat = out[start:]
+                reps = ln // off + 1
+                out += (pat * reps)[:ln]
+        if len(out) > out_len:
+            raise AvroError("snappy: output exceeds preamble")
+    if len(out) != out_len:
+        raise AvroError(
+            f"snappy: produced {len(out)} != declared {out_len}"
+        )
+    return bytes(out)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Literal-only snappy encoding — spec-legal (any decoder must
+    accept it; compression ratio 1.0).  The writer-side twin that
+    makes the decoder round-trip-testable without a snappy library."""
+    data = bytes(data)
+    n = len(data)
+    out = bytearray()
+    v = n
+    while True:  # plain varint preamble
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | 0x80 if v else b)
+        if not v:
+            break
+    i = 0
+    while i < n:
+        chunk = min(n - i, 65536)
+        if chunk <= 60:
+            out.append((chunk - 1) << 2)
+        else:
+            # tag value 61 = "length in the next 2 bytes" (60->1,
+            # 61->2, 62->3, 63->4 bytes; count = tag - 59)
+            out.append(61 << 2)
+            out += (chunk - 1).to_bytes(2, "little")
+        out += data[i : i + chunk]
+        i += chunk
     return bytes(out)

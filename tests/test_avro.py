@@ -69,10 +69,10 @@ class TestRoundTrip:
 
     def test_unsupported_codec_and_union(self):
         with pytest.raises(AvroError, match="codec"):
-            write_avro(SCHEMA, ROWS, codec="snappy")
+            write_avro(SCHEMA, ROWS, codec="zstd")
         data = bytearray(write_avro(SCHEMA, ROWS))
         i = data.index(b"null")  # avro.codec value
-        data[i : i + 4] = b"snap"
+        data[i : i + 4] = b"zstd"
         # metadata value lengths: replace like-for-like is fine
         with pytest.raises(AvroError, match="codec"):
             avro_rows(bytes(data))
@@ -180,3 +180,90 @@ class TestSparkSource:
         f2.write_bytes(bytes(out))
         with pytest.raises(AvroError, match="record"):
             read_avro(spark, str(f2))
+
+
+class TestSnappy:
+    def test_avro_snappy_round_trip(self):
+        data = write_avro(SCHEMA, ROWS * 7, codec="snappy", block_rows=4)
+        assert avro_rows(data) == ROWS * 7
+
+    def test_crc_mismatch_typed(self):
+        from data_governance_spark.sources.avro import snappy_decompress
+
+        data = bytearray(write_avro(SCHEMA, ROWS, codec="snappy"))
+        # the CRC is the 4 bytes right before the trailing sync marker
+        data[-17] ^= 0xFF
+        with pytest.raises(AvroError, match="CRC|snappy|sync"):
+            avro_rows(bytes(data))
+
+    def test_copy_ops_hand_vectors(self):
+        from data_governance_spark.sources.avro import snappy_decompress
+
+        def lit(b: bytes) -> bytes:
+            assert len(b) <= 60
+            return bytes([(len(b) - 1) << 2]) + b
+
+        def pre(n: int) -> bytes:
+            out = bytearray()
+            while True:
+                x = n & 0x7F
+                n >>= 7
+                out.append(x | 0x80 if n else x)
+                if not n:
+                    return bytes(out)
+
+        # copy-1 (tag 01): len=4..11, offset = 3-bit high | byte
+        v = pre(9) + lit(b"abc") + bytes([(2 << 2) | 1, 3])
+        assert snappy_decompress(v) == b"abcabcabc"  # overlapping x2
+        # copy-2 (tag 10): 2-byte LE offset, len = (tag>>2)+1
+        v = pre(10) + lit(b"hello") + bytes([(4 << 2) | 2]) + (5).to_bytes(
+            2, "little"
+        )
+        assert snappy_decompress(v) == b"hellohello"
+        # copy-4 (tag 11): 4-byte LE offset
+        v = pre(8) + lit(b"wxyz") + bytes([(3 << 2) | 3]) + (4).to_bytes(
+            4, "little"
+        )
+        assert snappy_decompress(v) == b"wxyzwxyz"
+        # overlapping single-byte pattern run (offset 1); copy-1's
+        # 3-bit length field stores len-4, so field 2 -> len 6
+        v = pre(7) + lit(b"A") + bytes([(2 << 2) | 1, 1])
+        assert snappy_decompress(v) == b"AAAAAAA"
+        # long literal (2-byte length form)
+        body = bytes(range(256)) * 2
+        v = pre(512) + bytes([61 << 2]) + (511).to_bytes(2, "little") + body
+        assert snappy_decompress(v) == body
+
+    def test_malformed_typed(self):
+        from data_governance_spark.sources.avro import snappy_decompress
+
+        for bad in (
+            b"",                      # no preamble
+            b"\x05\x00",              # literal runs past input
+            b"\x03\x08\x00abc",       # wait-structured below
+            b"\x06" + bytes([(2 << 2) | 1, 9]) + b"ab",  # offset > out
+            b"\x02" + bytes([0x00]) + b"ab",  # output exceeds preamble
+        ):
+            with pytest.raises(AvroError):
+                snappy_decompress(bad)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=4096))
+    def test_compress_round_trip(self, data):
+        from data_governance_spark.sources.avro import (
+            snappy_compress,
+            snappy_decompress,
+        )
+
+        assert snappy_decompress(snappy_compress(data)) == data
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=512))
+    def test_decompress_fuzz_typed_only(self, data):
+        from data_governance_spark.sources.avro import snappy_decompress
+
+        try:
+            out = snappy_decompress(data)
+            assert isinstance(out, bytes)
+        except AvroError:
+            pass
