@@ -1,0 +1,127 @@
+"""PageRank over a link graph — the classic link-quality signal for
+web-corpus curation (domain/page rank as a training-data quality
+weight, the signal the Common Crawl ranking releases publish).
+
+Spark-first shape: the graph stays a DataFrame of edges; each
+iteration is ONE join (ranks onto pre-weighted edges) + ONE hash
+aggregate (contributions by destination) + one broadcast-joined
+rebuild — the same plan GraphX's Pregel lowers to, with Catalyst/AQE
+picking the physical strategy.  Nothing driver-side except the
+dangling-mass scalar (one 1-row aggregate per iteration — the
+standard redistribution needs a global number, and one tiny action
+per iteration is the honest cost; Google's formulation, Brin & Page
+1998).
+
+Semantics (all stated, all mirrored analytically by the d10 'pr'
+oracle's unrolled-CTE restatement):
+
+- ranks start uniform 1/N over the node set (``nodes`` ∪ edge
+  endpoints);
+- parallel edges collapse (contributions are per DISTINCT edge,
+  out-degree counts distinct destinations);
+- dangling nodes (no out-edges) redistribute their mass uniformly, so
+  total rank stays exactly 1.0 every iteration (asserted in tests);
+- fixed ``iterations``, or early-stop when the max per-node delta
+  falls under ``tol``.
+
+Scale posture: per-iteration lineage is cut with ``localCheckpoint``
+every ``checkpoint_every`` iterations (iterative plans otherwise grow
+unboundedly and re-optimize from scratch); the contribution aggregate
+shuffles on ``dst`` — for a fixed graph iterated many times,
+pre-partition the edge relation on ``dst`` once so every iteration's
+Exchange reuses the layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 20,
+    tol: float | None = None,
+    nodes: DataFrame | None = None,
+    node_col: str = "id",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """``(id, rank)`` for every node; ranks sum to 1."""
+    if not 0 < damping < 1:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    node_ids = e.select(F.col("src").alias("id")).unionByName(
+        e.select(F.col("dst").alias("id"))
+    )
+    if nodes is not None:
+        node_ids = node_ids.unionByName(
+            nodes.select(F.col(node_col).alias("id"))
+        )
+    node_ids = node_ids.distinct().persist()
+    n = node_ids.count()
+    if n == 0:
+        return node_ids.withColumn("rank", F.lit(0.0))
+    # pre-weight edges once: contribution share = 1/outdeg(src)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    weighted = (
+        e.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("w"))
+        .persist()
+    )
+    base = (1.0 - damping) / n
+    ranks = node_ids.withColumn("rank", F.lit(1.0 / n)).persist()
+    srcs = deg.select(F.col("src").alias("id"))
+    for it in range(iterations):
+        dangling = (
+            ranks.join(srcs, "id", "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            weighted.join(ranks, weighted["src"] == ranks["id"])
+            .select(F.col("dst").alias("id"),
+                    (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("_in"))
+        )
+        new_ranks = (
+            node_ids.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_in"), F.lit(0.0))
+                       + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        if tol is not None:
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "id")
+                .agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank"))))
+                .collect()[0][0]
+            )
+            ranks.unpersist()
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks.unpersist()
+            ranks = new_ranks
+    weighted.unpersist()
+    return ranks

@@ -2112,6 +2112,50 @@ def _d06_pair_df(
 # states the same closure with a recursive CTE over d06's (already
 # oracle-proven) pair SQL; every document appears, singletons as their
 # own component.
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+
+def _pr_oracle_ctes() -> str:
+    """The d10 'pr' oracle: PageRank's iterative update UNROLLED into
+    one CTE per iteration — fixed point restated mechanically, incl.
+    the dangling-mass redistribution scalar. The graph is synthesized
+    from `customer` (ck%11==0 nodes emit NO edges — genuinely
+    dangling) so the oracle is pure SQL over the shared tables."""
+    d = _PR_DAMPING
+    q = repr(1.0 - d)  # the exact double Spark computes for (1-d)
+    ctes = [
+        "pr_n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM customer)",
+        "pr_nodes AS (SELECT c_custkey AS v FROM customer)",
+        "pr_edges AS (SELECT DISTINCT src, dst FROM ("
+        "SELECT c_custkey AS src, (c_custkey * 7) % "
+        "(SELECT CAST(c AS BIGINT) FROM pr_n) AS dst FROM customer "
+        "WHERE c_custkey % 11 <> 0 "
+        "UNION ALL SELECT c_custkey, (c_custkey * 13) % "
+        "(SELECT CAST(c AS BIGINT) FROM pr_n) FROM customer "
+        "WHERE c_custkey % 11 <> 0))",
+        "pr_deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS dg "
+        "FROM pr_edges GROUP BY src)",
+        "pr_it0 AS (SELECT v, 1.0 / (SELECT c FROM pr_n) AS r "
+        "FROM pr_nodes)",
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        p = f"pr_it{k - 1}"
+        ctes.append(
+            f"pr_it{k} AS (SELECT pn.v AS v, "
+            f"{q} / (SELECT c FROM pr_n) + {d} * (coalesce(t.s, 0) + "
+            f"(SELECT coalesce(sum(r), 0) FROM {p} "
+            f"WHERE v NOT IN (SELECT src FROM pr_deg)) "
+            f"/ (SELECT c FROM pr_n)) AS r "
+            f"FROM pr_nodes pn LEFT JOIN ("
+            f"SELECT e.dst AS v2, sum(p.r / dg.dg) AS s FROM pr_edges e "
+            f"JOIN {p} p ON e.src = p.v "
+            f"JOIN pr_deg dg ON e.src = dg.src "
+            f"GROUP BY e.dst) t ON pn.v = t.v2)"
+        )
+    return ",\n    ".join(ctes)
+
+
 _D10_ORACLE = """
     WITH RECURSIVE pairs AS (
       SELECT doc_a, doc_b FROM ({d06})
@@ -2126,29 +2170,76 @@ _D10_ORACLE = """
       UNION
       SELECT e.d AS id, reach.r AS r
       FROM reach JOIN edges e ON e.s = reach.id
-    )
-    SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
-    """.format(d06=_D06_PAIRS_SQL)
+    ),
+    {pr_ctes}
+    SELECT 'cc' AS gate, CAST(id AS VARCHAR) AS k,
+           CAST(NULL AS VARCHAR) AS v_s,
+           CAST(MIN(r) AS DOUBLE) AS v_d
+    FROM reach GROUP BY id
+    UNION ALL
+    SELECT 'pr', 'p' || CAST(v AS VARCHAR), CAST(NULL AS VARCHAR),
+           round(r * (SELECT c FROM pr_n), 6)
+    FROM pr_it{iters}
+    """.format(d06=_D06_PAIRS_SQL, pr_ctes=_pr_oracle_ctes(),
+               iters=_PR_ITERS)
 
 
 @qdef(
     QUERIES,
     "d10_dedup_components",
     oracle=_D10_ORACLE,
-    doc="near-dup cluster closure: connected components (min-label "
-    "propagation) over the d06 Jaccard pair graph, all docs labeled, "
-    "singletons their own component",
+    doc="merged graph gate: near-dup cluster closure — connected "
+    "components (min-label propagation) over the d06 Jaccard pair "
+    "graph, all docs labeled, singletons their own component — plus "
+    "link-graph PageRank (operators/pagerank.py: per-iteration "
+    "join+agg with uniform dangling-mass redistribution, Brin & Page "
+    "1998) over a customer-synthesized graph with genuinely dangling "
+    "nodes, 5 fixed iterations restated by the oracle as unrolled "
+    "CTE layers; new in r12",
 )
 def d10_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.components import connected_components
+    from data_governance_spark.operators.pagerank import pagerank
 
     docs = table(spark, sf_dir, "documents")
     pairs = _d06_pair_df(spark, sf_dir)
     comp = connected_components(
         pairs, "doc_a", "doc_b", nodes=docs, node_col="doc_id"
     )
-    return comp.select(
-        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    cc = comp.select(
+        F.lit("cc").alias("gate"),
+        F.col("id").cast("string").alias("k"),
+        F.lit(None).cast("string").alias("v_s"),
+        F.col("comp").cast("double").alias("v_d"),
     )
+    # pr sub-gate (r12): the REAL iterative operator over a graph
+    # synthesized from `customer` — two out-edges per non-%11 node,
+    # %11==0 nodes genuinely dangling — against the oracle's
+    # unrolled-CTE restatement of the same 5 fixed iterations.
+    # Ranks scale by N before rounding so the 6-decimal compare keeps
+    # ~6 significant digits at every sf.
+    cust = table(spark, sf_dir, "customer")
+    n = cust.count()
+    ck = F.col("c_custkey")
+    srcs = cust.filter(ck % 11 != 0)
+    edges = srcs.select(
+        ck.alias("src"), ((ck * 7) % n).alias("dst")
+    ).unionByName(
+        srcs.select(ck.alias("src"), ((ck * 13) % n).alias("dst"))
+    )
+    ranks = pagerank(
+        edges,
+        damping=_PR_DAMPING,
+        iterations=_PR_ITERS,
+        nodes=cust.select(ck.alias("id")),
+        checkpoint_every=0,
+    )
+    pr = ranks.select(
+        F.lit("pr").alias("gate"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("k"),
+        F.lit(None).cast("string").alias("v_s"),
+        F.round(F.col("rank") * n, 6).alias("v_d"),
+    )
+    return cc.unionByName(pr)
 
 
