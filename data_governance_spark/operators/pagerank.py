@@ -123,5 +123,10 @@ def pagerank(
         else:
             ranks.unpersist()
             ranks = new_ranks
+    # materialize the final frame BEFORE dropping its cached parents —
+    # otherwise the returned plan would silently recompute the whole
+    # iteration chain on first use
+    ranks.count()
     weighted.unpersist()
+    node_ids.unpersist()
     return ranks
