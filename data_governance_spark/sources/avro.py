@@ -48,7 +48,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 __all__ = ["AvroError", "avro_rows", "avro_schema", "read_avro",
-           "write_avro", "avro_to_spark_type"]
+           "write_avro", "avro_to_spark_type", "snappy_compress",
+           "snappy_decompress", "spark_to_avro_schema", "avro_shards",
+           "write_avro_files"]
 
 _MAGIC = b"Obj\x01"
 _MAX_BLOCK_BYTES = 256 * 1024 * 1024
@@ -585,3 +587,142 @@ def snappy_compress(data: bytes) -> bytes:
         out += data[i : i + chunk]
         i += chunk
     return bytes(out)
+
+
+# -------------------------------------------------------------------
+# sink side: DataFrame -> container payloads
+# -------------------------------------------------------------------
+_SPARK_TO_AVRO = {
+    "long": "long",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "string": "string",
+    "binary": "bytes",
+}
+
+
+def spark_to_avro_schema(st, name: str = "Row", _path: str = "") -> dict:
+    """Spark StructType -> Avro record schema (the reverse of
+    :func:`avro_to_spark_type`).  Every field is written as the
+    nullable union ``["null", T]`` — Spark columns are nullable by
+    default and the reader maps the union straight back."""
+    fields = []
+    for f in st.fields:
+        fields.append(
+            {"name": f.name,
+             "type": ["null", _avro_type(f.dataType, f.name)]}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def _avro_type(dt, name: str):
+    tn = dt.typeName()
+    if tn in _SPARK_TO_AVRO:
+        return _SPARK_TO_AVRO[tn]
+    if tn == "array":
+        return {"type": "array",
+                "items": ["null", _avro_type(dt.elementType, name)]}
+    if tn == "map":
+        if dt.keyType.typeName() != "string":
+            raise AvroError("avro maps require string keys")
+        return {"type": "map",
+                "values": ["null", _avro_type(dt.valueType, name)]}
+    if tn == "struct":
+        return spark_to_avro_schema(dt, name=f"{name}_rec")
+    raise AvroError(f"no avro mapping for Spark type {tn}")
+
+
+def _to_py(val, dt):
+    """pandas/Arrow cell -> the plain-Python shape _encode expects
+    (numpy scalars unboxed, Arrow maps arrive as (k, v) tuple lists,
+    NaN-for-null normalized)."""
+    import numpy as np
+
+    if val is None or (isinstance(val, float) and val != val):
+        return None
+    tn = dt.typeName()
+    if tn == "array":
+        return [_to_py(v, dt.elementType) for v in val]
+    if tn == "map":
+        items = val.items() if isinstance(val, dict) else val
+        return {str(k): _to_py(v, dt.valueType) for k, v in items}
+    if tn == "struct":
+        d = val.asDict() if hasattr(val, "asDict") else dict(val)
+        return {f.name: _to_py(d.get(f.name), f.dataType)
+                for f in dt.fields}
+    if tn == "binary":
+        return bytes(val)
+    if tn in ("long", "integer", "short", "byte"):
+        return int(val)
+    if tn in ("double", "float"):
+        return float(val)
+    if tn == "boolean":
+        return bool(val)
+    if tn == "string":
+        return str(val)
+    if isinstance(val, np.generic):
+        return val.item()
+    return val
+
+
+def avro_shards(
+    df: DataFrame,
+    codec: str = "deflate",
+    name: str = "Row",
+) -> DataFrame:
+    """``df`` serialized to Avro container payloads, one row per Arrow
+    batch: ``(n_rows long, content binary)``.  This is the honest
+    distributed sink shape: executors never touch a filesystem —
+    compose the payload rows with whatever writer owns your storage
+    (``foreachPartition`` + an FS client, an uploader job, or
+    :func:`write_avro_files` for local paths).  Tune batch size with
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+    import pyspark.sql.types as T_
+
+    schema = spark_to_avro_schema(df.schema, name=name)
+    dts = {f.name: f.dataType for f in df.schema.fields}
+    cols = list(dts)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                rows.append(
+                    {c: _to_py(rec.get(c), dts[c]) for c in cols}
+                )
+            payload = write_avro(schema, rows, codec=codec)
+            yield pd.DataFrame(
+                {"n_rows": [len(rows)], "content": [payload]}
+            )
+
+    out_schema = T_.StructType(
+        [
+            T_.StructField("n_rows", T_.LongType()),
+            T_.StructField("content", T_.BinaryType()),
+        ]
+    )
+    return df.mapInPandas(run, out_schema)
+
+
+def write_avro_files(df: DataFrame, path: str, codec: str = "deflate",
+                     name: str = "Row") -> int:
+    """Convenience local-filesystem writer: streams the shard rows
+    through the driver (``toLocalIterator`` — one shard in memory at
+    a time, never a full collect) into ``path/part-<i>.avro``.
+    Returns the shard count.  For cluster storage compose
+    :func:`avro_shards` with your FS client instead (stated)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    n = 0
+    for row in avro_shards(df, codec=codec, name=name).toLocalIterator():
+        if row["n_rows"] == 0:
+            continue
+        with open(os.path.join(path, f"part-{n:05d}.avro"), "wb") as fh:
+            fh.write(bytes(row["content"]))
+        n += 1
+    return n

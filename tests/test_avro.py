@@ -15,9 +15,11 @@ from data_governance_spark.sources.avro import (
     AvroError,
     avro_rows,
     avro_schema,
+    avro_shards,
     avro_to_spark_type,
     read_avro,
     write_avro,
+    write_avro_files,
 )
 
 SCHEMA = {
@@ -267,3 +269,51 @@ class TestSnappy:
             assert isinstance(out, bytes)
         except AvroError:
             pass
+
+
+class TestSink:
+    def test_shards_round_trip(self, spark):
+        rows = [
+            (1, "alpha", 1.5, True, ["x", "y"], {"a": 1}, b"\x00\x01",
+             (7, 0.5)),
+            (2, None, -2.0, False, [], {}, b"", (-1, -0.25)),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "id long, name string, score double, flag boolean, "
+            "tags array<string>, attrs map<string,int>, raw binary, "
+            "nested struct<x:int, y:double>",
+        )
+        shards = avro_shards(df).collect()
+        got = []
+        for s in shards:
+            got.extend(avro_rows(bytes(s["content"])))
+        got.sort(key=lambda r: r["id"])
+        assert got[0]["name"] == "alpha"
+        assert got[0]["tags"] == ["x", "y"]
+        assert got[0]["attrs"] == {"a": 1}
+        assert got[0]["nested"] == {"x": 7, "y": 0.5}
+        assert got[1]["name"] is None
+        assert got[1]["raw"] == b""
+        assert sum(s["n_rows"] for s in shards) == 2
+
+    def test_write_then_read_back_through_source(self, spark, tmp_path):
+        df = spark.range(200).selectExpr(
+            "id",
+            "CASE WHEN id % 7 = 0 THEN NULL "
+            "ELSE concat('row ', id) END AS name",
+            "CAST(id % 5 AS INT) AS mkt",
+        )
+        out = str(tmp_path / "sink")
+        n_files = write_avro_files(df, out, codec="snappy")
+        assert n_files >= 1
+        back = read_avro(spark, out + "/*.avro")
+        assert back.count() == 200
+        a = {r["id"]: (r["name"], r["mkt"]) for r in back.collect()}
+        b = {r["id"]: (r["name"], r["mkt"]) for r in df.collect()}
+        assert a == b
+
+    def test_unmappable_types_typed(self, spark):
+        df = spark.createDataFrame([({1: "x"},)], "m map<int,string>")
+        with pytest.raises(Exception, match="string keys"):
+            avro_shards(df)
