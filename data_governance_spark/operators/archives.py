@@ -121,43 +121,91 @@ def _is_tar(data: bytes) -> bool:
     return chksum == unsigned and chksum > 0
 
 
-def _bounded_decompress(data: bytes, kind: str) -> bytes:
-    """Incremental decompression with the cap enforced mid-stream —
-    never materializes more than the cap + one chunk."""
-    if kind == "gzip":
-        d = zlib.decompressobj(wbits=31)
-    elif kind == "bzip2":
-        d = bz2.BZ2Decompressor()
-    else:
-        d = lzma.LZMADecompressor()
+def bounded_decompress(
+    data: bytes,
+    kind: str,
+    max_out: int,
+    bomb_error: type = None,  # type: ignore[assignment]
+    parse_error: type = None,  # type: ignore[assignment]
+    multi_member: bool = True,
+) -> bytes:
+    """SHARED incremental decompression with the cap enforced
+    mid-stream — the one bomb/truncation discipline for the archive,
+    office, and avro tiers (review finding: three parallel
+    implementations had drifted; avro's lacked the truncation check).
+
+    - ``multi_member=True`` (gzip/bzip2/xz FILES): RFC 1952 and the
+      bzip2/xz container formats allow back-to-back members (pigz,
+      bgzip, concatenated logs) — restart a fresh decompressor on
+      ``unused_data`` so later members aren't silently dropped.
+    - ``multi_member=False`` (avro BLOCKS): exactly one raw stream;
+      trailing bytes after its end are corruption and raise.
+    - a stream whose input ends before its end marker raises
+      ``parse_error`` — a truncated download must not masquerade as a
+      complete (smaller) payload."""
+    bomb_error = bomb_error or ArchiveBombError
+    parse_error = parse_error or ArchiveParseError
+
+    def fresh():
+        if kind == "gzip":
+            return zlib.decompressobj(wbits=31)
+        if kind == "deflate":
+            return zlib.decompressobj(wbits=-15)
+        if kind == "bzip2":
+            return bz2.BZ2Decompressor()
+        return lzma.LZMADecompressor()
+
     out = []
     total = 0
+    src = bytes(data)
     try:
-        chunk = d.decompress(data, _MAX_MEMBER + 1)
-        while True:
-            total += len(chunk)
-            if total > _MAX_MEMBER:
-                raise ArchiveBombError(
-                    f"{kind} stream inflates past the member cap"
+        while True:  # one iteration per MEMBER
+            d = fresh()
+            chunk = d.decompress(src, max_out + 1)
+            while True:
+                total += len(chunk)
+                if total > max_out:
+                    raise bomb_error(
+                        f"{kind} stream inflates past the cap"
+                    )
+                out.append(chunk)
+                if getattr(d, "eof", False) or (
+                    not d.unconsumed_tail
+                    if hasattr(d, "unconsumed_tail")
+                    else d.needs_input
+                ):
+                    break
+                more = (
+                    d.unconsumed_tail
+                    if hasattr(d, "unconsumed_tail")
+                    else b""
                 )
-            out.append(chunk)
-            if getattr(d, "eof", False) or (
-                not d.unconsumed_tail
-                if hasattr(d, "unconsumed_tail")
-                else d.needs_input
-            ):
-                break
-            src = d.unconsumed_tail if hasattr(d, "unconsumed_tail") else b""
-            chunk = d.decompress(src, _MAX_MEMBER + 1)
+                chunk = d.decompress(more, max_out + 1)
+            if not getattr(d, "eof", True):
+                raise parse_error(f"truncated {kind} stream")
+            rest = bytes(getattr(d, "unused_data", b""))
+            if hasattr(d, "unconsumed_tail") and d.unconsumed_tail:
+                rest = bytes(d.unconsumed_tail) + rest
+            if not rest.strip(b"\x00"):
+                break  # done (NUL padding after the last member is ok)
+            if not multi_member:
+                raise parse_error(
+                    f"{kind} stream has trailing bytes"
+                )
+            src = rest
     except (zlib.error, OSError, EOFError, lzma.LZMAError, ValueError) as e:
-        if isinstance(e, ArchiveError):
+        if isinstance(e, (bomb_error, parse_error)):
             raise
-        raise ArchiveParseError(f"bad {kind} stream: {e}") from None
-    if not getattr(d, "eof", True):
-        # stream ran out of input before its end marker — a truncated
-        # download must not masquerade as a complete (smaller) member
-        raise ArchiveParseError(f"truncated {kind} stream")
+        raise parse_error(f"bad {kind} stream: {e}") from None
     return b"".join(out)
+
+
+def _bounded_decompress(data: bytes, kind: str) -> bytes:
+    return bounded_decompress(
+        data, kind, _MAX_MEMBER,
+        bomb_error=ArchiveBombError, parse_error=ArchiveParseError,
+        multi_member=True,
+    )
 
 
 def _gzip_name(data: bytes) -> str | None:

@@ -136,11 +136,17 @@ def _normalize_label(label: str) -> str | None:
         return None
     lab = _LABEL_ALIASES.get(lab, lab)
     try:
-        codecs.lookup(lab)
-        return lab
+        info = codecs.lookup(lab)
     except (LookupError, ValueError):
         # ValueError: labels with embedded NULs (hostile declarations)
         return None
+    # 'hex', 'base64', 'zlib', 'rot13', ... are REGISTERED codecs that
+    # are not text encodings — bytes.decode() raises LookupError for
+    # them at DECODE time, which would escape the totality contract
+    # (review repro: charset=hex)
+    if not getattr(info, "_is_text_encoding", True):
+        return None
+    return lab
 
 
 def decode_declared(data: bytes, declared: str | None) -> tuple[str, str]:
@@ -169,8 +175,8 @@ def decode_declared(data: bytes, declared: str | None) -> tuple[str, str]:
     if lab is not None:
         try:
             return data.decode(lab), lab
-        except (UnicodeDecodeError, ValueError):
-            pass  # the declaration lied
+        except (UnicodeDecodeError, ValueError, LookupError):
+            pass  # the declaration lied (or names a non-text codec)
     return detect_decode(data)
 
 

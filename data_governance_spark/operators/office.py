@@ -277,6 +277,7 @@ def office_format(data: bytes) -> str:
 # DOCX — WordprocessingML
 # ===================================================================
 _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_MC = "{http://schemas.openxmlformats.org/markup-compatibility/2006}"
 _WML_SKIP = frozenset(
     (
         _W + "del",        # tracked deletion
@@ -284,6 +285,10 @@ _WML_SKIP = frozenset(
         _W + "instrText",  # field INSTRUCTION (the result run is kept)
         _W + "delText",
         _W + "delInstrText",
+        # mc:AlternateContent carries the SAME payload twice (Choice
+        # for new readers, Fallback for old) — walking both would
+        # duplicate every text box (review repro)
+        _MC + "Fallback",
     )
 )
 
@@ -293,9 +298,12 @@ def _wml_para(p) -> str:
     # deep, and a RecursionError is NOT a typed OfficeError — it
     # would escape the quarantine and kill the Spark task
     parts: list[str] = []
-    stack = [p]
+    stack: list = [p]
     while stack:
         e = stack.pop()
+        if isinstance(e, str):  # pending separator
+            parts.append(e)
+            continue
         tag = e.tag
         if tag in _WML_SKIP:
             continue
@@ -308,20 +316,37 @@ def _wml_para(p) -> str:
             parts.append("\n")
         elif tag == _W + "noBreakHyphen":
             parts.append("-")
+        elif tag == _W + "p" and e is not p:
+            # a NESTED paragraph (text-box content): its own line,
+            # opened AND closed
+            parts.append("\n")
+            stack.append("\n")
         stack.extend(reversed(list(e)))
     return "".join(parts)
 
 
 def docx_text(data: bytes) -> str:
-    """Paragraph text of ``word/document.xml`` in document order,
-    one line per ``w:p`` (table-cell and text-box paragraphs
-    included — ``iter`` walks them in order)."""
+    """Paragraph text of ``word/document.xml`` in document order, one
+    line per TOP-LEVEL ``w:p`` (table-cell paragraphs are top-level;
+    text-box paragraphs nest INSIDE a ``w:p`` and emit inline on their
+    own lines — walking them twice would duplicate the content, the
+    review-caught bug).  ``mc:Fallback`` duplicates are skipped."""
     zf = _open_zip(data)
     try:
         root = _xml(_zread(zf, "word/document.xml"), "word/document.xml")
     finally:
         zf.close()
-    return "\n".join(_wml_para(p) for p in root.iter(_W + "p"))
+    paras: list[str] = []
+    stack = [root]
+    while stack:
+        e = stack.pop()
+        if e.tag == _W + "p":
+            paras.append(_wml_para(e))
+            continue  # nested w:p handled inline by _wml_para
+        if e.tag in _WML_SKIP:
+            continue
+        stack.extend(reversed(list(e)))
+    return "\n".join(paras)
 
 
 # ===================================================================
@@ -583,11 +608,23 @@ def _tidy_lines(s: str) -> str:
     return "\n".join(ln for ln in lines if ln)
 
 
+# EPUB 2 chapters carry a spec-REQUIRED XHTML 1.1 DOCTYPE; only its
+# external-subset form (no '[' internal subset — the entity-bomb
+# vector) is stripped so those chapters still reach the ET tier
+# instead of always falling back to regex (review finding)
+_RX_SAFE_DOCTYPE = re.compile(
+    rb"^(\s*<\?xml[^>]*\?>)?\s*<!DOCTYPE[^\[>]*>", re.S
+)
+
+
 def _xhtml_text(data: bytes, what: str) -> str:
     """ET tier for the spec-required well-formed chapters; regex
     fallback (same drop/block/strip discipline as
     ``functions/html.py``'s scan tier) for the real-world rest."""
     try:
+        m = _RX_SAFE_DOCTYPE.match(data)
+        if m:
+            data = data[: len(m.group(1) or b"")] + data[m.end():]
         root = _xml(data, what)
         parts: list = []
         _xhtml_walk(root, parts)

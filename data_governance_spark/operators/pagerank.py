@@ -108,7 +108,14 @@ def pagerank(
             .persist()
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            pre = new_ranks
+            new_ranks = pre.localCheckpoint(eager=True)
+            pre.unpersist()  # the checkpoint holds the data now
+        else:
+            # materialize BEFORE the parent's cache drops — otherwise
+            # every iteration would replay the whole chain back to the
+            # last checkpoint (O(iterations^2) work, review-caught)
+            new_ranks.count()
         if tol is not None:
             delta = (
                 new_ranks.alias("a")
@@ -123,10 +130,6 @@ def pagerank(
         else:
             ranks.unpersist()
             ranks = new_ranks
-    # materialize the final frame BEFORE dropping its cached parents —
-    # otherwise the returned plan would silently recompute the whole
-    # iteration chain on first use
-    ranks.count()
     weighted.unpersist()
     node_ids.unpersist()
     return ranks

@@ -144,6 +144,8 @@ def filter_url_patterns(
 #   6. remaining query params SORTED bytewise; empty query dropped
 #   7. not-a-URL (try_parse_url NULL) passes through unchanged —
 #      canonicalization must never destroy keys it cannot parse
+#   8. userinfo survives verbatim (case-significant — it is part of
+#      the resource identity, not a hostname)
 # NOT done (stated): percent-encoding case normalization and path
 # dot-segment resolution — both need char-level rewriting that is
 # regex-hostile; documents differing only there stay distinct.
@@ -165,6 +167,12 @@ def canonical_url(url_col, tracking_rx: str = _TRACKING_RX) -> Column:
     auth = F.lower(part("AUTHORITY"))
     path = part("PATH")
     q = part("QUERY")
+    # userinfo is part of the resource identity and must survive
+    # (case-SIGNIFICANT — user names are not hostnames)
+    ui = part("USERINFO")
+    ui_part = F.when(
+        ui.isNull() | (ui == ""), F.lit("")
+    ).otherwise(F.concat(ui, F.lit("@")))
     port = F.regexp_extract(auth, r":(\d+)$", 1)
     default_port = (
         F.when(proto == "http", F.lit("80"))
@@ -186,6 +194,6 @@ def canonical_url(url_col, tracking_rx: str = _TRACKING_RX) -> Column:
     q_part = F.when(
         F.size(params) == 0, F.lit("")
     ).otherwise(F.concat(F.lit("?"), F.array_join(params, "&")))
-    rebuilt = F.concat(proto, F.lit("://"), host, port_part, path_part,
-                       q_part)
+    rebuilt = F.concat(proto, F.lit("://"), ui_part, host, port_part,
+                       path_part, q_part)
     return F.when(proto.isNull() | host.isNull(), u).otherwise(rebuilt)

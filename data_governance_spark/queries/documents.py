@@ -1892,13 +1892,19 @@ _D06_PAIRS_SQL = f"""
     UNION ALL
     SELECT 'blsj', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(NULL AS DOUBLE)
-    FROM documents
-    WHERE text IN (SELECT text FROM documents WHERE doc_id % 5 = 0)
+    FROM documents d
+    WHERE EXISTS (SELECT 1 FROM documents r
+                  WHERE r.doc_id % 5 = 0 AND r.text = d.text)
     UNION ALL
+    -- NOT EXISTS, not NOT IN: three-valued NOT IN would empty the
+    -- whole result if any reference text were NULL, while the
+    -- operator's stated join semantics (NULL keys never match; anti
+    -- keeps them) are exactly NOT EXISTS
     SELECT 'blaj', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(NULL AS DOUBLE)
-    FROM documents
-    WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 5 = 0)
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM documents r
+                      WHERE r.doc_id % 5 = 0 AND r.text = d.text)
     """,
     doc="merged gate (r6 driver-budget): n-gram Jaccard near-dup pairs "
     f"with rare-shingle candidate pruning (df<={_RARE_DF}, the O(df^2) "

@@ -68,6 +68,10 @@ class _Reader:
         self.i = 0
 
     def need(self, n: int) -> bytes:
+        if n < 0:
+            # a hostile schema (e.g. fixed size -1) would otherwise
+            # move the cursor BACKWARD and loop forever (review repro)
+            raise AvroError(f"negative read of {n} bytes")
         if self.i + n > len(self.b):
             raise AvroError("truncated avro data")
         out = self.b[self.i : self.i + n]
@@ -148,7 +152,10 @@ def _decode(r: _Reader, schema, depth: int = 0):
                     out[k] = _decode(r, schema["values"], depth + 1)
             return out
         if t == "fixed":
-            return r.need(int(schema["size"]))
+            size = int(schema["size"])
+            if not 0 <= size <= _MAX_BLOCK_BYTES:
+                raise AvroError(f"bad fixed size {size}")
+            return r.need(size)
         # {"type": "string", "logicalType": ...} etc. — unwrap
         return _decode(r, t, depth + 1)
     if schema == "null":
@@ -171,35 +178,30 @@ def _decode(r: _Reader, schema, depth: int = 0):
 def _decompress(payload: bytes, codec: str) -> bytes:
     if codec in ("", "null"):
         return payload
-    try:
-        if codec == "deflate":
-            out = zlib.decompressobj(-15).decompress(
-                payload, _MAX_BLOCK_BYTES + 1
-            )
-        elif codec == "bzip2":
-            out = bz2.BZ2Decompressor().decompress(
-                payload, _MAX_BLOCK_BYTES + 1
-            )
-        elif codec == "xz":
-            out = lzma.LZMADecompressor().decompress(
-                payload, _MAX_BLOCK_BYTES + 1
-            )
-        elif codec == "snappy":
-            # avro frames snappy blocks as snappy(raw) + 4-byte
-            # BIG-endian CRC32 of the UNCOMPRESSED bytes
-            if len(payload) < 4:
-                raise AvroError("snappy block too short for its CRC")
-            out = snappy_decompress(payload[:-4])
-            want = int.from_bytes(payload[-4:], "big")
-            if zlib.crc32(out) != want:
-                raise AvroError("snappy block CRC mismatch")
-        else:
-            raise AvroError(f"unsupported avro codec {codec!r}")
-    except (zlib.error, OSError, EOFError, lzma.LZMAError) as e:
-        raise AvroError(f"bad {codec} block: {e}") from None
-    if len(out) > _MAX_BLOCK_BYTES:
-        raise AvroError("block inflates past the cap")
-    return out
+    if codec == "snappy":
+        # avro frames snappy blocks as snappy(raw) + 4-byte
+        # BIG-endian CRC32 of the UNCOMPRESSED bytes
+        if len(payload) < 4:
+            raise AvroError("snappy block too short for its CRC")
+        out = snappy_decompress(payload[:-4])
+        want = int.from_bytes(payload[-4:], "big")
+        if zlib.crc32(out) != want:
+            raise AvroError("snappy block CRC mismatch")
+        return out
+    if codec not in ("deflate", "bzip2", "xz"):
+        raise AvroError(f"unsupported avro codec {codec!r}")
+    # the SHARED bounded-decompress discipline (archives.py): caps
+    # enforced mid-stream, truncation typed, and — because an avro
+    # block is exactly ONE raw stream — trailing bytes typed too
+    from data_governance_spark.operators.archives import (
+        bounded_decompress,
+    )
+
+    return bounded_decompress(
+        payload, codec, _MAX_BLOCK_BYTES,
+        bomb_error=AvroError, parse_error=AvroError,
+        multi_member=False,
+    )
 
 
 def _header(r: _Reader) -> tuple[dict, str, bytes]:

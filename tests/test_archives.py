@@ -252,3 +252,38 @@ def test_gate_payloads_extract():
     assert rows[0] == ("plain.txt", 10, b"plain body", None)
     assert rows[1][0] == "secret.txt"
     assert rows[1][3] == "ArchiveEncryptedError"
+
+
+class TestMultiMember:
+    def test_concatenated_gzip_members(self):
+        # pigz/bgzip/appended logs: RFC 1952 multi-member streams must
+        # concatenate, not silently truncate at the first member
+        # (review repro: only 'first part ' came back)
+        blob = gzip.compress(b"first part ", mtime=0) + gzip.compress(
+            b"second part", mtime=0
+        )
+        assert as_rows(blob) == [("-", 22, b"first part second part",
+                                  None)]
+
+    def test_concatenated_bzip2_and_xz(self):
+        blob = bz2.compress(b"aa ") + bz2.compress(b"bb")
+        assert as_rows(blob) == [("-", 5, b"aa bb", None)]
+        blob = lzma.compress(b"xx ") + lzma.compress(b"yy")
+        assert as_rows(blob) == [("-", 5, b"xx yy", None)]
+
+    def test_concatenated_tar_gz_members(self):
+        raw = make_tar([("m1", b"one")])
+        raw2 = make_tar([("m2", b"two")])
+        # tar concatenation via gzip members: gunzip yields tar1+tar2;
+        # tar stops at tar1's end-of-archive blocks — members of the
+        # FIRST tar survive (the gzip layer no longer eats tar2's
+        # bytes silently; tar semantics for concatenation need
+        # --ignore-zeros, stated tarfile behavior)
+        blob = gzip.compress(raw, mtime=0) + gzip.compress(raw2, mtime=0)
+        rows = as_rows(blob)
+        assert ("m1", 3, b"one", None) in rows
+
+    def test_gzip_member_then_garbage_typed(self):
+        blob = gzip.compress(b"good", mtime=0) + b"JUNKJUNKJUNK"
+        with pytest.raises(ArchiveParseError):
+            archive_members(blob)

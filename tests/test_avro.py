@@ -317,3 +317,57 @@ class TestSink:
         df = spark.createDataFrame([({1: "x"},)], "m map<int,string>")
         with pytest.raises(Exception, match="string keys"):
             avro_shards(df)
+
+
+class TestReviewFindings:
+    def test_negative_fixed_size_no_hang(self):
+        # hostile schema: fixed size -1 moved the reader cursor
+        # BACKWARD — an infinite loop, not a typed error (review repro)
+        import json
+        from data_governance_spark.sources.avro import _MAGIC, _zigzag
+
+        sch = json.dumps({
+            "type": "record", "name": "R",
+            "fields": [{"name": "a", "type": {
+                "type": "array", "items": {
+                    "type": "fixed", "name": "F", "size": -1}}}],
+        }).encode()
+        out = bytearray(_MAGIC)
+        meta = [("avro.codec", b"null"), ("avro.schema", sch)]
+        out += _zigzag(len(meta))
+        for k, v in meta:
+            out += _zigzag(len(k.encode())) + k.encode()
+            out += _zigzag(len(v)) + v
+        out += _zigzag(0) + b"\x07" * 16
+        body = _zigzag(1) + b""  # array block count 1, then nothing
+        out += _zigzag(1) + _zigzag(len(body)) + body + b"\x07" * 16
+        with pytest.raises(AvroError):
+            avro_rows(bytes(out))
+
+    def test_deflate_block_trailing_bytes_typed(self):
+        # an avro block is exactly ONE raw stream — trailing bytes
+        # after its end marker are corruption, not a second member
+        import zlib as _z
+
+        data = bytearray(write_avro(SCHEMA, ROWS, codec="deflate"))
+        # rebuild the single block with junk appended to its payload
+        good = write_avro(SCHEMA, ROWS, codec="null")
+        # simpler: craft via the writer internals is overkill; patch a
+        # deflate container by appending to the payload is fiddly, so
+        # assert at the helper level instead:
+        from data_governance_spark.operators.archives import (
+            bounded_decompress,
+        )
+
+        raw = _z.compress(b"payload")[2:-4] + b"JUNKJUNK"
+        with pytest.raises(AvroError, match="trailing"):
+            bounded_decompress(raw, "deflate", 10**6,
+                               bomb_error=AvroError,
+                               parse_error=AvroError,
+                               multi_member=False)
+        with pytest.raises(AvroError, match="truncated"):
+            bounded_decompress(_z.compress(b"payload")[2:-4][:-2],
+                               "deflate", 10**6,
+                               bomb_error=AvroError,
+                               parse_error=AvroError,
+                               multi_member=False)

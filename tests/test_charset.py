@@ -235,3 +235,15 @@ class TestUnicodeNormalize:
 
         with _pytest.raises(ValueError, match="form"):
             unicode_normalize("s", "NFX")
+
+
+class TestNonTextCodecLabels:
+    def test_registered_non_text_codecs_fall_back(self):
+        # 'hex'/'base64'/'rot13'/... pass codecs.lookup but raise
+        # LookupError at bytes.decode() time — the totality contract
+        # must hold (review repro: charset=hex)
+        for label in ("hex", "base64", "zlib", "rot13", "uu", "bz2"):
+            t, e = decode_declared(b"hello world", label)
+            assert (t, e) == ("hello world", "utf-8"), label
+        t, e = decode_declared("Résumé".encode("latin-1"), "hex")
+        assert e == "cp1252"

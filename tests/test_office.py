@@ -762,3 +762,54 @@ def test_gate_payload_pin():
         )
         want_text = getattr(g, f"_OFFICE_{key.upper()}_TEXT")
         assert office_text(data) == want_text, key
+
+
+class TestTextBoxDedup:
+    def test_alternate_content_not_duplicated(self):
+        # text boxes arrive as mc:AlternateContent with IDENTICAL
+        # payloads under Choice and Fallback, nested INSIDE a w:p —
+        # naive double-walking extracted the box text 4x (review repro)
+        mc = "http://schemas.openxmlformats.org/markup-compatibility/2006"
+        box = (
+            '<w:p><w:r><w:t>before</w:t></w:r>'
+            f'<mc:AlternateContent xmlns:mc="{mc}">'
+            "<mc:Choice><w:drawing><w:txbxContent>"
+            "<w:p><w:r><w:t>boxtext</w:t></w:r></w:p>"
+            "</w:txbxContent></w:drawing></mc:Choice>"
+            "<mc:Fallback><w:pict><w:txbxContent>"
+            "<w:p><w:r><w:t>boxtext</w:t></w:r></w:p>"
+            "</w:txbxContent></w:pict></mc:Fallback>"
+            "</mc:AlternateContent>"
+            "<w:r><w:t>after</w:t></w:r></w:p>"
+            "<w:p><w:r><w:t>second para</w:t></w:r></w:p>"
+        )
+        got = docx_text(make_docx(box))
+        assert got.count("boxtext") == 1
+        assert got == "before\nboxtext\nafter\nsecond para"
+
+
+class TestEpubDoctype:
+    def test_epub2_doctype_reaches_et_tier(self):
+        # EPUB 2 REQUIRES an XHTML 1.1 DOCTYPE; the external-subset
+        # form must not banish spec-conforming chapters to the regex
+        # fallback (review finding). The marker: ET drops '>' chars
+        # inside attribute values correctly where the regex tier
+        # mangles them.
+        chap = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.1//EN" '
+            '"http://www.w3.org/TR/xhtml11/DTD/xhtml11.dtd">\n'
+            f'<html xmlns="{XH}"><body>'
+            '<p title="a &gt; b">Structured text.</p></body></html>'
+        )
+        e = make_epub([("c.xhtml", chap)], spine=["c.xhtml"])
+        assert epub_text(e) == "Structured text."
+
+    def test_internal_subset_still_rejected_to_fallback(self):
+        chap = (
+            '<!DOCTYPE html [<!ENTITY x "boom">]>'
+            "<html><body><p>fallback text</p></body></html>"
+        )
+        e = make_epub([("c.xhtml", chap)], spine=["c.xhtml"])
+        # entity bomb vector stays out of ET; regex tier still extracts
+        assert "fallback text" in epub_text(e)

@@ -212,3 +212,19 @@ class TestCanonicalUrl:
         ).executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan  # zero Python in the plan
+
+
+class TestCanonicalUserinfo:
+    def test_userinfo_survives_verbatim(self, spark):
+        from data_governance_spark.operators.urlfilter import canonical_url
+
+        cases = {
+            "HTTP://Alice@Example.COM:80/x": "http://Alice@example.com/x",
+            "https://u:p@h.com/a?utm_x=1": "https://u:p@h.com/a",
+            "http://h.com/plain": "http://h.com/plain",
+        }
+        df = spark.createDataFrame([(k,) for k in cases], "u string")
+        got = {r["u"]: r["c"] for r in df.select(
+            "u", canonical_url("u").alias("c")).collect()}
+        for inp, want in cases.items():
+            assert got[inp] == want, inp
