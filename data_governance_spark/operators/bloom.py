@@ -42,7 +42,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["BloomFilter", "bloom_build", "bloom_might_contain",
-           "bloom_semi_join"]
+           "bloom_semi_join", "save_bloom", "load_bloom"]
 
 _SALT = 0x5F3759DF  # probe/build second-hash salt (any fixed constant)
 _MAX_BITS = 1 << 31  # 256 MiB of driver/executor bit-array — hard cap
@@ -205,3 +205,19 @@ def bloom_semi_join(
     )
     survivors = maybe.join(ref_keys, on, "left_anti")
     return definite_out.unionByName(survivors)
+
+
+def save_bloom(spark, bf: BloomFilter, path: str) -> None:
+    """Persist the filter as a one-row parquet (header + bit array as
+    binary) — the daily-increment loop's state artifact, readable by
+    any Spark session regardless of driver memory layout."""
+    spark.createDataFrame(
+        [(bytearray(bf.to_bytes()),)], "payload binary"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bloom(spark, path: str) -> BloomFilter:
+    rows = spark.read.parquet(path).collect()
+    if len(rows) != 1:
+        raise ValueError(f"bloom state at {path!r} has {len(rows)} rows")
+    return BloomFilter.from_bytes(bytes(rows[0]["payload"]))

@@ -176,3 +176,26 @@ class TestMath:
         assert m >= 64 and k >= 1
         m, _ = _size(10**12, 0.001)
         assert m == 1 << 31  # capped
+
+
+class TestPersistence:
+    def test_save_load_round_trip(self, spark, tmp_path):
+        from data_governance_spark.operators.bloom import (
+            load_bloom,
+            save_bloom,
+        )
+
+        ref = spark.range(500).selectExpr("CAST(id * 3 AS STRING) AS key")
+        bf = bloom_build(ref, "key", fpr=0.01)
+        p = str(tmp_path / "bloom_state")
+        save_bloom(spark, bf, p)
+        bf2 = load_bloom(spark, p)
+        assert (bf2.bits == bf.bits).all()
+        assert (bf2.m, bf2.k, bf2.n_added) == (bf.m, bf.k, bf.n_added)
+        # the loaded filter drives the same exact composition
+        corpus = spark.range(100).selectExpr("CAST(id AS STRING) AS key")
+        a = {r["key"] for r in bloom_semi_join(
+            corpus, ref, "key", bf=bf).collect()}
+        b = {r["key"] for r in bloom_semi_join(
+            corpus, ref, "key", bf=bf2).collect()}
+        assert a == b
