@@ -42,8 +42,9 @@ PARA = (
 
 
 def office_variants():
-    from test_archives import make_tar
-    from test_office import make_docx, make_epub, make_pptx, make_xlsx
+    from test_doc import word_doc
+    from test_office import make_docx, make_epub, make_odt, make_pptx, \
+        make_xlsx
 
     docx = make_docx(
         "".join(
@@ -87,6 +88,13 @@ def office_variants():
         + "\\par ".join(f"{PARA}rtf paragraph {i}" for i in range(20))
         + "\\par}"
     ).encode()
+    odt = make_odt(
+        "".join(f"<text:p>{PARA}odt paragraph {i}</text:p>"
+                for i in range(20))
+    )
+    doc = word_doc(
+        [(f"{PARA}doc piece {i}. ", i % 2 == 0) for i in range(20)]
+    )
     garbage = b"PK\x03\x04 not really a zip " + bytes(range(256)) * 8
     return [
         ("docx", docx),
@@ -94,6 +102,8 @@ def office_variants():
         ("pptx", pptx),
         ("epub", epub),
         ("rtf", rtf),
+        ("odt", odt),
+        ("doc", doc),
         ("garbage", garbage),
     ]
 
@@ -178,7 +188,7 @@ def main():
             f"  {r['kind']}: {r['n']} docs, quarantined "
             f"{r['quarantined']}, {r['chars'] or 0} chars"
         )
-    for kind in ("docx", "rtf", "epub"):
+    for kind in ("docx", "rtf", "epub", "doc"):
         sub = docs.filter(F.col("kind") == kind)
         n_sub = sub.count()
         t0 = time.time()
