@@ -57,11 +57,20 @@ doc       legacy Word binary over a real [MS-CFB] reader
           (``operators/cfb.py``): FIB → 0Table/1Table per
           ``fWhichTblStm`` → Clx/Pcdt piece table → cp1252-compressed
           and UTF-16LE pieces, cut at ``ccpText`` (main body only);
-          ``fEncrypted`` raises typed.  Legacy .xls/.ppt and ECMA-376
-          encrypted OOXML (CFB with ``EncryptionInfo``) stay typed
-          :class:`OfficeUnsupportedError`/:class:`OfficeEncryptedError`
-          (no stdlib-feasible validated decoder — same honesty rule
-          as the MP3/H.264 codec boundaries).
+          ``fEncrypted`` raises typed.
+xls       legacy Excel binary (BIFF8, [MS-XLS]): SST shared strings
+          incl. the CONTINUE split rule (fresh compression flag at
+          every record boundary), LABELSST/NUMBER/RK/MULRK/LABEL
+          cells in stream order; FILEPASS encryption and BIFF5
+          ('Book') raise typed.
+ppt       legacy PowerPoint binary ([MS-PPT]): the record tree of
+          the PowerPoint Document stream walked for
+          TextCharsAtom/TextBytesAtom/CString leaves;
+          CryptSession10 raises typed.
+…         ECMA-376 encrypted OOXML (CFB with ``EncryptionInfo``)
+          stays typed :class:`OfficeEncryptedError`; zstd-class
+          gaps keep the same honesty rule as the MP3/H.264 codec
+          boundaries.
 ========  ==========================================================
 
 Reference parity note: the reference system (bireme/data-governance)
@@ -76,6 +85,7 @@ import html as _htmlmod
 import io
 import posixpath
 import re
+import struct
 import zipfile
 import xml.etree.ElementTree as ET
 
@@ -98,6 +108,8 @@ __all__ = [
     "epub_text",
     "rtf_text",
     "doc_text",
+    "xls_text",
+    "ppt_text",
     "office_text_column",
     "extract_office_text",
 ]
@@ -230,14 +242,15 @@ def office_format(data: bytes) -> str:
             )
         if cf.has("WordDocument"):
             return "doc"
-        if cf.has("Workbook") or cf.has("Book"):
+        if cf.has("Workbook"):
+            return "xls"
+        if cf.has("Book"):
             raise OfficeUnsupportedError(
-                "legacy .xls (BIFF) — binary Excel is out of scope"
+                "BIFF5 .xls ('Book' stream) is out of scope — BIFF8 "
+                "('Workbook') decodes"
             )
         if cf.has("PowerPoint Document"):
-            raise OfficeUnsupportedError(
-                "legacy .ppt — binary PowerPoint is out of scope"
-            )
+            return "ppt"
         raise OfficeUnsupportedError(
             "OLE compound document without a recognized document stream"
         )
@@ -998,6 +1011,273 @@ def doc_text(data: bytes) -> str:
 
 
 # ===================================================================
+# PPT — legacy PowerPoint binary ([MS-PPT] record walk over [MS-CFB])
+# ===================================================================
+_PPT_TEXTCHARS = 0x0FA0   # UTF-16LE text atom
+_PPT_TEXTBYTES = 0x0FA8   # 8-bit (cp1252) text atom
+_PPT_CSTRING = 0x0FBA     # UTF-16LE CString (titles, notes)
+_PPT_CRYPT = 0x2F14       # CryptSession10Container -> encrypted
+
+
+def ppt_text(data: bytes) -> str:
+    """Text atoms of a legacy .ppt: the PowerPoint Document stream is
+    a tree of 8-byte-headed records ([MS-PPT] §2.3 RecordHeader);
+    containers (recVer 0xF) nest, and the text lives in
+    TextCharsAtom (UTF-16LE) / TextBytesAtom (cp1252) / CString
+    leaves — collected in stream order, one line each.  A
+    CryptSession10Container raises typed; truncated record tails keep
+    the text parsed so far (crawl tolerance)."""
+    from data_governance_spark.operators.cfb import CfbError, CfbFile
+
+    try:
+        cf = CfbFile(data)
+        stream = cf.read("PowerPoint Document")
+    except CfbError as e:
+        raise OfficeParseError(f"broken OLE container: {e}") from None
+    texts: list[str] = []
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        if depth > 64:
+            raise OfficeParseError("ppt record nesting too deep")
+        pos = lo
+        while pos + 8 <= hi:
+            verinst = int.from_bytes(stream[pos : pos + 2], "little")
+            rectype = int.from_bytes(stream[pos + 2 : pos + 4], "little")
+            reclen = int.from_bytes(stream[pos + 4 : pos + 8], "little")
+            body_lo = pos + 8
+            body_hi = body_lo + reclen
+            if body_hi > hi:
+                return  # truncated tail: keep what parsed
+            if rectype == _PPT_CRYPT:
+                raise OfficeEncryptedError(
+                    "encrypted .ppt (CryptSession10) is quarantined"
+                )
+            if verinst & 0xF == 0xF:  # container
+                walk(body_lo, body_hi, depth + 1)
+            elif rectype in (_PPT_TEXTCHARS, _PPT_CSTRING):
+                texts.append(
+                    stream[body_lo:body_hi].decode(
+                        "utf-16-le", errors="replace"
+                    )
+                )
+            elif rectype == _PPT_TEXTBYTES:
+                texts.append(
+                    stream[body_lo:body_hi].decode(
+                        "cp1252", errors="replace"
+                    )
+                )
+            pos = body_hi
+
+    walk(0, len(stream), 0)
+    out = "\n".join(texts)
+    return out.translate({0x0D: "\n", 0x0B: "\n"})
+
+
+# ===================================================================
+# XLS — legacy Excel binary (BIFF8, [MS-XLS] over [MS-CFB])
+# ===================================================================
+def _rk_number(rk: int) -> float:
+    """RkNumber ([MS-XLS] §2.5.217): bit0 = /100, bit1 = 30-bit int
+    vs truncated-double payload."""
+    div100 = rk & 1
+    if rk & 2:
+        v = rk >> 2
+        if v & (1 << 29):  # sign-extend the 30-bit int
+            v -= 1 << 30
+        val = float(v)
+    else:
+        val = struct.unpack("<d", b"\0\0\0\0" + struct.pack(
+            "<I", rk & 0xFFFFFFFC))[0]
+    return val / 100.0 if div100 else val
+
+
+def _num_str(v: float) -> str:
+    """Stored-value rendering matched to xlsx_text's raw-value rule:
+    integral doubles print without the trailing .0."""
+    return str(int(v)) if v == int(v) and abs(v) < 1e15 else repr(v)
+
+
+def _biff_records(stream: bytes):
+    pos = 0
+    n = len(stream)
+    while pos + 4 <= n:
+        rid = int.from_bytes(stream[pos : pos + 2], "little")
+        rlen = int.from_bytes(stream[pos + 2 : pos + 4], "little")
+        if pos + 4 + rlen > n:
+            return  # truncated tail
+        yield rid, stream[pos + 4 : pos + 4 + rlen]
+        pos += 4 + rlen
+
+
+def _parse_sst(body: bytes, continues: list[bytes]) -> list[str]:
+    """XLUnicodeRichExtendedString array ([MS-XLS] §2.5.293) with the
+    CONTINUE-record rule: a string may split across records, and at
+    every continuation boundary a FRESH grpbit byte restates the
+    compression of the following chars."""
+    chunks = [body] + continues
+    ci = 0
+    pos = 8  # cstTotal + cstUnique
+    out: list[str] = []
+
+    def u8() -> int:
+        nonlocal ci, pos
+        while pos >= len(chunks[ci]):
+            ci += 1
+            pos = 0
+            if ci >= len(chunks):
+                raise OfficeParseError("SST truncated")
+        b = chunks[ci][pos]
+        pos += 1
+        return b
+
+    def u16() -> int:
+        return u8() | (u8() << 8)
+
+    def u32() -> int:
+        return u16() | (u16() << 16)
+
+    def chars(cch: int, high: bool) -> str:
+        nonlocal ci, pos
+        parts: list[str] = []
+        remaining = cch
+        while remaining:
+            if pos >= len(chunks[ci]):
+                ci += 1
+                pos = 0
+                if ci >= len(chunks):
+                    raise OfficeParseError("SST string truncated")
+                # a continuation restates the compression flag
+                high = bool(u8() & 1)
+            avail = len(chunks[ci]) - pos
+            width = 2 if high else 1
+            take = min(remaining, avail // width)
+            if take == 0:
+                # a 2-byte char split across records cannot happen per
+                # spec (boundaries are char-aligned) — treat as corrupt
+                raise OfficeParseError("SST char split across records")
+            raw = chunks[ci][pos : pos + take * width]
+            pos += take * width
+            parts.append(
+                raw.decode("utf-16-le" if high else "latin-1",
+                           errors="replace")
+            )
+            remaining -= take
+        return "".join(parts)
+
+    while True:
+        # stop when every chunk is exhausted
+        if ci >= len(chunks) - 1 and pos >= len(chunks[-1]):
+            break
+        try:
+            cch = u16()
+            grp = u8()
+        except OfficeParseError:
+            break
+        high = bool(grp & 0x01)
+        ext = bool(grp & 0x04)
+        rich = bool(grp & 0x08)
+        c_run = u16() if rich else 0
+        cb_ext = u32() if ext else 0
+        out.append(chars(cch, high))
+        for _ in range(c_run * 4):
+            u8()
+        for _ in range(cb_ext):
+            u8()
+    return out
+
+
+def xls_text(data: bytes) -> str:
+    """Cell text of a legacy .xls (BIFF8): SST shared strings (incl.
+    the CONTINUE split rule), LABELSST / NUMBER / RK / MULRK / LABEL
+    cells in stream order — tab-joined within a row, rows
+    newline-joined, matching :func:`xlsx_text`'s stored-value
+    discipline.  FILEPASS (encryption) raises typed; a 'Book' stream
+    (BIFF5) raises typed unsupported."""
+    from data_governance_spark.operators.cfb import CfbError, CfbFile
+
+    try:
+        cf = CfbFile(data)
+        if not cf.has("Workbook") and cf.has("Book"):
+            raise OfficeUnsupportedError(
+                "BIFF5 (.xls 'Book' stream) is out of scope — BIFF8 "
+                "('Workbook') decodes"
+            )
+        stream = cf.read("Workbook")
+    except CfbError as e:
+        raise OfficeParseError(f"broken OLE container: {e}") from None
+    # pass 1: SST (with its CONTINUE records)
+    sst: list[str] = []
+    recs = list(_biff_records(stream))
+    for i, (rid, body) in enumerate(recs):
+        if rid == 0x002F:  # FilePass
+            raise OfficeEncryptedError(
+                "encrypted .xls (FilePass) is quarantined"
+            )
+        if rid == 0x00FC:  # SST
+            cont: list[bytes] = []
+            for rid2, body2 in recs[i + 1 :]:
+                if rid2 != 0x003C:  # Continue
+                    break
+                cont.append(body2)
+            sst = _parse_sst(body, cont)
+    # pass 2: cells in stream order
+    lines: list[str] = []
+    row_cells: list[str] = []
+    cur_row = None
+
+    def flush():
+        nonlocal row_cells
+        if row_cells:
+            lines.append("\t".join(row_cells))
+            row_cells = []
+
+    def cell(rw: int, text: str):
+        nonlocal cur_row
+        if rw != cur_row:
+            flush()
+            cur_row = rw
+        row_cells.append(text)
+
+    for rid, body in recs:
+        try:
+            if rid == 0x00FD and len(body) >= 10:  # LabelSst
+                rw = int.from_bytes(body[0:2], "little")
+                isst = int.from_bytes(body[6:10], "little")
+                if not 0 <= isst < len(sst):
+                    raise OfficeParseError(
+                        f"LabelSst index {isst} out of range"
+                    )
+                cell(rw, sst[isst])
+            elif rid == 0x0203 and len(body) >= 14:  # Number
+                rw = int.from_bytes(body[0:2], "little")
+                cell(rw, _num_str(
+                    struct.unpack("<d", body[6:14])[0]))
+            elif rid == 0x027E and len(body) >= 10:  # RK
+                rw = int.from_bytes(body[0:2], "little")
+                cell(rw, _num_str(_rk_number(
+                    int.from_bytes(body[6:10], "little"))))
+            elif rid == 0x00BD and len(body) >= 12:  # MulRk
+                rw = int.from_bytes(body[0:2], "little")
+                n_cells = (len(body) - 6) // 6
+                for j in range(n_cells):
+                    off = 4 + 6 * j + 2
+                    cell(rw, _num_str(_rk_number(
+                        int.from_bytes(body[off : off + 4], "little"))))
+            elif rid == 0x0204 and len(body) >= 9:  # Label (inline)
+                rw = int.from_bytes(body[0:2], "little")
+                cch = int.from_bytes(body[6:8], "little")
+                high = body[8] & 1
+                raw = body[9 : 9 + cch * (2 if high else 1)]
+                cell(rw, raw.decode(
+                    "utf-16-le" if high else "latin-1",
+                    errors="replace"))
+        except struct.error:
+            raise OfficeParseError(f"corrupt BIFF record {rid:#x}")
+    flush()
+    return "\n".join(lines)
+
+
+# ===================================================================
 # dispatcher + Spark surface
 # ===================================================================
 _EXTRACTORS = {
@@ -1008,6 +1288,8 @@ _EXTRACTORS = {
     "epub": epub_text,
     "rtf": rtf_text,
     "doc": doc_text,
+    "xls": xls_text,
+    "ppt": ppt_text,
 }
 
 

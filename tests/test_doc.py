@@ -307,12 +307,15 @@ class TestDocText:
             office_text(d)
 
     def test_legacy_xls_ppt_and_ecma_encrypted(self):
-        xls = build_cfb([("Workbook", b"\x09\x08" + b"\0" * 100)])
-        with pytest.raises(OfficeUnsupportedError, match="xls"):
-            office_text(xls)
+        # Workbook/PowerPoint Document streams now EXTRACT (BIFF8 /
+        # record walk; empty content -> empty text); BIFF5 stays typed
+        xls = build_cfb([("Workbook", b"\x09\x08\x00\x00" + b"\0" * 16)])
+        assert office_text(xls) == ""
+        b5 = build_cfb([("Book", b"\x09\x00\x04\x00\0\0\0\0")])
+        with pytest.raises(OfficeUnsupportedError, match="BIFF5"):
+            office_text(b5)
         ppt = build_cfb([("PowerPoint Document", b"\0" * 64)])
-        with pytest.raises(OfficeUnsupportedError, match="ppt"):
-            office_text(ppt)
+        assert office_text(ppt) == ""
         enc = build_cfb(
             [("EncryptionInfo", b"\x04\x00\x02\x00" + b"\0" * 40),
              ("EncryptedPackage", b"\0" * 64)]

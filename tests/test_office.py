@@ -532,13 +532,15 @@ class TestRtf:
 # ===================================================================
 class TestContainer:
     def test_cfb_legacy_and_encrypted(self):
-        # real containers via the test_doc CFB writer: .doc now
-        # EXTRACTS (see test_doc.py); xls/ppt/ECMA-376-encrypted stay
-        # typed; structurally-broken CFB is a parse error
+        # real containers via the test_doc CFB writer: .doc/.xls/.ppt
+        # all EXTRACT now (see test_doc.py / test_legacy_xls_ppt.py);
+        # ECMA-376-encrypted stays typed; structurally-broken CFB is a
+        # parse error
         from tests.test_doc import build_cfb
 
-        with pytest.raises(OfficeUnsupportedError, match="xls"):
-            office_text(build_cfb([("Workbook", b"\x09\x08\x10\x00")]))
+        assert office_format(
+            build_cfb([("Workbook", b"\x09\x08\x00\x00")])
+        ) == "xls"
         enc = build_cfb(
             [("EncryptionInfo", b"\x04\x00\x02\x00" + b"\0" * 40)]
         )
