@@ -1164,15 +1164,15 @@ def _parse_sst(body: bytes, continues: list[bytes]) -> list[str]:
             remaining -= take
         return "".join(parts)
 
-    while True:
-        # stop when every chunk is exhausted
-        if ci >= len(chunks) - 1 and pos >= len(chunks[-1]):
-            break
-        try:
-            cch = u16()
-            grp = u8()
-        except OfficeParseError:
-            break
+    cst_unique = int.from_bytes(body[4:8], "little") if len(body) >= 8 \
+        else 0
+    if cst_unique > 1_000_000:
+        raise OfficeParseError(f"SST declares {cst_unique} strings")
+    # exactly cstUnique strings — parsing to exhaustion would turn
+    # trailing padding into ghost strings (review finding)
+    for _ in range(cst_unique):
+        cch = u16()
+        grp = u8()
         high = bool(grp & 0x01)
         ext = bool(grp & 0x04)
         rich = bool(grp & 0x08)

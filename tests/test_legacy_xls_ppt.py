@@ -257,3 +257,38 @@ def test_gate_payload_pin():
             f"q41 'office' planted payload {key} drifted"
         )
         assert getattr(g, f"_OFFICE_{key.upper()}_TEXT") == want
+
+
+class TestSstBounds:
+    def test_trailing_padding_not_ghost_strings(self):
+        # cstUnique bounds the parse — trailing junk after the last
+        # string must not fabricate entries (review finding)
+        body = struct.pack("<ii", 1, 1)
+        body += struct.pack("<HB", 2, 1) + "ok".encode("utf-16-le")
+        body += b"\x00" * 12  # padding that LOOKS like another header
+        wb = (brec(0x0809, struct.pack("<HHHHI", 0x0600, 5, 0, 0, 0))
+              + brec(0x00FC, body) + labelsst(0, 0, 0)
+              + brec(0x000A, b""))
+        x = build_cfb([("Workbook", wb)])
+        assert xls_text(x) == "ok"
+        # and an index into the ghost region is typed out-of-range
+        wb2 = (brec(0x0809, struct.pack("<HHHHI", 0x0600, 5, 0, 0, 0))
+               + brec(0x00FC, body) + labelsst(0, 0, 1)
+               + brec(0x000A, b""))
+        with pytest.raises(OfficeParseError, match="out of range"):
+            xls_text(build_cfb([("Workbook", wb2)]))
+
+    def test_huge_cst_unique_typed(self):
+        body = struct.pack("<ii", 2_000_000, 2_000_000)
+        wb = (brec(0x0809, struct.pack("<HHHHI", 0x0600, 5, 0, 0, 0))
+              + brec(0x00FC, body) + brec(0x000A, b""))
+        with pytest.raises(OfficeParseError, match="declares"):
+            xls_text(build_cfb([("Workbook", wb)]))
+
+    def test_declared_more_than_present_typed(self):
+        body = struct.pack("<ii", 3, 3)
+        body += struct.pack("<HB", 2, 1) + "ab".encode("utf-16-le")
+        wb = (brec(0x0809, struct.pack("<HHHHI", 0x0600, 5, 0, 0, 0))
+              + brec(0x00FC, body) + brec(0x000A, b""))
+        with pytest.raises(OfficeParseError, match="SST"):
+            xls_text(build_cfb([("Workbook", wb)]))
