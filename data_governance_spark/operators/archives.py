@@ -58,6 +58,7 @@ __all__ = [
     "ArchiveParseError",
     "ArchiveBombError",
     "ArchiveEncryptedError",
+    "ArchiveUnsupportedError",
     "archive_format",
     "archive_members",
     "explode_archives",
@@ -80,6 +81,24 @@ class ArchiveEncryptedError(ArchiveError):
     """Encrypted member (traditional PKZIP flag or AES extra)."""
 
 
+class ArchiveUnsupportedError(ArchiveError):
+    """RECOGNIZED format this build cannot decode (rar, 7z, zstd) —
+    distinct from :class:`ArchiveParseError` so corpus triage can
+    count the format boundary instead of lumping it with garbage
+    (mirrors the codec boundary in ``multimodal.py``).  ``.format``
+    names the detected container; the Spark surface surfaces it as
+    ``ArchiveUnsupportedError:<format>`` in the ``err`` column.
+
+    Why the boundary: rar and 7z have no stdlib decoder (rar is
+    proprietary; 7z's container is LZMA-based but the archive
+    structure is its own spec), and zstd has no stdlib binding on
+    Python 3.11.  Typed-and-named keeps the quarantine honest."""
+
+    def __init__(self, fmt: str):
+        super().__init__(f"unsupported archive format: {fmt}")
+        self.format = fmt
+
+
 _MAX_TOTAL = 256 * 1024 * 1024
 _MAX_MEMBER = 128 * 1024 * 1024
 _MAX_MEMBERS = 10_000
@@ -87,6 +106,14 @@ _MAX_MEMBERS = 10_000
 _GZIP_MAGIC = b"\x1f\x8b"
 _BZ2_MAGIC = b"BZh"
 _XZ_MAGIC = b"\xfd7zXZ\x00"
+
+# recognized-but-undecodable container magics → ArchiveUnsupportedError
+_UNSUPPORTED_MAGICS = (
+    (b"Rar!\x1a\x07\x01\x00", "rar5"),   # RAR 5.0 (check before 4.x)
+    (b"Rar!\x1a\x07\x00", "rar"),        # RAR 1.5–4.x
+    (b"7z\xbc\xaf\x27\x1c", "7z"),
+    (b"\x28\xb5\x2f\xfd", "zstd"),       # RFC 8878 frame magic
+)
 
 
 def archive_format(data: bytes) -> str:
@@ -104,6 +131,9 @@ def archive_format(data: bytes) -> str:
         return "xz"
     if _is_tar(data):
         return "tar"
+    for magic, fmt in _UNSUPPORTED_MAGICS:
+        if data[: len(magic)] == magic:
+            raise ArchiveUnsupportedError(fmt)
     raise ArchiveParseError("not a recognized archive")
 
 
@@ -236,7 +266,13 @@ def _zip_members(data: bytes) -> list[dict]:
         # fields at CONSTRUCTION time, not just per-member
         raise ArchiveParseError(f"bad zip: {e}") from None
     with zf:
-        infos = [zi for zi in zf.infolist() if not zi.is_dir()]
+        # NOT ZipInfo.is_dir(): on Python 3.11 it does filename[-1] and
+        # raises an untyped IndexError for a zero-length member filename
+        # (hostile central directory; fixed upstream in 3.12).
+        infos = [
+            zi for zi in zf.infolist()
+            if zi.filename and not zi.filename.endswith("/")
+        ]
         if len(infos) > _MAX_MEMBERS:
             raise ArchiveBombError(f"{len(infos)} members")
         declared = sum(zi.file_size for zi in infos)
@@ -374,6 +410,12 @@ def explode_archives(
                     continue
                 try:
                     recs = archive_members(bytes(c))
+                except ArchiveUnsupportedError as e:
+                    # name the format so triage can count rar vs 7z
+                    # vs zstd separately
+                    base["err"] = f"{type(e).__name__}:{e.format}"
+                    rows.append(base)
+                    continue
                 except ArchiveError as e:
                     base["err"] = type(e).__name__
                     rows.append(base)

@@ -390,8 +390,23 @@ def _rels(zf: zipfile.ZipFile, part: str) -> dict:
 
 
 def _si_text(si) -> str:
-    # a shared-string item is either one <t> or rich runs <r><t>…
-    return "".join(t.text or "" for t in si.iter(_S + "t"))
+    """Text of one shared-string item: one ``<t>`` or rich runs
+    ``<r><t>…`` — but NOT ``<rPh>``/``<phoneticPr>`` subtrees, whose
+    ``<t>`` nodes are furigana reading hints that would duplicate the
+    text of Japanese workbooks (r12 ADVICE)."""
+    skip = (_S + "rPh", _S + "phoneticPr")
+    out: list[str] = []
+    stack = [si]
+    while stack:
+        el = stack.pop()
+        if el.tag in skip:
+            continue
+        if el.tag == _S + "t":
+            out.append(el.text or "")
+            continue
+        # children in reverse so the pop order is document order
+        stack.extend(reversed(list(el)))
+    return "".join(out)
 
 
 def xlsx_text(data: bytes) -> str:

@@ -50,8 +50,21 @@ def pagerank(
     nodes: DataFrame | None = None,
     node_col: str = "id",
     checkpoint_every: int = 8,
+    info: dict | None = None,
 ) -> DataFrame:
-    """``(id, rank)`` for every node; ranks sum to 1."""
+    """``(id, rank)`` for every node; ranks sum to 1.
+
+    The returned DataFrame is persisted (StorageLevel MEMORY_AND_DISK
+    via ``persist``/``localCheckpoint``) — iterating without caching
+    the final state would replay the whole chain on first use.  THE
+    CALLER OWNS ``result.unpersist()`` once done with it; long-lived
+    sessions that drop the reference without unpersisting leak
+    executor cache (r12 ADVICE).
+
+    ``info``: optional caller-supplied dict, filled with
+    ``iterations`` (actually run) and ``final_delta`` (last measured
+    max per-node change; None unless ``tol`` is set) — the numbers a
+    tol-mode caller wants for logging without re-deriving them."""
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0,1), got {damping}")
     if iterations < 1:
@@ -69,7 +82,9 @@ def pagerank(
     node_ids = node_ids.distinct().persist()
     n = node_ids.count()
     if n == 0:
-        return node_ids.withColumn("rank", F.lit(0.0))
+        empty = node_ids.withColumn("rank", F.lit(0.0)).localCheckpoint()
+        node_ids.unpersist()  # zero rows: nothing worth caching
+        return empty
     # pre-weight edges once: contribution share = 1/outdeg(src)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     weighted = (
@@ -78,8 +93,13 @@ def pagerank(
         .persist()
     )
     base = (1.0 - damping) / n
+    done = 0
+    last_delta: float | None = None
     ranks = node_ids.withColumn("rank", F.lit(1.0 / n)).persist()
-    srcs = deg.select(F.col("src").alias("id"))
+    # persisted: the dangling-mass left-anti join probes this EVERY
+    # iteration — unpersisted it would recompute edges.distinct() +
+    # the degree aggregate each time (r12 ADVICE)
+    srcs = deg.select(F.col("src").alias("id")).persist()
     for it in range(iterations):
         dangling = (
             ranks.join(srcs, "id", "left_anti")
@@ -116,6 +136,7 @@ def pagerank(
             # every iteration would replay the whole chain back to the
             # last checkpoint (O(iterations^2) work, review-caught)
             new_ranks.count()
+        done = it + 1
         if tol is not None:
             delta = (
                 new_ranks.alias("a")
@@ -123,6 +144,7 @@ def pagerank(
                 .agg(F.max(F.abs(F.col("a.rank") - F.col("b.rank"))))
                 .collect()[0][0]
             )
+            last_delta = delta
             ranks.unpersist()
             ranks = new_ranks
             if delta is not None and delta < tol:
@@ -130,6 +152,10 @@ def pagerank(
         else:
             ranks.unpersist()
             ranks = new_ranks
+    if info is not None:
+        info["iterations"] = done
+        info["final_delta"] = last_delta
     weighted.unpersist()
+    srcs.unpersist()
     node_ids.unpersist()
     return ranks

@@ -117,10 +117,18 @@ def filter_url_patterns(
     per row however long the list. URL-less (NULL) documents are
     kept (nothing to match).
 
-    Limitation (stated): the alternation renumbers capture groups, so
-    patterns using NUMBERED BACKREFERENCES (``(x)\\1``) break when
-    combined — use named groups with named backreferences
-    (``(?<a>x)\\k<a>``) or call this once per such pattern."""
+    Limitations (stated — both stem from combining user regexes into
+    ONE alternation, which Java regex cannot isolate per-branch):
+
+    - NUMBERED BACKREFERENCES (``(x)\\1``) break when combined (the
+      alternation renumbers capture groups) — use named groups with
+      named backreferences (``(?<a>x)\\k<a>``) or call this once per
+      such pattern.
+    - INLINE FLAGS such as ``(?i)`` apply from that point to the END
+      of the combined expression in Java regex, silently changing the
+      matching of every pattern listed AFTER the one that set the
+      flag.  Scope flags explicitly (``(?i:...)``) or put flag-setting
+      patterns in their own call (r12 ADVICE)."""
     if not patterns:
         return docs
     alternation = "(?:" + ")|(?:".join(patterns) + ")"

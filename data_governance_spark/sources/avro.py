@@ -682,7 +682,16 @@ def avro_shards(
     compose the payload rows with whatever writer owns your storage
     (``foreachPartition`` + an FS client, an uploader job, or
     :func:`write_avro_files` for local paths).  Tune batch size with
-    ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+
+    **NaN coercion (stated, lossy):** rows cross to Python as
+    Arrow/pandas batches, where a float column represents SQL NULL as
+    NaN — NULL and a genuine NaN are indistinguishable at that point.
+    Both are written as Avro ``null``; a double column containing real
+    NaN values does NOT round-trip them (they come back as NULL).
+    Corpora that must preserve NaN-vs-NULL should encode the
+    distinction explicitly (e.g. a boolean companion column) before
+    this sink (r12 ADVICE)."""
     import pyspark.sql.types as T_
 
     schema = spark_to_avro_schema(df.schema, name=name)
@@ -716,7 +725,9 @@ def write_avro_files(df: DataFrame, path: str, codec: str = "deflate",
     through the driver (``toLocalIterator`` — one shard in memory at
     a time, never a full collect) into ``path/part-<i>.avro``.
     Returns the shard count.  For cluster storage compose
-    :func:`avro_shards` with your FS client instead (stated)."""
+    :func:`avro_shards` with your FS client instead (stated).
+    Inherits :func:`avro_shards`' NaN→null coercion for float/double
+    columns (see its docstring)."""
     import os
 
     os.makedirs(path, exist_ok=True)

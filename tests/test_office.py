@@ -302,6 +302,21 @@ class TestXlsx:
         assert office_format(x) == "xlsx"
         assert xlsx_text(x) == "plain\t42.5\ninl\trich run"
 
+    def test_phonetic_runs_not_duplicated(self):
+        """<rPh> furigana hints inside a shared-string item are
+        reading metadata, not content — their <t> nodes must not be
+        appended to the cell text (r12 ADVICE: Japanese workbooks were
+        extracting '東京とうきょう')."""
+        x = make_xlsx(
+            ['<row><c t="s"><v>0</v></c></row>'],
+            shared_xml=(
+                "<si><t>東京</t>"
+                '<rPh sb="0" eb="2"><t>とうきょう</t>'
+                "</rPh><phoneticPr fontId=\"1\"/></si>"
+            ),
+        )
+        assert xlsx_text(x) == "東京"
+
     def test_workbook_order_not_zip_order(self):
         x = make_xlsx(
             ["<row><c><v>first</v></c></row>",

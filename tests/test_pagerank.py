@@ -113,6 +113,21 @@ class TestKnobs:
         for k in long:
             assert abs(long[k] - tol[k]) < 1e-9
 
+    def test_info_reports_iterations_and_delta(self, spark):
+        edges = [(i, (i * 3) % 11) for i in range(11) if i % 5 != 0]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        info: dict = {}
+        r = pagerank(df, iterations=200, tol=1e-10, info=info)
+        r.unpersist()
+        # a tiny graph converges long before the 200-iteration budget
+        assert 1 <= info["iterations"] < 200
+        assert info["final_delta"] is not None
+        assert info["final_delta"] < 1e-10
+        # fixed-iteration mode: iterations echoed, delta not measured
+        info2: dict = {}
+        pagerank(df, iterations=3, info=info2).unpersist()
+        assert info2 == {"iterations": 3, "final_delta": None}
+
     def test_validation(self, spark):
         df = spark.createDataFrame([(0, 1)], "src long, dst long")
         with pytest.raises(ValueError, match="damping"):

@@ -723,7 +723,7 @@ def test_corrupt_cmap_tokens_degrade_not_crash():
     assert isinstance(out, str)
 
 
-def test_adversarial_bfrange_is_time_bounded():
+def test_adversarial_bfrange_is_time_bounded(time_budget):
     """A lying bfrange hi bound (<FFFFFFFFFFFF>) must be capped, not
     iterated — one crawled file must not pin an executor core."""
     import time
@@ -742,7 +742,10 @@ def test_adversarial_bfrange_is_time_bounded():
     )
     t0 = time.time()
     assert pdf_text(pdf) == "A"  # range base maps code 0 -> U+0041
-    assert time.time() - t0 < 5.0
+    # load-calibrated bound: guards the unbounded-bfrange blow-up
+    # (minutes), not steady-state speed — must not flake on a loaded
+    # host (r12: a 10 s sibling bound read 23 s under contention)
+    assert time.time() - t0 < time_budget(30.0)
 
 
 def test_deep_nesting_never_recursionerror():
@@ -852,7 +855,7 @@ def test_flate_with_png_predictor():
     )
 
 
-def test_lzw_table_cap_bounds_adversarial_memory():
+def test_lzw_table_cap_bounds_adversarial_memory(time_budget):
     """A clear-free stream must not grow table entries past the 12-bit
     spec ceiling (4096) — uncapped, an adversarial stream grows one
     byte per code FOREVER (quadratic memory, executor OOM). A long
@@ -865,7 +868,10 @@ def test_lzw_table_cap_bounds_adversarial_memory():
     data = bytes((i * 7 + (i >> 3)) & 0xFF for i in range(200_000))
     t0 = time.time()
     assert _lzw_decode(lzw_encode(data)) == data
-    assert time.time() - t0 < 10.0
+    # load-calibrated: the uncapped-table regression this guards is
+    # quadratic (minutes on this input); 3 s isolated, but r12 measured
+    # 23 s under full-suite host contention — don't flake on load
+    assert time.time() - t0 < time_budget(50.0)
     # adversarial: max-width codes climbing without a clear — decode
     # must stay bounded (entries stop growing at 4096) and return/raise
     # typed quickly rather than ballooning
@@ -896,7 +902,9 @@ def test_lzw_table_cap_bounds_adversarial_memory():
         assert len(out) < 200_000_000  # bounded, not quadratic blow-up
     except PdfError:
         pass
-    assert time.time() - t0 < 10.0
+    # the size assert above is the real guard; the time bound only
+    # catches a pathological slowdown — keep it load-calibrated
+    assert time.time() - t0 < time_budget(50.0)
 
 
 @settings(max_examples=150, deadline=None)
