@@ -37,19 +37,32 @@ What decodes for REAL:
   WinAnsi/MacRoman/Standard base encodings with ``/Differences``
   glyph-name mapping (AGL subset + ``uniXXXX``).
 
-- **Encryption**: the standard security handler's rev 2/3 RC4 tier
-  with the EMPTY user password decrypts for real (``hashlib.md5`` key
-  derivation per ISO 32000-1 Algorithms 1/2, /U authentication per
-  Algorithms 4/5/6, strings + streams decrypted in place before the
-  filter chain) — the overwhelmingly common case in crawled corpora,
-  where ``/Encrypt`` exists only to carry permission bits.
+- **Encryption**: the standard security handler with the EMPTY user
+  password decrypts for real across all its public revisions — the
+  overwhelmingly common crawled case, where ``/Encrypt`` exists only
+  to carry permission bits:
+
+  - rev 2/3 RC4 (``hashlib.md5`` key derivation per ISO 32000-1
+    Algorithms 1/2, /U authentication per Algorithms 4/5/6);
+  - rev 4 crypt filters — /CFM ``AESV2`` (AES-128-CBC via the
+    from-spec ``operators/aes.py``, per-object key with the spec's
+    ``sAlT`` suffix) and ``V2`` (RC4 under the V4 wrapper), honoring
+    ``/EncryptMetadata false``;
+  - rev 5/6 ``AESV3`` (AES-256; SHA-256 family authentication —
+    ISO 32000-2 Algorithm 2.B hardened hash for rev 6 — file key
+    unwrapped from /UE or /OE, empty owner password tried when the
+    empty user password fails).
+
+  Strings + streams decrypt in place before the filter chain (stream
+  bodies lazily).
 
 Loud typed boundaries (the VP8L rule — raise, never silently fake):
 
-- ``PdfEncryptedError`` — a REAL password (empty-user-password
-  authentication fails), rev >= 4 / AESV2 / crypt filters, or a
-  non-Standard security handler; the remaining ciphertext cases where
-  any "text" pulled from the stream bytes would be noise.
+- ``PdfEncryptedError`` — a REAL password (neither the empty user nor
+  empty owner password authenticates), a non-Standard security
+  handler, V > 5, or an unknown crypt-filter method; the remaining
+  ciphertext cases where any "text" pulled from the stream bytes
+  would be noise.
 - ``PdfUnsupportedFilterError`` — DCTDecode / JPXDecode / JBIG2Decode /
   CCITTFaxDecode / Crypt on a stream we must read (all raster/crypto
   codecs — never text-layer carriers).
@@ -116,9 +129,10 @@ class PdfParseError(PdfError):
 
 
 class PdfEncryptedError(PdfError):
-    """Undecryptable encryption: a real (non-empty) user password,
-    rev >= 4 / AES / crypt filters, or a non-Standard handler. The
-    rev 2/3 RC4 empty-user-password tier decrypts instead of raising."""
+    """Undecryptable encryption: a real (non-empty) password, a
+    non-Standard handler, V > 5, or an unknown crypt-filter method.
+    The empty-password tiers (rev 2/3 RC4, rev 4 AESV2/V2, rev 5/6
+    AESV3) decrypt instead of raising."""
 
 
 class PdfUnsupportedFilterError(PdfError):
@@ -158,11 +172,11 @@ class _Ref(tuple):
 
 class _Stream:
     """A stream object: its dict plus the raw (still-encoded) bytes.
-    ``enc_key`` carries a pending per-object RC4 key for LAZY body
-    decryption — most streams in an encrypted file (e.g. embedded
-    images during pdf_text) are never read, and the pure-Python RC4
-    pass is the expensive part; access raw through
-    :func:`_stream_raw`."""
+    ``enc_key`` carries a pending per-object ``(cipher, key)`` pair
+    (cipher ``"rc4"`` or ``"aes"``) for LAZY body decryption — most
+    streams in an encrypted file (e.g. embedded images during
+    pdf_text) are never read, and the pure-Python cipher pass is the
+    expensive part; access raw through :func:`_stream_raw`."""
 
     __slots__ = ("d", "raw", "enc_key")
 
@@ -174,7 +188,9 @@ class _Stream:
 
 def _stream_raw(s: "_Stream") -> bytes:
     if s.enc_key is not None:
-        s.raw = _rc4(s.enc_key, s.raw)
+        cipher, key = s.enc_key
+        s.raw = (_rc4(key, s.raw) if cipher == "rc4"
+                 else _aes_decrypt_pdf(key, s.raw))
         s.enc_key = None
     return s.raw
 
@@ -606,12 +622,18 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 
 
 def _std_file_key(
-    password: bytes, o: bytes, p: int, id0: bytes, r: int, nbytes: int
+    password: bytes, o: bytes, p: int, id0: bytes, r: int, nbytes: int,
+    encrypt_metadata: bool = True,
 ) -> bytes:
-    """Algorithm 2: the file encryption key from a (padded) password."""
+    """Algorithm 2: the file encryption key from a (padded) password.
+    For r >= 4 with ``/EncryptMetadata false`` the spec appends
+    0xFFFFFFFF to the hash input (step f)."""
     padded = (password + _ENC_PAD)[:32]
+    tail = b""
+    if r >= 4 and not encrypt_metadata:
+        tail = b"\xff\xff\xff\xff"
     h = hashlib.md5(
-        padded + o[:32] + struct.pack("<I", p & 0xFFFFFFFF) + id0
+        padded + o[:32] + struct.pack("<I", p & 0xFFFFFFFF) + id0 + tail
     ).digest()
     if r >= 3:
         for _ in range(50):
@@ -631,33 +653,84 @@ def _std_user_check(key: bytes, id0: bytes, r: int) -> bytes:
     return u
 
 
-def _std_object_key(key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: the per-object RC4 key. Only the low 3/2 bytes of
+def _std_object_key(key: bytes, num: int, gen: int,
+                    aes: bool = False) -> bytes:
+    """Algorithm 1: the per-object key. Only the low 3/2 bytes of
     num/gen enter the hash (spec), so oversized scanned object numbers
     (the _OBJ_RE pattern allows 10 digits) mask instead of raising an
-    untyped struct.error."""
+    untyped struct.error.  For AESV2 the spec additionally salts the
+    hash with the fixed bytes ``sAlT`` (0x73 41 6C 54)."""
     h = hashlib.md5(
         key
         + struct.pack("<I", num & 0xFFFFFFFF)[:3]
         + struct.pack("<I", gen & 0xFFFFFFFF)[:2]
+        + (b"sAlT" if aes else b"")
     ).digest()
     return h[: min(len(key) + 5, 16)]
 
 
-def _decrypt_val(v, okey: bytes):
+def _aes_decrypt_pdf(key: bytes, data: bytes) -> bytes:
+    """AESV2/AESV3 payload decryption: the first 16 bytes are the IV,
+    the rest is CBC ciphertext with PKCS#5/7 padding.  Hostile-bytes
+    tolerant (this runs inside the quarantine, where raising on one
+    malformed string would lose the document): short/ragged ciphertext
+    truncates to whole blocks, an invalid padding byte is kept rather
+    than mis-stripped."""
+    from .aes import cbc_decrypt
+
+    if len(data) < 32:
+        return b""  # no full ciphertext block behind the IV
+    body = data[16:]
+    body = body[: len(body) - (len(body) % 16)]
+    out = cbc_decrypt(key, data[:16], body)
+    pad = out[-1]
+    if 1 <= pad <= 16 and out.endswith(bytes([pad]) * pad):
+        out = out[:-pad]
+    return out
+
+
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the rev 6 hardened hash): iterated
+    SHA-256/384/512 keyed by an AES-128-CBC pass over 64 repetitions
+    of (password + K + udata); at least 64 rounds, stopping when the
+    last byte of the AES output is <= round - 32."""
+    from .aes import cbc_encrypt
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _decrypt_val(v, str_key, stm_key):
     """Decrypt every string (bytes) and stream body reachable from a
     parsed object value, in place for streams. Names/numbers/refs pass
     through — only strings and stream data are encrypted (ISO 32000-1
-    §7.6.2). Depth is bounded by the parser's own nesting cap."""
+    §7.6.2). Depth is bounded by the parser's own nesting cap.
+
+    ``str_key``/``stm_key`` are per-object ``(cipher, key)`` pairs —
+    separate because V4 crypt filters may set /StrF and /StmF
+    differently (either may be None = Identity)."""
     if isinstance(v, bytes):
-        return _rc4(okey, v)
+        if str_key is None:
+            return v
+        cipher, key = str_key
+        return (_rc4(key, v) if cipher == "rc4"
+                else _aes_decrypt_pdf(key, v))
     if isinstance(v, list):
-        return [_decrypt_val(x, okey) for x in v]
+        return [_decrypt_val(x, str_key, stm_key) for x in v]
     if isinstance(v, dict):
-        return {k: _decrypt_val(x, okey) for k, x in v.items()}
+        return {k: _decrypt_val(x, str_key, stm_key)
+                for k, x in v.items()}
     if isinstance(v, _Stream):
-        v.d = _decrypt_val(v.d, okey)
-        v.enc_key = okey  # body decrypts lazily on first _stream_raw
+        v.d = _decrypt_val(v.d, str_key, stm_key)
+        v.enc_key = stm_key  # body decrypts lazily on first _stream_raw
         return v
     return v
 
@@ -804,8 +877,10 @@ class _Doc:
 
     def _decrypt_document(self, enc, ids) -> None:
         """Attempt the standard handler with the EMPTY user password
-        (rev 2/3 RC4); decrypt every string and stream in place on
-        success, raise :class:`PdfEncryptedError` otherwise."""
+        (empty owner password as the V5 fallback): rev 2/3 RC4, rev 4
+        AESV2/V2 crypt filters, rev 5/6 AESV3.  Decrypt every string
+        and stream in place on success, raise
+        :class:`PdfEncryptedError` otherwise."""
         skip = enc[0] if isinstance(enc, _Ref) else None
         try:
             d = self.resolve(enc)
@@ -819,14 +894,22 @@ class _Doc:
         if filt != "Standard":
             raise PdfEncryptedError(
                 f"unsupported security handler {str(filt)!r} (only the "
-                "standard handler's rev 2/3 RC4 tier decrypts)"
+                "standard handler decrypts)"
             )
         v = self.resolve(d.get("V", 0))
         r = self.resolve(d.get("R", 0))
+        if v == 5 and r in (5, 6):
+            key = self._v5_file_key(d)
+            self._decrypt_all(key, skip, str_cf="aes", stm_cf="aes")
+            return
+        if v == 4 and r == 4:
+            key, str_cf, stm_cf = self._v4_file_key(d, ids)
+            self._decrypt_all(key, skip, str_cf=str_cf, stm_cf=stm_cf)
+            return
         if v not in (1, 2) or r not in (2, 3):
             raise PdfEncryptedError(
-                f"unsupported encryption V={v!r} R={r!r} — only rev 2/3 "
-                "RC4 decrypts (rev >= 4 means AES/crypt filters)"
+                f"unsupported encryption V={v!r} R={r!r} — rev 2/3 RC4, "
+                "rev 4 AESV2/V2 and rev 5/6 AESV3 decrypt"
             )
         o = self.resolve(d.get("O"))
         u = self.resolve(d.get("U"))
@@ -841,9 +924,7 @@ class _Doc:
         nbits = self.resolve(d.get("Length", 40)) if v == 2 else 40
         if not isinstance(nbits, int) or not (40 <= nbits <= 128) or nbits % 8:
             raise PdfEncryptedError(f"invalid RC4 key length {nbits!r}")
-        id0 = b""
-        if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
-            id0 = ids[0]
+        id0 = self._id0(ids)
         key = _std_file_key(b"", o, p, id0, r, nbits // 8)
         expect = _std_user_check(key, id0, r)
         ok = expect[:16] == u[:16] if r >= 3 else expect == u[:32]
@@ -852,17 +933,128 @@ class _Doc:
                 "password-protected (the empty user password does not "
                 "authenticate) — cannot decrypt without the password"
             )
-        self._decrypt_all(key, skip)
+        self._decrypt_all(key, skip, str_cf="rc4", stm_cf="rc4")
 
-    def _decrypt_all(self, key: bytes, skip_num) -> None:
+    @staticmethod
+    def _id0(ids) -> bytes:
+        if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+            return ids[0]
+        return b""
+
+    def _v4_file_key(self, d: dict, ids):
+        """V=4/R=4 crypt filters: resolve /CF + /StrF + /StmF to a
+        cipher per class, authenticate the empty user password with
+        the same Algorithms 2/5 as rev 3 (plus the /EncryptMetadata
+        step f), and return (file_key, str_cipher, stm_cipher) where a
+        cipher is 'aes', 'rc4' or None (Identity)."""
+        cf = self.resolve(d.get("CF")) or {}
+        if not isinstance(cf, dict):
+            raise PdfEncryptedError("malformed /CF (not a dict)")
+
+        def method(name):
+            if name in (None, "Identity"):
+                return None
+            f = self.resolve(cf.get(name)) if name in cf else None
+            cfm = self.resolve(f.get("CFM")) if isinstance(f, dict) else None
+            if cfm == "AESV2":
+                return "aes"
+            if cfm == "V2":
+                return "rc4"
+            raise PdfEncryptedError(
+                f"unsupported crypt filter {str(name)!r} "
+                f"(CFM={str(cfm)!r} — AESV2 and V2 decrypt)"
+            )
+
+        str_cf = method(self.resolve(d.get("StrF", "Identity")))
+        stm_cf = method(self.resolve(d.get("StmF", "Identity")))
+        o = self.resolve(d.get("O"))
+        u = self.resolve(d.get("U"))
+        p = self.resolve(d.get("P"))
+        if (
+            not isinstance(o, bytes)
+            or not isinstance(u, bytes)
+            or isinstance(p, bool)
+            or not isinstance(p, int)
+        ):
+            raise PdfEncryptedError("malformed /Encrypt dict (O/U/P)")
+        nbits = self.resolve(d.get("Length", 128))
+        if not isinstance(nbits, int) or not (40 <= nbits <= 128) or nbits % 8:
+            raise PdfEncryptedError(f"invalid key length {nbits!r}")
+        em = self.resolve(d.get("EncryptMetadata", True))
+        id0 = self._id0(ids)
+        key = _std_file_key(b"", o, p, id0, 4, nbits // 8,
+                            encrypt_metadata=em is not False)
+        expect = _std_user_check(key, id0, 4)
+        if expect[:16] != u[:16]:
+            raise PdfEncryptedError(
+                "password-protected (the empty user password does not "
+                "authenticate) — cannot decrypt without the password"
+            )
+        return key, str_cf, stm_cf
+
+    def _v5_file_key(self, d: dict) -> bytes:
+        """V=5/R=5,6 (AESV3): authenticate the empty USER password
+        against /U (SHA-256 for R=5, Algorithm 2.B for R=6) and unwrap
+        the 32-byte file key from /UE; fall back to the empty OWNER
+        password via /O + /OE (which hash over U[0:48] too)."""
+        from .aes import AesError, cbc_decrypt
+
+        r = self.resolve(d.get("R"))
+        u = self.resolve(d.get("U"))
+        o = self.resolve(d.get("O"))
+        ue = self.resolve(d.get("UE"))
+        oe = self.resolve(d.get("OE"))
+        if not isinstance(u, bytes) or len(u) < 48:
+            raise PdfEncryptedError("malformed /U (need 48 bytes for V5)")
+
+        def hashed(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+            if r == 5:
+                return hashlib.sha256(pw + salt + udata).digest()
+            return _hash_2b(pw, salt, udata)
+
+        def unwrap(inter: bytes, wrapped) -> bytes:
+            if not isinstance(wrapped, bytes) or len(wrapped) != 32:
+                raise PdfEncryptedError("malformed /UE//OE key blob")
+            try:
+                return cbc_decrypt(inter, bytes(16), wrapped)
+            except AesError as e:
+                raise PdfEncryptedError(f"key unwrap failed: {e}") from None
+
+        if hashed(b"", u[32:40]) == u[:32]:
+            return unwrap(hashed(b"", u[40:48]), ue)
+        if isinstance(o, bytes) and len(o) >= 48:
+            if hashed(b"", o[32:40], u[:48]) == o[:32]:
+                return unwrap(hashed(b"", o[40:48], u[:48]), oe)
+        raise PdfEncryptedError(
+            "password-protected (neither the empty user nor the empty "
+            "owner password authenticates) — cannot decrypt without "
+            "the password"
+        )
+
+    def _decrypt_all(self, key: bytes, skip_num, str_cf, stm_cf) -> None:
+        """Per-object decryption pass.  ``str_cf``/``stm_cf`` name the
+        cipher per class ('rc4'/'aes'/None).  AESV3 (32-byte key) uses
+        the FILE key directly for every object (ISO 32000-2 dropped
+        Algorithm 1); AESV2 salts Algorithm 1 with ``sAlT``."""
+        v5 = len(key) == 32
         for num in list(self.objects):
             if num == skip_num:
                 continue  # the /Encrypt dict itself is never encrypted
             v = self.objects[num]
             if isinstance(v, _Stream) and v.d.get("Type") == "XRef":
                 continue  # xref streams are never encrypted (spec)
-            okey = _std_object_key(key, num, self._gens.get(num, 0))
-            self.objects[num] = _decrypt_val(v, okey)
+            gen = self._gens.get(num, 0)
+
+            def okey(cf):
+                if cf is None:
+                    return None
+                if v5:
+                    return (cf, key)
+                return (cf, _std_object_key(key, num, gen,
+                                            aes=cf == "aes"))
+
+            self.objects[num] = _decrypt_val(v, okey(str_cf),
+                                             okey(stm_cf))
 
     def _expand_objstms(self) -> None:
         top = set(self.objects)

@@ -1134,12 +1134,27 @@ def test_encrypted_wrong_password_still_raises():
         pdf_text(pdf)
 
 
-def test_encrypted_aes_v4_raises():
+def test_encrypted_unknown_v_raises():
+    """V=6 doesn't exist — must stay a typed boundary.  (V=4/R=4 and
+    V=5/R=5,6 DECRYPT as of r13 — see tests/test_pdf_aes.py.)"""
     pdf = encrypted_pdf()
-    # rewrite the encrypt dict to claim V4/R4 (AESV2 territory)
-    pdf = pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    pdf = pdf.replace(b"/V 2 /R 3", b"/V 6 /R 7")
     with pytest.raises(PdfEncryptedError):
         pdf_text(pdf)
+
+
+def test_encrypted_v4_without_cf_is_identity_not_crash():
+    """A lying file: claims V4/R4 but carries no /CF, so StrF/StmF
+    default to Identity (nothing to decrypt) while its stream bytes
+    are actually RC4 ciphertext.  Spec behavior is to treat streams
+    as plaintext — the garbage must degrade typed/empty, never crash
+    untyped."""
+    pdf = encrypted_pdf().replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    try:
+        out = pdf_text(pdf)
+        assert isinstance(out, str)
+    except PdfError:
+        pass
 
 
 def test_encrypted_nonstandard_handler_raises():
