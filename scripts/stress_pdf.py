@@ -23,6 +23,7 @@ import zlib
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))  # spec-writer imports
 
 import numpy as np  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
@@ -106,10 +107,15 @@ def _variants():
     }
     images = build_pdf(objs, b"<< /Size 8 /Root 1 0 R >>")
     garbage = b"%PDF-1.4 not really a pdf " + bytes(range(256)) * 4
+    # r13: AESV2-encrypted Flate (same plaintext as 'encrypted', so
+    # aes-only vs encrypted-only isolates AES-CBC vs RC4 cost)
+    from tests.test_pdf_aes import v4_pdf
+    aes = v4_pdf(content=text * 6, compress=True)
     return [
         ("plain", plain),
         ("flate", flate),
         ("encrypted", enc),
+        ("aes", aes),
         ("images", images),
         ("garbage", garbage),
     ]
@@ -170,9 +176,9 @@ def main():
             f"{r['quarantined']}, {r['chars'] or 0} chars"
         )
 
-    # decrypt cost: encrypted-only slice vs flate-only slice (same
-    # plaintext) — the delta IS the RC4 pass
-    for kind in ("flate", "encrypted"):
+    # decrypt cost: encrypted-only / aes-only slices vs flate-only
+    # (same plaintext) — the deltas ARE the RC4 and AES-CBC passes
+    for kind in ("flate", "encrypted", "aes"):
         sub = docs.filter(F.col("kind") == kind)
         n_sub = sub.count()
         t0 = time.time()
