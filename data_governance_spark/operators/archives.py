@@ -19,9 +19,11 @@ Same contracts as the sibling byte-level tiers:
 Format ladder (magic-sniffed, extensions are never trusted):
 
 - outer stream compression: gzip (``1F 8B``), bzip2 (``BZh``), xz
-  (``FD 37 7A 58 5A 00``) — decompressed incrementally under the cap,
-  then re-sniffed: a tar inside explodes as members, anything else is
-  a single member (named by the gzip FNAME header when present).
+  (``FD 37 7A 58 5A 00``), zstd (``28 B5 2F FD``, via the from-spec
+  RFC 8878 decoder in ``operators/zstd.py`` — r13) — decompressed
+  incrementally under the cap, then re-sniffed: a tar inside explodes
+  as members, anything else is a single member (named by the gzip
+  FNAME header when present).
 - zip (``PK``): members enumerated via the central directory;
   per-member failures (traditional PKZIP encryption flag, bad CRC,
   unsupported method) are typed PER MEMBER — the archive and its
@@ -82,17 +84,20 @@ class ArchiveEncryptedError(ArchiveError):
 
 
 class ArchiveUnsupportedError(ArchiveError):
-    """RECOGNIZED format this build cannot decode (rar, 7z, zstd) —
-    distinct from :class:`ArchiveParseError` so corpus triage can
-    count the format boundary instead of lumping it with garbage
-    (mirrors the codec boundary in ``multimodal.py``).  ``.format``
-    names the detected container; the Spark surface surfaces it as
+    """RECOGNIZED format this build cannot decode (rar, 7z,
+    dictionary-compressed zstd) — distinct from
+    :class:`ArchiveParseError` so corpus triage can count the format
+    boundary instead of lumping it with garbage (mirrors the codec
+    boundary in ``multimodal.py``).  ``.format`` names the detected
+    container; the Spark surface surfaces it as
     ``ArchiveUnsupportedError:<format>`` in the ``err`` column.
 
-    Why the boundary: rar and 7z have no stdlib decoder (rar is
-    proprietary; 7z's container is LZMA-based but the archive
-    structure is its own spec), and zstd has no stdlib binding on
-    Python 3.11.  Typed-and-named keeps the quarantine honest."""
+    Why the boundary: rar is proprietary and 7z's container has no
+    stdlib decoder (its LZMA payloads do, but the archive structure
+    is its own spec); zstd DECODES as of r13 via the from-spec
+    ``operators/zstd.py``, except dictionary-compressed frames
+    (``zstd-dict``), which need the external dictionary bytes.
+    Typed-and-named keeps the quarantine honest."""
 
     def __init__(self, fmt: str):
         super().__init__(f"unsupported archive format: {fmt}")
@@ -107,17 +112,19 @@ _GZIP_MAGIC = b"\x1f\x8b"
 _BZ2_MAGIC = b"BZh"
 _XZ_MAGIC = b"\xfd7zXZ\x00"
 
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"  # RFC 8878 — operators/zstd.py (r13)
+
 # recognized-but-undecodable container magics → ArchiveUnsupportedError
 _UNSUPPORTED_MAGICS = (
     (b"Rar!\x1a\x07\x01\x00", "rar5"),   # RAR 5.0 (check before 4.x)
     (b"Rar!\x1a\x07\x00", "rar"),        # RAR 1.5–4.x
     (b"7z\xbc\xaf\x27\x1c", "7z"),
-    (b"\x28\xb5\x2f\xfd", "zstd"),       # RFC 8878 frame magic
 )
 
 
 def archive_format(data: bytes) -> str:
-    """``zip tar gzip bzip2 xz`` or :class:`ArchiveParseError`."""
+    """``zip tar gzip bzip2 xz zstd`` or :class:`ArchiveParseError` /
+    :class:`ArchiveUnsupportedError` (rar/7z)."""
     if not isinstance(data, (bytes, bytearray)):
         raise ArchiveParseError(f"expected bytes, got {type(data).__name__}")
     data = bytes(data)
@@ -129,6 +136,8 @@ def archive_format(data: bytes) -> str:
         return "bzip2"
     if data[:6] == _XZ_MAGIC:
         return "xz"
+    if data[:4] == _ZSTD_MAGIC:
+        return "zstd"
     if _is_tar(data):
         return "tar"
     for magic, fmt in _UNSUPPORTED_MAGICS:
@@ -231,6 +240,27 @@ def bounded_decompress(
 
 
 def _bounded_decompress(data: bytes, kind: str) -> bytes:
+    if kind == "zstd":
+        # the from-spec RFC 8878 decoder (operators/zstd.py, r13):
+        # multi-frame + skippable frames handled, cap enforced
+        # block-by-block mid-stream
+        from .zstd import (
+            ZstdBombError,
+            ZstdError,
+            ZstdUnsupportedError,
+            zstd_decompress,
+        )
+
+        try:
+            return zstd_decompress(data, max_out=_MAX_MEMBER)
+        except ZstdBombError as e:
+            raise ArchiveBombError(str(e)) from None
+        except ZstdUnsupportedError:
+            # dictionary-compressed frame: typed + named for triage,
+            # same boundary class as rar/7z
+            raise ArchiveUnsupportedError("zstd-dict") from None
+        except ZstdError as e:
+            raise ArchiveParseError(f"bad zstd stream: {e}") from None
     return bounded_decompress(
         data, kind, _MAX_MEMBER,
         bomb_error=ArchiveBombError, parse_error=ArchiveParseError,

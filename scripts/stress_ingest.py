@@ -131,7 +131,16 @@ def archive_variants():
         for name, data in members:
             z.writestr(name, data)
     tgz = gzip.compress(make_tar(members), mtime=0)
-    return [("zip10", buf.getvalue()), ("tgz10", tgz)]
+    out = [("zip10", buf.getvalue()), ("tgz10", tgz)]
+    try:  # r13: .tar.zst through the from-spec RFC 8878 decoder
+        import pyarrow as pa
+
+        tzst = pa.Codec("zstd").compress(make_tar(members),
+                                         asbytes=True)
+        out.append(("tzst10", bytes(tzst)))
+    except Exception:
+        pass
+    return out
 
 
 def corpus(spark, variants, factor):

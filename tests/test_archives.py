@@ -125,11 +125,43 @@ class TestFormats:
         rows = as_rows(raw[: 512 + 512 + 100])  # cut inside member 2
         assert rows[0] == ("a", 5, b"first", None)
 
+    def test_tar_zst_and_bare_zstd(self):
+        """zstd (r13): .tar.zst explodes as members via the from-spec
+        RFC 8878 decoder; a bare zstd stream is one '-' member; a
+        dictionary-compressed frame is the typed zstd-dict boundary."""
+        pa = pytest.importorskip("pyarrow")
+        if not pa.Codec.is_available("zstd"):  # pragma: no cover
+            pytest.skip("pyarrow without zstd")
+        z = pa.Codec("zstd").compress
+        raw = make_tar([("x/one.txt", b"first"), ("two", b"second")],
+                       extras=True)
+        assert archive_format(z(raw, asbytes=True)) == "zstd"
+        assert as_rows(z(raw, asbytes=True)) == [
+            ("x/one.txt", 5, b"first", None),
+            ("two", 6, b"second", None),
+        ]
+        assert as_rows(z(b"bare", asbytes=True)) == [
+            ("-", 4, b"bare", None)
+        ]
+        from test_zstd import spec_frame
+
+        with pytest.raises(ArchiveUnsupportedError) as ei:
+            archive_members(spec_frame(b"x", dict_id=9))
+        assert ei.value.format == "zstd-dict"
+
+    def test_zstd_bomb_capped(self, monkeypatch):
+        pa = pytest.importorskip("pyarrow")
+        if not pa.Codec.is_available("zstd"):  # pragma: no cover
+            pytest.skip("pyarrow without zstd")
+        monkeypatch.setattr(arc, "_MAX_MEMBER", 1000)
+        bomb = pa.Codec("zstd").compress(bytes(100_000), asbytes=True)
+        with pytest.raises(ArchiveBombError):
+            archive_members(bomb)
+
     @pytest.mark.parametrize("magic,fmt", [
         (b"Rar!\x1a\x07\x00", "rar"),           # RAR 1.5-4.x
         (b"Rar!\x1a\x07\x01\x00", "rar5"),      # RAR 5.0
         (b"7z\xbc\xaf\x27\x1c", "7z"),
-        (b"\x28\xb5\x2f\xfd", "zstd"),          # RFC 8878
     ])
     def test_unsupported_formats_typed_and_named(self, magic, fmt):
         with pytest.raises(ArchiveUnsupportedError) as ei:
@@ -274,7 +306,20 @@ def gate_payloads() -> dict[str, bytes]:
     cdh = data.find(b"PK\x01\x02", data.find(b"PK\x01\x02") + 4)
     data[lfh + 6] |= 1
     data[cdh + 8] |= 1
-    return {"TGZ": tgz, "ENCZIP": bytes(data)}
+    # r13: .tar.zst through the from-spec decoder (checksummed frame,
+    # auto RLE/raw blocks — the tar NUL padding pins the RLE path)
+    from test_zstd import spec_frame
+
+    tarzst = spec_frame(
+        make_tar(
+            [("z/one.txt", b"zstd member one"),
+             ("ztwo", b"zstd member two")],
+            extras=True,
+        ),
+        checksum=True,
+        rle_runs="auto",
+    )
+    return {"TGZ": tgz, "ENCZIP": bytes(data), "TARZST": tarzst}
 
 
 def test_gate_payload_pin():
@@ -297,6 +342,10 @@ def test_gate_payloads_extract():
     assert rows[0] == ("plain.txt", 10, b"plain body", None)
     assert rows[1][0] == "secret.txt"
     assert rows[1][3] == "ArchiveEncryptedError"
+    assert as_rows(p["TARZST"]) == [
+        ("z/one.txt", 15, b"zstd member one", None),
+        ("ztwo", 15, b"zstd member two", None),
+    ]
 
 
 class TestMultiMember:
