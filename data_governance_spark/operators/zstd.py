@@ -230,6 +230,10 @@ def _fse_read_ncount(br: _FwdBits, max_symbol: int, max_log: int):
             while True:
                 rep = br.read(2)
                 probs.extend([0] * (3 if rep == 3 else rep))
+                if len(probs) > max_symbol + 1:
+                    raise ZstdParseError(
+                        "FSE zero-run exceeds symbol alphabet"
+                    )
                 if rep != 3:
                     break
             prev0 = False
@@ -567,10 +571,14 @@ def _table_log(table):
 
 def _decode_sequences(block: bytes, off: int, literals: bytes,
                       out: bytearray, reps: list[int],
-                      prev_tables: list, budget: int) -> None:
+                      prev_tables: list, budget: int,
+                      ceiling: int) -> None:
     """Decode + execute the sequences section onto ``out`` (in place);
     mutates ``reps`` and ``prev_tables`` (the cross-block Repeat
-    state)."""
+    state).  ``budget`` is the caller's bomb cap (ZstdBombError);
+    ``ceiling`` is the block's legal regeneration bound
+    (ZstdParseError — exceeding it is corruption, not a cap hit, and
+    the distinction matters for quarantine triage)."""
     if off >= len(block):
         raise ZstdParseError("missing sequences section")
     b0 = block[off]
@@ -588,7 +596,9 @@ def _decode_sequences(block: bytes, off: int, literals: bytes,
         nseq = block[off + 1] + (block[off + 2] << 8) + 0x7F00
         off += 3
     if nseq == 0:
-        if len(out) + len(literals) - budget > 0:
+        if len(out) + len(literals) > ceiling:
+            raise ZstdParseError("block regenerates past ceiling")
+        if len(out) + len(literals) > budget:
             raise ZstdBombError("output exceeds cap")
         out += literals
         return
@@ -648,6 +658,8 @@ def _decode_sequences(block: bytes, off: int, literals: bytes,
                 reps[0] = offset
         if lit_pos + ll > len(literals):
             raise ZstdParseError("sequence overruns literal buffer")
+        if len(out) + ll + ml > ceiling:
+            raise ZstdParseError("block regenerates past ceiling")
         if len(out) + ll + ml > budget:
             raise ZstdBombError("output exceeds cap")
         out += literals[lit_pos: lit_pos + ll]
@@ -667,6 +679,8 @@ def _decode_sequences(block: bytes, off: int, literals: bytes,
             of_s.update(br)
             if br.pos < 0:
                 raise ZstdParseError("sequence bitstream exhausted")
+    if len(out) + len(literals) - lit_pos > ceiling:
+        raise ZstdParseError("block regenerates past ceiling")
     if len(out) + len(literals) - lit_pos > budget:
         raise ZstdBombError("output exceeds cap")
     out += literals[lit_pos:]
@@ -790,11 +804,9 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
             pos += bsize
             before = len(out)
             literals, used, huf_state = _decode_literals(block, huf_state)
-            budget = min(max_out, before + block_max)
             _decode_sequences(block, used, literals, out, reps,
-                              prev_tables, budget)
-            if len(out) - before > block_max:
-                raise ZstdParseError("block regenerates past ceiling")
+                              prev_tables, max_out,
+                              before + block_max)
         if last:
             break
     content = bytes(out[start_len:])
