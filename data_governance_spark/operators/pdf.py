@@ -676,13 +676,18 @@ def _aes_decrypt_pdf(key: bytes, data: bytes) -> bytes:
     malformed string would lose the document): short/ragged ciphertext
     truncates to whole blocks, an invalid padding byte is kept rather
     than mis-stripped."""
-    from .aes import cbc_decrypt
+    from .aes import AesError, cbc_decrypt
 
     if len(data) < 32:
         return b""  # no full ciphertext block behind the IV
     body = data[16:]
     body = body[: len(body) - (len(body) % 16)]
-    out = cbc_decrypt(key, data[:16], body)
+    try:
+        out = cbc_decrypt(key, data[:16], body)
+    except AesError as e:
+        # defense in depth: a malformed key must surface typed in the
+        # Pdf taxonomy, never as an AesError on the executor
+        raise PdfParseError(f"AES payload: {e}") from None
     pad = out[-1]
     if 1 <= pad <= 16 and out.endswith(bytes([pad]) * pad):
         out = out[:-pad]
@@ -980,6 +985,14 @@ class _Doc:
         nbits = self.resolve(d.get("Length", 128))
         if not isinstance(nbits, int) or not (40 <= nbits <= 128) or nbits % 8:
             raise PdfEncryptedError(f"invalid key length {nbits!r}")
+        if "aes" in (str_cf, stm_cf) and nbits != 128:
+            # AESV2 keys are 128-bit (spec); a shorter declared /Length
+            # makes Algorithm 1 emit a <16-byte object key, which is
+            # not an AES key size — typed here, not an AesError on the
+            # executor (r13 review repro: authenticating /Length 40)
+            raise PdfEncryptedError(
+                f"AESV2 with /Length {nbits} (must be 128)"
+            )
         em = self.resolve(d.get("EncryptMetadata", True))
         id0 = self._id0(ids)
         key = _std_file_key(b"", o, p, id0, 4, nbits // 8,

@@ -250,6 +250,18 @@ def main():
         f"({(got['bytes'] or 0) / 1e6 / wall:.1f} MB/s out, "
         f"errs {got['errs']})"
     )
+    # r13: isolate the pure-Python zstd tier (tzst-only slice)
+    sub = docs.filter(F.col("kind") == "tzst10")
+    n_sub = sub.count()
+    if n_sub:
+        t0 = time.time()
+        got = explode_archives(sub).agg(
+            F.count("*").alias("m"), F.sum("size").alias("b")
+        ).collect()[0]
+        w = time.time() - t0
+        print(f"  tzst-only: {n_sub} archives -> {got['m']} members in "
+              f"{w:.1f}s = {n_sub / w:,.0f} archives/s "
+              f"({(got['b'] or 0) / 1e6 / w:.1f} MB/s decoded)")
 
 
 def charset_differential() -> None:

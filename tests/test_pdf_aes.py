@@ -234,6 +234,45 @@ class TestAesV2:
         with pytest.raises(PdfEncryptedError, match="crypt filter"):
             pdf_text(v4_pdf(cfm="AESV9"))
 
+    def test_short_length_aesv2_typed_not_aeserror(self):
+        """r13 review repro: a hostile V4/AESV2 file declaring
+        /Length 40 whose /U AUTHENTICATES for the 5-byte key made
+        Algorithm 1 emit a 10-byte object key — not an AES key size —
+        and the AesError escaped the Pdf taxonomy on the executor.
+        Must be typed PdfEncryptedError."""
+        id0 = b"\xab\xcd\x12\x34" * 4
+        perms = -44
+        _, o, _ = std_keys_t(b"", b"owner-secret", perms, id0, 3, 40)
+        upad = ENC_PAD_T[:32]
+        h = hashlib.md5(upad + o + struct.pack("<i", perms)
+                        + id0).digest()
+        for _ in range(50):
+            h = hashlib.md5(h[:5]).digest()
+        key = h[:5]
+        uu = rc4_t(key, hashlib.md5(ENC_PAD_T + id0).digest())
+        for i in range(1, 20):
+            uu = rc4_t(bytes(b ^ i for b in key), uu)
+        u = uu + bytes(16)
+        from test_pdf import build_pdf as _bp, stream_body as _sb
+
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: (b"<< /Type /Page /Parent 2 0 R /Resources "
+                b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+            4: _sb(b"", b"ciphertext-not-real-" + bytes(32)),
+            5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            6: (f"<< /Filter /Standard /V 4 /R 4 /Length 40 /P {perms} "
+                f"/CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF "
+                f"/StrF /StdCF /O <{o.hex()}> /U <{u.hex()}> >>"
+                ).encode(),
+        }
+        idhex = id0.hex().encode()
+        pdf = _bp(objs, b"<< /Size 9 /Root 1 0 R /Encrypt 6 0 R /ID [<"
+                  + idhex + b"> <" + idhex + b">] >>")
+        with pytest.raises(PdfEncryptedError, match="128"):
+            pdf_text(pdf)
+
 
 class TestAesV3:
     def test_r6_extracts(self):
