@@ -113,12 +113,12 @@ _BZ2_MAGIC = b"BZh"
 _XZ_MAGIC = b"\xfd7zXZ\x00"
 
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"  # RFC 8878 — operators/zstd.py (r13)
+_7Z_MAGIC = b"7z\xbc\xaf\x27\x1c"  # operators/sevenzip.py (r13)
 
 # recognized-but-undecodable container magics → ArchiveUnsupportedError
 _UNSUPPORTED_MAGICS = (
     (b"Rar!\x1a\x07\x01\x00", "rar5"),   # RAR 5.0 (check before 4.x)
     (b"Rar!\x1a\x07\x00", "rar"),        # RAR 1.5–4.x
-    (b"7z\xbc\xaf\x27\x1c", "7z"),
 )
 
 
@@ -138,6 +138,8 @@ def archive_format(data: bytes) -> str:
         return "xz"
     if data[:4] == _ZSTD_MAGIC:
         return "zstd"
+    if data[:6] == _7Z_MAGIC:
+        return "7z"
     if _is_tar(data):
         return "tar"
     for magic, fmt in _UNSUPPORTED_MAGICS:
@@ -340,6 +342,46 @@ def _zip_members(data: bytes) -> list[dict]:
         return out
 
 
+def _7z_members(data: bytes) -> list[dict]:
+    """7z via the from-spec reader (operators/sevenzip.py, r13),
+    error taxonomy mapped into this tier's: 7z-aes is semantically an
+    encrypted archive (ArchiveEncryptedError); other unsupported
+    features keep the named-boundary convention."""
+    from .sevenzip import (
+        SevenZipBombError,
+        SevenZipError,
+        SevenZipParseError,
+        SevenZipUnsupportedError,
+        sevenzip_members,
+    )
+
+    try:
+        recs = sevenzip_members(
+            data, max_member=_MAX_MEMBER, max_total=_MAX_TOTAL,
+            max_members=_MAX_MEMBERS,
+        )
+    except SevenZipBombError as e:
+        raise ArchiveBombError(str(e)) from None
+    except SevenZipUnsupportedError as e:
+        raise ArchiveUnsupportedError(f"7z:{e.feature}") from None
+    except SevenZipError as e:
+        raise ArchiveParseError(f"bad 7z: {e}") from None
+    _ = (SevenZipParseError,)  # taxonomy mapped via the table below
+    remap = {
+        "SevenZipParseError": "ArchiveParseError",
+        "SevenZipBombError": "ArchiveBombError",
+        "SevenZipUnsupportedError:7z-aes": "ArchiveEncryptedError",
+    }
+    for r in recs:
+        if r["err"]:
+            e = remap.get(r["err"])
+            if e is None and r["err"].startswith(
+                    "SevenZipUnsupportedError:"):
+                e = "ArchiveUnsupportedError:" + r["err"].split(":", 1)[1]
+            r["err"] = e or r["err"]
+    return recs
+
+
 def _tar_members(data: bytes) -> list[dict]:
     try:
         tf = tarfile.open(fileobj=io.BytesIO(data), mode="r:")
@@ -394,6 +436,8 @@ def archive_members(data: bytes) -> list[dict]:
         return _zip_members(data)
     if kind == "tar":
         return _tar_members(data)
+    if kind == "7z":
+        return _7z_members(data)
     inner = _bounded_decompress(bytes(data), kind)
     if _is_tar(inner):
         return _tar_members(inner)

@@ -158,10 +158,34 @@ class TestFormats:
         with pytest.raises(ArchiveBombError):
             archive_members(bomb)
 
+    def test_7z_members_and_error_remap(self):
+        """7z (r13): decoded via operators/sevenzip.py with the error
+        taxonomy remapped into this tier's (aes -> encrypted; other
+        unsupported features keep the named-boundary convention)."""
+        from test_sevenzip import _CODECS, write_7z
+
+        data = write_7z(
+            [("docs/a.txt", b"7z member a"), ("b", b"7z member b")],
+            codec="lzma2",
+        )
+        assert archive_format(data) == "7z"
+        assert as_rows(data) == [
+            ("docs/a.txt", 11, b"7z member a", None),
+            ("b", 11, b"7z member b", None),
+        ]
+        _CODECS["aes"] = (b"\x06\xf1\x07\x01", b"", lambda d: d)
+        try:
+            enc = write_7z([("s", b"secret")], codec="aes")
+        finally:
+            del _CODECS["aes"]
+        assert as_rows(enc) == [("s", None, None,
+                                 "ArchiveEncryptedError")]
+        with pytest.raises(ArchiveParseError):
+            archive_members(b"7z\xbc\xaf\x27\x1cjunk" + bytes(30))
+
     @pytest.mark.parametrize("magic,fmt", [
         (b"Rar!\x1a\x07\x00", "rar"),           # RAR 1.5-4.x
         (b"Rar!\x1a\x07\x01\x00", "rar5"),      # RAR 5.0
-        (b"7z\xbc\xaf\x27\x1c", "7z"),
     ])
     def test_unsupported_formats_typed_and_named(self, magic, fmt):
         with pytest.raises(ArchiveUnsupportedError) as ei:
@@ -256,6 +280,12 @@ class TestFuzz:
         assert [r["member"] for r in rows] == ["m"]
 
 
+def _write_7z_for_spark() -> bytes:
+    from test_sevenzip import write_7z
+
+    return write_7z([("in7z.txt", b"7z member")], codec="copy")
+
+
 class TestSparkOperator:
     def test_explode_with_quarantine(self, spark):
         rows = [
@@ -264,7 +294,7 @@ class TestSparkOperator:
             ("bad", b"not an archive"),
             ("nul", None),
             ("rar", b"Rar!\x1a\x07\x00" + b"\x00" * 32),
-            ("sz", b"7z\xbc\xaf\x27\x1c" + b"\x00" * 32),
+            ("sz", _write_7z_for_spark()),
         ]
         df = spark.createDataFrame(rows, "doc_id string, content binary")
         got = {
@@ -279,8 +309,9 @@ class TestSparkOperator:
         # recognized-but-undecodable formats name themselves for triage
         assert got[("rar", None)] == (None, None,
                                       "ArchiveUnsupportedError:rar")
-        assert got[("sz", None)] == (None, None,
-                                     "ArchiveUnsupportedError:7z")
+        # 7z decodes for real as of r13 (operators/sevenzip.py)
+        assert got[("sz", "in7z.txt")] == (9, bytearray(b"7z member"),
+                                           None)
 
 
 # ===================================================================
@@ -319,7 +350,17 @@ def gate_payloads() -> dict[str, bytes]:
         checksum=True,
         rle_runs="auto",
     )
-    return {"TGZ": tgz, "ENCZIP": bytes(data), "TARZST": tarzst}
+    # r13: 7z with a Copy folder (deterministic down to the byte)
+    from test_sevenzip import write_7z
+
+    sz = write_7z(
+        [("s/one.txt", b"sevenzip member one"),
+         ("stwo", b"sevenzip member two"), ("sempty", b"")],
+        codec="copy",
+        dirs=("sdir",),
+    )
+    return {"TGZ": tgz, "ENCZIP": bytes(data), "TARZST": tarzst,
+            "7Z": sz}
 
 
 def test_gate_payload_pin():
@@ -345,6 +386,11 @@ def test_gate_payloads_extract():
     assert as_rows(p["TARZST"]) == [
         ("z/one.txt", 15, b"zstd member one", None),
         ("ztwo", 15, b"zstd member two", None),
+    ]
+    assert as_rows(p["7Z"]) == [
+        ("s/one.txt", 19, b"sevenzip member one", None),
+        ("stwo", 19, b"sevenzip member two", None),
+        ("sempty", 0, b"", None),  # the dir emits no row
     ]
 
 
