@@ -69,6 +69,7 @@ _MAX_HEADER = 16 * 1024 * 1024  # decoded header cap (names etc.)
 # property ids (7zFormat.txt)
 _K_END = 0x00
 _K_HEADER = 0x01
+_K_ARCHIVE_PROPS = 0x02
 _K_MAIN_STREAMS = 0x04
 _K_FILES_INFO = 0x05
 _K_PACK_INFO = 0x06
@@ -415,7 +416,15 @@ def sevenzip_members(
         pid = r.num()
         if pid == _K_END:
             break
-        if pid == _K_MAIN_STREAMS:
+        if pid == _K_ARCHIVE_PROPS:
+            # (propertyType, size, data)* until kEnd — skip (spec
+            # reserves it; no known property affects extraction)
+            while True:
+                pt = r.num()
+                if pt == _K_END:
+                    break
+                r.take(r.num())
+        elif pid == _K_MAIN_STREAMS:
             pack_pos, pack_sizes, folders, sub = _read_streams_info(r)
         elif pid == _K_FILES_INFO:
             n_files = r.num()

@@ -140,6 +140,10 @@ def archive_variants():
         out.append(("tzst10", bytes(tzst)))
     except Exception:
         pass
+    # r13: solid LZMA2 7z through the from-spec reader
+    from test_sevenzip import write_7z
+
+    out.append(("sz10", write_7z(members, codec="lzma2")))
     return out
 
 
@@ -250,17 +254,19 @@ def main():
         f"({(got['bytes'] or 0) / 1e6 / wall:.1f} MB/s out, "
         f"errs {got['errs']})"
     )
-    # r13: isolate the pure-Python zstd tier (tzst-only slice)
-    sub = docs.filter(F.col("kind") == "tzst10")
-    n_sub = sub.count()
-    if n_sub:
+    # r13: isolate the pure-Python zstd and 7z tiers
+    for kind in ("tzst10", "sz10"):
+        sub = docs.filter(F.col("kind") == kind)
+        n_sub = sub.count()
+        if not n_sub:
+            continue
         t0 = time.time()
         got = explode_archives(sub).agg(
             F.count("*").alias("m"), F.sum("size").alias("b")
         ).collect()[0]
         w = time.time() - t0
-        print(f"  tzst-only: {n_sub} archives -> {got['m']} members in "
-              f"{w:.1f}s = {n_sub / w:,.0f} archives/s "
+        print(f"  {kind}-only: {n_sub} archives -> {got['m']} members "
+              f"in {w:.1f}s = {n_sub / w:,.0f} archives/s "
               f"({(got['b'] or 0) / 1e6 / w:.1f} MB/s decoded)")
 
 

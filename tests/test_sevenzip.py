@@ -245,6 +245,23 @@ class TestRoundTrips:
         data = write_7z([])
         assert rows(data) == []
 
+    def test_archive_properties_skipped(self):
+        """kArchiveProperties (0x02) between kHeader and the streams
+        info is reserved spec surface — must be skipped, not rejected."""
+        data = write_7z(FILES)
+        hdr_off = 32 + struct.unpack("<Q", data[12:20])[0]
+        hdr = data[hdr_off:]
+        assert hdr[0] == 0x01  # kHeader
+        props = bytes([0x02, 0x30, 2, 0xAB, 0xCD, 0x00])  # one prop
+        new_hdr = hdr[:1] + props + hdr[1:]
+        body = data[32:hdr_off]
+        tail = struct.pack("<QQI", len(body), len(new_hdr),
+                           zlib.crc32(new_hdr))
+        sig = data[:8] + struct.pack("<I", zlib.crc32(tail)) + tail
+        patched = sig + body + new_hdr
+        assert [r[0] for r in rows(patched)] == \
+            ["docs/a.txt", "b.bin", "c.txt"]
+
 
 class TestIntegrity:
     def test_folder_crc_verified(self):
