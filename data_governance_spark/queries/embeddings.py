@@ -356,7 +356,11 @@ def e07_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the candidates->exact-rerank production composition: ONE shared "
     "ADC pass at k'=2k feeds both the 'pq' cut and the 'rr' candidate "
     "pool, which exact_rerank re-scores against raw vectors through "
-    "broadcast joins to reproduce brute force (new in r12)",
+    "broadcast joins to reproduce brute force (new in r12). "
+    "SUB-GATE COUNT: 5 (ivf, lsh, pq, ivfadc, rr) — FROZEN as of "
+    "r13 per the r12 judge's budget rule: no new e05 sub-gate, period; "
+    "new ANN content must retire equivalent cost here first or live in "
+    "a budgetless differential test.",
 )
 def e05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scanned by the cell trainer, the n_cells count, the query subset,
