@@ -572,7 +572,8 @@ def _table_log(table):
 def _decode_sequences(block: bytes, off: int, literals: bytes,
                       out: bytearray, reps: list[int],
                       prev_tables: list, budget: int,
-                      ceiling: int) -> None:
+                      ceiling: int, frame_start: int,
+                      window: int) -> None:
     """Decode + execute the sequences section onto ``out`` (in place);
     mutates ``reps`` and ``prev_tables`` (the cross-block Repeat
     state).  ``budget`` is the caller's bomb cap (ZstdBombError);
@@ -664,8 +665,12 @@ def _decode_sequences(block: bytes, off: int, literals: bytes,
             raise ZstdBombError("output exceeds cap")
         out += literals[lit_pos: lit_pos + ll]
         lit_pos += ll
-        if offset > len(out):
-            raise ZstdParseError("match offset beyond output start")
+        if offset > len(out) - frame_start:
+            # frames are independent (RFC 8878): an offset reaching
+            # into a PREVIOUS frame's bytes is corruption, not history
+            raise ZstdParseError("match offset beyond frame start")
+        if offset > window:
+            raise ZstdParseError("match offset beyond window size")
         if offset >= ml:
             start = len(out) - offset
             out += out[start: start + ml]
@@ -806,7 +811,8 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
             literals, used, huf_state = _decode_literals(block, huf_state)
             _decode_sequences(block, used, literals, out, reps,
                               prev_tables, max_out,
-                              before + block_max)
+                              before + block_max, start_len,
+                              window if window else _BLOCK_MAX)
         if last:
             break
     content = bytes(out[start_len:])

@@ -245,6 +245,61 @@ class TestSpecFrames:
 
 
 # ===================================================================
+# hand-built one-sequence frames (predefined FSE tables): pin the
+# frame-independence rule — an offset reaching into a PREVIOUS frame's
+# bytes is corruption per RFC 8878, not usable history
+# ===================================================================
+def _state_for(default, sym: int) -> int:
+    from data_governance_spark.operators.zstd import _fse_build_dtable
+
+    al, probs = default
+    for s, (symbol, _nb, _base) in enumerate(
+            _fse_build_dtable(al, probs)):
+        if symbol == sym:
+            return s
+    raise AssertionError(f"no state for symbol {sym}")
+
+
+def _one_seq_frame(lit: bytes, ll_code: int, of_code: int,
+                   of_extra: int) -> bytes:
+    """Single-segment frame: one compressed block, raw literals, ONE
+    sequence (ll from ll_code, ml=3, offset from of_code+of_extra),
+    backward bitstream assembled by hand."""
+    from data_governance_spark.operators import zstd as Z
+
+    acc = 1  # sentinel
+    for v, n in ((_state_for(Z._LL_DEFAULT, ll_code), 6),
+                 (_state_for(Z._OF_DEFAULT, of_code), 5),
+                 (_state_for(Z._ML_DEFAULT, 0), 6),
+                 (of_extra, of_code)):
+        acc = (acc << n) | v
+    bs = acc.to_bytes((acc.bit_length() + 7) // 8, "little")
+    block = bytes([len(lit) << 3]) + lit + bytes([1, 0]) + bs
+    bh = struct.pack("<I", 1 | (2 << 1) | (len(block) << 3))[:3]
+    regen = len(lit) + 3
+    return struct.pack("<I", 0xFD2FB528) + bytes([0x20, regen]) \
+        + bh + block
+
+
+class TestFrameIndependence:
+    def test_hand_built_sequence_decodes(self):
+        # ll=4 literals, then match offset 3 (value 6 = code 2 + 2),
+        # ml=3 -> "ABCD" + "BCD"
+        assert zstd_decompress(_one_seq_frame(b"ABCD", 4, 2, 2)) \
+            == b"ABCDBCD"
+
+    def test_offset_past_frame_start_typed(self):
+        # offset 15 (value 18 = code 4 + 2) with 1 byte of output
+        bad = _one_seq_frame(b"A", 1, 4, 2)
+        with pytest.raises(ZstdParseError, match="frame start"):
+            zstd_decompress(bad)
+        # and STILL typed when a previous frame supplied enough bytes
+        # for the offset to land in — frames are independent
+        with pytest.raises(ZstdParseError, match="frame start"):
+            zstd_decompress(zc(b"0123456789abcdef" * 4) + bad)
+
+
+# ===================================================================
 # bomb caps + hostile bytes
 # ===================================================================
 class TestBombsAndFuzz:
