@@ -173,13 +173,18 @@ def _decode_folder(coder_id: bytes, props: bytes, packed: bytes,
             "dict_size": max(struct.unpack("<I", props[1:5])[0], 4096),
         }]
     elif coder_id == b"\x04\x02\x02":  # bzip2
+        # cap enforced WHILE feeding, like the LZMA/deflate paths: a
+        # one-shot bz2.decompress would materialize a bomb's full
+        # output before the declared-size check ever ran (bzip2
+        # expands up to ~1.4e6:1), so a lying unpack_size could OOM.
         try:
-            out = bz2.decompress(packed)
+            dec = bz2.BZ2Decompressor()
+            out = dec.decompress(packed, unpack_size)
         except (OSError, ValueError, EOFError) as e:
             raise SevenZipParseError(f"bad bzip2 folder: {e}") from None
         if len(out) < unpack_size:
             raise SevenZipParseError("bzip2 folder shorter than declared")
-        return out[:unpack_size]
+        return out
     elif coder_id == b"\x04\x01\x08":  # deflate
         try:
             out = zlib.decompressobj(wbits=-15).decompress(
@@ -308,6 +313,7 @@ def _read_folder(r: _Rd) -> _Folder:
 def _read_substreams(r: _Rd, folders: list[_Folder]):
     counts = [1] * len(folders)
     sizes: list[int] | None = None
+    crcs: list[int | None] | None = None
     while True:
         sid = r.num()
         if sid == _K_END:
@@ -330,13 +336,25 @@ def _read_substreams(r: _Rd, folders: list[_Folder]):
                             "substream sizes exceed folder")
                     sizes.append(f.unpack_size - tot)
         elif sid == _K_CRC:
-            # digests for streams lacking a folder-level CRC
+            # digests for streams lacking a folder-level CRC; verified
+            # per member in the emit loop (solid folders get no
+            # folder-tier check, so this is their only integrity tier)
             n_need = sum(
                 c for f, c in zip(folders, counts)
                 if not (c == 1 and f.crc is not None)
             )
             defined = r.bools(n_need)
-            r.take(4 * sum(defined))
+            need_crcs = [
+                struct.unpack("<I", r.take(4))[0] if dfn else None
+                for dfn in defined
+            ]
+            crcs = []
+            it = iter(need_crcs)
+            for f, c in zip(folders, counts):
+                if c == 1 and f.crc is not None:
+                    crcs.append(None)  # folder tier already covers it
+                else:
+                    crcs.extend(next(it) for _ in range(c))
         else:
             raise SevenZipParseError(
                 f"unexpected id {sid} in SubStreamsInfo")
@@ -348,7 +366,11 @@ def _read_substreams(r: _Rd, folders: list[_Folder]):
             elif c != 0:
                 raise SevenZipParseError(
                     "substream counts without sizes")
-    return counts, sizes
+    if crcs is None:
+        crcs = [None] * len(sizes)
+    elif len(crcs) != len(sizes):
+        raise SevenZipParseError("substream CRC count mismatch")
+    return counts, sizes, crcs
 
 
 def sevenzip_members(
@@ -439,6 +461,12 @@ def sevenzip_members(
                 if ptype == _K_EMPTY_STREAM:
                     empty_stream = body.bits(n_files)
                 elif ptype == _K_EMPTY_FILE:
+                    # spec orders kEmptyStream first; sizing this
+                    # vector off an unseen kEmptyStream would silently
+                    # turn empty files into directories (dropped rows)
+                    if not empty_stream:
+                        raise SevenZipParseError(
+                            "kEmptyFile before kEmptyStream")
                     empty_file = body.bits(sum(empty_stream))
                 elif ptype == _K_NAME:
                     if body.byte():
@@ -457,8 +485,9 @@ def sevenzip_members(
         empty_stream = [False] * n_files
     if names and len(names) < n_files:
         raise SevenZipParseError("fewer names than files")
-    counts, sizes = sub if sub else (
-        [1] * len(folders), [f.unpack_size for f in folders])
+    counts, sizes, stream_crcs = sub if sub else (
+        [1] * len(folders), [f.unpack_size for f in folders],
+        [None] * len(folders))
     n_stream_files = n_files - sum(empty_stream)
     if sum(counts) != n_stream_files:
         raise SevenZipParseError(
@@ -536,13 +565,21 @@ def sevenzip_members(
             out.append({"member": name, "size": None, "content": None,
                         "err": "SevenZipParseError"})
             continue
+        crc = stream_crcs[stream_i - 1]
+        if crc is not None and zlib.crc32(body) != crc:
+            out.append({"member": name, "size": None, "content": None,
+                        "err": "SevenZipParseError"})
+            continue
         out.append({"member": name, "size": size, "content": body,
                     "err": None})
     return out
 
 
 def _split_utf16(raw: bytes) -> list[bytes]:
-    """Split NUL-terminated UTF-16LE names."""
+    """Split NUL-terminated UTF-16LE names; the blob must be exactly
+    whole code units (a trailing odd byte is corruption, not slack)."""
+    if len(raw) % 2:
+        raise SevenZipParseError("odd-length names blob")
     out = []
     cur = bytearray()
     for i in range(0, len(raw) - 1, 2):

@@ -442,6 +442,11 @@ def _huf_decode_stream(data: bytes, table, table_log: int,
             nbits = 0
             cache = 0
         append(sym)
+    if pos != 0:
+        # libzstd's BIT_endOfDStream contract: anything other than
+        # exact consumption (leftover bits OR zero-padded overreads
+        # that happened to land on n_out) is corruption
+        raise ZstdParseError("huffman: bitstream not fully consumed")
     return out
 
 
@@ -684,6 +689,10 @@ def _decode_sequences(block: bytes, off: int, literals: bytes,
             of_s.update(br)
             if br.pos < 0:
                 raise ZstdParseError("sequence bitstream exhausted")
+    if br.pos != 0:
+        # exact-consumption contract (libzstd BIT_endOfDStream): a
+        # corrupt unchecked frame must raise, not decode plausibly
+        raise ZstdParseError("sequence bitstream not fully consumed")
     if len(out) + len(literals) - lit_pos > ceiling:
         raise ZstdParseError("block regenerates past ceiling")
     if len(out) + len(literals) - lit_pos > budget:

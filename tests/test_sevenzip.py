@@ -383,3 +383,94 @@ class TestNumberCodec:
         r = _Rd(wnum(v))
         assert r.num() == v
         assert r.p == len(wnum(v))
+
+
+# ===================================================================
+# r14 hardening (r13 ADVICE + VERDICT nits)
+# ===================================================================
+def _repack(data: bytes, old: bytes, new: bytes) -> bytes:
+    """Surgically replace a byte run inside the (plain) next header
+    and re-seal both CRC tiers."""
+    hdr_off = 32 + struct.unpack("<Q", data[12:20])[0]
+    hdr = data[hdr_off:]
+    assert old in hdr, "patch target not found"
+    new_hdr = hdr.replace(old, new, 1)
+    body = data[32:hdr_off]
+    tail = struct.pack("<QQI", len(body), len(new_hdr),
+                       zlib.crc32(new_hdr))
+    sig = data[:8] + struct.pack("<I", zlib.crc32(tail)) + tail
+    return sig + body + new_hdr
+
+
+class TestR14Hardening:
+    def test_bzip2_lying_unpack_size_bomb_capped(self):
+        """r13 ADVICE (high): one-shot ``bz2.decompress`` materialized
+        a bomb's full output before the declared-size check ran.  The
+        cap must bind WHILE feeding the decompressor (``max_length``),
+        like the LZMA and deflate paths."""
+        import tracemalloc
+
+        from data_governance_spark.operators.sevenzip import (
+            _decode_folder,
+        )
+
+        bomb = bz2.compress(bytes(8_000_000))  # ~8 MB of zeros
+        tracemalloc.start()
+        out = _decode_folder(b"\x04\x02\x02", b"", bomb, 100, 10**9)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert out == bytes(100)
+        assert peak < 2_000_000, \
+            f"bomb materialized {peak} bytes despite 100-byte claim"
+
+    def test_bzip2_shorter_than_declared_typed(self):
+        from data_governance_spark.operators.sevenzip import (
+            _decode_folder,
+        )
+
+        short = bz2.compress(b"abc")
+        with pytest.raises(SevenZipParseError, match="shorter"):
+            _decode_folder(b"\x04\x02\x02", b"", short, 10, 10**9)
+
+    def test_substream_crc_verified_solid(self):
+        """r13 ADVICE: solid-folder kCRC digests were parsed and
+        discarded.  Corrupt ONE member of a copy-codec solid folder
+        (the folder-tier CRC is only checked for single-stream
+        folders): that member must quarantine, siblings survive."""
+        data = bytearray(write_7z(FILES, codec="copy", solid=True))
+        idx = data.find(b"third")
+        assert idx > 0
+        data[idx] ^= 0xFF
+        r = rows(bytes(data))
+        assert r[0][3] is None and r[1][3] is None
+        assert r[2] == ("c.txt", None, None, "SevenZipParseError")
+
+    def test_substream_crc_clean_solid_still_passes(self):
+        data = write_7z(FILES, codec="copy", solid=True)
+        assert all(x[3] is None for x in rows(data))
+
+    def test_empty_file_before_empty_stream_typed(self):
+        """r13 VERDICT nit: a hostile header ordering kEmptyFile
+        before kEmptyStream silently turned empty files into
+        directories (dropped rows); it must raise typed."""
+        data = write_7z([("a.txt", b"x"), ("empty.txt", b"")],
+                        dirs=("d",))
+        # es = [False, True, True] -> 0x60 ; ef = [True, False] -> 0x80
+        old = bytes([0x0E, 0x01, 0x60, 0x0F, 0x01, 0x80])
+        new = bytes([0x0F, 0x01, 0x80, 0x0E, 0x01, 0x60])
+        patched = _repack(data, old, new)
+        with pytest.raises(SevenZipParseError, match="kEmptyFile"):
+            sevenzip_members(patched)
+
+    def test_odd_length_names_blob_typed(self):
+        """r13 VERDICT nit: a trailing odd byte on the UTF-16 names
+        vector parsed clean (the split loop never saw it); the blob
+        must be exactly whole code units."""
+        names = b"\x00" + b"".join(
+            n.encode("utf-16-le") + b"\x00\x00"
+            for n in ("docs/a.txt", "b.bin", "c.txt"))
+        old = bytes([0x11]) + wnum(len(names)) + names
+        new = bytes([0x11]) + wnum(len(names) + 1) + names + b"\xAA"
+        patched = _repack(write_7z(FILES), old, new)
+        with pytest.raises(SevenZipParseError, match="odd-length"):
+            sevenzip_members(patched)
