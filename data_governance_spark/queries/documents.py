@@ -26,6 +26,7 @@ from data_governance_spark.operators.repetition import (
     dup_ngram_stats,
     top_ngram_stats,
 )
+from data_governance_spark.operators.langid import LANG_HELDOUT
 from data_governance_spark.operators.packing import pack_sequences, write_packed
 from data_governance_spark.operators.pii import pii_counts
 from data_governance_spark.operators.sampling import (
@@ -147,6 +148,23 @@ _SSUM_IDX_SQL = ", ".join(str(i) for i in range(len(_SSUM_PROBS)))
 # rows from more than one stratum).
 _STRAT_FRACS = {"en": 0.5, "es": 0.25, "de": 0.1}
 _STRAT_DEFAULT = 0.05
+
+
+# d01 'lid' sub-gate (operators/langid.py, new in r14): the char
+# n-gram Naive Bayes language identifier over PLANTED held-out
+# sentences (LANG_HELDOUT — never seen by the seed-trained model),
+# keyed doc_id % 24 so every sf carries all 8 languages including the
+# pt/es close pair. Every held-out sentence classifies correctly with
+# a log-prob margin >= 14 (pinned by tests/test_langid.py), so the
+# oracle restates the fixture labels analytically. Scoring is the real
+# map-only Arrow path — broadcast model, no shuffle.
+_LID_TEXTS = tuple(
+    s for lang in sorted(LANG_HELDOUT) for s in LANG_HELDOUT[lang]
+)
+_LID_LABELS = tuple(
+    lang for lang in sorted(LANG_HELDOUT) for _ in LANG_HELDOUT[lang]
+)
+_LID_LABELS_SQL = "[" + ", ".join(f"'{l}'" for l in _LID_LABELS) + "]"
 
 
 # d01 (merged gate, r5/r6 driver-budget): token-count pipeline (ex-d01,
@@ -314,6 +332,12 @@ _STRAT_DEFAULT = 0.05
     UNION ALL
     SELECT 'zr', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR), 1.0
     FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT 'lid', CAST(doc_id AS VARCHAR),
+           list_extract({_LID_LABELS_SQL},
+                        CAST(doc_id % {len(_LID_LABELS)} AS INT) + 1),
+           CAST(NULL AS DOUBLE)
+    FROM documents
     """,
     doc="merged gate (r5/r6 driver-budget): explode tokens -> grouped "
     "count per (lang, token) (ref BASE_PIPELINE A1 shape, ex-d01) + "
@@ -326,7 +350,9 @@ _STRAT_DEFAULT = 0.05
     "synthesized multi-line corpus (operators/lines.py; new in r6) + "
     "the zlib compression-ratio keep/drop decision over a planted "
     "two-class corpus (operators/quality.compression_ratio, "
-    "Arrow-batched pandas UDF; new in r7)",
+    "Arrow-batched pandas UDF; new in r7) + the char n-gram NB "
+    "language identifier over planted held-out sentences "
+    "(operators/langid.py, map-only broadcast scoring; new in r14)",
 )
 def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -494,6 +520,29 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     gld = _h(dedup_lines_global(synth, min_dup=2, keep="first")).select(
         F.lit("gld").alias("gate"), "k", "v_s", nul_d.alias("v_d")
     )
+    # lid sub-gate (new in r14): the REAL langid operator
+    # (operators/langid.py) over planted held-out sentences keyed
+    # doc_id % 24 — seed-trained model broadcast once, one map-only
+    # Arrow pass, no shuffle. The oracle restates the fixture labels
+    # (decision-stable: margin >= 14 per sentence, test-pinned).
+    from data_governance_spark.operators.langid import (
+        detect_language,
+        train_langid,
+    )
+
+    lid_syn = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(s) for s in _LID_TEXTS]),
+            (F.col("doc_id") % len(_LID_TEXTS)).cast("int") + 1,
+        ).alias("text"),
+    )
+    lid = detect_language(lid_syn, train_langid()).select(
+        F.lit("lid").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("lang_pred").alias("v_s"),
+        nul_d.alias("v_d"),
+    )
     return (
         tok.unionByName(q_u)
         .unionByName(rep_u)
@@ -501,6 +550,7 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(c4l)
         .unionByName(gld)
         .unionByName(zr)
+        .unionByName(lid)
     )
 
 
