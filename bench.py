@@ -79,8 +79,17 @@ def main() -> None:
     _canary(spark)
     canary_pre = _canary(spark)
 
+    # mid-run canary samples every ~10 queries: steal waves routinely
+    # arrive AND leave entirely between the pre/post brackets (r13
+    # judge: a clean 1.76→1.48 bracket around a 454 s contaminated
+    # total), so the bracket alone can't localize contamination.
+    # canary_mid pins which 10-query segment a wave hit. The workload
+    # itself is the pinned r12 canary — never change it.
+    canary_mid: list[float] = []
     timings: dict[str, object] = {}
-    for name, q in sorted(QUERIES.items()):
+    for i, (name, q) in enumerate(sorted(QUERIES.items())):
+        if i and i % 10 == 0:
+            canary_mid.append(_canary(spark))
         # Failure-isolated: one bad query records an error entry instead of
         # killing the sweep — a partial bench still emits its JSON line.
         t0 = time.perf_counter()
@@ -112,6 +121,9 @@ def main() -> None:
             "canary_sec": round((canary_pre + canary_post) / 2, 3),
             "canary_pre_sec": canary_pre,
             "canary_post_sec": canary_post,
+            # one sample per 10 queries, in suite order — localizes a
+            # mid-run steal wave to its segment (r13 brief #4)
+            "canary_mid": canary_mid,
         }
     )
     # stdout for the driver, plus a file copy: the driver's tail-capture

@@ -5,12 +5,16 @@ p7zip — public domain).
 Scope (stated): the shapes real 7z archives overwhelmingly use —
 single-coder folders with Copy, LZMA1, LZMA2, bzip2, or deflate
 payloads (LZMA1/LZMA2 decode through ``lzma.FORMAT_RAW`` with the
-coder properties translated to stdlib filter specs), solid or
-per-file folders, substream splitting, encoded (compressed) headers,
-empty files and directories, and CRC verification at every layer
-that declares one (next-header, folder, substream).  OUT of scope,
-each a NAMED typed boundary so corpus triage can count it:
-multi-coder chains (BCJ/delta filters bound to a compressor —
+coder properties translated to stdlib filter specs), two-coder
+BCJ/delta filter chains bound to LZMA1/LZMA2 (bind pairs translated
+to a stdlib ``FORMAT_RAW`` filter-chain list — x86, ARM, ARM-Thumb,
+SPARC, PowerPC, IA64, and delta; the dominant real-world chain
+shapes, r13 brief #2), solid or per-file folders, substream
+splitting, encoded (compressed) headers, empty files and
+directories, and CRC verification at every layer that declares one
+(next-header, folder, substream).  OUT of scope, each a NAMED typed
+boundary so corpus triage can count it: chains stdlib liblzma cannot
+express (ARM64/RISC-V filters, 3+ coders, filter-over-bzip2 —
 ``7z-chain``), AES-encrypted archives (``7z-aes``), and any other
 coder id (``7z-coder-<hex>``).
 
@@ -142,37 +146,120 @@ class _Rd:
         return self.bits(n)
 
 
-def _decode_folder(coder_id: bytes, props: bytes, packed: bytes,
-                   unpack_size: int, max_out: int) -> bytes:
-    """One single-coder folder's output, cap enforced WHILE feeding
-    the decompressor."""
-    if unpack_size > max_out:
-        raise SevenZipBombError(
-            f"folder declares {unpack_size} bytes"
-        )
-    if coder_id == b"\x00":  # Copy
-        if len(packed) < unpack_size:
-            raise SevenZipParseError("copy folder shorter than declared")
-        return packed[:unpack_size]
+# branch (BCJ/delta) filter coders stdlib liblzma can chain —
+# 7zFormat.txt / lzma SDK Methods.txt ids
+_BRANCH_FILTERS: dict[bytes, tuple[str, int]] = {
+    b"\x03": ("delta", lzma.FILTER_DELTA),
+    b"\x03\x03\x01\x03": ("bcj-x86", lzma.FILTER_X86),
+    b"\x03\x03\x02\x05": ("bcj-ppc", lzma.FILTER_POWERPC),
+    b"\x03\x03\x04\x01": ("bcj-ia64", lzma.FILTER_IA64),
+    b"\x03\x03\x05\x01": ("bcj-arm", lzma.FILTER_ARM),
+    b"\x03\x03\x07\x01": ("bcj-armt", lzma.FILTER_ARMTHUMB),
+    b"\x03\x03\x08\x05": ("bcj-sparc", lzma.FILTER_SPARC),
+}
+
+
+def _lzma_filter_spec(coder_id: bytes, props: bytes) -> dict | None:
+    """stdlib filter spec for an LZMA-family coder, else None."""
     if coder_id == b"\x21":  # LZMA2
         if len(props) != 1:
             raise SevenZipParseError("bad LZMA2 props")
-        dict_size = _lzma2_dict_size(props[0])
-        filt = [{"id": lzma.FILTER_LZMA2, "dict_size": dict_size}]
-    elif coder_id == b"\x03\x01\x01":  # LZMA1
+        return {"id": lzma.FILTER_LZMA2,
+                "dict_size": _lzma2_dict_size(props[0])}
+    if coder_id == b"\x03\x01\x01":  # LZMA1
         if len(props) != 5:
             raise SevenZipParseError("bad LZMA1 props")
         d = props[0]
         if d >= 225:
             raise SevenZipParseError("bad LZMA1 lclppb")
-        filt = [{
+        return {
             "id": lzma.FILTER_LZMA1,
             "lc": d % 9,
             "lp": (d // 9) % 5,
             "pb": d // 45,
             "dict_size": max(struct.unpack("<I", props[1:5])[0], 4096),
-        }]
-    elif coder_id == b"\x04\x02\x02":  # bzip2
+        }
+    return None
+
+
+def _branch_filter_spec(coder_id: bytes, props: bytes) -> dict | None:
+    """stdlib filter spec for a branch (BCJ/delta) coder, else None."""
+    hit = _BRANCH_FILTERS.get(coder_id)
+    if hit is None:
+        return None
+    name, fid = hit
+    if name == "delta":
+        if len(props) != 1:
+            raise SevenZipParseError("bad delta props")
+        return {"id": fid, "dist": props[0] + 1}
+    if not props:
+        return {"id": fid}
+    if len(props) == 4:
+        return {"id": fid,
+                "start_offset": struct.unpack("<I", props)[0]}
+    raise SevenZipParseError(f"bad {name} props")
+
+
+def _lzma_raw_decode(filters: list[dict], packed: bytes,
+                     unpack_size: int) -> bytes:
+    try:
+        dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW,
+                                    filters=filters)
+        out = dec.decompress(packed, max_length=unpack_size)
+    except (lzma.LZMAError, ValueError) as e:
+        raise SevenZipParseError(f"bad LZMA folder: {e}") from None
+    if len(out) < unpack_size:
+        raise SevenZipParseError("LZMA folder shorter than declared")
+    return out
+
+
+def _decode_folder(folder: "_Folder", packed: bytes,
+                   max_out: int) -> bytes:
+    """One folder's final output, cap enforced WHILE feeding the
+    decompressor.  Single coders and two-coder BCJ/delta-over-LZMA
+    chains (stdlib raw filter lists) decode; anything else is a
+    NAMED typed boundary."""
+    unpack_size = folder.unpack_size
+    if unpack_size > max_out:
+        raise SevenZipBombError(
+            f"folder declares {unpack_size} bytes"
+        )
+    if len(folder.coders) == 2:
+        return _decode_chain(folder, packed, unpack_size)
+    coder_id, props = folder.coders[0]
+    return _decode_single(coder_id, props, packed, unpack_size)
+
+
+def _decode_chain(folder: "_Folder", packed: bytes,
+                  unpack_size: int) -> bytes:
+    """Two-coder chain: the bind pair must feed the LZMA coder's
+    output into a stdlib-expressible branch filter."""
+    specs = [(cid, _branch_filter_spec(cid, pr), _lzma_filter_spec(cid, pr))
+             for cid, pr in folder.coders]
+    branch = [i for i, (_, b, _l) in enumerate(specs) if b is not None]
+    compress = [i for i, (_, _b, l) in enumerate(specs) if l is not None]
+    if len(branch) != 1 or len(compress) != 1:
+        raise SevenZipUnsupportedError("7z-chain")
+    bi, ci = branch[0], compress[0]
+    # out-stream index i belongs to coder i (each coder here is
+    # 1-in/1-out, enforced at parse); the single bind pair must route
+    # the compressor's output into the branch filter's input
+    if folder.bind_pairs != [(bi, ci)]:
+        raise SevenZipUnsupportedError("7z-chain")
+    return _lzma_raw_decode([specs[bi][1], specs[ci][2]],
+                            packed, unpack_size)
+
+
+def _decode_single(coder_id: bytes, props: bytes, packed: bytes,
+                   unpack_size: int) -> bytes:
+    if coder_id == b"\x00":  # Copy
+        if len(packed) < unpack_size:
+            raise SevenZipParseError("copy folder shorter than declared")
+        return packed[:unpack_size]
+    lz = _lzma_filter_spec(coder_id, props)
+    if lz is not None:
+        return _lzma_raw_decode([lz], packed, unpack_size)
+    if coder_id == b"\x04\x02\x02":  # bzip2
         # cap enforced WHILE feeding, like the LZMA/deflate paths: a
         # one-shot bz2.decompress would materialize a bomb's full
         # output before the declared-size check ever ran (bzip2
@@ -197,17 +284,7 @@ def _decode_folder(coder_id: bytes, props: bytes, packed: bytes,
         return out
     elif coder_id[:1] == b"\x06":
         raise SevenZipUnsupportedError("7z-aes")
-    else:
-        raise SevenZipUnsupportedError(f"7z-coder-{coder_id.hex()}")
-    try:
-        dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW,
-                                    filters=filt)
-        out = dec.decompress(packed, max_length=unpack_size)
-    except (lzma.LZMAError, ValueError) as e:
-        raise SevenZipParseError(f"bad LZMA folder: {e}") from None
-    if len(out) < unpack_size:
-        raise SevenZipParseError("LZMA folder shorter than declared")
-    return out
+    raise SevenZipUnsupportedError(f"7z-coder-{coder_id.hex()}")
 
 
 def _lzma2_dict_size(code: int) -> int:
@@ -219,13 +296,12 @@ def _lzma2_dict_size(code: int) -> int:
 
 
 class _Folder:
-    __slots__ = ("coder_id", "props", "num_pack", "unpack_size", "crc")
+    __slots__ = ("coders", "bind_pairs", "unpack_size", "crc")
 
     def __init__(self):
-        self.coder_id = b""
-        self.props = b""
-        self.num_pack = 1
-        self.unpack_size = 0
+        self.coders: list[tuple[bytes, bytes]] = []  # (id, props)
+        self.bind_pairs: list[tuple[int, int]] = []  # (in, out) stream
+        self.unpack_size = 0  # final (unbound) out stream's size
         self.crc = None
 
 
@@ -270,8 +346,17 @@ def _read_streams_info(r: _Rd):
                 folders.append(_read_folder(r))
             if r.num() != _K_UNPACK_SIZE:
                 raise SevenZipParseError("missing kCodersUnpackSize")
+            # one size per OUT stream (== per coder here: 1-in/1-out
+            # enforced at parse); the folder's output is the out
+            # stream no bind pair consumes
             for f in folders:
-                f.unpack_size = r.num()
+                outs = [r.num() for _ in f.coders]
+                bound = {o for _, o in f.bind_pairs}
+                final = [i for i in range(len(outs)) if i not in bound]
+                if len(final) != 1:
+                    raise SevenZipParseError(
+                        "folder without a unique output stream")
+                f.unpack_size = outs[final[0]]
             while True:
                 sid = r.num()
                 if sid == _K_END:
@@ -292,21 +377,49 @@ def _read_streams_info(r: _Rd):
 
 
 def _read_folder(r: _Rd) -> _Folder:
+    """Full folder parse per 7zFormat.txt: coders, bind pairs, packed
+    -stream indices.  Every coder here must be 1-in/1-out (the only
+    shapes liblzma chains express), each folder one packed stream —
+    anything wider is the NAMED ``7z-chain`` boundary, but the parse
+    itself must consume the exact bytes either way (a misparse would
+    desync every later header field)."""
     f = _Folder()
     nc = r.num()
-    if nc != 1:
-        # BCJ/delta + compressor chains: typed, named
+    if nc < 1 or nc > 64:
+        raise SevenZipParseError(f"bad coder count {nc}")
+    total_in = total_out = 0
+    multi_inout = False
+    for _ in range(nc):
+        flags = r.byte()
+        id_size = flags & 0x0F
+        cid = r.take(id_size)
+        nin = nout = 1
+        if flags & 0x10:  # complex: explicit stream counts
+            nin, nout = r.num(), r.num()
+            if not (1 <= nin <= 64 and 1 <= nout <= 64):
+                raise SevenZipParseError("bad coder stream counts")
+            if nin != 1 or nout != 1:
+                multi_inout = True
+        total_in += nin
+        total_out += nout
+        props = b""
+        if flags & 0x20:
+            props = r.take(r.num())
+        f.coders.append((cid, props))
+    n_bind = total_out - 1
+    if n_bind > total_in:
+        raise SevenZipParseError("more bind pairs than in-streams")
+    for _ in range(n_bind):
+        f.bind_pairs.append((r.num(), r.num()))
+    n_packed = total_in - n_bind
+    if n_packed > 1:
+        for _ in range(n_packed):
+            r.num()  # packed-stream index
+    if multi_inout or nc > 2 or n_packed != 1:
         raise SevenZipUnsupportedError("7z-chain")
-    flags = r.byte()
-    id_size = flags & 0x0F
-    f.coder_id = r.take(id_size)
-    if flags & 0x10:  # complex: explicit stream counts
-        nin, nout = r.num(), r.num()
-        if nin != 1 or nout != 1:
-            raise SevenZipUnsupportedError("7z-chain")
-    if flags & 0x20:
-        f.props = r.take(r.num())
-    # single coder, 1-in/1-out: no bind pairs, one packed stream
+    for inx, outx in f.bind_pairs:
+        if not (0 <= inx < total_in and 0 <= outx < total_out):
+            raise SevenZipParseError("bind pair out of range")
     return f
 
 
@@ -418,8 +531,7 @@ def sevenzip_members(
         if len(packed) < pack_sizes[0]:
             raise SevenZipParseError("encoded header overruns input")
         f = folders[0]
-        hdr = _decode_folder(f.coder_id, f.props, packed,
-                             f.unpack_size, _MAX_HEADER)
+        hdr = _decode_folder(f, packed, _MAX_HEADER)
         if f.crc is not None and zlib.crc32(hdr) != f.crc:
             raise SevenZipParseError("encoded header CRC mismatch")
         r = _Rd(hdr)
@@ -535,10 +647,7 @@ def sevenzip_members(
                 folder_err = "SevenZipParseError"
             else:
                 try:
-                    folder_data = _decode_folder(
-                        f.coder_id, f.props, packed, f.unpack_size,
-                        max_total,
-                    )
+                    folder_data = _decode_folder(f, packed, max_total)
                     if f.crc is not None and counts[folder_idx] == 1 \
                             and zlib.crc32(folder_data) != f.crc:
                         folder_data = None

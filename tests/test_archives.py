@@ -359,8 +359,15 @@ def gate_payloads() -> dict[str, bytes]:
         codec="copy",
         dirs=("sdir",),
     )
+    # r14: BCJ-x86 + LZMA2 chain folder (stdlib filter-list decode)
+    szb = write_7z(
+        [("b/callsite.bin", b"bcj chain member one"),
+         ("bnote.txt", b"bcj chain member two")],
+        codec="x86+lzma2",
+        solid=True,
+    )
     return {"TGZ": tgz, "ENCZIP": bytes(data), "TARZST": tarzst,
-            "7Z": sz}
+            "7Z": sz, "7ZBCJ": szb}
 
 
 def test_gate_payload_pin():
@@ -391,6 +398,10 @@ def test_gate_payloads_extract():
         ("s/one.txt", 19, b"sevenzip member one", None),
         ("stwo", 19, b"sevenzip member two", None),
         ("sempty", 0, b"", None),  # the dir emits no row
+    ]
+    assert as_rows(p["7ZBCJ"]) == [
+        ("b/callsite.bin", 20, b"bcj chain member one", None),
+        ("bnote.txt", 20, b"bcj chain member two", None),
     ]
 
 

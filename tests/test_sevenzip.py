@@ -89,13 +89,72 @@ def _deflate(d: bytes) -> bytes:
     return c.compress(d) + c.flush()
 
 
-def _folder_bytes(codec: str) -> bytes:
-    cid, props, _ = _CODECS[codec]
-    flags = len(cid) | (0x20 if props else 0)
-    out = bytes([1, flags]) + cid  # NumCoders=1, flags, id
+# two-coder BCJ/delta chains (r14): the folder lists the LZMA coder
+# first and the branch filter second, bind pair (InIndex=1, OutIndex=0)
+# routing LZMA's output into the filter — the shape 7-Zip itself
+# writes. Branch filters are length-preserving, so both out-stream
+# sizes equal the final size.
+_CHAINS = {
+    # name -> (branch id, branch props, lzma codec name, filter spec)
+    "x86+lzma2": (b"\x03\x03\x01\x03", b"", "lzma2",
+                  {"id": lzma.FILTER_X86}),
+    "x86+lzma1": (b"\x03\x03\x01\x03", b"", "lzma1",
+                  {"id": lzma.FILTER_X86}),
+    "delta4+lzma2": (b"\x03", bytes([3]), "lzma2",
+                     {"id": lzma.FILTER_DELTA, "dist": 4}),
+    "arm+lzma2": (b"\x03\x03\x05\x01", b"", "lzma2",
+                  {"id": lzma.FILTER_ARM}),
+    "armt+lzma2": (b"\x03\x03\x07\x01", b"", "lzma2",
+                   {"id": lzma.FILTER_ARMTHUMB}),
+    "sparc+lzma2": (b"\x03\x03\x08\x05", b"", "lzma2",
+                    {"id": lzma.FILTER_SPARC}),
+    "ppc+lzma2": (b"\x03\x03\x02\x05", b"", "lzma2",
+                  {"id": lzma.FILTER_POWERPC}),
+    "ia64+lzma2": (b"\x03\x03\x04\x01", b"", "lzma2",
+                   {"id": lzma.FILTER_IA64}),
+}
+
+_LZ_SPECS = {
+    "lzma2": {"id": lzma.FILTER_LZMA2, "dict_size": 1 << 24},
+    "lzma1": {"id": lzma.FILTER_LZMA1, "lc": 3, "lp": 0, "pb": 2,
+              "dict_size": 1 << 20},
+}
+
+
+def _comp_fn(codec: str):
+    if codec in _CHAINS:
+        _, _, lzname, fspec = _CHAINS[codec]
+        if fspec is None or lzname not in _LZ_SPECS:
+            # boundary-shape tests (filter-over-bzip2, unknown branch):
+            # the reader refuses BEFORE decoding, so bytes don't matter
+            return _CODECS[lzname][2]
+        return lambda d: _lz(d, [fspec, _LZ_SPECS[lzname]])
+    return _CODECS[codec][2]
+
+
+def _coder_bytes(cid: bytes, props: bytes) -> bytes:
+    out = bytes([len(cid) | (0x20 if props else 0)]) + cid
     if props:
         out += wnum(len(props)) + props
     return out
+
+
+def _folder_bytes(codec: str) -> bytes:
+    if codec in _CHAINS:
+        bid, bprops, lzname, _ = _CHAINS[codec]
+        cid, props, _ = _CODECS[lzname]
+        return (
+            bytes([2])  # NumCoders
+            + _coder_bytes(cid, props)   # coder 0: compressor
+            + _coder_bytes(bid, bprops)  # coder 1: branch filter
+            + wnum(1) + wnum(0)          # bind pair: filter.in <- lzma.out
+        )
+    cid, props, _ = _CODECS[codec]
+    return bytes([1]) + _coder_bytes(cid, props)
+
+
+def _n_out_streams(codec: str) -> int:
+    return 2 if codec in _CHAINS else 1
 
 
 def write_7z(
@@ -108,7 +167,7 @@ def write_7z(
 ) -> bytes:
     """ISO-down-to-the-byte 7z writer: signature header, packed
     streams, plain or LZMA2-ENCODED header."""
-    _, _, comp = _CODECS[codec]
+    comp = _comp_fn(codec)
     nonempty = [(n, d) for n, d in files if d]
     empty = [(n, d) for n, d in files if not d]
     if solid and nonempty:
@@ -131,7 +190,10 @@ def write_7z(
             h += _folder_bytes(codec)
         h += wnum(0x0C)
         for b in blobs:
-            h += wnum(len(b))
+            # one size per OUT stream; branch filters are 1:1 so the
+            # intermediate equals the final size
+            for _ in range(_n_out_streams(codec)):
+                h += wnum(len(b))
         if folder_crcs:
             h += wnum(0x0A) + b"\x01"  # allAreDefined
             for b in blobs:
@@ -311,14 +373,14 @@ class TestBoundaries:
         assert r and all(
             x[3] == "SevenZipUnsupportedError:7z-aes" for x in r)
         from data_governance_spark.operators.sevenzip import (
-            _decode_folder,
+            _decode_single,
         )
 
         with pytest.raises(SevenZipUnsupportedError) as ei:
-            _decode_folder(b"\x06\xf1\x07\x01", b"", b"x", 1, 100)
+            _decode_single(b"\x06\xf1\x07\x01", b"", b"x", 1)
         assert ei.value.feature == "7z-aes"
         with pytest.raises(SevenZipUnsupportedError) as ei:
-            _decode_folder(b"\x03\x03\x01\x03", b"", b"x", 1, 100)
+            _decode_single(b"\x09\x99", b"", b"x", 1)
         assert ei.value.feature.startswith("7z-coder-")
 
     def test_member_bomb_cap(self):
@@ -411,12 +473,12 @@ class TestR14Hardening:
         import tracemalloc
 
         from data_governance_spark.operators.sevenzip import (
-            _decode_folder,
+            _decode_single,
         )
 
         bomb = bz2.compress(bytes(8_000_000))  # ~8 MB of zeros
         tracemalloc.start()
-        out = _decode_folder(b"\x04\x02\x02", b"", bomb, 100, 10**9)
+        out = _decode_single(b"\x04\x02\x02", b"", bomb, 100)
         _, peak = tracemalloc.get_traced_memory()
         tracemalloc.stop()
         assert out == bytes(100)
@@ -425,12 +487,12 @@ class TestR14Hardening:
 
     def test_bzip2_shorter_than_declared_typed(self):
         from data_governance_spark.operators.sevenzip import (
-            _decode_folder,
+            _decode_single,
         )
 
         short = bz2.compress(b"abc")
         with pytest.raises(SevenZipParseError, match="shorter"):
-            _decode_folder(b"\x04\x02\x02", b"", short, 10, 10**9)
+            _decode_single(b"\x04\x02\x02", b"", short, 10)
 
     def test_substream_crc_verified_solid(self):
         """r13 ADVICE: solid-folder kCRC digests were parsed and
@@ -474,3 +536,111 @@ class TestR14Hardening:
         patched = _repack(write_7z(FILES), old, new)
         with pytest.raises(SevenZipParseError, match="odd-length"):
             sevenzip_members(patched)
+
+
+# ===================================================================
+# r14: BCJ/delta filter chains (stdlib lzma raw filter lists)
+# ===================================================================
+CHAIN_FILES = [
+    # x86-call-looking bytes (0xE8/0xE9 present) so BCJ actually
+    # transforms; a delta-friendly ramp; and plain text
+    ("bin/boot.so", bytes(range(256)) * 16),
+    ("data.raw", bytes((i * 7) & 0xFF for i in range(4096))),
+    ("readme.txt", b"plain text body that the filter passes through"),
+]
+
+
+class TestChains:
+    @pytest.mark.parametrize("codec", sorted(_CHAINS))
+    @pytest.mark.parametrize("solid", [True, False])
+    def test_chain_roundtrip(self, codec, solid):
+        data = write_7z(CHAIN_FILES, codec=codec, solid=solid)
+        assert rows(data) == [
+            (n, len(b), b, None) for n, b in CHAIN_FILES
+        ]
+
+    def test_chain_encoded_header(self):
+        data = write_7z(CHAIN_FILES, codec="x86+lzma2",
+                        encoded_header=True)
+        assert [r[0] for r in rows(data)] == [n for n, _ in CHAIN_FILES]
+
+    def test_chain_filter_order_agnostic(self):
+        """7-Zip writes compressor-first; the reader must accept the
+        filter-first layout too (roles resolved by coder id, bind pair
+        checked per layout)."""
+        data = write_7z(CHAIN_FILES, codec="x86+lzma2", solid=True)
+        # locate the folder bytes: NumCoders=2, lzma2 coder, bcj coder,
+        # bind pair (1, 0) -> swap to bcj-first with bind pair (0, 1)
+        old = (bytes([2]) + _coder_bytes(b"\x21", bytes([24]))
+               + _coder_bytes(b"\x03\x03\x01\x03", b"")
+               + wnum(1) + wnum(0))
+        new = (bytes([2]) + _coder_bytes(b"\x03\x03\x01\x03", b"")
+               + _coder_bytes(b"\x21", bytes([24]))
+               + wnum(0) + wnum(1))
+        assert len(old) == len(new)
+        patched = _repack(data, old, new)
+        assert rows(patched) == [
+            (n, len(b), b, None) for n, b in CHAIN_FILES
+        ]
+
+    def test_chain_corrupt_pack_quarantines(self):
+        data = bytearray(write_7z(CHAIN_FILES, codec="delta4+lzma2",
+                                  solid=True))
+        data[40] ^= 0xFF  # inside the packed stream
+        r = rows(bytes(data))
+        assert len(r) == 3
+        assert all(x[3] is not None for x in r)
+
+    def test_chain_crc_still_verified(self):
+        data = write_7z(CHAIN_FILES, codec="x86+lzma2", solid=False,
+                        folder_crcs=True)
+        assert all(x[3] is None for x in rows(data))
+
+    def test_filter_over_bzip2_stays_typed(self):
+        """liblzma can't put bzip2 at the end of a raw chain — the
+        reader must refuse the folder NAMED, not misdecode."""
+        _CHAINS["x86+bzip2"] = (b"\x03\x03\x01\x03", b"", "bzip2", None)
+        try:
+            data = write_7z(CHAIN_FILES, codec="x86+bzip2")
+        finally:
+            del _CHAINS["x86+bzip2"]
+        r = rows(data)
+        assert r and all(
+            x[3] == "SevenZipUnsupportedError:7z-chain" for x in r)
+
+    def test_unknown_branch_filter_stays_typed(self):
+        """ARM64 (0x0a) has no stdlib constant — NAMED boundary."""
+        _CHAINS["arm64+lzma2"] = (b"\x0a", b"", "lzma2", None)
+        try:
+            data = write_7z(CHAIN_FILES, codec="arm64+lzma2")
+        finally:
+            del _CHAINS["arm64+lzma2"]
+        r = rows(data)
+        assert r and all(
+            x[3] == "SevenZipUnsupportedError:7z-chain" for x in r)
+
+    def test_delta_props_required(self):
+        from data_governance_spark.operators.sevenzip import (
+            _branch_filter_spec,
+        )
+
+        assert _branch_filter_spec(b"\x03", bytes([3])) == {
+            "id": lzma.FILTER_DELTA, "dist": 4}
+        with pytest.raises(SevenZipParseError, match="delta"):
+            _branch_filter_spec(b"\x03", b"")
+        with pytest.raises(SevenZipParseError, match="x86"):
+            _branch_filter_spec(b"\x03\x03\x01\x03", b"\x01")
+        assert _branch_filter_spec(b"\x03\x03\x01\x03",
+                                   struct.pack("<I", 16)) == {
+            "id": lzma.FILTER_X86, "start_offset": 16}
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(0, 10**9), st.integers(0, 255))
+    def test_corrupted_chain_archive_only_typed(self, pos, val):
+        d = bytearray(write_7z(CHAIN_FILES, codec="x86+lzma2"))
+        d[pos % len(d)] = val
+        try:
+            out = sevenzip_members(bytes(d))
+            assert isinstance(out, list)
+        except SevenZipError:
+            pass
