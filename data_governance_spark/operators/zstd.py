@@ -44,6 +44,7 @@ format is RFC 8878, public).
 
 from __future__ import annotations
 
+import os
 import struct
 
 __all__ = [
@@ -52,6 +53,7 @@ __all__ = [
     "ZstdBombError",
     "ZstdUnsupportedError",
     "zstd_decompress",
+    "zstd_decompress_auto",
     "xxh64",
 ]
 
@@ -837,3 +839,99 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
         if xxh64(content) & 0xFFFFFFFF != want:
             raise ZstdParseError("content checksum mismatch")
     return pos
+
+
+# ---------------------------------------------------------------------
+# native fast path (r13 brief #3)
+# ---------------------------------------------------------------------
+_NATIVE_ENV = "DG_SPARK_ZSTD_NATIVE"
+_native_cache: object = None  # None = unresolved, False = unavailable
+
+
+def _native_codec():
+    """pyarrow's bundled libzstd codec, or None.  The env kill switch
+    ``DG_SPARK_ZSTD_NATIVE=0`` is re-read per call (cheap) so a job
+    can force the from-spec path without reimporting; the codec
+    import itself is resolved once."""
+    if os.environ.get(_NATIVE_ENV, "1") == "0":
+        return None
+    global _native_cache
+    if _native_cache is None:
+        try:
+            import pyarrow as pa
+
+            _native_cache = pa.Codec("zstd")
+        except Exception:
+            _native_cache = False
+    return _native_cache or None
+
+
+def _first_frame_fcs(data: bytes) -> int | None:
+    """Declared content size of the FIRST frame when it is a
+    standard, dictionary-free frame that states one — the only shape
+    the native fast path accepts.  None routes to the from-spec
+    decoder (which owns every typed-error decision)."""
+    if len(data) < 5:
+        return None
+    (magic,) = struct.unpack_from("<I", data, 0)
+    if magic != _MAGIC:
+        return None  # skippable-first / garbage: from-spec handles
+    fhd = data[4]
+    if fhd & 0x08:
+        return None
+    single = bool(fhd & 0x20)
+    did_flag = fhd & 3
+    fcs_flag = fhd >> 6
+    pos = 5 + (0 if single else 1)
+    did_size = (0, 1, 2, 4)[did_flag]
+    if did_size:
+        if pos + did_size > len(data):
+            return None
+        if int.from_bytes(data[pos: pos + did_size], "little"):
+            return None  # dict frame: the typed-boundary path
+        pos += did_size
+    fcs_size = (1 if single else 0, 2, 4, 8)[fcs_flag]
+    if not fcs_size:
+        return None
+    if pos + fcs_size > len(data):
+        return None
+    fcs = int.from_bytes(data[pos: pos + fcs_size], "little")
+    if fcs_size == 2:
+        fcs += 256
+    return fcs
+
+
+def zstd_decompress_auto(data: bytes, max_out: int = 1 << 30) -> bytes:
+    """:func:`zstd_decompress` with a native fast path when pyarrow's
+    bundled libzstd is importable — the r13 verdict's measured
+    pure-Python ceiling (21 MB/s decoded per core) is the difference
+    between scan-speed and CPU-bound ingest if a corpus arrives mostly
+    as ``.tar.zst``.
+
+    Safety model (why the fast path cannot weaken the typed/bomb
+    contracts):
+
+    - native runs ONLY when the first frame declares its content size
+      and it fits ``max_out``; allocation is exactly that declared
+      size, never attacker-elastic (libzstd requires dst == total
+      content, so a lying FCS, extra frames, or trailing bytes error
+      out and fall through);
+    - libzstd verifies XXH64 content checksums itself (differentially
+      pinned in tests/test_zstd.py);
+    - ANY native failure falls back to the from-spec decoder, which
+      owns every typed-error decision — the error taxonomy a caller
+      observes is identical on both paths (parity-tested).
+
+    ``DG_SPARK_ZSTD_NATIVE=0`` forces the from-spec path everywhere.
+    """
+    codec = _native_codec()
+    if codec is not None and isinstance(data, (bytes, bytearray)):
+        data = bytes(data)
+        fcs = _first_frame_fcs(data)
+        if fcs is not None and fcs <= max_out:
+            try:
+                return bytes(codec.decompress(data,
+                                              decompressed_size=fcs))
+            except Exception:
+                pass  # from-spec decides the typed outcome
+    return zstd_decompress(data, max_out)

@@ -359,3 +359,123 @@ _WORDS = "alpha beta gamma delta zstd frame huffman fse".split()
 _CORPUS_FRAME = zc(
     " ".join(_rng.choice(_WORDS) for _ in range(30_000)).encode(), 19
 )
+
+
+# ===================================================================
+# r14: native fast path (zstd_decompress_auto) parity
+# ===================================================================
+class TestNativeFastPath:
+    def test_parity_on_valid_frames(self):
+        from data_governance_spark.operators.zstd import (
+            zstd_decompress_auto,
+        )
+
+        rng = random.Random(14)
+        cases = [zc(data, lv)
+                 for data in _shapes().values()
+                 for lv in (1, 9)]
+        cases += [
+            zc(bytes(rng.getrandbits(8) & 0x3F
+                     for _ in range(400_000))),  # multi-block
+            spec_frame(b"spec " * 100, checksum=True, fcs_width=4),
+            spec_frame(b"", fcs_width=4),  # empty content, FCS=0
+        ]
+        for blob in cases:
+            assert zstd_decompress_auto(blob) == zstd_decompress(blob)
+
+    def test_multiframe_falls_back_same_answer(self):
+        from data_governance_spark.operators.zstd import (
+            zstd_decompress_auto,
+        )
+
+        blob = zc(b"first frame ") + skippable(b"meta") + zc(b"second")
+        assert zstd_decompress_auto(blob) == b"first frame second"
+        # skippable-FIRST blobs skip the fast path entirely
+        blob2 = skippable(b"meta") + zc(b"only frame")
+        assert zstd_decompress_auto(blob2) == b"only frame"
+
+    def test_no_fcs_routes_to_from_spec(self):
+        from data_governance_spark.operators import zstd as Z
+
+        # single-segment frames ALWAYS carry an FCS byte; only a
+        # windowed frame with fcs_flag=0 truly omits it
+        blob = spec_frame(b"no fcs stated", fcs_width=0,
+                          single_segment=False)
+        assert Z._first_frame_fcs(blob) is None
+        assert Z.zstd_decompress_auto(blob) == b"no fcs stated"
+        # and the single-segment implied-FCS byte IS read by the
+        # fast-path gate (it's a real declaration)
+        ss = spec_frame(b"implied", fcs_width=0)
+        assert Z._first_frame_fcs(ss) == 7
+
+    def test_bomb_cap_identical(self):
+        from data_governance_spark.operators.zstd import (
+            ZstdBombError,
+            zstd_decompress_auto,
+        )
+
+        blob = zc(bytes(1_000_000))
+        with pytest.raises(ZstdBombError):
+            zstd_decompress_auto(blob, max_out=1000)
+        with pytest.raises(ZstdBombError):
+            zstd_decompress(blob, max_out=1000)
+
+    def test_corrupt_checksummed_frame_typed_both_paths(self):
+        from data_governance_spark.operators.zstd import (
+            zstd_decompress_auto,
+        )
+
+        blob = bytearray(spec_frame(b"payload " * 500, checksum=True,
+                                    fcs_width=4))
+        blob[len(blob) // 2] ^= 0xFF
+        with pytest.raises(ZstdParseError):
+            zstd_decompress_auto(bytes(blob))
+        with pytest.raises(ZstdParseError):
+            zstd_decompress(bytes(blob))
+
+    def test_trailing_garbage_typed_both_paths(self):
+        from data_governance_spark.operators.zstd import (
+            zstd_decompress_auto,
+        )
+
+        blob = zc(b"valid frame") + b"\xde\xad\xbe\xef"
+        with pytest.raises(ZstdParseError):
+            zstd_decompress_auto(blob)
+        with pytest.raises(ZstdParseError):
+            zstd_decompress(blob)
+
+    def test_kill_switch(self, monkeypatch):
+        from data_governance_spark.operators import zstd as Z
+
+        calls = []
+        real = Z.zstd_decompress
+
+        def spy(data, max_out=1 << 30):
+            calls.append(len(data))
+            return real(data, max_out)
+
+        monkeypatch.setattr(Z, "zstd_decompress", spy)
+        blob = zc(b"switchable content")
+        monkeypatch.setenv("DG_SPARK_ZSTD_NATIVE", "0")
+        assert Z.zstd_decompress_auto(blob) == b"switchable content"
+        assert calls, "kill switch did not route to the from-spec path"
+        calls.clear()
+        monkeypatch.delenv("DG_SPARK_ZSTD_NATIVE")
+        assert Z.zstd_decompress_auto(blob) == b"switchable content"
+        assert not calls, "native path not taken with switch off"
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.binary(max_size=256), st.integers(0, 10**9),
+           st.integers(0, 255))
+    def test_auto_never_raises_untyped(self, tail, pos, val):
+        from data_governance_spark.operators.zstd import (
+            ZstdError,
+            zstd_decompress_auto,
+        )
+
+        blob = bytearray(zc(b"fuzz me " * 30) + tail)
+        blob[pos % len(blob)] = val
+        try:
+            zstd_decompress_auto(bytes(blob))
+        except ZstdError:
+            pass
