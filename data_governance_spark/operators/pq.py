@@ -328,11 +328,15 @@ def pq_knn(
         )
     dsub = books.dsub
     # LUT[q][m][j] = dot(query_q's m-th subvector, codeword j) — ragged
-    # ks per subspace, so a list of (nq, ks_m) arrays
-    luts = [
-        qm[:, i * dsub : (i + 1) * dsub] @ b.T
-        for i, b in enumerate(books.books)
-    ]
+    # ks per subspace, a list of (nq, ks_m) arrays. Computed LAZILY in
+    # the worker from (qm, codebooks), NOT on the driver: the closure
+    # then ships nq×dim + M×ks×dsub floats instead of nq × Σks — the
+    # lossless gate's 2000-codeword books make driver-built LUTs ~50 MB
+    # of pickle per task (measured: e05's scoring stage spent 186 s of
+    # task wall at 2 s CPU, blocked feeding the closure to 32 workers).
+    # One matmul per partition re-derives them bitwise-identically
+    # (same numpy op on the same operands).
+    bks = [b.copy() for b in books.books]
     q_nrm = np.sqrt((qm * qm).sum(1))
     # zero-norm QUERY guard, mirroring the corpus-side one: 0/0 would
     # be NaN, and F.desc ranks NaN above every real cosine
@@ -342,9 +346,15 @@ def pq_knn(
     topk = k
 
     def score(batches):
+        luts = None
         for pdf in batches:
             if pdf.empty:
                 continue
+            if luts is None:
+                luts = [
+                    qm[:, i * dsub : (i + 1) * dsub] @ b.T
+                    for i, b in enumerate(bks)
+                ]
             cids = pdf["_pq_id"].to_numpy()
             nrms = pdf["_pq_nrm"].to_numpy(dtype=np.float64)
             cm = _unpack_codes(pdf["_pq_code"].to_numpy(), packed, n_books)
@@ -589,18 +599,24 @@ def ivfadc_knn(
             probing.setdefault(int(cell_ids[j]), []).append(qi)
     qc_by_cell = {int(cell_ids[j]): qc_dot[:, j] for j in range(len(cell_ids))}
     dsub = books.dsub
-    luts = [
-        qm[:, i * dsub : (i + 1) * dsub] @ b.T
-        for i, b in enumerate(books.books)
-    ]
+    # residual-ADC LUTs are worker-built from (qm, codebooks) — see
+    # pq_knn: driver-built (nq × Σks) tables bloat the task closure by
+    # ~50 MB under the lossless gate's 2000-codeword books
+    bks = [b.copy() for b in books.books]
     packed = books.byte_packable
     n_books = books.m
     topk = k
 
     def score(batches):
+        luts = None
         for pdf in batches:
             if pdf.empty:
                 continue
+            if luts is None:
+                luts = [
+                    qm[:, i * dsub : (i + 1) * dsub] @ b.T
+                    for i, b in enumerate(bks)
+                ]
             cells_arr = pdf["_iv_cell"].to_numpy()
             ids_arr = pdf["_iv_id"].to_numpy()
             nrms = pdf["_iv_nrm"].to_numpy(dtype=np.float64)

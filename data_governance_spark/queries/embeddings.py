@@ -455,6 +455,14 @@ def e05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate pool. Lossless codes make the pool provably contain
     # the true top-k, so the rerank must equal brute force exactly.
     pq_wide = tracked_persist(pq_knn(queries, codes, books, k=2 * _K))
+    # materialize NOW (bounded: |queries| × 2k rows): the final action
+    # otherwise computes this cache from three racing consumers at once
+    # — the 'pq' branch, exact_rerank's broadcast-build future, and the
+    # rr pool join — and the broadcast job's tasks convoy behind the
+    # block locks while holding task slots (measured: a 32-task stage
+    # at 262 s task wall / 5.7 s CPU; eager-count cut the cold gate
+    # from ~44 s to ~27 s at equal canary)
+    pq_wide.count()
     pq = pq_wide.filter(F.col("rk") <= _K)
 
     # rr sub-gate (r12): the production composition — approximate
