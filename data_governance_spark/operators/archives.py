@@ -20,10 +20,13 @@ Format ladder (magic-sniffed, extensions are never trusted):
 
 - outer stream compression: gzip (``1F 8B``), bzip2 (``BZh``), xz
   (``FD 37 7A 58 5A 00``), zstd (``28 B5 2F FD``, via the from-spec
-  RFC 8878 decoder in ``operators/zstd.py`` — r13) — decompressed
-  incrementally under the cap, then re-sniffed: a tar inside explodes
-  as members, anything else is a single member (named by the gzip
-  FNAME header when present).
+  RFC 8878 decoder in ``operators/zstd.py`` — r13), lz4
+  (``04 22 4D 18`` frames, the ``02 21 4C 18`` legacy container, and
+  leading skippable frames, via the from-spec decoder in
+  ``operators/lz4.py`` — r14) — decompressed incrementally under the
+  cap, then re-sniffed: a tar inside explodes as members, anything
+  else is a single member (named by the gzip FNAME header when
+  present).
 - zip (``PK``): members enumerated via the central directory;
   per-member failures (traditional PKZIP encryption flag, bad CRC,
   unsupported method) are typed PER MEMBER — the archive and its
@@ -114,6 +117,9 @@ _XZ_MAGIC = b"\xfd7zXZ\x00"
 
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"  # RFC 8878 — operators/zstd.py (r13)
 _7Z_MAGIC = b"7z\xbc\xaf\x27\x1c"  # operators/sevenzip.py (r13)
+_LZ4_MAGIC = b"\x04\x22\x4d\x18"   # lz4 frame — operators/lz4.py (r14)
+_LZ4_LEGACY_MAGIC = b"\x02\x21\x4c\x18"  # original lz4 CLI container
+_LZ4_SKIP_HI = b"\x2a\x4d\x18"     # skippable frame magic, bytes 1-3
 
 # recognized-but-undecodable container magics → ArchiveUnsupportedError
 _UNSUPPORTED_MAGICS = (
@@ -123,8 +129,9 @@ _UNSUPPORTED_MAGICS = (
 
 
 def archive_format(data: bytes) -> str:
-    """``zip tar gzip bzip2 xz zstd`` or :class:`ArchiveParseError` /
-    :class:`ArchiveUnsupportedError` (rar/7z)."""
+    """``zip tar gzip bzip2 xz zstd lz4 7z`` or
+    :class:`ArchiveParseError` / :class:`ArchiveUnsupportedError`
+    (rar)."""
     if not isinstance(data, (bytes, bytearray)):
         raise ArchiveParseError(f"expected bytes, got {type(data).__name__}")
     data = bytes(data)
@@ -140,6 +147,12 @@ def archive_format(data: bytes) -> str:
         return "zstd"
     if data[:6] == _7Z_MAGIC:
         return "7z"
+    if data[:4] in (_LZ4_MAGIC, _LZ4_LEGACY_MAGIC) or (
+        len(data) >= 4
+        and data[1:4] == _LZ4_SKIP_HI
+        and 0x50 <= data[0] <= 0x5F
+    ):
+        return "lz4"
     if _is_tar(data):
         return "tar"
     for magic, fmt in _UNSUPPORTED_MAGICS:
@@ -265,6 +278,28 @@ def _bounded_decompress(data: bytes, kind: str) -> bytes:
             raise ArchiveUnsupportedError("zstd-dict") from None
         except ZstdError as e:
             raise ArchiveParseError(f"bad zstd stream: {e}") from None
+    if kind == "lz4":
+        # same shape as zstd: from-spec decoder (operators/lz4.py)
+        # with a native (pyarrow liblz4) fast path inside
+        # lz4_decompress_auto; typed errors and caps identical
+        from .lz4 import (
+            Lz4BombError,
+            Lz4Error,
+            Lz4UnsupportedError,
+            lz4_decompress_auto,
+        )
+
+        try:
+            return lz4_decompress_auto(data, max_out=_MAX_MEMBER)
+        except Lz4BombError as e:
+            raise ArchiveBombError(str(e)) from None
+        except Lz4UnsupportedError as e:
+            # dictionary frame or future version: typed + named
+            raise ArchiveUnsupportedError(
+                "lz4-dict" if "dict" in str(e) else "lz4-version"
+            ) from None
+        except Lz4Error as e:
+            raise ArchiveParseError(f"bad lz4 stream: {e}") from None
     return bounded_decompress(
         data, kind, _MAX_MEMBER,
         bomb_error=ArchiveBombError, parse_error=ArchiveParseError,

@@ -13,7 +13,9 @@ format (public Apache Avro 1.11 spec) is implemented directly:
   stdlib set) AND ``snappy`` — the wild's default, implemented from
   the public raw-block format spec (see :func:`snappy_decompress`)
   with avro's per-block big-endian CRC32 of the uncompressed bytes;
-  ``zstd`` raises typed (no library, no stdlib-feasible decoder);
+  ``zstd`` via the from-spec RFC 8878 decoder (``operators/zstd.py``,
+  native fast path included — closed in r14; the boundary predated
+  that module);
 - binary decoding: zigzag varints, IEEE float/double LE,
   length-prefixed bytes/strings, records, enums, fixed, arrays and
   maps (incl. negative block counts with byte sizes), unions;
@@ -188,6 +190,19 @@ def _decompress(payload: bytes, codec: str) -> bytes:
         if zlib.crc32(out) != want:
             raise AvroError("snappy block CRC mismatch")
         return out
+    if codec == "zstd":
+        # one RFC 8878 stream per block, via the from-spec decoder
+        # (operators/zstd.py, r13 — this boundary predates it); caps
+        # and typed errors mapped into this tier's taxonomy
+        from data_governance_spark.operators.zstd import (
+            ZstdError,
+            zstd_decompress_auto,
+        )
+
+        try:
+            return zstd_decompress_auto(payload, max_out=_MAX_BLOCK_BYTES)
+        except ZstdError as e:
+            raise AvroError(f"bad zstd block: {e}") from None
     if codec not in ("deflate", "bzip2", "xz"):
         raise AvroError(f"unsupported avro codec {codec!r}")
     # the SHARED bounded-decompress discipline (archives.py): caps
@@ -467,6 +482,19 @@ def write_avro(
             payload = snappy_compress(payload) + zlib.crc32(
                 payload
             ).to_bytes(4, "big")
+        elif codec == "zstd":
+            # write-side uses pyarrow's bundled libzstd (the same
+            # anchor the read path's fast path and the zstd interop
+            # tests use); reading back goes through the from-spec
+            # decoder, so every write is differentially checked
+            try:
+                import pyarrow as pa
+
+                payload = bytes(pa.Codec("zstd").compress(payload))
+            except ImportError:  # pragma: no cover - pyarrow is baked in
+                raise AvroError(
+                    "avro codec 'zstd' needs pyarrow for writing"
+                ) from None
         elif codec != "null":
             raise AvroError(f"unsupported avro codec {codec!r}")
         out += _zigzag(len(chunk)) + _zigzag(len(payload))

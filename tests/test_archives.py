@@ -366,8 +366,24 @@ def gate_payloads() -> dict[str, bytes]:
         codec="x86+lzma2",
         solid=True,
     )
+    # r14: .tar.lz4 through the from-spec decoder, every XXH32
+    # verification path present (header/block/content checksums) and
+    # the content-size field verified against the decoded total
+    from test_lz4 import spec_frame as lz4_frame
+
+    tarlz4 = lz4_frame(
+        make_tar(
+            [("l/one.txt", b"lz4 member one"),
+             ("ltwo", b"lz4 member two")],
+            extras=True,
+        ),
+        block_size=1 << 12,
+        block_cksum=True,
+        content_size=True,
+        content_cksum=True,
+    )
     return {"TGZ": tgz, "ENCZIP": bytes(data), "TARZST": tarzst,
-            "7Z": sz, "7ZBCJ": szb}
+            "7Z": sz, "7ZBCJ": szb, "TARLZ4": tarlz4}
 
 
 def test_gate_payload_pin():
@@ -402,6 +418,10 @@ def test_gate_payloads_extract():
     assert as_rows(p["7ZBCJ"]) == [
         ("b/callsite.bin", 20, b"bcj chain member one", None),
         ("bnote.txt", 20, b"bcj chain member two", None),
+    ]
+    assert as_rows(p["TARLZ4"]) == [
+        ("l/one.txt", 14, b"lz4 member one", None),
+        ("ltwo", 14, b"lz4 member two", None),
     ]
 
 

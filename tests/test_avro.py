@@ -56,7 +56,9 @@ ROWS = [
 
 
 class TestRoundTrip:
-    @pytest.mark.parametrize("codec", ["null", "deflate", "bzip2", "xz"])
+    @pytest.mark.parametrize(
+        "codec", ["null", "deflate", "bzip2", "xz", "zstd"]
+    )
     def test_codecs(self, codec):
         data = write_avro(SCHEMA, ROWS * 5, codec=codec, block_rows=3)
         assert avro_rows(data) == ROWS * 5
@@ -71,15 +73,24 @@ class TestRoundTrip:
 
     def test_unsupported_codec_and_union(self):
         with pytest.raises(AvroError, match="codec"):
-            write_avro(SCHEMA, ROWS, codec="zstd")
+            write_avro(SCHEMA, ROWS, codec="lzo9")
         data = bytearray(write_avro(SCHEMA, ROWS))
         i = data.index(b"null")  # avro.codec value
-        data[i : i + 4] = b"zstd"
+        data[i : i + 4] = b"lzo9"
         # metadata value lengths: replace like-for-like is fine
         with pytest.raises(AvroError, match="codec"):
             avro_rows(bytes(data))
         with pytest.raises(AvroError, match="union"):
             avro_to_spark_type(["int", "string"])
+
+    def test_zstd_codec_hostile_block(self):
+        # a declared-zstd block whose payload is not a zstd frame must
+        # quarantine typed (the r14 boundary-close keeps the taxonomy)
+        data = bytearray(write_avro(SCHEMA, ROWS, codec="null"))
+        i = data.index(b"null")  # avro.codec value
+        data[i : i + 4] = b"zstd"
+        with pytest.raises(AvroError, match="zstd"):
+            avro_rows(bytes(data))
 
     def test_sync_mismatch_and_truncation(self):
         good = write_avro(SCHEMA, ROWS)
