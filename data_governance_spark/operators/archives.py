@@ -120,6 +120,7 @@ _7Z_MAGIC = b"7z\xbc\xaf\x27\x1c"  # operators/sevenzip.py (r13)
 _LZ4_MAGIC = b"\x04\x22\x4d\x18"   # lz4 frame — operators/lz4.py (r14)
 _LZ4_LEGACY_MAGIC = b"\x02\x21\x4c\x18"  # original lz4 CLI container
 _LZ4_SKIP_HI = b"\x2a\x4d\x18"     # skippable frame magic, bytes 1-3
+_SNAPPY_MAGIC = b"\xff\x06\x00\x00sNaPpY"  # framed — operators/snappy.py
 
 # recognized-but-undecodable container magics → ArchiveUnsupportedError
 _UNSUPPORTED_MAGICS = (
@@ -153,6 +154,8 @@ def archive_format(data: bytes) -> str:
         and 0x50 <= data[0] <= 0x5F
     ):
         return "lz4"
+    if data[:10] == _SNAPPY_MAGIC:
+        return "snappy"
     if _is_tar(data):
         return "tar"
     for magic, fmt in _UNSUPPORTED_MAGICS:
@@ -300,6 +303,26 @@ def _bounded_decompress(data: bytes, kind: str) -> bytes:
             ) from None
         except Lz4Error as e:
             raise ArchiveParseError(f"bad lz4 stream: {e}") from None
+    if kind == "snappy":
+        # framed snappy (.sz): from-spec container with per-chunk
+        # CRC32C (operators/snappy.py); raw chunks reuse avro's codec
+        from .snappy import (
+            SnappyBombError,
+            SnappyError,
+            SnappyUnsupportedError,
+            snappy_frame_decompress,
+        )
+
+        try:
+            return snappy_frame_decompress(data, max_out=_MAX_MEMBER)
+        except SnappyBombError as e:
+            raise ArchiveBombError(str(e)) from None
+        except SnappyUnsupportedError as e:
+            raise ArchiveUnsupportedError(e.feature) from None
+        except SnappyError as e:
+            raise ArchiveParseError(
+                f"bad framed-snappy stream: {e}"
+            ) from None
     return bounded_decompress(
         data, kind, _MAX_MEMBER,
         bomb_error=ArchiveBombError, parse_error=ArchiveParseError,

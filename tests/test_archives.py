@@ -382,8 +382,20 @@ def gate_payloads() -> dict[str, bytes]:
         content_size=True,
         content_cksum=True,
     )
+    # r14: .tar.sz — snappy framing over reference raw chunks (real
+    # copy tags through the from-spec raw decoder + masked CRC32C)
+    from test_snappy import reference_frame
+
+    tarsz = reference_frame(
+        make_tar(
+            [("n/one.txt", b"framed snappy one"),
+             ("ntwo", b"framed snappy two")],
+            extras=True,
+        ),
+        chunk=4096,
+    )
     return {"TGZ": tgz, "ENCZIP": bytes(data), "TARZST": tarzst,
-            "7Z": sz, "7ZBCJ": szb, "TARLZ4": tarlz4}
+            "7Z": sz, "7ZBCJ": szb, "TARLZ4": tarlz4, "TARSZ": tarsz}
 
 
 def test_gate_payload_pin():
@@ -422,6 +434,10 @@ def test_gate_payloads_extract():
     assert as_rows(p["TARLZ4"]) == [
         ("l/one.txt", 14, b"lz4 member one", None),
         ("ltwo", 14, b"lz4 member two", None),
+    ]
+    assert as_rows(p["TARSZ"]) == [
+        ("n/one.txt", 17, b"framed snappy one", None),
+        ("ntwo", 17, b"framed snappy two", None),
     ]
 
 
