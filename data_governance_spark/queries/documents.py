@@ -683,6 +683,27 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents WHERE doc_id % 3 = 0 GROUP BY 1) g USING (g)
     LEFT JOIN (SELECT doc_id % 7 AS g, count(*) AS ns
                FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1) c USING (g)
+    UNION ALL
+    SELECT 'cdc', k, v, CAST(NULL AS DOUBLE)
+    FROM (VALUES
+            ('A:0', '0:8864:4328421808786170785'),
+            ('A:1', '8864:8905:-6361593485425110975'),
+            ('A:2', '17769:9524:-8822068186599019317'),
+            ('A:3', '27293:9633:5738874541919648769'),
+            ('A:4', '36926:9943:-1085408805127388239'),
+            ('A:5', '46869:1131:-7961084776366532973'),
+            ('B:0', '0:8864:4328421808786170785'),
+            ('B:1', '8864:8905:-6361593485425110975'),
+            ('B:2', '17769:9540:1262406185300211575'),
+            ('B:3', '27309:9633:5738874541919648769'),
+            ('B:4', '36942:9943:-1085408805127388239'),
+            ('B:5', '46885:1131:-7961084776366532973'),
+            ('C:-', ''),
+            ('D:0', '0:4:-8205039918631149685'),
+            ('E:0', '0:65536:6450242813292909988'),
+            ('E:1', '65536:65536:6450242813292909988'),
+            ('E:2', '131072:18928:-7307263336461298581'))
+         AS t(k, v)
     """,
     doc="merged gate (r5/r6 driver-budget): exact dedup accounting per "
     "source (hash-groupBy, ex-d03) + normalized-text md5 fingerprint "
@@ -695,7 +716,10 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/incremental.py; new in r7) + state-backed incremental "
     "LINE dedup with the exact keep-first/min_dup seen-count "
     "semantics restated analytically (operators/lines.py "
-    "dedup_lines_incremental; new in r11)",
+    "dedup_lines_incremental; new in r11) + content-defined chunking "
+    "(operators/cdc.py FastCDC, new in r14: pinned-fixture oracle "
+    "whose rows exhibit the shift-resistance property in-data — see "
+    "the gate comment)",
 )
 def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.dedup import exact_precluster
@@ -863,6 +887,44 @@ def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("v_s"),
         nul_d.alias("v_d"),
     )
+    # cdc sub-gate (new in r14): content-defined chunking
+    # (operators/cdc.py, FastCDC). The fixture is deterministic
+    # driver-built binary — A: seeded-PRNG bytes; B: A with 16 bytes
+    # inserted at 20000 (the pinned rows SHOW the CDC property: B
+    # shares 5 of A's 6 chunk hashes, only the insertion chunk
+    # differs, later offsets shift by 16 while hashes hold); C: NULL
+    # (quarantine row); D: sub-min tail merge; E: all-zeros (the gear
+    # hash of a zero window never satisfies a mask, so the max-size
+    # forced cut fires — two identical full chunks + remainder). The
+    # oracle restates the PINNED chunk rows (langid 'lid' precedent);
+    # soundness: tests/test_cdc.py pins determinism, the size
+    # envelope, exact reconstruction, and shift-resistance
+    # independently, and its pin test regenerates these rows from the
+    # operator byte-for-byte.
+    from data_governance_spark.operators.cdc import cdc_chunks
+
+    cdc_docs = spark.createDataFrame(
+        [
+            (name, bytearray(body) if body is not None else None)
+            for name, body in _cdc_fixture().items()
+        ],
+        "doc_id string, content binary",
+    )
+    cdc = cdc_chunks(cdc_docs, id_col="doc_id").select(
+        F.lit("cdc").alias("gate"),
+        F.concat_ws(
+            ":",
+            "doc_id",
+            F.coalesce(F.col("chunk_idx").cast("string"), F.lit("-")),
+        ).alias("k"),
+        F.concat_ws(
+            ":",
+            F.col("offset").cast("string"),
+            F.col("size").cast("string"),
+            F.col("chunk_hash").cast("string"),
+        ).alias("v_s"),
+        nul_d.alias("v_d"),
+    )
     return (
         stats.unionByName(fp)
         .unionByName(pre)
@@ -870,7 +932,25 @@ def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(inc_kept)
         .unionByName(inc_drop)
         .unionByName(linc)
+        .unionByName(cdc)
     )
+
+
+def _cdc_fixture() -> dict:
+    """The d03 'cdc' fixture bytes — deterministic (seeded Mersenne
+    PRNG; stable across CPython versions), regenerated by the gate AND
+    by tests/test_cdc.py::test_gate_fixture_pin."""
+    import random
+
+    rng = random.Random(20250816)
+    a = rng.randbytes(48_000)
+    return {
+        "A": a,
+        "B": a[:20_000] + b"#r14-cdc-insert#" + a[20_000:],
+        "C": None,
+        "D": b"tiny",
+        "E": b"\x00" * 150_000,
+    }
 
 
 # --------------------------------------------------------------------------

@@ -144,6 +144,20 @@ def archive_variants():
     from test_sevenzip import write_7z
 
     out.append(("sz10", write_7z(members, codec="lzma2")))
+    # r14: .tar.lz4 (pyarrow liblz4 frames -> from-spec decoder; no
+    # content size in them, so this measures the PURE-PYTHON path)
+    # and framed snappy .tar.sz over reference raw chunks
+    try:
+        import pyarrow as pa
+
+        out.append(("tlz410", bytes(
+            pa.Codec("lz4").compress(make_tar(members), asbytes=True)
+        )))
+    except Exception:
+        pass
+    from test_snappy import reference_frame
+
+    out.append(("tsz10", reference_frame(make_tar(members))))
     return out
 
 
@@ -254,8 +268,8 @@ def main():
         f"({(got['bytes'] or 0) / 1e6 / wall:.1f} MB/s out, "
         f"errs {got['errs']})"
     )
-    # r13: isolate the pure-Python zstd and 7z tiers
-    for kind in ("tzst10", "sz10"):
+    # r13/r14: isolate the from-spec codec tiers
+    for kind in ("tzst10", "sz10", "tlz410", "tsz10"):
         sub = docs.filter(F.col("kind") == kind)
         n_sub = sub.count()
         if not n_sub:
