@@ -130,7 +130,7 @@ _UNSUPPORTED_MAGICS = (
 
 
 def archive_format(data: bytes) -> str:
-    """``zip tar gzip bzip2 xz zstd lz4 7z`` or
+    """``zip tar gzip bzip2 xz zstd lz4 snappy 7z`` or
     :class:`ArchiveParseError` / :class:`ArchiveUnsupportedError`
     (rar)."""
     if not isinstance(data, (bytes, bytearray)):
@@ -297,10 +297,9 @@ def _bounded_decompress(data: bytes, kind: str) -> bytes:
         except Lz4BombError as e:
             raise ArchiveBombError(str(e)) from None
         except Lz4UnsupportedError as e:
-            # dictionary frame or future version: typed + named
-            raise ArchiveUnsupportedError(
-                "lz4-dict" if "dict" in str(e) else "lz4-version"
-            ) from None
+            # dictionary frame or future version: typed + named via
+            # the structured .feature field (never message-sniffed)
+            raise ArchiveUnsupportedError(e.feature) from None
         except Lz4Error as e:
             raise ArchiveParseError(f"bad lz4 stream: {e}") from None
     if kind == "snappy":

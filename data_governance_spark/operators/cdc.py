@@ -199,6 +199,17 @@ def cdc_chunks(
                     rows.append((did, None, None, None, None))
                     continue
                 data = bytes(c)
+                if not data:
+                    # empty content is VALID (not quarantine): one
+                    # zero-size chunk keeps the document visible to
+                    # downstream accounting — documents never vanish
+                    # silently (review catch: the boundaries list is
+                    # empty, so the loop below would emit nothing)
+                    hv = xxh64(b"")
+                    if hv >= 1 << 63:
+                        hv -= 1 << 64
+                    rows.append((did, 0, 0, 0, hv))
+                    continue
                 start = 0
                 for idx, end in enumerate(
                     cdc_boundaries(data, min_size, avg_size, max_size)

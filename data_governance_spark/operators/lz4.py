@@ -82,7 +82,12 @@ class Lz4BombError(Lz4Error):
 
 class Lz4UnsupportedError(Lz4Error):
     """Valid frame this build cannot decode (dictionaries, future
-    versions)."""
+    versions); ``.feature`` names it (``lz4-dict``/``lz4-version``)
+    for structured triage — never sniff the message text."""
+
+    def __init__(self, feature: str, msg: str | None = None):
+        super().__init__(msg or f"unsupported lz4 feature: {feature}")
+        self.feature = feature
 
 
 _FRAME_MAGIC = 0x184D2204
@@ -242,7 +247,8 @@ def _decode_frame(
     bd = data[pos + 1]
     if flg >> 6 != 0b01:
         raise Lz4UnsupportedError(
-            f"lz4 frame version {flg >> 6} (this build reads version 01)"
+            "lz4-version",
+            f"lz4 frame version {flg >> 6} (this build reads version 01)",
         )
     if flg & 0x02:
         raise Lz4ParseError("reserved FLG bit set")
@@ -266,7 +272,9 @@ def _decode_frame(
     if has_dict:
         # the 4-byte Dictionary_ID is present but useless without the
         # dictionary bytes themselves — typed + named for triage
-        raise Lz4UnsupportedError("lz4-dict")
+        raise Lz4UnsupportedError(
+            "lz4-dict", "lz4 dictionary frame (external dict required)"
+        )
     if desc_end >= len(data):
         raise Lz4ParseError("truncated header checksum")
     want_hc = data[desc_end]
@@ -381,10 +389,20 @@ def _decode_legacy(
         if pos + csize > len(data):
             raise Lz4ParseError("truncated legacy block")
         before = len(out)
-        lz4_block_decompress(
-            data[pos : pos + csize], out, before,
-            min(max_out, before + _LEGACY_BLOCK_DECODED),
-        )
+        try:
+            lz4_block_decompress(
+                data[pos : pos + csize], out, before,
+                min(max_out, before + _LEGACY_BLOCK_DECODED),
+            )
+        except Lz4BombError:
+            if before + _LEGACY_BLOCK_DECODED <= max_out:
+                # the 8 MB legacy-block ceiling is a FORMAT limit, not
+                # the caller's budget — a block past it is structurally
+                # invalid, and bomb/parse triage must not conflate them
+                raise Lz4ParseError(
+                    "legacy block decodes past its 8 MB format limit"
+                ) from None
+            raise
         pos += csize
         any_block = True
     if not any_block:

@@ -304,12 +304,15 @@ def pq_knn(
 ) -> DataFrame:
     """ADC top-k: (query_id, neighbor_id, cosine, rk) with the cosine
     ESTIMATED from codes (exact when the codebooks are lossless).
-    ``queries`` is the small side (collected to the driver to build the
-    per-query M × ks lookup tables — the brute_force_knn contract);
-    ``codes`` is the corpus-sized ``pq_encode`` output and never
-    shuffles: each partition scores all queries with M gathers + a sum
-    per row, keeps its local top-k per query, and only those
-    candidates (partitions × queries × k rows) reach the global merge."""
+    ``queries`` is the small side, collected to the driver — but the
+    closure ships only the query matrix + codebooks; each worker
+    re-derives the per-query M × ks lookup tables with one matmul per
+    partition (see the comment below — driver-built LUTs were ~50 MB
+    of pickle per task under the lossless gate books).  ``codes`` is
+    the corpus-sized ``pq_encode`` output and never shuffles: each
+    partition scores all queries with M gathers + a sum per row, keeps
+    its local top-k per query, and only those candidates (partitions ×
+    queries × k rows) reach the global merge."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     qrows = queries.select(
@@ -547,11 +550,13 @@ def ivfadc_knn(
     equals brute force (the driver gate's exactness construction).
 
     Scale shape: queries AND cells are the small driver-side tables
-    (probe lists + per-(query, cell) centroid dots + LUTs are numpy on
-    the driver, shipped in the closure); the corpus-sized index never
-    shuffles — map-only scoring with partition-local top-k, then the
-    tiny global merge. Probing skips (query, cell) pairs map-side: a
-    batch's rows only score against the queries that probe their cell."""
+    (probe lists + per-(query, cell) centroid dots are numpy on the
+    driver, shipped in the closure; the residual-ADC LUTs are
+    re-derived IN the worker from the query matrix + codebooks — see
+    pq_knn); the corpus-sized index never shuffles — map-only scoring
+    with partition-local top-k, then the tiny global merge. Probing
+    skips (query, cell) pairs map-side: a batch's rows only score
+    against the queries that probe their cell."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if n_probe < 1:

@@ -702,7 +702,8 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ('D:0', '0:4:-8205039918631149685'),
             ('E:0', '0:65536:6450242813292909988'),
             ('E:1', '65536:65536:6450242813292909988'),
-            ('E:2', '131072:18928:-7307263336461298581'))
+            ('E:2', '131072:18928:-7307263336461298581'),
+            ('F:0', '0:0:-1205034819632174695'))
          AS t(k, v)
     """,
     doc="merged gate (r5/r6 driver-budget): exact dedup accounting per "
@@ -895,7 +896,8 @@ def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     # differs, later offsets shift by 16 while hashes hold); C: NULL
     # (quarantine row); D: sub-min tail merge; E: all-zeros (the gear
     # hash of a zero window never satisfies a mask, so the max-size
-    # forced cut fires — two identical full chunks + remainder). The
+    # forced cut fires — two identical full chunks + remainder);
+    # F: EMPTY bytes (valid, one zero-size chunk — not quarantine). The
     # oracle restates the PINNED chunk rows (langid 'lid' precedent);
     # soundness: tests/test_cdc.py pins determinism, the size
     # envelope, exact reconstruction, and shift-resistance
@@ -950,6 +952,7 @@ def _cdc_fixture() -> dict:
         "C": None,
         "D": b"tiny",
         "E": b"\x00" * 150_000,
+        "F": b"",
     }
 
 

@@ -491,9 +491,12 @@ def write_avro(
                 import pyarrow as pa
 
                 payload = bytes(pa.Codec("zstd").compress(payload))
-            except ImportError:  # pragma: no cover - pyarrow is baked in
+            except Exception as e:  # pragma: no cover - pyarrow baked in
+                # broad on purpose: a pyarrow built WITHOUT zstd raises
+                # ValueError from Codec(), not ImportError — the
+                # module's typed contract must hold either way
                 raise AvroError(
-                    "avro codec 'zstd' needs pyarrow for writing"
+                    f"avro codec 'zstd' needs pyarrow's zstd: {e}"
                 ) from None
         elif codec != "null":
             raise AvroError(f"unsupported avro codec {codec!r}")

@@ -168,6 +168,7 @@ class TestSparkSurface:
             ("a", bytearray(random.randbytes(50_000))),
             ("b", None),
             ("c", bytearray(b"small")),
+            ("e", bytearray(b"")),
         ]
         df = spark.createDataFrame(blobs, "doc_id string, content binary")
         rows = cdc_chunks(df, id_col="doc_id").collect()
@@ -177,6 +178,12 @@ class TestSparkSurface:
         # NULL content: exactly one quarantine row, NULL chunk fields
         assert len(by_doc["b"]) == 1
         assert by_doc["b"][0]["chunk_idx"] is None
+        # EMPTY content: one valid zero-size chunk (review catch — the
+        # doc must not vanish), distinct from the NULL quarantine row
+        assert len(by_doc["e"]) == 1
+        assert by_doc["e"][0]["chunk_idx"] == 0
+        assert by_doc["e"][0]["size"] == 0
+        assert by_doc["e"][0]["chunk_hash"] == xxh64(b"") - (1 << 64)
         # reconstruction + hash parity against the from-spec xxh64
         a = bytes(blobs[0][1])
         achunks = sorted(by_doc["a"], key=lambda r: r["chunk_idx"])
@@ -217,6 +224,11 @@ class TestGateFixturePin:
                 assert "('C:-', '')" in oracle
                 n_pinned += 1
                 continue
+            if body == b"":
+                h = xxh64(b"") - (1 << 64)
+                assert f"('{name}:0', '0:0:{h}')" in oracle
+                n_pinned += 1
+                continue
             start = 0
             for idx, end in enumerate(cdc_boundaries(body)):
                 h = xxh64(body[start:end])
@@ -229,4 +241,4 @@ class TestGateFixturePin:
         # and nothing extra: the VALUES block has exactly these rows
         assert oracle.count("('A:") + oracle.count("('B:") \
             + oracle.count("('C:") + oracle.count("('D:") \
-            + oracle.count("('E:") == n_pinned
+            + oracle.count("('E:") + oracle.count("('F:") == n_pinned

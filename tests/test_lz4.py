@@ -314,16 +314,18 @@ class TestSpecFrames:
         desc += struct.pack("<I", 77)  # Dictionary_ID
         fr = (struct.pack("<I", 0x184D2204) + bytes(desc)
               + bytes([(xxh32(bytes(desc)) >> 8) & 0xFF]))
-        with pytest.raises(Lz4UnsupportedError, match="dict"):
+        with pytest.raises(Lz4UnsupportedError, match="dict") as ei:
             lz4_decompress(fr)
+        assert ei.value.feature == "lz4-dict"  # structured, not sniffed
 
     def test_future_version_typed_unsupported(self):
         desc = bytes([(0b10 << 6), 4 << 4])
         fr = (struct.pack("<I", 0x184D2204) + desc
               + bytes([(xxh32(desc) >> 8) & 0xFF])
               + struct.pack("<I", 0))
-        with pytest.raises(Lz4UnsupportedError, match="version"):
+        with pytest.raises(Lz4UnsupportedError, match="version") as ei:
             lz4_decompress(fr)
+        assert ei.value.feature == "lz4-version"
 
     def test_reserved_bits_rejected(self):
         for flg, bd in (((0b01 << 6) | 0x02, 4 << 4), ((0b01 << 6), 0x48)):
@@ -351,6 +353,25 @@ class TestLegacy:
     def test_empty_legacy_typed(self):
         with pytest.raises(Lz4ParseError, match="no blocks"):
             lz4_decompress(struct.pack("<I", 0x184C2102))
+
+    def test_over_8mb_block_is_parse_not_bomb(self):
+        # a block expanding past the 8 MB LEGACY FORMAT limit under a
+        # far larger caller cap is a format violation (parse), not a
+        # bomb; under a small caller cap it IS a bomb (review catch:
+        # the two quarantine columns must not conflate)
+        blk = bytearray([(4 << 4) | 15]) + b"abcd" + struct.pack("<H", 4)
+        ext = 9_000_000 - 4 - 15
+        while ext >= 255:
+            blk.append(255)
+            ext -= 255
+        blk.append(ext)
+        blk += bytes([1 << 4]) + b"x"
+        fr = (struct.pack("<I", 0x184C2102)
+              + struct.pack("<I", len(blk)) + bytes(blk))
+        with pytest.raises(Lz4ParseError, match="8 MB"):
+            lz4_decompress(fr, max_out=1 << 30)
+        with pytest.raises(Lz4BombError):
+            lz4_decompress(fr, max_out=100_000)
 
 
 class TestBombsAndFuzz:
