@@ -22,13 +22,15 @@ format (public Apache Avro 1.11 spec) is implemented directly:
 - schema → Spark type mapping with the ``["null", T]`` union
   idiom becoming a nullable ``T``.
 
-Distribution model: **file-level parallelism** — files are listed by
-Spark's ``binaryFile`` source and each file decodes inside one
-Arrow-batched ``mapInPandas`` task.  That is the right shape for the
-many-files layout every Avro producer (Kafka Connect, Sqoop, Flume)
-emits; a single multi-GB avro file would need block-level splitting
-on the sync marker, which is out of scope (stated — repack such
-files, or read them once and land parquet).
+Distribution model: **file-level parallelism** (:func:`read_avro`) —
+files are listed by Spark's ``binaryFile`` source and each file
+decodes inside one Arrow-batched ``mapInPandas`` task.  That is the
+right shape for the many-files layout every Avro producer (Kafka
+Connect, Sqoop, Flume) emits.  For the OTHER layout — few huge files
+(dumped DB exports) — :func:`read_avro_split` (r14) tiles each file
+into byte ranges and decodes blocks by sync-marker alignment with
+Hadoop input-split ownership semantics (:func:`avro_rows_range`),
+closing what was previously a stated boundary.
 
 Bounds: per-block declared size and row count are capped, blocks
 decompress under the cap incrementally, and every structural lie
@@ -49,10 +51,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["AvroError", "avro_rows", "avro_schema", "read_avro",
-           "write_avro", "avro_to_spark_type", "snappy_compress",
-           "snappy_decompress", "spark_to_avro_schema", "avro_shards",
-           "write_avro_files"]
+__all__ = ["AvroError", "avro_rows", "avro_rows_range", "avro_schema",
+           "read_avro", "read_avro_split", "write_avro",
+           "avro_to_spark_type", "snappy_compress", "snappy_decompress",
+           "spark_to_avro_schema", "avro_shards", "write_avro_files"]
 
 _MAGIC = b"Obj\x01"
 _MAX_BLOCK_BYTES = 256 * 1024 * 1024
@@ -369,6 +371,184 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                 )
 
     return files.select("content").mapInPandas(run, spark_schema)
+
+
+# -------------------------------------------------------------------
+# block-level input splits — the multi-GB-single-file shape
+# -------------------------------------------------------------------
+_HEADER_CAP = 1 << 20  # schemas are small; a 1 MB header is hostile
+
+
+def avro_rows_range(path: str, start: int, end: int) -> list:
+    """Rows of the blocks OWNED by byte range ``[start, end)`` of one
+    container file — Hadoop input-split semantics: every block start
+    is preceded by the 16-byte sync marker, so a range owns exactly
+    the blocks whose first byte lands inside it, decoding past ``end``
+    when its last block overruns.  The union of tiling ranges is
+    therefore exactly-once over the file's rows.
+
+    Sync candidates found by scanning are VALIDATED (plausible
+    row-count and size varints, and the block must terminate with the
+    sync marker again) so payload bytes that coincidentally contain
+    the marker — possible under ``null`` codec, and exercised in the
+    tests — cannot misalign the reader.  A hostile file that embeds a
+    fully VALID block inside a payload can still double-frame its own
+    rows (the format's sync design has no stronger integrity tier);
+    that affects only the hostile file's rows and is stated here.
+
+    IO is ``mmap`` (no full-file read): executors need POSIX access
+    to ``path`` — local disk, NFS, or a fuse mount.  Object-store
+    corpora should use :func:`read_avro`'s per-file tasks or repack."""
+    import mmap
+
+    if start < 0 or end < start:
+        raise AvroError(f"bad range [{start}, {end})")
+    with open(path, "rb") as fh:
+        try:
+            mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+        except ValueError:
+            return []  # empty file maps to no blocks
+        with mm:
+            hdr = _Reader(mm[: min(_HEADER_CAP, len(mm))])
+            schema, codec, sync = _header(hdr)
+            header_end = hdr.i
+            n = len(mm)
+            end = min(end, n)
+            out: list = []
+            # first candidate sync START within scan window: a sync
+            # beginning at p puts a block start at p+16; owned iff
+            # start <= p+16 < end.  The file header itself ends with
+            # the sync, so the first data block needs no special case.
+            p = mm.find(sync, max(start - 16, 0), end)
+            while p != -1 and p + 16 < end:
+                bs = p + 16  # candidate block start
+                if bs < header_end:
+                    p = mm.find(sync, p + 1, end)
+                    continue
+                r = _Reader(mm[bs : min(bs + 20, n)])
+                try:
+                    n_rows = r.long()
+                    size = r.long()
+                except AvroError:
+                    p = mm.find(sync, p + 1, end)
+                    continue
+                body_at = bs + r.i
+                if (
+                    not 0 <= n_rows <= _MAX_BLOCK_ROWS
+                    or not 0 <= size <= _MAX_BLOCK_BYTES
+                ):
+                    p = mm.find(sync, p + 1, end)
+                    continue
+                if body_at + size + 16 > n:
+                    # plausible varints but the block runs past EOF: a
+                    # truncated container must raise (whole-file
+                    # parity), not silently skip the range's rows —
+                    # a COINCIDENTAL sync this close to EOF with
+                    # in-cap varints is a 2^-128 event, accepted
+                    raise AvroError("truncated block")
+                if mm[body_at + size : body_at + size + 16] != sync:
+                    p = mm.find(sync, p + 1, end)
+                    continue
+                # validated: decode consecutive blocks while their
+                # starts stay inside the range (each ends with sync,
+                # so no re-scan is needed once aligned)
+                pos = bs
+                while pos < end and pos + 16 <= n:
+                    br = _Reader(mm[pos : min(pos + 20, n)])
+                    try:
+                        n_rows = br.long()
+                        size = br.long()
+                    except AvroError as e:
+                        raise AvroError(
+                            f"corrupt block header at {pos}: {e}"
+                        ) from None
+                    if not 0 <= n_rows <= _MAX_BLOCK_ROWS:
+                        raise AvroError(f"block declares {n_rows} rows")
+                    if not 0 <= size <= _MAX_BLOCK_BYTES:
+                        raise AvroError(f"block declares {size} bytes")
+                    body = pos + br.i
+                    if body + size + 16 > n:
+                        raise AvroError("truncated block")
+                    if mm[body + size : body + size + 16] != sync:
+                        raise AvroError(
+                            "sync marker mismatch (corrupt block)"
+                        )
+                    payload = _decompress(mm[body : body + size], codec)
+                    pr = _Reader(payload)
+                    for _ in range(n_rows):
+                        try:
+                            out.append(_decode(pr, schema))
+                        except AvroError:
+                            raise
+                        except (KeyError, TypeError, IndexError,
+                                AttributeError, ValueError) as e:
+                            raise AvroError(
+                                f"malformed schema/structure: {e}"
+                            ) from None
+                    if pr.i != len(pr.b):
+                        raise AvroError(
+                            "block has trailing bytes after last row"
+                        )
+                    pos = body + size + 16
+                return out
+            return out
+
+
+def read_avro_split(
+    spark: SparkSession,
+    path: str,
+    split_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """:func:`read_avro` for the OTHER file layout — few huge
+    container files (a dumped DB export) instead of many small ones.
+    Each file is tiled into ``split_bytes`` ranges and every range
+    decodes its owned blocks via :func:`avro_rows_range`, so one
+    multi-GB file parallelizes across the cluster exactly like a
+    Hadoop input split (this closes the module's former stated
+    boundary: "repack such files").  Paths must be POSIX-visible from
+    executors (see :func:`avro_rows_range`)."""
+    import glob as _glob
+    import os
+
+    if split_bytes < 1:
+        raise AvroError(f"split_bytes must be >= 1, got {split_bytes}")
+    paths = sorted(_glob.glob(path)) or [path]
+    sizes = []
+    for pth in paths:
+        try:
+            sizes.append(os.path.getsize(pth))
+        except OSError as e:
+            raise AvroError(f"cannot stat {pth!r}: {e}") from None
+    with open(paths[0], "rb") as fh:
+        schema = avro_schema(fh.read(_HEADER_CAP))
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        raise AvroError("top-level schema must be a record")
+    try:
+        spark_schema = avro_to_spark_type(schema)
+    except AvroError:
+        raise
+    except (KeyError, TypeError, IndexError, AttributeError) as e:
+        raise AvroError(f"malformed schema: {e}") from None
+    cols = [f.name for f in spark_schema.fields]
+    ranges = [
+        (pth, s, min(s + split_bytes, size))
+        for pth, size in zip(paths, sizes)
+        for s in range(0, max(size, 1), split_bytes)
+    ]
+    rdf = spark.createDataFrame(
+        ranges, "path string, start long, end long"
+    ).repartition(max(len(ranges), 1))
+
+    def run(batches):
+        for pdf in batches:
+            for pth, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
+                rows = avro_rows_range(pth, int(s), int(e))
+                yield pd.DataFrame(
+                    [[row.get(c) for c in cols] for row in rows],
+                    columns=cols,
+                )
+
+    return rdf.mapInPandas(run, spark_schema)
 
 
 # -------------------------------------------------------------------

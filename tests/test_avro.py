@@ -382,3 +382,85 @@ class TestReviewFindings:
                                bomb_error=AvroError,
                                parse_error=AvroError,
                                multi_member=False)
+
+
+class TestSplitReads:
+    SCHEMA = {"type": "record", "name": "R", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "blob", "type": "bytes"}]}
+
+    def _rows(self, n=500):
+        # every 11th blob CONTAINS the writer's sync marker bytes, so
+        # the range scanner's candidate VALIDATION is load-bearing: a
+        # coincidental marker inside a payload must not misalign it
+        return [
+            {"id": i, "name": None if i % 7 == 0 else f"n{i}",
+             "blob": b"\x07" * 48 if i % 11 == 0 else b"x%d" % i}
+            for i in range(n)
+        ]
+
+    @pytest.mark.parametrize("codec", ["null", "deflate"])
+    def test_exactly_once_over_tilings(self, tmp_path, codec):
+        from data_governance_spark.sources.avro import avro_rows_range
+
+        rows = self._rows()
+        data = write_avro(self.SCHEMA, rows, codec=codec, block_rows=13)
+        pth = tmp_path / "big.avro"
+        pth.write_bytes(data)
+        n = len(data)
+        for split in (23, 101, 997, 4096, n, n + 50):
+            got = []
+            for s in range(0, n, split):
+                got.extend(
+                    avro_rows_range(str(pth), s, min(s + split, n))
+                )
+            assert sorted(got, key=lambda r: r["id"]) == rows, split
+
+    def test_truncated_block_typed_even_at_range_start(self, tmp_path):
+        from data_governance_spark.sources.avro import avro_rows_range
+
+        data = write_avro(self.SCHEMA, self._rows(100), block_rows=9)
+        pth = tmp_path / "t.avro"
+        pth.write_bytes(data[:-20])
+        with pytest.raises(AvroError, match="truncated"):
+            got = []
+            for s in range(0, len(data) - 20, 313):
+                got.extend(
+                    avro_rows_range(str(pth), s,
+                                    min(s + 313, len(data) - 20))
+                )
+
+    def test_read_avro_split_matches_per_file_reader(
+        self, spark, tmp_path
+    ):
+        from data_governance_spark.sources.avro import read_avro_split
+
+        d = tmp_path / "huge"
+        d.mkdir()
+        rows = self._rows(800)
+        (d / "a.avro").write_bytes(
+            write_avro(self.SCHEMA, rows[:500], block_rows=21)
+        )
+        (d / "b.avro").write_bytes(
+            write_avro(self.SCHEMA, rows[500:], block_rows=7)
+        )
+        df = read_avro_split(spark, str(d / "*.avro"), split_bytes=777)
+        got = sorted(
+            ((r["id"], r["name"], bytes(r["blob"])) for r in df.collect())
+        )
+        want = sorted(
+            (r["id"], r["name"], r["blob"]) for r in rows
+        )
+        assert got == want
+        ref = read_avro(spark, str(d / "*.avro"))
+        assert df.schema == ref.schema
+
+    def test_read_avro_split_param_and_missing(self, spark, tmp_path):
+        from data_governance_spark.sources.avro import read_avro_split
+
+        with pytest.raises(AvroError, match="split_bytes"):
+            read_avro_split(spark, str(tmp_path / "x.avro"),
+                            split_bytes=0)
+        with pytest.raises(AvroError, match="stat"):
+            read_avro_split(spark, str(tmp_path / "none.avro"))
