@@ -686,24 +686,24 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'cdc', k, v, CAST(NULL AS DOUBLE)
     FROM (VALUES
-            ('A:0', '0:8864:4328421808786170785'),
-            ('A:1', '8864:8905:-6361593485425110975'),
-            ('A:2', '17769:9524:-8822068186599019317'),
-            ('A:3', '27293:9633:5738874541919648769'),
-            ('A:4', '36926:9943:-1085408805127388239'),
-            ('A:5', '46869:1131:-7961084776366532973'),
-            ('B:0', '0:8864:4328421808786170785'),
-            ('B:1', '8864:8905:-6361593485425110975'),
-            ('B:2', '17769:9540:1262406185300211575'),
-            ('B:3', '27309:9633:5738874541919648769'),
-            ('B:4', '36942:9943:-1085408805127388239'),
-            ('B:5', '46885:1131:-7961084776366532973'),
+            ('A:0', '0:8864:-3122736805564253503'),
+            ('A:1', '8864:8905:-7405445491061296743'),
+            ('A:2', '17769:9524:-7209151239579493331'),
+            ('A:3', '27293:9633:-4139587755961713886'),
+            ('A:4', '36926:9943:-5835740170052161028'),
+            ('A:5', '46869:1131:1455645158528346358'),
+            ('B:0', '0:8864:-3122736805564253503'),
+            ('B:1', '8864:8905:-7405445491061296743'),
+            ('B:2', '17769:9540:-5080905890709502548'),
+            ('B:3', '27309:9633:-4139587755961713886'),
+            ('B:4', '36942:9943:-5835740170052161028'),
+            ('B:5', '46885:1131:1455645158528346358'),
             ('C:-', ''),
-            ('D:0', '0:4:-8205039918631149685'),
-            ('E:0', '0:65536:6450242813292909988'),
-            ('E:1', '65536:65536:6450242813292909988'),
-            ('E:2', '131072:18928:-7307263336461298581'),
-            ('F:0', '0:0:-1205034819632174695'))
+            ('D:0', '0:4:2190188288540478678'),
+            ('E:0', '0:65536:-249643648181020932'),
+            ('E:1', '65536:65536:-249643648181020932'),
+            ('E:2', '131072:18928:-5591154037300827244'),
+            ('F:0', '0:0:338333539836370388'))
          AS t(k, v)
     """,
     doc="merged gate (r5/r6 driver-budget): exact dedup accounting per "

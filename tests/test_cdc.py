@@ -19,9 +19,9 @@ from data_governance_spark.operators.cdc import (
     _gear_hashes,
     cdc_boundaries,
     cdc_chunks,
+    chunk_hash,
     gear_table,
 )
-from data_governance_spark.operators.zstd import xxh64
 
 _M64 = (1 << 64) - 1
 
@@ -53,6 +53,18 @@ class TestGearHash:
         ha = _gear_hashes(np.frombuffer(a, dtype=np.uint8))
         hb = _gear_hashes(np.frombuffer(b, dtype=np.uint8))
         assert int(ha[-1]) == int(hb[-1])
+
+    def test_chunk_hash_is_md5_prefix(self):
+        # chunk identity = md5 digest's first 8 bytes, signed LE int64
+        # — the exact-dedup family's digest (30x pure-Python xxh64);
+        # stability across versions is a dedup-state requirement
+        import hashlib
+
+        for piece in (b"", b"x", b"chunk body"):
+            want = int.from_bytes(
+                hashlib.md5(piece).digest()[:8], "little", signed=True
+            )
+            assert chunk_hash(piece) == want
 
     def test_gear_table_pinned(self):
         # the table is part of the chunk-identity contract
@@ -183,7 +195,7 @@ class TestSparkSurface:
         assert len(by_doc["e"]) == 1
         assert by_doc["e"][0]["chunk_idx"] == 0
         assert by_doc["e"][0]["size"] == 0
-        assert by_doc["e"][0]["chunk_hash"] == xxh64(b"") - (1 << 64)
+        assert by_doc["e"][0]["chunk_hash"] == chunk_hash(b"")
         # reconstruction + hash parity against the from-spec xxh64
         a = bytes(blobs[0][1])
         achunks = sorted(by_doc["a"], key=lambda r: r["chunk_idx"])
@@ -191,10 +203,7 @@ class TestSparkSurface:
         assert sum(r["size"] for r in achunks) == len(a)
         for r in achunks:
             piece = a[r["offset"] : r["offset"] + r["size"]]
-            h = xxh64(piece)
-            if h >= 1 << 63:
-                h -= 1 << 64
-            assert r["chunk_hash"] == h
+            assert r["chunk_hash"] == chunk_hash(piece)
         # chunk-level dedup composes as a plain groupBy on the hash
         dup = spark.createDataFrame(
             [("a2", bytearray(a))], "doc_id string, content binary"
@@ -225,15 +234,13 @@ class TestGateFixturePin:
                 n_pinned += 1
                 continue
             if body == b"":
-                h = xxh64(b"") - (1 << 64)
+                h = chunk_hash(b"")
                 assert f"('{name}:0', '0:0:{h}')" in oracle
                 n_pinned += 1
                 continue
             start = 0
             for idx, end in enumerate(cdc_boundaries(body)):
-                h = xxh64(body[start:end])
-                if h >= 1 << 63:
-                    h -= 1 << 64
+                h = chunk_hash(body[start:end])
                 tup = f"('{name}:{idx}', '{start}:{end - start}:{h}')"
                 assert tup in oracle, tup
                 start = end
