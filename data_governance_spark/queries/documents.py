@@ -16,6 +16,7 @@ match.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1220,6 +1221,43 @@ _BPE_VOCAB = 10
       FROM ssr, (SELECT unnest([{_SSUM_PROBS_SQL}]) AS p,
                         unnest([{_SSUM_IDX_SQL}]) AS pi)
       WHERE rn = greatest(CAST(ceil(p * n) AS BIGINT), 1)
+    ),
+    -- sk sub-gate (operators/sketches.py, new in r14): mergeable
+    -- sketches pinned in their EXACT regimes, where the estimate
+    -- provably equals the plain-SQL answer (KMV not full -> exact
+    -- distinct count and exact set algebra; MG with NDV <= k -> exact
+    -- heavy hitters; KLL without compaction -> exact rank quantile)
+    skt AS (
+      SELECT CAST(count(DISTINCT text) AS DOUBLE) AS ndv FROM documents
+    ),
+    ska AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 0),
+    skb AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 3 = 0),
+    skj AS (
+      SELECT i, u FROM
+        (SELECT CAST(count(*) AS DOUBLE) AS i FROM ska
+         WHERE doc_id IN (SELECT doc_id FROM skb)),
+        (SELECT CAST(count(*) AS DOUBLE) AS u FROM
+          (SELECT doc_id FROM ska UNION SELECT doc_id FROM skb))
+    ),
+    skh AS (
+      SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rk
+      FROM (
+        SELECT token, CAST(count(*) AS DOUBLE) AS n
+        FROM (
+          SELECT unnest(regexp_extract_all(text, '[\w]+|[^\w\s]')) AS token
+          FROM documents
+        )
+        GROUP BY token
+      )
+    ),
+    skm AS (
+      SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM (
+        SELECT lang, CAST(len(toks) AS DOUBLE) AS v
+        FROM (SELECT lang, {_SQL_TOKS} AS toks FROM documents)
+        WHERE toks IS NOT NULL
+      )
     )
     SELECT 'lid' AS gate, lang || '>' || predicted AS k,
            CAST(NULL AS VARCHAR) AS v_s, CAST(n AS DOUBLE) AS v_d FROM lid
@@ -1266,6 +1304,20 @@ _BPE_VOCAB = 10
     SELECT 'ssum', sig || ':' || CAST(pi AS VARCHAR), CAST(NULL AS VARCHAR),
            round(v, 4) + 0.0
     FROM ssq
+    UNION ALL
+    SELECT 'sk', 'kmv:text', CAST(NULL AS VARCHAR), ndv FROM skt
+    UNION ALL
+    SELECT 'sk', 'kmv:i', CAST(NULL AS VARCHAR), i FROM skj
+    UNION ALL
+    SELECT 'sk', 'kmv:u', CAST(NULL AS VARCHAR), u FROM skj
+    UNION ALL
+    SELECT 'sk', 'kmv:jac', CAST(NULL AS VARCHAR), i / u FROM skj
+    UNION ALL
+    SELECT 'sk', 'top:' || lpad(CAST(rk - 1 AS VARCHAR), 2, '0'), token, n
+    FROM skh WHERE rk <= 8
+    UNION ALL
+    SELECT 'sk', 'med:' || lang, CAST(NULL AS VARCHAR), v
+    FROM skm WHERE rn = (n + 1) // 2
     {"".join(
       f" UNION ALL SELECT 'bpe', 'm:{i}', '{m}', CAST(NULL AS DOUBLE)"
       for i, m in enumerate(_BPE_MERGES)
@@ -1292,7 +1344,10 @@ _BPE_VOCAB = 10
     "(operators/sampling.hash_sample_stratified; new in r7) + real BPE "
     "training (distributed word-frequency job, driver merge learning) "
     "and distributed subword apply over the planted Sennrich corpus "
-    "(operators/bpe.py; new in r7)",
+    "(operators/bpe.py; new in r7) + mergeable sketches in their exact "
+    "regimes: KMV distinct count + set algebra, two-pass Misra-Gries "
+    "heavy hitters (strict survival guarantee), grouped KLL median "
+    "(operators/sketches.py; new in r14)",
 )
 def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -1490,6 +1545,59 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_s.alias("v_s"),
         F.col("bpe_token_count").cast("double").alias("v_d"),
     )
+    # sk sub-gate (operators/sketches.py, new in r14): the mergeable
+    # sketches through their REAL distributed builders, each in its
+    # exact regime so the oracle restates the answer in plain SQL:
+    # - KMV k=8192 over <=5k distinct texts / <=2.5k doc_id subsets:
+    #   not full -> estimate == COUNT(DISTINCT), and the common-
+    #   threshold Jaccard degenerates to exact set algebra
+    # - two-pass MG heavy hitters, strict=True: NDV(31) <= k=512 means
+    #   the candidate set is exhaustive and top-8 counts are exact
+    # - grouped KLL median, k=2048 >= per-lang doc count: no
+    #   compaction -> exact rank-ceil(n/2) value per language
+    from data_governance_spark.operators.sketches import (
+        heavy_hitters_exact,
+        kll_grouped_quantile,
+        kmv_build,
+    )
+
+    sk_text = kmv_build(docs, "text", k=8192)
+    ska_ = kmv_build(docs.where(F.col("doc_id") % 2 == 0), "doc_id", k=8192)
+    skb_ = kmv_build(docs.where(F.col("doc_id") % 3 == 0), "doc_id", k=8192)
+    i_ = float(len(np.intersect1d(ska_.hashes, skb_.hashes)))
+    u_ = float(len(np.union1d(ska_.hashes, skb_.hashes)))
+    hh = heavy_hitters_exact(
+        docs.select(F.explode(regex_tokens("text")).alias("t")),
+        "t",
+        topn=8,
+        k=512,
+        strict=True,
+    ).collect()
+    sk_static = spark.createDataFrame(
+        [
+            ("sk", "kmv:text", None, sk_text.estimate()),
+            ("sk", "kmv:i", None, i_),
+            ("sk", "kmv:u", None, u_),
+            ("sk", "kmv:jac", None, ska_.jaccard(skb_)),
+        ]
+        + [
+            ("sk", f"top:{i:02d}", r["value"], float(r["n_exact"]))
+            for i, r in enumerate(hh)
+        ],
+        "gate string, k string, v_s string, v_d double",
+    )
+    sk_med = kll_grouped_quantile(
+        toked.select("lang", F.size(toks).alias("_nt")),
+        "lang",
+        "_nt",
+        0.5,
+        k=2048,
+    ).select(
+        F.lit("sk").alias("gate"),
+        F.concat(F.lit("med:"), F.col("lang")).alias("k"),
+        nul_s.alias("v_s"),
+        F.col("q").alias("v_d"),
+    )
     return (
         lid.unionByName(vocab_u)
         .unionByName(sp_u)
@@ -1501,6 +1609,8 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ssum)
         .unionByName(merge_rows)
         .unionByName(bpe_counts)
+        .unionByName(sk_static)
+        .unionByName(sk_med)
     )
 
 
