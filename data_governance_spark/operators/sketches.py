@@ -88,24 +88,11 @@ __all__ = [
 
 _U64 = np.uint64
 _TWO64 = float(1 << 64)
-# bounded mid-stream flush for the MG partition pass: the counter dict
-# is reduced back to k entries at least every _MG_FLUSH_ROWS rows, so
-# a high-NDV partition can never grow an unbounded exact counter
-_MG_FLUSH_ROWS = 262_144
 
 
 class SketchGuaranteeError(ValueError):
     """The requested exactness/completeness guarantee does not hold
     for the observed data (e.g. a top-n whose survival bound fails)."""
-
-
-def _hashes_u64(rows) -> np.ndarray:
-    """int64 xxhash64 rows → uint64 bit-reinterpretation (uniform on
-    [0, 2^64); numpy wraps negatives, which IS the reinterpret)."""
-    vals = [r[0] for r in rows]
-    return np.asarray(vals, dtype=np.int64).astype(_U64) if vals else np.empty(
-        0, dtype=_U64
-    )
 
 
 # --------------------------------------------------------------------------
@@ -186,6 +173,14 @@ class KmvSketch:
 # --------------------------------------------------------------------------
 # HyperLogLog
 # --------------------------------------------------------------------------
+# leading-zero count of a nonzero byte (index 0 unused in practice —
+# all-zero words are handled separately)
+_LZ8 = np.array(
+    [8] + [8 - int(b).bit_length() for b in range(1, 256)],
+    dtype=np.uint8,
+)
+
+
 def _alpha(m: int) -> float:
     if m == 16:
         return 0.673
@@ -215,16 +210,18 @@ class HllSketch:
         h = h.astype(_U64)
         bucket = (h >> _U64(64 - self.p)).astype(np.int64)
         # suffix bits aligned to the top; exact vectorized leading-zero
-        # count via unpackbits (float log2 would misrank near powers)
+        # count: first nonzero big-endian byte + an in-byte lz lookup
+        # (float log2 would misrank near power boundaries, full
+        # unpackbits costs 8x the memory traffic — both test-pinned)
         w = (h << _U64(self.p)) & _U64(0xFFFFFFFFFFFFFFFF)
-        bits = np.unpackbits(
-            w.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1
-        )
-        first_one = bits.argmax(axis=1)
-        allzero = bits.max(axis=1) == 0
-        rho = np.where(allzero, 64 - self.p + 1, first_one + 1).astype(
-            np.uint8
-        )
+        byts = w.astype(">u8").view(np.uint8).reshape(-1, 8)
+        nz = byts != 0
+        first = nz.argmax(axis=1)
+        allzero = ~nz.any(axis=1)
+        lz_in = _LZ8[byts[np.arange(len(w)), first]]
+        rho = np.where(
+            allzero, 64 - self.p + 1, first * 8 + lz_in + 1
+        ).astype(np.uint8)
         np.maximum.at(self.regs, bucket, rho)
         return self
 
@@ -466,94 +463,109 @@ class MgSketch:
 
 
 # --------------------------------------------------------------------------
-# Distributed builders: JVM hash → partition partial → treeAggregate
+# Distributed builders: JVM hash → Arrow partition partial → blob merge
 # --------------------------------------------------------------------------
+# Each builder is one Arrow-batched map pass (numpy per batch, never a
+# per-row Python loop) yielding ONE serialized sketch per partition,
+# then a merge of the KB-sized blobs.  When the input has many
+# partitions the blobs are pre-merged EXECUTOR-SIDE in a coalesce(16)
+# pass (no shuffle) so the driver never collects more than ~16 states
+# — the treeAggregate shape, expressed over DataFrames so the scan
+# side stays Arrow-vectorized.
+_PREMERGE_ABOVE = 64
+
+
 def _hashed(df: DataFrame, col: str):
     return df.where(F.col(col).isNotNull()).select(
         F.xxhash64(F.col(col)).alias("h")
     )
 
 
+def _collect_merge(blobs: DataFrame, zero):
+    cls = type(zero)
+    if blobs.rdd.getNumPartitions() > _PREMERGE_ABOVE:
+        import pandas as pd
+
+        def merge_part(batches):
+            acc = zero
+            for pdf in batches:
+                for b in pdf["blob"]:
+                    acc = acc.merge(cls.from_bytes(bytes(b)))
+            yield pd.DataFrame({"blob": [acc.to_bytes()]})
+
+        blobs = blobs.coalesce(16).mapInPandas(merge_part, "blob binary")
+    out = zero
+    for r in blobs.collect():
+        out = out.merge(cls.from_bytes(bytes(r["blob"])))
+    return out
+
+
+def _hash_partials(df: DataFrame, col: str, zero, addfn) -> DataFrame:
+    import pandas as pd
+
+    def part(batches):
+        sk = zero
+        for pdf in batches:
+            arr = pdf["h"].to_numpy(np.int64).astype(_U64)
+            if len(arr):
+                addfn(sk, arr)
+        yield pd.DataFrame({"blob": [sk.to_bytes()]})
+
+    return _hashed(df, col).mapInPandas(part, "blob binary")
+
+
 def kmv_build(df: DataFrame, col: str, k: int = 4096) -> KmvSketch:
-    """One map-only pass; the driver merges ≤ num_partitions sketches
-    of ≤ 8k bytes each.  NULLs excluded (join/COUNT DISTINCT
-    semantics)."""
-
-    def part(rows):
-        yield KmvSketch(k).add_hashes(_hashes_u64(rows))
-
-    return (
-        _hashed(df, col)
-        .rdd.mapPartitions(part)
-        .treeAggregate(KmvSketch(k), lambda a, b: a.merge(b),
-                       lambda a, b: a.merge(b))
+    """One Arrow map pass; ≤ 8k-byte state per partition.  NULLs
+    excluded (join/COUNT DISTINCT semantics)."""
+    partials = _hash_partials(
+        df, col, KmvSketch(k), lambda sk, arr: sk.add_hashes(arr)
     )
+    return _collect_merge(partials, KmvSketch(k))
 
 
 def hll_build(df: DataFrame, col: str, p: int = 14) -> HllSketch:
-    def part(rows):
-        yield HllSketch(p).add_hashes(_hashes_u64(rows))
-
-    return (
-        _hashed(df, col)
-        .rdd.mapPartitions(part)
-        .treeAggregate(HllSketch(p), lambda a, b: a.merge(b),
-                       lambda a, b: a.merge(b))
+    partials = _hash_partials(
+        df, col, HllSketch(p), lambda sk, arr: sk.add_hashes(arr)
     )
+    return _collect_merge(partials, HllSketch(p))
 
 
 def kll_build(df: DataFrame, col: str, k: int = 200) -> KllSketch:
     """Numeric column → quantile sketch; NULL/NaN excluded."""
+    import pandas as pd
+
     vals = df.where(F.col(col).isNotNull()).select(
         F.col(col).cast("double").alias("v")
     )
 
-    def part(rows):
+    def part(batches):
         sk = KllSketch(k)
-        buf = []
-        for r in rows:
-            buf.append(r[0])
-            if len(buf) >= 65536:
-                sk.update_many(np.asarray(buf))
-                buf = []
-        if buf:
-            sk.update_many(np.asarray(buf))
-        yield sk
+        for pdf in batches:
+            sk.update_many(pdf["v"].to_numpy(np.float64))
+        yield pd.DataFrame({"blob": [sk.to_bytes()]})
 
-    return vals.rdd.mapPartitions(part).treeAggregate(
-        KllSketch(k), lambda a, b: a.merge(b), lambda a, b: a.merge(b)
-    )
+    return _collect_merge(vals.mapInPandas(part, "blob binary"), KllSketch(k))
 
 
 def mg_build(df: DataFrame, col: str, k: int = 512) -> MgSketch:
-    """String-keyed heavy-hitter pass.  The per-partition exact
-    counter is flushed into the k-bounded sketch every
-    ``_MG_FLUSH_ROWS`` rows, so memory stays O(k + flush window) even
-    on an adversarially high-NDV partition."""
-    from collections import Counter
+    """String-keyed heavy-hitter pass.  Each Arrow batch is counted
+    vectorized (``value_counts``) and flushed into the k-bounded
+    sketch, so executor memory stays O(k + batch) even on an
+    adversarially high-NDV partition."""
+    import pandas as pd
 
     keyed = df.where(F.col(col).isNotNull()).select(
         F.col(col).cast("string").alias("v")
     )
 
-    def part(rows):
+    def part(batches):
         sk = MgSketch(k)
-        counter: Counter = Counter()
-        seen = 0
-        for r in rows:
-            counter[r[0]] += 1
-            seen += 1
-            if seen >= _MG_FLUSH_ROWS:
-                sk.add_counts(counter)
-                counter = Counter()
-                seen = 0
-        if counter:
-            sk.add_counts(counter)
-        yield sk
+        for pdf in batches:
+            if len(pdf):
+                sk.add_counts(pdf["v"].value_counts().to_dict())
+        yield pd.DataFrame({"blob": [sk.to_bytes()]})
 
-    return keyed.rdd.mapPartitions(part).treeAggregate(
-        MgSketch(k), lambda a, b: a.merge(b), lambda a, b: a.merge(b)
-    )
+    return _collect_merge(keyed.mapInPandas(part, "blob binary"), MgSketch(k))
 
 
 def heavy_hitters_exact(

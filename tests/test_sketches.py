@@ -150,6 +150,29 @@ def test_hll_all_zero_suffix_max_rho():
     assert int(sk.regs.max()) == 64 - p + 1
 
 
+def test_hll_rho_differential_vs_unpackbits():
+    # the byte-lookup lz path must agree with a naive full unpackbits
+    # rho on random and adversarial inputs
+    p = 12
+    rng = np.random.default_rng(33)
+    h = rng.integers(-(1 << 63), 1 << 63, size=20_000, dtype=np.int64).astype(
+        np.uint64
+    )
+    # adversarial: single-bit words at every position
+    h = np.concatenate(
+        [h, (np.uint64(1) << np.arange(64, dtype=np.uint64))]
+    )
+    got = HllSketch(p).add_hashes(h).regs
+    w = (h << np.uint64(p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    bits = np.unpackbits(w.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1)
+    allzero = bits.max(axis=1) == 0
+    rho = np.where(allzero, 64 - p + 1, bits.argmax(axis=1) + 1)
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    want = np.zeros(1 << p, dtype=np.uint8)
+    np.maximum.at(want, bucket, rho.astype(np.uint8))
+    assert np.array_equal(got, want)
+
+
 def test_hll_p_validation():
     with pytest.raises(ValueError):
         HllSketch(3)
