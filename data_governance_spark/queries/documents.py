@@ -1065,6 +1065,18 @@ _BPE_ROWS = (
 _BPE_MERGES = ("e+s", "es+t", "est+</w>", "l+o", "lo+w", "e+w")
 _BPE_COUNTS = (10, 12, 12, 14)
 _BPE_VOCAB = 10
+# unigram-LM twin over the same planted corpus (operators/unigram.py,
+# r14): EM learns 'newest'/'widest' as whole pieces (their words are
+# frequent and unambiguous) while 'low'/'lower' stay characters (the
+# 'lo'/'low' substrings compete and split the mass), so the pinned
+# rows exhibit the algorithm's actual behavior, not a restatement.
+# Reproduction margin: piece log-probs are separated by >0.15 nats
+# (and the kept-vs-dropped boundary by >600), so libm last-ulp
+# variance cannot flip the pins — asserted in tests/test_unigram.py.
+_UNI_COUNTS = (15, 11, 4, 4)
+_UNI_VOCAB = 13
+_UNI_SEGS = (("newest", "newest"), ("widest", "widest"),
+             ("lower", "l+o+w+e+r"))
 
 # d05 (merged gate, r5/r6 driver-budget): language-ID confusion matrix
 # (ex-d05) + per-lang vocabulary/TTR over the BPE-ish regex tokenizer
@@ -1328,6 +1340,16 @@ _BPE_VOCAB = 10
     )}
     UNION ALL
     SELECT 'bpe', 'v', CAST(NULL AS VARCHAR), {_BPE_VOCAB}.0
+    {"".join(
+      f" UNION ALL SELECT 'uni', 'd:{i}', CAST(NULL AS VARCHAR), {c}.0"
+      for i, c in enumerate(_UNI_COUNTS)
+    )}
+    {"".join(
+      f" UNION ALL SELECT 'uni', 's:{w}', '{s}', CAST(NULL AS DOUBLE)"
+      for w, s in _UNI_SEGS
+    )}
+    UNION ALL
+    SELECT 'uni', 'v', CAST(NULL AS VARCHAR), {_UNI_VOCAB}.0
     """,
     doc="merged gate (r5 driver-budget): marker-token language-ID "
     "heuristic confusion matrix vs labeled lang (ex-d05) + per-lang "
@@ -1347,7 +1369,10 @@ _BPE_VOCAB = 10
     "(operators/bpe.py; new in r7) + mergeable sketches in their exact "
     "regimes: KMV distinct count + set algebra, two-pass Misra-Gries "
     "heavy hitters (strict survival guarantee), grouped KLL median "
-    "(operators/sketches.py; new in r14)",
+    "(operators/sketches.py; new in r14) + the unigram-LM tokenizer "
+    "twin over the same planted corpus: EM-trained SentencePiece-shape "
+    "vocabulary, Viterbi segmentation probes, distributed token counts "
+    "(operators/unigram.py; new in r14)",
 )
 def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -1545,6 +1570,31 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_s.alias("v_s"),
         F.col("bpe_token_count").cast("double").alias("v_d"),
     )
+    # uni sub-gate: the unigram-LM (SentencePiece-shape) twin — real
+    # EM training over the same planted corpus, real distributed apply
+    from data_governance_spark.operators.unigram import (
+        train_unigram,
+        unigram_encode_word,
+        unigram_token_counts,
+    )
+
+    umodel = train_unigram(
+        bdocs, vocab_size=12, seed_size=60, max_piece_len=6
+    )
+    uni_static = spark.createDataFrame(
+        [
+            ("uni", f"s:{w}", "+".join(unigram_encode_word(w, umodel)), None)
+            for w, _ in _UNI_SEGS
+        ]
+        + [("uni", "v", None, float(len(umodel.logp)))],
+        "gate string, k string, v_s string, v_d double",
+    )
+    uni_counts = unigram_token_counts(bdocs, umodel).select(
+        F.lit("uni").alias("gate"),
+        F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("k"),
+        nul_s.alias("v_s"),
+        F.col("unigram_token_count").cast("double").alias("v_d"),
+    )
     # sk sub-gate (operators/sketches.py, new in r14): the mergeable
     # sketches through their REAL distributed builders, each in its
     # exact regime so the oracle restates the answer in plain SQL:
@@ -1609,6 +1659,8 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ssum)
         .unionByName(merge_rows)
         .unionByName(bpe_counts)
+        .unionByName(uni_static)
+        .unionByName(uni_counts)
         .unionByName(sk_static)
         .unionByName(sk_med)
     )
