@@ -440,14 +440,22 @@ class MgSketch:
         return self.n / (self.k + 1)
 
     def to_bytes(self) -> bytes:
+        """Length-prefixed records — keys are arbitrary corpus strings
+        (may contain newlines/tabs), so no delimiter format is safe."""
+        import struct
+
         head = f"MG1 {self.k} {self.n} {len(self.counters)}\n".encode()
-        body = b"".join(
-            f"{v}\t{key}\n".encode() for key, v in sorted(self.counters.items())
-        )
-        return head + body
+        parts = [head]
+        for key, v in sorted(self.counters.items()):
+            kb = key.encode("utf-8")
+            parts.append(struct.pack("<qI", v, len(kb)))
+            parts.append(kb)
+        return b"".join(parts)
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "MgSketch":
+        import struct
+
         nl = data.index(b"\n")
         tag, k, n, cnt = data[:nl].split()
         if tag != b"MG1":
@@ -455,10 +463,12 @@ class MgSketch:
         counters = {}
         pos = nl + 1
         for _ in range(int(cnt)):
-            nl2 = data.index(b"\n", pos)
-            v, key = data[pos:nl2].decode().split("\t", 1)
-            counters[key] = int(v)
-            pos = nl2 + 1
+            v, klen = struct.unpack_from("<qI", data, pos)
+            pos += 12
+            counters[data[pos: pos + klen].decode("utf-8")] = v
+            pos += klen
+        if pos != len(data):
+            raise ValueError("MgSketch payload length mismatch")
         return cls(int(k), counters, int(n))
 
 

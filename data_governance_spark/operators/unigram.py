@@ -243,20 +243,23 @@ def _prune(
         for p in _viterbi(w, logp, max_piece_len, unk_lp):
             usage[p] += f
     losses: dict[str, float] = {}
-    for p in logp:
+    for p in list(logp):
         if len(p) == 1:
             continue
         u = usage.get(p, 0)
         if u == 0:
             losses[p] = -math.inf  # unused: first to go
             continue
-        without = dict(logp)
-        del without[p]
+        # evaluate the alternative segmentation with p temporarily
+        # removed (pop/restore — copying the vocab dict per candidate
+        # would make pruning O(V^2) at production seed sizes)
+        lp_p = logp.pop(p)
         alt = sum(
-            without.get(q, unk_lp)
-            for q in _viterbi(p, without, max_piece_len, unk_lp)
+            logp.get(q, unk_lp)
+            for q in _viterbi(p, logp, max_piece_len, unk_lp)
         )
-        losses[p] = u * (logp[p] - alt)
+        logp[p] = lp_p
+        losses[p] = u * (lp_p - alt)
     chars = [p for p in logp if len(p) == 1]
     budget = max(0, target - len(chars))
     keep = sorted(losses, key=lambda p: (-losses[p], p))[:budget]

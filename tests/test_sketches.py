@@ -305,6 +305,15 @@ def test_roundtrip_bytes(make):
         assert sk.counters == back.counters and sk.n == back.n
 
 
+def test_mg_roundtrip_hostile_keys():
+    # corpus strings are arbitrary: newlines, tabs, unicode, empties
+    sk = MgSketch(8).add_counts(
+        {"a\nb": 5, "t\tab": 3, "": 2, "ünï\x00code": 7, "plain": 1}
+    )
+    back = MgSketch.from_bytes(sk.to_bytes())
+    assert back.counters == sk.counters and back.n == sk.n
+
+
 def test_from_bytes_rejects_wrong_tag():
     with pytest.raises(ValueError):
         KmvSketch.from_bytes(b"HLL1 10\n" + b"\0" * 1024)
