@@ -158,6 +158,21 @@ def q47_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'sdd', CAST(user_id AS VARCHAR) || ':' || event_type,
            CAST(NULL AS VARCHAR), 1.0
     FROM (SELECT DISTINCT user_id, event_type FROM events)
+    UNION ALL
+    -- wsk: windowed streaming distinct via a KMV sketch as state; a
+    -- window fires once the watermark passes its end, and in the
+    -- exact regime (distinct users/window <= k) the emitted estimate
+    -- IS count(DISTINCT user_id)
+    SELECT 'wsk', strftime(ws, '%Y-%m-%d %H:%M:%S'),
+           CAST(NULL AS VARCHAR), CAST(nd AS DOUBLE)
+    FROM (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+             count(DISTINCT user_id) AS nd
+      FROM events, bounds
+      GROUP BY 1, wm_ms
+      HAVING epoch_ms(time_bucket(INTERVAL '1 hour', ts)) + 3600000
+               <= wm_ms
+    )
     """,
     doc="merged gate (r6 driver-budget): streaming stateful "
     "sessionization (applyInPandasWithState, event-time timeouts, "
@@ -165,7 +180,10 @@ def q47_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "watermark-closed users (q19's streaming twin; sub-gate 'sess') + "
     "streaming exact dedup (dropDuplicatesWithinWatermark over "
     "(user_id, event_type) through a real availableNow drain — exactly "
-    "one surviving row per key; sub-gate 'sdd', new in r6)",
+    "one surviving row per key; sub-gate 'sdd', new in r6) + windowed "
+    "streaming distinct-count with a mergeable KMV sketch as the "
+    "per-window state, emitted on watermark passage in the exact "
+    "regime (sub-gate 'wsk', new in r14)",
 )
 def q48_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.streaming.events import (
@@ -210,4 +228,23 @@ def q48_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("v_s"),
         F.lit(1.0).alias("v_d"),
     )
-    return sess.unionByName(sdd)
+    # wsk: windowed distinct via a mergeable KMV sketch as streaming
+    # state (streaming/events.windowed_distinct_sketch, r14) — exact
+    # regime at every test SF (max 166 distinct users/hour at sf0.1
+    # vs k=4096)
+    from data_governance_spark.streaming.events import (
+        windowed_distinct_sketch,
+    )
+
+    wsk_agg = windowed_distinct_sketch(
+        read_event_stream(spark, src), "user_id", "1 hour", "2 hours"
+    )
+    wname = f"q48_wsk_{uuid.uuid4().hex[:8]}"
+    _drain(wsk_agg, wname, output_mode="append")
+    wsk = spark.table(wname).select(
+        F.lit("wsk").alias("gate"),
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("k"),
+        F.lit(None).cast("string").alias("v_s"),
+        F.col("n_distinct").alias("v_d"),
+    )
+    return sess.unionByName(sdd).unionByName(wsk)

@@ -158,6 +158,57 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert got == ev.count()
 
 
+def test_streaming_distinct_sketch_windows_merge(spark, tmp_path):
+    """windowed_distinct_sketch: (1) every watermark-closed window's
+    estimate equals the exact per-window COUNT(DISTINCT) (KMV exact
+    regime), and (2) the emitted sketch BLOBS merge across windows to
+    the exact distinct count of the whole closed span — the
+    'COUNT(DISTINCT) is not summable, sketches are' property the
+    operator exists for."""
+    from data_governance_spark.operators.sketches import KmvSketch
+    from data_governance_spark.streaming.events import (
+        windowed_distinct_sketch,
+    )
+    from data_governance_spark.tables import table as load_table
+
+    src = str(tmp_path / "wsk_src")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.write.mode("overwrite").parquet(src)
+    out = windowed_distinct_sketch(read_event_stream(spark, src))
+    run_available_now(
+        out, str(tmp_path / "wsk_ckpt"), query_name="t_wsk",
+        output_mode="append",
+    )
+    rows = spark.table("t_wsk").collect()
+    assert rows
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("wm")
+    ).collect()[0]["wm"]
+    exact = {
+        r["w"]: r["nd"]
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("w")
+        )
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    merged = KmvSketch(4096)
+    closed_users = set()
+    ev_rows = ev.select("ts", "user_id").collect()
+    for r in rows:
+        assert r["n_distinct"] == float(exact[r["window_start"]])
+        merged = merged.merge(KmvSketch.from_bytes(bytes(r["sketch"])))
+    for e in ev_rows:
+        if e["ts"].replace(minute=0, second=0, microsecond=0) in {
+            r["window_start"] for r in rows
+        }:
+            closed_users.add(e["user_id"])
+    assert merged.estimate() == float(len(closed_users))
+    # no window past the watermark may have been emitted
+    for r in rows:
+        assert r["window_start"] <= wm
+
+
 def test_streaming_sessions_equal_batch_q19(spark, tmp_path):
     """Equivalence: once the watermark confirms every session, streaming
     output == the batch q19 recompute on the same events (real sf0.001
