@@ -167,7 +167,13 @@ class KmvSketch:
         h = np.frombuffer(data[nl + 1:], dtype="<u8").astype(_U64)
         if len(h) != int(n):
             raise ValueError("KmvSketch payload length mismatch")
-        return cls(int(k), h)
+        k = int(k)
+        # invariants the estimator relies on: bottom-k, sorted, unique
+        # (elementwise compare, NOT np.diff — uint64 diff wraps on a
+        # decreasing pair and reads as a huge positive)
+        if len(h) > k or (len(h) > 1 and not np.all(h[1:] > h[:-1])):
+            raise ValueError("KmvSketch hashes not sorted-unique bottom-k")
+        return cls(k, h)
 
 
 # --------------------------------------------------------------------------
@@ -249,10 +255,15 @@ class HllSketch:
         tag, p = data[:nl].split()
         if tag != b"HLL1":
             raise ValueError("not a serialized HllSketch")
+        p = int(p)
+        # validate BEFORE the shift — a hostile header ("HLL1 1e9")
+        # must not materialize a gigabit register target
+        if not 4 <= p <= 18:
+            raise ValueError(f"HllSketch p out of range: {p}")
         regs = np.frombuffer(data[nl + 1:], dtype=np.uint8).copy()
-        if len(regs) != 1 << int(p):
+        if len(regs) != 1 << p:
             raise ValueError("HllSketch payload length mismatch")
-        return cls(int(p), regs)
+        return cls(p, regs)
 
 
 # --------------------------------------------------------------------------
@@ -374,6 +385,8 @@ class KllSketch:
             raise ValueError("not a serialized KllSketch")
         out = cls(int(k))
         out.n = int(n)
+        if out.n < 0:
+            raise ValueError("KllSketch negative n")
         out.compactors = []
         out._coins = []
         pos = nl + 1
@@ -463,13 +476,26 @@ class MgSketch:
         counters = {}
         pos = nl + 1
         for _ in range(int(cnt)):
-            v, klen = struct.unpack_from("<qI", data, pos)
+            try:
+                v, klen = struct.unpack_from("<qI", data, pos)
+            except struct.error as e:  # truncated record header
+                raise ValueError(f"MgSketch record truncated: {e}") from e
             pos += 12
-            counters[data[pos: pos + klen].decode("utf-8")] = v
+            key_b = data[pos: pos + klen]
+            if len(key_b) != klen:
+                raise ValueError("MgSketch key truncated")
+            # strict decode: UnicodeDecodeError IS a ValueError, so a
+            # corrupt key fails typed instead of parsing mangled
+            if v <= 0:
+                raise ValueError(f"MgSketch non-positive count {v}")
+            counters[key_b.decode("utf-8")] = v
             pos += klen
         if pos != len(data):
             raise ValueError("MgSketch payload length mismatch")
-        return cls(int(k), counters, int(n))
+        n = int(n)
+        if n < 0:
+            raise ValueError("MgSketch negative total weight")
+        return cls(int(k), counters, n)
 
 
 # --------------------------------------------------------------------------

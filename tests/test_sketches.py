@@ -319,6 +319,67 @@ def test_from_bytes_rejects_wrong_tag():
         KmvSketch.from_bytes(b"HLL1 10\n" + b"\0" * 1024)
 
 
+_FUZZ_BLOBS = {
+    "kmv": lambda: KmvSketch(64).add_hashes(
+        np.arange(1, 100, dtype=np.uint64)
+    ).to_bytes(),
+    "hll": lambda: HllSketch(8).add_hashes(
+        np.arange(1, 100, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    ).to_bytes(),
+    "kll": lambda: KllSketch(64).update_many(
+        np.arange(100, dtype=float)
+    ).to_bytes(),
+    "mg": lambda: MgSketch(8).add_counts({"a": 3, "b": 2, "ü\n": 7}).to_bytes(),
+}
+_FUZZ_CLS = {
+    "kmv": KmvSketch, "hll": HllSketch, "kll": KllSketch, "mg": MgSketch,
+}
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.sampled_from(sorted(_FUZZ_BLOBS)),
+    st.integers(0, 2),
+    st.integers(0, 1 << 30),
+    st.integers(0, 255),
+)
+def test_from_bytes_hostile_mutations_stay_typed(name, op, pos, val):
+    """Every single-byte flip/delete/insert of a valid blob either
+    parses or raises ValueError — never IndexError/struct.error/etc.
+    (the typed-boundary contract every byte parser in this repo
+    holds).  The MG struct.error and the HLL gigabit-header
+    allocation were caught by exactly this fuzz shape."""
+    blob = bytearray(_FUZZ_BLOBS[name]())
+    if op == 0:
+        blob[pos % len(blob)] = val
+    elif op == 1:
+        del blob[pos % len(blob)]
+    else:
+        blob.insert(pos % (len(blob) + 1), val)
+    try:
+        _FUZZ_CLS[name].from_bytes(bytes(blob))
+    except ValueError:
+        pass  # typed — includes UnicodeDecodeError
+
+
+def test_hll_hostile_header_does_not_allocate():
+    # a lying p must fail BEFORE materializing 2^p registers
+    with pytest.raises(ValueError, match="out of range"):
+        HllSketch.from_bytes(b"HLL1 1000000000\n" + b"\0" * 64)
+
+
+def test_kmv_rejects_unsorted_payload():
+    good = KmvSketch(64).add_hashes(np.arange(1, 50, dtype=np.uint64))
+    blob = bytearray(good.to_bytes())
+    nl = bytes(blob).index(b"\n")
+    # swap two hash words -> decreasing pair (uint64-wrap-safe check)
+    blob[nl + 1: nl + 9], blob[nl + 9: nl + 17] = (
+        blob[nl + 9: nl + 17], blob[nl + 1: nl + 9],
+    )
+    with pytest.raises(ValueError, match="sorted-unique"):
+        KmvSketch.from_bytes(bytes(blob))
+
+
 # ------------------------------------------- distributed builders
 @pytest.fixture(scope="module")
 def docs(spark):
