@@ -77,6 +77,7 @@ __all__ = [
     "MgSketch",
     "SketchGuaranteeError",
     "kmv_build",
+    "kmv_grouped",
     "hll_build",
     "kll_build",
     "kll_grouped_quantile",
@@ -652,6 +653,64 @@ def heavy_hitters_exact(
                 )
         return df.sparkSession.createDataFrame(rows, exact.schema)
     return exact
+
+
+def kmv_grouped(
+    df: DataFrame,
+    key: str,
+    col: str,
+    k: int = 4096,
+) -> DataFrame:
+    """Per-group distinct-count sketches ("distinct URLs PER DOMAIN"):
+    partition-local per-group KMV partials (``mapInPandas`` over the
+    JVM-hashed column) → ``groupBy(key)`` over serialized BLOBS (the
+    shuffle carries one ≤8k-byte row per (partition, group), never
+    keys) → merged sketch per group.  Returns ``(key, n_distinct,
+    sketch)`` — the sketch column is the persistable artifact: merge
+    any subset of groups (or days) for a combined distinct count
+    without touching the corpus again.  NULL keys/values excluded.
+    Exact while a group's distinct count stays ≤ k."""
+    import pandas as pd
+
+    sel = df.where(
+        F.col(key).isNotNull() & F.col(col).isNotNull()
+    ).select(
+        F.col(key).cast("string").alias("k_"),
+        F.xxhash64(F.col(col)).alias("h"),
+    )
+
+    def partials(batches):
+        sks: dict[str, KmvSketch] = {}
+        for pdf in batches:
+            for kk, grp in pdf.groupby("k_"):
+                sks.setdefault(kk, KmvSketch(k)).add_hashes(
+                    grp["h"].to_numpy(np.int64).astype(_U64)
+                )
+        if sks:
+            yield pd.DataFrame(
+                {"k_": list(sks),
+                 "blob": [s.to_bytes() for s in sks.values()]}
+            )
+
+    blobs = sel.mapInPandas(partials, "k_ string, blob binary")
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = KmvSketch(k)
+        for b in pdf["blob"]:
+            sk = sk.merge(KmvSketch.from_bytes(bytes(b)))
+        return pd.DataFrame(
+            {
+                "k_": [pdf["k_"].iloc[0]],
+                "n_distinct": [sk.estimate()],
+                "sketch": [sk.to_bytes()],
+            }
+        )
+
+    return (
+        blobs.groupBy("k_")
+        .applyInPandas(finish, "k_ string, n_distinct double, sketch binary")
+        .withColumnRenamed("k_", key)
+    )
 
 
 def kll_grouped_quantile(

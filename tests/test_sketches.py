@@ -419,6 +419,29 @@ def test_kll_build_matches_exact_median(spark, docs):
     assert sk.quantile(0.5) == vals[max(1, math.ceil(0.5 * n)) - 1]
 
 
+def test_kmv_grouped_exact_and_merges(spark, docs):
+    from pyspark.sql import functions as F
+
+    from data_governance_spark.operators.sketches import kmv_grouped
+
+    rows = kmv_grouped(docs, "lang", "text", k=8192).collect()
+    want = {
+        r["lang"]: r["nd"]
+        for r in docs.where("text is not null")
+        .groupBy("lang")
+        .agg(F.countDistinct("text").alias("nd"))
+        .collect()
+    }
+    got = {r["lang"]: r["n_distinct"] for r in rows}
+    assert got == {kk: float(v) for kk, v in want.items()}
+    # the artifact property: group blobs merge to the corpus distinct
+    merged = KmvSketch(8192)
+    for r in rows:
+        merged = merged.merge(KmvSketch.from_bytes(bytes(r["sketch"])))
+    total = docs.where("text is not null").select("text").distinct().count()
+    assert merged.estimate() == float(total)
+
+
 def test_kll_grouped_quantile_exact_regime(spark, docs):
     from pyspark.sql import functions as F
 
