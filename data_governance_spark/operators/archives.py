@@ -16,7 +16,11 @@ Same contracts as the sibling byte-level tiers:
   tarballs fans out to (archive × member) rows at scan speed, and the
   per-document operators compose downstream.
 
-Format ladder (magic-sniffed, extensions are never trusted):
+Format ladder (magic-sniffed; extensions are never trusted as FINAL —
+the one exception is brotli, which RFC 7932 defines with NO stream
+signature at all, so a ``.br``/``.tbr`` filename passed via
+``explode_archives(path_col=...)`` acts as a routing HINT whose parse
+failure still falls back to this ladder):
 
 - outer stream compression: gzip (``1F 8B``), bzip2 (``BZh``), xz
   (``FD 37 7A 58 5A 00``), zstd (``28 B5 2F FD``, via the from-spec
@@ -302,6 +306,23 @@ def _bounded_decompress(data: bytes, kind: str) -> bytes:
             raise ArchiveUnsupportedError(e.feature) from None
         except Lz4Error as e:
             raise ArchiveParseError(f"bad lz4 stream: {e}") from None
+    if kind == "brotli":
+        # RFC 7932 from-spec decoder (operators/brotli.py, r14).  No
+        # stream magic exists, so this kind is only ever reached via
+        # the extension hint in explode_archives; typed errors and the
+        # mid-stream cap follow the zstd/lz4 shape.
+        from .brotli import (
+            BrotliBombError,
+            BrotliError,
+            brotli_decompress_auto,
+        )
+
+        try:
+            return brotli_decompress_auto(data, max_out=_MAX_MEMBER)
+        except BrotliBombError as e:
+            raise ArchiveBombError(str(e)) from None
+        except BrotliError as e:
+            raise ArchiveParseError(f"bad brotli stream: {e}") from None
     if kind == "snappy":
         # framed snappy (.sz): from-spec container with per-chunk
         # CRC32C (operators/snappy.py); raw chunks reuse avro's codec
@@ -483,14 +504,22 @@ def _tar_members(data: bytes) -> list[dict]:
     return out
 
 
-def archive_members(data: bytes) -> list[dict]:
+def archive_members(data: bytes, kind: str | None = None) -> list[dict]:
     """All regular-file members of the archive bytes, one dict per
     member: ``(member, size, content, err)``.  Stream-compressed tars
     (.tar.gz/.tbz2/.txz) explode as members; a stream wrapping
     anything else is a single member named by the gzip FNAME header
     (or ``"-"``).  Archive-level failures raise typed; member-level
-    failures are typed PER ROW."""
-    kind = archive_format(data)
+    failures are typed PER ROW.
+
+    ``kind`` overrides the magic sniff — the ONLY caller-supplied
+    kind is ``"brotli"`` (from :func:`explode_archives`' extension
+    hint), because RFC 7932 defines NO stream signature, so a .br
+    file cannot be sniffed.  The hint is still not trusted: a
+    mis-labeled file fails brotli parse typed and the caller falls
+    back to the magic ladder."""
+    if kind is None:
+        kind = archive_format(data)
     if kind == "zip":
         return _zip_members(data)
     if kind == "tar":
@@ -511,13 +540,22 @@ def explode_archives(
     docs: DataFrame,
     content_col: str = "content",
     id_col: str = "doc_id",
+    path_col: str | None = None,
 ) -> DataFrame:
     """One row per archive member per document:
     ``(id_col, member, size, content, err)``.  A document whose bytes
     are NULL or fail archive-level keeps ONE row with NULL member and
     the typed error name in ``err`` (quarantine semantics — documents
     never vanish silently), mirroring
-    :func:`operators.pdf.extract_pdf_images`."""
+    :func:`operators.pdf.extract_pdf_images`.
+
+    ``path_col`` (optional) supplies a filename used as a FORMAT HINT
+    for the one format that defines no stream signature: a name
+    ending ``.br``/``.tbr`` routes first to the RFC 7932 brotli
+    decoder (operators/brotli.py).  The hint is never trusted as
+    final — if the brotli parse fails, the bytes fall back to the
+    magic-sniffed ladder, so a mis-labeled ``.br`` that is really
+    gzip still explodes correctly."""
     import pyspark.sql.types as T
 
     id_field = docs.schema[id_col]
@@ -535,14 +573,28 @@ def explode_archives(
     def run(batches):
         for pdf_b in batches:
             rows: list[dict] = []
-            for did, c in zip(pdf_b[id_col], pdf_b[content_col]):
+            paths = (
+                pdf_b[path_col]
+                if path_col is not None
+                else [None] * len(pdf_b)
+            )
+            for did, c, pth in zip(pdf_b[id_col], pdf_b[content_col], paths):
                 base = {id_col: did, **{k: None for k in cols}}
                 if c is None:
                     base["err"] = "null-content"
                     rows.append(base)
                     continue
                 try:
-                    recs = archive_members(bytes(c))
+                    recs = None
+                    if pth is not None and str(pth).lower().endswith(
+                        (".br", ".tbr")
+                    ):
+                        try:
+                            recs = archive_members(bytes(c), kind="brotli")
+                        except ArchiveParseError:
+                            recs = None  # hint wrong: magic fallback
+                    if recs is None:
+                        recs = archive_members(bytes(c))
                 except ArchiveUnsupportedError as e:
                     # name the format so triage can count rar vs 7z
                     # vs zstd separately
@@ -560,4 +612,5 @@ def explode_archives(
                     rows.append({id_col: did, **r})
             yield pd.DataFrame(rows, columns=[id_col, *cols])
 
-    return docs.select(id_col, content_col).mapInPandas(run, schema)
+    sel = [id_col, content_col] + ([path_col] if path_col else [])
+    return docs.select(*sel).mapInPandas(run, schema)

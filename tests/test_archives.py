@@ -394,8 +394,23 @@ def gate_payloads() -> dict[str, bytes]:
         ),
         chunk=4096,
     )
+    # r14: .tar.br through the from-spec RFC 7932 decoder — compressed
+    # by libbrotli (pyarrow's bundled encoder, q5; deterministic for
+    # this library version, the lz4/7z payload standing)
+    import pyarrow as pa
+
+    tarbr = bytes(
+        pa.Codec("brotli", compression_level=5).compress(
+            make_tar(
+                [("r/one.txt", b"brotli member one"),
+                 ("rtwo", b"brotli member two")],
+                extras=True,
+            )
+        )
+    )
     return {"TGZ": tgz, "ENCZIP": bytes(data), "TARZST": tarzst,
-            "7Z": sz, "7ZBCJ": szb, "TARLZ4": tarlz4, "TARSZ": tarsz}
+            "7Z": sz, "7ZBCJ": szb, "TARLZ4": tarlz4, "TARSZ": tarsz,
+            "TARBR": tarbr}
 
 
 def test_gate_payload_pin():
@@ -438,6 +453,15 @@ def test_gate_payloads_extract():
     assert as_rows(p["TARSZ"]) == [
         ("n/one.txt", 17, b"framed snappy one", None),
         ("ntwo", 17, b"framed snappy two", None),
+    ]
+    from data_governance_spark.operators.archives import archive_members
+
+    assert [
+        (r["member"], r["size"], r["content"], r["err"])
+        for r in archive_members(p["TARBR"], kind="brotli")
+    ] == [
+        ("r/one.txt", 17, b"brotli member one", None),
+        ("rtwo", 17, b"brotli member two", None),
     ]
 
 
