@@ -333,9 +333,16 @@ def warc_documents_binary(spark: SparkSession, path: str) -> DataFrame:
                 out["text"].append(text)
                 out["enc"].append(enc)
                 out["err"].append(err)
-                out["_key"].append(
-                    rid if rid else f"noid:{uri}:{len(body)}"
-                )
+                if rid:
+                    out["_key"].append(rid)
+                else:
+                    # no WARC-Record-ID: content digest, not length —
+                    # two same-URI no-id records must not collide
+                    import hashlib
+
+                    out["_key"].append(
+                        f"noid:{uri}:{hashlib.md5(body).hexdigest()}"
+                    )
             yield pd.DataFrame(out)
 
     rows = rec.mapInPandas(
