@@ -275,6 +275,81 @@ def windowed_distinct_sketch(
     )
 
 
+def windowed_topk_sketch(
+    events: DataFrame,
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    k: int = 64,
+    topn: int = 5,
+) -> DataFrame:
+    """Streaming heavy hitters per tumbling window — the Misra-Gries
+    twin of :func:`windowed_distinct_sketch`.  State per window is the
+    serialized ≤k-counter MG sketch (O(k) regardless of traffic);
+    emission mirrors the sessionizer contract (watermark re-checked by
+    the operator, the timeout only triggers the flush).  Each emitted
+    row carries the window's top-n values/estimates AND the sketch
+    blob, which merges across windows into day-level heavy hitters
+    without reprocessing.  In the exact regime (distinct keys per
+    window ≤ k, no decrement) the estimates are exact counts; beyond
+    it the MG undercount bound n/(k+1) applies."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from data_governance_spark.operators.sketches import MgSketch
+
+    dur_us = int(pd.Timedelta(window).total_seconds()) * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (wstart,) = key
+        wstart_us = pd.Timestamp(wstart).value // 1000
+        wend_us = wstart_us + dur_us
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if not state.exists and wend_us <= wm_us:
+            for _ in pdfs:  # late rows for an already-fired window
+                pass
+            return
+        sk = (
+            MgSketch.from_bytes(bytes(state.get[0]))
+            if state.exists
+            else MgSketch(k)
+        )
+        for pdf in pdfs:
+            if len(pdf):
+                sk.add_counts(pdf["v"].value_counts().to_dict())
+        if wend_us <= wm_us:
+            state.remove()
+            top = sorted(
+                sk.counters.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:topn]
+            yield pd.DataFrame(
+                {
+                    "window_start": [pd.to_datetime(wstart_us, unit="us")],
+                    "values": [[t[0] for t in top]],
+                    "counts": [[int(t[1]) for t in top]],
+                    "sketch": [sk.to_bytes()],
+                }
+            )
+        else:
+            state.update((sk.to_bytes(),))
+            state.setTimeoutTimestamp(wend_us // 1000)
+
+    pre = events.withWatermark("ts", watermark).select(
+        "ts",
+        F.window("ts", window).getField("start").alias("wstart"),
+        F.col(key_col).cast("string").alias("v"),
+    ).where(F.col("v").isNotNull())
+    return pre.groupBy("wstart").applyInPandasWithState(
+        fn,
+        outputStructType="window_start timestamp, values array<string>, "
+        "counts array<long>, sketch binary",
+        stateStructType="blob binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def run_available_now(
     agg: DataFrame,
     checkpoint: str,

@@ -209,6 +209,54 @@ def test_streaming_distinct_sketch_windows_merge(spark, tmp_path):
         assert r["window_start"] <= wm
 
 
+def test_streaming_topk_sketch_exact_regime(spark, tmp_path):
+    """windowed_topk_sketch: closed-window top values equal the exact
+    per-window groupBy counts (MG exact regime, NDV(event_type) <= k),
+    and the emitted MG blobs merge across windows to the exact
+    corpus-level counts of the closed span."""
+    from data_governance_spark.operators.sketches import MgSketch
+    from data_governance_spark.streaming.events import (
+        windowed_topk_sketch,
+    )
+    from data_governance_spark.tables import table as load_table
+
+    src = str(tmp_path / "tk_src")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.write.mode("overwrite").parquet(src)
+    out = windowed_topk_sketch(
+        read_event_stream(spark, src), topn=3, k=64
+    )
+    run_available_now(
+        out, str(tmp_path / "tk_ckpt"), query_name="t_topk",
+        output_mode="append",
+    )
+    rows = spark.table("t_topk").collect()
+    assert rows
+    exact = {
+        (r["w"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("w"), "event_type"
+        ).count().withColumnRenamed("count", "n").collect()
+    }
+    merged = MgSketch(64)
+    for r in rows:
+        per_window = sorted(
+            ((kk, n) for (w, kk), n in exact.items()
+             if w == r["window_start"]),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:3]
+        assert list(zip(r["values"], r["counts"])) == per_window, (
+            r["window_start"]
+        )
+        merged = merged.merge(MgSketch.from_bytes(bytes(r["sketch"])))
+    closed = {r["window_start"] for r in rows}
+    want_total: dict = {}
+    for (w, kk), n in exact.items():
+        if w in closed:
+            want_total[kk] = want_total.get(kk, 0) + n
+    assert merged.counters == want_total  # exact regime: no decrement
+
+
 def test_streaming_sessions_equal_batch_q19(spark, tmp_path):
     """Equivalence: once the watermark confirms every session, streaming
     output == the batch q19 recompute on the same events (real sf0.001
