@@ -163,6 +163,16 @@ def archive_variants():
         out.append(("tsz10", reference_frame(make_tar(members))))
     except BaseException:
         pass
+    try:  # r14: .tar.br through the from-spec RFC 7932 decoder
+        import pyarrow as pa
+
+        out.append(("tbr10", bytes(
+            pa.Codec("brotli", compression_level=5).compress(
+                make_tar(members)
+            )
+        )))
+    except Exception:
+        pass
     return out
 
 
@@ -253,9 +263,14 @@ def main():
     variants = archive_variants()
     print("archive variant sizes:", {k: len(v) for k, v in variants})
     docs, n, mb = corpus(spark, variants, factor // 2 or 1)
+    # brotli has no magic: the tbr10 variant routes via the path HINT
+    docs = docs.withColumn(
+        "_path",
+        F.when(F.col("kind") == "tbr10", F.lit("d.tar.br")),
+    )
     t0 = time.time()
     got = (
-        explode_archives(docs)
+        explode_archives(docs, path_col="_path")
         .agg(
             F.count("*").alias("members"),
             F.sum("size").alias("bytes"),
@@ -274,13 +289,13 @@ def main():
         f"errs {got['errs']})"
     )
     # r13/r14: isolate the from-spec codec tiers
-    for kind in ("tzst10", "sz10", "tlz410", "tsz10"):
+    for kind in ("tzst10", "sz10", "tlz410", "tsz10", "tbr10"):
         sub = docs.filter(F.col("kind") == kind)
         n_sub = sub.count()
         if not n_sub:
             continue
         t0 = time.time()
-        got = explode_archives(sub).agg(
+        got = explode_archives(sub, path_col="_path").agg(
             F.count("*").alias("m"), F.sum("size").alias("b")
         ).collect()[0]
         w = time.time() - t0
