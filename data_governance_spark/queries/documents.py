@@ -2502,38 +2502,61 @@ def d10_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.components import connected_components
     from data_governance_spark.operators.pagerank import pagerank
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = table(spark, sf_dir, "documents")
-    pairs = _d06_pair_df(spark, sf_dir)
-    comp = connected_components(
-        pairs, "doc_a", "doc_b", nodes=docs, node_col="doc_id"
-    )
-    cc = comp.select(
-        F.lit("cc").alias("gate"),
-        F.col("id").cast("string").alias("k"),
-        F.lit(None).cast("string").alias("v_s"),
-        F.col("comp").cast("double").alias("v_d"),
-    )
+    cust = table(spark, sf_dir, "customer")
+
+    # The two sub-gates are INDEPENDENT eager chains — cc's pair
+    # generation + closure (shingle persist, edge-cache count,
+    # union-find collect) and pr's iterative fixed point (count + one
+    # collect and one materializing count per iteration) each spend
+    # most of their wall blocked on many small sequential jobs. Build
+    # them concurrently (guide §2.6): pr's tiny per-iteration jobs
+    # back-fill the cores cc's shingle scan leaves idle and vice
+    # versa. Each branch computes exactly what it computed
+    # sequentially (measured on this gate: 8.9 s build -> ~max of the
+    # two chains).
+    def _build_cc() -> DataFrame:
+        pairs = _d06_pair_df(spark, sf_dir)
+        return connected_components(
+            pairs, "doc_a", "doc_b", nodes=docs, node_col="doc_id"
+        )
+
     # pr sub-gate (r12): the REAL iterative operator over a graph
     # synthesized from `customer` — two out-edges per non-%11 node,
     # %11==0 nodes genuinely dangling — against the oracle's
     # unrolled-CTE restatement of the same 5 fixed iterations.
     # Ranks scale by N before rounding so the 6-decimal compare keeps
     # ~6 significant digits at every sf.
-    cust = table(spark, sf_dir, "customer")
-    n = cust.count()
-    ck = F.col("c_custkey")
-    srcs = cust.filter(ck % 11 != 0)
-    edges = srcs.select(
-        ck.alias("src"), ((ck * 7) % n).alias("dst")
-    ).unionByName(
-        srcs.select(ck.alias("src"), ((ck * 13) % n).alias("dst"))
-    )
-    ranks = pagerank(
-        edges,
-        damping=_PR_DAMPING,
-        iterations=_PR_ITERS,
-        nodes=cust.select(ck.alias("id")),
-        checkpoint_every=0,
+    def _build_pr() -> tuple[DataFrame, int]:
+        n = cust.count()
+        ck = F.col("c_custkey")
+        srcs = cust.filter(ck % 11 != 0)
+        edges = srcs.select(
+            ck.alias("src"), ((ck * 7) % n).alias("dst")
+        ).unionByName(
+            srcs.select(ck.alias("src"), ((ck * 13) % n).alias("dst"))
+        )
+        ranks = pagerank(
+            edges,
+            damping=_PR_DAMPING,
+            iterations=_PR_ITERS,
+            nodes=cust.select(ck.alias("id")),
+            checkpoint_every=0,
+        )
+        return ranks, n
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cc = pool.submit(_build_cc)
+        f_pr = pool.submit(_build_pr)
+        comp = f_cc.result()
+        ranks, n = f_pr.result()
+    cc = comp.select(
+        F.lit("cc").alias("gate"),
+        F.col("id").cast("string").alias("k"),
+        F.lit(None).cast("string").alias("v_s"),
+        F.col("comp").cast("double").alias("v_d"),
     )
     pr = ranks.select(
         F.lit("pr").alias("gate"),
