@@ -411,9 +411,28 @@ def prepare_corpus(
     ).select(F.col(id_col).alias("doc_a"), F.col("canon_id").alias("doc_b"))
     dup_pairs = near.unionByName(exact_pairs)
 
-    comp = connected_components(
-        dup_pairs, "doc_a", "doc_b", nodes=clean.select(id_col), node_col=id_col
-    )
+    if minhash_threshold > 1.0:
+        # Algebraic short-circuit: with the sketch stage disabled
+        # (threshold > 1 provably emits no near pairs), dup_pairs ==
+        # exact_pairs, and that edge set is a star forest by
+        # construction — every doc points at the min-id member of its
+        # fingerprint group, and ``mapping`` already labels EVERY
+        # clean doc with that minimum (singletons with themselves).
+        # The transitive closure of a star forest is itself, so the
+        # closure result is ``mapping`` verbatim and the iterative
+        # operator (eager edge-cache count + convergence rounds /
+        # union-find collect AT CALL TIME) would recompute the whole
+        # upstream quality chain just to relearn it. Skipping it keeps
+        # prepare_corpus fully lazy in this regime; the real closure
+        # still runs whenever the sketch stage can emit pairs.
+        comp = mapping.select(
+            F.col(id_col).alias("id"), F.col("canon_id").alias("comp")
+        )
+    else:
+        comp = connected_components(
+            dup_pairs, "doc_a", "doc_b",
+            nodes=clean.select(id_col), node_col=id_col,
+        )
     kept = keep_canonical(clean, comp, id_col=id_col)
     split = hash_split(
         kept, split_weights or DEFAULT_SPLITS, id_col

@@ -1512,7 +1512,63 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v_s"),
         F.lit(None).cast("double").alias("v_d"),
     )
-    wp = _wp_layout_checks(spark, sf_dir)
+    # The gate's eager builders are independent job chains: the packed-
+    # layout staging write (first run per process), the BPE trainer
+    # (distributed word-freq job + driver merges), the unigram-LM EM
+    # trainer, three KMV sketch passes and the two-pass exact heavy
+    # hitters. Run them from a thread pool (guide §2.6) so their small
+    # sequential jobs overlap instead of queueing behind one another;
+    # each builder computes exactly what it computed sequentially
+    # (measured: ~7 s of sequential build -> ~max of the chains).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_governance_spark.operators.bpe import (
+        bpe_token_counts,
+        train_bpe,
+    )
+    from data_governance_spark.operators.sketches import (
+        heavy_hitters_exact,
+        kll_grouped_quantile,
+        kmv_build,
+    )
+    from data_governance_spark.operators.unigram import (
+        train_unigram,
+        unigram_encode_word,
+        unigram_token_counts,
+    )
+
+    bdocs = spark.createDataFrame(
+        list(_BPE_ROWS), "doc_id long, text string"
+    )
+    with ThreadPoolExecutor(max_workers=7) as pool:
+        f_wp = pool.submit(_wp_layout_checks, spark, sf_dir)
+        f_bpe = pool.submit(train_bpe, bdocs, num_merges=6, min_freq=2)
+        f_uni = pool.submit(
+            train_unigram, bdocs, vocab_size=12, seed_size=60, max_piece_len=6
+        )
+        f_kmv_text = pool.submit(kmv_build, docs, "text", k=8192)
+        f_kmv_a = pool.submit(
+            kmv_build, docs.where(F.col("doc_id") % 2 == 0), "doc_id", k=8192
+        )
+        f_kmv_b = pool.submit(
+            kmv_build, docs.where(F.col("doc_id") % 3 == 0), "doc_id", k=8192
+        )
+        f_hh = pool.submit(
+            lambda: heavy_hitters_exact(
+                docs.select(F.explode(regex_tokens("text")).alias("t")),
+                "t",
+                topn=8,
+                k=512,
+                strict=True,
+            ).collect()
+        )
+        wp = f_wp.result()
+        model = f_bpe.result()
+        umodel = f_uni.result()
+        sk_text = f_kmv_text.result()
+        ska_ = f_kmv_a.result()
+        skb_ = f_kmv_b.result()
+        hh = f_hh.result()
     # ssum sub-gate: the real signal_summary in the exact-accuracy
     # regime; one quad row per (signal, prob index)
     from data_governance_spark.operators.quality import signal_summary
@@ -1545,15 +1601,6 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bpe sub-gate: real training (distributed word-freq job) + real
     # distributed apply over the planted Sennrich corpus
-    from data_governance_spark.operators.bpe import (
-        bpe_token_counts,
-        train_bpe,
-    )
-
-    bdocs = spark.createDataFrame(
-        list(_BPE_ROWS), "doc_id long, text string"
-    )
-    model = train_bpe(bdocs, num_merges=6, min_freq=2)
     merge_rows = spark.createDataFrame(
         [(f"m:{i}", f"{a}+{b}") for i, (a, b) in enumerate(model.merges)]
         + [("v", None)],
@@ -1572,15 +1619,6 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # uni sub-gate: the unigram-LM (SentencePiece-shape) twin — real
     # EM training over the same planted corpus, real distributed apply
-    from data_governance_spark.operators.unigram import (
-        train_unigram,
-        unigram_encode_word,
-        unigram_token_counts,
-    )
-
-    umodel = train_unigram(
-        bdocs, vocab_size=12, seed_size=60, max_piece_len=6
-    )
     uni_static = spark.createDataFrame(
         [
             ("uni", f"s:{w}", "+".join(unigram_encode_word(w, umodel)), None)
@@ -1605,24 +1643,8 @@ def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   the candidate set is exhaustive and top-8 counts are exact
     # - grouped KLL median, k=2048 >= per-lang doc count: no
     #   compaction -> exact rank-ceil(n/2) value per language
-    from data_governance_spark.operators.sketches import (
-        heavy_hitters_exact,
-        kll_grouped_quantile,
-        kmv_build,
-    )
-
-    sk_text = kmv_build(docs, "text", k=8192)
-    ska_ = kmv_build(docs.where(F.col("doc_id") % 2 == 0), "doc_id", k=8192)
-    skb_ = kmv_build(docs.where(F.col("doc_id") % 3 == 0), "doc_id", k=8192)
     i_ = float(len(np.intersect1d(ska_.hashes, skb_.hashes)))
     u_ = float(len(np.union1d(ska_.hashes, skb_.hashes)))
-    hh = heavy_hitters_exact(
-        docs.select(F.explode(regex_tokens("text")).alias("t")),
-        "t",
-        topn=8,
-        k=512,
-        strict=True,
-    ).collect()
     sk_static = spark.createDataFrame(
         [
             ("sk", "kmv:text", None, sk_text.estimate()),
@@ -1838,36 +1860,18 @@ def d07_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold is order-independent, so repartitioning cannot change a
     # score bit.
     rdocs = docs.repartition(32)
-    lr = fit_log_ratios_split(
-        rdocs,
-        F.col("lang") == _DSIR_TARGET_LANG,
-        n_buckets=_DSIR_B,
-        alpha=_DSIR_ALPHA,
-    )
     # no rounding: the integer-micro-unit fold makes scores
     # bit-identical across engines (see importance_scores docstring);
-    # persisted because both the score rows and the top-k selection
-    # consume it
-    scored = tracked_persist(
-        importance_scores(rdocs, lr).select(
-            "doc_id", F.col("dsir_score").alias("score")
-        )
-    )
-    dsir_rows = scored.select(
-        F.lit("dsir").alias("gate"),
-        F.col("doc_id").cast("string").alias("k"),
-        nul_s.alias("v_s"),
-        F.col("score").alias("v_d"),
-    )
-    top = select_top_k(scored, _DSIR_K, score_col="score")
-    # rank the k survivors (post-limit: a k-row window, driver-scale)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    dsel_rows = top.withColumn("rk", F.row_number().over(w)).select(
-        F.lit("dsel").alias("gate"),
-        F.col("doc_id").cast("string").alias("k"),
-        nul_s.alias("v_s"),
-        F.col("rk").cast("double").alias("v_d"),
-    )
+    # the scored relation is persisted below because both the score
+    # rows and the top-k selection consume it.
+    _PPL_REF = [
+        "the quick brown fox jumps over the lazy dog",
+        "a stitch in time saves nine busy tailors daily",
+        "every good boy deserves fruit after long practice",
+        "pack my box with five dozen fresh juice jugs",
+        "how vexingly quick daft zebras jump over fences",
+        "bright vixens leap while waltzing nymphs quietly watch",
+    ]
     # clf sub-gate (new in r9): the REAL fit + predict over a planted
     # margin-separated two-class corpus (disjoint vocabularies, a
     # doc-unique trailing token so no two texts are identical). Train
@@ -1901,14 +1905,75 @@ def d07_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tracked_persist(
         hashed_features(planted, dim=_CLF_DIM, bigrams=True)
     )
-    model = fit_text_classifier(
-        planted.filter(F.col("doc_id") % 3 == 0),
-        "y",
-        dim=_CLF_DIM,
-        bigrams=True,
-        iters=5,
-        lr=2.0,
-        features=feats,
+
+    from data_governance_spark.operators.ngram_lm import (
+        bucket_by_perplexity,
+        perplexity,
+        train_ngram_lm,
+    )
+
+    # The gate's three TRAINING chains are independent eager job
+    # sequences — the DSIR fit (one B-row collect per sample), the
+    # classifier fit (a count + one gradient collect per iteration)
+    # and the KN LM fit (one capped collect per n-gram order). Run
+    # them from a 3-thread pool (guide §2.6) so each chain's small
+    # sequential jobs back-fill cores the others leave idle; every
+    # chain computes exactly what it computed sequentially (measured:
+    # 9.4 s of sequential build -> ~max of the chains).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fit_dsir():
+        return fit_log_ratios_split(
+            rdocs,
+            F.col("lang") == _DSIR_TARGET_LANG,
+            n_buckets=_DSIR_B,
+            alpha=_DSIR_ALPHA,
+        )
+
+    def _fit_clf():
+        return fit_text_classifier(
+            planted.filter(F.col("doc_id") % 3 == 0),
+            "y",
+            dim=_CLF_DIM,
+            bigrams=True,
+            iters=5,
+            lr=2.0,
+            features=feats,
+        )
+
+    def _fit_lm():
+        return train_ngram_lm(
+            spark.createDataFrame([(t,) for t in _PPL_REF], "text string"),
+            order=3,
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_lr = pool.submit(_fit_dsir)
+        f_model = pool.submit(_fit_clf)
+        f_lm = pool.submit(_fit_lm)
+        lr = f_lr.result()
+        model = f_model.result()
+        lm = f_lm.result()
+
+    scored = tracked_persist(
+        importance_scores(rdocs, lr).select(
+            "doc_id", F.col("dsir_score").alias("score")
+        )
+    )
+    dsir_rows = scored.select(
+        F.lit("dsir").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        nul_s.alias("v_s"),
+        F.col("score").alias("v_d"),
+    )
+    top = select_top_k(scored, _DSIR_K, score_col="score")
+    # rank the k survivors (post-limit: a k-row window, driver-scale)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    dsel_rows = top.withColumn("rk", F.row_number().over(w)).select(
+        F.lit("dsel").alias("gate"),
+        F.col("doc_id").cast("string").alias("k"),
+        nul_s.alias("v_s"),
+        F.col("rk").cast("double").alias("v_d"),
     )
     clf_rows = (
         predict_text(planted, model, features=feats)
@@ -1939,24 +2004,6 @@ def d07_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (1/3, 2/3) — head==evens, middle==odds, tail empty. Exact KN
     # arithmetic is pinned by the pure-Python differential in
     # tests/test_ngram_lm.py.
-    from data_governance_spark.operators.ngram_lm import (
-        bucket_by_perplexity,
-        perplexity,
-        train_ngram_lm,
-    )
-
-    _PPL_REF = [
-        "the quick brown fox jumps over the lazy dog",
-        "a stitch in time saves nine busy tailors daily",
-        "every good boy deserves fruit after long practice",
-        "pack my box with five dozen fresh juice jugs",
-        "how vexingly quick daft zebras jump over fences",
-        "bright vixens leap while waltzing nymphs quietly watch",
-    ]
-    lm = train_ngram_lm(
-        spark.createDataFrame([(t,) for t in _PPL_REF], "text string"),
-        order=3,
-    )
     md5 = F.md5(F.col("doc_id").cast("string"))
     # evens carry a FIXED trailing OOV token: same constant ppl for the
     # whole class (tercile analyticity intact) while the distributed

@@ -341,3 +341,43 @@ class TestPrepareCorpusOptions:
         # banner survives only in its first occurrence (doc 0)
         assert sum(banner in t for t in texts.values()) == 1
         assert banner in texts[0]
+
+
+class TestSketchDisabledClosureShortCircuit:
+    def test_threshold_gt_one_kept_equals_generic_closure(self, spark):
+        """threshold > 1 disables the sketch stage, so dup_pairs is
+        exactly the exact-precluster star forest and prepare_corpus
+        substitutes the precluster mapping for the iterative closure
+        (keeping the call fully lazy). Differential: the kept set must
+        equal running the REAL connected_components over the same
+        dup_pairs — including exact-dup clusters and singletons."""
+        from data_governance_spark.corpus import prepare_corpus
+        from data_governance_spark.operators.components import (
+            connected_components,
+            keep_canonical,
+        )
+
+        def text(i):
+            return " ".join(["the", "of"] + [f"w{i}x{j}" for j in range(58)])
+
+        # 0..7 distinct; 100/101 exact copies of 0 (one 3-doc exact
+        # cluster); 102 exact copy of 5 (a 2-doc cluster)
+        docs = spark.createDataFrame(
+            [(i, text(i)) for i in range(8)]
+            + [(100, text(0)), (101, text(0)), (102, text(5))],
+            "doc_id long, text string",
+        )
+        r = prepare_corpus(
+            docs, minhash_threshold=1.01, persist_clean=False,
+            quality_rules={"n_tokens": (10, 100000)},
+        )
+        kept_fast = sorted(row["doc_id"] for row in r.kept.collect())
+        comp = connected_components(
+            r.dup_pairs, "doc_a", "doc_b",
+            nodes=r.clean.select("doc_id"), node_col="doc_id",
+        )
+        kept_generic = sorted(
+            row["doc_id"]
+            for row in keep_canonical(r.clean, comp).collect()
+        )
+        assert kept_fast == kept_generic == list(range(8))
