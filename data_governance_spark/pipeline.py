@@ -55,6 +55,7 @@ def run_pipeline(
     current_year: int,
     checkpoint_dir: str | None = None,
     checkpoint_stages: tuple[str, ...] = STAGES,
+    truncate_stages: tuple[str, ...] = (),
 ) -> DataFrame:
     """landing zone -> enriched wide table (03-stage equivalent).
 
@@ -63,14 +64,24 @@ def run_pipeline(
     Checkpointing after 02 alone already truncates the big standardize
     expression tree (the Catalyst-analysis memory hog); the later
     stages add restartability at the cost of a disk round-trip each.
+
+    ``truncate_stages`` names stages to cut with ``localCheckpoint``
+    instead: the same lineage truncation with no parquet encode/decode
+    or file-system round-trip (guide §5 — localCheckpoint is the
+    cheaper lineage cut when fault tolerance of the intermediate is
+    not needed). Right for gates/benchmarks; production restartability
+    still wants ``checkpoint_dir``. A stage named in both uses the
+    durable parquet checkpoint.
     """
 
     def checkpoint(df: DataFrame, name: str) -> DataFrame:
-        if checkpoint_dir is None or name not in checkpoint_stages:
-            return df
-        path = os.path.join(checkpoint_dir, name)
-        df.write.mode("overwrite").parquet(path)
-        return df.sparkSession.read.parquet(path)
+        if checkpoint_dir is not None and name in checkpoint_stages:
+            path = os.path.join(checkpoint_dir, name)
+            df.write.mode("overwrite").parquet(path)
+            return df.sparkSession.read.parquet(path)
+        if name in truncate_stages:
+            return df.localCheckpoint(eager=True)
+        return df
 
     # stage 02: standardize
     std = standardize(

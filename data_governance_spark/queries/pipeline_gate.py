@@ -26,15 +26,6 @@ from data_governance_spark.tables import table
 
 QUERIES: dict[str, QueryDef] = {}
 
-# One checkpoint dir per process, reused across repeated gate/bench
-# invocations (the stage write is mode=overwrite) and removed atexit —
-# repeated sweeps must not accumulate /tmp copies (ADVICE r4).
-def _checkpoint_dir() -> str:
-    from data_governance_spark.queries.staging import staged_tmpdir
-
-    return staged_tmpdir("q36_ckpt", lambda d: None, prefix="dg_q36_")
-
-
 def _s(c: Column) -> Column:
     return c.cast("string")
 
@@ -245,18 +236,19 @@ def q36_pipeline_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         temas=None,
         brisa_ai=brisa_ai,
     )
-    # One stage checkpoint after standardize (the medallion 02 table):
+    # One lineage cut after standardize (the medallion 02 boundary):
     # truncating the big expression tree there keeps Catalyst analysis
     # memory bounded (a 1g-heap vanilla driver session OOMs on the
-    # un-truncated composed lineage) without paying three disk
-    # round-trips; x01+enrich stay one lazy lineage on top.
-    ckpt = _checkpoint_dir()
+    # un-truncated composed lineage; measured r14: the uncut lineage is
+    # also ~3x slower end-to-end from planning cost alone). The cut is
+    # localCheckpoint, not a parquet checkpoint: same truncation, no
+    # parquet encode/decode or fs round-trip (measured r14: 7.7-8.3s ->
+    # 6.8-7.4s interleaved A/B); this gate needs no restartability.
     out = run_pipeline(
         landing,
         dims,
         current_year=2025,
-        checkpoint_dir=ckpt,
-        checkpoint_stages=("02_iahx_xml",),
+        truncate_stages=("02_iahx_xml",),
     )
     j = lambda c: F.array_join(F.col(c), "|")  # noqa: E731
     return out.select(

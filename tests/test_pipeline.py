@@ -110,3 +110,36 @@ def test_pipeline_idempotent_rerun(spark, dims, tmp_path):
     once = run_pipeline(landing, dims, current_year=2025)
     twice = run_pipeline(landing, dims, current_year=2025)
     assert sorted(map(str, once.collect())) == sorted(map(str, twice.collect()))
+
+
+def test_pipeline_truncate_stages_matches_checkpoint(spark, dims, tmp_path):
+    """r14: the localCheckpoint lineage cut (truncate_stages) must be an
+    identity — same rows as the durable parquet checkpoint and as the
+    uncut lazy lineage."""
+    landing = fiadmin_landing(
+        spark,
+        [
+            {
+                "id": 55,
+                "status": 1,
+                "treatment_level": "as",
+                "literature_type": "S",
+                "title": [Row(text="Estudo", _i="pt")],
+                "indexed_database": ["LILACS"],
+                "publication_country": "Brasil",
+                "publication_date_normalized": "20200101",
+            },
+            {"id": 7, "status": 0, "treatment_level": "m",
+             "indexed_database": ["LILACS"]},
+        ],
+    )
+    durable = run_pipeline(
+        landing, dims, current_year=2025,
+        checkpoint_dir=str(tmp_path / "ck"), checkpoint_stages=("02_iahx_xml",),
+    )
+    truncated = run_pipeline(
+        landing, dims, current_year=2025, truncate_stages=("02_iahx_xml",)
+    )
+    lazy = run_pipeline(landing, dims, current_year=2025)
+    d, t, l = (sorted(map(str, df.collect())) for df in (durable, truncated, lazy))
+    assert d == t == l
