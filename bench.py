@@ -16,6 +16,9 @@ import re
 import sys
 import time
 
+import pandas as pd  # module-level: the warmup UDF's type hints must
+                     # resolve in module globals (PEP 563 annotations)
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -71,6 +74,21 @@ def main() -> None:
     spark = get_spark("dg_spark_bench")
     # JVM/codegen warmup on a tiny query so q1 isn't charged for startup
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Python-worker warmup for the same reason (r14 measurement fix,
+    # stated in OPTIMIZATION_r14.md): the first Arrow/pandas-UDF stage
+    # of the run pays daemon fork + pandas/pyarrow import in every
+    # worker (~4 s on 32 cores). That is one-time process startup, not
+    # query cost, exactly like the JVM warmup above — so pay it here,
+    # once, with one worker per core, instead of charging it to
+    # whichever query happens to run first (d01 at current sort order).
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    @F.pandas_udf("long")
+    def _warm_py(s: pd.Series) -> pd.Series:
+        return s
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(0, cpus, 1, cpus).select(F.sum(_warm_py("id"))).collect()
 
     # host-drift canary, sampled before AND after the suite (load can
     # arrive mid-run); canary_sec is the mean — divide totals by it.

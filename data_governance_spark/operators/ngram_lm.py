@@ -149,29 +149,43 @@ class NGramLM:
 
 
 def _gram_counts(docs: DataFrame, text_col: str, order: int) -> DataFrame:
-    """(g, c): raw order-k gram counts — generate-only until the ONE
-    algebraic hash aggregate."""
+    """(_lm_k, g, c): raw gram counts for EVERY order 1..``order`` in
+    one generate + ONE algebraic hash aggregate — a single pass over
+    (and a single tokenization of) the reference corpus instead of one
+    per order (r14, guide §2.3/§1.2: same shuffled gram rows in total,
+    ``order``-times fewer corpus scans)."""
     base = docs.select(tokens(text_col).alias("_lm_toks")).sample(
         1.0, seed=0
     )  # fence: size/sequence/slice all read the token array
-    if order == 1:
-        ex = base.select(F.explode("_lm_toks").alias("g"))
-    else:
-        ex = (
-            base.filter(F.size("_lm_toks") >= order)
-            .select(
-                "_lm_toks",
-                F.explode(
-                    F.sequence(F.lit(0), F.size("_lm_toks") - order)
-                ).alias("_lm_pos"),
-            )
-            .select(
-                F.concat_ws(
-                    " ", F.slice("_lm_toks", F.col("_lm_pos") + 1, order)
-                ).alias("g")
-            )
+    ex = (
+        base.filter(F.size("_lm_toks") >= 1)
+        .select(
+            "_lm_toks",
+            # k ascends 1..min(order, len): guarded by the filter above
+            # so sequence() never sees stop < start (it would generate
+            # a DESCENDING range, not an empty one)
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(order), F.size("_lm_toks"))
+                )
+            ).alias("_lm_k"),
         )
-    return ex.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "_lm_k",
+            "_lm_toks",
+            F.explode(
+                F.sequence(F.lit(0), F.size("_lm_toks") - F.col("_lm_k"))
+            ).alias("_lm_pos"),
+        )
+        .select(
+            "_lm_k",
+            F.concat_ws(
+                " ",
+                F.slice("_lm_toks", F.col("_lm_pos") + 1, F.col("_lm_k")),
+            ).alias("g"),
+        )
+    )
+    return ex.groupBy("_lm_k", "g").agg(F.count(F.lit(1)).alias("c"))
 
 
 def _capped(df: DataFrame, count_col: str, max_rows: int) -> list:
@@ -207,21 +221,24 @@ def train_ngram_lm(
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     if max_ngrams < 1:
         raise ValueError(f"max_ngrams must be >= 1, got {max_ngrams}")
+    from concurrent.futures import ThreadPoolExecutor
+
     from data_governance_spark.cache import tracked_persist
 
-    # raw gram tables per order; each order-(k+1) table is read by the
-    # order-k continuation AND its own context derivations — persist
+    # ONE persisted (order, gram, count) table feeds every per-order
+    # derivation (one corpus scan/tokenization total — r14); the count
+    # below materializes it, so the table builds that follow are small
+    # cache-backed jobs
+    fused = tracked_persist(_gram_counts(docs, text_col, order))
     raw = [
-        tracked_persist(_gram_counts(docs, text_col, k))
+        fused.filter(F.col("_lm_k") == k).select("g", "c")
         for k in range(1, order + 1)
     ]
     vocab = raw[0].count()
     if vocab == 0:
         raise ValueError("empty reference corpus — no unigrams to fit on")
 
-    num: list[dict] = []
-    ctx: list[dict] = []
-    for k in range(1, order + 1):
+    def _num_table(k: int) -> dict:
         if k == order:
             adj = raw[k - 1]  # top order keeps raw counts
         else:
@@ -234,39 +251,56 @@ def train_ngram_lm(
                 .groupBy("g")
                 .agg(F.count(F.lit(1)).alias("c"))
             )
-        rows = _capped(adj, "c", max_ngrams)
-        num.append({r["g"]: r["c"] for r in rows})
-        if k == 1:
-            denom1 = sum(v for v in num[0].values())
-            n_types1 = len(num[0])
-            if denom1 == 0:
-                # order >= 2 only: the unigram level is the
-                # CONTINUATION table derived from the bigram counts, so
-                # a reference corpus of single-token documents leaves
-                # it empty — scoring would ZeroDivisionError inside the
-                # executor UDF (opaque task failure). Fail at train
-                # time with the actionable message instead.
-                raise ValueError(
-                    "no order-2 grams in the reference corpus (every "
-                    "document is a single token), so the order>=2 "
-                    "continuation counts are undefined — use order=1 "
-                    "or a reference corpus with multi-token documents"
-                )
+        return {r["g"]: r["c"] for r in _capped(adj, "c", max_ngrams)}
+
+    def _ctx_table(k: int) -> dict:
+        if k == order:
+            adj = raw[k - 1]
         else:
-            # context table: denom(h) = sum_w A(hw), N1+(h.) = distinct
-            # extensions — both one grouping of the order-k adjusted
-            # table by its (k-1)-token prefix
-            crows = _capped(
-                adj.select(
-                    F.substring_index("g", " ", k - 1).alias("g"),
-                    "c",
-                )
+            adj = (
+                raw[k]
+                .select(F.substring_index("g", " ", -k).alias("g"))
                 .groupBy("g")
-                .agg(F.sum("c").alias("c"), F.count(F.lit(1)).alias("t")),
-                "c",
-                max_ngrams,
+                .agg(F.count(F.lit(1)).alias("c"))
             )
-            ctx.append({r["g"]: (r["c"], r["t"]) for r in crows})
+        # context table: denom(h) = sum_w A(hw), N1+(h.) = distinct
+        # extensions — both one grouping of the order-k adjusted
+        # table by its (k-1)-token prefix
+        crows = _capped(
+            adj.select(
+                F.substring_index("g", " ", k - 1).alias("g"),
+                "c",
+            )
+            .groupBy("g")
+            .agg(F.sum("c").alias("c"), F.count(F.lit(1)).alias("t")),
+            "c",
+            max_ngrams,
+        )
+        return {r["g"]: (r["c"], r["t"]) for r in crows}
+
+    # the per-order table builds are independent capped collects over
+    # the SAME persisted fused table — overlap them (guide §2.6) so
+    # their small sequential jobs back-fill each other's idle cores
+    with ThreadPoolExecutor(max_workers=2 * order - 1) as pool:
+        num_f = [pool.submit(_num_table, k) for k in range(1, order + 1)]
+        ctx_f = [pool.submit(_ctx_table, k) for k in range(2, order + 1)]
+        num = [f.result() for f in num_f]
+        ctx = [f.result() for f in ctx_f]
+    denom1 = sum(v for v in num[0].values())
+    n_types1 = len(num[0])
+    if denom1 == 0 and order >= 2:
+        # order >= 2 only: the unigram level is the CONTINUATION table
+        # derived from the bigram counts, so a reference corpus of
+        # single-token documents leaves it empty — scoring would
+        # ZeroDivisionError inside the executor UDF (opaque task
+        # failure). Fail at train time with the actionable message
+        # instead.
+        raise ValueError(
+            "no order-2 grams in the reference corpus (every "
+            "document is a single token), so the order>=2 "
+            "continuation counts are undefined — use order=1 "
+            "or a reference corpus with multi-token documents"
+        )
     return NGramLM(
         order=order,
         discount=discount,

@@ -1942,8 +1942,18 @@ def d07_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _fit_lm():
+        # repartition(1): createDataFrame slices a 6-row literal over
+        # defaultParallelism (32) empty-ish partitions, so every fit
+        # job schedules 32 tasks to count a handful of grams — one
+        # right-sized task per job instead (r14; partitioning follows
+        # data size, not the core count). repartition, NOT coalesce:
+        # coalesce(1) over the local relation measures ~6 s/job here
+        # (it defeats the LocalTableScan fast path), repartition(1)
+        # ~0.7 s.
         return train_ngram_lm(
-            spark.createDataFrame([(t,) for t in _PPL_REF], "text string"),
+            spark.createDataFrame(
+                [(t,) for t in _PPL_REF], "text string"
+            ).repartition(1),
             order=3,
         )
 
