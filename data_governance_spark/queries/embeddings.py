@@ -398,8 +398,80 @@ def e05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # different centroid and break the lossless-exactness premise at a
     # rounding/rank boundary (review catch)
     cells = tracked_persist(cells)
-    n_cells = emb.select("label").distinct().count()
+
+    # The build phase has four independent eager actions — the n_cells
+    # count, the PQ corpus collect (-> codebooks -> the eager pq_wide
+    # materialization), and the residual collect (-> residual
+    # codebooks) — that ran back to back; each is a small job that
+    # leaves most of the 32 cores idle. Overlap them (r14, guide §2.6:
+    # independent eager phases back-fill each other's idle cores; same
+    # jobs, same results, shorter wall). Imports happen before the
+    # threads fork so the pool never races the import lock.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_governance_spark.operators.pq import (
+        codebooks_from_vectors,
+        ivfadc_encode,
+        ivfadc_knn,
+        ivfadc_residuals,
+        pq_encode,
+        pq_knn,
+    )
+    from data_governance_spark.operators.similarity import exact_rerank
+
+    def _n_cells() -> int:
+        return emb.select("label").distinct().count()
+
+    def _pq_wide() -> DataFrame:
+        # pq sub-gate (r11): LOSSLESS codebooks (one codeword per
+        # distinct subvector of the corpus — the codebooks_from_vectors
+        # exactness construction) make encoding exact and ADC == true
+        # cosine, so the whole PQ path must reproduce DuckDB's
+        # brute-force top-k. The corpus collect is bounded: embeddings
+        # is the chart-sized table (<= 2k rows), and the lossless
+        # construction is documented as bounded-corpus-only (real
+        # corpora train sampled codebooks).
+        vectors = [list(r["emb"]) for r in emb.select("emb").collect()]
+        books = codebooks_from_vectors(vectors, m=8)
+        codes = pq_encode(emb.select("vec_id", "emb"), books)
+        # ONE ADC pass at k' = 2k serves BOTH sub-gates (the e05 growth
+        # rule: new sub-gates share relations, never add a scoring
+        # pass): rows rk <= k are the 'pq' result; all 2k rows are the
+        # 'rr' candidate pool. Lossless codes make the pool provably
+        # contain the true top-k, so the rerank must equal brute force
+        # exactly.
+        wide = tracked_persist(pq_knn(queries, codes, books, k=2 * _K))
+        # materialize NOW (bounded: |queries| × 2k rows): the final
+        # action otherwise computes this cache from three racing
+        # consumers at once — the 'pq' branch, exact_rerank's
+        # broadcast-build future, and the rr pool join — and the
+        # broadcast job's tasks convoy behind the block locks while
+        # holding task slots (measured: a 32-task stage at 262 s task
+        # wall / 5.7 s CPU; eager-count cut the cold gate from ~44 s to
+        # ~27 s at equal canary)
+        wide.count()
+        return wide
+
+    def _res_books():
+        # ivfadc sub-gate (r11): residuals against the per-label cells,
+        # LOSSLESS residual codebooks — collected (bounded, chart-sized
+        # corpus) to train the residual codebooks
+        res = tracked_persist(
+            ivfadc_residuals(emb.select("vec_id", "emb"), cells)
+        )
+        return res, codebooks_from_vectors(
+            [list(r["res"]) for r in res.select("res").collect()], m=8
+        )
+
     queries = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "emb")
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        n_cells_f = pool.submit(_n_cells)
+        pq_wide_f = pool.submit(_pq_wide)
+        res_books_f = pool.submit(_res_books)
+        n_cells = n_cells_f.result()
+        pq_wide = pq_wide_f.result()
+        res, res_books = res_books_f.result()
+
     ivf = ivf_knn(
         emb.select("vec_id", "emb"), cells, k=_K, n_probe=n_cells, queries=queries
     )
@@ -433,61 +505,17 @@ def e05_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_s.alias("v_s"),
         (F.round("cosine", 4) + F.lit(0.0)).alias("v_d"),
     )
-    # pq sub-gate (r11): LOSSLESS codebooks (one codeword per distinct
-    # subvector of the corpus — the codebooks_from_vectors exactness
-    # construction) make encoding exact and ADC == true cosine, so the
-    # whole PQ path must reproduce DuckDB's brute-force top-k. The
-    # corpus collect is bounded: embeddings is the chart-sized table
-    # (<= 2k rows), and the lossless construction is documented as
-    # bounded-corpus-only (real corpora train sampled codebooks).
-    from data_governance_spark.operators.pq import (
-        codebooks_from_vectors,
-        pq_encode,
-        pq_knn,
-    )
-
-    vectors = [list(r["emb"]) for r in emb.select("emb").collect()]
-    books = codebooks_from_vectors(vectors, m=8)
-    codes = pq_encode(emb.select("vec_id", "emb"), books)
-    # ONE ADC pass at k' = 2k serves BOTH sub-gates (the e05 growth
-    # rule: new sub-gates share relations, never add a scoring pass):
-    # rows rk <= k are the 'pq' result; all 2k rows are the 'rr'
-    # candidate pool. Lossless codes make the pool provably contain
-    # the true top-k, so the rerank must equal brute force exactly.
-    pq_wide = tracked_persist(pq_knn(queries, codes, books, k=2 * _K))
-    # materialize NOW (bounded: |queries| × 2k rows): the final action
-    # otherwise computes this cache from three racing consumers at once
-    # — the 'pq' branch, exact_rerank's broadcast-build future, and the
-    # rr pool join — and the broadcast job's tasks convoy behind the
-    # block locks while holding task slots (measured: a 32-task stage
-    # at 262 s task wall / 5.7 s CPU; eager-count cut the cold gate
-    # from ~44 s to ~27 s at equal canary)
-    pq_wide.count()
     pq = pq_wide.filter(F.col("rk") <= _K)
 
     # rr sub-gate (r12): the production composition — approximate
     # candidates re-scored EXACTLY against raw vectors via a broadcast
     # semi-join (operators/similarity.py exact_rerank), cut to top-k
-    from data_governance_spark.operators.similarity import exact_rerank
-
     rr = exact_rerank(queries, pq_wide, emb.select("vec_id", "emb"), k=_K)
 
-    # ivfadc sub-gate (r11): the composition — residuals against the
-    # per-label cells, LOSSLESS residual codebooks, ALL cells probed:
+    # ivfadc sub-gate (r11): the composition — residuals, lossless
+    # residual codebooks (trained above), ALL cells probed:
     # centroid-dot + residual-ADC must reproduce brute force through
     # the probe/filter machinery (same shared oracle subquery)
-    from data_governance_spark.operators.pq import (
-        ivfadc_encode,
-        ivfadc_knn,
-        ivfadc_residuals,
-    )
-
-    res = tracked_persist(
-        ivfadc_residuals(emb.select("vec_id", "emb"), cells)
-    )
-    res_books = codebooks_from_vectors(
-        [list(r["res"]) for r in res.select("res").collect()], m=8
-    )
     index = ivfadc_encode(res, cells, res_books)
     ivfadc = ivfadc_knn(
         queries, index, cells, res_books, k=_K, n_probe=n_cells

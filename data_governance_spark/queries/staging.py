@@ -16,9 +16,17 @@ from __future__ import annotations
 import atexit
 import shutil
 import tempfile
+import threading
 from collections.abc import Callable, Hashable
 
 _DIRS: dict[Hashable, str] = {}
+# r14: gates overlap their independent sub-gate builds from a thread
+# pool, so two threads may stage DIFFERENT keys concurrently (fine) or
+# race the SAME key (must still build exactly once) — one lock per key,
+# held across the build, keeps the exactly-once contract without
+# serializing unrelated builds.
+_LOCKS_GUARD = threading.Lock()
+_LOCKS: dict[Hashable, threading.Lock] = {}
 
 
 def _cleanup() -> None:
@@ -36,13 +44,19 @@ def staged_tmpdir(
     so the next call retries instead of serving broken staging."""
     if key in _DIRS:
         return _DIRS[key]
-    d = tempfile.mkdtemp(prefix=prefix)
-    try:
-        build_fn(d)
-    except BaseException:
-        shutil.rmtree(d, ignore_errors=True)
-        raise
-    if not _DIRS:
-        atexit.register(_cleanup)
-    _DIRS[key] = d
-    return d
+    with _LOCKS_GUARD:
+        lock = _LOCKS.setdefault(key, threading.Lock())
+    with lock:
+        if key in _DIRS:  # built while we waited on the lock
+            return _DIRS[key]
+        d = tempfile.mkdtemp(prefix=prefix)
+        try:
+            build_fn(d)
+        except BaseException:
+            shutil.rmtree(d, ignore_errors=True)
+            raise
+        with _LOCKS_GUARD:
+            if not _DIRS:
+                atexit.register(_cleanup)
+            _DIRS[key] = d
+        return d
