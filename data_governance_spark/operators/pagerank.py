@@ -100,13 +100,21 @@ def pagerank(
     # iteration — unpersisted it would recompute edges.distinct() +
     # the degree aggregate each time (r12 ADVICE)
     srcs = deg.select(F.col("src").alias("id")).persist()
-    for it in range(iterations):
-        dangling = (
-            ranks.join(srcs, "id", "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
+
+    def _dangling(r: DataFrame) -> float:
+        # ONE job doing double duty (r14, guide §2.6): the left-anti
+        # probe scans every partition of the freshly-persisted rank
+        # state — materializing its cache — while computing the
+        # dangling mass the NEXT rebuild needs. Before r14 these were
+        # two jobs per iteration (a materializing count, then this
+        # collect at the top of the next loop body).
+        return (
+            r.join(srcs, "id", "left_anti").agg(F.sum("rank")).collect()[0][0]
             or 0.0
         )
+
+    dangling = _dangling(ranks)
+    for it in range(iterations):
         contribs = (
             weighted.join(ranks, weighted["src"] == ranks["id"])
             .select(F.col("dst").alias("id"),
@@ -131,11 +139,12 @@ def pagerank(
             pre = new_ranks
             new_ranks = pre.localCheckpoint(eager=True)
             pre.unpersist()  # the checkpoint holds the data now
-        else:
-            # materialize BEFORE the parent's cache drops — otherwise
-            # every iteration would replay the whole chain back to the
-            # last checkpoint (O(iterations^2) work, review-caught)
-            new_ranks.count()
+        # materialize BEFORE the parent's cache drops — otherwise every
+        # iteration would replay the whole chain back to the last
+        # checkpoint (O(iterations^2) work, review-caught). The
+        # materializing action IS the next iteration's dangling-mass
+        # aggregate (see _dangling).
+        dangling = _dangling(new_ranks)
         done = it + 1
         if tol is not None:
             delta = (
