@@ -56,6 +56,7 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     checkpoint_stages: tuple[str, ...] = STAGES,
     truncate_stages: tuple[str, ...] = (),
+    truncate_keep: dict[str, tuple[str, ...]] | None = None,
 ) -> DataFrame:
     """landing zone -> enriched wide table (03-stage equivalent).
 
@@ -72,6 +73,18 @@ def run_pipeline(
     not needed). Right for gates/benchmarks; production restartability
     still wants ``checkpoint_dir``. A stage named in both uses the
     durable parquet checkpoint.
+
+    ``truncate_keep`` optionally maps a truncated stage name to the
+    column subset the CALLER promises the rest of its chain reads. A
+    localCheckpoint is an RDD barrier, so Catalyst's column pruning
+    cannot reach back through it — without this, the cut materializes
+    every wide-select column (the fo/lo citation trees are the most
+    expensive expressions in the 02 stage) even when the caller's
+    downstream touches a fraction of them (guide §5/§6: pruning must
+    reach the materialization). The projection is applied just before
+    the cut; a column outside the list that IS read downstream fails
+    loudly at analysis, never silently. Ignored for parquet-checkpoint
+    stages (the durable medallion table keeps its full schema).
     """
 
     def checkpoint(df: DataFrame, name: str) -> DataFrame:
@@ -80,6 +93,9 @@ def run_pipeline(
             df.write.mode("overwrite").parquet(path)
             return df.sparkSession.read.parquet(path)
         if name in truncate_stages:
+            keep = (truncate_keep or {}).get(name)
+            if keep:
+                df = df.select(*keep)
             return df.localCheckpoint(eager=True)
         return df
 

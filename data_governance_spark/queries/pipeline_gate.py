@@ -244,11 +244,27 @@ def q36_pipeline_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint, not a parquet checkpoint: same truncation, no
     # parquet encode/decode or fs round-trip (measured r14: 7.7-8.3s ->
     # 6.8-7.4s interleaved A/B); this gate needs no restartability.
+    # truncate_keep prunes the eager cut to the columns this gate's
+    # downstream chain actually reads (x01: id/ai/pais_*; enrich:
+    # id/db/database; final select below): the localCheckpoint barrier
+    # otherwise materializes all ~70 wide-select columns — fo/lo are
+    # the heaviest expression trees in the stage and nothing after the
+    # cut reads them here (they carry their own gates, q23/q33).
+    # Results are unchanged (oracle-verified; equivalence test pins all
+    # modes); a missing column would fail analysis loudly.
     out = run_pipeline(
         landing,
         dims,
         current_year=2025,
         truncate_stages=("02_iahx_xml",),
+        truncate_keep={
+            "02_iahx_xml": (
+                "id", "status_fiadmin", "type", "weight", "da",
+                "entry_date", "update_date", "ai", "au", "auid",
+                "pais_afiliacao", "pais_publicacao", "cp", "db",
+                "database",
+            )
+        },
     )
     j = lambda c: F.array_join(F.col(c), "|")  # noqa: E731
     return out.select(

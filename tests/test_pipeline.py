@@ -143,3 +143,26 @@ def test_pipeline_truncate_stages_matches_checkpoint(spark, dims, tmp_path):
     lazy = run_pipeline(landing, dims, current_year=2025)
     d, t, l = (sorted(map(str, df.collect())) for df in (durable, truncated, lazy))
     assert d == t == l
+
+    # r14: the pruned cut (truncate_keep) must be an identity on every
+    # column it keeps plus the columns created after the cut — the
+    # projection only drops columns nothing downstream reads, so the
+    # kept slice of the output matches the uncut chain exactly (this is
+    # the q36 gate's mode; its oracle checks the same identity at the
+    # driver's SFs).
+    keep = (
+        "id", "status_fiadmin", "type", "weight", "da", "entry_date",
+        "update_date", "ai", "au", "auid", "pais_afiliacao",
+        "pais_publicacao", "cp", "db", "database",
+    )
+    pruned = run_pipeline(
+        landing, dims, current_year=2025,
+        truncate_stages=("02_iahx_xml",), truncate_keep={"02_iahx_xml": keep},
+    )
+    post_cut = ("instance", "dyn")  # created by enrich after the cut
+    cols = list(keep + post_cut)
+    p, lz = (
+        sorted(map(str, df.select(*cols).collect())) for df in (pruned, lazy)
+    )
+    assert p == lz
+    assert set(pruned.columns) == set(cols)
