@@ -79,7 +79,16 @@ def q36_pipeline_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.fixtures import FIADMIN_LANDING_SCHEMA
     from data_governance_spark.pipeline import Dims, run_pipeline
 
-    cust = table(spark, sf_dir, "customer")
+    # The sf parquet is a single row group, so every downstream stage —
+    # the eager 02 cut and the composed-chain action — would otherwise
+    # run as one task (guide §2: derive partitioning from the runtime,
+    # not the file layout). One cheap 8-column shuffle here fans the
+    # heavy standardize expressions across all cores; the author/DECS
+    # reassembly is position-ordered (sort_array over struct(pos,..)),
+    # so results are partitioning-invariant (oracle-verified).
+    cust = table(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     k = F.col("c_custkey")
     cs = _s(k)
     m = k % 25
