@@ -836,7 +836,11 @@ def q22_standardize_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q23_citation_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.standardize.citation import fo_standard
 
-    o = table(spark, sf_dir, "orders")
+    # single-row-group input + the fo citation tree per row: fan out
+    # (map-only gate, partitioning-invariant; see the q36 rationale)
+    o = table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     k = F.col("o_orderkey")
 
     def s(c):
@@ -993,7 +997,11 @@ def q23_citation_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24_standardize_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.standardize import fields as sf
 
-    o = table(spark, sf_dir, "orders")
+    # single-row-group input + heavy per-row builders: fan out (map-only
+    # gate, partitioning-invariant; see the q36 rationale)
+    o = table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     k = F.col("o_orderkey")
 
     def s(c):

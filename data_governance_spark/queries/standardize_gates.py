@@ -184,7 +184,12 @@ def q33_standardize_text_builders(spark: SparkSession, sf_dir: str) -> DataFrame
         title_lang_map,
     )
 
-    cust = table(spark, sf_dir, "customer")
+    # single-row-group input + heavy per-row builder expressions: fan
+    # out across cores (map-only gate, partitioning-invariant; see the
+    # q36 rationale in pipeline_gate.py)
+    cust = table(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     k = F.col("c_custkey")
     cs = _s(k)
 
