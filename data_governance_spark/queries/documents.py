@@ -356,7 +356,13 @@ _LID_LABELS_SQL = "[" + ", ".join(f"'{l}'" for l in _LID_LABELS) + "]"
     "(operators/langid.py, map-only broadcast scoring; new in r14)",
 )
 def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # the local parquet is ONE split: fan the tokenize + per-row HOF
+    # quality folds across cores (a cluster gets this from its input
+    # splits; every sub-gate aggregates by key or is per-row, so
+    # partitioning cannot change results)
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     nul_s = F.lit(None).cast("string")
     # both sub-gates (lang~token counts, per-doc quality) consume the
     # tokenized corpus — persist so the scan+tokenize runs once
@@ -726,7 +732,11 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_governance_spark.operators.dedup import exact_precluster
 
-    docs = table(spark, sf_dir, "documents")
+    # ONE-split input: fan the per-row fingerprint/normalize work out
+    # (canonical ids are min() aggregates — partitioning-invariant)
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     nul_s = F.lit(None).cast("string")
     nul_d = F.lit(None).cast("double")
     sep = F.lit("|")
@@ -1375,7 +1385,10 @@ _UNI_SEGS = (("newest", "newest"), ("widest", "widest"),
     "(operators/unigram.py; new in r14)",
 )
 def d05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # ONE-split input: fan the shared tokenize + marker-score folds out
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     nul_s = F.lit(None).cast("string")
     # ONE whitespace tokenize shared by the lid scores, the ssum
     # signals (tokens_col=) and the pack token counts
@@ -1834,7 +1847,11 @@ def d07_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         select_top_k,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    # ONE-split input: fan the shingle-hash per-row work out (the dsir
+    # sub-gate below re-fans its own copy; winnow rows are per-doc)
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # two materialization fences: word_shingles indexes the token array
     # per gram position, and winnow_fingerprints reads the hash array
     # from several subexpressions — inlining either would re-evaluate
@@ -1858,8 +1875,9 @@ def d07_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster gets this parallelism from its input splits; the
     # operator itself correctly never forces a shuffle). The integer
     # fold is order-independent, so repartitioning cannot change a
-    # score bit.
-    rdocs = docs.repartition(32)
+    # score bit. defaultParallelism, not a constant: the width tracks
+    # the runtime (the driver also benches at lower core counts).
+    rdocs = docs.repartition(spark.sparkContext.defaultParallelism)
     # no rounding: the integer-micro-unit fold makes scores
     # bit-identical across engines (see importance_scores docstring);
     # the scored relation is persisted below because both the score
@@ -2276,7 +2294,11 @@ _D06_PAIRS_SQL = f"""
     "new in r12)",
 )
 def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # ONE-split input: fan out — the ExactSubstr window relation
+    # (slice + 2x hash per window) is the suite's heaviest per-row map
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # one tokenize pass shared by the bench synthesis and the pair
     # query (r6 review: the gate used to tokenize three times)
     toks = docs.select("doc_id", tokens("text").alias("toks"))
@@ -2561,7 +2583,11 @@ def d10_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from concurrent.futures import ThreadPoolExecutor
 
-    docs = table(spark, sf_dir, "documents")
+    # ONE-split input: fan the shingle pair-generation out (closure and
+    # pagerank are key-aggregated fixed points — partitioning-invariant)
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     cust = table(spark, sf_dir, "customer")
 
     # The two sub-gates are INDEPENDENT eager chains — cc's pair

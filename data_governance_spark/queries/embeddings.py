@@ -160,7 +160,7 @@ def e03_sketch_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             planted.select(
                 (F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "toks"
             )
-        ).repartition(32)
+        ).repartition(spark.sparkContext.defaultParallelism)
     )
     mh = minhash_dedup_pairs(
         aug, F.array_distinct(word_shingles(F.col("toks"), 3)), threshold=0.5
@@ -258,7 +258,7 @@ def e07_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism from its input splits)
     emb = tracked_persist(
         table(spark, sf_dir, "embeddings")
-        .repartition(32)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(
             "vec_id",
             "label",
