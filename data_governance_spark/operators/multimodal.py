@@ -1151,9 +1151,14 @@ def dedup_media_near(
 def media_repartition(media: DataFrame, target_bytes: int = 128 << 20) -> DataFrame:
     """Partition by byte budget, not row count: estimates total size
     from a cheap aggregate and repartitions so each partition carries
-    roughly target_bytes of media payload."""
+    roughly target_bytes of media payload — floored at the runtime's
+    defaultParallelism so a corpus smaller than one byte budget still
+    decodes on every core instead of one (r14, guide §2.6: idle
+    capacity; at scale the byte budget dominates and the floor is
+    moot, while empty partitions on a tiny batch cost nothing)."""
     total = media.select(
         F.sum(F.coalesce(F.length("content"), F.lit(0))).alias("b")
     ).collect()[0]["b"] or 0
-    n = max(1, int(total / target_bytes) + 1)
+    floor = media.sparkSession.sparkContext.defaultParallelism
+    n = max(1, floor, int(total / target_bytes) + 1)
     return media.repartition(n, "media_id")

@@ -468,7 +468,13 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    cust = table(spark, sf_dir, "customer")
+    # single-row-group input: fan out so sample_frames and the real
+    # PPM-decode Arrow path run on every core (per-row maps,
+    # partitioning-invariant; the feats path re-keys through
+    # media_repartition either way)
+    cust = table(spark, sf_dir, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     k = F.col("c_custkey")
     media = cust.select(
         k.alias("media_id"),
