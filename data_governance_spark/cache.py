@@ -16,6 +16,45 @@ from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
 
+# --------------------------------------------------------------------------
+# Per-SparkContext memo for STATIC Column trees — pure functions of
+# column NAMES and literal parameters, no caller DataFrame state.
+# Building such trees is driver-side py4j chatter (~0.5 ms per round
+# trip x hundreds of calls for a 64-wide hash/fold projection — guide
+# §5: driver work is serial wall-clock), paid on EVERY operator call
+# without this. Unresolved Columns are immutable and plan-independent,
+# so reuse across DataFrames is safe — the same pattern as
+# standardize/joins.py's `_memo` and transform.py's wide-select cache
+# (r5/r14), centralized here for the operator family. Scoped to the
+# live SparkContext object so stale JVM references cannot outlive it.
+# Thread note: gates build plans from small thread pools; a lost race
+# builds the same immutable tree twice — last write wins, both valid.
+# WeakKeyDictionary on the context object (citation.py's design, same
+# rationale): entries die with their context, no stale-tree hazard.
+import weakref
+
+_COLUMN_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def column_memo(key: tuple, build):
+    """Return ``build()`` memoized per (SparkContext, key).
+
+    ``build`` must construct the value from column NAMES / literals
+    only — never close over a caller's DataFrame or Column arguments
+    (those belong in ``key`` as their *names*)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return build()
+    cache = _COLUMN_MEMO.get(sc)
+    if cache is None:
+        cache = {}
+        _COLUMN_MEMO[sc] = cache
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
+
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """persist() + register for later release_caches()."""

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_governance_spark.cache import tracked_persist
+from data_governance_spark.cache import column_memo, tracked_persist
 
 
 def _cap_buckets(
@@ -103,17 +103,36 @@ def minhash_signatures(
     # hash the variable-length shingle string ONCE, then derive the k
     # permutations by re-hashing the resulting 8-byte long (a standard
     # universal-hashing family) — k x cheaper than k string hashes,
-    # and codegen subexpression elimination shares the inner hash
+    # and codegen subexpression elimination shares the inner hash.
+    # The three k-wide projections below are pure functions of
+    # num_hashes over fixed internal names — memoized per context
+    # (column_memo): several gates build signatures in one process and
+    # each k-wide list costs hundreds of py4j round trips.
     pre = sh.select("doc_id", F.xxhash64("sh").alias("h"))
     hashed = pre.select(
         "doc_id",
-        *[F.xxhash64(F.lit(i), F.col("h")).alias(f"h{i}") for i in range(num_hashes)],
+        *column_memo(
+            ("mh_hashed", num_hashes),
+            lambda: [
+                F.xxhash64(F.lit(i), F.col("h")).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+        ),
     )
     agg = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+        *column_memo(
+            ("mh_agg", num_hashes),
+            lambda: [F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)],
+        )
     )
     return agg.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+        "doc_id",
+        column_memo(
+            ("mh_sig_array", num_hashes),
+            lambda: F.array(
+                *[F.col(f"h{i}") for i in range(num_hashes)]
+            ).alias("sig"),
+        ),
     )
 
 
@@ -177,7 +196,13 @@ def minhash_dedup_pairs(
     # the explode+64-hash aggregation runs once, not three times
     sigs = tracked_persist(minhash_signatures(docs, shingles_col, id_col, num_hashes))
     banded = sigs.select(
-        "doc_id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
+        "doc_id",
+        column_memo(
+            ("mh_banded", bands, rows),
+            lambda: F.explode(
+                minhash_bands(F.col("sig"), bands, rows)
+            ).alias("bk"),
+        ),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     banded = _cap_buckets(banded, ["band", "key"], max_bucket_size)
     a = banded.alias("a")
@@ -194,14 +219,15 @@ def minhash_dedup_pairs(
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = (
-        F.size(
+    est = column_memo(
+        ("mh_est", num_hashes),
+        lambda: F.size(
             F.filter(
                 F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
                 lambda eq: eq,
             )
         )
-        / F.lit(float(num_hashes))
+        / F.lit(float(num_hashes)),
     )
     return (
         cand.join(sa, "doc_a")
@@ -221,28 +247,38 @@ def simhash_signatures(
     (bit j of xxhash64(token) ? +1 : -1).
     """
     tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("t"))
-    h = F.xxhash64(F.col("t"))
-    bits = tok.select(
-        "doc_id",
-        *[
+
+    # the three 64-wide projections are pure functions of fixed internal
+    # names — memoized per context (hundreds of py4j round trips each)
+    def _bits_cols():
+        h = F.xxhash64(F.col("t"))
+        return [
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
             .alias(f"b{j}")
             for j in range(64)
-        ],
-    )
+        ]
+
+    bits = tok.select("doc_id", *column_memo(("sh_bits",), _bits_cols))
     agg = bits.groupBy("doc_id").agg(
-        *[F.sum(f"b{j}").alias(f"b{j}") for j in range(64)]
+        *column_memo(
+            ("sh_agg",),
+            lambda: [F.sum(f"b{j}").alias(f"b{j}") for j in range(64)],
+        )
     )
+
     # disjoint bit values sum to the OR of the bits; bit 63 is the signed
     # long's min value, which two's-complement addition handles correctly
-    sig = F.lit(0).cast("long")
-    for j in range(64):
-        bit_val = (1 << j) if j < 63 else -(1 << 63)
-        sig = sig + F.when(
-            F.col(f"b{j}") > 0, F.lit(bit_val).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return agg.select("doc_id", sig.alias("sig"))
+    def _sig_col():
+        sig = F.lit(0).cast("long")
+        for j in range(64):
+            bit_val = (1 << j) if j < 63 else -(1 << 63)
+            sig = sig + F.when(
+                F.col(f"b{j}") > 0, F.lit(bit_val).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return sig.alias("sig")
+
+    return agg.select("doc_id", column_memo(("sh_sig",), _sig_col))
 
 
 def simhash_chunks(sig: Column, n_chunks: int = 4) -> Column:
@@ -285,7 +321,14 @@ def simhash_dedup_pairs(
     # both sides of the chunk self-join read the signatures — persist
     sigs = tracked_persist(simhash_signatures(docs, tokens_col, id_col))
     chunked = sigs.select(
-        "doc_id", "sig", F.explode(simhash_chunks(F.col("sig"), n_chunks)).alias("ck")
+        "doc_id",
+        "sig",
+        column_memo(
+            ("sh_chunked", n_chunks),
+            lambda: F.explode(
+                simhash_chunks(F.col("sig"), n_chunks)
+            ).alias("ck"),
+        ),
     ).select(
         "doc_id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
     )

@@ -117,7 +117,16 @@ def _fence(df: DataFrame) -> DataFrame:
 
 
 def _signal_cols() -> dict[str, Column]:
-    """Signal expressions over the _materialize() columns."""
+    """Signal expressions over the _materialize() columns — a pure
+    function of the fixed ``_qm_*`` names, memoized per context
+    (column_memo): every filter_corpus/corpus_signals/signal_summary
+    call across the suite otherwise rebuilds ~0.5 s of fold trees."""
+    from data_governance_spark.cache import column_memo
+
+    return column_memo(("q_signal_cols",), _build_signal_cols)
+
+
+def _build_signal_cols() -> dict[str, Column]:
     raw = F.col("_qm_toks")
     nt = F.size(raw)
     sum_len = F.aggregate(

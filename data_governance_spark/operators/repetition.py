@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_governance_spark.cache import column_memo
 from data_governance_spark.functions.text import tokens, word_shingles
 
 
@@ -144,21 +145,28 @@ def dup_ngram_stats(
     Map-only like its siblings: sort the n-gram array, one fold sums
     run lengths > 1 — no explode, no shuffle.
     """
+    # the gram/fold trees are pure functions of (n, fixed names) —
+    # memoized per context (column_memo; several gates compute these)
     tok = F.col(tokens_col) if tokens_col else tokens(text_col)
     toked = docs.select(
         id_col, F.size(tok).alias("_nt"), tok.alias("_toks")
     ).filter(F.col("_nt") >= n)
     grams = toked.select(
-        id_col, F.array_sort(word_shingles(F.col("_toks"), n)).alias("_g")
-    )
-    arr = F.col("_g")
-    tot = F.aggregate(
-        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    return grams.select(
         id_col,
-        F.round(_dup_run_chars(arr).cast("double") / tot, 4).alias("dg"),
+        column_memo(
+            ("rep_grams", n),
+            lambda: F.array_sort(word_shingles(F.col("_toks"), n)).alias("_g"),
+        ),
     )
+
+    def _dg_col():
+        arr = F.col("_g")
+        tot = F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        return F.round(_dup_run_chars(arr).cast("double") / tot, 4).alias("dg")
+
+    return grams.select(id_col, column_memo(("rep_dg",), _dg_col))
 
 
 def dup_line_stats(
@@ -180,14 +188,15 @@ def dup_line_stats(
     lines = docs.select(
         id_col, F.array_sort(doc_lines(text_col)).alias("_lines")
     ).filter(F.size("_lines") > 0)
-    arr = F.col("_lines")
-    tot = F.aggregate(
-        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    return lines.select(
-        id_col,
-        F.round(_dup_char_count(arr).cast("double") / tot, 4).alias("dl"),
-    )
+
+    def _dl_col():
+        arr = F.col("_lines")
+        tot = F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        return F.round(_dup_char_count(arr).cast("double") / tot, 4).alias("dl")
+
+    return lines.select(id_col, column_memo(("rep_dl",), _dl_col))
 
 
 def top_ngram_stats(
@@ -222,11 +231,19 @@ def top_ngram_stats(
     # word_shingles must see a materialized column, not an inline
     # expression (HOFs re-evaluate argument expressions per element)
     grams = toked.select(
-        id_col, "_nt", F.array_sort(word_shingles(F.col("_toks"), n)).alias("_g")
+        id_col,
+        "_nt",
+        column_memo(
+            ("rep_grams", n),
+            lambda: F.array_sort(word_shingles(F.col("_toks"), n)).alias("_g"),
+        ),
     )
     return grams.select(
         id_col,
-        F.round(
-            F.lit(n) * _max_run_length(F.col("_g")) / F.col("_nt"), 4
-        ).alias("tg"),
+        column_memo(
+            ("rep_tg", n),
+            lambda: F.round(
+                F.lit(n) * _max_run_length(F.col("_g")) / F.col("_nt"), 4
+            ).alias("tg"),
+        ),
     )

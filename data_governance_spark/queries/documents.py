@@ -2399,7 +2399,14 @@ def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ref = docs.filter(F.col("doc_id") % 5 == 0).select("text")
-    bf = bloom_build(ref, "text", fpr=0.01)
+    # size the filter from the parquet row count (metadata-only count on
+    # the UNREPARTITIONED scan — no shuffle, no text read) instead of
+    # bloom_build's exact count() pass over ref, which re-paid the
+    # repartition exchange (guide §1/§5: one fewer eager build job).
+    # expected_n only sizes m/k (the fpr target); results are exact
+    # either way — bloom_semi_join re-joins exactly, no false negatives.
+    n_ref = max(1, table(spark, sf_dir, "documents").count() // 5)
+    bf = bloom_build(ref, "text", expected_n=n_ref, fpr=0.01)
     corpus_kv = docs.select("doc_id", "text")
 
     def _bl_rows(how: str, gate: str):
