@@ -79,31 +79,48 @@ def _apply(df: DataFrame, agg: DataFrame, id_col: str, merge_db: bool = False) -
     instance/dyn (and db when merge_db)."""
     df = _ensure_dyn(df)
     out = df.join(agg, F.col(id_col) == F.col("_eid"), "left")
-    out = out.withColumn(
-        "instance",
+    # one select instead of 2-3 withColumns + drop: each DataFrame op
+    # re-analyzes the whole deepening plan (guide §5 driver wall); the
+    # fold expressions and output column order are unchanged
+    existing_inst = (
+        F.col("instance") if "instance" in df.columns else F.lit(None).cast(EMPTY_ARR)
+    )
+    inst_expr = (
         F.when(
             F.col("_instances").isNotNull() & (F.size("_instances") > 0),
-            set_union(F.col("instance") if "instance" in df.columns else F.lit(None).cast(EMPTY_ARR), F.col("_instances")),
-        ).otherwise(
-            F.col("instance") if "instance" in df.columns else F.lit(None).cast(EMPTY_ARR)
-        ),
-    )
-    if merge_db:
-        out = out.withColumn(
-            "db",
-            F.when(
-                F.col("_dbs").isNotNull() & (F.size("_dbs") > 0),
-                set_union(F.col("db"), F.col("_dbs")),
-            ).otherwise(F.col("db")),
+            set_union(existing_inst, F.col("_instances")),
         )
-    out = out.withColumn(
-        "dyn",
-        F.when(F.col("_dyn").isNotNull(), merge_dyn(F.col("dyn"), F.col("_dyn"))).otherwise(
-            F.col("dyn")
-        ),
+        .otherwise(existing_inst)
+        .alias("instance")
     )
-    drop = ["_eid", "_instances", "_dyn"] + (["_dbs"] if merge_db else [])
-    return out.drop(*drop)
+    db_expr = (
+        F.when(
+            F.col("_dbs").isNotNull() & (F.size("_dbs") > 0),
+            set_union(F.col("db"), F.col("_dbs")),
+        )
+        .otherwise(F.col("db"))
+        .alias("db")
+    )
+    dyn_expr = (
+        F.when(
+            F.col("_dyn").isNotNull(), merge_dyn(F.col("dyn"), F.col("_dyn"))
+        )
+        .otherwise(F.col("dyn"))
+        .alias("dyn")
+    )
+    cols = []
+    for c in df.columns:
+        if c == "instance":
+            cols.append(inst_expr)
+        elif c == "db" and merge_db:
+            cols.append(db_expr)
+        elif c == "dyn":
+            cols.append(dyn_expr)
+        else:
+            cols.append(F.col(c))
+    if "instance" not in df.columns:
+        cols.append(inst_expr)
+    return out.select(*cols)
 
 
 def _string_or_list(c: Column) -> Column:

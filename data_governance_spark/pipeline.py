@@ -96,7 +96,12 @@ def run_pipeline(
             keep = (truncate_keep or {}).get(name)
             if keep:
                 df = df.select(*keep)
-            return df.localCheckpoint(eager=True)
+            # eager=False: the logical plan is truncated immediately
+            # (same analysis-memory bound), but the blocks materialize
+            # inside the caller's first action instead of a separate
+            # job here — one fewer job per run, identical rows
+            # (equivalence test pins all modes).
+            return df.localCheckpoint(eager=False)
         return df
 
     # stage 02: standardize

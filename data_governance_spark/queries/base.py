@@ -43,21 +43,32 @@ def melt_metrics(
     hand-rolled explode(array(struct(...))) per gate (a key-format slip
     in any copy is a silent oracle mismatch). `gate` may be a Column
     for per-row sub-gate labels (e.g. q45's codec rows)."""
-    e = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(m).alias("m"), F.col(m).alias("v"))
-                for m in metrics
-            ]
-        )
-    ).alias("e")
-    gcol = gate if isinstance(gate, Column) else F.lit(gate)
-    return df.select(gcol.alias("_mg"), key.alias("_mk"), e).select(
-        F.col("_mg").alias("gate"),
-        F.concat(F.col("_mk"), F.lit(sep), F.col("e.m")).alias("k"),
-        F.lit(None).cast("string").alias("v_s"),
-        F.col("e.v").alias("v_d"),
+    from data_governance_spark.cache import column_memo
+
+    # both trees are pure functions of (metrics, sep) over fixed
+    # internal names — memoized per context (16 calls per bench sweep)
+    e = column_memo(
+        ("melt_explode", tuple(metrics)),
+        lambda: F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("m"), F.col(m).alias("v"))
+                    for m in metrics
+                ]
+            )
+        ).alias("e"),
     )
+    out_cols = column_memo(
+        ("melt_out", sep),
+        lambda: [
+            F.col("_mg").alias("gate"),
+            F.concat(F.col("_mk"), F.lit(sep), F.col("e.m")).alias("k"),
+            F.lit(None).cast("string").alias("v_s"),
+            F.col("e.v").alias("v_d"),
+        ],
+    )
+    gcol = gate if isinstance(gate, Column) else F.lit(gate)
+    return df.select(gcol.alias("_mg"), key.alias("_mk"), e).select(*out_cols)
 
 
 def qdef(

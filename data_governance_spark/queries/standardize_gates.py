@@ -176,7 +176,7 @@ def _pivot_str_s(m: Column, prefix: str) -> Column:
     "theme extraction (ex-q35)",
 )
 def q33_standardize_text_builders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_governance_spark.standardize.citation import lo
+    from data_governance_spark.standardize.citation import lo_standard
     from data_governance_spark.standardize.fields import (
         abstract_lang_map,
         multilingual_title,
@@ -276,7 +276,11 @@ def q33_standardize_text_builders(spark: SparkSession, sf_dir: str) -> DataFrame
             k % 7 == 0, F.array(F.concat(F.lit("Programas|ptnoslash"), cs))
         ).otherwise(F.array().cast("array<string>")),
     )
-    facts = cust.select(
+    # call_number is materialized as a real column so the lo tree is
+    # the memoized lo_standard() (shared with q36's wide select — the
+    # 26-subfield state machine is the most expensive Column build in
+    # the standardize family; building it per gate cost ~0.45 s)
+    pre = cust.select(
         k.alias("id"),
         title_lang_map(titles).alias("ti_map"),
         multilingual_title(
@@ -290,9 +294,18 @@ def q33_standardize_text_builders(spark: SparkSession, sf_dir: str) -> DataFrame
             F.concat(F.lit("EC-"), cs),
         ).alias("mt_map"),
         abstract_lang_map(abstracts).alias("ab_map"),
-        lo(call_number).alias("lo_s"),
-        F.array_join(susdigital_themes(paths, "Programas"), "|").alias("prog_s"),
-        F.array_join(susdigital_themes(paths, "Alvo"), "|").alias("alvo_s"),
+        call_number.alias("call_number"),
+        paths.alias("_paths"),
+    )
+    p = F.col("_paths")
+    facts = pre.select(
+        "id",
+        "ti_map",
+        "mt_map",
+        "ab_map",
+        lo_standard().alias("lo_s"),
+        F.array_join(susdigital_themes(p, "Programas"), "|").alias("prog_s"),
+        F.array_join(susdigital_themes(p, "Alvo"), "|").alias("alvo_s"),
     )
     return facts.select(
         "id",

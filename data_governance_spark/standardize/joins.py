@@ -152,11 +152,16 @@ def add_country_fields(
         return F.when(matched, cp), pais
 
     cp_tree, pais_tree = _memo(("j", "country_trees"), _country_trees)
-    out = df.withColumn("cp", cp_tree).withColumn("pais_publicacao", pais_tree)
-    drop = ["_pck", "_p_en", "_p_es", "_p_pt", "_p_fr", "_p_p2", "_p_sin"]
+    # one select instead of withColumn+withColumn+drop: each DataFrame
+    # op re-analyzes the whole deepening plan (guide §5 driver wall)
+    drop = {"_pck", "_p_en", "_p_es", "_p_pt", "_p_fr", "_p_p2", "_p_sin"}
     if title_current is not None:
-        drop += ["_tck", "_tc_country"]
-    return out.drop(*drop)
+        drop |= {"_tck", "_tc_country"}
+    return df.select(
+        *[c for c in df.columns if c not in drop],
+        cp_tree.alias("cp"),
+        pais_tree.alias("pais_publicacao"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -528,17 +533,18 @@ def add_ta_var(
         )
         .dropDuplicates(["_sk"])
     )
-    out = (
-        df.join(
-            F.broadcast(by_issn),
-            _key(F.coalesce(F.col("issn"), F.lit(""))) == F.col("_ik"),
-            "left",
-        )
-        .join(
-            F.broadcast(by_st),
-            _key(F.coalesce(F.col("shortened_title"), F.lit(""))) == F.col("_sk"),
-            "left",
-        )
-        .withColumn("ta_var", F.coalesce(F.col("_tv_issn"), F.col("_tv_st")))
+    joined = df.join(
+        F.broadcast(by_issn),
+        _key(F.coalesce(F.col("issn"), F.lit(""))) == F.col("_ik"),
+        "left",
+    ).join(
+        F.broadcast(by_st),
+        _key(F.coalesce(F.col("shortened_title"), F.lit(""))) == F.col("_sk"),
+        "left",
     )
-    return out.drop("_ik", "_sk", "_tv_issn", "_tv_st")
+    # one select instead of withColumn+drop (guide §5: fewer analysis
+    # passes over the deepening plan)
+    return joined.select(
+        *df.columns,
+        F.coalesce(F.col("_tv_issn"), F.col("_tv_st")).alias("ta_var"),
+    )

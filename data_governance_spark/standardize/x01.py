@@ -22,16 +22,18 @@ from data_governance_spark.standardize.udfs import (
 def normalize_country_fields(df: DataFrame) -> DataFrame:
     """x01 passes 1-2 (:62-117): title-case every ^x segment of
     pais_afiliacao (array) and pais_publicacao (string)."""
-    out = df
+    # one withColumns call = one analysis pass (guide §5), not one per
+    # rewritten column
+    rewrites = {}
     if "pais_afiliacao" in df.columns:
-        out = out.withColumn(
-            "pais_afiliacao", normalize_afiliacao_list_udf(F.col("pais_afiliacao"))
+        rewrites["pais_afiliacao"] = normalize_afiliacao_list_udf(
+            F.col("pais_afiliacao")
         )
     if "pais_publicacao" in df.columns:
-        out = out.withColumn(
-            "pais_publicacao", normalize_afiliacao_string_udf(F.col("pais_publicacao"))
+        rewrites["pais_publicacao"] = normalize_afiliacao_string_udf(
+            F.col("pais_publicacao")
         )
-    return out
+    return df.withColumns(rewrites) if rewrites else df
 
 
 def brisa_ai_map(brisa: DataFrame) -> DataFrame:
@@ -85,8 +87,13 @@ def rename_ai(df: DataFrame, brisa: DataFrame, id_col: str = "id") -> DataFrame:
             ).alias("_new_ai")
         )
     )
-    return (
-        df.join(agg, F.col(id_col) == F.col("_xid"), "left")
-        .withColumn("ai", F.when(F.col("ai").isNotNull(), F.col("_new_ai")))
-        .drop("_xid", "_new_ai")
+    # one select instead of withColumn+drop (guide §5: fewer analysis
+    # passes over the deepening plan)
+    return df.join(agg, F.col(id_col) == F.col("_xid"), "left").select(
+        *[
+            F.when(F.col("ai").isNotNull(), F.col("_new_ai")).alias("ai")
+            if c == "ai"
+            else c
+            for c in df.columns
+        ]
     )

@@ -54,9 +54,34 @@ def _pin_events_confs(spark: SparkSession) -> None:
     _EVENTS_CONF_PINNED.add(spark)
 
 
+# Scan-plan memo: spark.read.parquet() pays driver-side source
+# resolution (schema read + file listing) on EVERY call — ~84 ms each,
+# 74 calls across one bench sweep (measured r14: 6.2 s of pure driver
+# wall). The returned DataFrame is an immutable LAZY plan — caching it
+# per (session, sf_dir, name) is plan reuse (what a catalog table scan
+# would be), not result caching: every action still computes from the
+# parquet files. WeakKeyDictionary on the session: entries die with it.
+_SCAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    cache = _SCAN_MEMO.get(spark)
+    if cache is None:
+        cache = {}
+        _SCAN_MEMO[spark] = cache
+    key = (os.path.abspath(sf_dir), name)
+    if key in cache:
+        return cache[key]
+    df = _load_table(spark, sf_dir, name)
+    cache[key] = df
+    return df
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet stores ts as parquet TIMESTAMP(NANOS). How that
         # surfaces depends on the Spark line:
