@@ -85,14 +85,29 @@ def attach_slice_p4(
     (rows matching nothing keep slice NULL), with the reference's exact
     regex semantics. Slice count is small (6 WHO regions / ~200
     countries) so the when()-array stays a single projection."""
-    pa = F.col(pais_afiliacao_col)
-    cp = F.col(cp_col)
-    matches = F.array_compact(
-        F.array(
-            *[
-                F.when(countries_match(cs, pa, cp), F.lit(name))
-                for name, cs in sorted(slice_countries.items())
-            ]
-        )
+    from data_governance_spark.cache import column_memo
+
+    # pure function of (slice map, column names) — memoized per context
+    # (~0.9 s of regex-alternation Column builds per call; q37's bundle
+    # and the sliced metric gates rebuild identical trees)
+    key = (
+        "p4_slice_matches",
+        tuple((n, tuple(cs)) for n, cs in sorted(slice_countries.items())),
+        pais_afiliacao_col,
+        cp_col,
     )
+
+    def _build() -> Column:
+        pa = F.col(pais_afiliacao_col)
+        cp = F.col(cp_col)
+        return F.array_compact(
+            F.array(
+                *[
+                    F.when(countries_match(cs, pa, cp), F.lit(name))
+                    for name, cs in sorted(slice_countries.items())
+                ]
+            )
+        )
+
+    matches = column_memo(key, _build)
     return facts.withColumn(slice_col, F.explode_outer(matches))

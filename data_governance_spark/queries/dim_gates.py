@@ -346,41 +346,64 @@ def s15_report_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     "+ S15 report eligibility/filename key (new)",
 )
 def q37_dim_lookup_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     nul_s = F.lit(None).cast("string")
     nul_d = F.lit(None).cast("double")
 
-    j = q37_journal_joins(spark, sf_dir).select(
-        F.lit("journal").alias("gate"),
-        F.col("id").cast("string").alias("k"),
-        F.concat(
-            F.coalesce(F.col("ta_var_s"), F.lit("None")), F.lit("~"),
-            F.coalesce(F.col("cp_s"), F.lit("None")), F.lit("~"),
-            F.coalesce(F.col("pp_s"), F.lit("None")),
-        ).alias("v_s"),
-        nul_d.alias("v_d"),
-    )
-    mp = q38_p4_map_metric(spark, sf_dir).select(
-        F.concat("country", F.lit(":"), F.col("year").cast("string")).alias("ky"),
-        F.col("total").cast("double").alias("t"),
-        F.col("with_fulltext").cast("double").alias("f"),
-    )
-    mp_rows = melt_metrics(mp, F.col("ky"), ("t", "f"), "map")
-    dc = q39_decs_label_decode(spark, sf_dir).select(
-        F.lit("decs").alias("gate"),
-        F.concat("name", F.lit(":"), F.col("year").cast("string")).alias("k"),
-        nul_s.alias("v_s"),
-        F.col("count").cast("double").alias("v_d"),
-    )
-    iso = q40_iso_lookup(spark, sf_dir).select(
-        F.lit("iso").alias("gate"),
-        F.col("country").alias("k"),
-        F.coalesce(F.col("iso"), F.lit("None")).alias("v_s"),
-        nul_d.alias("v_d"),
-    )
-    rp = s15_report_eligibility(spark, sf_dir).select(
-        F.lit("report").alias("gate"),
-        F.col("country").alias("k"),
-        F.col("fname").alias("v_s"),
-        nul_d.alias("v_d"),
-    )
+    # The five sub-builders are independent plan constructions (driver-
+    # side py4j/Catalyst work, ~2.6 s serial warm — measured r14). py4j
+    # gives each Python thread its own JVM connection, so building them
+    # from a small pool overlaps the chatter the same way the e05/q43
+    # builder pools overlap eager jobs (guide §2.6). Results unchanged:
+    # the plans are combined by the same unionByName.
+    def _j() -> DataFrame:
+        return q37_journal_joins(spark, sf_dir).select(
+            F.lit("journal").alias("gate"),
+            F.col("id").cast("string").alias("k"),
+            F.concat(
+                F.coalesce(F.col("ta_var_s"), F.lit("None")), F.lit("~"),
+                F.coalesce(F.col("cp_s"), F.lit("None")), F.lit("~"),
+                F.coalesce(F.col("pp_s"), F.lit("None")),
+            ).alias("v_s"),
+            nul_d.alias("v_d"),
+        )
+
+    def _mp_rows() -> DataFrame:
+        mp = q38_p4_map_metric(spark, sf_dir).select(
+            F.concat(
+                "country", F.lit(":"), F.col("year").cast("string")
+            ).alias("ky"),
+            F.col("total").cast("double").alias("t"),
+            F.col("with_fulltext").cast("double").alias("f"),
+        )
+        return melt_metrics(mp, F.col("ky"), ("t", "f"), "map")
+
+    def _dc() -> DataFrame:
+        return q39_decs_label_decode(spark, sf_dir).select(
+            F.lit("decs").alias("gate"),
+            F.concat("name", F.lit(":"), F.col("year").cast("string")).alias("k"),
+            nul_s.alias("v_s"),
+            F.col("count").cast("double").alias("v_d"),
+        )
+
+    def _iso() -> DataFrame:
+        return q40_iso_lookup(spark, sf_dir).select(
+            F.lit("iso").alias("gate"),
+            F.col("country").alias("k"),
+            F.coalesce(F.col("iso"), F.lit("None")).alias("v_s"),
+            nul_d.alias("v_d"),
+        )
+
+    def _rp() -> DataFrame:
+        return s15_report_eligibility(spark, sf_dir).select(
+            F.lit("report").alias("gate"),
+            F.col("country").alias("k"),
+            F.col("fname").alias("v_s"),
+            nul_d.alias("v_d"),
+        )
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futs = [pool.submit(f) for f in (_j, _mp_rows, _dc, _iso, _rp)]
+        j, mp_rows, dc, iso, rp = (f.result() for f in futs)
     return j.unionByName(mp_rows).unionByName(dc).unionByName(iso).unionByName(rp)

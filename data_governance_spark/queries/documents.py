@@ -369,47 +369,52 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = tracked_persist(
         docs.select("doc_id", "lang", tokens("text").alias("_toks"))
     )
-    tok = (
-        toked.select("lang", F.explode("_toks").alias("token"))
-        .groupBy("lang", "token")
-        .agg(F.count(F.lit(1)).cast("double").alias("v_d"))
-        .select(
-            F.lit("tok").alias("gate"),
-            F.concat("lang", F.lit("~"), F.col("token")).alias("k"),
-            nul_s.alias("v_s"),
-            "v_d",
+
+    def _tok() -> DataFrame:
+        return (
+            toked.select("lang", F.explode("_toks").alias("token"))
+            .groupBy("lang", "token")
+            .agg(F.count(F.lit(1)).cast("double").alias("v_d"))
+            .select(
+                F.lit("tok").alias("gate"),
+                F.concat("lang", F.lit("~"), F.col("token")).alias("k"),
+                nul_s.alias("v_s"),
+                "v_d",
+            )
         )
-    )
-    toks = F.col("_toks")
-    base = toked.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-        .cast("double")
-        .alias("sum_len"),
-        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-        .cast("double")
-        .alias("n_stop"),
-    ).filter(F.col("n_tokens") > 0)
-    nt = F.col("n_tokens")
-    stop_frac = F.col("n_stop") / nt
-    q = base.select(
-        "doc_id",
-        nt.cast("double").alias("nt"),
-        F.round(F.col("sum_len") / nt, 4).alias("al"),
-        F.round(stop_frac, 4).alias("sr"),
-        F.round(F.least(nt / 100.0, F.lit(1.0)) * (1.0 - stop_frac), 4).alias("qs"),
-    )
-    q_u = melt_metrics(
-        q, F.col("doc_id").cast("string"), ("nt", "al", "sr", "qs"), "q"
-    )
+
+    def _q_u() -> DataFrame:
+        toks = F.col("_toks")
+        base = toked.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            .cast("double")
+            .alias("sum_len"),
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+            .cast("double")
+            .alias("n_stop"),
+        ).filter(F.col("n_tokens") > 0)
+        nt = F.col("n_tokens")
+        stop_frac = F.col("n_stop") / nt
+        q = base.select(
+            "doc_id",
+            nt.cast("double").alias("nt"),
+            F.round(F.col("sum_len") / nt, 4).alias("al"),
+            F.round(stop_frac, 4).alias("sr"),
+            F.round(
+                F.least(nt / 100.0, F.lit(1.0)) * (1.0 - stop_frac), 4
+            ).alias("qs"),
+        )
+        return melt_metrics(
+            q, F.col("doc_id").cast("string"), ("nt", "al", "sr", "qs"), "q"
+        )
+
     # rep sub-gate: Gopher-style top-bigram coverage over the raw text;
     # C4-style duplicate-line char fraction over the synthesized
     # multi-line variant (the flat corpus has no newlines — see the
     # oracle's `synth` CTE for the identical arithmetic). Both reuse
     # the persisted tokenized corpus — no re-scan, no re-tokenize.
-    tg = top_ngram_stats(toked, n=2, tokens_col="_toks")
-    dg = dup_ngram_stats(toked, n=5, tokens_col="_toks")
     line_a = F.concat_ws(" ", F.slice(F.col("_toks"), 1, 5))
     synth = toked.select(
         "doc_id",
@@ -425,16 +430,21 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text"),
     )
-    dl = dup_line_stats(synth)
-    rep_u = (
-        melt_metrics(tg, F.col("doc_id").cast("string"), ("tg",), "rep")
-        .unionByName(
-            melt_metrics(dl, F.col("doc_id").cast("string"), ("dl",), "rep")
+
+    def _rep_u() -> DataFrame:
+        tg = top_ngram_stats(toked, n=2, tokens_col="_toks")
+        dg = dup_ngram_stats(toked, n=5, tokens_col="_toks")
+        dl = dup_line_stats(synth)
+        return (
+            melt_metrics(tg, F.col("doc_id").cast("string"), ("tg",), "rep")
+            .unionByName(
+                melt_metrics(dl, F.col("doc_id").cast("string"), ("dl",), "rep")
+            )
+            .unionByName(
+                melt_metrics(dg, F.col("doc_id").cast("string"), ("dg",), "rep")
+            )
         )
-        .unionByName(
-            melt_metrics(dg, F.col("doc_id").cast("string"), ("dg",), "rep")
-        )
-    )
+
     # qf sub-gate: the REAL filter_corpus (fence and all), fed the
     # PERSISTED tokenized relation (tokens_col=) so the decision reuses
     # the one scan+tokenize the other sub-gates share instead of
@@ -443,12 +453,13 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # been kept (or vice versa) is a row-multiset mismatch
     from data_governance_spark.operators.quality import filter_corpus
 
-    qf = filter_corpus(toked, QF_RULES, tokens_col="_toks").select(
-        F.lit("qf").alias("gate"),
-        F.col("doc_id").cast("string").alias("k"),
-        nul_s.alias("v_s"),
-        F.lit(1.0).alias("v_d"),
-    )
+    def _qf() -> DataFrame:
+        return filter_corpus(toked, QF_RULES, tokens_col="_toks").select(
+            F.lit("qf").alias("gate"),
+            F.col("doc_id").cast("string").alias("k"),
+            nul_s.alias("v_s"),
+            F.lit(1.0).alias("v_d"),
+        )
     # c4l / gld sub-gates (new in r6): the two line-tier operators
     # over the SAME synthesized multi-line corpus the 'dl' signal uses.
     # c4l: clean_lines with phrase rules off (synthetic tokens could
@@ -496,16 +507,17 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("text"),
     )
-    zr = (
-        compression_ratio(zsyn)
-        .filter(F.col("compression_ratio") > 0.2)
-        .select(
-            F.lit("zr").alias("gate"),
-            F.col("doc_id").cast("string").alias("k"),
-            nul_s.alias("v_s"),
-            F.lit(1.0).alias("v_d"),
+    def _zr() -> DataFrame:
+        return (
+            compression_ratio(zsyn)
+            .filter(F.col("compression_ratio") > 0.2)
+            .select(
+                F.lit("zr").alias("gate"),
+                F.col("doc_id").cast("string").alias("k"),
+                nul_s.alias("v_s"),
+                F.lit(1.0).alias("v_d"),
+            )
         )
-    )
 
     def _h(df):
         return df.select(
@@ -514,19 +526,24 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     nul_d = F.lit(None).cast("double")
-    c4l = _h(
-        clean_lines(
-            synth,
-            min_words=3,
-            terminal_punct=False,
-            drop_line_phrases=(),
-            min_lines=1,
-            drop_doc_phrases=(),
+
+    def _c4l() -> DataFrame:
+        return _h(
+            clean_lines(
+                synth,
+                min_words=3,
+                terminal_punct=False,
+                drop_line_phrases=(),
+                min_lines=1,
+                drop_doc_phrases=(),
+            )
+        ).select(F.lit("c4l").alias("gate"), "k", "v_s", nul_d.alias("v_d"))
+
+    def _gld() -> DataFrame:
+        return _h(dedup_lines_global(synth, min_dup=2, keep="first")).select(
+            F.lit("gld").alias("gate"), "k", "v_s", nul_d.alias("v_d")
         )
-    ).select(F.lit("c4l").alias("gate"), "k", "v_s", nul_d.alias("v_d"))
-    gld = _h(dedup_lines_global(synth, min_dup=2, keep="first")).select(
-        F.lit("gld").alias("gate"), "k", "v_s", nul_d.alias("v_d")
-    )
+
     # lid sub-gate (new in r14): the REAL langid operator
     # (operators/langid.py) over planted held-out sentences keyed
     # doc_id % 24 — seed-trained model broadcast once, one map-only
@@ -544,12 +561,28 @@ def d01_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % len(_LID_TEXTS)).cast("int") + 1,
         ).alias("text"),
     )
-    lid = detect_language(lid_syn, train_langid()).select(
-        F.lit("lid").alias("gate"),
-        F.col("doc_id").cast("string").alias("k"),
-        F.col("lang_pred").alias("v_s"),
-        nul_d.alias("v_d"),
-    )
+
+    def _lid() -> DataFrame:
+        return detect_language(lid_syn, train_langid()).select(
+            F.lit("lid").alias("gate"),
+            F.col("doc_id").cast("string").alias("k"),
+            F.col("lang_pred").alias("v_s"),
+            nul_d.alias("v_d"),
+        )
+
+    # The eight branch constructions are independent driver-side plan
+    # builds over the shared relations above (~2.5 s serial cold —
+    # measured r14); build them from a pool (guide §2.6 — py4j gives
+    # each thread its own JVM connection, so Column/Catalyst work
+    # overlaps). Same plans, same unionByName order as the serial code.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futs = [
+            pool.submit(f)
+            for f in (_tok, _q_u, _rep_u, _qf, _c4l, _gld, _zr, _lid)
+        ]
+        tok, q_u, rep_u, qf, c4l, gld, zr, lid = (f.result() for f in futs)
     return (
         tok.unionByName(q_u)
         .unionByName(rep_u)
@@ -740,31 +773,36 @@ def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     nul_s = F.lit(None).cast("string")
     nul_d = F.lit(None).cast("double")
     sep = F.lit("|")
-    stats = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("text").alias("n_unique"),
-        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_dup_rows"),
-    ).select(
-        F.lit("stats").alias("gate"),
-        F.col("source").alias("k"),
-        F.concat(
-            F.col("n_docs").cast("string"), sep,
-            F.col("n_unique").cast("string"), sep,
-            F.col("n_dup_rows").cast("string"),
-        ).alias("v_s"),
-        nul_d.alias("v_d"),
-    )
-    fp = docs.groupBy(fingerprint("text").alias("fp")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("doc_id").alias("canonical_id"),
-    ).select(
-        F.lit("fp").alias("gate"),
-        F.col("fp").alias("k"),
-        F.concat(
-            F.col("n_docs").cast("string"), sep, F.col("canonical_id").cast("string")
-        ).alias("v_s"),
-        nul_d.alias("v_d"),
-    )
+
+    def _stats() -> DataFrame:
+        return docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_dup_rows"),
+        ).select(
+            F.lit("stats").alias("gate"),
+            F.col("source").alias("k"),
+            F.concat(
+                F.col("n_docs").cast("string"), sep,
+                F.col("n_unique").cast("string"), sep,
+                F.col("n_dup_rows").cast("string"),
+            ).alias("v_s"),
+            nul_d.alias("v_d"),
+        )
+
+    def _fp() -> DataFrame:
+        return docs.groupBy(fingerprint("text").alias("fp")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        ).select(
+            F.lit("fp").alias("gate"),
+            F.col("fp").alias("k"),
+            F.concat(
+                F.col("n_docs").cast("string"), sep,
+                F.col("canonical_id").cast("string"),
+            ).alias("v_s"),
+            nul_d.alias("v_d"),
+        )
     # pipe sub-gate: the one-call public pipeline, end to end (see the
     # gate comment for why threshold=1.01 / pii=False keep it exact).
     # persist_clean=True is a TRACKED persist, so the registry releases
@@ -773,37 +811,39 @@ def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on this gate at sf0.1).
     from data_governance_spark.corpus import prepare_corpus
 
-    res = prepare_corpus(
-        docs,
-        quality_rules=QF_RULES,
-        pii=False,
-        minhash_threshold=1.01,
-        split_weights=SPLIT_WEIGHTS,
-        max_tokens=_PACK_MAX,
-        num_buckets=_PACK_BUCKETS,
-    )
-    pipe = res.packed.select(
-        F.lit("pipe").alias("gate"),
-        F.col("doc_id").cast("string").alias("k"),
-        F.concat_ws(
-            ":",
-            "split",
-            F.col("pack_bucket").cast("string"),
-            F.col("pack_id").cast("string"),
-            F.col("pack_offset").cast("string"),
-        ).alias("v_s"),
-        nul_d.alias("v_d"),
-    )
+    def _pipe() -> DataFrame:
+        res = prepare_corpus(
+            docs,
+            quality_rules=QF_RULES,
+            pii=False,
+            minhash_threshold=1.01,
+            split_weights=SPLIT_WEIGHTS,
+            max_tokens=_PACK_MAX,
+            num_buckets=_PACK_BUCKETS,
+        )
+        return res.packed.select(
+            F.lit("pipe").alias("gate"),
+            F.col("doc_id").cast("string").alias("k"),
+            F.concat_ws(
+                ":",
+                "split",
+                F.col("pack_bucket").cast("string"),
+                F.col("pack_id").cast("string"),
+                F.col("pack_offset").cast("string"),
+            ).alias("v_s"),
+            nul_d.alias("v_d"),
+        )
 
-    _canonical, mapping = exact_precluster(
-        docs, F.md5(F.encode(F.col("text"), "UTF-8"))
-    )
-    pre = mapping.select(
-        F.lit("pre").alias("gate"),
-        F.col("doc_id").cast("string").alias("k"),
-        nul_s.alias("v_s"),
-        F.col("canon_id").cast("double").alias("v_d"),
-    )
+    def _pre() -> DataFrame:
+        _canonical, mapping = exact_precluster(
+            docs, F.md5(F.encode(F.col("text"), "UTF-8"))
+        )
+        return mapping.select(
+            F.lit("pre").alias("gate"),
+            F.col("doc_id").cast("string").alias("k"),
+            nul_s.alias("v_s"),
+            F.col("canon_id").cast("double").alias("v_d"),
+        )
     # inc sub-gate (new in r7): incremental dedup of a planted second
     # batch against the first batch's persisted state
     # (operators/incremental.py). threshold=1.01 short-circuits the
@@ -844,19 +884,22 @@ def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     b1 = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
-    inc_res = incremental_dedup(b2, build_dedup_state(b1), threshold=1.01)
-    inc_kept = inc_res.kept.select(
-        F.lit("inc").alias("gate"),
-        F.concat(F.lit("k:"), F.col("doc_id").cast("string")).alias("k"),
-        nul_s.alias("v_s"),
-        F.lit(1.0).alias("v_d"),
-    )
-    inc_drop = inc_res.dropped.select(
-        F.lit("inc").alias("gate"),
-        F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("k"),
-        F.col("reason").alias("v_s"),
-        F.col("matched_id").cast("double").alias("v_d"),
-    )
+
+    def _inc() -> tuple[DataFrame, DataFrame]:
+        inc_res = incremental_dedup(b2, build_dedup_state(b1), threshold=1.01)
+        kept = inc_res.kept.select(
+            F.lit("inc").alias("gate"),
+            F.concat(F.lit("k:"), F.col("doc_id").cast("string")).alias("k"),
+            nul_s.alias("v_s"),
+            F.lit(1.0).alias("v_d"),
+        )
+        drop = inc_res.dropped.select(
+            F.lit("inc").alias("gate"),
+            F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("k"),
+            F.col("reason").alias("v_s"),
+            F.col("matched_id").cast("double").alias("v_d"),
+        )
+        return kept, drop
     # linc sub-gate (new in r11): state-backed incremental LINE dedup
     # (operators/lines.py). Corpus = docs %3!=0, batch = %3==0 with
     # offset ids (append-only): each doc carries a mod-7 banner line
@@ -890,15 +933,16 @@ def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text"),
     )
-    linc_res = dedup_lines_incremental(
-        batch_docs, build_line_state(corpus_docs)
-    )
-    linc = linc_res.kept.select(
-        F.lit("linc").alias("gate"),
-        F.concat(F.lit("l:"), F.col("doc_id").cast("string")).alias("k"),
-        F.col("text").alias("v_s"),
-        nul_d.alias("v_d"),
-    )
+    def _linc() -> DataFrame:
+        linc_res = dedup_lines_incremental(
+            batch_docs, build_line_state(corpus_docs)
+        )
+        return linc_res.kept.select(
+            F.lit("linc").alias("gate"),
+            F.concat(F.lit("l:"), F.col("doc_id").cast("string")).alias("k"),
+            F.col("text").alias("v_s"),
+            nul_d.alias("v_d"),
+        )
     # cdc sub-gate (new in r14): content-defined chunking
     # (operators/cdc.py, FastCDC). The fixture is deterministic
     # driver-built binary — A: seeded-PRNG bytes; B: A with 16 bytes
@@ -916,28 +960,44 @@ def d03_exact_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operator byte-for-byte.
     from data_governance_spark.operators.cdc import cdc_chunks
 
-    cdc_docs = spark.createDataFrame(
-        [
-            (name, bytearray(body) if body is not None else None)
-            for name, body in _cdc_fixture().items()
-        ],
-        "doc_id string, content binary",
-    )
-    cdc = cdc_chunks(cdc_docs, id_col="doc_id").select(
-        F.lit("cdc").alias("gate"),
-        F.concat_ws(
-            ":",
-            "doc_id",
-            F.coalesce(F.col("chunk_idx").cast("string"), F.lit("-")),
-        ).alias("k"),
-        F.concat_ws(
-            ":",
-            F.col("offset").cast("string"),
-            F.col("size").cast("string"),
-            F.col("chunk_hash").cast("string"),
-        ).alias("v_s"),
-        nul_d.alias("v_d"),
-    )
+    def _cdc() -> DataFrame:
+        cdc_docs = spark.createDataFrame(
+            [
+                (name, bytearray(body) if body is not None else None)
+                for name, body in _cdc_fixture().items()
+            ],
+            "doc_id string, content binary",
+        )
+        return cdc_chunks(cdc_docs, id_col="doc_id").select(
+            F.lit("cdc").alias("gate"),
+            F.concat_ws(
+                ":",
+                "doc_id",
+                F.coalesce(F.col("chunk_idx").cast("string"), F.lit("-")),
+            ).alias("k"),
+            F.concat_ws(
+                ":",
+                F.col("offset").cast("string"),
+                F.col("size").cast("string"),
+                F.col("chunk_hash").cast("string"),
+            ).alias("v_s"),
+            nul_d.alias("v_d"),
+        )
+
+    # The seven branch constructions are independent, fully LAZY plan
+    # builds (~4 s serial cold — prepare_corpus and the minhash state
+    # trees dominate); build them from a pool (guide §2.6, the
+    # d01/q37 pattern). Same plans, same unionByName order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=7) as pool:
+        futs = [
+            pool.submit(f)
+            for f in (_stats, _fp, _pre, _pipe, _inc, _linc, _cdc)
+        ]
+        stats, fp, pre, pipe, (inc_kept, inc_drop), linc, cdc = (
+            f.result() for f in futs
+        )
     return (
         stats.unionByName(fp)
         .unionByName(pre)
@@ -2302,30 +2362,34 @@ def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one tokenize pass shared by the bench synthesis and the pair
     # query (r6 review: the gate used to tokenize three times)
     toks = docs.select("doc_id", tokens("text").alias("toks"))
-    pair_rows = _d06_pair_df(spark, sf_dir, toks=toks).select(
-        F.lit("pairs").alias("gate"),
-        F.concat_ws(
-            ":", F.col("doc_a").cast("string"), F.col("doc_b").cast("string")
-        ).alias("k"),
-        F.lit(None).cast("string").alias("v_s"),
-        F.col("jaccard").alias("v_d"),
-    )
+
+    def _pairs() -> DataFrame:
+        return _d06_pair_df(spark, sf_dir, toks=toks).select(
+            F.lit("pairs").alias("gate"),
+            F.concat_ws(
+                ":", F.col("doc_a").cast("string"), F.col("doc_b").cast("string")
+            ).alias("k"),
+            F.lit(None).cast("string").alias("v_s"),
+            F.col("jaccard").alias("v_d"),
+        )
+
     # decon sub-gate: the real operator over the synthesized benchmark
     # (first _DECON_PREFIX tokens of every doc_id%_DECON_MOD==0 doc)
     from data_governance_spark.operators.decontam import contaminated_ids
 
-    bench = toks.filter(
-        (F.col("doc_id") % _DECON_MOD == 0)
-        & (F.size("toks") >= _DECON_PREFIX)
-    ).select(
-        F.concat_ws(" ", F.slice("toks", 1, _DECON_PREFIX)).alias("text")
-    )
-    decon = contaminated_ids(docs, bench, n=_DECON_N).select(
-        F.lit("decon").alias("gate"),
-        F.col("doc_id").cast("string").alias("k"),
-        F.lit(None).cast("string").alias("v_s"),
-        F.col("hits").cast("double").alias("v_d"),
-    )
+    def _decon() -> DataFrame:
+        bench = toks.filter(
+            (F.col("doc_id") % _DECON_MOD == 0)
+            & (F.size("toks") >= _DECON_PREFIX)
+        ).select(
+            F.concat_ws(" ", F.slice("toks", 1, _DECON_PREFIX)).alias("text")
+        )
+        return contaminated_ids(docs, bench, n=_DECON_N).select(
+            F.lit("decon").alias("gate"),
+            F.col("doc_id").cast("string").alias("k"),
+            F.lit(None).cast("string").alias("v_s"),
+            F.col("hits").cast("double").alias("v_d"),
+        )
     # exs sub-gate: the REAL ExactSubstr operator over the real corpus
     # (857 duplicated 15-grams at sf0.01 — genuinely exercised), the
     # full rewritten text compared byte-for-byte against the oracle's
@@ -2348,14 +2412,15 @@ def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.select("doc_id", "text"), "doc_id", "text", _EXS_W
         )
     )
-    exs = dedup_substrings(
-        docs.select("doc_id", "text"), width=_EXS_W, windows=wins_all
-    ).select(
-        F.lit("exs").alias("gate"),
-        F.col("doc_id").cast("string").alias("k"),
-        F.col("text").alias("v_s"),
-        F.lit(None).cast("double").alias("v_d"),
-    )
+    def _exs() -> DataFrame:
+        return dedup_substrings(
+            docs.select("doc_id", "text"), width=_EXS_W, windows=wins_all
+        ).select(
+            F.lit("exs").alias("gate"),
+            F.col("doc_id").cast("string").alias("k"),
+            F.col("text").alias("v_s"),
+            F.lit(None).cast("double").alias("v_d"),
+        )
     # exsi sub-gate (r11): the state-backed incremental tier — corpus
     # = %3!=0 docs, batch = %3==0 docs re-idd +1e9 (append-only ids).
     # Because batch rows equal one-shot dedup_substrings over the union
@@ -2375,17 +2440,19 @@ def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_wins = wins_all.filter(F.col("_es_id") % 3 == 0).withColumn(
         "_es_id", F.col("_es_id") + _IB
     )
-    exsi_res = dedup_substrings_incremental(
-        batch_docs,
-        build_substr_state(corpus_docs, width=_EXS_W, windows=corpus_wins),
-        windows=batch_wins,
-    )
-    exsi = exsi_res.kept.select(
-        F.lit("exsi").alias("gate"),
-        F.col("doc_id").cast("string").alias("k"),
-        F.col("text").alias("v_s"),
-        F.lit(None).cast("double").alias("v_d"),
-    )
+
+    def _exsi() -> DataFrame:
+        exsi_res = dedup_substrings_incremental(
+            batch_docs,
+            build_substr_state(corpus_docs, width=_EXS_W, windows=corpus_wins),
+            windows=batch_wins,
+        )
+        return exsi_res.kept.select(
+            F.lit("exsi").alias("gate"),
+            F.col("doc_id").cast("string").alias("k"),
+            F.col("text").alias("v_s"),
+            F.lit(None).cast("double").alias("v_d"),
+        )
     # blsj/blaj sub-gates (r12): the Bloom runtime-filter composition
     # (operators/bloom.py) — corpus rows whose TEXT appears in a
     # reference set (docs %5==0), prefiltered MAP-SIDE by a filter
@@ -2399,28 +2466,43 @@ def d06_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ref = docs.filter(F.col("doc_id") % 5 == 0).select("text")
-    # size the filter from the parquet row count (metadata-only count on
-    # the UNREPARTITIONED scan — no shuffle, no text read) instead of
-    # bloom_build's exact count() pass over ref, which re-paid the
-    # repartition exchange (guide §1/§5: one fewer eager build job).
-    # expected_n only sizes m/k (the fpr target); results are exact
-    # either way — bloom_semi_join re-joins exactly, no false negatives.
-    n_ref = max(1, table(spark, sf_dir, "documents").count() // 5)
-    bf = bloom_build(ref, "text", expected_n=n_ref, fpr=0.01)
     corpus_kv = docs.select("doc_id", "text")
 
-    def _bl_rows(how: str, gate: str):
-        return bloom_semi_join(
-            corpus_kv, ref, on="text", how=how, bf=bf
-        ).select(
-            F.lit(gate).alias("gate"),
-            F.col("doc_id").cast("string").alias("k"),
-            F.lit(None).cast("string").alias("v_s"),
-            F.lit(None).cast("double").alias("v_d"),
-        )
+    def _bloom() -> tuple[DataFrame, DataFrame]:
+        # size the filter from the parquet row count (metadata-only
+        # count on the UNREPARTITIONED scan — no shuffle, no text read)
+        # instead of bloom_build's exact count() pass over ref, which
+        # re-paid the repartition exchange (guide §1/§5: one fewer
+        # eager build job). expected_n only sizes m/k (the fpr target);
+        # results are exact either way — bloom_semi_join re-joins
+        # exactly, no false negatives.
+        n_ref = max(1, table(spark, sf_dir, "documents").count() // 5)
+        bf = bloom_build(ref, "text", expected_n=n_ref, fpr=0.01)
 
-    blsj = _bl_rows("semi", "blsj")
-    blaj = _bl_rows("anti", "blaj")
+        def _bl_rows(how: str, gate: str):
+            return bloom_semi_join(
+                corpus_kv, ref, on="text", how=how, bf=bf
+            ).select(
+                F.lit(gate).alias("gate"),
+                F.col("doc_id").cast("string").alias("k"),
+                F.lit(None).cast("string").alias("v_s"),
+                F.lit(None).cast("double").alias("v_d"),
+            )
+
+        return _bl_rows("semi", "blsj"), _bl_rows("anti", "blaj")
+
+    # _bloom's two eager jobs (count + treeReduce) overlap the other
+    # branches' lazy plan construction (guide §2.6, the d01/d03
+    # pattern); constructions are independent, union order unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futs = [
+            pool.submit(f) for f in (_pairs, _decon, _exs, _exsi, _bloom)
+        ]
+        pair_rows, decon, exs, exsi, (blsj, blaj) = (
+            f.result() for f in futs
+        )
     return (
         pair_rows.unionByName(decon)
         .unionByName(exs)

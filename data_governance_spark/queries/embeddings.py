@@ -162,10 +162,23 @@ def e03_sketch_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).repartition(spark.sparkContext.defaultParallelism)
     )
-    mh = minhash_dedup_pairs(
-        aug, F.array_distinct(word_shingles(F.col("toks"), 3)), threshold=0.5
-    )
-    sh = simhash_dedup_pairs(aug, F.col("toks"), max_hamming=8)
+    # the two sketch plans are independent lazy builds (the 64-wide
+    # hash trees dominate the cold build) — overlap their construction
+    # (guide §2.6, the d01/d03/q37 pattern)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        mh_fut = pool.submit(
+            lambda: minhash_dedup_pairs(
+                aug,
+                F.array_distinct(word_shingles(F.col("toks"), 3)),
+                threshold=0.5,
+            )
+        )
+        sh_fut = pool.submit(
+            lambda: simhash_dedup_pairs(aug, F.col("toks"), max_hamming=8)
+        )
+        mh, sh = mh_fut.result(), sh_fut.result()
     # derive the expected pairs from the PERSISTED aug, not from base
     # (base would re-scan + re-tokenize the corpus once per sub-gate)
     expected = aug.filter(
