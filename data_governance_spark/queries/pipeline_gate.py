@@ -159,18 +159,27 @@ def q36_pipeline_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     # null columns via one server-side-parsed expr each (1 py4j round
     # trip) instead of lit(None).cast(DataType) (several) — the landing
     # synthesis was ~3s of pure py4j chatter for the ~60 all-null fields
-    landing = cust.select(
-        *[
-            (
-                overrides[f.name].alias(f.name)
-                if f.name in overrides
-                else F.expr(
-                    f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+    def _landing() -> DataFrame:
+        return cust.select(
+            *[
+                (
+                    overrides[f.name].alias(f.name)
+                    if f.name in overrides
+                    else F.expr(
+                        f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+                    )
                 )
-            )
-            for f in FIADMIN_LANDING_SCHEMA
-        ]
-    )
+                for f in FIADMIN_LANDING_SCHEMA
+            ]
+        )
+
+    # the landing synthesis (~60-column select) and the six dim
+    # constructions below are independent plan builds — overlap the
+    # heavy one with the rest (guide §2.6, the d01/d03/q37 pattern)
+    from concurrent.futures import ThreadPoolExecutor
+
+    _pool = ThreadPoolExecutor(max_workers=1)
+    _landing_fut = _pool.submit(_landing)
 
     nation = table(spark, sf_dir, "nation")
     nk = F.col("n_nationkey")
@@ -261,6 +270,8 @@ def q36_pipeline_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cut reads them here (they carry their own gates, q23/q33).
     # Results are unchanged (oracle-verified; equivalence test pins all
     # modes); a missing column would fail analysis loudly.
+    landing = _landing_fut.result()
+    _pool.shutdown()
     out = run_pipeline(
         landing,
         dims,
