@@ -42,6 +42,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # The PySpark-4 DataFrame-debugging origin capture wraps EVERY
+        # Column/DataFrame method with ~4 py4j round trips (getActiveSession,
+        # conf.get, PySparkCurrentOrigin.set/clear) plus a Python stack walk —
+        # measured 50% of q36's plan-construction round trips (23.4k -> 11.9k).
+        # It only enriches error messages with user call sites; plans, results
+        # and executor behavior are untouched. Flip to "true" when debugging.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
