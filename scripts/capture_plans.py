@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for registered queries into plans/r14/.
+"""Capture .explain("formatted") for registered queries into plans/
+(round dir via PLANS_ROUND, default r15).
 
 Usage: python scripts/capture_plans.py <tag> [query-name-substring ...]
-Writes plans/r14/<name>_<tag>.txt for each matching query.
+Writes plans/<round>/<name>_<tag>.txt for each matching query.
 Env: PLANS_SF_DIR (default /root/testdata/sf0.1), PLANS_CPUS (default 32).
 
 Plan capture is timing-insensitive (no actions run except where a
@@ -29,7 +30,7 @@ def main() -> int:
     tag = sys.argv[1]
     pats = sys.argv[2:]
     sf = os.environ.get("PLANS_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("dg_spark_plans")
